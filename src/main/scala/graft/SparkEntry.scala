@@ -1,13 +1,655 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Coercions
+import graft.operators.{Dedup, Merge, Multimodal, Similarity}
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the north_star extension operators), with a DuckDB
+  * oracle where the semantics are ANSI-SQL-expressible.
+  *
+  * Oracle-parity conventions (so the driver's hash compare is bit-exact):
+  *  - double aggregates go through DECIMAL (exact, order-independent) and
+  *    are cast back to double;
+  *  - temporal outputs are formatted strings;
+  *  - integer outputs are always BIGINT on both sides;
+  *  - ties in any top-k / keep-latest are broken by a unique id.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.parquet stores TIMESTAMP(NANOS) which Spark has no native
+      // type for: read nanos as long, truncate to micros (identical to
+      // DuckDB's ns->us truncation).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact, order-independent sum of a double expression. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(20,4)")).cast("double")
+
+  private def ymd(c: Column): Column = date_format(c, "yyyy-MM-dd")
+  private def ymdhms(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+  private def ymdhmsUs(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Flagship query on sf=0.001 (star join + grouped aggregation). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q04_star_join")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared sub-plans for the merge family -------------------------------
+  // target = latest even-day event per user; staging = odd-day events.
+  private def evenTarget(e: DataFrame): DataFrame =
+    Merge.keepLatest(e.filter(dayofmonth(col("ts")) % 2 === 0),
+      Seq("user_id"), "ts", Seq(col("event_id")))
+  private def oddStaging(e: DataFrame): DataFrame =
+    e.filter(dayofmonth(col("ts")) % 2 === 1)
+
+  private val mergeCols = Seq("user_id", "event_id", "ts", "event_type", "value")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ================= reference parity: aggregation (§2.6) ================
+    "q01_agg_basic" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_revenue"),
+          (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    "q02_conditional_buckets" -> ((s, dir) => {
+      // A7 analogue: histogram with DELIBERATE gaps (SURVEY §2.6 A7)
+      val v = col("value")
+      t(s, dir, "events").groupBy(col("event_type")).agg(
+        count(when(v.between(0, 30), 1)).as("b_0_30"),
+        count(when(v.between(30, 60), 1)).as("b_30_60"),
+        count(when(v.between(90, 150), 1)).as("b_90_150"),
+        count(when(v.between(180, 300), 1)).as("b_180_300"),
+        count(when(v.between(330, 480), 1)).as("b_330_480"),
+        count(when(v > 480, 1)).as("b_over_480"),
+        count(lit(1)).as("total"))
+    }),
+
+    "q03_count_distinct" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // ================= reference parity: joins (§2.3) ======================
+    "q04_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q05_delta_join" -> ((s, dir) => {
+      // J1 delta filter: new-or-newer staging rows vs target
+      val e = t(s, dir, "events")
+      val d = Merge.delta(
+        evenTarget(e).select(mergeCols.map(col): _*),
+        Merge.keepLatest(oddStaging(e), Seq("user_id"), "ts",
+          Seq(col("event_id"))).select(mergeCols.map(col): _*),
+        Seq("user_id"), "ts")
+      d.select(col("user_id"), col("event_id"), ymdhmsUs(col("ts")).as("ts_str"),
+        col("event_type"))
+    }),
+
+    "q06_scd1_merge" -> ((s, dir) => {
+      // M1: full SCD1 merge; result = latest state per user
+      val e = t(s, dir, "events")
+      Merge.scd1(evenTarget(e).select(mergeCols.map(col): _*),
+          oddStaging(e).select(mergeCols.map(col): _*),
+          Seq("user_id"), "ts")
+        .select(col("user_id"), col("event_id"),
+          ymdhmsUs(col("ts")).as("ts_str"), col("event_type"),
+          col("value"))
+    }),
+
+    "q07_append_if_absent" -> ((s, dir) => {
+      // M2: immutable facts — existing keys must NOT be updated
+      val e = t(s, dir, "events").select(mergeCols.map(col): _*)
+      val target = Merge.keepLatest(
+        e.filter(col("ts") < lit("2024-01-16")), Seq("user_id"), "ts",
+        Seq(col("event_id"))) // latest first-half state
+      val staging = Merge.keepLatest(e, Seq("user_id"), "ts",
+        Seq(col("event_id"))) // latest overall (differs for existing users)
+      Merge.appendIfAbsent(target, staging, Seq("user_id"))
+        .select(col("user_id"), col("event_id"),
+          ymdhmsUs(col("ts")).as("ts_str"), col("event_type"), col("value"))
+    }),
+
+    "q08_anti_join" -> ((s, dir) => {
+      // J2: customers with no recent order (anti join; filter pushed below)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01"))
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    "q09_keep_latest" -> ((s, dir) => {
+      // D3: keep-latest-per-key inside a batch
+      Merge.keepLatest(t(s, dir, "events"), Seq("user_id"), "ts",
+          Seq(col("event_id")))
+        .select(col("user_id"), col("event_id"),
+          ymdhmsUs(col("ts")).as("ts_str"), col("event_type"))
+    }),
+
+    // ================= reference parity: scalar battery (§2.2, §1.2) =======
+    "q10_cast_battery" -> ((s, dir) => {
+      val b = col("l_linenumber") % 7
+      val sb = when(b === 0, "").when(b === 1, "t").when(b === 2, "True")
+        .when(b === 3, "false").when(b === 4, "0").when(b === 5, "x")
+        .otherwise(lit(null).cast("string"))
+      val si = when(b === 0, "").when(b === 1, "42").when(b === 2, "3.5")
+        .when(b === 3, "garbage").otherwise("7")
+      val st = when(b === 0, "2024-01-02 03:04:05")
+        .when(b === 1, "not a time").otherwise(lit(null).cast("string"))
+      t(s, dir, "lineitem")
+        .select(Coercions.boolTruthy(sb).cast("long").as("bt"),
+          Coercions.boolWhitelist(sb).cast("long").as("bw"),
+          Coercions.intCoerce(si).as("ic"),
+          Coercions.tsCoerce(st).isNotNull.cast("long").as("ts_ok"),
+          Coercions.emptyAsNull(when(b === 0, "  x  ").otherwise(sb))
+            .as("trimmed"))
+        .groupBy("bt", "bw", "ic", "ts_ok", "trimmed")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q11_date_reformat" -> ((s, dir) => {
+      // P5: dd/MM/yyyy -> date
+      val d = Coercions.dateDmy(date_format(col("o_orderdate"), "dd/MM/yyyy"))
+      t(s, dir, "orders")
+        .select(d.as("od"))
+        .groupBy(year(col("od")).cast("long").as("y"),
+          month(col("od")).cast("long").as("m"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q12_tz_convert" -> ((s, dir) => {
+      // P6: UTC -> America/New_York local string
+      t(s, dir, "events")
+        .groupBy(date_format(from_utc_timestamp(col("ts"), "America/New_York"),
+          "yyyy-MM-dd").as("ny_date"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q13_string_funcs" -> ((s, dir) => {
+      // P8/P15: concat, suffix extraction
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        concat_ws(" ", col("c_name"), col("c_mktsegment")).as("full_name"),
+        substring_index(col("c_name"), "#", -1).as("cust_num"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        length(col("c_name")).cast("long").as("name_len"))
+    }),
+
+    "q14_epoch_intdiv" -> ((s, dir) => {
+      // P10/P17/P18/A10: epoch diff, float vs floored int division
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val diff = unix_timestamp(col("l_shipdate")) -
+        unix_timestamp(col("o_orderdate"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(diff).as("total_sec"),
+          round(sum(diff) / 3600.0, 2).as("total_hours"),
+          floor(sum(diff) / 60).cast("long").as("total_minutes"),
+          (sum(diff).cast("double") / count(lit(1))).as("avg_sec"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    "q15_json_extract" -> ((s, dir) => {
+      // P7: JSON field extraction
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+    }),
+
+    "q16_window_tumbling" -> ((s, dir) => {
+      // §2.7: tumbling event-time window (batch form)
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(ymdhms(col("window.start")).as("win_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+    }),
+
+    "q17_pivot" -> ((s, dir) => {
+      // A9/A11: categorical pivot with fixed value list
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    "q18_agent_view_shape" -> ((s, dir) => {
+      // EP3 shape: the view_agent_metrics aggregate surface over events
+      val v = col("value")
+      val h = hour(col("ts"))
+      t(s, dir, "events")
+        .filter(col("ts").cast("date").isNotNull)
+        .groupBy(ymd(col("ts")).as("d"), col("event_type"))
+        .agg(
+          count(lit(1)).as("total"),
+          countDistinct(col("user_id")).as("uniq_users"),
+          dsum(v).as("sum_value"),
+          round(dsum(v) / 3600.0, 2).as("value_hours"),
+          floor(dsum(v) / 60).cast("long").as("value_minutes"),
+          (dsum(v) / count(v)).as("avg_value"),
+          min(v).as("min_value"), max(v).as("max_value"),
+          count(when(v.between(0, 30), 1)).as("small"),
+          count(when(v.between(90, 150), 1)).as("medium"),
+          count(when(v > 480, 1)).as("large"),
+          count(when(h.between(9, 13), 1)).as("h_9_13"),
+          count(when(h.between(13, 17), 1)).as("h_13_17"),
+          count(when(h >= 17, 1)).as("h_17_00"))
+    }),
+
+    "q19_topk" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(100)
+        .select(col("c_custkey"), col("c_acctbal"))
+    }),
+
+    // ================= extensions: text analysis ===========================
+    "q21_text_stats" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        T.tokenCount(txt).cast("long").as("n_tokens"),
+        T.regexTokenCount(txt).cast("long").as("n_subtokens"),
+        round(T.avgTokenLen(txt), 4).as("avg_token_len"),
+        round(T.alphaRatio(txt), 4).as("alpha_ratio"),
+        round(T.punctRatio(txt), 4).as("punct_ratio"),
+        length(txt).cast("long").as("n_chars_calc"))
+    }),
+
+    "q22_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"), T.langId(col("text")).as("lang_guess"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q23_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        T.qualityScore(col("text")).as("quality"))
+    }),
+
+    "q24_fingerprint_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(T.fingerprint(col("text"))).as("n_distinct"),
+        countDistinct(T.bagFingerprint(col("text"))).as("n_bag_distinct"))
+    }),
+
+    // ================= extensions: near-dup dedup (no SQL oracle) ==========
+    "q25_minhash_signatures" -> ((s, dir) => {
+      Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id",
+          numHashes = 16, shingleN = 3)
+        .select(col("doc_id"), col("minhash")(0).as("h0"),
+          col("minhash")(1).as("h1"), col("minhash")(15).as("h15"))
+    }),
+
+    "q26_minhash_pairs" -> ((s, dir) => {
+      // unigram shingles: word-salad corpus shares vocab -> pairs exist
+      Dedup.minhashPairs(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", numHashes = 32, bands = 8,
+          threshold = 0.3, shingleN = 1)
+        .groupBy(round(col("est_jaccard"), 1).as("jac_bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    "q27_simhash" -> ((s, dir) => {
+      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
+    }),
+
+    "q28_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", n = 1, threshold = 0.3, maxDf = 1000)
+        .groupBy(round(col("jaccard"), 1).as("jac_bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // ================= extensions: similarity search =======================
+    "q29_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .select(col("probe_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    "q30_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+          nBits = 8, multiprobe = 2)
+        .select(col("probe_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    "q31_embedding_stats" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("label").cast("long").as("label"),
+          V.norm(col("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("nrm").cast("decimal(18,9)")).cast("double") /
+            count(lit(1))).as("avg_norm"))
+    }),
+
+    "q32_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding",
+          "vec_id", threshold = 0.4, nBits = 4)
+        .groupBy(round(col("cos"), 1).as("cos_bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // ================= extensions: multimodal plumbing =====================
+    "q33_multimodal_meta" -> ((s, dir) => {
+      val withPayload = Multimodal.attachPayload(t(s, dir, "documents"), "text")
+      Multimodal.featurize(s, withPayload, "doc_id")
+        .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"))
+    }),
+
+    "q34_multimodal_features" -> ((s, dir) => {
+      val withPayload = Multimodal.attachPayload(t(s, dir, "documents"), "text")
+      Multimodal.featurize(s, withPayload, "doc_id")
+        .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
+          col("features")(0).as("f0"), col("features")(7).as("f7"))
+    })
+  )
+
+  // ==========================================================================
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_revenue,
+         CAST(SUM(CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE) / COUNT(1) AS avg_disc,
+         COUNT(1) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_conditional_buckets" ->
+      """SELECT event_type,
+         COUNT(CASE WHEN value BETWEEN 0 AND 30 THEN 1 END) AS b_0_30,
+         COUNT(CASE WHEN value BETWEEN 30 AND 60 THEN 1 END) AS b_30_60,
+         COUNT(CASE WHEN value BETWEEN 90 AND 150 THEN 1 END) AS b_90_150,
+         COUNT(CASE WHEN value BETWEEN 180 AND 300 THEN 1 END) AS b_180_300,
+         COUNT(CASE WHEN value BETWEEN 330 AND 480 THEN 1 END) AS b_330_480,
+         COUNT(CASE WHEN value > 480 THEN 1 END) AS b_over_480,
+         COUNT(1) AS total
+         FROM events GROUP BY event_type""",
+
+    "q03_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
+         COUNT(1) AS n_orders FROM orders GROUP BY o_orderpriority""",
+
+    "q04_star_join" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+         COUNT(1) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+
+    "q05_delta_join" ->
+      """WITH tgt AS (
+           SELECT * FROM (SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             FROM events WHERE date_part('day', ts) % 2 = 0) WHERE rn = 1),
+         stg AS (
+           SELECT * FROM (SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             FROM events WHERE date_part('day', ts) % 2 = 1) WHERE rn = 1)
+         SELECT s.user_id, s.event_id,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, s.event_type
+         FROM stg s LEFT JOIN tgt t ON s.user_id = t.user_id
+         WHERE t.user_id IS NULL OR s.ts > t.ts""",
+
+    "q06_scd1_merge" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+         event_type, value
+         FROM (SELECT user_id, event_id, ts, event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+           FROM events) WHERE rn = 1""",
+
+    "q07_append_if_absent" ->
+      """WITH tgt AS (
+           SELECT user_id, event_id, ts, event_type, value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             FROM events WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
+         stg AS (
+           SELECT user_id, event_id, ts, event_type, value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             FROM events) WHERE rn = 1)
+         SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           event_type, value FROM tgt
+         UNION ALL
+         SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           event_type, value FROM stg
+         WHERE user_id NOT IN (SELECT user_id FROM tgt)""",
+
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2000-01-01')""",
+
+    "q09_keep_latest" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+         event_type
+         FROM (SELECT user_id, event_id, ts, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+           FROM events) WHERE rn = 1""",
+
+    "q10_cast_battery" ->
+      """WITH src AS (
+           SELECT l_linenumber % 7 AS b FROM lineitem),
+         vals AS (
+           SELECT
+             CASE WHEN b=0 THEN '' WHEN b=1 THEN 't' WHEN b=2 THEN 'True'
+                  WHEN b=3 THEN 'false' WHEN b=4 THEN '0' WHEN b=5 THEN 'x' END AS sb,
+             CASE WHEN b=0 THEN '' WHEN b=1 THEN '42' WHEN b=2 THEN '3.5'
+                  WHEN b=3 THEN 'garbage' ELSE '7' END AS si,
+             CASE WHEN b=0 THEN '2024-01-02 03:04:05' WHEN b=1 THEN 'not a time' END AS st,
+             CASE WHEN b=0 THEN '  x  ' ELSE
+               CASE WHEN b=1 THEN 't' WHEN b=2 THEN 'True' WHEN b=3 THEN 'false'
+                    WHEN b=4 THEN '0' WHEN b=5 THEN 'x' END END AS se
+           FROM src)
+         SELECT
+           CAST(CASE WHEN sb IS NULL OR sb = '' THEN 0
+                WHEN TRY_CAST(sb AS DOUBLE) = 0.0 THEN 0 ELSE 1 END AS BIGINT) AS bt,
+           CAST(CASE WHEN sb IN ('t','T','True','true','1') THEN 1 ELSE 0 END AS BIGINT) AS bw,
+           CAST(COALESCE(CAST(trunc(TRY_CAST(si AS DOUBLE)) AS BIGINT), 0) AS BIGINT) AS ic,
+           CAST(CASE WHEN TRY_CAST(st AS TIMESTAMP) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS ts_ok,
+           CASE WHEN se IS NULL OR trim(se) = '' THEN NULL ELSE trim(se) END AS trimmed,
+           COUNT(1) AS cnt
+         FROM vals GROUP BY 1,2,3,4,5""",
+
+    "q11_date_reformat" ->
+      """SELECT CAST(date_part('year', d) AS BIGINT) AS y,
+         CAST(date_part('month', d) AS BIGINT) AS m, COUNT(1) AS cnt
+         FROM (SELECT CAST(try_strptime(strftime(o_orderdate, '%d/%m/%Y'),
+           '%d/%m/%Y') AS DATE) AS d FROM orders)
+         GROUP BY 1, 2""",
+
+    "q12_tz_convert" ->
+      """SELECT strftime(timezone('America/New_York', ts::TIMESTAMPTZ),
+           '%Y-%m-%d') AS ny_date, COUNT(1) AS cnt
+         FROM events GROUP BY 1""",
+
+    "q13_string_funcs" ->
+      """SELECT c_custkey, concat_ws(' ', c_name, c_mktsegment) AS full_name,
+         split_part(c_name, '#', 2) AS cust_num,
+         upper(c_mktsegment) AS seg_upper,
+         CAST(length(c_name) AS BIGINT) AS name_len
+         FROM customer""",
+
+    "q14_epoch_intdiv" ->
+      """SELECT l_returnflag,
+         CAST(SUM(epoch(l_shipdate) - epoch(o_orderdate)) AS BIGINT) AS total_sec,
+         ROUND(SUM(epoch(l_shipdate) - epoch(o_orderdate)) / 3600.0, 2) AS total_hours,
+         CAST(FLOOR(SUM(epoch(l_shipdate) - epoch(o_orderdate)) / 60) AS BIGINT) AS total_minutes,
+         CAST(SUM(epoch(l_shipdate) - epoch(o_orderdate)) AS DOUBLE) / COUNT(1) AS avg_sec,
+         COUNT(1) AS cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY l_returnflag""",
+
+    "q15_json_extract" ->
+      """SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod, COUNT(1) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
+
+    "q16_window_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+         event_type, COUNT(1) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q17_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY 1""",
+
+    "q18_agent_view_shape" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+         COUNT(1) AS total,
+         COUNT(DISTINCT user_id) AS uniq_users,
+         CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / 3600.0, 2) AS value_hours,
+         CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / 60) AS BIGINT) AS value_minutes,
+         CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / COUNT(value) AS avg_value,
+         MIN(value) AS min_value, MAX(value) AS max_value,
+         COUNT(CASE WHEN value BETWEEN 0 AND 30 THEN 1 END) AS small,
+         COUNT(CASE WHEN value BETWEEN 90 AND 150 THEN 1 END) AS medium,
+         COUNT(CASE WHEN value > 480 THEN 1 END) AS large,
+         COUNT(CASE WHEN date_part('hour', ts) BETWEEN 9 AND 13 THEN 1 END) AS h_9_13,
+         COUNT(CASE WHEN date_part('hour', ts) BETWEEN 13 AND 17 THEN 1 END) AS h_13_17,
+         COUNT(CASE WHEN date_part('hour', ts) >= 17 THEN 1 END) AS h_17_00
+         FROM events WHERE CAST(ts AS DATE) IS NOT NULL
+         GROUP BY 1, 2""",
+
+    "q19_topk" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 100""",
+
+    "q21_text_stats" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subtokens,
+         ROUND(CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) = 0 THEN 0.0
+           ELSE CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''), x -> length(x))) AS DOUBLE)
+                / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) END, 4) AS avg_token_len,
+         ROUND(CASE WHEN length(text) = 0 THEN 0.0
+           ELSE CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END, 4) AS alpha_ratio,
+         ROUND(CASE WHEN length(text) = 0 THEN 0.0
+           ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]-]', '', 'g')) AS DOUBLE) / length(text) END, 4) AS punct_ratio,
+         CAST(length(text) AS BIGINT) AS n_chars_calc
+         FROM documents""",
+
+    "q22_lang_id" ->
+      """WITH scores AS (
+           SELECT lang, text,
+             len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''), x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+             len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''), x -> x IN ('el','la','de','que','y','en','los'))) AS s_es,
+             len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''), x -> x IN ('der','die','und','das','ist','von','mit'))) AS s_de,
+             len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''), x -> x IN ('le','la','de','et','les','des','un'))) AS s_fr,
+             len(list_filter(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''), x -> x IN ('的','是','在','了','和','有','我'))) AS s_zh
+           FROM documents),
+         guessed AS (
+           SELECT lang,
+             CASE WHEN s_en > 0 AND s_en = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'en'
+                  WHEN s_es > 0 AND s_es = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'es'
+                  WHEN s_de > 0 AND s_de = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'de'
+                  WHEN s_fr > 0 AND s_fr = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'fr'
+                  WHEN s_zh > 0 AND s_zh = greatest(s_en,s_es,s_de,s_fr,s_zh) THEN 'zh'
+                  ELSE 'und' END AS lang_guess
+           FROM scores)
+         SELECT lang, lang_guess, COUNT(1) AS cnt FROM guessed GROUP BY 1, 2""",
+
+    "q23_quality_score" ->
+      """WITH toks AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tk
+           FROM documents)
+         SELECT doc_id,
+           ROUND(
+             LEAST(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+             (CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END) * 0.4 +
+             LEAST((CASE WHEN len(tk) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(tk) END) * 5.0, 1.0) * 0.2,
+           4) AS quality
+         FROM toks""",
+
+    "q24_fingerprint_dedup" ->
+      """SELECT source, COUNT(1) AS n_docs,
+         COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_distinct,
+         COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(
+           list_filter(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'), x -> x != ''))), ' '))) AS n_bag_distinct
+         FROM documents GROUP BY source""",
+
+    "q29_ann_bruteforce" ->
+      """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+         s AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(p.embedding, c.embedding),
+               x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+             (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+              sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+           FROM embeddings c, p WHERE c.vec_id <> p.vec_id)
+         SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+           ROUND(cos, 6) AS cos_r
+         FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+           ORDER BY cos DESC, neighbor_id) rn FROM s)
+         WHERE rn <= 5""",
+
+    "q31_embedding_stats" ->
+      """SELECT CAST(label AS BIGINT) AS label, COUNT(1) AS n,
+         CAST(SUM(CAST(sqrt(list_sum(list_transform(embedding,
+           x -> x::DOUBLE * x::DOUBLE))) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(1) AS avg_norm
+         FROM embeddings GROUP BY 1""",
+
+    "q33_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+         FROM documents"""
+  )
 }

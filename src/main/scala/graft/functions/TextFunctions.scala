@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (BASELINE.json north_star; SURVEY.md §2.8 extensions).
+  *
+  * Everything here is built from codegen'd Catalyst built-ins / higher-order
+  * functions — no UDFs — so the whole battery stays inside whole-stage
+  * codegen and scales linearly with no shuffle. All functions are
+  * deterministic and mirrorable in ANSI SQL (the DuckDB oracle).
+  */
+object TextFunctions {
+
+  /** Non-empty whitespace-separated tokens. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: runs of letters, single digits, or single
+    * non-alphanumeric glyphs — a cheap proxy for tokenizer cost. */
+  def regexTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"))
+
+  /** Mean token length (0.0 for empty docs). */
+  def avgTokenLen(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, 0.0)
+      .otherwise(
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          size(t))
+  }
+
+  /** Count of tokens that appear in `set` (exact match, case-sensitive). */
+  def tokenSetCount(c: Column, set: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(set.map(lit(_)): _*)))
+
+  /** Per-language stopword markers for the heuristic language-ID.
+    * Tiny on purpose: these are the highest-frequency function words. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我")
+  )
+
+  /** Heuristic language ID: argmax of stopword hits, ties broken by the
+    * declaration order above; all-zero scores -> "und". */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (lang, words) =>
+      lang -> tokenSetCount(c, words)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), rest) =>
+      when(s > 0 && s === best, lang).otherwise(rest)
+    }
+  }
+
+  /** Ratio of ASCII punctuation chars to total chars (0 for empty). */
+  def punctRatio(c: Column): Column = {
+    val n = length(c)
+    val punct = n - length(regexp_replace(c, "[.,!?;:'\"()\\[\\]-]", ""))
+    when(n === 0, 0.0).otherwise(punct.cast("double") / n)
+  }
+
+  /** Ratio of alphabetic chars to total chars (0 for empty). */
+  def alphaRatio(c: Column): Column = {
+    val n = length(c)
+    val alpha = n - length(regexp_replace(c, "[A-Za-z]", ""))
+    when(n === 0, 0.0).otherwise(alpha.cast("double") / n)
+  }
+
+  /** English-stopword density — a standard quality signal. */
+  def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, 0.0)
+      .otherwise(tokenSetCount(c, langMarkers.head._2).cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1]: length saturation + alpha density +
+    * stopword density, weighted 0.4/0.4/0.2, rounded to 4 decimals. */
+  def qualityScore(c: Column): Column =
+    round(
+      least(tokenCount(c).cast("double") / 100.0, lit(1.0)) * 0.4 +
+        alphaRatio(c) * 0.4 +
+        least(stopwordRatio(c) * 5.0, lit(1.0)) * 0.2,
+      4)
+
+  /** Whitespace-normalized lowercase form (dedup canonicalization). */
+  def normalized(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Content fingerprint: md5 of the normalized text (exact-dup key). */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Bag-of-words fingerprint: md5 over the sorted distinct token set —
+    * invariant to word order and repetition (near-dup bucket key). */
+  def bagFingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(normalized(c))))))
+
+  /** Word n-gram shingles of the normalized text (MinHash input). */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(normalized(c))
+    when(size(t) < n, array(concat_ws(" ", t)))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, built entirely
+  * from codegen'd higher-order functions (`zip_with`/`aggregate`) — no UDFs,
+  * no deserialization to Scala objects (BASELINE.json north_star similarity
+  * search; embeddings.parquet schema `vec_id, embedding: array<float>, label`).
+  *
+  * All arithmetic is promoted to double BEFORE accumulation and accumulates
+  * left-to-right, so results are bit-identical to any engine that sums the
+  * list in order (the DuckDB oracle does).
+  */
+object VectorFunctions {
+
+  /** Sum of an array<double> expression, left-to-right. */
+  private def asum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    asum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm2(a: Column): Column =
+    asum(transform(a, x => x.cast("double") * x.cast("double")))
+
+  def norm(a: Column): Column = sqrt(norm2(a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
+  }
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    asum(zip_with(a, b, (x, y) => {
+      val dxy = x.cast("double") - y.cast("double")
+      dxy * dxy
+    }))
+
+  /** Sign-bit LSH bucket: pack the signs of `planes.length` fixed random
+    * hyperplane projections into one long. Deterministic — the planes are
+    * generated from a seed on the driver and inlined as literals, so the
+    * expression stays codegen'd and identical across executors. */
+  def signBucket(a: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = asum(zip_with(a, lit(p), (x, y) => x.cast("double") * y))
+      when(proj >= 0.0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Deterministic pseudo-random unit hyperplanes (driver-side). */
+  def randomPlanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nBits) {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's core operator family: SCD Type-1 merge and its variants
+  * (SURVEY.md §2.4; reference `Salesforce/Task/SP_litify_task.sql:6-71`,
+  * `Amazon Connect/Amazon Connect CTR with boto3/SP_boto3_connect_redshift.sql:5-26`,
+  * `Google Sheets/Goals/lambda_legal_goals_upsert.py:48-59`).
+  *
+  * Scale notes (100 TB): every merge here is ONE shuffle on the key columns
+  * (the anti-join and keep-latest reuse the same hash partitioning — AQE
+  * plans them as a single exchange per side). For a partitioned target,
+  * prefer merging partition-by-partition (e.g. facts partitioned by date)
+  * so only touched partitions are rewritten; the anti-join then runs with
+  * partition pruning on the target scan. For very hot keys, keepLatest uses
+  * max_by-style aggregation rather than a global sort.
+  */
+object Merge {
+
+  /** Keep the latest version of each key inside a batch (a batch can carry
+    * multiple versions of one id — the pandas path loads CSVs sequentially so
+    * later files win, `lambda_litify_task.py:153-166`; SURVEY.md §2.5 D3).
+    *
+    * `tiebreak` reproduces "later file wins" when orderings are equal.
+    * Implemented with row_number over a key-partitioned window: one shuffle
+    * on `keys`, no global sort. */
+  def keepLatest(df: DataFrame, keys: Seq[String], ordering: String,
+                 tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(ordering).desc_nulls_last +: tiebreak.map(_.desc)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** J1 delta filter: staging rows that are new (key absent from target) or
+    * newer (`staging.ordering > target.ordering`)
+    * (`SP_litify_task.sql:6-11`). Only target's key+ordering columns are
+    * read — column pruning keeps the target scan narrow. */
+  def delta(target: DataFrame, staging: DataFrame, keys: Seq[String],
+            ordering: String): DataFrame = {
+    val t = target.select((keys :+ ordering).map(col): _*)
+      .withColumnRenamed(ordering, "__t_ord")
+    staging.join(t, keys, "left_outer")
+      .filter(col("__t_ord").isNull || col(ordering) > col("__t_ord"))
+      .drop("__t_ord")
+  }
+
+  /** M1 — SCD Type 1 merge: matched => overwrite all columns, not matched =>
+    * insert (`SP_litify_task.sql:14-71`). Returns the new target content.
+    * Staging is first reduced to one row per key (keep-latest), then the
+    * delta filter drops stale rows, then target rows with a delta key are
+    * replaced. Idempotent: merge(merge(t,s),s) == merge(t,s). */
+  def scd1(target: DataFrame, staging: DataFrame, keys: Seq[String],
+           ordering: String): DataFrame = {
+    val latest = keepLatest(staging, keys, ordering)
+    val d = delta(target, latest, keys, ordering)
+    target.join(d.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(d.select(target.columns.map(col): _*))
+  }
+
+  /** M2 — append-if-absent (immutable facts): insert keys not present, never
+    * update (`SP_boto3_connect_redshift.sql:15-26`). Also dedups within the
+    * batch (first occurrence per key wins — D1 "first writer wins"). */
+  def appendIfAbsent(target: DataFrame, staging: DataFrame,
+                     keys: Seq[String]): DataFrame = {
+    val fresh = staging.dropDuplicates(keys)
+      .join(target.select(keys.map(col): _*), keys, "left_anti")
+    target.unionByName(fresh.select(target.columns.map(col): _*))
+  }
+
+  /** M3 — conditional-column merge: update only when `matchedCond` holds for
+    * a matched key (goal changed — `lambda_legal_goals_upsert.py:48-59`);
+    * insert when the key is absent. `matchedCond(src, tgt)` sees both sides. */
+  def conditional(target: DataFrame, staging: DataFrame, keys: Seq[String],
+                  matchedCond: (DataFrame, DataFrame) => Column): DataFrame = {
+    val tgtKeys = target.select(keys.map(col): _*)
+    val inserts = staging.join(tgtKeys, keys, "left_anti")
+    val joined = staging.as("s").join(target.as("t"), keys, "inner")
+    val updates = joined.filter(matchedCond(staging, target))
+      .select(keys.map(col) ++
+        staging.columns.filterNot(keys.contains).map(c => col("s." + c)): _*)
+    val updatedKeys = updates.select(keys.map(col): _*)
+    target.join(updatedKeys, keys, "left_anti")
+      .unionByName(updates.select(target.columns.map(col): _*))
+      .unionByName(inserts.select(target.columns.map(col): _*))
+  }
+}

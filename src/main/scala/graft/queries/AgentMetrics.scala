@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's analytics query surface: `connect.view_agent_metrics`
+  * (`Amazon Connect/Views/view_agent_metrics.sql:1-136`) re-expressed as a
+  * DataFrame function. Semantics replicated exactly, including the
+  * deliberate histogram gaps (300–360 s, 1200–1260 s, 2700–2760 s — SURVEY.md
+  * §2.6 A7) and Redshift's `/ 60::INT` integer-division floors (P18).
+  *
+  * Plan shape at scale: three broadcast joins (dims are small by
+  * construction), one hash-aggregate with partial map-side combine on the
+  * 13 group keys, then a presentational sort. The fact scan prunes to the
+  * referenced columns and pushes the agent_conn IS NOT NULL filter.
+  */
+object AgentMetrics {
+
+  private def cntIf(c: Column): Column = count(when(c, 1))
+
+  /** `view_agent_metrics` over a flattened f_calls + the three dims
+    * (FIXTURES.md §A4/§A5 schemas). */
+  def viewAgentMetrics(fCalls: DataFrame, dimUsersConnect: DataFrame,
+                       dimQueues: DataFrame,
+                       dimUsersLitify: DataFrame): DataFrame = {
+    val c = fCalls.as("c")
+    val joined = c
+      .join(broadcast(dimUsersConnect.as("u")),
+        col("c.agent_id") === col("u.user_id"), "left")
+      .join(broadcast(dimQueues.as("q")),
+        col("c.queue_id") === col("q.queue_id"), "left")
+      .join(broadcast(dimUsersLitify.as("l")),
+        col("c.agent_username") === col("l.username"), "left")
+      .filter(col("c.agent_conn").cast("date").isNotNull)
+
+    val dur = col("c.agent_interact_duration")
+    val epochDiff =
+      unix_timestamp(col("c.disconn_time")) - unix_timestamp(col("c.agent_conn"))
+    val connHour = hour(col("c.agent_conn"))
+    val discHour = hour(col("c.disconn_time"))
+
+    joined.groupBy(
+        col("c.agent_conn").cast("date").as("call_date"),
+        month(col("c.agent_conn")).as("call_month"),
+        dayofmonth(col("c.agent_conn")).as("call_day"),
+        hour(col("c.agent_conn")).as("call_hour"),
+        col("u.user_name"), col("u.user_lastname"),
+        concat_ws(" ", col("u.user_name"), col("u.user_lastname"))
+          .as("user_complete_name"),
+        col("u.user_email"), col("l.title"),
+        col("l.cm_job_title__c").as("cm_job_title"),
+        col("l.department__c").as("department"),
+        col("q.queue_name"))
+      .agg(
+        sum(dur).as("total_agent_interaction"),
+        round(sum(dur) / 3600.0, 2).as("total_agent_interaction_hours"),
+        floor(sum(dur) / 60).as("total_agent_interaction_minutes"),
+        avg(dur).as("avg_agent_interaction"),
+        sum(epochDiff).as("total_contact_duration"),
+        round(sum(epochDiff) / 3600.0, 2).as("total_contact_duration_hours"),
+        round(floor(sum(epochDiff) / 60)).as("total_contact_duration_minutes"),
+        avg(epochDiff).as("avg_contact_duration"),
+        sum(col("c.agent_afw_duration")).as("total_agent_afw_duration"),
+        round(sum(col("c.agent_afw_duration")) / 3600.0, 2)
+          .as("total_agent_afw_duration_hours"),
+        floor(sum(col("c.agent_afw_duration")) / 60)
+          .as("total_agent_afw_duration_minutes"),
+        avg(col("c.agent_afw_duration")).as("avg_agent_afw_duration"),
+        min(col("c.agent_longest_hold")).as("min_agent_longest_hold"),
+        max(col("c.agent_longest_hold")).as("max_agent_longest_hold"),
+        sum(col("c.agent_conn_att")).as("total_agent_conn_attempts"),
+        sum(col("c.customer_hold_duration")).as("total_customer_hold_duration"),
+        round(sum(col("c.customer_hold_duration")) / 3600.0, 2)
+          .as("total_customer_hold_duration_hours"),
+        floor(sum(col("c.customer_hold_duration")) / 60)
+          .as("total_customer_hold_duration_minutes"),
+        avg(col("c.customer_hold_duration")).as("avg_customer_hold_duration"),
+        countDistinct(col("c.customer_phone")).as("unique_customers"),
+        count(col("c.agent_conn")).as("total_calls"),
+        cntIf(dur.between(0, 120)).as("duration_less_2_minutes"),
+        cntIf(dur.between(120, 300)).as("duration_2_to_5_minutes"),
+        cntIf(dur.between(360, 1200)).as("duration_6_to_20_minutes"),
+        cntIf(dur.between(1260, 2700)).as("duration_21_to_45_minutes"),
+        cntIf(dur.between(2760, 5400)).as("duration_46_to_90_minutes"),
+        cntIf(dur > 5400).as("duration_more_than_90_minutes"),
+        cntIf(connHour.between(9, 13) && discHour <= 13).as("calls_9_13"),
+        cntIf(connHour.between(13, 17) && discHour <= 17).as("calls_13_17"),
+        cntIf(connHour >= 17 && discHour >= 17).as("calls_17_00"),
+        cntIf(col("c.init_method") === "INBOUND").as("inbound_calls"),
+        cntIf(col("c.init_method") === "OUTBOUND").as("outbound_calls"),
+        cntIf(col("c.init_method") === "TRANSFER").as("transfer_calls"),
+        cntIf(col("c.init_method") === "CALLBACK").as("callback_calls"))
+      .orderBy(col("call_date"), col("call_month"), col("call_day"),
+        col("call_hour").desc)
+  }
+
+  /** A11 — metrics long->wide pivot (`connect_agent_metrics.py:68-106`):
+    * one row per (agent, interval), one column per expected metric, missing
+    * metrics NULL, values rounded to 2. The explicit `expectedMetrics` list
+    * keeps the pivot single-pass (no distinct-values job). */
+  def metricsPivot(longDf: DataFrame, expectedMetrics: Seq[String]): DataFrame =
+    longDf.groupBy("agent_id", "start_time", "end_time")
+      .pivot("metric", expectedMetrics)
+      .agg(round(first("value"), 2))
+}
