@@ -60,7 +60,9 @@ object Coercions {
   /** '' (after trim) or NULL -> NULL, else trimmed
     * (lambda_legal_employee_upsert.py:51-55; Redshift BLANKSASNULL EMPTYASNULL). */
   def emptyAsNull(c: Column): Column = {
-    val t = trim(c.cast("string"))
+    // Python str.strip() removes ALL whitespace, not just spaces like SQL
+    // trim — use a regex strip for parity.
+    val t = regexp_replace(c.cast("string"), "^\\s+|\\s+$", "")
     when(c.isNull || t === "", lit(null).cast("string")).otherwise(t)
   }
 

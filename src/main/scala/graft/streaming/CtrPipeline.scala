@@ -83,7 +83,9 @@ object CtrPipeline {
     * strings, ARN suffix extraction, integer duration defaults 0, plus an
     * event-time column retained for watermarking. */
   def flatten(parsed: DataFrame): DataFrame = {
-    val c = col("ctr")
+    // nested access must be chained getField, not a dotted literal name
+    val c: String => Column =
+      path => path.split('.').foldLeft(col("ctr"))((acc, p) => acc(p))
     parsed.select(
       c("ContactId").as("contact_id"),
       c("InitialContactId").as("init_contact_id"),

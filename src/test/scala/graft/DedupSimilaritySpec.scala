@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, Multimodal}
+
+/** Extension-operator semantics: dedup families, ANN, multimodal plumbing. */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE  quick   Brown fox jumps over the lazy dog"), // exact dup (normalized)
+    (3L, "the quick brown fox jumps over the lazy cat"),    // near dup
+    (4L, "completely different words appear in this one here"),
+    (5L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup: whitespace/case-normalized duplicates collapse, min id kept") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash pairs: near-dups found, disjoint docs not paired") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5, shingleN = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))          // identical token sets
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // 8/10 overlap
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // disjoint vocab
+  }
+
+  test("simhash: identical normalized docs -> distance 0; disjoint docs far") {
+    val sh = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(5L)) > 10)
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: exact value on known token sets") {
+    val two = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val p = Dedup.ngramJaccardPairs(two, "text", "doc_id", n = 1,
+      threshold = 0.1, maxDf = 10).collect()(0)
+    assert(math.abs(p.getAs[Double]("jaccard") - 3.0 / 5.0) < 1e-12)
+  }
+
+  test("brute-force top-k: exact neighbor order, self excluded") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),  // closest to 0
+      (2L, Array(0f, 1f, 0f, 0f)),      // orthogonal to 0
+      (3L, Array(0.5f, 0.5f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((1L, 1), (3L, 2)))
+  }
+
+  test("LSH top-k: identical vector found in same bucket; recall vs brute") {
+    val vecs = (0L until 50L).map { i =>
+      val base = Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(vecs, probes, k = 3, idCol = "vec_id")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(vecs, probes, k = 3, nBits = 6,
+        multiprobe = 6, dim = 8)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("embedding near-dup: identical vectors pair at cos 1.0") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      threshold = 0.99, nBits = 4, dim = 4)
+    val got = pairs.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("multimodal: deterministic stub featurize, byte lengths real") {
+    val withPayload = Multimodal.attachPayload(docs, "text")
+    val out = Multimodal.featurize(spark, withPayload, "doc_id")
+    val r = out.orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("byte_len") ==
+      "the quick brown fox jumps over the lazy dog".getBytes("UTF-8").length)
+    val f1 = r(0).getAs[scala.collection.Seq[Float]]("features").toSeq
+    assert(f1.size == Multimodal.StubCodec.featureDim)
+    // determinism
+    val again = Multimodal.featurize(spark, withPayload, "doc_id")
+      .orderBy("doc_id").collect()(0)
+      .getAs[scala.collection.Seq[Float]]("features").toSeq
+    assert(f1 == again)
+  }
+}

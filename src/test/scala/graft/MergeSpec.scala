@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Merge
+
+/** SCD1 merge family semantics (SURVEY.md §2.4; fixture coverage per
+  * FIXTURES.md §A1: new key, newer, older-ignored, same-batch duplicate). */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl(rows: (String, String, String)*): DataFrame =
+    rows.toDF("id", "lastmodifieddate", "payload")
+
+  private def asMap(df: DataFrame): Map[String, (String, String)] =
+    df.collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+
+  val target = tbl(
+    ("a", "2024-01-10", "a-old"),
+    ("b", "2024-01-10", "b-old"),
+    ("c", "2024-01-10", "c-old"))
+
+  test("scd1: new key inserted, newer updates, older ignored") {
+    val staging = tbl(
+      ("a", "2024-01-20", "a-new"),   // newer -> update
+      ("b", "2024-01-05", "b-stale"), // older -> ignored
+      ("d", "2024-01-15", "d-new"))   // absent -> insert
+    val out = asMap(Merge.scd1(target, staging, Seq("id"), "lastmodifieddate"))
+    assert(out == Map(
+      "a" -> ("2024-01-20", "a-new"),
+      "b" -> ("2024-01-10", "b-old"),
+      "c" -> ("2024-01-10", "c-old"),
+      "d" -> ("2024-01-15", "d-new")))
+  }
+
+  test("scd1: same-batch duplicate keys keep latest (D3)") {
+    val staging = tbl(
+      ("a", "2024-01-20", "a-v1"),
+      ("a", "2024-01-25", "a-v2"),
+      ("a", "2024-01-22", "a-v3"))
+    val out = asMap(Merge.scd1(target, staging, Seq("id"), "lastmodifieddate"))
+    assert(out("a") == ("2024-01-25", "a-v2"))
+  }
+
+  test("scd1: idempotent — merging the same staging twice is a no-op") {
+    val staging = tbl(("a", "2024-01-20", "a-new"), ("d", "2024-01-15", "d"))
+    val once = Merge.scd1(target, staging, Seq("id"), "lastmodifieddate")
+    val twice = Merge.scd1(once, staging, Seq("id"), "lastmodifieddate")
+    assert(asMap(once) == asMap(twice))
+  }
+
+  test("scd1: equal ordering value does NOT update (strict >)") {
+    val staging = tbl(("a", "2024-01-10", "a-echo"))
+    val out = asMap(Merge.scd1(target, staging, Seq("id"), "lastmodifieddate"))
+    assert(out("a") == ("2024-01-10", "a-old"))
+  }
+
+  test("appendIfAbsent: existing keys never updated, new keys appended") {
+    val staging = tbl(
+      ("a", "2024-02-01", "a-SHOULD-NOT-APPEAR"),
+      ("e", "2024-02-01", "e-new"),
+      ("e", "2024-02-01", "e-dup"))
+    val out = Merge.appendIfAbsent(target, staging, Seq("id"))
+    assert(out.count() == 4)
+    val m = asMap(out)
+    assert(m("a") == ("2024-01-10", "a-old"))
+    assert(m.contains("e"))
+  }
+
+  test("conditional: update only when the tracked column changed (M3/J5)") {
+    val goalsTarget = Seq(("e1", "2024-W1", 10), ("e2", "2024-W1", 20))
+      .toDF("email", "week", "goal")
+    val staging = Seq(
+      ("e1", "2024-W1", 10),  // unchanged -> no-op
+      ("e2", "2024-W1", 25),  // changed -> update
+      ("e3", "2024-W1", 30))  // new -> insert
+    .toDF("email", "week", "goal")
+    val out = Merge.conditional(goalsTarget, staging, Seq("email", "week"),
+      (st, _) => col("s.goal") =!= col("t.goal"))
+    val m = out.collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(m == Map("e1" -> 10, "e2" -> 25, "e3" -> 30))
+  }
+
+  test("delta: pre-filter keeps only new-or-newer rows (J1)") {
+    val staging = tbl(
+      ("a", "2024-01-20", "newer"), ("b", "2024-01-01", "older"),
+      ("z", "2024-01-01", "new"))
+    val d = Merge.delta(target, staging, Seq("id"), "lastmodifieddate")
+    assert(d.select("id").as[String].collect().toSet == Set("a", "z"))
+  }
+
+  test("keepLatest: tiebreak column decides equal orderings") {
+    val df = Seq(("a", "2024-01-10", 1, "first"), ("a", "2024-01-10", 2, "second"))
+      .toDF("id", "lastmodifieddate", "seq", "payload")
+    val out = Merge.keepLatest(df, Seq("id"), "lastmodifieddate", Seq(col("seq")))
+    assert(out.select("payload").as[String].collect().toSeq == Seq("second"))
+  }
+}

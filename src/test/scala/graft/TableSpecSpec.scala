@@ -1,0 +1,46 @@
+package graft
+
+import graft.core.TableSpecs
+
+/** §1.3 schema-system semantics over reference-shaped fixtures. */
+class TableSpecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("task spec: keep-list projection, lowercase, per-class coercion") {
+    val raw = Seq(
+      ("1", "2024-01-05T10:00:00", "false", "Call client", "junk1"),
+      ("2", "garbage-ts", "", "Review", "junk2"),
+      ("3", null, "t", null, "junk3"))
+      .toDF("Id", "LastModifiedDate", "IsClosed", "Subject", "UnknownCol")
+    val out = TableSpecs.task(raw)
+    // unknown column dropped, names lowercased
+    assert(!out.columns.contains("unknowncol"))
+    assert(out.columns.toSet == Set("id", "lastmodifieddate", "isclosed", "subject"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getAs[Int]("isclosed") == 1)      // "false" -> 1 (truthiness)
+    assert(rows(1).getAs[Int]("isclosed") == 0)      // "" -> 0
+    assert(rows(1).getAs[Any]("lastmodifieddate") == null) // coerce failure
+    assert(rows(2).getAs[String]("subject") == "")   // NULL -> ''
+  }
+
+  test("matter spec: residual columns default to string") {
+    val raw = Seq(("1", "2024-01-05 00:00:00", "TRUE", "7", "something"))
+      .toDF("Id", "LastModifiedDate", "Urgent__c", "Case_Count__c", "Custom_Extra__c")
+    val out = TableSpecs.matter(raw)
+    assert(out.columns.contains("custom_extra__c")) // residual kept as string
+    val r = out.collect()(0)
+    assert(r.getAs[Int]("urgent__c") == 0)          // whitelist: "TRUE" -> 0
+    assert(r.getAs[Long]("case_count__c") == 7L)
+    assert(r.getAs[String]("custom_extra__c") == "something")
+  }
+
+  test("employee spec: sheets semantics — blanks null, dd/MM/yyyy dates") {
+    val raw = Seq(("  a@b.c ", "", "31/02/2024", "15/03/2021", "2024-05-01 00:00:00"))
+      .toDF("email", "team", "birth", "hire", "lastmodifieddate")
+    val r = TableSpecs.employee(raw).collect()(0)
+    assert(r.getAs[String]("email") == "a@b.c")     // trimmed
+    assert(r.getAs[String]("team") == null)         // blank -> NULL
+    assert(r.getAs[Any]("birth") == null)           // invalid date -> NULL
+    assert(r.getAs[java.sql.Date]("hire").toString == "2021-03-15")
+  }
+}
