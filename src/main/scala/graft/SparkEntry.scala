@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Coercions
 import graft.operators.{Dedup, Merge, Multimodal, Similarity}
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.queries.{AgentMetrics, ConnectFixtures}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the north_star extension operators), with a DuckDB
@@ -375,7 +376,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // ========== reference parity: the REAL analytics views =================
+    // Fixture f_calls + dims derived deterministically from events/range on
+    // BOTH sides (ConnectFixtures in Spark, fixtureCtes in the oracle), so
+    // the production view functions themselves are what's oracle-checked.
+    "q35_view_agent_metrics_v1" -> ((s, dir) => {
+      AgentMetrics.viewAgentMetrics(
+          ConnectFixtures.fCalls(t(s, dir, "events")),
+          ConnectFixtures.dimUsersConnect(s), ConnectFixtures.dimQueues(s),
+          ConnectFixtures.dimUsersLitify(s))
+        .withColumn("call_date", date_format(col("call_date"), "yyyy-MM-dd"))
+    }),
+
+    "q36_view_agent_metrics_v2" -> ((s, dir) => {
+      AgentMetrics.viewAgentMetrics2(
+          ConnectFixtures.fCalls(t(s, dir, "events")),
+          ConnectFixtures.dimUsersConnect(s), ConnectFixtures.dimQueues(s),
+          ConnectFixtures.dimUsersLitify(s))
+        .withColumn("call_date", date_format(col("call_date"), "yyyy-MM-dd"))
+    }),
+
     // ================= extensions: multimodal plumbing =====================
+
+
     "q33_multimodal_meta" -> ((s, dir) => {
       val withPayload = Multimodal.attachPayload(t(s, dir, "documents"), "text")
       Multimodal.featurize(s, withPayload, "doc_id")
@@ -391,6 +414,53 @@ object SparkEntry {
   )
 
   // ==========================================================================
+
+  /** DuckDB mirror of [[graft.queries.ConnectFixtures]] — shared CTE prefix
+    * for the q35/q36 view oracles. Must stay in lockstep with the Spark
+    * derivation (same constants, same arithmetic). */
+  private val fixtureCtes: String = """WITH f_calls AS (
+  SELECT
+    event_id AS contact_id,
+    user_id % 30 AS agent_id,
+    user_id % 5 AS queue_id,
+    'agent' || CAST(user_id % 60 AS VARCHAR) AS agent_username,
+    date_trunc('second', ts) AS init_time,
+    CASE WHEN event_type <> 'error' THEN date_trunc('second', ts)
+      + to_seconds(CAST(FLOOR(value) AS BIGINT)) END AS agent_conn,
+    CASE WHEN event_type <> 'error' THEN date_trunc('second', ts)
+      + to_seconds(CAST(FLOOR(value) AS BIGINT)
+        + (CAST(FLOOR(value) AS BIGINT) * 7) % 9000 + 30) END AS disconn_time,
+    (CAST(FLOOR(value) AS BIGINT) * 3) % 6000 AS agent_interact_duration,
+    CAST(FLOOR(value) AS BIGINT) % 600 AS agent_afw_duration,
+    (CAST(FLOOR(value) AS BIGINT) * 13) % 300 AS agent_longest_hold,
+    event_id % 3 AS agent_conn_att,
+    (CAST(FLOOR(value) AS BIGINT) * 2) % 400 AS customer_hold_duration,
+    '+1' || CAST(user_id % 97 AS VARCHAR) AS customer_phone,
+    CASE event_type WHEN 'click' THEN 'INBOUND' WHEN 'view' THEN 'OUTBOUND'
+      WHEN 'purchase' THEN 'TRANSFER' WHEN 'signup' THEN 'CALLBACK'
+      ELSE 'DISCONNECT' END AS init_method
+  FROM events),
+dim_users AS (
+  SELECT n AS user_id,
+    CASE WHEN n % 11 = 0 THEN NULL
+      ELSE 'First' || CAST(n % 3 AS VARCHAR) END AS user_name,
+    CASE WHEN n % 7 = 0 THEN NULL
+      ELSE 'Last' || CAST(n % 4 AS VARCHAR) END AS user_lastname,
+    'u' || CAST(n AS VARCHAR) || '@example.com' AS user_email
+  FROM range(0, 25) t(n)),
+dim_queues AS (
+  SELECT q AS queue_id, 'Queue_' || CAST(q AS VARCHAR) AS queue_name
+  FROM range(0, 4) t(q)),
+dim_users_litify AS (
+  SELECT 'agent' || CAST(n AS VARCHAR) AS username,
+    CASE WHEN n % 13 = 0 THEN NULL
+      ELSE 'Title' || CAST((n % 30) % 2 AS VARCHAR) END AS title,
+    'Job' || CAST((n % 30) % 3 AS VARCHAR) AS cm_job_title__c,
+    'Multi' || CAST(n // 30 AS VARCHAR) AS cm_job_title_multi__c,
+    'Dept' || CAST((n % 30) % 5 AS VARCHAR) AS department__c
+  FROM range(0, 54) t(n))
+"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
@@ -647,6 +717,128 @@ object SparkEntry {
          CAST(SUM(CAST(sqrt(list_sum(list_transform(embedding,
            x -> x::DOUBLE * x::DOUBLE))) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(1) AS avg_norm
          FROM embeddings GROUP BY 1""",
+
+
+
+
+
+
+
+    "q35_view_agent_metrics_v1" -> (fixtureCtes + """SELECT
+  strftime(CAST(c.agent_conn AS DATE), '%Y-%m-%d') AS call_date,
+  CAST(date_part('month', c.agent_conn) AS BIGINT) AS call_month,
+  CAST(date_part('day', c.agent_conn) AS BIGINT) AS call_day,
+  CAST(date_part('hour', c.agent_conn) AS BIGINT) AS call_hour,
+  u.user_name, u.user_lastname,
+  u.user_name || ' ' || u.user_lastname AS user_complete_name,
+  u.user_email, l.title,
+  l.cm_job_title__c AS cm_job_title,
+  l.department__c AS department,
+  q.queue_name,
+  CAST(SUM(c.agent_interact_duration) AS BIGINT) AS total_agent_interaction,
+  CAST((200 * SUM(c.agent_interact_duration) + 3600) // 7200 AS BIGINT) / 100.0 AS total_agent_interaction_hours,
+  CAST(FLOOR(SUM(c.agent_interact_duration) / 60.0) AS BIGINT) AS total_agent_interaction_minutes,
+  CAST(CAST(SUM(c.agent_interact_duration) AS BIGINT) AS DOUBLE) / COUNT(c.agent_interact_duration) AS avg_agent_interaction,
+  CAST(SUM(date_diff('second', c.agent_conn, c.disconn_time)) AS BIGINT) AS total_contact_duration,
+  CAST((200 * SUM(date_diff('second', c.agent_conn, c.disconn_time)) + 3600) // 7200 AS BIGINT) / 100.0 AS total_contact_duration_hours,
+  CAST(FLOOR(SUM(date_diff('second', c.agent_conn, c.disconn_time)) / 60.0) AS BIGINT) AS total_contact_duration_minutes,
+  CAST(SUM(date_diff('second', c.agent_conn, c.disconn_time)) AS DOUBLE) / COUNT(date_diff('second', c.agent_conn, c.disconn_time)) AS avg_contact_duration,
+  CAST(SUM(c.agent_afw_duration) AS BIGINT) AS total_agent_afw_duration,
+  CAST((200 * SUM(c.agent_afw_duration) + 3600) // 7200 AS BIGINT) / 100.0 AS total_agent_afw_duration_hours,
+  CAST(FLOOR(SUM(c.agent_afw_duration) / 60.0) AS BIGINT) AS total_agent_afw_duration_minutes,
+  CAST(CAST(SUM(c.agent_afw_duration) AS BIGINT) AS DOUBLE) / COUNT(c.agent_afw_duration) AS avg_agent_afw_duration,
+  MIN(c.agent_longest_hold) AS min_agent_longest_hold,
+  MAX(c.agent_longest_hold) AS max_agent_longest_hold,
+  CAST(SUM(c.agent_conn_att) AS BIGINT) AS total_agent_conn_attempts,
+  CAST(SUM(c.customer_hold_duration) AS BIGINT) AS total_customer_hold_duration,
+  CAST((200 * SUM(c.customer_hold_duration) + 3600) // 7200 AS BIGINT) / 100.0 AS total_customer_hold_duration_hours,
+  CAST(FLOOR(SUM(c.customer_hold_duration) / 60.0) AS BIGINT) AS total_customer_hold_duration_minutes,
+  CAST(CAST(SUM(c.customer_hold_duration) AS BIGINT) AS DOUBLE) / COUNT(c.customer_hold_duration) AS avg_customer_hold_duration,
+  COUNT(DISTINCT c.customer_phone) AS unique_customers,
+  COUNT(c.agent_conn) AS total_calls,
+  COUNT(CASE WHEN c.agent_interact_duration BETWEEN 0 AND 120 THEN 1 END) AS duration_less_2_minutes,
+  COUNT(CASE WHEN c.agent_interact_duration BETWEEN 120 AND 300 THEN 1 END) AS duration_2_to_5_minutes,
+  COUNT(CASE WHEN c.agent_interact_duration BETWEEN 360 AND 1200 THEN 1 END) AS duration_6_to_20_minutes,
+  COUNT(CASE WHEN c.agent_interact_duration BETWEEN 1260 AND 2700 THEN 1 END) AS duration_21_to_45_minutes,
+  COUNT(CASE WHEN c.agent_interact_duration BETWEEN 2760 AND 5400 THEN 1 END) AS duration_46_to_90_minutes,
+  COUNT(CASE WHEN c.agent_interact_duration > 5400 THEN 1 END) AS duration_more_than_90_minutes,
+  COUNT(CASE WHEN date_part('hour', c.agent_conn) BETWEEN 9 AND 13
+    AND date_part('hour', c.disconn_time) <= 13 THEN 1 END) AS calls_9_13,
+  COUNT(CASE WHEN date_part('hour', c.agent_conn) BETWEEN 13 AND 17
+    AND date_part('hour', c.disconn_time) <= 17 THEN 1 END) AS calls_13_17,
+  COUNT(CASE WHEN date_part('hour', c.agent_conn) >= 17
+    AND date_part('hour', c.disconn_time) >= 17 THEN 1 END) AS calls_17_00,
+  COUNT(CASE WHEN c.init_method = 'INBOUND' THEN 1 END) AS inbound_calls,
+  COUNT(CASE WHEN c.init_method = 'OUTBOUND' THEN 1 END) AS outbound_calls,
+  COUNT(CASE WHEN c.init_method = 'TRANSFER' THEN 1 END) AS transfer_calls,
+  COUNT(CASE WHEN c.init_method = 'CALLBACK' THEN 1 END) AS callback_calls
+FROM f_calls AS c
+LEFT JOIN dim_users AS u ON c.agent_id = u.user_id
+LEFT JOIN dim_queues AS q ON c.queue_id = q.queue_id
+LEFT JOIN dim_users_litify AS l ON c.agent_username = l.username
+WHERE CAST(c.agent_conn AS DATE) IS NOT NULL
+GROUP BY
+  CAST(c.agent_conn AS DATE),
+  date_part('month', c.agent_conn),
+  date_part('day', c.agent_conn),
+  date_part('hour', c.agent_conn),
+  u.user_name, u.user_lastname,
+  u.user_name || ' ' || u.user_lastname,
+  u.user_email, q.queue_name,
+  l.title, l.cm_job_title__c, l.cm_job_title_multi__c, l.department__c"""),
+
+    "q36_view_agent_metrics_v2" -> (fixtureCtes + """SELECT
+  strftime(CAST(c.init_time AS DATE), '%Y-%m-%d') AS call_date,
+  CAST(date_part('month', c.init_time) AS BIGINT) AS call_month,
+  CAST(date_part('day', c.init_time) AS BIGINT) AS call_day,
+  CAST(date_part('hour', c.init_time) AS BIGINT) AS call_hour,
+  u.user_name, u.user_lastname,
+  u.user_name || ' ' || u.user_lastname AS user_complete_name,
+  u.user_email, u.user_id,
+  l.title,
+  l.cm_job_title__c AS cm_job_title,
+  l.department__c AS department,
+  q.queue_name,
+  CAST(SUM(c.agent_interact_duration) AS BIGINT) AS total_agent_interaction,
+  CAST(SUM(c.agent_interact_duration) AS DOUBLE) / COUNT(c.agent_interact_duration) AS avg_agent_interaction,
+  CAST(SUM(date_diff('second', c.agent_conn, c.disconn_time)) AS BIGINT) AS total_contact_duration,
+  CAST(SUM(date_diff('second', c.agent_conn, c.disconn_time)) AS DOUBLE) / COUNT(date_diff('second', c.agent_conn, c.disconn_time)) AS avg_contact_duration,
+  CAST(SUM(c.agent_afw_duration) AS BIGINT) AS total_agent_afw_duration,
+  CAST(SUM(c.agent_afw_duration) AS DOUBLE) / COUNT(c.agent_afw_duration) AS avg_agent_afw_duration,
+  MIN(c.agent_longest_hold) AS min_agent_longest_hold,
+  MAX(c.agent_longest_hold) AS max_agent_longest_hold,
+  CAST(SUM(c.agent_conn_att) AS BIGINT) AS total_agent_conn_attempts,
+  CAST(SUM(c.customer_hold_duration) AS BIGINT) AS total_customer_hold_duration,
+  CAST(SUM(c.customer_hold_duration) AS DOUBLE) / COUNT(c.customer_hold_duration) AS avg_customer_hold_duration,
+  COUNT(DISTINCT c.customer_phone) AS unique_customers,
+  COUNT(c.init_time) AS total_calls,
+  COUNT(c.agent_conn) AS total_answered_calls,
+  COUNT(CASE WHEN date_diff('second', c.agent_conn, c.disconn_time) BETWEEN 0 AND 120 THEN 1 END) AS duration_less_2_minutes,
+  COUNT(CASE WHEN date_diff('second', c.agent_conn, c.disconn_time) BETWEEN 120 AND 300 THEN 1 END) AS duration_2_to_5_minutes,
+  COUNT(CASE WHEN date_diff('second', c.agent_conn, c.disconn_time) BETWEEN 360 AND 1200 THEN 1 END) AS duration_6_to_20_minutes,
+  COUNT(CASE WHEN date_diff('second', c.agent_conn, c.disconn_time) BETWEEN 1260 AND 2700 THEN 1 END) AS duration_21_to_45_minutes,
+  COUNT(CASE WHEN date_diff('second', c.agent_conn, c.disconn_time) BETWEEN 2760 AND 5400 THEN 1 END) AS duration_46_to_90_minutes,
+  COUNT(CASE WHEN date_diff('second', c.agent_conn, c.disconn_time) > 5400 THEN 1 END) AS duration_more_than_90_minutes,
+  COUNT(CASE WHEN date_part('hour', c.init_time) BETWEEN 8 AND 13 THEN 1 END) AS calls_8_13,
+  COUNT(CASE WHEN date_part('hour', c.init_time) BETWEEN 13 AND 17 THEN 1 END) AS calls_13_17,
+  COUNT(CASE WHEN date_part('hour', c.init_time) >= 17 THEN 1 END) AS calls_17_00,
+  COUNT(CASE WHEN c.init_method = 'INBOUND' THEN 1 END) AS inbound_calls,
+  COUNT(CASE WHEN c.init_method = 'OUTBOUND' THEN 1 END) AS outbound_calls,
+  COUNT(CASE WHEN c.init_method = 'TRANSFER' THEN 1 END) AS transfer_calls,
+  COUNT(CASE WHEN c.init_method = 'CALLBACK' THEN 1 END) AS callback_calls
+FROM f_calls AS c
+LEFT JOIN dim_users AS u ON c.agent_id = u.user_id
+LEFT JOIN dim_queues AS q ON c.queue_id = q.queue_id
+LEFT JOIN dim_users_litify AS l ON c.agent_username = l.username
+GROUP BY
+  CAST(c.init_time AS DATE),
+  date_part('month', c.init_time),
+  date_part('day', c.init_time),
+  date_part('hour', c.init_time),
+  u.user_name, u.user_lastname,
+  u.user_name || ' ' || u.user_lastname,
+  u.user_email, u.user_id, q.queue_name,
+  l.title, l.cm_job_title__c, l.department__c"""),
 
     "q33_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len

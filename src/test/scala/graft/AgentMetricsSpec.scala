@@ -32,6 +32,8 @@ class AgentMetricsSpec extends SparkSpec {
         "queue_id", "agent_afw_duration", "agent_longest_hold",
         "agent_conn_att", "customer_hold_duration")
       .withColumn("agent_conn", to_timestamp(col("agent_conn_s")))
+      .withColumn("init_time", // v2 keys off init_time; always present
+        coalesce(col("agent_conn"), to_timestamp(lit("2024-01-10 10:00:00"))))
       .withColumn("disconn_time",
         col("agent_conn") + expr("make_interval(0,0,0,0,0,0,agent_interact_duration)"))
       .drop("agent_conn_s")
@@ -40,8 +42,9 @@ class AgentMetricsSpec extends SparkSpec {
   private val dimUsers = Seq(("a-9", "Jane", "Doe", "jane@x.com"))
     .toDF("user_id", "user_name", "user_lastname", "user_email")
   private val dimQueues = Seq(("q-1", "Intake")).toDF("queue_id", "queue_name")
-  private val dimLitify = Seq(("jdoe", "Paralegal", "PL", "Legal"))
-    .toDF("username", "title", "cm_job_title__c", "department__c")
+  private val dimLitify = Seq(("jdoe", "Paralegal", "PL", "Legal", "M1"))
+    .toDF("username", "title", "cm_job_title__c", "department__c",
+      "cm_job_title_multi__c")
 
   lazy val view = AgentMetrics.viewAgentMetrics(fCalls, dimUsers, dimQueues,
     dimLitify).cache()
@@ -79,6 +82,43 @@ class AgentMetricsSpec extends SparkSpec {
     val r = view.filter(col("user_name").isNull).collect()(0)
     assert(r.getAs[Long]("total_calls") == 1)
     assert(r.getAs[String]("queue_name") == "Intake")
+  }
+
+  test("v1: hidden cm_job_title_multi__c key keeps groups split") {
+    // two usernames, identical VISIBLE litify attrs, different multi key,
+    // same connect agent -> reference emits 2 (identical-looking) rows
+    val litify2 = Seq(
+      ("jdoe", "Paralegal", "PL", "Legal", "M1"),
+      ("jdoe2", "Paralegal", "PL", "Legal", "M2"))
+      .toDF("username", "title", "cm_job_title__c", "department__c",
+        "cm_job_title_multi__c")
+    val calls = fCalls.withColumn("agent_username",
+      when(col("contact_id").isin("c0", "c1"), "jdoe2")
+        .otherwise(col("agent_username")))
+    val v = AgentMetrics.viewAgentMetrics(calls, dimUsers, dimQueues, litify2)
+    assert(v.filter(col("user_name") === "Jane").count() == 2)
+    assert(!v.columns.contains("__cm_job_title_multi"))
+  }
+
+  test("v1: user_complete_name is NULL when a name part is NULL (|| parity)") {
+    val usersNull = Seq(("a-9", "Jane", null.asInstanceOf[String], "jane@x.com"))
+      .toDF("user_id", "user_name", "user_lastname", "user_email")
+    val v = AgentMetrics.viewAgentMetrics(fCalls, usersNull, dimQueues, dimLitify)
+    val r = v.filter(col("user_name") === "Jane").collect()(0)
+    assert(r.getAs[String]("user_complete_name") == null)
+  }
+
+  test("v2: answered/total split, init_time keys, epoch-diff buckets") {
+    val v2 = AgentMetrics.viewAgentMetrics2(fCalls, dimUsers, dimQueues,
+      dimLitify)
+    val r = v2.filter(col("user_name") === "Jane").collect()(0)
+    assert(r.getAs[Long]("total_calls") == 8)          // incl. unanswered
+    assert(r.getAs[Long]("total_answered_calls") == 7) // COUNT(agent_conn)
+    // epoch-diff buckets == interact-duration buckets here (disconn-conn=dur)
+    assert(r.getAs[Long]("duration_less_2_minutes") == 2)
+    assert(r.getAs[Long]("duration_6_to_20_minutes") == 1)
+    assert(r.getAs[Long]("calls_8_13") == 8)           // init-hour only
+    assert(r.getAs[Long]("calls_13_17") == 0)
   }
 
   test("metrics pivot: missing metrics -> NULL, values rounded (A11)") {
