@@ -336,10 +336,12 @@ object SparkEntry {
     }),
 
     "q28_ngram_jaccard" -> ((s, dir) => {
+      // floor-based bucketing: exact on doubles on both engines (ROUND at
+      // 1 decimal diverges on .x5 rationals like 7/20)
       Dedup.ngramJaccardPairs(
           t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
           "text", "doc_id", n = 1, threshold = 0.3, maxDf = 1000)
-        .groupBy(round(col("jaccard"), 1).as("jac_bucket"))
+        .groupBy(floor(col("jaccard") * 10).cast("long").as("jac_bucket"))
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
@@ -370,10 +372,17 @@ object SparkEntry {
     }),
 
     "q32_embedding_neardup" -> ((s, dir) => {
+      // nBits sized to corpus (2^12 buckets), deterministic per-bucket cap
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding",
-          "vec_id", threshold = 0.4, nBits = 4)
-        .groupBy(round(col("cos"), 1).as("cos_bucket"))
+          "vec_id", threshold = 0.4, nBits = 4, bands = 8, maxBucket = 64)
+        .groupBy(floor(col("cos") * 10).cast("long").as("cos_bucket"))
         .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    "q37_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+          maxDist = 10, blocks = 4)
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
     }),
 
     // ========== reference parity: the REAL analytics views =================
@@ -460,6 +469,77 @@ dim_users_litify AS (
     'Dept' || CAST((n % 30) % 5 AS VARCHAR) AS department__c
   FROM range(0, 54) t(n))
 """
+
+
+  // ---- DuckDB SQL generators for the LSH oracles ---------------------------
+  // The hyperplanes are deterministic driver-side literals, so the oracle
+  // can replicate bucketing exactly by inlining them (Double.toString
+  // round-trips bit-exactly through DuckDB's decimal parser).
+
+  private def duckList(p: Array[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]")
+
+  /** Mirror of VectorFunctions.signBucket as a DuckDB expression. */
+  private def duckBucket(vec: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_sum(list_transform(list_zip($vec, ${duckList(p)}), " +
+        s"x -> x[1]::DOUBLE * x[2]::DOUBLE)) >= 0.0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Mirror of VectorFunctions.cosine (zero-norm guard included). */
+  private def duckCos(a: String, b: String): String = {
+    def n2(v: String) = s"list_sum(list_transform($v, x -> x::DOUBLE * x::DOUBLE))"
+    s"(CASE WHEN sqrt(${n2(a)}) = 0.0 OR sqrt(${n2(b)}) = 0.0 THEN 0.0 " +
+      s"ELSE list_sum(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE)) " +
+      s"/ (sqrt(${n2(a)}) * sqrt(${n2(b)})) END)"
+  }
+
+  private def q30OracleSql: String = {
+    val planes = V.randomPlanes(8, 64, 42L)
+    val masks = Similarity.hammingMasks(8, 2).mkString("[", ", ", "]")
+    s"""WITH corpus AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         ${duckBucket("embedding", planes)} AS cb FROM embeddings),
+       probes AS (SELECT vec_id AS probe_id, embedding AS pv,
+         ${duckBucket("embedding", planes)} AS b0 FROM embeddings WHERE vec_id < 8),
+       pb AS (SELECT probe_id, pv, xor(b0, m.msk) AS pbucket
+         FROM probes, (SELECT UNNEST($masks) AS msk) m),
+       scored AS (SELECT p.probe_id, c.neighbor_id,
+           ${duckCos("p.pv", "c.cv")} AS cos
+         FROM corpus c JOIN pb p ON c.cb = p.pbucket
+         WHERE c.neighbor_id <> p.probe_id)
+       SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+         ROUND(cos, 6) AS cos_r
+       FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         ORDER BY cos DESC, neighbor_id) rn FROM scored)
+       WHERE rn <= 5"""
+  }
+
+  private def q32OracleSql: String = {
+    // mirror of Dedup.embeddingNearDupPairs(threshold=0.4, nBits=4,
+    // bands=8, maxBucket=64): exact-dup pre-pass, banded sign-LSH with
+    // per-bucket cap, exact cosine verify
+    val planes = V.randomPlanes(4 * 8, 64, 42L)
+    s"""WITH base AS (SELECT vec_id AS id, embedding AS v,
+         MIN(vec_id) OVER (PARTITION BY embedding) AS rep FROM embeddings),
+       exact_pairs AS (SELECT rep AS a, id AS b, 1.0 AS cos
+         FROM base WHERE id <> rep),
+       reps AS (SELECT id, v FROM base WHERE id = rep),
+       sig AS (SELECT id, v, ${duckBucket("v", planes)} AS sig FROM reps),
+       banded AS (SELECT id, v, b.band,
+           (sig >> (b.band * 4)) & 15 AS bval
+         FROM sig, (SELECT UNNEST(range(8)) AS band) b),
+       capped AS (SELECT * FROM banded
+         QUALIFY row_number() OVER (PARTITION BY band, bval ORDER BY id) <= 64),
+       cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+         FROM capped x JOIN capped y
+           ON x.band = y.band AND x.bval = y.bval AND x.id < y.id),
+       lsh0 AS (SELECT c.a, c.b, ${duckCos("ra.v", "rb.v")} AS cos
+         FROM cand c JOIN reps ra ON ra.id = c.a JOIN reps rb ON rb.id = c.b),
+       pairs AS (SELECT * FROM exact_pairs
+         UNION ALL SELECT * FROM lsh0 WHERE cos >= 0.4)
+       SELECT CAST(FLOOR(cos * 10) AS BIGINT) AS cos_bucket,
+         COUNT(1) AS n_pairs FROM pairs GROUP BY 1"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_basic" ->
@@ -839,6 +919,30 @@ GROUP BY
   u.user_name || ' ' || u.user_lastname,
   u.user_email, u.user_id, q.queue_name,
   l.title, l.cm_job_title__c, l.department__c"""),
+
+
+    "q28_ngram_jaccard" ->
+      """WITH sh0 AS (SELECT doc_id AS id,
+           list_distinct(CASE WHEN len(tk) = 0 THEN [''] ELSE tk END) AS shl
+           FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+             x -> x != '') AS tk
+           FROM documents WHERE doc_id % 10 = 0)),
+         sh AS (SELECT id, UNNEST(shl) AS sh FROM sh0),
+         rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000),
+         rsh AS (SELECT s.id, s.sh FROM sh s JOIN rare r USING (sh)),
+         sizes AS (SELECT id, COUNT(*) AS nsh FROM rsh GROUP BY id),
+         shared AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS shared
+           FROM rsh x JOIN rsh y ON x.sh = y.sh AND x.id < y.id GROUP BY 1, 2),
+         jac AS (SELECT a, b,
+             CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) AS jaccard
+           FROM shared JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b)
+         SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS jac_bucket,
+           COUNT(1) AS n_pairs FROM jac WHERE jaccard >= 0.3 GROUP BY 1""",
+
+    "q30_ann_lsh" -> q30OracleSql,
+
+    "q32_embedding_neardup" -> q32OracleSql,
 
     "q33_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len

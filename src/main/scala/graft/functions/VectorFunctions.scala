@@ -51,6 +51,17 @@ object VectorFunctions {
       when(proj >= 0.0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** [[signBucket]] with a fail-fast dimension guard: a vector whose length
+    * differs from the plane dimension raises instead of silently bucketing
+    * to 0 (zip_with would null-pad, making every sign bit 0). */
+  def signBucketChecked(a: Column, planes: Array[Array[Double]]): Column = {
+    val d = planes.head.length
+    when(size(a) === d, signBucket(a, planes))
+      .otherwise(raise_error(concat(
+        lit(s"embedding dimension != plane dimension $d: got "),
+        size(a).cast("string"))))
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (driver-side). */
   def randomPlanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)

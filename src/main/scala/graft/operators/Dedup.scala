@@ -12,8 +12,16 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
   * Scale design (100 TB): every family reduces the problem to ONE
   * hash-shuffle on a compact key (fingerprint / band hash / simhash prefix /
   * shingle) before any pairwise work, so no stage is quadratic in corpus
-  * size. Pairwise verification only runs inside buckets, whose size is
-  * bounded by construction (band width for MinHash, df cap for shingles).
+  * size. Two extra guards keep bucket populations bounded even on
+  * pathological inputs (which dedup corpora are by definition full of):
+  *  - an EXACT-dup pre-pass collapses identical content to one
+  *    representative before any LSH join — a cluster of N identical docs
+  *    yields N-1 linear (rep, dup) pairs instead of N^2/2 join rows;
+  *  - a deterministic per-bucket cap (`maxBucket`, rank by id) bounds the
+  *    residual self-join at maxBucket^2 per bucket. Pairs among capped-out
+  *    members are dropped (observable via [[bucketAudit]]).
+  * Pair outputs are rep-to-member; pairs between two non-representative
+  * members of one exact-dup cluster are implied transitively.
   */
 object Dedup {
 
@@ -25,47 +33,76 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature: for each doc, `numHashes` minima of per-seed 64-bit
-    * hashes over its word-`shingleN`-gram shingles. Pure column expressions:
-    * explode -> one hash-aggregate (partial map-side combine applies). */
-  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(array_distinct(T.shingles(col(textCol), shingleN))).as("__sh"))
-    val mins = (0 until numHashes).map(j =>
-      min(xxhash64(lit(j), col("__sh"))).as(s"h$j"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*)
-        .as("minhash"))
+  /** Per-seed multiply-shift mixers over one base xxhash64: odd multipliers
+    * (bijective mod 2^64) from a splitmix-style sequence, so each shingle
+    * is string-hashed ONCE and the remaining seeds cost a multiply-add. */
+  private def mixConstants(numHashes: Int): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(0x9e3779b97f4a7c15L)
+    Seq.fill(numHashes)((rng.nextLong() | 1L, rng.nextLong()))
   }
 
+  /** MinHash signature: for each doc, `numHashes` minima of per-seed 64-bit
+    * hashes over its word-`shingleN`-gram shingles. Entirely ROW-LOCAL:
+    * one `xxhash64` per shingle, then per-seed
+    * `array_min(transform(hashes, h * A_j + B_j))` in one narrow select —
+    * no explode, no shuffle, no aggregation, numHashes-1 of the hash
+    * families are integer multiply-adds (long overflow wraps, which is the
+    * point). Docs with no shingles are dropped (nothing to sign). */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 64, shingleN: Int = 3): DataFrame =
+    df.select(col(idCol), T.shingles(col(textCol), shingleN).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(col(idCol),
+        transform(col("__sh"), s => xxhash64(s)).as("__h"))
+      .select(col(idCol),
+        array(mixConstants(numHashes).map { case (a, b) =>
+          array_min(transform(col("__h"), h => h * a + b))
+        }: _*).as("minhash"))
+
   /** MinHash+LSH candidate pairs with estimated Jaccard >= threshold.
-    * Signatures are banded (`bands` bands of `numHashes/bands` rows); docs
-    * sharing any band hash become candidates (self-join on the band key —
-    * bounded buckets, no full cross product); candidates are verified with
-    * the exact signature-agreement estimate. Output: (a, b, est_jaccard). */
+    * Exact dups are collapsed first (emitted as est_jaccard=1.0 pairs);
+    * representative signatures are banded (`bands` bands of
+    * `numHashes/bands` rows); reps sharing any band hash become candidates
+    * (self-join on the band key, capped at `maxBucket` members per bucket);
+    * candidates are verified with the signature-agreement estimate.
+    * Output: (a, b, est_jaccard) with a = lower id. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
+                   threshold: Double = 0.7, shingleN: Int = 3,
+                   maxBucket: Int = 256): DataFrame = {
     val r = numHashes / bands
-    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleN)
-    val banded = sigs.select(col(idCol).as("id"), col("minhash"),
+    val keyed = df.select(col(idCol).as("id"), col(textCol).as("__txt"),
+      T.fingerprint(col(textCol)).as("__fp"))
+    val withRep = keyed.withColumn("__rep",
+      min(col("id")).over(Window.partitionBy(col("__fp"))))
+    val exactPairs = withRep.filter(col("id") =!= col("__rep"))
+      .select(col("__rep").as("a"), col("id").as("b"),
+        lit(1.0).as("est_jaccard"))
+    val reps = withRep.filter(col("id") === col("__rep"))
+      .select(col("id"), col("__txt"))
+
+    val sigs = minhashSignatures(reps, "__txt", "id", numHashes, shingleN)
+    val banded = sigs.select(col("id"), col("minhash"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("minhash"), b * r + 1, lit(r))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bandhash"))
-    val cand = banded.as("x").join(banded.as("y"),
+    val capped = banded.withColumn("__bn", row_number().over(
+        Window.partitionBy(col("band"), col("bandhash")).orderBy(col("id"))))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bandhash") === col("y.bandhash") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.minhash").as("ma"), col("y.minhash").as("mb"))
       .dropDuplicates("a", "b")
-    cand.withColumn("est_jaccard",
+    val lshPairs = cand.withColumn("est_jaccard",
         size(filter(zip_with(col("ma"), col("mb"), (x, y) =>
           when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
           numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("a", "b", "est_jaccard")
+    exactPairs.unionByName(lshPairs)
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
@@ -89,9 +126,11 @@ object Dedup {
     * generation blocks on `blocks` disjoint bit-segments (pigeonhole: any
     * pair within maxDist agrees on >= one full segment when
     * blocks > maxDist), so the self-join key is a short segment value, never
-    * the full corpus. */
+    * the full corpus. Identical simhashes pile into one segment bucket, so
+    * buckets are capped at `maxBucket` members (rank by id). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxDist: Int = 3, blocks: Int = 4): DataFrame = {
+                   maxDist: Int = 3, blocks: Int = 4,
+                   maxBucket: Int = 1024): DataFrame = {
     val segBits = 63 / blocks
     val sh = simhash(df, textCol, idCol).withColumnRenamed(idCol, "id")
     val seg = sh.select(col("id"), col("simhash"),
@@ -99,9 +138,12 @@ object Dedup {
         shiftright(col("simhash"), b * segBits)
           .bitwiseAND((1L << segBits) - 1)): _*)))
       .withColumnsRenamed(Map("pos" -> "seg", "col" -> "segval"))
+    val capped = seg.withColumn("__bn", row_number().over(
+        Window.partitionBy(col("seg"), col("segval")).orderBy(col("id"))))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
     val hamming: (Column, Column) => Column = (x, y) =>
       bit_count(x.bitwiseXOR(y))
-    seg.as("x").join(seg.as("y"),
+    capped.as("x").join(capped.as("y"),
         col("x.seg") === col("y.seg") && col("x.segval") === col("y.segval") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
@@ -110,19 +152,22 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Exact n-gram Jaccard similarity for pairs sharing at least one shingle.
-    * High-document-frequency shingles (df > maxDf) are dropped before the
-    * self-join — they contribute little to Jaccard but quadratic bucket
-    * growth. Output: (a, b, jaccard). */
+  /** N-gram Jaccard similarity over the RARE-shingle universe: shingles
+    * with document frequency > maxDf are excluded CONSISTENTLY — from the
+    * pair join AND from both set sizes — so the result is the exact Jaccard
+    * of the filtered shingle sets (equal to true Jaccard when no shingle
+    * exceeds maxDf; an approximation biased toward rare content otherwise).
+    * Pairs sharing only high-df shingles are not emitted.
+    * Output: (a, b, jaccard). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.2,
                         maxDf: Int = 50): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       explode(array_distinct(T.shingles(col(textCol), n))).as("sh"))
-    val sizes = sh.groupBy("id").agg(count("*").as("nsh"))
     val rare = sh.join(
       sh.groupBy("sh").agg(count("*").as("df")).filter(col("df") <= maxDf)
         .select("sh"), Seq("sh"))
+    val sizes = rare.groupBy("id").agg(count("*").as("nsh"))
     val shared = rare.as("x").join(rare.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
@@ -136,19 +181,55 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** Embedding-cosine near-dup pairs: sign-LSH bucket join (one shuffle on
-    * the bucket key), exact cosine verify inside buckets. `nBits` trades
-    * recall for bucket size; multiprobe is left to Similarity.lshTopK. */
+  /** Embedding-cosine near-dup pairs. Identical vectors are collapsed
+    * first and emitted as cos=1.0 (rep, dup) pairs — linear in cluster
+    * size. Distinct representatives go through BANDED sign-LSH (`bands`
+    * independent tables of `nBits` hyperplane sign bits each, all derived
+    * from one `bands*nBits`-bit signature computed in a single projection
+    * pass): reps sharing any band value become candidates, capped at
+    * `maxBucket` members per (band, value) bucket (rank by id), and exact
+    * cosine verifies. Recall at similarity s is 1-(1-p^nBits)^bands with
+    * p = 1 - acos(s)/pi — tune nBits up (selectivity) and bands up (recall).
+    * Candidate volume is bounded by bands * sum(bucket^2) with bucket <=
+    * maxBucket, never quadratic in the corpus. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
-                            threshold: Double = 0.9, nBits: Int = 8,
+                            threshold: Double = 0.9, nBits: Int = 4,
+                            bands: Int = 8, maxBucket: Int = 256,
                             dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = V.randomPlanes(nBits, dim, seed)
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      V.signBucket(col(vecCol), planes).as("bucket"))
-    b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+    require(nBits * bands <= 62, "signature must fit in a long")
+    val withRep = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__rep", min(col("id")).over(Window.partitionBy(col("v"))))
+    val exactPairs = withRep.filter(col("id") =!= col("__rep"))
+      .select(col("__rep").as("a"), col("id").as("b"), lit(1.0).as("cos"))
+    val reps = withRep.filter(col("id") === col("__rep")).select("id", "v")
+
+    val planes = V.randomPlanes(nBits * bands, dim, seed)
+    val sig = reps.select(col("id"), col("v"),
+      V.signBucketChecked(col("v"), planes).as("sig"))
+    val banded = sig.select(col("id"), col("v"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * nBits).bitwiseAND((1L << nBits) - 1)): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+    val capped = banded.withColumn("__bn", row_number().over(
+        Window.partitionBy(col("band"), col("bval")).orderBy(col("id"))))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val lshPairs = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        V.cosine(col("x.v"), col("y.v")).as("cos"))
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), V.cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
+    exactPairs.unionByName(lshPairs)
   }
+
+  /** Bucket-population audit for the capped LSH families: per-bucket member
+    * counts and how many members the `maxBucket` cap would drop. Run this
+    * (cheap: one aggregation) to observe what the caps cost on a corpus. */
+  def bucketAudit(bucketed: DataFrame, bucketCols: Seq[String],
+                  maxBucket: Int): DataFrame =
+    bucketed.groupBy(bucketCols.map(col): _*)
+      .agg(count("*").as("members"))
+      .withColumn("capped_out", greatest(col("members") - maxBucket, lit(0L)))
 }

@@ -20,6 +20,17 @@ import graft.functions.{VectorFunctions => V}
   */
 object Similarity {
 
+  /** All XOR masks over `nBits` bits with popcount <= radius, ascending —
+    * i.e. the Hamming ball of the multiprobe expansion. Enumerated by bit
+    * combinations (driver-side), so cost is C(nBits, <=radius), not
+    * 2^nBits. */
+  private[graft] def hammingMasks(nBits: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && nBits >= 1 && nBits <= 62)
+    (0 to math.min(radius, nBits)).flatMap(r =>
+      (0 until nBits).combinations(r)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
+  }
+
   /** Exact top-k cosine neighbors for each probe. Probes are broadcast —
     * the corpus is never shuffled; the only exchange is the per-probe
     * top-k (a window over probe_id, bounded by k via rank filter).
@@ -40,29 +51,32 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: candidates are corpus vectors whose
-    * sign-bucket is within Hamming distance <= multiprobe of the probe's
-    * bucket (multiprobe=0 -> same bucket only). Exact cosine ranks the
-    * candidates. Recall rises with multiprobe / falls with nBits. */
+    * sign-bucket is within Hamming distance <= `multiprobe` of the probe's
+    * bucket (multiprobe=0 -> same bucket only). Each probe expands to
+    * C(nBits, <=multiprobe) bucket ids via XOR masks — the full Hamming
+    * ball, not just single-bit flips. Exact cosine ranks the candidates.
+    * Recall rises with multiprobe / falls with nBits.
+    *
+    * The plane dimension is taken from `dim` and fail-fast validated
+    * against every vector (no silent null-padded buckets). */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nBits: Int = 8, multiprobe: Int = 1, dim: Int = 64,
               seed: Long = 42L, vecCol: String = "embedding",
               idCol: String = "vec_id"): DataFrame = {
     val planes = V.randomPlanes(nBits, dim, seed)
+    val masks = hammingMasks(nBits, multiprobe)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      V.signBucket(col(vecCol), planes).as("cb"))
-    // expand each probe to its bucket + all Hamming<=multiprobe neighbors
-    val baseBuckets = probes.select(col(idCol).as("probe_id"),
-      col(vecCol).as("pv"), V.signBucket(col(vecCol), planes).as("b0"))
-    val probeBuckets =
-      if (multiprobe == 0) baseBuckets.withColumn("pb", col("b0"))
-      else baseBuckets.withColumn("pb",
-        explode(array((col("b0") +: (0 until nBits).map(i =>
-          col("b0").bitwiseXOR(lit(1L << i)))): _*)))
+      V.signBucketChecked(col(vecCol), planes).as("cb"))
+    val probeBuckets = probes.select(col(idCol).as("probe_id"),
+        col(vecCol).as("pv"), V.signBucketChecked(col(vecCol), planes).as("b0"))
+      .withColumn("pb",
+        explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*)))
+    // each (probe, neighbor) matches exactly one mask (mask = b0 XOR cb),
+    // so no dedup is needed before ranking
     val scored = c.join(broadcast(probeBuckets), col("cb") === col("pb"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
         V.cosine(col("pv"), col("cv")).as("cos"))
-      .dropDuplicates("probe_id", "neighbor_id")
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

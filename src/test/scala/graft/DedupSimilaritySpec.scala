@@ -85,6 +85,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Set((0L, 1L)))
   }
 
+  test("hamming masks: full ball, unique, popcount bounded") {
+    val m = Similarity.hammingMasks(8, 2)
+    assert(m.size == 1 + 8 + 28) // C(8,0)+C(8,1)+C(8,2)
+    assert(m.distinct.size == m.size)
+    assert(m.forall(x => java.lang.Long.bitCount(x) <= 2))
+    assert(Similarity.hammingMasks(6, 6).size == 64) // whole space
+  }
+
+  test("minhash signatures are row-local and stable for dup docs") {
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id",
+        numHashes = 16, shingleN = 1)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toVector).toMap
+    assert(sigs(1L) == sigs(2L)) // identical token sets -> identical sigs
+    assert(sigs(1L) != sigs(5L))
+    assert(sigs.values.forall(_.size == 16))
+  }
+
+  test("pathological all-duplicates corpus: linear pairs, bounded time") {
+    // 2000 identical docs: without the exact-dup pre-pass the band
+    // self-join would produce ~2M rows; with it, exactly 1999 rep pairs.
+    val dups = spark.range(0, 2000).selectExpr("id AS doc_id",
+      "'the same text every single time' AS text")
+    val pairs = Dedup.minhashPairs(dups, "text", "doc_id",
+      numHashes = 32, bands = 8, threshold = 0.5, shingleN = 1)
+    assert(pairs.count() == 1999)
+    assert(pairs.filter(col("a") =!= 0L).count() == 0) // all anchored at rep
+    val vdups = spark.range(0, 1000).selectExpr("id AS vec_id",
+      "array(1.0F, 0.0F, 0.0F, 0.0F) AS embedding")
+    val vpairs = Dedup.embeddingNearDupPairs(vdups, "embedding", "vec_id",
+      threshold = 0.9, nBits = 4, maxBucket = 16, dim = 4)
+    assert(vpairs.count() == 999)
+    assert(vpairs.agg(min(col("cos"))).collect()(0).getDouble(0) == 1.0)
+  }
+
+  test("bucket audit reports capped-out members") {
+    val b = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 8L))
+      .toDF("id", "bucket")
+    val audit = Dedup.bucketAudit(b, Seq("bucket"), maxBucket = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit(7L) == (3L, 1L))
+    assert(audit(8L) == (1L, 0L))
+  }
+
   test("multimodal: deterministic stub featurize, byte lengths real") {
     val withPayload = Multimodal.attachPayload(docs, "text")
     val out = Multimodal.featurize(spark, withPayload, "doc_id")
