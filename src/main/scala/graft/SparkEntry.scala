@@ -137,7 +137,8 @@ object SparkEntry {
         Seq(col("event_id"))) // latest first-half state
       val staging = Merge.keepLatest(e, Seq("user_id"), "ts",
         Seq(col("event_id"))) // latest overall (differs for existing users)
-      Merge.appendIfAbsent(target, staging, Seq("user_id"))
+      Merge.appendIfAbsent(target, staging, Seq("user_id"), "ts",
+          Seq(col("event_id")))
         .select(col("user_id"), col("event_id"),
           ymdhmsUs(col("ts")).as("ts_str"), col("event_type"), col("value"))
     }),

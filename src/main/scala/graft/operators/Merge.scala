@@ -35,6 +35,19 @@ object Merge {
       .drop("__rn")
   }
 
+  /** Keep the EARLIEST version of each key — the deterministic form of
+    * "first writer wins" (D1: DynamoDB conditional put keeps the first
+    * arrival; a batch has no arrival order, so earliest `ordering` +
+    * `tiebreak` stands in for it). */
+  def keepFirst(df: DataFrame, keys: Seq[String], ordering: String,
+                tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(ordering).asc_nulls_last +: tiebreak.map(_.asc)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** J1 delta filter: staging rows that are new (key absent from target) or
     * newer (`staging.ordering > target.ordering`)
     * (`SP_litify_task.sql:6-11`). Only target's key+ordering columns are
@@ -62,11 +75,13 @@ object Merge {
   }
 
   /** M2 — append-if-absent (immutable facts): insert keys not present, never
-    * update (`SP_boto3_connect_redshift.sql:15-26`). Also dedups within the
-    * batch (first occurrence per key wins — D1 "first writer wins"). */
+    * update (`SP_boto3_connect_redshift.sql:15-26`). Within-batch duplicates
+    * keep the EARLIEST `ordering` row (deterministic "first writer wins",
+    * D1) — `dropDuplicates` would pick an arbitrary survivor per run. */
   def appendIfAbsent(target: DataFrame, staging: DataFrame,
-                     keys: Seq[String]): DataFrame = {
-    val fresh = staging.dropDuplicates(keys)
+                     keys: Seq[String], ordering: String,
+                     tiebreak: Seq[Column] = Nil): DataFrame = {
+    val fresh = keepFirst(staging, keys, ordering, tiebreak)
       .join(target.select(keys.map(col): _*), keys, "left_anti")
     target.unionByName(fresh.select(target.columns.map(col): _*))
   }

@@ -59,12 +59,13 @@ class MergeSpec extends SparkSpec {
     val staging = tbl(
       ("a", "2024-02-01", "a-SHOULD-NOT-APPEAR"),
       ("e", "2024-02-01", "e-new"),
-      ("e", "2024-02-01", "e-dup"))
-    val out = Merge.appendIfAbsent(target, staging, Seq("id"))
+      ("e", "2024-02-05", "e-dup"))
+    val out = Merge.appendIfAbsent(target, staging, Seq("id"),
+      "lastmodifieddate", Seq(col("payload")))
     assert(out.count() == 4)
     val m = asMap(out)
     assert(m("a") == ("2024-01-10", "a-old"))
-    assert(m.contains("e"))
+    assert(m("e") == ("2024-02-01", "e-new")) // earliest wins, deterministic
   }
 
   test("conditional: update only when the tracked column changed (M3/J5)") {

@@ -1,0 +1,102 @@
+package graft
+
+import java.util.Properties
+import org.apache.spark.sql.functions._
+import graft.sinks.{JdbcSink, MergeSql}
+
+/** Sink layer (S5/S6/S13): golden statement generation + an embedded Derby
+  * round-trip of the full stage -> merge -> truncate cycle. */
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cols = Seq("id", "lastmodifieddate", "payload")
+
+  test("redshift SCD1 sequence matches the reference procedure shape") {
+    val stmts = MergeSql.redshiftScd1("litify.task", "litify.task_staging",
+      Seq("id"), "lastmodifieddate", cols)
+    assert(stmts.size == 4)
+    assert(stmts(0).startsWith("CREATE TEMP TABLE temp_source AS"))
+    assert(stmts(0).contains(
+      "WHERE t.id IS NULL OR s.lastmodifieddate > t.lastmodifieddate"))
+    assert(stmts(1).contains("MERGE INTO litify.task"))
+    assert(stmts(1).contains("ON litify.task.id = source.id"))
+    assert(stmts(1).contains("lastmodifieddate = source.lastmodifieddate"))
+    assert(!stmts(1).contains("id = source.id,")) // keys never in UPDATE SET
+    assert(stmts(1).contains("VALUES (\n    source.id, source.lastmodifieddate, source.payload\n)"))
+    assert(stmts(2) == "DROP TABLE temp_source")
+    assert(stmts(3) == "DELETE FROM litify.task_staging")
+  }
+
+  test("append-if-absent + COPY + conditional shapes") {
+    val app = MergeSql.appendIfAbsent("connect.f_calls",
+      "connect.f_calls_staging", Seq("contact_id"), Seq("contact_id", "x"))
+    assert(app(0).contains("LEFT JOIN connect.f_calls f ON s.contact_id = f.contact_id"))
+    assert(app(0).contains("WHERE f.contact_id IS NULL"))
+    assert(app(1) == "DELETE FROM connect.f_calls_staging")
+
+    val copy = MergeSql.redshiftCopy("litify.task_staging",
+      "s3://bucket/stage/task.jsonl", "arn:aws:iam::0:role/load")
+    assert(copy.contains("FORMAT AS JSON 'auto'"))
+    assert(copy.contains("BLANKSASNULL"))
+    assert(copy.contains("EMPTYASNULL"))
+
+    val cond = MergeSql.redshiftConditional("legal.goals",
+      "legal.goals_staging", Seq("id"),
+      "legal.goals.goal <> source.goal", Seq("id", "goal"))
+    assert(cond(0).contains("WHEN MATCHED AND (legal.goals.goal <> source.goal)"))
+  }
+
+  test("embedded Derby round-trip: stage -> ansi SCD1 -> truncate") {
+    val url = "jdbc:derby:memory:sinkspec;create=true"
+    val conn = JdbcSink.Conn(url, new Properties)
+    conn.withConnection { c =>
+      val st = c.createStatement()
+      // pre-created tables = warehouse-controlled types (like COPY targets)
+      st.execute("CREATE TABLE tgt (id VARCHAR(16) NOT NULL, " +
+        "lastmodifieddate VARCHAR(32), payload VARCHAR(64))")
+      st.execute("CREATE TABLE stg (id VARCHAR(16) NOT NULL, " +
+        "lastmodifieddate VARCHAR(32), payload VARCHAR(64))")
+      st.execute("INSERT INTO tgt VALUES " +
+        "('a', '2024-01-10', 'a-old'), ('b', '2024-01-10', 'b-old')")
+      st.close()
+    }
+    val staging = Seq(
+      ("a", "2024-01-20", "a-new"),   // newer -> replaces
+      ("b", "2024-01-05", "b-stale"), // older -> ignored
+      ("d", "2024-01-15", "d-new"))   // absent -> inserted
+      .toDF("id", "lastmodifieddate", "payload")
+
+    JdbcSink.scd1(staging, conn, "tgt", "stg", Seq("id"), "lastmodifieddate")
+
+    val out = spark.read.jdbc(url, "tgt", new Properties)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(out == Map(
+      "a" -> ("2024-01-20", "a-new"),
+      "b" -> ("2024-01-10", "b-old"),
+      "d" -> ("2024-01-15", "d-new")))
+    // staging truncated
+    val stgRows = spark.read.jdbc(url, "stg", new Properties).count()
+    assert(stgRows == 0)
+  }
+
+  test("embedded Derby round-trip: append-if-absent never updates") {
+    val url = "jdbc:derby:memory:sinkspec2;create=true"
+    val conn = JdbcSink.Conn(url, new Properties)
+    conn.withConnection { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE f (contact_id VARCHAR(16) NOT NULL, " +
+        "v VARCHAR(16))")
+      st.execute("CREATE TABLE fs (contact_id VARCHAR(16) NOT NULL, " +
+        "v VARCHAR(16))")
+      st.execute("INSERT INTO f VALUES ('c1', 'orig')")
+      st.close()
+    }
+    val staging = Seq(("c1", "CHANGED"), ("c2", "new"))
+      .toDF("contact_id", "v")
+    JdbcSink.appendIfAbsent(staging, conn, "f", "fs", Seq("contact_id"))
+    val out = spark.read.jdbc(url, "f", new Properties)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("c1" -> "orig", "c2" -> "new"))
+  }
+}
