@@ -1,0 +1,263 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the similarity/dedup hot paths
+  * (SURVEY.md §7.3). Spark's higher-order functions (`zip_with`/
+  * `aggregate`) evaluate their lambda once per ELEMENT outside whole-stage
+  * codegen — ~0.5 ms per 64-dim cosine — which dominates every similarity
+  * job at scale. These expressions compile to a tight primitive loop
+  * inside codegen ([[CosineSimilarityExpr.doGenCode]]), with an
+  * interpreted `nullSafeEval` fallback kept bit-identical (same
+  * left-to-right double accumulation as the HOF forms and the DuckDB
+  * oracle's list_sum).
+  */
+
+/** cosine(a, b) over two array<float> columns. NULL when either side is
+  * NULL or lengths differ (matching zip_with's null-pad propagation);
+  * 0.0 when either norm is zero. */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // constructed internally over known array<float> columns; no implicit
+  // input-type coercion needed
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  int $i = 0;
+         |  final int n = $a.numElements();
+         |  while ($i < n) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |    $i++;
+         |  }
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarityExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Full MinHash signature over a raw whitespace-split token array, in ONE
+  * codegen pass with zero string allocation: empty tokens are skipped
+  * (split("\\s+") artifacts), each surviving token is XXH64-hashed from
+  * its UTF8 bytes, shingle hashes chain the `shingleN` window token hashes
+  * (fewer tokens than shingleN -> one whole-document shingle, matching
+  * TextFunctions.shingles' fallback), and every seed's minimum is a
+  * multiply-add over the shingle hash. Never NULL: an empty document
+  * yields the seed-chain signature deterministically. */
+case class MinHashSignatureExpr(child: Expression, shingleN: Int,
+                                mixA: Array[Long], mixB: Array[Long])
+  extends UnaryExpression {
+
+  private val hashSeed = 42L
+
+  // constructed internally over a split(normalized, "\\s+") array<string>
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null && s.numBytes() > 0) {
+        th(m) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes(), hashSeed)
+        m += 1
+      }
+      i += 1
+    }
+    val mins = Array.fill(mixA.length)(Long.MaxValue)
+    def update(sh: Long): Unit = {
+      var j = 0
+      while (j < mins.length) {
+        val v = sh * mixA(j) + mixB(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+    if (m < shingleN) {
+      var sh = hashSeed
+      var k = 0
+      while (k < m) { sh = XXH64.hashLong(th(k), sh); k += 1 }
+      update(sh)
+    } else {
+      var s0 = 0
+      while (s0 <= m - shingleN) {
+        var sh = hashSeed
+        var k = 0
+        while (k < shingleN) { sh = XXH64.hashLong(th(s0 + k), sh); k += 1 }
+        update(sh)
+        s0 += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mixA", mixA, "long[]")
+    val bRef = ctx.addReferenceObj("mixB", mixB, "long[]")
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val th = ctx.freshName("th")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val mins = ctx.freshName("mins")
+      val sh = ctx.freshName("sh")
+      val k = ctx.freshName("k")
+      val s0 = ctx.freshName("s0")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $c.numElements();
+         |long[] $th = new long[$n];
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
+         |  if ($s != null && $s.numBytes() > 0) {
+         |    $th[$m++] = $xxh.hashUnsafeBytes($s.getBaseObject(),
+         |      $s.getBaseOffset(), $s.numBytes(), ${hashSeed}L);
+         |  }
+         |}
+         |long[] $mins = new long[$aRef.length];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |if ($m < $shingleN) {
+         |  long $sh = ${hashSeed}L;
+         |  for (int $k = 0; $k < $m; $k++) { $sh = $xxh.hashLong($th[$k], $sh); }
+         |  for (int $j = 0; $j < $mins.length; $j++) {
+         |    long $v = $sh * $aRef[$j] + $bRef[$j];
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |} else {
+         |  for (int $s0 = 0; $s0 <= $m - $shingleN; $s0++) {
+         |    long $sh = ${hashSeed}L;
+         |    for (int $k = 0; $k < $shingleN; $k++) {
+         |      $sh = $xxh.hashLong($th[$s0 + $k], $sh);
+         |    }
+         |    for (int $j = 0; $j < $mins.length; $j++) {
+         |      long $v = $sh * $aRef[$j] + $bRef[$j];
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSignatureExpr = copy(child = newChild)
+}
+
+/** minhash minima over a pre-hashed shingle array: for seed j,
+  * min over elements h of (h * mixA(j) + mixB(j)), long overflow wrapping.
+  * One pass over the input instead of numHashes interpreted
+  * array_min(transform(...)) evaluations. Empty input -> NULL. */
+case class SeededMinArrayExpr(child: Expression,
+                              mixA: Array[Long], mixB: Array[Long])
+  extends UnaryExpression {
+
+  // constructed internally over a transform(_, xxhash64) array<long> child
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "seeded_min_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(mixA.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < mins.length) {
+        val v = h * mixA(j) + mixB(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mixA", mixA, "long[]")
+    val bRef = ctx.addReferenceObj("mixB", mixB, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      s"""
+         |final int n = $c.numElements();
+         |if (n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$aRef.length];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < n; $i++) {
+         |    long $h = $c.getLong($i);
+         |    for (int $j = 0; $j < $mins.length; $j++) {
+         |      long $v = $h * $aRef[$j] + $bRef[$j];
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SeededMinArrayExpr = copy(child = newChild)
+}

@@ -26,12 +26,23 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(norm2(a))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  /** Cosine similarity; 0.0 when either vector has zero norm. HOF form —
+    * the readable reference semantics; see [[cosineFast]] for the hot path. */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val na = norm(a)
     val nb = norm(b)
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
+  }
+
+  /** [[cosine]] as a native codegen'd Catalyst expression (tight primitive
+    * loop; see CosineSimilarityExpr). Bit-identical to the HOF form: same
+    * left-to-right double accumulation, NULL on length mismatch, 0.0 on
+    * zero norms. Use in per-pair scoring hot paths (ANN, near-dup). */
+  def cosineFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    GraftGlue.column(CosineSimilarityExpr(
+      GraftGlue.expression(a), GraftGlue.expression(b)))
   }
 
   /** Squared L2 distance. */

@@ -42,22 +42,21 @@ object Dedup {
   }
 
   /** MinHash signature: for each doc, `numHashes` minima of per-seed 64-bit
-    * hashes over its word-`shingleN`-gram shingles. Entirely ROW-LOCAL:
-    * one `xxhash64` per shingle, then per-seed
-    * `array_min(transform(hashes, h * A_j + B_j))` in one narrow select —
-    * no explode, no shuffle, no aggregation, numHashes-1 of the hash
-    * families are integer multiply-adds (long overflow wraps, which is the
-    * point). Docs with no shingles are dropped (nothing to sign). */
+    * hashes over its word-`shingleN`-gram shingle windows. Entirely
+    * ROW-LOCAL and fully codegen'd (MinHashSignatureExpr): normalize +
+    * whitespace-split stay in built-in codegen'd expressions; tokenizing
+    * artifacts, per-token XXH64, window hash-chaining, and all seed minima
+    * run in one tight primitive loop with zero string allocation — no
+    * explode, no shuffle, no interpreted lambdas. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        numHashes: Int = 64, shingleN: Int = 3): DataFrame =
-    df.select(col(idCol), T.shingles(col(textCol), shingleN).as("__sh"))
-      .where(size(col("__sh")) > 0)
-      .select(col(idCol),
-        transform(col("__sh"), s => xxhash64(s)).as("__h"))
-      .select(col(idCol),
-        array(mixConstants(numHashes).map { case (a, b) =>
-          array_min(transform(col("__h"), h => h * a + b))
-        }: _*).as("minhash"))
+                        numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    val (as, bs) = mixConstants(numHashes).unzip
+    df.select(col(idCol),
+      GraftGlue.column(graft.functions.MinHashSignatureExpr(
+        GraftGlue.expression(split(T.normalized(col(textCol)), "\\s+")),
+        shingleN, as.toArray, bs.toArray)).as("minhash"))
+  }
 
   /** MinHash+LSH candidate pairs with estimated Jaccard >= threshold.
     * Exact dups are collapsed first (emitted as est_jaccard=1.0 pairs);
@@ -219,7 +218,7 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.v").as("va"), col("y.v").as("vb"))
       .dropDuplicates("a", "b")
-      .select(col("a"), col("b"), V.cosine(col("va"), col("vb")).as("cos"))
+      .select(col("a"), col("b"), V.cosineFast(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
     exactPairs.unionByName(lshPairs)
   }

@@ -43,7 +43,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(p))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        V.cosine(col("pv"), col("cv")).as("cos"))
+        V.cosineFast(col("pv"), col("cv")).as("cos"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -76,7 +76,7 @@ object Similarity {
     val scored = c.join(broadcast(probeBuckets), col("cb") === col("pb"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        V.cosine(col("pv"), col("cv")).as("cos"))
+        V.cosineFast(col("pv"), col("cv")).as("cos"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

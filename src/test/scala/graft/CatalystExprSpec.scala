@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+/** Codegen'd hot-path expressions: bit-parity with the HOF reference
+  * implementations across normal, zero-norm, mismatched and null inputs. */
+class CatalystExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1f, 2f, 3f, 4f), Array(4f, 3f, 2f, 1f)),
+    (1L, Array(0f, 0f, 0f, 0f), Array(1f, 1f, 1f, 1f)),       // zero norm
+    (2L, Array(0.1f, -0.2f, 0.3f, -0.4f), Array(-1f, 2f, -3f, 4f)),
+    (3L, Array(1e-8f, 2e8f, -3.5f, 0.25f), Array(7f, -0.125f, 9f, 11f)))
+    .toDF("id", "a", "b")
+
+  test("cosineFast == cosine HOF bit-for-bit (incl. zero norm)") {
+    val rows = vecs.select(
+      V.cosine(col("a"), col("b")).as("hof"),
+      V.cosineFast(col("a"), col("b")).as("gen")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"hof=${r.getDouble(0)} gen=${r.getDouble(1)}")
+    }
+  }
+
+  test("cosineFast: NULL on length mismatch and null input, like zip_with") {
+    val odd = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+    assert(odd.select(V.cosineFast(col("a"), col("b"))).collect()(0).isNullAt(0))
+    val nul = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    assert(nul.select(V.cosineFast(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
+  test("cosineFast survives interpreted fallback (eval parity)") {
+    // force the interpreted path through a filter on the expression value
+    val n = vecs.filter(V.cosineFast(col("a"), col("b")) > -2.0).count()
+    assert(n == 4)
+  }
+}
