@@ -2,8 +2,10 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.core.Coercions
+import graft.operators.Merge
 
 /** Structured-streaming re-expression of the Firehose CTR pipeline
   * (SURVEY.md §2.7 / EP2; reference `Amazon Connect/Amazon Connect CTR with
@@ -139,5 +141,50 @@ object CtrPipeline {
                 watermark: String = "2 hours"): (DataFrame, DataFrame) = {
     val (good, bad) = parse(raw, base64Encoded = base64Encoded)
     (dedup(flatten(good), watermark), bad)
+  }
+
+  /** Micro-batch append-if-absent into a parquet fact table — the
+    * warehouse-side M2 guard behind the streaming dedup (late records past
+    * the watermark horizon still cannot double-insert). Reads only the
+    * target's key column (pruned scan) for the anti-join. */
+  def appendIfAbsentBatch(batch: DataFrame, targetPath: String,
+                          keys: Seq[String] = Seq("contact_id"),
+                          ordering: String = "last_update_time"): Unit = {
+    val spark = batch.sparkSession
+    val first = Merge.keepFirst(batch, keys, ordering)
+    val existing =
+      try Some(spark.read.parquet(targetPath).select(keys.map(col): _*))
+      catch { case _: Throwable => None } // first batch: target absent
+    val fresh = existing.fold(first)(t => first.join(t, keys, "left_anti"))
+    fresh.write.mode("append").parquet(targetPath)
+  }
+
+  /** Full sink wiring (§2.7 micro-batch trigger): good records ->
+    * foreachBatch append-if-absent into `targetPath`; quarantine ->
+    * parquet at `quarantinePath`. The default trigger processes whatever
+    * is available then stops (the Firehose 900 s buffer analogue is
+    * `Trigger.ProcessingTime("900 seconds")` in production). Returns both
+    * queries; the caller awaits/stops them. */
+  def start(raw: DataFrame, targetPath: String, quarantinePath: String,
+            checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow(),
+            base64Encoded: Boolean = false,
+            watermark: String = "2 hours"): (StreamingQuery, StreamingQuery) = {
+    val (good, bad) = transform(raw, base64Encoded, watermark)
+    val goodQ = good.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointDir/good")
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        appendIfAbsentBatch(batch, targetPath))
+      .start()
+    val badQ = bad.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointDir/bad")
+      .trigger(trigger)
+      .format("parquet")
+      .option("path", quarantinePath)
+      .start()
+    (goodQ, badQ)
   }
 }

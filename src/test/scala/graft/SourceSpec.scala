@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.core.TableSpecs
 import graft.operators.Merge
 import graft.queries.AgentMetrics
-import graft.sources.{CsvSource, Enrich, JsonlStage, PaginatedSource, ThrottledException}
+import graft.sources.{CsvSource, Enrich, FolderListing, JsonlStage, PaginatedSource, ThrottledException}
+import graft.streaming.CtrPipeline
 
 /** Ingestion layer (S3/S4/S7/S8) + the EP1 end-to-end slice:
   * CSV files -> all-string read -> TableSpec cast battery -> JSONL stage
@@ -70,6 +71,62 @@ class SourceSpec extends SparkSpec {
     val m = out.collect().map(r =>
       r.getAs[String]("contact_id") -> r.getAs[String]("agent_name")).toMap
     assert(m == Map("c1" -> "Ann", "c2" -> "unknown"))
+  }
+
+  test("FolderListing + Ledger: discovery, extension filter, late-file rule") {
+    val root = tmpDir("folders")
+    def mk(folder: String, files: String*): Unit = {
+      val d = java.nio.file.Paths.get(root, folder)
+      Files.createDirectories(d)
+      files.foreach(f => Files.writeString(d.resolve(f), "Id\nx\n"))
+    }
+    mk("2024-05-01_Differential", "a.csv")
+    mk("2024-05-02_Differential", "notes.txt") // no csv -> empty folder
+    mk("2024-05-03_Differential")              // last, empty
+    val listed = FolderListing.folders(spark, root)
+    val byKey = listed.collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(byKey == Map("2024-05-01_" -> true, "2024-05-02_" -> false,
+      "2024-05-03_" -> false))
+
+    val ledger = new graft.operators.Ledger(spark, tmpDir("ledger") + "/ledger")
+    val fresh = ledger.discoverNew(listed)
+    assert(fresh.count() == 3)
+    // late-file rule: only non-last empty folders are completable
+    val completable = ledger.completable(fresh).collect().map(_.getString(0))
+    assert(completable.toSet == Set("2024-05-01_", "2024-05-02_"))
+    ledger.markProcessed(ledger.completable(fresh))
+    val second = ledger.discoverNew(FolderListing.folders(spark, root))
+    assert(second.collect().map(_.getString(0)).toSeq == Seq("2024-05-03_"))
+  }
+
+  test("streaming sink wiring: foreachBatch append-if-absent + quarantine") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmpDir("stream")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val json = (id: String, t: String) =>
+      s"""{"ContactId":"$id","InitiationTimestamp":"$t","LastUpdateTimestamp":"$t"}"""
+    mem.addData(json("c1", "2024-01-01T10:00:00Z"),
+      json("c1", "2024-01-01T10:00:00Z"), // in-batch dup
+      json("c2", "2024-01-01T10:05:00Z"),
+      "not json at all")                  // -> quarantine
+    val (goodQ, badQ) = CtrPipeline.start(mem.toDF().toDF("payload"),
+      s"$dir/target", s"$dir/quarantine", s"$dir/ckpt")
+    goodQ.awaitTermination(); badQ.awaitTermination()
+
+    val target = spark.read.parquet(s"$dir/target")
+    assert(target.select("contact_id").as[String].collect().sorted.toSeq ==
+      Seq("c1", "c2"))
+    // a later batch re-sending c1 must NOT double-insert (M2 guard)
+    mem.addData(json("c1", "2024-01-01T11:00:00Z"),
+      json("c3", "2024-01-01T11:01:00Z"))
+    val (goodQ2, badQ2) = CtrPipeline.start(mem.toDF().toDF("payload"),
+      s"$dir/target", s"$dir/quarantine", s"$dir/ckpt")
+    goodQ2.awaitTermination(); badQ2.awaitTermination()
+    val after = spark.read.parquet(s"$dir/target")
+    assert(after.count() == 3)
+    assert(spark.read.parquet(s"$dir/quarantine").count() == 1)
   }
 
   test("EP1 end-to-end: CSV -> spec -> JSONL stage -> SCD1 -> view shape") {
