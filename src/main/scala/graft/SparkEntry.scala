@@ -380,6 +380,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    "q38_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+          nLists = 32, nProbe = 8)
+        .select(col("probe_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_r"))
+    }),
+
     "q37_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
           maxDist = 10, blocks = 4)

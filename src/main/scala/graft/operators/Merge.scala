@@ -86,6 +86,41 @@ object Merge {
     target.unionByName(fresh.select(target.columns.map(col): _*))
   }
 
+  /** M1 at warehouse scale — partition-wise SCD1 merge against a
+    * partitioned parquet target: only the partitions the staging batch
+    * touches are read (static partition pruning on collected literals) and
+    * rewritten (dynamic partition overwrite). A 100 TB fact partitioned by
+    * date merges a daily batch by rewriting a handful of partitions, not
+    * the table. Requires `partitionCol` to be IMMUTABLE per key (e.g.
+    * creation date) — if an update could move a key across partitions, the
+    * stale copy in the old partition would survive.
+    *
+    * The distinct-partition collect is driver-side by design: it is one
+    * value per touched partition (bounded by the batch's date span), and
+    * literal predicates are what static partition pruning needs. */
+  def scd1Partitioned(targetPath: String, staging: DataFrame,
+                      keys: Seq[String], ordering: String,
+                      partitionCol: String): Unit = {
+    val spark = staging.sparkSession
+    val touched = staging.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val targetExists =
+      try { spark.read.parquet(targetPath).schema; true }
+      catch { case _: Throwable => false }
+    val merged =
+      if (!targetExists) keepLatest(staging, keys, ordering)
+      else {
+        val pruned = spark.read.parquet(targetPath)
+          .filter(col(partitionCol).isin(touched: _*))
+        scd1(pruned, staging.select(pruned.columns.map(col): _*),
+          keys, ordering)
+      }
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(targetPath)
+  }
+
   /** M3 — conditional-column merge: update only when `matchedCond` holds for
     * a matched key (goal changed — `lambda_legal_goals_upsert.py:48-59`);
     * insert when the key is absent. `matchedCond(src, tgt)` sees both sides. */

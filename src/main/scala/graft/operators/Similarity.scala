@@ -50,6 +50,56 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
+    * path next to sign-LSH: a seeded k-means coarse quantizer partitions
+    * the corpus into `nLists` inverted lists (ONE narrow assignment pass,
+    * one shuffle on the list id when persisted); each probe scores only
+    * the `nProbe` nearest lists. At 100 TB the assigned corpus is written
+    * partitioned by list id once and probes read `nProbe` partitions —
+    * recall rises with nProbe, scan cost falls with nLists/nProbe.
+    * Deterministic for a fixed seed and partitioning. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nLists: Int = 64, nProbe: Int = 8, seed: Long = 42L,
+              vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("__fv", array_to_vector(col("cv")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__fv").setPredictionCol("__list")
+      .fit(c.select("__fv"))
+    val assigned = model.transform(c)
+      .select(col("neighbor_id"), col("cv"), col("__list"))
+
+    // nProbe nearest centroids per probe: centroid set is tiny (nLists
+    // rows) -> broadcast cross join + rank, never a corpus-wide op
+    val centDf = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toSeq.toDF("__list", "__centroid")
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val wc = Window.partitionBy("probe_id")
+      .orderBy(col("__l2").asc, col("__list"))
+    val probeLists = p.crossJoin(broadcast(centDf))
+      .withColumn("__l2", V.l2sq(col("pv"), col("__centroid")))
+      .withColumn("__pr", row_number().over(wc))
+      .filter(col("__pr") <= nProbe)
+      .select("probe_id", "pv", "__list")
+
+    val scored = assigned.join(broadcast(probeLists), Seq("__list"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        V.cosineFast(col("pv"), col("cv")).as("cos"))
+      .dropDuplicates("probe_id", "neighbor_id")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates are corpus vectors whose
     * sign-bucket is within Hamming distance <= `multiprobe` of the probe's
     * bucket (multiprobe=0 -> same bucket only). Each probe expands to

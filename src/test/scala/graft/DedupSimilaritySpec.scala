@@ -74,6 +74,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF top-k: full-probe recall == brute force; partial probes sane") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(vecs, probes, k = 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // nProbe == nLists scans everything -> exact
+    val full = Similarity.ivfTopK(vecs, probes, k = 3, nLists = 4, nProbe = 4)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute)
+    val partial = Similarity.ivfTopK(vecs, probes, k = 3, nLists = 8,
+        nProbe = 4)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect partial).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("embedding near-dup: identical vectors pair at cos 1.0") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),

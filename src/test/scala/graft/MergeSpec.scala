@@ -68,6 +68,33 @@ class MergeSpec extends SparkSpec {
     assert(m("e") == ("2024-02-01", "e-new")) // earliest wins, deterministic
   }
 
+  test("scd1Partitioned: merges in place, untouched partitions not rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("pmerge").toString + "/t"
+    def row(id: String, d: String, lm: String, p: String) = (id, d, lm, p)
+    Seq(row("a", "2024-01-01", "2024-01-10", "a-old"),
+        row("b", "2024-01-02", "2024-01-10", "b-old"))
+      .toDF("id", "day", "lastmodifieddate", "payload")
+      .write.partitionBy("day").parquet(dir)
+    def files(day: String) =
+      new java.io.File(s"$dir/day=$day").listFiles().map(_.getName).toSet
+    val before = files("2024-01-02")
+
+    val staging = Seq(
+      row("a", "2024-01-01", "2024-01-20", "a-new"),  // update in-place
+      row("c", "2024-01-01", "2024-01-15", "c-new"))  // insert same partition
+      .toDF("id", "day", "lastmodifieddate", "payload")
+    Merge.scd1Partitioned(dir, staging, Seq("id"), "lastmodifieddate", "day")
+
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("id") ->
+        (r.getAs[String]("lastmodifieddate"), r.getAs[String]("payload"))).toMap
+    assert(out == Map(
+      "a" -> ("2024-01-20", "a-new"),
+      "b" -> ("2024-01-10", "b-old"),
+      "c" -> ("2024-01-15", "c-new")))
+    assert(files("2024-01-02") == before) // untouched partition left alone
+  }
+
   test("conditional: update only when the tracked column changed (M3/J5)") {
     val goalsTarget = Seq(("e1", "2024-W1", 10), ("e2", "2024-W1", 20))
       .toDF("email", "week", "goal")
