@@ -428,6 +428,17 @@ object SparkEntry {
       Multimodal.featurize(s, withPayload, "doc_id")
         .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
           col("features")(0).as("f0"), col("features")(7).as("f7"))
+    }),
+
+    "q39_multimodal_frames" -> ((s, dir) => {
+      // frame-sample plumbing is byte-deterministic -> DuckDB-oracled
+      val withPayload = Multimodal.attachPayload(t(s, dir, "documents"), "text")
+      // md5 over the HEX of the frame (not raw bytes): DuckDB 1.0 can
+      // slice hex strings but not BLOBs, so both sides hash the hex form
+      Multimodal.frameSample(s, withPayload, "doc_id", n = 4)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"),
+          md5(hex(col("frame"))).as("frame_md5"))
     })
   )
 
@@ -952,6 +963,21 @@ GROUP BY
     "q30_ann_lsh" -> q30OracleSql,
 
     "q32_embedding_neardup" -> q32OracleSql,
+
+
+    "q39_multimodal_frames" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS L FROM documents),
+         f AS (SELECT doc_id, i.i AS frame_idx,
+             (L * i.i) // 4 AS s0,
+             LEAST(GREATEST((L * (i.i + 1)) // 4, (L * i.i) // 4 + 1), L) AS e0, h
+           FROM b, (SELECT UNNEST(range(4)) AS i) i
+           WHERE L > 0)
+         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(e0 - s0 AS BIGINT) AS frame_len,
+           md5(substring(h, CAST(s0 * 2 + 1 AS BIGINT),
+             CAST((e0 - s0) * 2 AS BIGINT))) AS frame_md5
+         FROM f""",
 
     "q33_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len

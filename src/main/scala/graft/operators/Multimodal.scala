@@ -64,6 +64,15 @@ object Multimodal {
           .min(payload.length))
       }
     }
+    /** "Resize": deterministic re-sampling of payload bytes to a target
+      * byte budget (stride-sampled when shrinking, cycle-padded when
+      * growing) — stands in for pixel resampling. */
+    def resize(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+      if (payload.isEmpty || targetBytes <= 0) Array.emptyByteArray
+      else Array.tabulate(targetBytes) { i =>
+        payload((payload.length.toLong * i / targetBytes).toInt % payload.length)
+      }
+    }
   }
 
   /** Partition-local featurization: mapPartitions over (id, payload) batches
@@ -80,5 +89,39 @@ object Multimodal {
         (id, bytes.length, StubCodec.featurize(bytes))
       }
     }.toDF(idCol, "byte_len", "features")
+  }
+
+  /** Frame sampling: each payload expands partition-locally to `n`
+    * (id, frame_idx, frame) rows — a video becomes n image-ish payloads
+    * WITHOUT the parent payload ever crossing a shuffle; downstream
+    * featurize runs per frame. Output stays binary + narrow metadata. */
+  def frameSample(spark: SparkSession, df: DataFrame, idCol: String, n: Int,
+                  payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    val pairs: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+    pairs.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        StubCodec.frameSample(bytes, n).zipWithIndex.map {
+          case (frame, idx) => (id, idx, frame)
+        }
+      }
+    }.toDF(idCol, "frame_idx", "frame")
+  }
+
+  /** Resize: partition-local payload re-sampling to a byte budget, with
+    * the metadata struct updated to the target dimensions. The payload
+    * column is REPLACED (old bytes are never carried alongside) so the
+    * narrowest schema flows downstream. */
+  def resize(spark: SparkSession, df: DataFrame, idCol: String,
+             targetBytes: Int, payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    val pairs: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+    pairs.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        (id, StubCodec.resize(bytes, targetBytes))
+      }
+    }.toDF(idCol, payloadCol)
   }
 }

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state streaming (SURVEY.md §2.7 / north_star pipelines): gap-based
+  * sessionization over a keyed event stream via
+  * `flatMapGroupsWithState` — the state-store primitive for semantics the
+  * built-in windows can't express. A session closes when its key sees no
+  * events for `gap`; the emitted row carries the session bounds and count.
+  *
+  * Scale shape: state is ONE small record per active key (bounds + count),
+  * partitioned by the grouping key across executors, and event-time timeout
+  * bounds its lifetime — no unbounded growth, no reprocessing. */
+object Sessionize {
+
+  case class Event(key: String, ts: Timestamp)
+  case class SessionState(start: Long, end: Long, count: Long)
+  case class Session(key: String, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long)
+
+  /** Fold a batch of events into per-key open-session state; emit closed
+    * sessions. Used with EventTimeTimeout: the watermark closes idle
+    * sessions even when a key never sends another event. */
+  private def update(key: String, events: Iterator[Event],
+                     state: GroupState[SessionState],
+                     gapMs: Long): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator(Session(key, new Timestamp(s.start),
+        new Timestamp(s.end), s.count))
+    }
+    val sorted = events.map(_.ts.getTime).toSeq.sorted
+    var closed = List.empty[Session]
+    var cur = state.getOption
+    sorted.foreach { t =>
+      cur match {
+        case Some(s) if t - s.end <= gapMs =>
+          cur = Some(s.copy(end = math.max(s.end, t), count = s.count + 1))
+        case Some(s) => // gap exceeded inside the batch: close and restart
+          closed ::= Session(key, new Timestamp(s.start),
+            new Timestamp(s.end), s.count)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.end + gapMs)
+    }
+    closed.reverseIterator
+  }
+
+  /** Sessionize a stream with columns (key: string, ts: timestamp).
+    * `watermark` must be >= `gap` so the event-time timeout can fire. */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+               watermark: String = "1 hour"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+      .microseconds / 1000L
+    events.select(col("key"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[Event]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (k: String, it: Iterator[Event], st: GroupState[SessionState]) =>
+          update(k, it, st, gapMs))
+  }
+}

@@ -147,6 +147,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(audit(8L) == (1L, 0L))
   }
 
+  test("multimodal: frame sampling and resize plumbing") {
+    val withPayload = Multimodal.attachPayload(docs, "text")
+    val frames = Multimodal.frameSample(spark, withPayload, "doc_id", n = 4)
+    val f = frames.filter(col("doc_id") === 1L).orderBy("frame_idx").collect()
+    assert(f.length == 4)
+    val whole = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    assert(f.map(_.getAs[Array[Byte]]("frame").length).sum == whole.length)
+    assert(f(0).getAs[Array[Byte]]("frame").sameElements(
+      whole.slice(0, whole.length / 4)))
+    val resized = Multimodal.resize(spark, withPayload, "doc_id", 16)
+    assert(resized.collect().forall(_.getAs[Array[Byte]]("payload").length == 16))
+  }
+
   test("multimodal: deterministic stub featurize, byte lengths real") {
     val withPayload = Multimodal.attachPayload(docs, "text")
     val out = Multimodal.featurize(spark, withPayload, "doc_id")
