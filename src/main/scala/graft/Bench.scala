@@ -18,10 +18,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up FS metadata, codegen and JIT once so the alphabetically-first
-    // query doesn't absorb all fixed startup cost; run in sorted order so
-    // per-query numbers are comparable across rounds
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // warm up the BENCHED directory's FS metadata plus codegen/JIT once so
+    // the alphabetically-first query doesn't absorb all fixed startup
+    // cost; never fatal — a missing warmup table must not kill the bench
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val outcome =
@@ -29,10 +32,21 @@ object Bench {
         catch { case e: Throwable => Some(e.toString.take(200)) }
       (name, (System.nanoTime() - t0) / 1e9, outcome)
     }
+    // full JSON string escape incl. control chars — exception messages
+    // carry newlines that would otherwise break the one-line contract
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(err)) =>
-      s"\"" + k + "\":\"" + err.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":\"" + esc(err) + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")

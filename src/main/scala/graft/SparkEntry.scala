@@ -389,8 +389,9 @@ object SparkEntry {
     }),
 
     "q37_simhash_pairs" -> ((s, dir) => {
+      // blocks > maxDist: the pigeonhole guarantee simhashPairs requires
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
-          maxDist = 10, blocks = 4)
+          maxDist = 10, blocks = 12)
         .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
     }),
 

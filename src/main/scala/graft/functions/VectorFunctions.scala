@@ -64,10 +64,13 @@ object VectorFunctions {
 
   /** [[signBucket]] with a fail-fast dimension guard: a vector whose length
     * differs from the plane dimension raises instead of silently bucketing
-    * to 0 (zip_with would null-pad, making every sign bit 0). */
+    * to 0 (zip_with would null-pad, making every sign bit 0). A NULL
+    * vector stays NULL (drops out of bucket equi-joins) — only a PRESENT
+    * wrong-size vector is an error. */
   def signBucketChecked(a: Column, planes: Array[Array[Double]]): Column = {
     val d = planes.head.length
-    when(size(a) === d, signBucket(a, planes))
+    when(a.isNull, lit(null).cast("long"))
+      .when(size(a) === d, signBucket(a, planes))
       .otherwise(raise_error(concat(
         lit(s"embedding dimension != plane dimension $d: got "),
         size(a).cast("string"))))

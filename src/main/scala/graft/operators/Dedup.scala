@@ -28,7 +28,12 @@ object Dedup {
   /** Exact dedup: keep the lowest-id row per normalized-content fingerprint.
     * One shuffle on the md5 key; survivor choice is deterministic. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(T.fingerprint(col(textCol))).orderBy(col(idCol))
+    // NULL text is not duplicate content: window partitions treat NULLs as
+    // equal, so NULL-content rows get a per-row synthetic key and all
+    // survive
+    val fp = coalesce(T.fingerprint(col(textCol)),
+      concat(lit("__null__"), col(idCol).cast("string")))
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -70,8 +75,11 @@ object Dedup {
                    threshold: Double = 0.7, shingleN: Int = 3,
                    maxBucket: Int = 256): DataFrame = {
     val r = numHashes / bands
-    val keyed = df.select(col(idCol).as("id"), col(textCol).as("__txt"),
-      T.fingerprint(col(textCol)).as("__fp"))
+    // NULL text rows can be duplicates of nothing: exclude them before the
+    // fingerprint window groups all NULLs into one bogus cluster
+    val keyed = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__txt"),
+        T.fingerprint(col(textCol)).as("__fp"))
     val withRep = keyed.withColumn("__rep",
       min(col("id")).over(Window.partitionBy(col("__fp"))))
     val exactPairs = withRep.filter(col("id") =!= col("__rep"))
@@ -130,6 +138,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3, blocks: Int = 4,
                    maxBucket: Int = 1024): DataFrame = {
+    require(blocks > maxDist,
+      s"pigeonhole needs blocks > maxDist (got $blocks <= $maxDist): " +
+        "a pair within maxDist must agree on at least one full segment")
     val segBits = 63 / blocks
     val sh = simhash(df, textCol, idCol).withColumnRenamed(idCol, "id")
     val seg = sh.select(col("id"), col("simhash"),
@@ -196,7 +207,9 @@ object Dedup {
                             bands: Int = 8, maxBucket: Int = 256,
                             dim: Int = 64, seed: Long = 42L): DataFrame = {
     require(nBits * bands <= 62, "signature must fit in a long")
-    val withRep = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // NULL vectors pair with nothing (see minhashPairs NULL note)
+    val withRep = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("__rep", min(col("id")).over(Window.partitionBy(col("v"))))
     val exactPairs = withRep.filter(col("id") =!= col("__rep"))
       .select(col("__rep").as("a"), col("id").as("b"), lit(1.0).as("cos"))

@@ -104,9 +104,12 @@ object Merge {
     val spark = staging.sparkSession
     val touched = staging.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
+    // explicit existence check: a transient READ failure must propagate,
+    // never be mistaken for "first write" (that would overwrite touched
+    // partitions with staging-only data)
+    val p = new org.apache.hadoop.fs.Path(targetPath)
     val targetExists =
-      try { spark.read.parquet(targetPath).schema; true }
-      catch { case _: Throwable => false }
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     val merged =
       if (!targetExists) keepLatest(staging, keys, ordering)
       else {

@@ -48,10 +48,13 @@ object JdbcSink {
 
   /** Stage `df` into `stagingTable` (append; table pre-created so column
     * types stay warehouse-controlled, mirroring COPY into an existing
-    * staging table). */
+    * staging table). `repartition`, not `coalesce`: coalesce would cap the
+    * WHOLE upstream computation at numPartitions tasks — one bounded
+    * shuffle here keeps upstream parallelism intact and only the writer
+    * narrow. */
   def stage(df: DataFrame, conn: Conn, stagingTable: String,
             numPartitions: Int = 8, batchSize: Int = 10000): Unit =
-    df.coalesce(numPartitions)
+    df.repartition(numPartitions)
       .write.mode("append")
       .option("batchsize", batchSize.toString)
       .jdbc(conn.url, stagingTable, conn.props)

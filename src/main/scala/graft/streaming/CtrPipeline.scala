@@ -152,10 +152,16 @@ object CtrPipeline {
                           ordering: String = "last_update_time"): Unit = {
     val spark = batch.sparkSession
     val first = Merge.keepFirst(batch, keys, ordering)
-    val existing =
-      try Some(spark.read.parquet(targetPath).select(keys.map(col): _*))
-      catch { case _: Throwable => None } // first batch: target absent
-    val fresh = existing.fold(first)(t => first.join(t, keys, "left_anti"))
+    // explicit existence check: a transient target-read failure must FAIL
+    // the batch (checkpoint retries it), not silently skip the dedup guard
+    // and double-insert immutable facts
+    val p = new org.apache.hadoop.fs.Path(targetPath)
+    val targetExists =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fresh =
+      if (!targetExists) first
+      else first.join(spark.read.parquet(targetPath)
+        .select(keys.map(col): _*), keys, "left_anti")
     fresh.write.mode("append").parquet(targetPath)
   }
 

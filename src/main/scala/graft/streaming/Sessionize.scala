@@ -38,8 +38,15 @@ object Sessionize {
     var cur = state.getOption
     sorted.foreach { t =>
       cur match {
-        case Some(s) if t - s.end <= gapMs =>
-          cur = Some(s.copy(end = math.max(s.end, t), count = s.count + 1))
+        // within gap of either bound (late-but-in-watermark events extend
+        // the session BACKWARD too — start must be min'd, not only end)
+        case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
+          cur = Some(SessionState(math.min(s.start, t),
+            math.max(s.end, t), s.count + 1))
+        case Some(s) if t < s.start - gapMs =>
+          // late orphan older than the open session by more than the gap:
+          // nothing later can extend it, emit it as its own session
+          closed ::= Session(key, new Timestamp(t), new Timestamp(t), 1)
         case Some(s) => // gap exceeded inside the batch: close and restart
           closed ::= Session(key, new Timestamp(s.start),
             new Timestamp(s.end), s.count)
@@ -61,10 +68,12 @@ object Sessionize {
                watermark: String = "1 hour"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(
         org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-      .microseconds / 1000L
+    require(iv.months == 0, s"calendar-month gaps are ambiguous: $gap")
+    // CalendarInterval splits days from microseconds — both count
+    val gapMs = iv.days * 86400000L + iv.microseconds / 1000L
     events.select(col("key"), col("ts"))
       .withWatermark("ts", watermark)
       .as[Event]

@@ -138,6 +138,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(vpairs.agg(min(col("cos"))).collect()(0).getDouble(0) == 1.0)
   }
 
+  test("NULL content never pairs and never collapses") {
+    val withNulls = docs.unionByName(Seq(
+      (10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]),
+      (12L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    // exact: all NULL-text rows survive (not duplicates of each other)
+    assert(Dedup.exact(withNulls, "text", "doc_id").count() == 4 + 3)
+    // pairs: no bogus est_jaccard=1.0 cluster among NULL rows
+    val pairs = Dedup.minhashPairs(withNulls, "text", "doc_id",
+        numHashes = 32, bands = 8, threshold = 0.5, shingleN = 1)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(!pairs.exists(p => p._1 >= 10L || p._2 >= 10L))
+    // embeddings: NULL vectors neither pair nor crash the dim guard
+    val vecs = Seq((0L, Some(Array(1f, 0f, 0f, 0f))),
+      (1L, Some(Array(1f, 0f, 0f, 0f))),
+      (2L, Option.empty[Array[Float]]), (3L, Option.empty[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val vp = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+        threshold = 0.9, nBits = 4, bands = 2, maxBucket = 16, dim = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(vp == Set((0L, 1L)))
+  }
+
+  test("simhashPairs rejects a pigeonhole-violating configuration") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 10, blocks = 4)
+    }
+  }
+
   test("bucket audit reports capped-out members") {
     val b = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 8L))
       .toDF("id", "bucket")

@@ -37,4 +37,37 @@ class SessionizeSpec extends SparkSpec {
     assert(byKey("u1").exists(s => s._2 == ts(20) && s._3 == 1))
     assert(byKey("u2").head._3 == 1)
   }
+
+  test("late in-gap event extends the session start backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    mem.addData(("u1", ts(5)))
+    mem.addData(("u1", ts(2)))  // late, within gap: start must become 10:02
+    mem.addData(("u9", Timestamp.valueOf("2024-01-01 18:00:00"))) // advance wm
+    val out = Sessionize.sessions(
+      mem.toDF().toDF("key", "ts"), gap = "5 minutes", watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val u1 = spark.table("late_sessions")
+      .collect().filter(_.getString(0) == "u1")
+    assert(u1.exists(r => r.getTimestamp(1) == ts(2) && r.getLong(3) == 2),
+      u1.mkString(";"))
+  }
+
+  test("day-granular gap is honored (CalendarInterval days field)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    mem.addData(("u1", Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("u1", Timestamp.valueOf("2024-01-01 20:00:00"))) // 10h apart
+    mem.addData(("u9", Timestamp.valueOf("2024-03-01 00:00:00")))
+    val out = Sessionize.sessions(
+      mem.toDF().toDF("key", "ts"), gap = "1 day", watermark = "30 days")
+    val q = out.writeStream.format("memory").queryName("day_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val u1 = spark.table("day_sessions").collect()
+      .filter(_.getString(0) == "u1")
+    assert(u1.length == 1 && u1(0).getLong(3) == 2) // one session, not two
+  }
 }
