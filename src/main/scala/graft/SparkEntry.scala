@@ -389,9 +389,11 @@ object SparkEntry {
     }),
 
     "q37_simhash_pairs" -> ((s, dir) => {
-      // blocks > maxDist: the pigeonhole guarantee simhashPairs requires
+      // blocks > maxDist (the pigeonhole guarantee) AND 63/4 = 15-bit
+      // segments keep the blocking selective — more blocks means coarser
+      // segments and quadratic bucket growth
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
-          maxDist = 10, blocks = 12)
+          maxDist = 3, blocks = 4)
         .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
     }),
 

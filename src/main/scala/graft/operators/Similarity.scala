@@ -31,9 +31,50 @@ object Similarity {
         .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
   }
 
+  /** Partition-local exact top-k pruning over a (probe_id, neighbor_id,
+    * cos) frame: each input partition keeps only its own k best per probe
+    * (bounded heaps, full (cos desc, neighbor asc) ordering so ties at the
+    * boundary are never mis-evicted) BEFORE anything is shuffled. The
+    * global top-k is a subset of the union of local top-ks, so the final
+    * window ranks at most partitions*probes*k rows instead of the full
+    * scored volume — at 100 TB this turns the ranking shuffle from
+    * |corpus|x|probes| into noise. */
+  private def localThenGlobalTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import scala.collection.mutable
+    // worst element on top of the heap; ordering mirrors the final window:
+    // better = higher cos, then smaller neighbor id
+    def sortKey(r: Row): (Double, String) = {
+      val nid = r.get(1) match {
+        case n: Number => f"${n.longValue()}%020d" // numeric ids order numerically
+        case other     => String.valueOf(other)
+      }
+      (r.getDouble(2), nid)
+    }
+    // PriorityQueue dequeues its ordering's MAX; rank the worst element as
+    // max: lowest cos first, then largest neighbor id
+    val worstFirst: Ordering[Row] = Ordering.by((r: Row) => sortKey(r))(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.String))
+    implicit val enc = org.apache.spark.sql.Encoders.row(scored.schema)
+    val pruned = scored.mapPartitions { it =>
+      val heaps = mutable.HashMap.empty[Any, mutable.PriorityQueue[Row]]
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.get(0),
+          mutable.PriorityQueue.empty(worstFirst))
+        if (h.size < k) h.enqueue(r)
+        else if (worstFirst.lt(r, h.head)) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pruned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact top-k cosine neighbors for each probe. Probes are broadcast —
-    * the corpus is never shuffled; the only exchange is the per-probe
-    * top-k (a window over probe_id, bounded by k via rank filter).
+    * the corpus is never shuffled; scored pairs are pruned to k-per-probe
+    * inside each scan partition before the (now tiny) ranking exchange.
     * Ties break deterministically by neighbor id. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                      vecCol: String = "embedding",
@@ -44,10 +85,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
         V.cosineFast(col("pv"), col("cv")).as("cos"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    localThenGlobalTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k — the other classic ANN scale
@@ -89,15 +127,13 @@ object Similarity {
       .filter(col("__pr") <= nProbe)
       .select("probe_id", "pv", "__list")
 
+    // each neighbor lives in exactly one list, so a (probe, neighbor) pair
+    // can match at most once — no dedup needed before ranking
     val scored = assigned.join(broadcast(probeLists), Seq("__list"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
         V.cosineFast(col("pv"), col("cv")).as("cos"))
-      .dropDuplicates("probe_id", "neighbor_id")
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    localThenGlobalTopK(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: candidates are corpus vectors whose
@@ -127,9 +163,6 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
         V.cosineFast(col("pv"), col("cv")).as("cos"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    localThenGlobalTopK(scored, k)
   }
 }
