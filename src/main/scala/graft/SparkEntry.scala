@@ -945,12 +945,19 @@ GROUP BY
 
 
     "q28_ngram_jaccard" ->
-      """WITH sh0 AS (SELECT doc_id AS id,
+      """WITH keyed AS (SELECT doc_id AS id, text,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL),
+         wrep AS (SELECT id, text, MIN(id) OVER (PARTITION BY fp) AS rep
+           FROM keyed),
+         exact_pairs AS (SELECT rep AS a, id AS b, 1.0 AS jaccard
+           FROM wrep WHERE id <> rep),
+         sh0 AS (SELECT id,
            list_distinct(CASE WHEN len(tk) = 0 THEN [''] ELSE tk END) AS shl
-           FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+           FROM (SELECT id, list_filter(regexp_split_to_array(
              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
              x -> x != '') AS tk
-           FROM documents WHERE doc_id % 10 = 0)),
+           FROM wrep WHERE id = rep)),
          sh AS (SELECT id, UNNEST(shl) AS sh FROM sh0),
          rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000),
          rsh AS (SELECT s.id, s.sh FROM sh s JOIN rare r USING (sh)),
@@ -961,7 +968,10 @@ GROUP BY
              CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) AS jaccard
            FROM shared JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b)
          SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS jac_bucket,
-           COUNT(1) AS n_pairs FROM jac WHERE jaccard >= 0.3 GROUP BY 1""",
+           COUNT(1) AS n_pairs
+         FROM (SELECT * FROM exact_pairs
+           UNION ALL SELECT * FROM jac WHERE jaccard >= 0.3)
+         GROUP BY 1""",
 
     "q30_ann_lsh" -> q30OracleSql,
 

@@ -167,13 +167,25 @@ object Dedup {
     * pair join AND from both set sizes — so the result is the exact Jaccard
     * of the filtered shingle sets (equal to true Jaccard when no shingle
     * exceeds maxDf; an approximation biased toward rare content otherwise).
-    * Pairs sharing only high-df shingles are not emitted.
+    * Pairs sharing only high-df shingles are not emitted. Exact dups are
+    * collapsed FIRST and emitted as jaccard=1.0 (rep, dup) pairs — without
+    * this, a large identical-doc cluster pushes its own shingles over
+    * maxDf and silently loses every pair.
     * Output: (a, b, jaccard). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.2,
                         maxDf: Int = 50): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(T.shingles(col(textCol), n))).as("sh"))
+    val keyed = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__txt"),
+        T.fingerprint(col(textCol)).as("__fp"))
+    val withRep = keyed.withColumn("__rep",
+      min(col("id")).over(Window.partitionBy(col("__fp"))))
+    val exactPairs = withRep.filter(col("id") =!= col("__rep"))
+      .select(col("__rep").as("a"), col("id").as("b"), lit(1.0).as("jaccard"))
+    val reps = withRep.filter(col("id") === col("__rep"))
+
+    val sh = reps.select(col("id"),
+      explode(array_distinct(T.shingles(col("__txt"), n))).as("sh"))
     val rare = sh.join(
       sh.groupBy("sh").agg(count("*").as("df")).filter(col("df") <= maxDf)
         .select("sh"), Seq("sh"))
@@ -182,13 +194,14 @@ object Dedup {
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count("*").as("shared"))
-    shared
+    val nearPairs = shared
       .join(sizes.withColumnsRenamed(Map("id" -> "a", "nsh" -> "na")), "a")
       .join(sizes.withColumnsRenamed(Map("id" -> "b", "nsh" -> "nb")), "b")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+    exactPairs.unionByName(nearPairs)
   }
 
   /** Embedding-cosine near-dup pairs. Identical vectors are collapsed

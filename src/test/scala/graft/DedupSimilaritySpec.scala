@@ -47,6 +47,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(p.getAs[Double]("jaccard") - 3.0 / 5.0) < 1e-12)
   }
 
+  test("ngram jaccard: identical-doc cluster beyond maxDf still pairs") {
+    // 100 identical docs push every shingle's df to 100 > maxDf=10; the
+    // exact-dup pre-pass must still emit the 99 rep pairs at jaccard 1.0
+    val dups = spark.range(0, 100).selectExpr("id AS doc_id",
+      "'same words here' AS text")
+    val pairs = Dedup.ngramJaccardPairs(dups, "text", "doc_id", n = 1,
+      threshold = 0.5, maxDf = 10)
+    assert(pairs.count() == 99)
+    assert(pairs.agg(min(col("jaccard"))).collect()(0).getDouble(0) == 1.0)
+  }
+
   test("brute-force top-k: exact neighbor order, self excluded") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
