@@ -380,6 +380,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    "q40_chunk_overlap" -> ((s, dir) => {
+      // rolling-hash CDC fingerprints: containment detection — every doc's
+      // prefix half (id offset by 1e6) must pair with its parent at high
+      // overlap, while unrelated docs stay unpaired
+      val d = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      val halves = d.select((col("doc_id") + 1000000).as("doc_id"),
+        substring(col("text"), 1, 512).as("text"))
+      Dedup.chunkOverlapPairs(d.unionByName(halves), "text", "doc_id",
+          threshold = 0.5)
+        .groupBy(floor(col("overlap") * 10).cast("long").as("ov_bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     "q38_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,

@@ -197,6 +197,96 @@ case class MinHashSignatureExpr(child: Expression, shingleN: Int,
       newChild: Expression): MinHashSignatureExpr = copy(child = newChild)
 }
 
+/** Content-defined chunking (CDC) fingerprints over a text column: a
+  * gear-style rolling hash walks the UTF-8 bytes and cuts a chunk boundary
+  * whenever the low `maskBits` of the rolling state are zero (subject to a
+  * `minChunk` byte floor), then each chunk is XXH64-fingerprinted. Because
+  * boundaries depend only on LOCAL content, an edit in the middle of a
+  * document changes O(1) chunks — unlike fixed-width chunking where one
+  * insertion shifts every later chunk. This is the rolling-hash document
+  * fingerprint for partial-duplication / containment detection: docs
+  * sharing chunks share content regions. One codegen pass, no allocation
+  * beyond the output array. NULL text -> NULL. */
+case class CdcChunksExpr(child: Expression, minChunk: Int = 16,
+                         maskBits: Int = 6)
+  extends UnaryExpression {
+
+  private val mask = (1L << maskBits) - 1
+  private val hashSeed = 42L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val bytes = s.getBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + (bytes(i) & 0xff)
+      if (i - start + 1 >= minChunk && (h & mask) == 0L) {
+        out += XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+          i - start + 1, hashSeed)
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length || bytes.isEmpty) {
+      out += XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+        bytes.length - start, hashSeed)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    val off = "org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET"
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val out = ctx.freshName("out")
+      val start = ctx.freshName("start")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val arr = ctx.freshName("arr")
+      val j = ctx.freshName("j")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |java.util.ArrayList<Long> $out = new java.util.ArrayList<Long>();
+         |int $start = 0;
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h << 1) + ($bytes[$i] & 0xff);
+         |  if ($i - $start + 1 >= $minChunk && ($h & ${mask}L) == 0L) {
+         |    $out.add($xxh.hashUnsafeBytes($bytes, $off + $start,
+         |      $i - $start + 1, ${hashSeed}L));
+         |    $start = $i + 1;
+         |    $h = 0L;
+         |  }
+         |}
+         |if ($start < $bytes.length || $bytes.length == 0) {
+         |  $out.add($xxh.hashUnsafeBytes($bytes, $off + $start,
+         |    $bytes.length - $start, ${hashSeed}L));
+         |}
+         |long[] $arr = new long[$out.size()];
+         |for (int $j = 0; $j < $arr.length; $j++) {
+         |  $arr[$j] = ((Long) $out.get($j)).longValue();
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CdcChunksExpr = copy(child = newChild)
+}
+
 /** minhash minima over a pre-hashed shingle array: for seed j,
   * min over elements h of (h * mixA(j) + mixB(j)), long overflow wrapping.
   * One pass over the input instead of numHashes interpreted

@@ -101,6 +101,15 @@ object TextFunctions {
   def bagFingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(normalized(c))))))
 
+  /** Content-defined-chunk fingerprints of the raw text (rolling-hash
+    * boundaries -> XXH64 per chunk; see CdcChunksExpr). An edit changes
+    * O(1) chunk hashes, so shared chunks detect partial duplication and
+    * containment — the rolling-hash document fingerprint. */
+  def cdcChunks(c: Column, minChunk: Int = 16, maskBits: Int = 6): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    GraftGlue.column(CdcChunksExpr(GraftGlue.expression(c), minChunk, maskBits))
+  }
+
   /** Word n-gram shingles of the normalized text (MinHash input). */
   def shingles(c: Column, n: Int): Column = {
     val t = tokens(normalized(c))

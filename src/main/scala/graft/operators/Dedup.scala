@@ -249,6 +249,36 @@ object Dedup {
     exactPairs.unionByName(lshPairs)
   }
 
+  /** Partial-duplication / containment pairs via content-defined chunking:
+    * docs sharing >= `threshold` of the SMALLER doc's chunk fingerprints
+    * (an overlap coefficient — containment of a short doc inside a long
+    * one scores high, unlike Jaccard). Same bounded shape as the shingle
+    * families: explode chunk hashes, drop df > maxDf chunks consistently,
+    * shared-count join. Output: (a, b, overlap). */
+  def chunkOverlapPairs(df: DataFrame, textCol: String, idCol: String,
+                        threshold: Double = 0.5, minChunk: Int = 16,
+                        maskBits: Int = 6, maxDf: Int = 50): DataFrame = {
+    val ch = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(
+          T.cdcChunks(col(textCol), minChunk, maskBits))).as("ch"))
+    val rare = ch.join(
+      ch.groupBy("ch").agg(count("*").as("df")).filter(col("df") <= maxDf)
+        .select("ch"), Seq("ch"))
+    val sizes = rare.groupBy("id").agg(count("*").as("nch"))
+    val shared = rare.as("x").join(rare.as("y"),
+        col("x.ch") === col("y.ch") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count("*").as("shared"))
+    shared
+      .join(sizes.withColumnsRenamed(Map("id" -> "a", "nch" -> "na")), "a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "b", "nch" -> "nb")), "b")
+      .withColumn("overlap",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("overlap") >= threshold)
+      .select("a", "b", "overlap")
+  }
+
   /** Bucket-population audit for the capped LSH families: per-bucket member
     * counts and how many members the `maxBucket` cap would drop. Run this
     * (cheap: one aggregation) to observe what the caps cost on a corpus. */

@@ -39,4 +39,34 @@ class CatalystExprSpec extends SparkSpec {
     val n = vecs.filter(V.cosineFast(col("a"), col("b")) > -2.0).count()
     assert(n == 4)
   }
+
+  test("CDC chunks: edit locality — one edit changes O(1) chunks") {
+    import graft.functions.{TextFunctions => T}
+    val base = (1 to 120).map(i => s"word$i").mkString(" ")
+    val edited = base.replace("word60", "EDITED")
+    val shifted = "inserted_prefix " + base // fixed-width chunking's nemesis
+    val df = Seq((1L, base), (2L, edited), (3L, shifted), (4L, base))
+      .toDF("id", "text")
+      .select(col("id"), T.cdcChunks(col("text")).as("ch"))
+    val m = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(m(1L) == m(4L)) // deterministic
+    def sharedFrac(a: Set[Long], b: Set[Long]) =
+      (a intersect b).size.toDouble / math.min(a.size, b.size)
+    assert(sharedFrac(m(1L), m(2L)) >= 0.6, s"edit not local: ${m(1L).size}")
+    assert(sharedFrac(m(1L), m(3L)) >= 0.6, "prefix insertion not absorbed")
+    assert(m(1L) != m(2L))
+  }
+
+  test("chunk overlap pairs: containment scores high") {
+    import graft.operators.Dedup
+    val long = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val contained = (50 to 150).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 100).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, long), (2L, contained), (3L, other)).toDF("id", "text")
+    val pairs = Dedup.chunkOverlapPairs(df, "text", "id", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }

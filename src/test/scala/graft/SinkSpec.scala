@@ -80,6 +80,42 @@ class SinkSpec extends SparkSpec {
     assert(stgRows == 0)
   }
 
+  test("stream -> JDBC warehouse: foreachBatch stages and merges into Derby") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val url = "jdbc:derby:memory:streamsink;create=true"
+    val conn = JdbcSink.Conn(url, new Properties)
+    conn.withConnection { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE tgt (id VARCHAR(16) NOT NULL, " +
+        "lastmodifieddate VARCHAR(32), payload VARCHAR(64))")
+      st.execute("CREATE TABLE stg (id VARCHAR(16) NOT NULL, " +
+        "lastmodifieddate VARCHAR(32), payload VARCHAR(64))")
+      st.close()
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)]
+    mem.addData(("a", "2024-01-10", "a-v1"), ("b", "2024-01-10", "b-v1"))
+    val dir = java.nio.file.Files.createTempDirectory("jdbcstream").toString
+    def run(): Unit = {
+      val q = mem.toDF().toDF("id", "lastmodifieddate", "payload")
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          JdbcSink.scd1(batch, conn, "tgt", "stg",
+            Seq("id"), "lastmodifieddate")
+        }.start()
+      q.awaitTermination()
+    }
+    run()
+    mem.addData(("a", "2024-01-20", "a-v2"), ("c", "2024-01-15", "c-v1"))
+    run()
+    val out = spark.read.jdbc(url, "tgt", new Properties)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("a" -> "a-v2", "b" -> "b-v1", "c" -> "c-v1"))
+  }
+
   test("embedded Derby round-trip: append-if-absent never updates") {
     val url = "jdbc:derby:memory:sinkspec2;create=true"
     val conn = JdbcSink.Conn(url, new Properties)
