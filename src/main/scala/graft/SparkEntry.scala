@@ -382,11 +382,12 @@ object SparkEntry {
 
     "q40_chunk_overlap" -> ((s, dir) => {
       // rolling-hash CDC fingerprints: containment detection — every doc's
-      // prefix half (id offset by 1e6) must pair with its parent at high
-      // overlap, while unrelated docs stay unpaired
+      // prefix half (negated id: collision-free for any non-negative
+      // corpus id space) must pair with its parent at high overlap, while
+      // unrelated docs stay unpaired
       val d = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"))
-      val halves = d.select((col("doc_id") + 1000000).as("doc_id"),
+      val halves = d.select((-col("doc_id") - 1).as("doc_id"),
         substring(col("text"), 1, 512).as("text"))
       Dedup.chunkOverlapPairs(d.unionByName(halves), "text", "doc_id",
           threshold = 0.5)

@@ -250,35 +250,39 @@ case class CdcChunksExpr(child: Expression, minChunk: Int = 16,
     val off = "org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET"
     nullSafeCodeGen(ctx, ev, c => {
       val bytes = ctx.freshName("bytes")
-      val out = ctx.freshName("out")
+      val buf = ctx.freshName("buf")
+      val cnt = ctx.freshName("cnt")
       val start = ctx.freshName("start")
       val h = ctx.freshName("h")
       val i = ctx.freshName("i")
-      val arr = ctx.freshName("arr")
-      val j = ctx.freshName("j")
+      // primitive growable buffer: no boxing in the per-row hot path
       s"""
          |byte[] $bytes = $c.getBytes();
-         |java.util.ArrayList<Long> $out = new java.util.ArrayList<Long>();
+         |long[] $buf = new long[16];
+         |int $cnt = 0;
          |int $start = 0;
          |long $h = 0L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
          |  $h = ($h << 1) + ($bytes[$i] & 0xff);
          |  if ($i - $start + 1 >= $minChunk && ($h & ${mask}L) == 0L) {
-         |    $out.add($xxh.hashUnsafeBytes($bytes, $off + $start,
-         |      $i - $start + 1, ${hashSeed}L));
+         |    if ($cnt == $buf.length) {
+         |      $buf = java.util.Arrays.copyOf($buf, $buf.length * 2);
+         |    }
+         |    $buf[$cnt++] = $xxh.hashUnsafeBytes($bytes, $off + $start,
+         |      $i - $start + 1, ${hashSeed}L);
          |    $start = $i + 1;
          |    $h = 0L;
          |  }
          |}
          |if ($start < $bytes.length || $bytes.length == 0) {
-         |  $out.add($xxh.hashUnsafeBytes($bytes, $off + $start,
-         |    $bytes.length - $start, ${hashSeed}L));
+         |  if ($cnt == $buf.length) {
+         |    $buf = java.util.Arrays.copyOf($buf, $buf.length + 1);
+         |  }
+         |  $buf[$cnt++] = $xxh.hashUnsafeBytes($bytes, $off + $start,
+         |    $bytes.length - $start, ${hashSeed}L);
          |}
-         |long[] $arr = new long[$out.size()];
-         |for (int $j = 0; $j < $arr.length; $j++) {
-         |  $arr[$j] = ((Long) $out.get($j)).longValue();
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($buf, $cnt));
        """.stripMargin
     })
   }

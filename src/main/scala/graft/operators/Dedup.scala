@@ -63,6 +63,44 @@ object Dedup {
         shingleN, as.toArray, bs.toArray)).as("minhash"))
   }
 
+  /** Exact-dup pre-pass shared by every pair family: split the corpus into
+    * (rep, dup) pairs at score 1.0 — linear in cluster size — and the
+    * representative set the LSH/df machinery runs on. NULL text rows are
+    * excluded up front (duplicates of nothing; the fingerprint window
+    * would otherwise group all NULLs into one bogus cluster). */
+  private def collapseExactDups(df: DataFrame, textCol: String,
+                                idCol: String,
+                                scoreName: String): (DataFrame, DataFrame) = {
+    val keyed = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("__txt"),
+        T.fingerprint(col(textCol)).as("__fp"))
+    val withRep = keyed.withColumn("__rep",
+      min(col("id")).over(Window.partitionBy(col("__fp"))))
+    val exactPairs = withRep.filter(col("id") =!= col("__rep"))
+      .select(col("__rep").as("a"), col("id").as("b"), lit(1.0).as(scoreName))
+    (exactPairs,
+      withRep.filter(col("id") === col("__rep")).select(col("id"), col("__txt")))
+  }
+
+  /** Shared skeleton for the set-similarity families: consistent rare-key
+    * filtering (document frequency <= maxDf, applied to the join AND both
+    * set sizes) over an exploded (id, `keyCol`) frame, then the
+    * shared-count pair join. Output: (a, b, shared, na, nb). */
+  private def rareSharedCounts(exploded: DataFrame, keyCol: String,
+                               maxDf: Int): DataFrame = {
+    val rare = exploded.join(
+      exploded.groupBy(keyCol).agg(count("*").as("df"))
+        .filter(col("df") <= maxDf).select(keyCol), Seq(keyCol))
+    val sizes = rare.groupBy("id").agg(count("*").as("nsz"))
+    val shared = rare.as("x").join(rare.as("y"),
+        col(s"x.$keyCol") === col(s"y.$keyCol") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count("*").as("shared"))
+    shared
+      .join(sizes.withColumnsRenamed(Map("id" -> "a", "nsz" -> "na")), "a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "b", "nsz" -> "nb")), "b")
+  }
+
   /** MinHash+LSH candidate pairs with estimated Jaccard >= threshold.
     * Exact dups are collapsed first (emitted as est_jaccard=1.0 pairs);
     * representative signatures are banded (`bands` bands of
@@ -75,19 +113,7 @@ object Dedup {
                    threshold: Double = 0.7, shingleN: Int = 3,
                    maxBucket: Int = 256): DataFrame = {
     val r = numHashes / bands
-    // NULL text rows can be duplicates of nothing: exclude them before the
-    // fingerprint window groups all NULLs into one bogus cluster
-    val keyed = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), col(textCol).as("__txt"),
-        T.fingerprint(col(textCol)).as("__fp"))
-    val withRep = keyed.withColumn("__rep",
-      min(col("id")).over(Window.partitionBy(col("__fp"))))
-    val exactPairs = withRep.filter(col("id") =!= col("__rep"))
-      .select(col("__rep").as("a"), col("id").as("b"),
-        lit(1.0).as("est_jaccard"))
-    val reps = withRep.filter(col("id") === col("__rep"))
-      .select(col("id"), col("__txt"))
-
+    val (exactPairs, reps) = collapseExactDups(df, textCol, idCol, "est_jaccard")
     val sigs = minhashSignatures(reps, "__txt", "id", numHashes, shingleN)
     val banded = sigs.select(col("id"), col("minhash"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -175,28 +201,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.2,
                         maxDf: Int = 50): DataFrame = {
-    val keyed = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), col(textCol).as("__txt"),
-        T.fingerprint(col(textCol)).as("__fp"))
-    val withRep = keyed.withColumn("__rep",
-      min(col("id")).over(Window.partitionBy(col("__fp"))))
-    val exactPairs = withRep.filter(col("id") =!= col("__rep"))
-      .select(col("__rep").as("a"), col("id").as("b"), lit(1.0).as("jaccard"))
-    val reps = withRep.filter(col("id") === col("__rep"))
-
+    val (exactPairs, reps) = collapseExactDups(df, textCol, idCol, "jaccard")
     val sh = reps.select(col("id"),
       explode(array_distinct(T.shingles(col("__txt"), n))).as("sh"))
-    val rare = sh.join(
-      sh.groupBy("sh").agg(count("*").as("df")).filter(col("df") <= maxDf)
-        .select("sh"), Seq("sh"))
-    val sizes = rare.groupBy("id").agg(count("*").as("nsh"))
-    val shared = rare.as("x").join(rare.as("y"),
-        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count("*").as("shared"))
-    val nearPairs = shared
-      .join(sizes.withColumnsRenamed(Map("id" -> "a", "nsh" -> "na")), "a")
-      .join(sizes.withColumnsRenamed(Map("id" -> "b", "nsh" -> "nb")), "b")
+    val nearPairs = rareSharedCounts(sh, "sh", maxDf)
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= threshold)
@@ -253,30 +261,21 @@ object Dedup {
     * docs sharing >= `threshold` of the SMALLER doc's chunk fingerprints
     * (an overlap coefficient — containment of a short doc inside a long
     * one scores high, unlike Jaccard). Same bounded shape as the shingle
-    * families: explode chunk hashes, drop df > maxDf chunks consistently,
-    * shared-count join. Output: (a, b, overlap). */
+    * families: exact-dup pre-pass, then rare-chunk shared-count join.
+    * Output: (a, b, overlap). */
   def chunkOverlapPairs(df: DataFrame, textCol: String, idCol: String,
                         threshold: Double = 0.5, minChunk: Int = 16,
                         maskBits: Int = 6, maxDf: Int = 50): DataFrame = {
-    val ch = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
-        explode(array_distinct(
-          T.cdcChunks(col(textCol), minChunk, maskBits))).as("ch"))
-    val rare = ch.join(
-      ch.groupBy("ch").agg(count("*").as("df")).filter(col("df") <= maxDf)
-        .select("ch"), Seq("ch"))
-    val sizes = rare.groupBy("id").agg(count("*").as("nch"))
-    val shared = rare.as("x").join(rare.as("y"),
-        col("x.ch") === col("y.ch") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count("*").as("shared"))
-    shared
-      .join(sizes.withColumnsRenamed(Map("id" -> "a", "nch" -> "na")), "a")
-      .join(sizes.withColumnsRenamed(Map("id" -> "b", "nch" -> "nb")), "b")
+    val (exactPairs, reps) = collapseExactDups(df, textCol, idCol, "overlap")
+    val ch = reps.select(col("id"),
+      explode(array_distinct(
+        T.cdcChunks(col("__txt"), minChunk, maskBits))).as("ch"))
+    val nearPairs = rareSharedCounts(ch, "ch", maxDf)
       .withColumn("overlap",
         col("shared").cast("double") / least(col("na"), col("nb")))
       .filter(col("overlap") >= threshold)
       .select("a", "b", "overlap")
+    exactPairs.unionByName(nearPairs)
   }
 
   /** Bucket-population audit for the capped LSH families: per-bucket member

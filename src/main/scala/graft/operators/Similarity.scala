@@ -42,19 +42,27 @@ object Similarity {
   private def localThenGlobalTopK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import scala.collection.mutable
-    // worst element on top of the heap; ordering mirrors the final window:
-    // better = higher cos, then smaller neighbor id
-    def sortKey(r: Row): (Double, String) = {
-      val nid = r.get(1) match {
-        case n: Number => f"${n.longValue()}%020d" // numeric ids order numerically
-        case other     => String.valueOf(other)
-      }
-      (r.getDouble(2), nid)
-    }
     // PriorityQueue dequeues its ordering's MAX; rank the worst element as
-    // max: lowest cos first, then largest neighbor id
-    val worstFirst: Ordering[Row] = Ordering.by((r: Row) => sortKey(r))(
-      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.String))
+    // max (lowest cos, then largest neighbor id) so the heap head is the
+    // eviction candidate — mirroring the final window's ordering exactly,
+    // including numeric ids (zero-padded strings would mis-order negatives)
+    def cmpIds(x: Any, y: Any): Int = (x, y) match {
+      case (a: Number, b: Number) =>
+        // doubleValue first (fractional ids), longValue to break 2^53+ ties
+        val c = java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+        if (c != 0) c else java.lang.Long.compare(a.longValue(), b.longValue())
+      case _ =>
+        // Spark windows order strings by UTF8 binary order, not UTF-16
+        org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(x))
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(String.valueOf(y)))
+    }
+    val worstFirst: Ordering[Row] = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        val c = java.lang.Double.compare(b.getDouble(2), a.getDouble(2))
+        if (c != 0) c else cmpIds(a.get(1), b.get(1))
+      }
+    }
     implicit val enc = org.apache.spark.sql.Encoders.row(scored.schema)
     val pruned = scored.mapPartitions { it =>
       val heaps = mutable.HashMap.empty[Any, mutable.PriorityQueue[Row]]
