@@ -1,0 +1,41 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Dump formatted physical plans for the headline queries — the
+  * ".explain and iterate" artifact: broadcast placement, pushed filters,
+  * codegen spans and exchange counts are all visible per round.
+  * Usage: runMain graft.tools.Explain [sfDir] [outFile] */
+object Explain {
+  private val headline = Seq(
+    "q04_star_join", "q08_anti_join", "q24_fingerprint_dedup",
+    "q25_minhash_signatures", "q29_ann_bruteforce", "q30_ann_lsh",
+    "q32_embedding_neardup", "q35_view_agent_metrics_v1",
+    "q36_view_agent_metrics_v2", "q38_ann_ivf", "q40_chunk_overlap")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("PLANS.md")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    sb.append(s"# Physical plans (formatted) — $sfDir\n")
+    headline.foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"\n## $q\n\n```\n$plan```\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"[explain] wrote ${headline.size} plans to $out")
+    spark.stop()
+  }
+}
