@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Coercions
-import graft.operators.{Dedup, Merge, Multimodal, Similarity}
+import graft.operators.{Dedup, Joins, Merge, Multimodal, Similarity}
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 import graft.queries.{AgentMetrics, ConnectFixtures}
 
@@ -393,6 +393,22 @@ object SparkEntry {
           threshold = 0.5)
         .groupBy(floor(col("overlap") * 10).cast("long").as("ov_bucket"))
         .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+
+    "q41_asof_join" -> ((s, dir) => {
+      // as-of temporal enrichment: each click joined to the user's latest
+      // signup at-or-before it (Joins.asOf: union + carry-forward, one
+      // key shuffle — DuckDB's native ASOF JOIN is the oracle)
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("sts"),
+          col("event_id").as("sid"), col("value").as("signup_value"))
+      Joins.asOf(clicks, signups, Seq("user_id"), "ts", "sts", Some("sid"))
+        .select(col("event_id"), ymdhmsUs(col("ts")).as("ts_str"),
+          col("sid"), col("signup_value"))
     }),
 
     "q38_ann_ivf" -> ((s, dir) => {
@@ -1006,6 +1022,21 @@ GROUP BY
            md5(substring(h, CAST(s0 * 2 + 1 AS BIGINT),
              CAST((e0 - s0) * 2 AS BIGINT))) AS frame_md5
          FROM f""",
+
+
+    "q41_asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click'),
+         signups AS (
+           SELECT user_id, ts AS sts, event_id AS sid,
+             value AS signup_value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, ts
+               ORDER BY event_id DESC) rn
+             FROM events WHERE event_type = 'signup') WHERE rn = 1)
+         SELECT c.event_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           s.sid, s.signup_value
+         FROM clicks c ASOF LEFT JOIN signups s
+           ON c.user_id = s.user_id AND s.sts <= c.ts""",
 
     "q33_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len

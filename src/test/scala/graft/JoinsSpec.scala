@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+
+/** As-of join semantics: backward lookup, at-or-before inclusivity,
+  * deterministic tiebreaks, no-match NULLs. */
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val events = Seq(
+    ("u1", "2024-01-01 10:00:00", "e1"),
+    ("u1", "2024-01-01 12:00:00", "e2"),
+    ("u1", "2024-01-01 08:00:00", "e0"), // before any version
+    ("u2", "2024-01-01 11:00:00", "e3"))
+    .toDF("user_id", "ts", "event_id")
+    .withColumn("ts", to_timestamp(col("ts")))
+
+  private val versions = Seq(
+    ("u1", "2024-01-01 09:00:00", "v1", 1),
+    ("u1", "2024-01-01 10:00:00", "v2", 1),  // exactly at e1's ts
+    ("u1", "2024-01-01 10:00:00", "v2b", 2), // tie: higher seq wins
+    ("u1", "2024-01-01 11:30:00", "v3", 1),
+    ("u3", "2024-01-01 00:00:00", "vx", 1))
+    .toDF("user_id", "vts", "version", "seq")
+    .withColumn("vts", to_timestamp(col("vts")))
+
+  test("as-of: at-or-before, equal-ts inclusive, deterministic tie, NULLs") {
+    val out = Joins.asOf(events, versions, Seq("user_id"), "ts", "vts",
+      rightTiebreak = Some("seq"))
+    val m = out.collect().map(r =>
+      r.getAs[String]("event_id") -> r.getAs[String]("version")).toMap
+    assert(m("e0") == null)   // no version yet
+    assert(m("e1") == "v2b")  // equal timestamp visible; tiebreak by seq
+    assert(m("e2") == "v3")   // latest at-or-before
+    assert(m("e3") == null)   // u2 has no versions at all
+    assert(out.columns.toSeq ==
+      Seq("user_id", "ts", "event_id", "version", "seq"))
+    assert(out.count() == 4)  // left rows preserved exactly
+  }
+}
