@@ -54,14 +54,15 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val n = ctx.freshName("n")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  int $i = 0;
-         |  final int n = $a.numElements();
-         |  while ($i < n) {
+         |  final int $n = $a.numElements();
+         |  while ($i < $n) {
          |    double $x = (double) $a.getFloat($i);
          |    double $y = (double) $b.getFloat($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
@@ -332,14 +333,15 @@ case class SeededMinArrayExpr(child: Expression,
       val h = ctx.freshName("h")
       val v = ctx.freshName("v")
       val mins = ctx.freshName("mins")
+      val n = ctx.freshName("n")
       s"""
-         |final int n = $c.numElements();
-         |if (n == 0) {
+         |final int $n = $c.numElements();
+         |if ($n == 0) {
          |  ${ev.isNull} = true;
          |} else {
          |  long[] $mins = new long[$aRef.length];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < n; $i++) {
+         |  for (int $i = 0; $i < $n; $i++) {
          |    long $h = $c.getLong($i);
          |    for (int $j = 0; $j < $mins.length; $j++) {
          |      long $v = $h * $aRef[$j] + $bRef[$j];

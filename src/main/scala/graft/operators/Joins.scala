@@ -27,8 +27,11 @@ object Joins {
            rightTiebreak: Option[String] = None): DataFrame = {
     val payloadCols = right.columns.toSeq
       .filterNot(keys.contains).filterNot(_ == rightTime)
+    // a NULL-time version is never "at or before" any left time (ASOF
+    // semantics; NULLs would otherwise sort first and carry forward)
+    val rValid = right.filter(col(rightTime).isNotNull)
     // one version per (key, time): latest tiebreak wins
-    val r1 = Merge.keepLatest(right, keys :+ rightTime,
+    val r1 = Merge.keepLatest(rValid, keys :+ rightTime,
       rightTiebreak.getOrElse(rightTime),
       rightTiebreak.map(col(_)).toSeq)
 

@@ -113,8 +113,16 @@ object Merge {
     val merged =
       if (!targetExists) keepLatest(staging, keys, ordering)
       else {
-        val pruned = spark.read.parquet(targetPath)
-          .filter(col(partitionCol).isin(touched: _*))
+        // NULL partition values land in __HIVE_DEFAULT_PARTITION__, which
+        // dynamic overwrite rewrites like any other — but isin() never
+        // matches NULL, so the null partition's existing rows must be
+        // pulled in explicitly or they'd be replaced by staging-only rows.
+        val (nullTouched, nonNull) = touched.partition(_ == null)
+        val pruneCond =
+          if (nullTouched.isEmpty) col(partitionCol).isin(nonNull: _*)
+          else if (nonNull.isEmpty) col(partitionCol).isNull
+          else col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
+        val pruned = spark.read.parquet(targetPath).filter(pruneCond)
         scd1(pruned, staging.select(pruned.columns.map(col): _*),
           keys, ordering)
       }

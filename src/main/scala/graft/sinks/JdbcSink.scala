@@ -59,18 +59,30 @@ object JdbcSink {
       .option("batchsize", batchSize.toString)
       .jdbc(conn.url, stagingTable, conn.props)
 
-  /** S5/S13: stage + SCD1 merge + staging truncate. */
+  /** S5/S13: stage + SCD1 merge + staging truncate. The batch is reduced to
+    * one row per key BEFORE staging (MergeSql documents a <=1-row-per-key
+    * staging invariant — ansiScd1's DELETE-then-INSERT would otherwise
+    * insert every same-key duplicate into the target). */
   def scd1(df: DataFrame, conn: Conn, target: String, staging: String,
            keys: Seq[String], ordering: String): Unit = {
-    stage(df, conn, staging)
+    stage(graft.operators.Merge.keepLatest(df, keys, ordering), conn, staging)
     execute(conn, MergeSql.ansiScd1(target, staging, keys, ordering,
       df.columns.toSeq))
   }
 
-  /** S6: stage + insert-if-absent + staging truncate (immutable facts). */
+  /** S6: stage + insert-if-absent + staging truncate (immutable facts).
+    * Same <=1-row-per-key reduction: the NOT-EXISTS insert only checks the
+    * TARGET, so within-batch duplicates would all pass it. `ordering`
+    * makes the surviving duplicate deterministic (first writer wins, D1);
+    * None falls back to an arbitrary-but-single row per key. */
   def appendIfAbsent(df: DataFrame, conn: Conn, target: String,
-                     staging: String, keys: Seq[String]): Unit = {
-    stage(df, conn, staging)
+                     staging: String, keys: Seq[String],
+                     ordering: Option[String] = None): Unit = {
+    val oneRow = ordering match {
+      case Some(o) => graft.operators.Merge.keepFirst(df, keys, o)
+      case None    => df.dropDuplicates(keys)
+    }
+    stage(oneRow, conn, staging)
     execute(conn, MergeSql.appendIfAbsent(target, staging, keys,
       df.columns.toSeq))
   }
@@ -83,10 +95,17 @@ object JdbcSink {
 
   /** S13/M3: stage + conditional-column merge. Redshift-dialect MERGE —
     * for warehouses without MERGE support, run the Spark-side
-    * [[graft.operators.Merge.conditional]] and overwrite instead. */
+    * [[graft.operators.Merge.conditional]] and overwrite instead.
+    * Reduced to one row per key before staging (MERGE raises on duplicate
+    * source matches); `ordering` picks the survivor deterministically. */
   def conditional(df: DataFrame, conn: Conn, target: String, staging: String,
-                  keys: Seq[String], cond: String): Unit = {
-    stage(df, conn, staging)
+                  keys: Seq[String], cond: String,
+                  ordering: Option[String] = None): Unit = {
+    val oneRow = ordering match {
+      case Some(o) => graft.operators.Merge.keepLatest(df, keys, o)
+      case None    => df.dropDuplicates(keys)
+    }
+    stage(oneRow, conn, staging)
     execute(conn, MergeSql.redshiftConditional(target, staging, keys, cond,
       df.columns.toSeq))
   }

@@ -35,6 +35,12 @@ object Sessionize {
     }
     val sorted = events.map(_.ts.getTime).toSeq.sorted
     var closed = List.empty[Session]
+    // late orphans (older than the open session by more than the gap) are
+    // accumulated and gap-split among THEMSELVES: two orphans within gap of
+    // each other are one session, not two single-event ones. Sorted order
+    // guarantees all orphans precede any event that extends the open
+    // session, so a simple adjacent-merge is exact.
+    var orphans = List.empty[SessionState]
     var cur = state.getOption
     sorted.foreach { t =>
       cur match {
@@ -44,9 +50,11 @@ object Sessionize {
           cur = Some(SessionState(math.min(s.start, t),
             math.max(s.end, t), s.count + 1))
         case Some(s) if t < s.start - gapMs =>
-          // late orphan older than the open session by more than the gap:
-          // nothing later can extend it, emit it as its own session
-          closed ::= Session(key, new Timestamp(t), new Timestamp(t), 1)
+          orphans = orphans match {
+            case o :: rest if t - o.end <= gapMs =>
+              SessionState(o.start, math.max(o.end, t), o.count + 1) :: rest
+            case _ => SessionState(t, t, 1) :: orphans
+          }
         case Some(s) => // gap exceeded inside the batch: close and restart
           closed ::= Session(key, new Timestamp(s.start),
             new Timestamp(s.end), s.count)
@@ -59,7 +67,9 @@ object Sessionize {
       state.update(s)
       state.setTimeoutTimestamp(s.end + gapMs)
     }
-    closed.reverseIterator
+    val orphanSessions = orphans.reverse.map(o =>
+      Session(key, new Timestamp(o.start), new Timestamp(o.end), o.count))
+    (orphanSessions ++ closed.reverse).iterator
   }
 
   /** Sessionize a stream with columns (key: string, ts: timestamp).

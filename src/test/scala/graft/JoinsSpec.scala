@@ -38,4 +38,19 @@ class JoinsSpec extends SparkSpec {
       Seq("user_id", "ts", "event_id", "version", "seq"))
     assert(out.count() == 4)  // left rows preserved exactly
   }
+
+  test("as-of: NULL-time right versions never match") {
+    // a NULL vts would sort first and carry its payload into every left
+    // row of the key; ASOF semantics (and DuckDB's ASOF, where sts <= ts
+    // is never true for NULL) require it to be invisible
+    val withNull = versions.unionByName(
+      Seq(("u2", "x", "vnull", 9)).toDF("user_id", "vts", "version", "seq")
+        .withColumn("vts", lit(null).cast("timestamp")))
+    val out = Joins.asOf(events, withNull, Seq("user_id"), "ts", "vts",
+      rightTiebreak = Some("seq"))
+    val m = out.collect().map(r =>
+      r.getAs[String]("event_id") -> r.getAs[String]("version")).toMap
+    assert(m("e3") == null)  // u2's only version has NULL time -> no match
+    assert(m("e0") == null && m("e1") == "v2b" && m("e2") == "v3")
+  }
 }

@@ -95,6 +95,27 @@ class MergeSpec extends SparkSpec {
     assert(files("2024-01-02") == before) // untouched partition left alone
   }
 
+  test("scd1Partitioned: NULL partition values merge, never clobber") {
+    // isin(touched) never matches NULL — without null-safe pruning the
+    // existing rows of the null partition are excluded from the merge and
+    // dynamic overwrite rewrites __HIVE_DEFAULT_PARTITION__ staging-only
+    val dir = java.nio.file.Files.createTempDirectory("pmergenull").toString + "/t"
+    Seq(("a", null, "2024-01-10", "a-old"),
+        ("n", null, "2024-01-10", "n-old"),     // must survive
+        ("b", "2024-01-02", "2024-01-10", "b-old"))
+      .toDF("id", "day", "lastmodifieddate", "payload")
+      .write.partitionBy("day").parquet(dir)
+    val staging = Seq(
+      ("a", null, "2024-01-20", "a-new"),        // update in null partition
+      ("c", null, "2024-01-15", "c-new"))        // insert in null partition
+      .toDF("id", "day", "lastmodifieddate", "payload")
+    Merge.scd1Partitioned(dir, staging, Seq("id"), "lastmodifieddate", "day")
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("payload")).toMap
+    assert(out == Map("a" -> "a-new", "n" -> "n-old",
+      "b" -> "b-old", "c" -> "c-new"))
+  }
+
   test("conditional: update only when the tracked column changed (M3/J5)") {
     val goalsTarget = Seq(("e1", "2024-W1", 10), ("e2", "2024-W1", 20))
       .toDF("email", "week", "goal")

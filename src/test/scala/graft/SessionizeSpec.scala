@@ -55,6 +55,27 @@ class SessionizeSpec extends SparkSpec {
       u1.mkString(";"))
   }
 
+  test("adjacent late orphans merge into one session (gap-split, not per-event)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    mem.addData(("u1", ts(30)))              // open session at 10:30
+    // two late events, both > gap older than the open session but within
+    // gap of EACH OTHER: one 2-event session, not two 1-event ones
+    mem.addData(("u1", ts(0)), ("u1", ts(2)))
+    mem.addData(("u9", Timestamp.valueOf("2024-01-01 18:00:00"))) // advance wm
+    val out = Sessionize.sessions(
+      mem.toDF().toDF("key", "ts"), gap = "5 minutes", watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("orphan_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val u1 = spark.table("orphan_sessions").collect()
+      .filter(_.getString(0) == "u1")
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(u1.contains((ts(0), ts(2), 2L)), u1.mkString(";"))
+    assert(!u1.exists(_._3 == 1L) || u1.count(_._3 == 1L) == 1) // only 10:30's
+    assert(u1.count(s => s._1 == ts(0) || s._1 == ts(2)) == 1)
+  }
+
   test("day-granular gap is honored (CalendarInterval days field)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]

@@ -80,6 +80,30 @@ class SinkSpec extends SparkSpec {
     assert(stgRows == 0)
   }
 
+  test("Derby scd1: duplicate-key batch stages one row per key (keep-latest)") {
+    // ansiScd1's DELETE-then-INSERT would insert BOTH copies of a same-key
+    // duplicate; JdbcSink must reduce the batch to <=1 row/key first
+    val url = "jdbc:derby:memory:dupkeys;create=true"
+    val conn = JdbcSink.Conn(url, new Properties)
+    conn.withConnection { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE tgt (id VARCHAR(16) NOT NULL, " +
+        "lastmodifieddate VARCHAR(32), payload VARCHAR(64))")
+      st.execute("CREATE TABLE stg (id VARCHAR(16) NOT NULL, " +
+        "lastmodifieddate VARCHAR(32), payload VARCHAR(64))")
+      st.close()
+    }
+    val staging = Seq(
+      ("a", "2024-01-20", "a-v1"),
+      ("a", "2024-01-25", "a-v2"),   // latest -> sole survivor
+      ("a", "2024-01-22", "a-v3"))
+      .toDF("id", "lastmodifieddate", "payload")
+    JdbcSink.scd1(staging, conn, "tgt", "stg", Seq("id"), "lastmodifieddate")
+    val rows = spark.read.jdbc(url, "tgt", new Properties)
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(rows.toSeq == Seq(("a", "a-v2")))
+  }
+
   test("stream -> JDBC warehouse: foreachBatch stages and merges into Derby") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
