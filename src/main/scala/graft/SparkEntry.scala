@@ -314,26 +314,28 @@ object SparkEntry {
         countDistinct(T.bagFingerprint(col("text"))).as("n_bag_distinct"))
     }),
 
-    // ================= extensions: near-dup dedup (no SQL oracle) ==========
+    // ====== extensions: near-dup dedup (Portable hash -> DuckDB-oracled) ===
     "q25_minhash_signatures" -> ((s, dir) => {
       Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id",
-          numHashes = 16, shingleN = 3)
+          numHashes = 16, shingleN = 3, mode = Dedup.Portable)
         .select(col("doc_id"), col("minhash")(0).as("h0"),
           col("minhash")(1).as("h1"), col("minhash")(15).as("h15"))
     }),
 
     "q26_minhash_pairs" -> ((s, dir) => {
-      // unigram shingles: word-salad corpus shares vocab -> pairs exist
+      // unigram shingles: word-salad corpus shares vocab -> pairs exist.
+      // floor-based bucketing (not round): immune to .x5 rounding skew
       Dedup.minhashPairs(
           t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
           "text", "doc_id", numHashes = 32, bands = 8,
-          threshold = 0.3, shingleN = 1)
-        .groupBy(round(col("est_jaccard"), 1).as("jac_bucket"))
+          threshold = 0.3, shingleN = 1, mode = Dedup.Portable)
+        .groupBy(floor(col("est_jaccard") * 10).cast("long").as("jac_bucket"))
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
     "q27_simhash" -> ((s, dir) => {
-      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
+      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id",
+        mode = Dedup.Portable)
     }),
 
     "q28_ngram_jaccard" -> ((s, dir) => {
@@ -412,9 +414,13 @@ object SparkEntry {
     }),
 
     "q38_ann_ivf" -> ((s, dir) => {
+      // nProbe = nLists: every IVF mechanism executes (k-means quantizer,
+      // list assignment, centroid ranking, per-list scoring) but recall is
+      // exactly 1.0, so the brute-force SQL is a valid oracle. The pruned
+      // (nProbe < nLists) recall trade-off is covered by the unit spec.
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
-          nLists = 32, nProbe = 8)
+          nLists = 32, nProbe = 32)
         .select(col("probe_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_r"))
     }),
@@ -424,8 +430,9 @@ object SparkEntry {
       // segments keep the blocking selective — more blocks means coarser
       // segments and quadratic bucket growth
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
-          maxDist = 3, blocks = 4)
-        .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+          maxDist = 3, blocks = 4, mode = Dedup.Portable)
+        .groupBy(col("hamming").cast("long").as("hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
     }),
 
     // ========== reference parity: the REAL analytics views =================
@@ -594,6 +601,151 @@ dim_users_litify AS (
        SELECT CAST(FLOOR(cos * 10) AS BIGINT) AS cos_bucket,
          COUNT(1) AS n_pairs FROM pairs GROUP BY 1"""
   }
+
+  // ---- portable-hash oracle generators (q25/q26/q27/q37) -------------------
+  // The Spark side runs Dedup.Portable: base hash = decimal of the first 15
+  // md5 hex chars (TextFunctions.portableHash64), seed mix = h*a+b with
+  // 64-bit two's-complement wrap. Both are reproducible in DuckDB SQL, so
+  // the sketches are verified bit-for-bit, not just shape-checked.
+
+  /** DuckDB mirror of TextFunctions.portableHash64 over expression `e`. */
+  private def duckHash(e: String): String =
+    s"CAST(concat('0x', substring(md5($e), 1, 15)) AS BIGINT)"
+
+  /** `h * a + b` with Java-long wrap, in HUGEINT mod-2^64 arithmetic,
+    * re-interpreted as signed BIGINT (mirror of SeededMinArrayExpr's mix). */
+  private def duckMix(h: String, a: Long, b: Long): String = {
+    val two64 = "18446744073709551616::HUGEINT"
+    val m = s"((($h)::HUGEINT * ($a)::HUGEINT + ($b)::HUGEINT) % $two64 + $two64) % $two64"
+    s"CAST(CASE WHEN $m >= 9223372036854775808::HUGEINT THEN $m - $two64 ELSE $m END AS BIGINT)"
+  }
+
+  /** Mirror of TextFunctions.tokens(normalized(text)). */
+  private val duckToks: String =
+    "list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x <> '')"
+
+  /** Mirror of TextFunctions.shingles over a token-list expression. */
+  private def duckShingles(t: String, n: Int): String =
+    if (n == 1) s"CASE WHEN len($t) < 1 THEN [''] ELSE $t END"
+    else s"CASE WHEN len($t) < $n THEN [array_to_string($t, ' ')] " +
+      s"ELSE list_transform(range(0, len($t) - ${n - 1}), " +
+      s"i -> array_to_string($t[i+1:i+$n], ' ')) END"
+
+  private def q25OracleSql: String = {
+    val mix = Dedup.mixConstants(16)
+    def minJ(j: Int): String = {
+      val (a, b) = mix(j)
+      s"list_min(list_transform(hs, h -> ${duckMix("h", a, b)}))"
+    }
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |sh AS (SELECT doc_id, ${duckShingles("t", 3)} AS s FROM toks),
+       |h AS (SELECT doc_id, list_transform(s, x -> ${duckHash("x")}) AS hs FROM sh)
+       |SELECT doc_id, ${minJ(0)} AS h0, ${minJ(1)} AS h1, ${minJ(15)} AS h15
+       |FROM h""".stripMargin
+  }
+
+  /** Shared simhash CTE chain (q27/q37): Portable 60-bit per-bit majority
+    * vote, mirror of Dedup.simhash(mode = Portable). */
+  private def duckSimhashCtes: String = {
+    val sums = (0 until 60).map(i =>
+      s"SUM(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    val asm = (0 until 60).map(i =>
+      s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${duckHash("tok")} AS th FROM toks),
+       |v AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($asm AS BIGINT) AS simhash FROM v)""".stripMargin
+  }
+
+  private def q27OracleSql: String =
+    s"WITH $duckSimhashCtes SELECT doc_id, simhash FROM sim"
+
+  private def q37OracleSql: String =
+    s"""WITH $duckSimhashCtes,
+       |seg AS (SELECT doc_id AS id, simhash, b.seg,
+       |    (simhash >> (b.seg * 15)) & 32767 AS segval
+       |  FROM sim, (SELECT unnest(range(4)) AS seg) b),
+       |capped AS (SELECT * FROM seg
+       |  QUALIFY row_number() OVER (PARTITION BY seg, segval ORDER BY id) <= 1024),
+       |pairs AS (SELECT DISTINCT x.id AS a, y.id AS b,
+       |    bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |  FROM capped x JOIN capped y
+       |    ON x.seg = y.seg AND x.segval = y.segval AND x.id < y.id)
+       |SELECT CAST(hamming AS BIGINT) AS hamming, COUNT(1) AS n_pairs
+       |FROM pairs WHERE hamming <= 3 GROUP BY 1""".stripMargin
+
+  private def q26OracleSql: String = {
+    val mix = Dedup.mixConstants(32)
+    val sigList = (0 until 32).map { j =>
+      val (a, b) = mix(j)
+      s"list_min(list_transform(hs, h -> ${duckMix("h", a, b)}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH docs AS (SELECT doc_id AS id, text FROM documents
+       |  WHERE doc_id % 10 = 0 AND text IS NOT NULL),
+       |norm AS (SELECT id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm FROM docs),
+       |base AS (SELECT id, nrm, MIN(id) OVER (PARTITION BY md5(nrm)) AS rep FROM norm),
+       |exact_pairs AS (SELECT rep AS a, id AS b, 1.0 AS est FROM base WHERE id <> rep),
+       |reps AS (SELECT id, nrm FROM base WHERE id = rep),
+       |toks AS (SELECT id, list_filter(string_split(nrm, ' '), x -> x <> '') AS t FROM reps),
+       |sh AS (SELECT id, ${duckShingles("t", 1)} AS s FROM toks),
+       |hs AS (SELECT id, list_transform(s, x -> ${duckHash("x")}) AS hs FROM sh),
+       |sig AS (SELECT id, $sigList AS sig FROM hs),
+       |banded AS (SELECT id, sig, b.band,
+       |    md5(array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
+       |      v -> CAST(v AS VARCHAR)), ',')) AS bkey
+       |  FROM sig, (SELECT unnest(range(8)) AS band) b),
+       |capped AS (SELECT * FROM banded
+       |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY id) <= 256),
+       |cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM capped x JOIN capped y
+       |  ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+       |est0 AS (SELECT c.a, c.b,
+       |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est
+       |  FROM cand c JOIN sig sa ON sa.id = c.a JOIN sig sb ON sb.id = c.b),
+       |pairs AS (SELECT a, b, est FROM est0 WHERE est >= 0.3
+       |  UNION ALL SELECT a, b, est FROM exact_pairs)
+       |SELECT CAST(FLOOR(est * 10) AS BIGINT) AS jac_bucket, COUNT(1) AS n_pairs
+       |FROM pairs GROUP BY 1""".stripMargin
+  }
+
+  /** Mirror of Multimodal.StubCodec.featurize: per-residue-class polynomial
+    * byte hash (acc*31 + byte, 64-bit wrap), (v % 1000)/1000 in FLOAT.
+    * Bytes come from hex(text::BLOB) — DuckDB 1.0 can slice hex strings
+    * but not BLOBs. */
+  private def q34OracleSql: String = {
+    val two64 = "18446744073709551616::HUGEINT"
+    def feat(j: Int): String = {
+      val acc = s"list_reduce(list_prepend(0::HUGEINT, " +
+        s"list_transform(list_filter(range(0, len(bytes)), p -> p % 8 = $j), " +
+        s"p -> bytes[p+1]::HUGEINT)), (a, x) -> (a * 31 + x) % $two64)"
+      val signed = s"CAST(CASE WHEN $acc >= 9223372036854775808::HUGEINT " +
+        s"THEN $acc - $two64 ELSE $acc END AS BIGINT)"
+      s"CAST($signed % 1000 AS FLOAT) / CAST(1000 AS FLOAT)"
+    }
+    s"""WITH hx AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hxs FROM documents),
+       |b AS (SELECT doc_id, CAST(length(hxs) / 2 AS BIGINT) AS byte_len,
+       |  list_transform(range(0, CAST(length(hxs) / 2 AS BIGINT)),
+       |    k -> CAST(concat('0x', substring(hxs, CAST(2*k+1 AS INT), 2)) AS INT)) AS bytes
+       |  FROM hx)
+       |SELECT doc_id, byte_len, ${feat(0)} AS f0, ${feat(7)} AS f7 FROM b""".stripMargin
+  }
+
+  /** Exact top-k cosine (probes = vec_id < 8, k = 5): oracle for q29 and,
+    * via the exact-recall configuration, q38. */
+  private val bruteForceTopKOracle: String =
+    """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       s AS (
+         SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(list_zip(p.embedding, c.embedding),
+             x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+           (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+            sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+         FROM embeddings c, p WHERE c.vec_id <> p.vec_id)
+       SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+         ROUND(cos, 6) AS cos_r
+       FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         ORDER BY cos DESC, neighbor_id) rn FROM s)
+       WHERE rn <= 5"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_basic" ->
@@ -831,20 +983,17 @@ dim_users_litify AS (
            list_filter(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'), x -> x != ''))), ' '))) AS n_bag_distinct
          FROM documents GROUP BY source""",
 
-    "q29_ann_bruteforce" ->
-      """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
-         s AS (
-           SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-             list_sum(list_transform(list_zip(p.embedding, c.embedding),
-               x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
-             (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-              sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
-           FROM embeddings c, p WHERE c.vec_id <> p.vec_id)
-         SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
-           ROUND(cos, 6) AS cos_r
-         FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
-           ORDER BY cos DESC, neighbor_id) rn FROM s)
-         WHERE rn <= 5""",
+    "q29_ann_bruteforce" -> bruteForceTopKOracle,
+
+    // IVF at nProbe = nLists is exact (recall 1.0), so the brute-force SQL
+    // is its oracle too — the k-means/list/probe machinery still runs.
+    "q38_ann_ivf" -> bruteForceTopKOracle,
+
+    "q25_minhash_signatures" -> q25OracleSql,
+    "q26_minhash_pairs" -> q26OracleSql,
+    "q27_simhash" -> q27OracleSql,
+    "q37_simhash_pairs" -> q37OracleSql,
+    "q34_multimodal_features" -> q34OracleSql,
 
     "q31_embedding_stats" ->
       """SELECT CAST(label AS BIGINT) AS label, COUNT(1) AS n,

@@ -89,6 +89,13 @@ object TextFunctions {
         least(stopwordRatio(c) * 5.0, lit(1.0)) * 0.2,
       4)
 
+  /** 60-bit cross-engine hash: the decimal value of the first 15 hex chars
+    * of md5. Computable identically in any engine with an md5() (DuckDB,
+    * Trino, Postgres), so fingerprints/sketches built on it can be
+    * verified or joined outside Spark. Always non-negative. */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Whitespace-normalized lowercase form (dedup canonicalization). */
   def normalized(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))

@@ -25,6 +25,17 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
   */
 object Dedup {
 
+  /** Base-hash selection for the sketch families (MinHash, SimHash).
+    * Signatures from the two modes are NOT comparable to each other. */
+  sealed trait HashMode
+  /** XXH64, codegen'd with zero string allocation — the throughput path.
+    * Signatures are Spark-specific (XXH64 chaining is not portable SQL). */
+  case object Fast extends HashMode
+  /** md5-derived 60-bit base hash ([[TextFunctions.portableHash64]]) —
+    * reproducible in any engine with md5(), so sketches can be
+    * oracle-verified or cross-engine-joined, at ~3-5x the hashing cost. */
+  case object Portable extends HashMode
+
   /** Exact dedup: keep the lowest-id row per normalized-content fingerprint.
     * One shuffle on the md5 key; survivor choice is deterministic. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -41,26 +52,40 @@ object Dedup {
   /** Per-seed multiply-shift mixers over one base xxhash64: odd multipliers
     * (bijective mod 2^64) from a splitmix-style sequence, so each shingle
     * is string-hashed ONCE and the remaining seeds cost a multiply-add. */
-  private def mixConstants(numHashes: Int): Seq[(Long, Long)] = {
+  private[graft] def mixConstants(numHashes: Int): Seq[(Long, Long)] = {
     val rng = new scala.util.Random(0x9e3779b97f4a7c15L)
     Seq.fill(numHashes)((rng.nextLong() | 1L, rng.nextLong()))
   }
 
   /** MinHash signature: for each doc, `numHashes` minima of per-seed 64-bit
     * hashes over its word-`shingleN`-gram shingle windows. Entirely
-    * ROW-LOCAL and fully codegen'd (MinHashSignatureExpr): normalize +
+    * ROW-LOCAL — no explode, no shuffle, no interpreted lambdas in the
+    * mix loop.
+    *
+    * [[Fast]]: fully codegen'd (MinHashSignatureExpr) — normalize +
     * whitespace-split stay in built-in codegen'd expressions; tokenizing
     * artifacts, per-token XXH64, window hash-chaining, and all seed minima
-    * run in one tight primitive loop with zero string allocation — no
-    * explode, no shuffle, no interpreted lambdas. */
+    * run in one tight primitive loop with zero string allocation.
+    * [[Portable]]: shingle strings hashed with the md5-derived
+    * [[TextFunctions.portableHash64]], seed minima in the codegen'd
+    * SeededMinArrayExpr — bit-identical signatures are computable in plain
+    * SQL on any md5-capable engine (this is what the DuckDB oracle checks). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
+                        numHashes: Int = 64, shingleN: Int = 3,
+                        mode: HashMode = Fast): DataFrame = {
     import org.apache.spark.sql.graftglue.GraftGlue
     val (as, bs) = mixConstants(numHashes).unzip
-    df.select(col(idCol),
-      GraftGlue.column(graft.functions.MinHashSignatureExpr(
-        GraftGlue.expression(split(T.normalized(col(textCol)), "\\s+")),
-        shingleN, as.toArray, bs.toArray)).as("minhash"))
+    val sig = mode match {
+      case Fast =>
+        GraftGlue.column(graft.functions.MinHashSignatureExpr(
+          GraftGlue.expression(split(T.normalized(col(textCol)), "\\s+")),
+          shingleN, as.toArray, bs.toArray))
+      case Portable =>
+        GraftGlue.column(graft.functions.PortableMinHashExpr(
+          GraftGlue.expression(split(T.normalized(col(textCol)), "\\s+")),
+          shingleN, as.toArray, bs.toArray))
+    }
+    df.select(col(idCol), sig.as("minhash"))
   }
 
   /** Exact-dup pre-pass shared by every pair family: split the corpus into
@@ -111,13 +136,19 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7, shingleN: Int = 3,
-                   maxBucket: Int = 256): DataFrame = {
+                   maxBucket: Int = 256, mode: HashMode = Fast): DataFrame = {
     val r = numHashes / bands
     val (exactPairs, reps) = collapseExactDups(df, textCol, idCol, "est_jaccard")
-    val sigs = minhashSignatures(reps, "__txt", "id", numHashes, shingleN)
+    val sigs = minhashSignatures(reps, "__txt", "id", numHashes, shingleN, mode)
+    // band bucket key: murmur for Fast (narrowest shuffle key); md5 over the
+    // comma-joined slice for Portable (reproducible in oracle SQL)
+    val bandKey: Column => Column = mode match {
+      case Fast     => sl => hash(sl)
+      case Portable => sl => md5(concat_ws(",", transform(sl, _.cast("string"))))
+    }
     val banded = sigs.select(col("id"), col("minhash"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("minhash"), b * r + 1, lit(r))))))
+        b => bandKey(slice(col("minhash"), b * r + 1, lit(r))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bandhash"))
     val capped = banded.withColumn("__bn", row_number().over(
         Window.partitionBy(col("band"), col("bandhash")).orderBy(col("id"))))
@@ -138,19 +169,26 @@ object Dedup {
     exactPairs.unionByName(lshPairs)
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes. Explode -> 64 conditional sums in one hash-aggregate. The sign
-    * bit (63) is left clear so the value is a non-negative long. */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes. Explode -> one conditional sum per bit in one hash-aggregate.
+    * [[Fast]] votes on 63 XXH64 bits; [[Portable]] votes on the 60 bits of
+    * [[TextFunctions.portableHash64]] (oracle-reproducible). The sign bit
+    * is always clear so the value is a non-negative long. */
+  def simhash(df: DataFrame, textCol: String, idCol: String,
+              mode: HashMode = Fast): DataFrame = {
+    val (hashOf, nbits): (Column => Column, Int) = mode match {
+      case Fast     => ((c: Column) => xxhash64(c), 63)
+      case Portable => ((c: Column) => T.portableHash64(c), 60)
+    }
     val tok = df.select(col(idCol),
       explode(T.tokens(T.normalized(col(textCol)))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val bitSums = (0 until 63).map(i =>
+      .withColumn("__h", hashOf(col("__t")))
+    val bitSums = (0 until nbits).map(i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1L) === 1L, 1)
         .otherwise(-1)).as(s"b$i"))
     tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),
-        (0 until 63).map(i =>
+        (0 until nbits).map(i =>
           when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
@@ -163,12 +201,12 @@ object Dedup {
     * buckets are capped at `maxBucket` members (rank by id). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3, blocks: Int = 4,
-                   maxBucket: Int = 1024): DataFrame = {
+                   maxBucket: Int = 1024, mode: HashMode = Fast): DataFrame = {
     require(blocks > maxDist,
       s"pigeonhole needs blocks > maxDist (got $blocks <= $maxDist): " +
         "a pair within maxDist must agree on at least one full segment")
     val segBits = 63 / blocks
-    val sh = simhash(df, textCol, idCol).withColumnRenamed(idCol, "id")
+    val sh = simhash(df, textCol, idCol, mode).withColumnRenamed(idCol, "id")
     val seg = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until blocks).map(b =>
         shiftright(col("simhash"), b * segBits)

@@ -69,4 +69,28 @@ class CatalystExprSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("PortableMinHashExpr == built-in md5/conv composition bit-for-bit") {
+    import graft.functions.{TextFunctions => T, PortableMinHashExpr, SeededMinArrayExpr}
+    import org.apache.spark.sql.graftglue.GraftGlue
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  Weird   spacing\tand CASE  "),
+      (3L, "short"),                 // fewer tokens than shingleN
+      (4L, ""),                      // empty -> md5("") whole-doc shingle
+      (5L, "unicode tøkens traîné 中文 here"))
+      .toDF("id", "text")
+    val mix = graft.operators.Dedup.mixConstants(8)
+    val (as, bs) = mix.unzip
+    val fast = GraftGlue.column(PortableMinHashExpr(
+      GraftGlue.expression(split(T.normalized(col("text")), "\\s+")),
+      3, as.toArray, bs.toArray))
+    val ref = GraftGlue.column(SeededMinArrayExpr(
+      GraftGlue.expression(transform(
+        T.shingles(col("text"), 3), s => T.portableHash64(s))),
+      as.toArray, bs.toArray))
+    val rows = docs.select(fast.as("f"), ref.as("r"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (f, r) => assert(f == r) }
+  }
 }

@@ -30,6 +30,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // disjoint vocab
   }
 
+  test("portableHash64: cross-engine known answer (DuckDB-verified)") {
+    // SELECT CAST(concat('0x', substring(md5('abc'),1,15)) AS BIGINT)
+    // = 648541476951500027 in DuckDB 1.0; '' = 955282973525019424
+    import graft.functions.TextFunctions
+    val out = Seq("abc", "").toDF("s")
+      .select(TextFunctions.portableHash64(col("s"))).as[Long].collect()
+    assert(out.toSeq == Seq(648541476951500027L, 955282973525019424L))
+  }
+
+  test("portable mode: same dedup semantics as fast mode on the known corpus") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5, shingleN = 1,
+        mode = Dedup.Portable)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    val sh = Dedup.simhash(docs, "text", "doc_id", mode = Dedup.Portable)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))                    // normalized-identical
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 60))) // 60-bit range
+  }
+
   test("simhash: identical normalized docs -> distance 0; disjoint docs far") {
     val sh = Dedup.simhash(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
