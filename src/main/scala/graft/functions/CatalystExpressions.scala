@@ -449,3 +449,65 @@ object PortableMinHash {
     new GenericArrayData(mins)
   }
 }
+
+/** Sign-bit LSH bucket over an array<float> vector: bit j of the result is
+  * set when the dot product with hyperplane j is >= 0. Bit-identical to the
+  * HOF form in [[VectorFunctions.signBucket]] (same left-to-right double
+  * accumulation per plane, matching the DuckDB oracle's list_sum) but a
+  * tight primitive loop instead of nBits interpreted zip_with/aggregate
+  * passes — the bucketing pass over a 100 TB corpus is scan-bound, not
+  * lambda-bound. Assumes the vector length equals the plane dimension
+  * (callers guard via signBucketChecked). */
+case class SignBucketExpr(child: Expression, planes: Array[Array[Double]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_bucket"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    SignBucket.bucket(arr, planes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val j = ctx.freshName("j")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val p = ctx.freshName("p")
+    val b = ctx.freshName("b")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |long $b = 0L;
+         |for (int $j = 0; $j < $pRef.length; $j++) {
+         |  double[] $p = $pRef[$j];
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $p.length; $i++) {
+         |    $acc += ((double) $c.getFloat($i)) * $p[$i];
+         |  }
+         |  if ($acc >= 0.0) $b |= (1L << $j);
+         |}
+         |${ev.value} = $b;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignBucketExpr = copy(child = newChild)
+}
+
+object SignBucket {
+  def bucket(arr: ArrayData, planes: Array[Array[Double]]): Long = {
+    var b = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      var acc = 0.0
+      var i = 0
+      while (i < p.length) { acc += arr.getFloat(i).toDouble * p(i); i += 1 }
+      if (acc >= 0.0) b |= (1L << j)
+      j += 1
+    }
+    b
+  }
+}

@@ -55,22 +55,31 @@ object VectorFunctions {
   /** Sign-bit LSH bucket: pack the signs of `planes.length` fixed random
     * hyperplane projections into one long. Deterministic — the planes are
     * generated from a seed on the driver and inlined as literals, so the
-    * expression stays codegen'd and identical across executors. */
+    * expression stays codegen'd and identical across executors. HOF form —
+    * the readable reference semantics; see [[signBucketFast]]. */
   def signBucket(a: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val proj = asum(zip_with(a, lit(p), (x, y) => x.cast("double") * y))
       when(proj >= 0.0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** [[signBucket]] with a fail-fast dimension guard: a vector whose length
-    * differs from the plane dimension raises instead of silently bucketing
-    * to 0 (zip_with would null-pad, making every sign bit 0). A NULL
-    * vector stays NULL (drops out of bucket equi-joins) — only a PRESENT
-    * wrong-size vector is an error. */
+  /** [[signBucket]] as a native codegen'd expression (SignBucketExpr):
+    * bit-identical (same per-plane left-to-right double accumulation) with
+    * one tight nBits x dim loop instead of nBits interpreted HOF passes. */
+  def signBucketFast(a: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    GraftGlue.column(SignBucketExpr(GraftGlue.expression(a), planes))
+  }
+
+  /** [[signBucketFast]] with a fail-fast dimension guard: a vector whose
+    * length differs from the plane dimension raises instead of silently
+    * bucketing to 0 (zip_with would null-pad, making every sign bit 0). A
+    * NULL vector stays NULL (drops out of bucket equi-joins) — only a
+    * PRESENT wrong-size vector is an error. */
   def signBucketChecked(a: Column, planes: Array[Array[Double]]): Column = {
     val d = planes.head.length
     when(a.isNull, lit(null).cast("long"))
-      .when(size(a) === d, signBucket(a, planes))
+      .when(size(a) === d, signBucketFast(a, planes))
       .otherwise(raise_error(concat(
         lit(s"embedding dimension != plane dimension $d: got "),
         size(a).cast("string"))))

@@ -93,4 +93,22 @@ class CatalystExprSpec extends SparkSpec {
       .as[(Seq[Long], Seq[Long])].collect()
     rows.foreach { case (f, r) => assert(f == r) }
   }
+
+  test("SignBucketExpr == signBucket HOF bit-for-bit") {
+    val planes = V.randomPlanes(12, 4, seed = 7L)
+    val rows = vecs.select(
+      V.signBucket(col("a"), planes).as("hof"),
+      V.signBucketFast(col("a"), planes).as("fast"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (h, f) => assert(h == f) }
+    // interpreted fallback parity too
+    import org.apache.spark.sql.graftglue.GraftGlue
+    import graft.functions.SignBucketExpr
+    val e = SignBucketExpr(GraftGlue.expression(col("a")), planes)
+    assert(e.nullSafeEval(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(1f, 2f, 3f, 4f))) ==
+      vecs.filter(col("id") === 0).select(V.signBucket(col("a"), planes))
+        .as[Long].head())
+  }
 }
