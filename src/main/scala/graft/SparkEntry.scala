@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Coercions
-import graft.operators.{Dedup, Joins, Merge, Multimodal, Similarity}
+import graft.operators.{Curate, Dedup, Joins, Merge, Multimodal, Similarity}
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 import graft.queries.{AgentMetrics, ConnectFixtures}
 
@@ -471,6 +471,27 @@ object SparkEntry {
           col("features")(0).as("f0"), col("features")(7).as("f7"))
     }),
 
+    // ================= extensions: corpus curation =========================
+    "q42_stratified_sample" -> ((s, dir) => {
+      // deterministic portable-hash sampling: reproducible across engines
+      // (the oracle applies the identical md5 arithmetic) and stable under
+      // corpus growth — a row's fate depends only on its own id
+      Curate.stratifiedSample(t(s, dir, "documents"), "source", "doc_id",
+          rates = Map("src0" -> 1.0, "src1" -> 0.1), defaultRate = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    "q43_curation_audit" -> ((s, dir) => {
+      // the standard training-corpus pass: exact-dedup -> language filter
+      // -> quality threshold, reported as per-source drop-reason counts
+      Curate.curationAudit(t(s, dir, "documents"), "text", "doc_id",
+          keepLangs = Seq("en", "es"), minQuality = 0.3)
+        .groupBy(col("source"),
+          coalesce(col("drop_reason"), lit("kept")).as("reason"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "q39_multimodal_frames" -> ((s, dir) => {
       // frame-sample plumbing is byte-deterministic -> DuckDB-oracled
       val withPayload = Multimodal.attachPayload(t(s, dir, "documents"), "text")
@@ -728,6 +749,54 @@ dim_users_litify AS (
        |    k -> CAST(concat('0x', substring(hxs, CAST(2*k+1 AS INT), 2)) AS INT)) AS bytes
        |  FROM hx)
        |SELECT doc_id, byte_len, ${feat(0)} AS f0, ${feat(7)} AS f7 FROM b""".stripMargin
+  }
+
+  private def q42OracleSql: String = {
+    val two60 = 1L << 60
+    def thr(r: Double): Long = math.round(r * two60)
+    s"""SELECT source, COUNT(1) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       |FROM documents
+       |WHERE ${duckHash("'graft:' || CAST(doc_id AS VARCHAR)")} <
+       |  CASE source WHEN 'src0' THEN ${thr(1.0)} WHEN 'src1' THEN ${thr(0.1)}
+       |    ELSE ${thr(0.5)} END
+       |GROUP BY source""".stripMargin
+  }
+
+  private def q43OracleSql: String = {
+    // language scores + guess: identical structure to the q22 oracle
+    val markers = Seq(
+      "en" -> "('the','a','of','and','to','in','is')",
+      "es" -> "('el','la','de','que','y','en','los')",
+      "de" -> "('der','die','und','das','ist','von','mit')",
+      "fr" -> "('le','la','de','et','les','des','un')",
+      "zh" -> "('的','是','在','了','和','有','我')")
+    val scoreCols = markers.map { case (l, set) =>
+      s"len(list_filter(tk, x -> x IN $set)) AS s_$l" }.mkString(", ")
+    val best = markers.map(m => s"s_${m._1}").mkString("greatest(", ",", ")")
+    val guess = markers.map { case (l, _) =>
+      s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'" }.mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, source, text,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+       |  FROM documents),
+       |rep AS (SELECT *, MIN(doc_id) OVER (PARTITION BY
+       |    coalesce(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
+       |      '__null__' || CAST(doc_id AS VARCHAR))) AS rep_id
+       |  FROM toks),
+       |scored AS (SELECT doc_id, source, text, tk, rep_id, $scoreCols FROM rep),
+       |audit AS (SELECT source,
+       |    CASE WHEN text IS NULL THEN 'null_text'
+       |      WHEN doc_id <> rep_id THEN 'exact_dup'
+       |      WHEN (CASE $guess ELSE 'und' END) NOT IN ('en','es') THEN 'lang'
+       |      WHEN ROUND(
+       |        LEAST(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |        (CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END) * 0.4 +
+       |        LEAST((CASE WHEN len(tk) = 0 THEN 0.0
+       |          ELSE CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(tk) END) * 5.0, 1.0) * 0.2,
+       |      4) < 0.3 THEN 'quality'
+       |      ELSE 'kept' END AS reason
+       |  FROM scored)
+       |SELECT source, reason, COUNT(1) AS n FROM audit GROUP BY 1, 2""".stripMargin
   }
 
   /** Exact top-k cosine (probes = vec_id < 8, k = 5): oracle for q29 and,
@@ -994,6 +1063,8 @@ dim_users_litify AS (
     "q27_simhash" -> q27OracleSql,
     "q37_simhash_pairs" -> q37OracleSql,
     "q34_multimodal_features" -> q34OracleSql,
+    "q42_stratified_sample" -> q42OracleSql,
+    "q43_curation_audit" -> q43OracleSql,
 
     "q31_embedding_stats" ->
       """SELECT CAST(label AS BIGINT) AS label, COUNT(1) AS n,

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curate
+
+/** Corpus curation: deterministic sampling properties and the
+  * dedup -> lang -> quality audit chain. */
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps of the lazy dog and the end", "src0"),
+    (2L, "THE  quick   brown fox jumps of the lazy dog and the end", "src0"), // dup of 1
+    (3L, "el perro de la casa y el gato que duerme en los tejados", "src0"),
+    (4L, "der hund und die katze das ist von mit haus", "src0"),     // de -> lang drop
+    (5L, "the !!!!!! ??????? ,,,,,,,, ;;;;;;;; ........", "src1"),  // en but junk
+    (6L, null.asInstanceOf[String], "src1"))                        // null text
+    .toDF("doc_id", "text", "source")
+
+  test("curationAudit: first-match drop reasons, keepers NULL") {
+    val audit = Curate.curationAudit(docs, "text", "doc_id",
+        keepLangs = Seq("en", "es"), minQuality = 0.3)
+      .select("doc_id", "drop_reason").as[(Long, String)].collect().toMap
+    assert(audit(1L) == null)          // kept (en)
+    assert(audit(2L) == "exact_dup")   // normalized dup of 1
+    assert(audit(3L) == null)          // kept (es)
+    assert(audit(4L) == "lang")
+    assert(audit(5L) == "quality")
+    assert(audit(6L) == "null_text")
+    val kept = Curate.curate(docs, "text", "doc_id", Seq("en", "es"), 0.3)
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("hashSample: deterministic, rate-monotone (nested subsets), stable") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val s20 = Curate.hashSample(ids, "id", 0.2).as[Long].collect().toSet
+    val s50 = Curate.hashSample(ids, "id", 0.5).as[Long].collect().toSet
+    val s20again = Curate.hashSample(ids, "id", 0.2).as[Long].collect().toSet
+    assert(s20 == s20again)                        // deterministic
+    assert(s20.subsetOf(s50))                      // nested by construction
+    assert(math.abs(s20.size - 400) < 80)          // ~rate, not exact
+    assert(math.abs(s50.size - 1000) < 120)
+    // growth stability: the same ids keep their fate in a larger corpus
+    val grown = Curate.hashSample(spark.range(0, 4000).toDF("id"), "id", 0.2)
+      .as[Long].collect().toSet
+    assert(grown.filter(_ < 2000) == s20)
+    // a different salt is an independent draw
+    val other = Curate.hashSample(ids, "id", 0.2, salt = "other")
+      .as[Long].collect().toSet
+    assert(other != s20)
+  }
+
+  test("stratifiedSample: per-stratum rates, default applied, edge rates") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("src", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val out = Curate.stratifiedSample(df, "src", "id",
+      rates = Map("a" -> 1.0), defaultRate = 0.0)
+    val kept = out.select("id").as[Long].collect()
+    assert(kept.length == 500 && kept.forall(_ % 2 == 0)) // all a, no b
+  }
+}
