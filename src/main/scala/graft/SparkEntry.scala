@@ -392,7 +392,7 @@ object SparkEntry {
       val halves = d.select((-col("doc_id") - 1).as("doc_id"),
         substring(col("text"), 1, 512).as("text"))
       Dedup.chunkOverlapPairs(d.unionByName(halves), "text", "doc_id",
-          threshold = 0.5)
+          threshold = 0.5, mode = Dedup.Portable)
         .groupBy(floor(col("overlap") * 10).cast("long").as("ov_bucket"))
         .agg(count(lit(1)).as("n_pairs"))
     }),
@@ -799,6 +799,63 @@ dim_users_litify AS (
        |SELECT source, reason, COUNT(1) AS n FROM audit GROUP BY 1, 2""".stripMargin
   }
 
+  /** CDC chunk-overlap oracle (q40). Boundary recovery without recursion:
+    * (h & 63) of the rolling hash h = (h<<1)+byte depends only on the
+    * trailing 6 bytes (higher shifts vanish mod 64), so candidate
+    * boundaries are a positional window expression; the sequential
+    * min-chunk rule is a greedy list_reduce over the (sparse) candidates —
+    * exact because minChunk (16) > the 6-byte hash memory, so a reset
+    * never changes a later candidate's window value. Chunk fingerprints
+    * are md5 over the chunk's UPPERCASE hex (CdcChunksPortable). */
+  private def q40OracleSql: String = {
+    val win = "(bytes[i+1] + bytes[i]*2 + bytes[i-1]*4 + bytes[i-2]*8 " +
+      "+ bytes[i-3]*16 + bytes[i-4]*32) % 64 = 0"
+    def chunkFp(startExpr: String, lenExpr: String): String =
+      "CAST(concat('0x', substring(md5(substring(hxs, " +
+        s"CAST(2*($startExpr)+1 AS INT), CAST(2*($lenExpr) AS INT))), " +
+        "1, 15)) AS BIGINT)"
+    s"""WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |corpus AS (SELECT doc_id, text FROM d0
+       |  UNION ALL SELECT -doc_id - 1 AS doc_id, substring(text, 1, 512) FROM d0),
+       |rep AS (SELECT doc_id AS id, text,
+       |    MIN(doc_id) OVER (PARTITION BY
+       |      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS rep_id
+       |  FROM corpus WHERE text IS NOT NULL),
+       |exact_pairs AS (SELECT rep_id AS a, id AS b, 1.0 AS overlap
+       |  FROM rep WHERE id <> rep_id),
+       |reps AS (SELECT id, text FROM rep WHERE id = rep_id),
+       |hx AS (SELECT id, hex(CAST(text AS BLOB)) AS hxs FROM reps),
+       |byt AS (SELECT id, hxs, CAST(length(hxs) / 2 AS BIGINT) AS nb,
+       |    list_transform(range(0, CAST(length(hxs) / 2 AS BIGINT)),
+       |      k -> CAST(concat('0x', substring(hxs, CAST(2*k+1 AS INT), 2)) AS INT)) AS bytes
+       |  FROM hx),
+       |bnd AS (SELECT id, hxs, nb,
+       |    list_reduce([[-1]] || list_transform(
+       |        list_filter(range(0, nb), i -> i >= 15 AND $win), c -> [c]),
+       |      (a, x) -> a || CASE WHEN x[1] - a[-1] >= 16 THEN [x[1]] ELSE [] END) AS bl
+       |  FROM byt),
+       |chks AS (SELECT id, list_distinct(
+       |    list_transform(range(1, len(bl)), j ->
+       |      ${chunkFp("bl[j]+1", "bl[j+1]-bl[j]")})
+       |    || CASE WHEN bl[-1] + 1 < nb OR nb = 0 THEN
+       |         [${chunkFp("bl[-1]+1", "nb-1-bl[-1]")}]
+       |       ELSE [] END) AS chunks
+       |  FROM bnd),
+       |ch AS (SELECT id, unnest(chunks) AS ch FROM chks),
+       |rare AS (SELECT id, ch FROM ch WHERE ch IN (
+       |  SELECT ch FROM ch GROUP BY ch HAVING COUNT(*) <= 50)),
+       |sizes AS (SELECT id, COUNT(*) AS nsz FROM rare GROUP BY id),
+       |shr AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS shared
+       |  FROM rare x JOIN rare y ON x.ch = y.ch AND x.id < y.id GROUP BY 1, 2),
+       |near AS (SELECT a, b,
+       |    CAST(shared AS DOUBLE) / least(sa.nsz, sb.nsz) AS overlap
+       |  FROM shr JOIN sizes sa ON sa.id = shr.a JOIN sizes sb ON sb.id = shr.b),
+       |pairs AS (SELECT a, b, overlap FROM near WHERE overlap >= 0.5
+       |  UNION ALL SELECT a, b, overlap FROM exact_pairs)
+       |SELECT CAST(FLOOR(overlap * 10) AS BIGINT) AS ov_bucket,
+       |  COUNT(1) AS n_pairs FROM pairs GROUP BY 1""".stripMargin
+  }
+
   /** Exact top-k cosine (probes = vec_id < 8, k = 5): oracle for q29 and,
     * via the exact-recall configuration, q38. */
   private val bruteForceTopKOracle: String =
@@ -1065,6 +1122,7 @@ dim_users_litify AS (
     "q34_multimodal_features" -> q34OracleSql,
     "q42_stratified_sample" -> q42OracleSql,
     "q43_curation_audit" -> q43OracleSql,
+    "q40_chunk_overlap" -> q40OracleSql,
 
     "q31_embedding_stats" ->
       """SELECT CAST(label AS BIGINT) AS label, COUNT(1) AS n,

@@ -209,7 +209,7 @@ case class MinHashSignatureExpr(child: Expression, shingleN: Int,
   * sharing chunks share content regions. One codegen pass, no allocation
   * beyond the output array. NULL text -> NULL. */
 case class CdcChunksExpr(child: Expression, minChunk: Int = 16,
-                         maskBits: Int = 6)
+                         maskBits: Int = 6, portable: Boolean = false)
   extends UnaryExpression {
 
   private val mask = (1L << maskBits) - 1
@@ -222,6 +222,7 @@ case class CdcChunksExpr(child: Expression, minChunk: Int = 16,
   override def nullSafeEval(input: Any): Any = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    if (portable) return CdcChunksPortable.chunks(s.getBytes, minChunk, mask)
     val bytes = s.getBytes
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var start = 0
@@ -247,6 +248,11 @@ case class CdcChunksExpr(child: Expression, minChunk: Int = 16,
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (portable) {
+      return nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.CdcChunksPortable.chunks(" +
+          s"$c.getBytes(), $minChunk, ${mask}L);")
+    }
     val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
     val off = "org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET"
     nullSafeCodeGen(ctx, ev, c => {
@@ -509,5 +515,59 @@ object SignBucket {
       j += 1
     }
     b
+  }
+}
+
+/** Portable-fingerprint worker for [[CdcChunksExpr]]: identical chunk
+  * BOUNDARIES (the rolling (h<<1)+b mask test), but each chunk is
+  * fingerprinted as the first 60 bits of md5 over the UPPERCASE HEX
+  * encoding of its bytes — DuckDB 1.0 cannot md5 a BLOB, so both engines
+  * hash the hex form (the q39 frame-hash trick). The oracle recomputes
+  * boundaries positionally: (h & 63) depends only on the trailing 6 bytes
+  * (higher shifts vanish mod 2^maskBits), so candidates are a window
+  * expression and the min-chunk rule is a greedy scan over them. */
+object CdcChunksPortable {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEXB = "0123456789ABCDEF".getBytes
+
+  def chunks(bytes: Array[Byte], minChunk: Int, mask: Long): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + (bytes(i) & 0xff)
+      if (i - start + 1 >= minChunk && (h & mask) == 0L) {
+        out += fp(bytes, start, i - start + 1)
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length || bytes.isEmpty)
+      out += fp(bytes, start, bytes.length - start)
+    new GenericArrayData(out.toArray)
+  }
+
+  private def fp(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = md.get()
+    d.reset()
+    val hex = new Array[Byte](len * 2)
+    var k = 0
+    while (k < len) {
+      val b = bytes(off + k) & 0xff
+      hex(2 * k) = HEXB(b >> 4)
+      hex(2 * k + 1) = HEXB(b & 15)
+      k += 1
+    }
+    d.update(hex)
+    val dig = d.digest()
+    var v = 0L
+    var t = 0
+    while (t < 8) { v = (v << 8) | (dig(t) & 0xffL); t += 1 }
+    v >>> 4
   }
 }

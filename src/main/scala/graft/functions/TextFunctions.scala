@@ -112,9 +112,11 @@ object TextFunctions {
     * boundaries -> XXH64 per chunk; see CdcChunksExpr). An edit changes
     * O(1) chunk hashes, so shared chunks detect partial duplication and
     * containment — the rolling-hash document fingerprint. */
-  def cdcChunks(c: Column, minChunk: Int = 16, maskBits: Int = 6): Column = {
+  def cdcChunks(c: Column, minChunk: Int = 16, maskBits: Int = 6,
+                portable: Boolean = false): Column = {
     import org.apache.spark.sql.graftglue.GraftGlue
-    GraftGlue.column(CdcChunksExpr(GraftGlue.expression(c), minChunk, maskBits))
+    GraftGlue.column(CdcChunksExpr(GraftGlue.expression(c), minChunk,
+      maskBits, portable))
   }
 
   /** Word n-gram shingles of the normalized text (MinHash input). */

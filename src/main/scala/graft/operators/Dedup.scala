@@ -303,11 +303,13 @@ object Dedup {
     * Output: (a, b, overlap). */
   def chunkOverlapPairs(df: DataFrame, textCol: String, idCol: String,
                         threshold: Double = 0.5, minChunk: Int = 16,
-                        maskBits: Int = 6, maxDf: Int = 50): DataFrame = {
+                        maskBits: Int = 6, maxDf: Int = 50,
+                        mode: HashMode = Fast): DataFrame = {
     val (exactPairs, reps) = collapseExactDups(df, textCol, idCol, "overlap")
     val ch = reps.select(col("id"),
       explode(array_distinct(
-        T.cdcChunks(col("__txt"), minChunk, maskBits))).as("ch"))
+        T.cdcChunks(col("__txt"), minChunk, maskBits,
+          portable = mode == Portable))).as("ch"))
     val nearPairs = rareSharedCounts(ch, "ch", maxDf)
       .withColumn("overlap",
         col("shared").cast("double") / least(col("na"), col("nb")))
