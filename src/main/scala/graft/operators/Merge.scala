@@ -132,6 +132,38 @@ object Merge {
       .parquet(targetPath)
   }
 
+  /** M1 at warehouse scale, key-hash flavor: the target lives as a BUCKETED
+    * parquet table (`bucketBy(nBuckets, keys)`), i.e. pre-shuffled ON DISK
+    * by the merge key. Every merge then shuffles only the incoming batch
+    * into that bucketing — the 100 TB target is read bucket-aligned with
+    * NO exchange on its side of the anti-join, and downstream key-equi
+    * joins between bucketed tables run exchange-free (see MergeSpec's
+    * zero-Exchange assertion). Complements [[scd1Partitioned]] (time-pruned
+    * rewrite) for targets whose updates scatter across the key space so no
+    * partition column can bound the rewrite.
+    *
+    * The rewrite goes through a temp table + catalog rename because Spark
+    * cannot overwrite a table that is being read in the same plan. */
+  def scd1Bucketed(table: String, staging: DataFrame, keys: Seq[String],
+                   ordering: String, nBuckets: Int = 256): Unit = {
+    val spark = staging.sparkSession
+    def writeBucketed(df: DataFrame, name: String): Unit =
+      df.write.bucketBy(nBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .mode("overwrite").format("parquet").saveAsTable(name)
+    if (!spark.catalog.tableExists(table)) {
+      writeBucketed(keepLatest(staging, keys, ordering), table)
+    } else {
+      val target = spark.table(table)
+      val merged = scd1(target, staging.select(target.columns.map(col): _*),
+        keys, ordering)
+      val tmp = table + "__merge_tmp"
+      writeBucketed(merged, tmp)
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    }
+  }
+
   /** M3 — conditional-column merge: update only when `matchedCond` holds for
     * a matched key (goal changed — `lambda_legal_goals_upsert.py:48-59`);
     * insert when the key is absent. `matchedCond(src, tgt)` sees both sides. */

@@ -116,6 +116,38 @@ class MergeSpec extends SparkSpec {
       "b" -> "b-old", "c" -> "c-new"))
   }
 
+  test("scd1Bucketed: merges correctly; bucketed tables join exchange-free") {
+    val name = "bmerge_target"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    Merge.scd1Bucketed(name, target, Seq("id"), "lastmodifieddate",
+      nBuckets = 4)
+    val staging = tbl(
+      ("a", "2024-01-20", "a-new"),   // newer -> update
+      ("d", "2024-01-15", "d-new"))   // absent -> insert
+    Merge.scd1Bucketed(name, staging, Seq("id"), "lastmodifieddate",
+      nBuckets = 4)
+    val out = asMap(spark.table(name))
+    assert(out == Map(
+      "a" -> ("2024-01-20", "a-new"),
+      "b" -> ("2024-01-10", "b-old"),
+      "c" -> ("2024-01-10", "c-old"),
+      "d" -> ("2024-01-15", "d-new")))
+    // the point of the bucketing: a key-equi self-join of the bucketed
+    // table plans with ZERO exchanges — at 100 TB neither side reshuffles.
+    // (disable auto-broadcast: a big-big join is the scenario bucketing
+    // exists for; the test table is tiny so the planner would broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table(name).as("x")
+        .join(spark.table(name).select(col("id"),
+          col("payload").as("p2")).as("y"), Seq("id"))
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        j.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql(s"DROP TABLE $name")
+  }
+
   test("conditional: update only when the tracked column changed (M3/J5)") {
     val goalsTarget = Seq(("e1", "2024-W1", 10), ("e2", "2024-W1", 20))
       .toDF("email", "week", "goal")
