@@ -471,6 +471,20 @@ object SparkEntry {
           col("features")(0).as("f0"), col("features")(7).as("f7"))
     }),
 
+    "q44_salted_join" -> ((s, dir) => {
+      // skew-salted equi-join: user_id % 5 concentrates 2M events onto 5
+      // keys — the pathological reducer-melting shape; salting spreads
+      // each hot key over 8 shuffle partitions with identical results
+      // (the oracle is the PLAIN SQL join)
+      val e = t(s, dir, "events").select(col("event_id"), col("value"),
+        (col("user_id") % 5).as("r_regionkey"))
+      Joins.saltedJoin(e, t(s, dir, "region"), Seq("r_regionkey"),
+          salt = 8, joinType = "left")
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"))
+    }),
+
     // ================= extensions: corpus curation =========================
     "q42_stratified_sample" -> ((s, dir) => {
       // deterministic portable-hash sampling: reproducible across engines
@@ -1123,6 +1137,13 @@ dim_users_litify AS (
     "q42_stratified_sample" -> q42OracleSql,
     "q43_curation_audit" -> q43OracleSql,
     "q40_chunk_overlap" -> q40OracleSql,
+
+    "q44_salted_join" ->
+      """SELECT r_name, COUNT(1) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+         FROM (SELECT event_id, value, user_id % 5 AS r_regionkey FROM events) e
+         LEFT JOIN region USING (r_regionkey)
+         GROUP BY r_name""",
 
     "q31_embedding_stats" ->
       """SELECT CAST(label AS BIGINT) AS label, COUNT(1) AS n,

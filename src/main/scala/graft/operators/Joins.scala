@@ -65,4 +65,34 @@ object Joins {
     val rightOut = payloadCols.map(c => col(s"__asof.$c").as(c))
     out.select(leftOut ++ rightOut: _*)
   }
+
+  /** Skew-salted equi-join: the big side gets a deterministic salt from a
+    * hash of its whole row, the small side is replicated once per salt
+    * value, and the join key becomes (keys, salt) — a hot key's rows
+    * spread across `salt` shuffle partitions instead of melting one
+    * reducer. Results are identical to `big.join(small, keys, joinType)`
+    * (each big row matches exactly one replica; the q44 oracle is the
+    * plain SQL join).
+    *
+    * Use when the small side is too big to broadcast AND the key
+    * distribution is skewed; AQE's skew-join handles sort-merge skew at
+    * runtime, but salting also covers the cases AQE can't re-plan
+    * (aggregations after the join keep the salted spread, and static
+    * planners downstream see uniform partitions). The salt hash covers
+    * all big-side columns, so identical duplicate rows share a salt —
+    * acceptable: true skew comes from many DISTINCT rows per key. Map
+    * columns are not hashable; pass `saltOn` to pick the entropy columns
+    * explicitly. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salt: Int = 16, joinType: String = "inner",
+                 saltOn: Option[Seq[String]] = None): DataFrame = {
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"salting preserves semantics for inner/left joins only: $joinType")
+    require(salt >= 1, s"salt must be >= 1: $salt")
+    val entropy = saltOn.getOrElse(big.columns.toSeq)
+    val b = big.withColumn("__salt", pmod(hash(entropy.map(col): _*), lit(salt)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    b.join(s, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -53,4 +53,26 @@ class JoinsSpec extends SparkSpec {
     assert(m("e3") == null)  // u2's only version has NULL time -> no match
     assert(m("e0") == null && m("e1") == "v2b" && m("e2") == "v3")
   }
+
+  test("saltedJoin: identical results to plain join; hot key spreads") {
+    val big = spark.range(0, 1000).toDF("k")
+      .withColumn("key", when(col("k") < 900, "hot").otherwise(col("k").cast("string")))
+      .withColumn("payload", col("k") * 2)
+    val small = Seq(("hot", "H"), ("5", "F"), ("901", "N"), ("unmatched", "U"))
+      .toDF("key", "dim")
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("key"), jt)
+        .select("k", "key", "payload", "dim").collect().toSet
+      val salted = Joins.saltedJoin(big, small, Seq("key"), salt = 8,
+          joinType = jt)
+        .select("k", "key", "payload", "dim").collect().toSet
+      assert(salted == plain, s"join type $jt diverged")
+    }
+    // the hot key's rows must occupy multiple salt values (the whole point)
+    import org.apache.spark.sql.functions.{hash => h}
+    val spread = big.filter(col("key") === "hot")
+      .select(pmod(h(big.columns.map(col): _*), lit(8)).as("s"))
+      .distinct().count()
+    assert(spread > 1)
+  }
 }
