@@ -65,8 +65,11 @@ object VectorFunctions {
 
   /** [[signBucket]] as a native codegen'd expression (SignBucketExpr):
     * bit-identical (same per-plane left-to-right double accumulation) with
-    * one tight nBits x dim loop instead of nBits interpreted HOF passes. */
-  def signBucketFast(a: Column, planes: Array[Array[Double]]): Column = {
+    * one tight nBits x dim loop instead of nBits interpreted HOF passes.
+    * `private[graft]`: the expression reads `dim` floats UNGUARDED (an
+    * undersized vector would read past its end via unsafe access) — all
+    * public paths go through [[signBucketChecked]]'s dimension guard. */
+  private[graft] def signBucketFast(a: Column, planes: Array[Array[Double]]): Column = {
     import org.apache.spark.sql.graftglue.GraftGlue
     GraftGlue.column(SignBucketExpr(GraftGlue.expression(a), planes))
   }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T}
 
@@ -46,6 +45,8 @@ object Curate {
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
                        rates: Map[String, Double], defaultRate: Double,
                        salt: String = "graft"): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate must be in [0,1]: $r"))
     val threshold = rates.foldLeft(
       lit(math.round(defaultRate * two60)): Column) { case (acc, (k, r)) =>
       when(col(strataCol) === k, lit(math.round(r * two60))).otherwise(acc)
@@ -63,11 +64,9 @@ object Curate {
   def curationAudit(df: DataFrame, textCol: String, idCol: String,
                     keepLangs: Seq[String],
                     minQuality: Double): DataFrame = {
-    // NULL text must not collapse into one fingerprint group (same guard
-    // as Dedup.exact)
-    val fp = coalesce(T.fingerprint(col(textCol)),
-      concat(lit("__null__"), col(idCol).cast("string")))
-    df.withColumn("__rep", min(col(idCol)).over(Window.partitionBy(fp)))
+    // the exact-dup rule is Dedup's, shared — a row is tagged exact_dup
+    // iff Dedup.exact would drop it
+    df.withColumn("__rep", Dedup.repId(textCol, idCol))
       .withColumn("drop_reason",
         when(col(textCol).isNull, "null_text")
           .when(col(idCol) =!= col("__rep"), "exact_dup")

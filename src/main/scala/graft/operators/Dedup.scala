@@ -36,15 +36,27 @@ object Dedup {
     * oracle-verified or cross-engine-joined, at ~3-5x the hashing cost. */
   case object Portable extends HashMode
 
+  /** NULL-safe content fingerprint: NULL text is not duplicate content
+    * (window partitions treat NULLs as equal), so NULL-content rows get a
+    * per-row synthetic key and all survive. Shared by [[exact]] and
+    * [[Curate.curationAudit]] so "is a duplicate" means the same thing in
+    * both. */
+  private[operators] def nullSafeFingerprint(textCol: String,
+                                             idCol: String): Column =
+    coalesce(T.fingerprint(col(textCol)),
+      concat(lit("__null__"), col(idCol).cast("string")))
+
+  /** Lowest id among rows sharing a fingerprint — the canonical exact-dup
+    * representative. */
+  private[operators] def repId(textCol: String, idCol: String): Column =
+    min(col(idCol)).over(
+      Window.partitionBy(nullSafeFingerprint(textCol, idCol)))
+
   /** Exact dedup: keep the lowest-id row per normalized-content fingerprint.
     * One shuffle on the md5 key; survivor choice is deterministic. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // NULL text is not duplicate content: window partitions treat NULLs as
-    // equal, so NULL-content rows get a per-row synthetic key and all
-    // survive
-    val fp = coalesce(T.fingerprint(col(textCol)),
-      concat(lit("__null__"), col(idCol).cast("string")))
-    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    val w = Window.partitionBy(nullSafeFingerprint(textCol, idCol))
+      .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

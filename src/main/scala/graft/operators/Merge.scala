@@ -151,13 +151,24 @@ object Merge {
       df.write.bucketBy(nBuckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .mode("overwrite").format("parquet").saveAsTable(name)
+    val tmp = table + "__merge_tmp"
+    // crash recovery from a previously interrupted swap — without this, a
+    // death between DROP and RENAME leaves no `table`, and the next run
+    // would silently rebuild it from staging alone, losing the target:
+    //  - tmp exists AND table exists: crashed before DROP; the target is
+    //    intact and that merge never committed -> discard tmp, redo.
+    //  - tmp exists, table missing: crashed after DROP; tmp IS the
+    //    committed merge -> complete the rename, then merge on top.
+    if (spark.catalog.tableExists(tmp)) {
+      if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $tmp")
+      else spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    }
     if (!spark.catalog.tableExists(table)) {
       writeBucketed(keepLatest(staging, keys, ordering), table)
     } else {
       val target = spark.table(table)
       val merged = scd1(target, staging.select(target.columns.map(col): _*),
         keys, ordering)
-      val tmp = table + "__merge_tmp"
       writeBucketed(merged, tmp)
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")

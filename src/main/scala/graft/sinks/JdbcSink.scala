@@ -72,17 +72,14 @@ object JdbcSink {
 
   /** S6: stage + insert-if-absent + staging truncate (immutable facts).
     * Same <=1-row-per-key reduction: the NOT-EXISTS insert only checks the
-    * TARGET, so within-batch duplicates would all pass it. `ordering`
-    * makes the surviving duplicate deterministic (first writer wins, D1);
-    * None falls back to an arbitrary-but-single row per key. */
+    * TARGET, so within-batch duplicates would all pass it. `ordering` is
+    * REQUIRED (earliest wins — deterministic first-writer-wins, D1):
+    * an arbitrary survivor would make replayed batches produce different
+    * warehouse contents run to run. */
   def appendIfAbsent(df: DataFrame, conn: Conn, target: String,
                      staging: String, keys: Seq[String],
-                     ordering: Option[String] = None): Unit = {
-    val oneRow = ordering match {
-      case Some(o) => graft.operators.Merge.keepFirst(df, keys, o)
-      case None    => df.dropDuplicates(keys)
-    }
-    stage(oneRow, conn, staging)
+                     ordering: String): Unit = {
+    stage(graft.operators.Merge.keepFirst(df, keys, ordering), conn, staging)
     execute(conn, MergeSql.appendIfAbsent(target, staging, keys,
       df.columns.toSeq))
   }
@@ -97,15 +94,12 @@ object JdbcSink {
     * for warehouses without MERGE support, run the Spark-side
     * [[graft.operators.Merge.conditional]] and overwrite instead.
     * Reduced to one row per key before staging (MERGE raises on duplicate
-    * source matches); `ordering` picks the survivor deterministically. */
+    * source matches); `ordering` is REQUIRED — latest wins, so the
+    * survivor is deterministic across replays. */
   def conditional(df: DataFrame, conn: Conn, target: String, staging: String,
                   keys: Seq[String], cond: String,
-                  ordering: Option[String] = None): Unit = {
-    val oneRow = ordering match {
-      case Some(o) => graft.operators.Merge.keepLatest(df, keys, o)
-      case None    => df.dropDuplicates(keys)
-    }
-    stage(oneRow, conn, staging)
+                  ordering: String): Unit = {
+    stage(graft.operators.Merge.keepLatest(df, keys, ordering), conn, staging)
     execute(conn, MergeSql.redshiftConditional(target, staging, keys, cond,
       df.columns.toSeq))
   }

@@ -11,9 +11,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * built-in windows can't express. A session closes when its key sees no
   * events for `gap`; the emitted row carries the session bounds and count.
   *
-  * Scale shape: state is ONE small record per active key (bounds + count),
-  * partitioned by the grouping key across executors, and event-time timeout
-  * bounds its lifetime — no unbounded growth, no reprocessing. */
+  * State per key is the list of OPEN session fragments (bounds + count),
+  * not just the newest one: a late-but-in-watermark event may start a
+  * fragment older than the current session, and a later event may bridge
+  * two fragments into one. A fragment is only emitted once the watermark
+  * passes fragment.end + gap — at that point no admissible event (Spark
+  * drops rows older than the watermark before they reach the state
+  * function) can extend or bridge it, so emissions are exact
+  * gap-sessionization. Fragment count per key is bounded by
+  * watermark-delay / gap; event-time timeout bounds state lifetime. */
 object Sessionize {
 
   case class Event(key: String, ts: Timestamp)
@@ -21,55 +27,38 @@ object Sessionize {
   case class Session(key: String, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)
 
-  /** Fold a batch of events into per-key open-session state; emit closed
-    * sessions. Used with EventTimeTimeout: the watermark closes idle
-    * sessions even when a key never sends another event. */
+  /** Fold a batch of events into the per-key open-fragment list; emit the
+    * fragments the watermark has sealed. Also the timeout path (empty
+    * event iterator): the watermark alone closes idle sessions. */
   private def update(key: String, events: Iterator[Event],
-                     state: GroupState[SessionState],
+                     state: GroupState[Seq[SessionState]],
                      gapMs: Long): Iterator[Session] = {
-    if (state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      return Iterator(Session(key, new Timestamp(s.start),
-        new Timestamp(s.end), s.count))
+    val wm = state.getCurrentWatermarkMs()
+    val existing = state.getOption.getOrElse(Seq.empty)
+    val incoming = events.map(e => {
+      val t = e.ts.getTime; SessionState(t, t, 1)
+    }).toSeq
+    // sorted gap-merge of fragments + events: one event bridging two
+    // fragments collapses them transitively
+    val merged = (existing ++ incoming).sortBy(s => (s.start, s.end))
+      .foldLeft(List.empty[SessionState]) { (acc, p) =>
+        acc match {
+          case h :: rest if p.start - h.end <= gapMs =>
+            SessionState(h.start, math.max(h.end, p.end),
+              h.count + p.count) :: rest
+          case _ => p :: acc
+        }
+      }.reverse
+    val (closed, open) = merged.partition(s => s.end + gapMs <= wm)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(open)
+      // earliest seal time; must be strictly beyond the current watermark
+      state.setTimeoutTimestamp(
+        math.max(open.map(_.end + gapMs).min, wm + 1))
     }
-    val sorted = events.map(_.ts.getTime).toSeq.sorted
-    var closed = List.empty[Session]
-    // late orphans (older than the open session by more than the gap) are
-    // accumulated and gap-split among THEMSELVES: two orphans within gap of
-    // each other are one session, not two single-event ones. Sorted order
-    // guarantees all orphans precede any event that extends the open
-    // session, so a simple adjacent-merge is exact.
-    var orphans = List.empty[SessionState]
-    var cur = state.getOption
-    sorted.foreach { t =>
-      cur match {
-        // within gap of either bound (late-but-in-watermark events extend
-        // the session BACKWARD too — start must be min'd, not only end)
-        case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
-          cur = Some(SessionState(math.min(s.start, t),
-            math.max(s.end, t), s.count + 1))
-        case Some(s) if t < s.start - gapMs =>
-          orphans = orphans match {
-            case o :: rest if t - o.end <= gapMs =>
-              SessionState(o.start, math.max(o.end, t), o.count + 1) :: rest
-            case _ => SessionState(t, t, 1) :: orphans
-          }
-        case Some(s) => // gap exceeded inside the batch: close and restart
-          closed ::= Session(key, new Timestamp(s.start),
-            new Timestamp(s.end), s.count)
-          cur = Some(SessionState(t, t, 1))
-        case None =>
-          cur = Some(SessionState(t, t, 1))
-      }
-    }
-    cur.foreach { s =>
-      state.update(s)
-      state.setTimeoutTimestamp(s.end + gapMs)
-    }
-    val orphanSessions = orphans.reverse.map(o =>
-      Session(key, new Timestamp(o.start), new Timestamp(o.end), o.count))
-    (orphanSessions ++ closed.reverse).iterator
+    closed.iterator.map(s =>
+      Session(key, new Timestamp(s.start), new Timestamp(s.end), s.count))
   }
 
   /** Sessionize a stream with columns (key: string, ts: timestamp).
@@ -90,7 +79,7 @@ object Sessionize {
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
-        (k: String, it: Iterator[Event], st: GroupState[SessionState]) =>
+        (k: String, it: Iterator[Event], st: GroupState[Seq[SessionState]]) =>
           update(k, it, st, gapMs))
   }
 }

@@ -76,6 +76,28 @@ class SessionizeSpec extends SparkSpec {
     assert(u1.count(s => s._1 == ts(0) || s._1 == ts(2)) == 1)
   }
 
+  test("cross-batch orphans and bridging events form exact sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val out = Sessionize.sessions(
+      mem.toDF().toDF("key", "ts"), gap = "5 minutes", watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("xbatch_sessions")
+      .outputMode("append").start()
+    mem.addData(("u1", ts(30))); q.processAllAvailable()
+    mem.addData(("u1", ts(0)));  q.processAllAvailable() // late orphan
+    mem.addData(("u1", ts(2)));  q.processAllAvailable() // extends orphan CROSS-batch
+    mem.addData(("u1", ts(25))); q.processAllAvailable() // bridges to the 10:30 fragment
+    mem.addData(("u9", Timestamp.valueOf("2024-01-01 18:00:00")))
+    q.processAllAvailable()
+    mem.addData(("u9", Timestamp.valueOf("2024-01-01 19:00:00")))
+    q.processAllAvailable() // second advance: sealed fragments time out
+    q.stop()
+    val u1 = spark.table("xbatch_sessions").collect()
+      .filter(_.getString(0) == "u1")
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(u1 == Set((ts(0), ts(2), 2L), (ts(25), ts(30), 2L)), u1.toString)
+  }
+
   test("day-granular gap is honored (CalendarInterval days field)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]

@@ -154,7 +154,7 @@ class SinkSpec extends SparkSpec {
     }
     val staging = Seq(("c1", "CHANGED"), ("c2", "new"))
       .toDF("contact_id", "v")
-    JdbcSink.appendIfAbsent(staging, conn, "f", "fs", Seq("contact_id"))
+    JdbcSink.appendIfAbsent(staging, conn, "f", "fs", Seq("contact_id"), "v")
     val out = spark.read.jdbc(url, "f", new Properties)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out == Map("c1" -> "orig", "c2" -> "new"))
