@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.operators.{Curate, Dedup, Joins}
+import graft.functions.{TextFunctions => T}
+
+/** Property-style invariants for the round-3 operators, randomized but
+  * seeded through Gen.sample on fixed-size corpora (one Spark job per
+  * property, like CoercionPropertySpec). */
+class OperatorPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "theta", "the", "a", "of", "und", "der")
+  private val docGen = for {
+    n <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n, wordGen)
+  } yield ws.mkString(" ")
+
+  test("saltedJoin == plain join on randomized skewed data (inner & left)") {
+    val keys = Gen.listOfN(400,
+      Gen.frequency(8 -> Gen.const("hot"), 2 -> Gen.choose(0, 30).map(_.toString)))
+      .sample.get
+    val big = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("key", "rowid")
+    val small = Seq("hot", "3", "7", "nokey").map(k => (k, s"dim-$k"))
+      .toDF("key", "dim")
+    for (jt <- Seq("inner", "left"); salt <- Seq(1, 3, 16)) {
+      val plain = big.join(small, Seq("key"), jt)
+        .select("key", "rowid", "dim").collect().toSet
+      val salted = Joins.saltedJoin(big, small, Seq("key"), salt, jt)
+        .select("key", "rowid", "dim").collect().toSet
+      assert(salted == plain, s"diverged at joinType=$jt salt=$salt")
+    }
+  }
+
+  test("curationAudit: exact_dup tags are exactly Dedup.exact's drops") {
+    val docs = Gen.listOfN(120, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val audit = Curate.curationAudit(docs, "text", "doc_id",
+      keepLangs = Seq("en"), minQuality = 0.1)
+    val tagged = audit.filter(col("drop_reason") === "exact_dup")
+      .select("doc_id").as[Long].collect().toSet
+    val surviving = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(tagged == all -- surviving)
+    // reasons are a partition: every row has exactly one tag or none
+    assert(audit.count() == docs.count())
+  }
+
+  test("portableHash64 stays in [0, 2^60) over arbitrary strings") {
+    val strs = Gen.listOfN(300, Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr, Gen.const(""),
+      Gen.const("中文 tøkens"))).sample.get
+    val out = strs.toDF("s").select(T.portableHash64(col("s"))).as[Long].collect()
+    assert(out.forall(v => v >= 0L && v < (1L << 60)))
+  }
+
+  test("hashSample: nested across arbitrary rate pairs") {
+    val ids = spark.range(0, 1500).toDF("id")
+    for ((r1, r2) <- Seq((0.05, 0.3), (0.3, 0.31), (0.0, 1.0))) {
+      val s1 = Curate.hashSample(ids, "id", r1).as[Long].collect().toSet
+      val s2 = Curate.hashSample(ids, "id", r2).as[Long].collect().toSet
+      assert(s1.subsetOf(s2), s"rate $r1 not nested in $r2")
+    }
+    assert(Curate.hashSample(ids, "id", 1.0).count() == 1500)
+    assert(Curate.hashSample(ids, "id", 0.0).count() == 0)
+  }
+
+  test("CDC chunking: fast and portable modes agree on boundaries") {
+    val docs = Gen.listOfN(60, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t + " " + t + " " + t) }
+      .toDF("doc_id", "text")
+    val counts = docs.select(col("doc_id"),
+        size(T.cdcChunks(col("text"))).as("nf"),
+        size(T.cdcChunks(col("text"), portable = true)).as("np"))
+      .as[(Long, Int, Int)].collect()
+    counts.foreach { case (id, nf, np) =>
+      assert(nf == np, s"doc $id: fast $nf chunks vs portable $np")
+    }
+  }
+}
