@@ -38,11 +38,23 @@ object AgentMetrics {
       .join(broadcast(dimUsersLitify.as("l")),
         col("c.agent_username") === col("l.username"), "left")
 
+  /** COUNT(DISTINCT customer_phone) — the one aggregate whose exact form
+    * needs a per-group distinct expansion before the final reduce. The
+    * exact form is the reference (and oracle) contract; `approx` swaps in
+    * HyperLogLog++ (default 5% rsd), which keeps map-side partial
+    * aggregation to a constant-size sketch per group — at 100 TB the
+    * difference between shuffling every distinct phone number and
+    * shuffling a few KB per group. */
+  private def uniqueCustomers(approx: Boolean) =
+    (if (approx) approx_count_distinct(col("c.customer_phone"))
+     else countDistinct(col("c.customer_phone"))).as("unique_customers")
+
   /** `view_agent_metrics` over a flattened f_calls + the three dims
     * (`view_agent_metrics.sql:1-136`). */
   def viewAgentMetrics(fCalls: DataFrame, dimUsersConnect: DataFrame,
                        dimQueues: DataFrame,
-                       dimUsersLitify: DataFrame): DataFrame = {
+                       dimUsersLitify: DataFrame,
+                       approxDistinct: Boolean = false): DataFrame = {
     val joined = joined3(fCalls, dimUsersConnect, dimQueues, dimUsersLitify)
       .filter(col("c.agent_conn").cast("date").isNotNull)
 
@@ -92,7 +104,7 @@ object AgentMetrics {
         floor(sum(col("c.customer_hold_duration")) / 60)
           .as("total_customer_hold_duration_minutes"),
         avg(col("c.customer_hold_duration")).as("avg_customer_hold_duration"),
-        countDistinct(col("c.customer_phone")).as("unique_customers"),
+        uniqueCustomers(approxDistinct),
         count(col("c.agent_conn")).as("total_calls"),
         cntIf(dur.between(0, 120)).as("duration_less_2_minutes"),
         cntIf(dur.between(120, 300)).as("duration_2_to_5_minutes"),
@@ -119,7 +131,8 @@ object AgentMetrics {
     * 8–13/13–17/≥17 buckets, and no hours/minutes derived columns. */
   def viewAgentMetrics2(fCalls: DataFrame, dimUsersConnect: DataFrame,
                         dimQueues: DataFrame,
-                        dimUsersLitify: DataFrame): DataFrame = {
+                        dimUsersLitify: DataFrame,
+                        approxDistinct: Boolean = false): DataFrame = {
     val joined = joined3(fCalls, dimUsersConnect, dimQueues, dimUsersLitify)
 
     val dur = col("c.agent_interact_duration")
@@ -151,7 +164,7 @@ object AgentMetrics {
         sum(col("c.agent_conn_att")).as("total_agent_conn_attempts"),
         sum(col("c.customer_hold_duration")).as("total_customer_hold_duration"),
         avg(col("c.customer_hold_duration")).as("avg_customer_hold_duration"),
-        countDistinct(col("c.customer_phone")).as("unique_customers"),
+        uniqueCustomers(approxDistinct),
         count(col("c.init_time")).as("total_calls"),
         count(col("c.agent_conn")).as("total_answered_calls"),
         cntIf(epochDiff.between(0, 120)).as("duration_less_2_minutes"),

@@ -135,4 +135,16 @@ class AgentMetricsSpec extends SparkSpec {
     assert(rows(0).getAs[Any]("never_reported") == null)
     assert(rows(1).getAs[Any]("handle_time") == null)
   }
+
+  test("approxDistinct tier: same schema, HLL estimate near exact") {
+    val exact = AgentMetrics.viewAgentMetrics(fCalls, dimUsers, dimQueues,
+      dimLitify)
+    val approx = AgentMetrics.viewAgentMetrics(fCalls, dimUsers, dimQueues,
+      dimLitify, approxDistinct = true)
+    assert(approx.columns.toSeq == exact.columns.toSeq)
+    val e = exact.agg(sum("unique_customers")).head.getLong(0)
+    val a = approx.agg(sum("unique_customers")).head.getLong(0)
+    // small-cardinality fixture: HLL++ is exact-ish; allow 5% slack
+    assert(math.abs(a - e) <= math.max(1L, (e * 0.05).toLong), s"$a vs $e")
+  }
 }
