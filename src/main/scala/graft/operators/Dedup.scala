@@ -109,10 +109,9 @@ object Dedup {
                                 idCol: String,
                                 scoreName: String): (DataFrame, DataFrame) = {
     val keyed = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), col(textCol).as("__txt"),
-        T.fingerprint(col(textCol)).as("__fp"))
-    val withRep = keyed.withColumn("__rep",
-      min(col("id")).over(Window.partitionBy(col("__fp"))))
+      .select(col(idCol).as("id"), col(textCol).as("__txt"))
+    // same canonical representative rule as exact()/curationAudit
+    val withRep = keyed.withColumn("__rep", repId("__txt", "id"))
     val exactPairs = withRep.filter(col("id") =!= col("__rep"))
       .select(col("__rep").as("a"), col("id").as("b"), lit(1.0).as(scoreName))
     (exactPairs,

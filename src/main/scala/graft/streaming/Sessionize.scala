@@ -19,7 +19,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * drops rows older than the watermark before they reach the state
   * function) can extend or bridge it, so emissions are exact
   * gap-sessionization. Fragment count per key is bounded by
-  * watermark-delay / gap; event-time timeout bounds state lifetime. */
+  * watermark-delay / gap; event-time timeout bounds state lifetime.
+  *
+  * NOTE: the state schema is Seq[SessionState] (a fragment LIST); a
+  * checkpoint written by a pre-fragment-list build cannot be restored —
+  * restart such a query from a fresh checkpoint. */
 object Sessionize {
 
   case class Event(key: String, ts: Timestamp)
