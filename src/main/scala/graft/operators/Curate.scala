@@ -80,4 +80,23 @@ object Curate {
              keepLangs: Seq[String], minQuality: Double): DataFrame =
     curationAudit(df, textCol, idCol, keepLangs, minQuality)
       .filter(col("drop_reason").isNull).drop("drop_reason")
+
+  /** Ingest-time curation for a STREAM: the language/quality/null gates
+    * are stateless row filters, and exact-dup removal becomes a
+    * watermark-bounded state-store dedup on the content fingerprint
+    * (first ARRIVAL wins — a stream has no lowest-id retrospect; the
+    * batch [[curate]] over the landed corpus remains the replay-safe
+    * authority, mirroring the reference's D1-then-warehouse-guard
+    * layering). State is one fingerprint per distinct doc inside the
+    * watermark, evicted as event time advances. */
+  def curateStream(df: DataFrame, textCol: String, tsCol: String,
+                   keepLangs: Seq[String], minQuality: Double,
+                   delay: String = "1 hour"): DataFrame =
+    df.filter(col(textCol).isNotNull &&
+        T.langId(col(textCol)).isin(keepLangs.map(lit(_)): _*) &&
+        T.qualityScore(col(textCol)) >= minQuality)
+      .withColumn("__fp", T.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
 }

@@ -82,23 +82,30 @@ object Dedup {
     * [[TextFunctions.portableHash64]], seed minima in the codegen'd
     * SeededMinArrayExpr — bit-identical signatures are computable in plain
     * SQL on any md5-capable engine (this is what the DuckDB oracle checks). */
-  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        numHashes: Int = 64, shingleN: Int = 3,
-                        mode: HashMode = Fast): DataFrame = {
+  /** The MinHash signature as a composable Column (row-local — usable in
+    * any projection, including over streams). */
+  def minhashSignatureCol(text: Column, numHashes: Int = 64,
+                          shingleN: Int = 3, mode: HashMode = Fast): Column = {
     import org.apache.spark.sql.graftglue.GraftGlue
     val (as, bs) = mixConstants(numHashes).unzip
-    val sig = mode match {
+    mode match {
       case Fast =>
         GraftGlue.column(graft.functions.MinHashSignatureExpr(
-          GraftGlue.expression(split(T.normalized(col(textCol)), "\\s+")),
+          GraftGlue.expression(split(T.normalized(text), "\\s+")),
           shingleN, as.toArray, bs.toArray))
       case Portable =>
         GraftGlue.column(graft.functions.PortableMinHashExpr(
-          GraftGlue.expression(split(T.normalized(col(textCol)), "\\s+")),
+          GraftGlue.expression(split(T.normalized(text), "\\s+")),
           shingleN, as.toArray, bs.toArray))
     }
-    df.select(col(idCol), sig.as("minhash"))
   }
+
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 64, shingleN: Int = 3,
+                        mode: HashMode = Fast): DataFrame =
+    df.select(col(idCol),
+      minhashSignatureCol(col(textCol), numHashes, shingleN, mode)
+        .as("minhash"))
 
   /** Exact-dup pre-pass shared by every pair family: split the corpus into
     * (rep, dup) pairs at score 1.0 — linear in cluster size — and the

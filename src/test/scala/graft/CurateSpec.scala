@@ -58,4 +58,29 @@ class CurateSpec extends SparkSpec {
     val kept = out.select("id").as[Long].collect()
     assert(kept.length == 500 && kept.forall(_ % 2 == 0)) // all a, no b
   }
+
+  test("curateStream: stateless gates + watermarked content dedup") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog again", ts(0)),
+      (2L, "der hund und die katze das ist von mit haus", ts(1)),  // lang gate
+      (3L, "the ?!?! ;;;; ,,,, ....", ts(2)))                      // quality gate
+    mem.addData(
+      (4L, "THE  quick  brown fox jumps over the lazy dog again", ts(5)), // dup of 1
+      (5L, "a different sentence about the weather in the north", ts(6)))
+    val out = Curate.curateStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), "text", "ts",
+      keepLangs = Seq("en"), minQuality = 0.3)
+    val q = out.writeStream.format("memory").queryName("curated_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.table("curated_stream")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 5L), ids.toString) // 2,3 gated; 4 deduped vs 1
+  }
 }
