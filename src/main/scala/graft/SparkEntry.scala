@@ -496,6 +496,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
     }),
 
+    "q45_sequence_packing" -> ((s, dir) => {
+      // GPT-style token-stream packing, sharded by source (no global sort):
+      // per (shard, sequence) doc counts and fill levels
+      Curate.packSequences(t(s, dir, "documents"), "text", "doc_id",
+          budget = 512, shardCol = "source")
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("token_count")).as("sum_tokens"),
+          min(col("seq_offset")).as("first_offset"))
+    }),
+
     "q43_curation_audit" -> ((s, dir) => {
       // the standard training-corpus pass: exact-dedup -> language filter
       // -> quality threshold, reported as per-source drop-reason counts
@@ -1137,6 +1148,20 @@ dim_users_litify AS (
     "q42_stratified_sample" -> q42OracleSql,
     "q43_curation_audit" -> q43OracleSql,
     "q40_chunk_overlap" -> q40OracleSql,
+
+    "q45_sequence_packing" ->
+      """WITH toks AS (SELECT doc_id, source,
+           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS token_count
+         FROM documents),
+         packed AS (SELECT source, doc_id, token_count,
+           COALESCE(SUM(token_count) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         FROM toks)
+         SELECT source, CAST(cum // 512 AS BIGINT) AS seq_id,
+           COUNT(1) AS n_docs,
+           CAST(SUM(token_count) AS BIGINT) AS sum_tokens,
+           CAST(MIN(cum % 512) AS BIGINT) AS first_offset
+         FROM packed GROUP BY 1, 2""",
 
     "q44_salted_join" ->
       """SELECT r_name, COUNT(1) AS n,

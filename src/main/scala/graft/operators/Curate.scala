@@ -81,6 +81,28 @@ object Curate {
     curationAudit(df, textCol, idCol, keepLangs, minQuality)
       .filter(col("drop_reason").isNull).drop("drop_reason")
 
+  /** Sequence packing for training batches: documents are laid out as one
+    * concatenated token stream per shard (deterministic `idCol` order)
+    * and cut into fixed-`budget` sequences — `seq_id` is which sequence a
+    * document STARTS in, `seq_offset` its token offset there (GPT-style
+    * packing: a document may straddle a boundary; the loader truncates or
+    * continues, this operator owns the layout). One running-sum window
+    * per shard: shard by a real column (source, date) at scale so no
+    * global sort exists — the window is then one shuffle on the shard
+    * key, never a single-partition sort. */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    budget: Int, shardCol: String): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("token_count", T.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", coalesce(sum(col("token_count")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("__cum") / budget).cast("long"))
+      .withColumn("seq_offset", (col("__cum") % budget).cast("long"))
+      .drop("__cum")
+  }
+
   /** Ingest-time curation for a STREAM: the language/quality/null gates
     * are stateless row filters, and exact-dup removal becomes a
     * watermark-bounded state-store dedup on the content fingerprint

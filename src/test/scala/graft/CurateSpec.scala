@@ -83,4 +83,22 @@ class CurateSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1L, 5L), ids.toString) // 2,3 gated; 4 deduped vs 1
   }
+
+  test("packSequences: contiguous layout, straddling docs, per-shard streams") {
+    // shard A: docs of 3,4,5 tokens with budget 8 ->
+    //   cum: 0,3,7 -> seq 0,0,0; offsets 0,3,7 (doc 3 straddles into seq 1)
+    val df = Seq(
+      (1L, "a b c", "A"), (2L, "d e f g", "A"), (3L, "h i j k l", "A"),
+      (4L, "x y", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Curate.packSequences(df, "text", "doc_id", budget = 8,
+        shardCol = "source")
+      .select("doc_id", "token_count", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((3L, 0L, 0L)))
+    assert(out(2L) == ((4L, 0L, 3L)))
+    assert(out(3L) == ((5L, 0L, 7L)))  // starts in seq 0 at offset 7
+    assert(out(4L) == ((2L, 0L, 0L)))  // shard B has its own stream
+  }
 }
