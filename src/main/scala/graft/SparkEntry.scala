@@ -1151,7 +1151,7 @@ dim_users_litify AS (
 
     "q45_sequence_packing" ->
       """WITH toks AS (SELECT doc_id, source,
-           CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS token_count
+           COALESCE(CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT), 0) AS token_count
          FROM documents),
          packed AS (SELECT source, doc_id, token_count,
            COALESCE(SUM(token_count) OVER (PARTITION BY source ORDER BY doc_id

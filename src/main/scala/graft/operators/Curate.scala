@@ -96,9 +96,14 @@ object Curate {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("token_count", T.tokenCount(col(textCol)).cast("long"))
+    // NULL text contributes zero tokens (legacy size(NULL) = -1 would
+    // corrupt the running sum); exact integer division — the double-going
+    // `/` would go inexact past 2^53 cumulative tokens
+    df.withColumn("token_count",
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(T.tokenCount(col(textCol)).cast("long")))
       .withColumn("__cum", coalesce(sum(col("token_count")).over(w), lit(0L)))
-      .withColumn("seq_id", floor(col("__cum") / budget).cast("long"))
+      .withColumn("seq_id", expr(s"__cum DIV $budget"))
       .withColumn("seq_offset", (col("__cum") % budget).cast("long"))
       .drop("__cum")
   }

@@ -89,7 +89,9 @@ class CurateSpec extends SparkSpec {
     //   cum: 0,3,7 -> seq 0,0,0; offsets 0,3,7 (doc 3 straddles into seq 1)
     val df = Seq(
       (1L, "a b c", "A"), (2L, "d e f g", "A"), (3L, "h i j k l", "A"),
-      (4L, "x y", "B"))
+      (4L, "m n o p", "A"), (5L, null.asInstanceOf[String], "A"),
+      (6L, "q r", "A"),
+      (7L, "x y", "B"))
       .toDF("doc_id", "text", "source")
     val out = Curate.packSequences(df, "text", "doc_id", budget = 8,
         shardCol = "source")
@@ -99,6 +101,9 @@ class CurateSpec extends SparkSpec {
     assert(out(1L) == ((3L, 0L, 0L)))
     assert(out(2L) == ((4L, 0L, 3L)))
     assert(out(3L) == ((5L, 0L, 7L)))  // starts in seq 0 at offset 7
-    assert(out(4L) == ((2L, 0L, 0L)))  // shard B has its own stream
+    assert(out(4L) == ((4L, 1L, 4L)))  // first doc STARTING in seq 1
+    assert(out(5L) == ((0L, 2L, 0L)))  // null text = zero tokens, no shift
+    assert(out(6L) == ((2L, 2L, 0L)))  // unaffected by the null doc
+    assert(out(7L) == ((2L, 0L, 0L)))  // shard B has its own stream
   }
 }
