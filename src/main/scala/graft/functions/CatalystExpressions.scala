@@ -400,13 +400,30 @@ case class PortableMinHashExpr(child: Expression, shingleN: Int,
       newChild: Expression): PortableMinHashExpr = copy(child = newChild)
 }
 
+/** Shared md5-based 60-bit hashing for the portable workers: a thread-local
+  * digest and the "first 15 hex nibbles as a long" extraction
+  * (= big-endian bytes[0..7] >>> 4, exactly TextFunctions.portableHash64
+  * of the hashed string). */
+private[functions] object Md5Hash60 {
+  val md: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  val HEXB: Array[Byte] = "0123456789ABCDEF".getBytes
+
+  /** Extract the 60-bit value from a 16-byte md5 digest. */
+  def first60(dig: Array[Byte]): Long = {
+    var v = 0L
+    var t = 0
+    while (t < 8) { v = (v << 8) | (dig(t) & 0xffL); t += 1 }
+    v >>> 4
+  }
+}
+
 /** Row-local worker for [[PortableMinHashExpr]] — a static call keeps the
   * surrounding projection inside whole-stage codegen. */
 object PortableMinHash {
-  private val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
 
   def signature(arr: ArrayData, shingleN: Int,
                 mixA: Array[Long], mixB: Array[Long]): GenericArrayData = {
@@ -419,7 +436,7 @@ object PortableMinHash {
       if (s != null && s.numBytes() > 0) { toks(m) = s.getBytes; m += 1 }
       i += 1
     }
-    val d = md.get()
+    val d = Md5Hash60.md.get()
     val mins = Array.fill(mixA.length)(Long.MaxValue)
 
     def update(h: Long): Unit = {
@@ -430,8 +447,7 @@ object PortableMinHash {
         j += 1
       }
     }
-    // md5 of the window tokens joined with ' '; first 15 hex nibbles
-    // big-endian == (bytes[0..7] as unsigned BE) >>> 4
+    // md5 of the window tokens joined with ' '
     def hashWindow(s0: Int, len: Int): Long = {
       d.reset()
       var k = 0
@@ -440,11 +456,7 @@ object PortableMinHash {
         d.update(toks(s0 + k))
         k += 1
       }
-      val dig = d.digest()
-      var v = 0L
-      var t = 0
-      while (t < 8) { v = (v << 8) | (dig(t) & 0xffL); t += 1 }
-      v >>> 4
+      Md5Hash60.first60(d.digest())
     }
 
     if (m < shingleN) update(hashWindow(0, m))
@@ -527,11 +539,6 @@ object SignBucket {
   * (higher shifts vanish mod 2^maskBits), so candidates are a window
   * expression and the min-chunk rule is a greedy scan over them. */
 object CdcChunksPortable {
-  private val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-  private val HEXB = "0123456789ABCDEF".getBytes
 
   def chunks(bytes: Array[Byte], minChunk: Int, mask: Long): GenericArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -553,21 +560,17 @@ object CdcChunksPortable {
   }
 
   private def fp(bytes: Array[Byte], off: Int, len: Int): Long = {
-    val d = md.get()
+    val d = Md5Hash60.md.get()
     d.reset()
     val hex = new Array[Byte](len * 2)
     var k = 0
     while (k < len) {
       val b = bytes(off + k) & 0xff
-      hex(2 * k) = HEXB(b >> 4)
-      hex(2 * k + 1) = HEXB(b & 15)
+      hex(2 * k) = Md5Hash60.HEXB(b >> 4)
+      hex(2 * k + 1) = Md5Hash60.HEXB(b & 15)
       k += 1
     }
     d.update(hex)
-    val dig = d.digest()
-    var v = 0L
-    var t = 0
-    while (t < 8) { v = (v << 8) | (dig(t) & 0xffL); t += 1 }
-    v >>> 4
+    Md5Hash60.first60(d.digest())
   }
 }
