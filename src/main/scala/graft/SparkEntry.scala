@@ -496,6 +496,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
     }),
 
+    "q46_exact_quantiles" -> ((s, dir) => {
+      // exact distributed order statistics (rank window + conditional agg,
+      // no collect): the analytics-surface family the reference lacks
+      graft.functions.Stats.exactQuantiles(t(s, dir, "events"),
+        Seq("event_type"), "value", Seq(0.5, 0.95, 0.99))
+    }),
+
     "q45_sequence_packing" -> ((s, dir) => {
       // GPT-style token-stream packing, sharded by source (no global sort):
       // per (shard, sequence) doc counts and fill levels
@@ -1148,6 +1155,17 @@ dim_users_litify AS (
     "q42_stratified_sample" -> q42OracleSql,
     "q43_curation_audit" -> q43OracleSql,
     "q40_chunk_overlap" -> q40OracleSql,
+
+    "q46_exact_quantiles" ->
+      """WITH ranked AS (SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           COUNT(1) OVER (PARTITION BY event_type) AS n
+         FROM events WHERE value IS NOT NULL)
+         SELECT event_type,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN value END) AS p95,
+           MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN value END) AS p99
+         FROM ranked GROUP BY event_type""",
 
     "q45_sequence_packing" ->
       """WITH toks AS (SELECT doc_id, source,

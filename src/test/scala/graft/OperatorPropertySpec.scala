@@ -90,4 +90,17 @@ class OperatorPropertySpec extends SparkSpec {
       assert(nf == np, s"doc $id: fast $nf chunks vs portable $np")
     }
   }
+
+  test("exactQuantiles: known answers, ties safe, nulls skipped") {
+    import graft.functions.Stats
+    val df = ((1 to 10).map(v => ("a", Some(v.toDouble))) ++
+      Seq(("a", None)) ++                      // null skipped entirely
+      Seq(("b", Some(5.0)), ("b", Some(5.0)), ("b", Some(9.0))))
+      .toDF("g", "v")
+    val out = Stats.exactQuantiles(df, Seq("g"), "v", Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(out("a") == ((5.0, 10.0)))  // rank ceil(.5*10)=5, ceil(.95*10)=10
+    assert(out("b") == ((5.0, 9.0)))   // ties at the median rank
+  }
 }
