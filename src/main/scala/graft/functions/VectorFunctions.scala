@@ -3,11 +3,14 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>` embedding columns, built entirely
-  * from codegen'd higher-order functions (`zip_with`/`aggregate`) — no UDFs,
-  * no deserialization to Scala objects (BASELINE.json north_star similarity
+/** Dense-vector math over `array<float>` embedding columns — no UDFs, no
+  * deserialization to Scala objects (BASELINE.json north_star similarity
   * search; embeddings.parquet schema `vec_id, embedding: array<float>, label`).
   *
+  * The `zip_with`/`aggregate` higher-order forms here are the readable
+  * REFERENCE semantics; their lambdas are interpreted per element (NOT
+  * whole-stage-codegen'd), so every hot path has a native codegen twin
+  * ([[cosineFast]], [[signBucketFast]]) kept bit-identical by parity specs.
   * All arithmetic is promoted to double BEFORE accumulation and accumulates
   * left-to-right, so results are bit-identical to any engine that sums the
   * list in order (the DuckDB oracle does).
