@@ -96,53 +96,71 @@ object Similarity {
     localThenGlobalTopK(scored, k)
   }
 
-  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
-    * path next to sign-LSH: a seeded k-means coarse quantizer partitions
-    * the corpus into `nLists` inverted lists (ONE narrow assignment pass,
-    * one shuffle on the list id when persisted); each probe scores only
-    * the `nProbe` nearest lists. At 100 TB the assigned corpus is written
-    * partitioned by list id once and probes read `nProbe` partitions —
-    * recall rises with nProbe, scan cost falls with nLists/nProbe.
-    * Deterministic for a fixed seed and partitioning. */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-              nLists: Int = 64, nProbe: Int = 8, seed: Long = 42L,
-              vecCol: String = "embedding",
-              idCol: String = "vec_id"): DataFrame = {
+  /** A prebuilt IVF (inverted-file) index: the corpus assigned to `nLists`
+    * inverted lists by a seeded k-means coarse quantizer, plus the tiny
+    * centroid table. BUILD ONCE, PROBE MANY: at 100 TB, `assigned` is
+    * written to storage `partitionBy("__list")` once and every probe batch
+    * reads only its `nProbe` list-partitions — the k-means fit and the
+    * corpus assignment pass are amortized across all future queries
+    * instead of re-run per call. */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame,
+                            nLists: Int)
+
+  /** Fit the coarse quantizer and assign the corpus — one narrow
+    * assignment pass; deterministic for a fixed seed. */
+  def ivfBuild(corpus: DataFrame, nLists: Int = 64, seed: Long = 42L,
+               maxIter: Int = 10, vecCol: String = "embedding",
+               idCol: String = "vec_id"): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("__fv", array_to_vector(col("cv")))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__fv").setPredictionCol("__list")
       .fit(c.select("__fv"))
     val assigned = model.transform(c)
       .select(col("neighbor_id"), col("cv"), col("__list"))
-
-    // nProbe nearest centroids per probe: centroid set is tiny (nLists
-    // rows) -> broadcast cross join + rank, never a corpus-wide op
     val centDf = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
       .toSeq.toDF("__list", "__centroid")
+    IvfIndex(assigned, centDf, nLists)
+  }
+
+  /** Probe a prebuilt index: each probe scores only its `nProbe` nearest
+    * lists — recall rises with nProbe, scan cost falls with
+    * nLists/nProbe; nProbe = nLists is exact. */
+  def ivfQuery(index: IvfIndex, probes: DataFrame, k: Int, nProbe: Int = 8,
+               vecCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame = {
+    // nProbe nearest centroids per probe: centroid set is tiny (nLists
+    // rows) -> broadcast cross join + rank, never a corpus-wide op
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
     val wc = Window.partitionBy("probe_id")
       .orderBy(col("__l2").asc, col("__list"))
-    val probeLists = p.crossJoin(broadcast(centDf))
+    val probeLists = p.crossJoin(broadcast(index.centroids))
       .withColumn("__l2", V.l2sq(col("pv"), col("__centroid")))
       .withColumn("__pr", row_number().over(wc))
       .filter(col("__pr") <= nProbe)
       .select("probe_id", "pv", "__list")
-
     // each neighbor lives in exactly one list, so a (probe, neighbor) pair
     // can match at most once — no dedup needed before ranking
-    val scored = assigned.join(broadcast(probeLists), Seq("__list"))
+    val scored = index.assigned.join(broadcast(probeLists), Seq("__list"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
         V.cosineFast(col("pv"), col("cv")).as("cos"))
     localThenGlobalTopK(scored, k)
   }
+
+  /** Convenience one-shot: build + query (the q38 shape). Prefer
+    * [[ivfBuild]]/[[ivfQuery]] when serving repeated probe batches. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nLists: Int = 64, nProbe: Int = 8, seed: Long = 42L,
+              vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame =
+    ivfQuery(ivfBuild(corpus, nLists, seed, vecCol = vecCol, idCol = idCol),
+      probes, k, nProbe, vecCol, idCol)
 
   /** LSH-bucketed approximate top-k: candidates are corpus vectors whose
     * sign-bucket is within Hamming distance <= `multiprobe` of the probe's

@@ -235,4 +235,26 @@ class DedupSimilaritySpec extends SparkSpec {
       .getAs[scala.collection.Seq[Float]]("features").toSeq
     assert(f1 == again)
   }
+
+  test("IVF index: build once, serve many probe batches identically") {
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.ivfBuild(vecs, nLists = 8, vecCol = "embedding",
+      idCol = "vec_id")
+    def viaIndex(lo: Long, hi: Long) =
+      Similarity.ivfQuery(idx, vecs.filter(col("vec_id").between(lo, hi)),
+          k = 3, nProbe = 8)
+        .select("probe_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    def oneShot(lo: Long, hi: Long) =
+      Similarity.ivfTopK(vecs, vecs.filter(col("vec_id").between(lo, hi)),
+          k = 3, nLists = 8, nProbe = 8)
+        .select("probe_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    // two different probe batches served from ONE build match the
+    // build-per-call results exactly
+    assert(viaIndex(0, 3) == oneShot(0, 3))
+    assert(viaIndex(10, 13) == oneShot(10, 13))
+  }
 }
