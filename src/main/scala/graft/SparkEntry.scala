@@ -496,6 +496,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
     }),
 
+    "q47_decontamination" -> ((s, dir) => {
+      // test-set decontamination: every 20th doc stands in for a benchmark
+      // suite; corpus rows matching it exactly or near (sig agreement
+      // >= 0.8) are flagged, corpus never shuffled (broadcast reference)
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationFlags(docs, docs.filter(col("doc_id") % 20 === 0),
+          "text", "doc_id", numHashes = 32, bands = 8, threshold = 0.8,
+          shingleN = 3, mode = Dedup.Portable)
+        .groupBy(col("exact_contaminated"), col("near_contaminated"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "q46_exact_quantiles" -> ((s, dir) => {
       // exact distributed order statistics (rank window + conditional agg,
       // no collect): the analytics-surface family the reference lacks
@@ -759,6 +771,44 @@ dim_users_litify AS (
        |  UNION ALL SELECT a, b, est FROM exact_pairs)
        |SELECT CAST(FLOOR(est * 10) AS BIGINT) AS jac_bucket, COUNT(1) AS n_pairs
        |FROM pairs GROUP BY 1""".stripMargin
+  }
+
+  private def q47OracleSql: String = {
+    val mix = Dedup.mixConstants(32)
+    val sigList = (0 until 32).map { j =>
+      val (a, b) = mix(j)
+      s"list_min(list_transform(hs, h -> ${duckMix("h", a, b)}))"
+    }.mkString("[", ", ", "]")
+    val bkey = "md5(array_to_string(list_transform(" +
+      "sig[b.band*4+1 : b.band*4+4], v -> CAST(v AS VARCHAR)), ','))"
+    s"""WITH base AS (SELECT doc_id, text,
+       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm
+       |  FROM documents WHERE text IS NOT NULL),
+       |toks AS (SELECT doc_id, md5(nrm) AS fp,
+       |    list_filter(string_split(nrm, ' '), x -> x <> '') AS t FROM base),
+       |sh AS (SELECT doc_id, fp, ${duckShingles("t", 3)} AS s FROM toks),
+       |hs AS (SELECT doc_id, fp, list_transform(s, x -> ${duckHash("x")}) AS hs FROM sh),
+       |sig AS (SELECT doc_id, fp, $sigList AS sig FROM hs),
+       |ref AS (SELECT * FROM sig WHERE doc_id % 20 = 0),
+       |banded AS (SELECT doc_id, sig, b.band, $bkey AS bkey
+       |  FROM sig, (SELECT unnest(range(8)) AS band) b),
+       |rbanded AS (SELECT doc_id AS rid, sig AS rsig, b.band,
+       |    md5(array_to_string(list_transform(
+       |      rsig[b.band*4+1 : b.band*4+4], v -> CAST(v AS VARCHAR)), ',')) AS rbkey
+       |  FROM (SELECT doc_id, sig AS rsig FROM ref) r,
+       |    (SELECT unnest(range(8)) AS band) b),
+       |near AS (SELECT DISTINCT c.doc_id
+       |  FROM banded c JOIN rbanded r ON c.band = r.band AND c.bkey = r.rbkey
+       |  WHERE CAST(list_sum(list_transform(list_zip(c.sig, r.rsig),
+       |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 >= 0.8),
+       |exact AS (SELECT DISTINCT s.doc_id FROM sig s
+       |  WHERE s.fp IN (SELECT fp FROM ref)),
+       |flags AS (SELECT d.doc_id,
+       |    d.doc_id IN (SELECT doc_id FROM exact) AS exact_contaminated,
+       |    d.doc_id IN (SELECT doc_id FROM near) AS near_contaminated
+       |  FROM documents d)
+       |SELECT exact_contaminated, near_contaminated, COUNT(1) AS n
+       |FROM flags GROUP BY 1, 2""".stripMargin
   }
 
   /** Mirror of Multimodal.StubCodec.featurize: per-residue-class polynomial
@@ -1153,6 +1203,7 @@ dim_users_litify AS (
     "q37_simhash_pairs" -> q37OracleSql,
     "q34_multimodal_features" -> q34OracleSql,
     "q42_stratified_sample" -> q42OracleSql,
+    "q47_decontamination" -> q47OracleSql,
     "q43_curation_audit" -> q43OracleSql,
     "q40_chunk_overlap" -> q40OracleSql,
 

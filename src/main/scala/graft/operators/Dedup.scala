@@ -336,6 +336,63 @@ object Dedup {
     exactPairs.unionByName(nearPairs)
   }
 
+  /** Test-set DECONTAMINATION: flag corpus rows whose content matches a
+    * REFERENCE set (benchmark/eval data) exactly or near (MinHash band
+    * candidacy verified by signature agreement >= `threshold`) — the
+    * standard pre-training step that within-corpus dedup does not cover.
+    *
+    * Scale shape: the reference side is small (benchmark suites), so both
+    * probes are BROADCAST joins — the corpus is never shuffled and the
+    * whole pass is scan-bound; reference fingerprints/signatures are
+    * computed once on a few thousand rows. Output: the corpus plus
+    * `exact_contaminated` / `near_contaminated` booleans (filter on them
+    * to drop; keep them to audit). */
+  def contaminationFlags(corpus: DataFrame, reference: DataFrame,
+                         textCol: String, idCol: String,
+                         numHashes: Int = 32, bands: Int = 8,
+                         threshold: Double = 0.8, shingleN: Int = 3,
+                         mode: HashMode = Fast): DataFrame = {
+    val r = numHashes / bands
+    val bandKey: Column => Column = mode match {
+      case Fast     => sl => hash(sl)
+      case Portable => sl => md5(concat_ws(",", transform(sl, _.cast("string"))))
+    }
+    def banded(sigCol: Column): Column =
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => bandKey(slice(sigCol, b * r + 1, lit(r))))
+
+    val refFp = reference.filter(col(textCol).isNotNull)
+      .select(T.fingerprint(col(textCol)).as("__rfp")).distinct()
+    val refSig = reference.filter(col(textCol).isNotNull)
+      .select(minhashSignatureCol(col(textCol), numHashes, shingleN, mode)
+        .as("__rsig"))
+      .select(col("__rsig"), explode(banded(col("__rsig"))).as("__rband"))
+
+    val withSig = corpus.withColumn("__fp", T.fingerprint(col(textCol)))
+      .withColumn("__sig",
+        minhashSignatureCol(col(textCol), numHashes, shingleN, mode))
+    val exact = withSig.join(broadcast(refFp),
+        col("__fp") === col("__rfp"), "left_semi")
+      .select(col(idCol).as("__xid")).distinct()
+    // band candidacy -> signature-agreement verify, still broadcast-side
+    val near = withSig
+      .select(col(idCol).as("__nid"), col("__sig"),
+        explode(banded(col("__sig"))).as("__band"))
+      .join(broadcast(refSig), col("__band") === col("__rband"))
+      .filter(size(filter(zip_with(col("__sig"), col("__rsig"),
+        (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+        .cast("double") / numHashes >= threshold)
+      .select(col("__nid")).distinct()
+
+    corpus.join(exact.withColumn("__e", lit(true)),
+        col(idCol) === col("__xid"), "left")
+      .join(near.withColumn("__n", lit(true)),
+        col(idCol) === col("__nid"), "left")
+      .withColumn("exact_contaminated", coalesce(col("__e"), lit(false)))
+      .withColumn("near_contaminated", coalesce(col("__n"), lit(false)))
+      .drop("__xid", "__e", "__nid", "__n")
+  }
+
   /** Bucket-population audit for the capped LSH families: per-bucket member
     * counts and how many members the `maxBucket` cap would drop. Run this
     * (cheap: one aggregation) to observe what the caps cost on a corpus. */

@@ -257,4 +257,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaIndex(0, 3) == oneShot(0, 3))
     assert(viaIndex(10, 13) == oneShot(10, 13))
   }
+
+  test("decontamination: exact and near reference matches flagged, corpus intact") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "THE quick  brown fox jumps over the lazy dog today"), // exact (normalized) copy of ref
+      (3L, "the quick brown fox jumps over the lazy cat today"),  // near ref
+      (4L, "completely unrelated content about something else entirely"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val reference = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val flags = Dedup.contaminationFlags(corpus, reference, "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.6, shingleN = 1)
+      .select("doc_id", "exact_contaminated", "near_contaminated")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(flags(1L) == ((true, true)))
+    assert(flags(2L) == ((true, true)))   // normalization catches case/space
+    assert(flags(3L) == ((false, true)))  // near only
+    assert(flags(4L) == ((false, false)))
+    assert(flags(5L) == ((false, false))) // null text never matches
+    assert(flags.size == 5)               // corpus rows all preserved
+  }
 }
