@@ -148,6 +148,35 @@ class MergeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $name")
   }
 
+  test("scd1Bucketed: recovers from both interrupted-swap crash states") {
+    val name = "bmerge_crash"
+    val tmp = name + "__merge_tmp"
+    def cleanup(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    }
+    cleanup()
+    // crash AFTER DROP, before RENAME: only tmp exists and holds the
+    // committed merge -> next run must adopt it, not rebuild from staging
+    Merge.scd1Bucketed(tmp, target, Seq("id"), "lastmodifieddate", 4)
+    Merge.scd1Bucketed(name, tbl(("d", "2024-01-15", "d-new")),
+      Seq("id"), "lastmodifieddate", 4)
+    assert(asMap(spark.table(name)) == Map(
+      "a" -> ("2024-01-10", "a-old"), "b" -> ("2024-01-10", "b-old"),
+      "c" -> ("2024-01-10", "c-old"), "d" -> ("2024-01-15", "d-new")))
+    // crash BEFORE DROP: both exist; tmp never committed -> discarded,
+    // target intact, the new merge applies on the real target
+    spark.table(name).limit(1)
+      .write.bucketBy(4, "id").sortBy("id").mode("overwrite")
+      .format("parquet").saveAsTable(tmp) // stale leftover tmp
+    Merge.scd1Bucketed(name, tbl(("a", "2024-01-20", "a-new")),
+      Seq("id"), "lastmodifieddate", 4)
+    val out = asMap(spark.table(name))
+    assert(out("a") == (("2024-01-20", "a-new")) && out.size == 4)
+    assert(!spark.catalog.tableExists(tmp))
+    cleanup()
+  }
+
   test("conditional: update only when the tracked column changed (M3/J5)") {
     val goalsTarget = Seq(("e1", "2024-W1", 10), ("e2", "2024-W1", 20))
       .toDF("email", "week", "goal")
