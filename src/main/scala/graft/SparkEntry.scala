@@ -496,6 +496,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
     }),
 
+    "q48_dedup_clusters" -> ((s, dir) => {
+      // transitive near-dup clustering: A~B, B~C => one cluster {A,B,C}
+      // (iterative min-label propagation; the oracle is a recursive CTE)
+      val pairs = Dedup.minhashPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", numHashes = 32, bands = 8,
+        threshold = 0.3, shingleN = 1, mode = Dedup.Portable)
+      Dedup.clusters(pairs)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    }),
+
     "q47_decontamination" -> ((s, dir) => {
       // test-set decontamination: every 20th doc stands in for a benchmark
       // suite; corpus rows matching it exactly or near (sig agreement
@@ -739,13 +750,15 @@ dim_users_litify AS (
        |SELECT CAST(hamming AS BIGINT) AS hamming, COUNT(1) AS n_pairs
        |FROM pairs WHERE hamming <= 3 GROUP BY 1""".stripMargin
 
-  private def q26OracleSql: String = {
+  /** The q26 MinHash-pair pipeline as a reusable CTE chain (ends in
+    * `pairs(a, b, est)`), shared with the q48 clustering oracle. */
+  private def q26PairCtes: String = {
     val mix = Dedup.mixConstants(32)
     val sigList = (0 until 32).map { j =>
       val (a, b) = mix(j)
       s"list_min(list_transform(hs, h -> ${duckMix("h", a, b)}))"
     }.mkString("[", ", ", "]")
-    s"""WITH docs AS (SELECT doc_id AS id, text FROM documents
+    s"""docs AS (SELECT doc_id AS id, text FROM documents
        |  WHERE doc_id % 10 = 0 AND text IS NOT NULL),
        |norm AS (SELECT id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm FROM docs),
        |base AS (SELECT id, nrm, MIN(id) OVER (PARTITION BY md5(nrm)) AS rep FROM norm),
@@ -768,10 +781,26 @@ dim_users_litify AS (
        |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est
        |  FROM cand c JOIN sig sa ON sa.id = c.a JOIN sig sb ON sb.id = c.b),
        |pairs AS (SELECT a, b, est FROM est0 WHERE est >= 0.3
-       |  UNION ALL SELECT a, b, est FROM exact_pairs)
+       |  UNION ALL SELECT a, b, est FROM exact_pairs)""".stripMargin
+  }
+
+  private def q26OracleSql: String =
+    s"""WITH $q26PairCtes
        |SELECT CAST(FLOOR(est * 10) AS BIGINT) AS jac_bucket, COUNT(1) AS n_pairs
        |FROM pairs GROUP BY 1""".stripMargin
-  }
+
+  /** Transitive closure of the pair graph via a recursive CTE: cluster =
+    * min reachable id, mirroring Dedup.clusters' label propagation. */
+  private def q48OracleSql: String =
+    s"""WITH RECURSIVE $q26PairCtes,
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT a AS id, a AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+       |SELECT cluster, COUNT(1) AS n_members
+       |FROM (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+       |GROUP BY 1""".stripMargin
 
   private def q47OracleSql: String = {
     val mix = Dedup.mixConstants(32)
@@ -1204,6 +1233,7 @@ dim_users_litify AS (
     "q34_multimodal_features" -> q34OracleSql,
     "q42_stratified_sample" -> q42OracleSql,
     "q47_decontamination" -> q47OracleSql,
+    "q48_dedup_clusters" -> q48OracleSql,
     "q43_curation_audit" -> q43OracleSql,
     "q40_chunk_overlap" -> q40OracleSql,
 

@@ -393,6 +393,42 @@ object Dedup {
       .drop("__xid", "__e", "__nid", "__n")
   }
 
+  /** Connected components over a near-dup pair graph: every node gets
+    * `cluster = `the minimum id reachable through pairs — the transitive
+    * closure semantics real dedup needs (A~B and B~C means keep ONE of
+    * {A,B,C}, though A and C never paired directly). Iterative min-label
+    * propagation: each round joins labels across edges and keeps the
+    * minimum, converging in O(graph diameter) rounds — near-dup clusters
+    * are hub-shaped (members pair with a representative), so a handful of
+    * rounds suffices; `maxIter` caps adversarial chains and convergence
+    * is checked per round (one count action). Lineage is cut with an
+    * eager localCheckpoint per round so the plan does not grow
+    * exponentially — the standard Spark iterative-algorithm discipline.
+    * Output: (id, cluster) for every id appearing in `pairs`. */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, edges("b") === labels("id"))
+        .select(edges("a").as("id"), col("cluster"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Bucket-population audit for the capped LSH families: per-bucket member
     * counts and how many members the `maxBucket` cap would drop. Run this
     * (cheap: one aggregation) to observe what the caps cost on a corpus. */

@@ -281,4 +281,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(flags(5L) == ((false, false))) // null text never matches
     assert(flags.size == 5)               // corpus rows all preserved
   }
+
+  test("clusters: transitive chains and stars collapse to min-id components") {
+    // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L))
+      .toDF("a", "b").withColumn("est", lit(1.0))
+    val out = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 4L).forall(out(_) == 1L))     // chain: transitive closure
+    assert((10L to 13L).forall(out(_) == 10L))  // star
+    assert(out(20L) == 20L && out(21L) == 20L)
+    assert(out.size == 10)
+  }
 }
