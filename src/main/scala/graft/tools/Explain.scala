@@ -15,7 +15,7 @@ object Explain {
     "q32_embedding_neardup", "q35_view_agent_metrics_v1",
     "q36_view_agent_metrics_v2", "q38_ann_ivf", "q40_chunk_overlap", "q42_stratified_sample",
     "q43_curation_audit", "q44_salted_join", "q45_sequence_packing",
-    "q46_exact_quantiles")
+    "q46_exact_quantiles", "q47_decontamination", "q48_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
