@@ -821,9 +821,9 @@ dim_users_litify AS (
        |ref AS (SELECT * FROM sig WHERE doc_id % 20 = 0),
        |banded AS (SELECT doc_id, sig, b.band, $bkey AS bkey
        |  FROM sig, (SELECT unnest(range(8)) AS band) b),
-       |rbanded AS (SELECT doc_id AS rid, sig AS rsig, b.band,
+       |rbanded AS (SELECT r.doc_id AS rid, r.rsig, b.band,
        |    md5(array_to_string(list_transform(
-       |      rsig[b.band*4+1 : b.band*4+4], v -> CAST(v AS VARCHAR)), ',')) AS rbkey
+       |      r.rsig[b.band*4+1 : b.band*4+4], v -> CAST(v AS VARCHAR)), ',')) AS rbkey
        |  FROM (SELECT doc_id, sig AS rsig FROM ref) r,
        |    (SELECT unnest(range(8)) AS band) b),
        |near AS (SELECT DISTINCT c.doc_id

@@ -18,15 +18,21 @@ object Stats {
                      ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantiles must be in (0,1]: $ps")
+    val labels = ps.map(p => s"p${math.round(p * 100)}")
+    require(labels.distinct.size == labels.size,
+      s"quantile labels collide (sub-percent resolution): $ps -> $labels")
     val grp = groupCols.map(col)
-    val rn = row_number().over(
-      Window.partitionBy(grp: _*).orderBy(col(valueCol)))
+    // LONG rank via a running count — row_number() is Int and would wrap
+    // past 2^31 rows per group, silently corrupting the match
+    val rn = count(lit(1)).over(
+      Window.partitionBy(grp: _*).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val n = count(lit(1)).over(Window.partitionBy(grp: _*))
     val ranked = df.filter(col(valueCol).isNotNull)
       .withColumn("__rn", rn).withColumn("__n", n)
-    val aggs = ps.map { p =>
+    val aggs = ps.zip(labels).map { case (p, label) =>
       max(when(col("__rn") === ceil(lit(p) * col("__n")), col(valueCol)))
-        .as(s"p${math.round(p * 100)}")
+        .as(label)
     }
     ranked.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
   }

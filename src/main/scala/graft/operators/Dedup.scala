@@ -107,6 +107,22 @@ object Dedup {
       minhashSignatureCol(col(textCol), numHashes, shingleN, mode)
         .as("minhash"))
 
+  /** LSH band keys of a signature column, ONE definition shared by every
+    * banding site (batch pairs, decontamination, streaming near-dup) so
+    * oracle parity cannot silently diverge: murmur for [[Fast]] (narrowest
+    * shuffle key), md5 over the comma-joined slice for [[Portable]]
+    * (reproducible in oracle SQL). Returns an array of `bands` keys. */
+  private[graft] def bandKeysCol(sig: Column, numHashes: Int, bands: Int,
+                                 mode: HashMode): Column = {
+    val r = numHashes / bands
+    val key: Column => Column = mode match {
+      case Fast     => sl => hash(sl)
+      case Portable => sl => md5(concat_ws(",", transform(sl, _.cast("string"))))
+    }
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => key(slice(sig, b * r + 1, lit(r))))
+  }
+
   /** Exact-dup pre-pass shared by every pair family: split the corpus into
     * (rep, dup) pairs at score 1.0 — linear in cluster size — and the
     * representative set the LSH/df machinery runs on. NULL text rows are
@@ -155,18 +171,10 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7, shingleN: Int = 3,
                    maxBucket: Int = 256, mode: HashMode = Fast): DataFrame = {
-    val r = numHashes / bands
     val (exactPairs, reps) = collapseExactDups(df, textCol, idCol, "est_jaccard")
     val sigs = minhashSignatures(reps, "__txt", "id", numHashes, shingleN, mode)
-    // band bucket key: murmur for Fast (narrowest shuffle key); md5 over the
-    // comma-joined slice for Portable (reproducible in oracle SQL)
-    val bandKey: Column => Column = mode match {
-      case Fast     => sl => hash(sl)
-      case Portable => sl => md5(concat_ws(",", transform(sl, _.cast("string"))))
-    }
     val banded = sigs.select(col("id"), col("minhash"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => bandKey(slice(col("minhash"), b * r + 1, lit(r))))))
+      posexplode(bandKeysCol(col("minhash"), numHashes, bands, mode)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bandhash"))
     val capped = banded.withColumn("__bn", row_number().over(
         Window.partitionBy(col("band"), col("bandhash")).orderBy(col("id"))))
@@ -352,14 +360,8 @@ object Dedup {
                          numHashes: Int = 32, bands: Int = 8,
                          threshold: Double = 0.8, shingleN: Int = 3,
                          mode: HashMode = Fast): DataFrame = {
-    val r = numHashes / bands
-    val bandKey: Column => Column = mode match {
-      case Fast     => sl => hash(sl)
-      case Portable => sl => md5(concat_ws(",", transform(sl, _.cast("string"))))
-    }
     def banded(sigCol: Column): Column =
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => bandKey(slice(sigCol, b * r + 1, lit(r))))
+      bandKeysCol(sigCol, numHashes, bands, mode)
 
     val refFp = reference.filter(col(textCol).isNotNull)
       .select(T.fingerprint(col(textCol)).as("__rfp")).distinct()
@@ -384,9 +386,12 @@ object Dedup {
         .cast("double") / numHashes >= threshold)
       .select(col("__nid")).distinct()
 
-    corpus.join(exact.withColumn("__e", lit(true)),
+    // the flag sets are bounded by (and in practice far smaller than) the
+    // reference's match surface — broadcast them so the corpus side of
+    // these joins never shuffles, honoring the operator's scale contract
+    corpus.join(broadcast(exact.withColumn("__e", lit(true))),
         col(idCol) === col("__xid"), "left")
-      .join(near.withColumn("__n", lit(true)),
+      .join(broadcast(near.withColumn("__n", lit(true))),
         col(idCol) === col("__nid"), "left")
       .withColumn("exact_contaminated", coalesce(col("__e"), lit(false)))
       .withColumn("near_contaminated", coalesce(col("__n"), lit(false)))
@@ -426,6 +431,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    // a silent non-converged return would split components (and read as a
+    // hash mismatch at the oracle) — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIter rounds; " +
+        "the pair graph has a min-id eccentricity beyond maxIter — raise it")
     labels
   }
 

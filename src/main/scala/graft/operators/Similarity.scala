@@ -120,8 +120,13 @@ object Similarity {
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__fv").setPredictionCol("__list")
       .fit(c.select("__fv"))
+    // persist: without it every ivfQuery would lazily re-run the corpus
+    // scan + assignment, and "probe many" would amortize nothing. The
+    // caller owns the lifetime (unpersist, or write out partitioned by
+    // __list for cross-job reuse).
     val assigned = model.transform(c)
       .select(col("neighbor_id"), col("cv"), col("__list"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centDf = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
       .toSeq.toDF("__list", "__centroid")

@@ -77,23 +77,27 @@ object StreamingNearDup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
     import spark.implicits._
-    val r = numHashes / bands
-    val signed = docs.select(col(idCol).cast("long").as("id"),
+    // null text is a duplicate of nothing (same guard as the batch pair
+    // family) — and a null signature would otherwise band to md5("") and
+    // collide every null-text doc into one bucket
+    val signed = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
         col(tsCol).as("__ts"),
         Dedup.minhashSignatureCol(col(textCol), numHashes, shingleN, mode)
           .as("minhash"))
       .withWatermark("__ts", delay)
     val banded = signed.select(col("id"), col("minhash"), col("__ts"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          md5(concat_ws(",", transform(
-            slice(col("minhash"), b * r + 1, lit(r)), _.cast("string")))))))
+        posexplode(Dedup.bandKeysCol(col("minhash"), numHashes, bands, mode)))
       .select(col("id"),
-        concat(col("pos").cast("string"), lit(":"), col("col")).as("bandKey"),
+        concat(col("pos").cast("string"), lit(":"),
+          col("col").cast("string")).as("bandKey"),
         col("minhash"), col("__ts").as("ts"))
       .as[Banded]
     val delayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String
         .fromString(delay))
+    require(delayMs.months == 0,
+      s"calendar-month delays are ambiguous: $delay")
     val dms = delayMs.days * 86400000L + delayMs.microseconds / 1000L
     banded.groupByKey(_.bandKey)
       .flatMapGroupsWithState(OutputMode.Append,

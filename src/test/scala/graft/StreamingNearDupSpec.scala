@@ -20,6 +20,8 @@ class StreamingNearDupSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String, Timestamp)]
     mem.addData(
       (1L, "the quick brown fox jumps over the lazy dog in the field", ts(0)),
+      (8L, null.asInstanceOf[String], ts(0)),   // null text: dup of nothing
+      (9L, null.asInstanceOf[String], ts(1)),   // two nulls must NOT pair/NPE
       (5L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo", ts(1)))
     mem.addData( // near dup of doc 1, later batch, inside the horizon
       (2L, "the quick brown fox jumps over the lazy dog in the barn", ts(10)))
@@ -33,6 +35,7 @@ class StreamingNearDupSpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)), pairs.toString)
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    assert(!pairs.exists(p => p._1 >= 8L || p._2 >= 8L)) // nulls never pair
     // estimates agree with the batch operator's signature agreement
     val batch = Dedup.minhashPairs(
       Seq((1L, "the quick brown fox jumps over the lazy dog in the field"),
