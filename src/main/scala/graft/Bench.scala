@@ -25,7 +25,16 @@ object Bench {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name-prefix filter for single-query iteration
+    // (e.g. SPARK_GRAFT_BENCH_FILTER=q43,q22); unset = the full suite
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = filter match {
+      case Some(prefixes) => SparkEntry.queries.filter { case (n, _) =>
+        prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val outcome =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }

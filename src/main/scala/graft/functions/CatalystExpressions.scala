@@ -530,6 +530,168 @@ object SignBucket {
   }
 }
 
+/** Heuristic language-ID over raw text in ONE codegen pass. Bit-identical
+  * to the HOF reference form ([[TextFunctions.langIdHof]]): tokens are
+  * maximal runs of non-`\s` bytes (multibyte UTF-8 units are never ASCII
+  * whitespace, so the byte scan equals the `split("\\s+")` + non-empty
+  * filter), each language's score is its exact-match marker-hit count, and
+  * the winner is the first language in [[TextFunctions.langMarkers]] order
+  * with the maximal positive score. All-zero scores -> "und". NULL text ->
+  * NULL (callers coalesce to "und", matching the HOF chain's fall-through).
+  * Replaces a plan that re-evaluated ~40 `split(text)` HOF lambdas per row
+  * (round-3 verdict: q43 at 30 s) with one scan. */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_id"
+
+  override def nullSafeEval(input: Any): Any =
+    TextScore.langId(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextScore.langId($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LangIdExpr = copy(child = newChild)
+}
+
+/** Unrounded composite quality score in one codegen pass — the argument of
+  * [[TextFunctions.qualityScore]]'s final `round(_, 4)` (the round stays a
+  * Column op so its BigDecimal HALF_UP semantics are Spark's own).
+  * Bit-identical to the HOF form: same token/stopword counts as
+  * [[LangIdExpr]], alpha ratio = ASCII-letter chars / code points, and the
+  * identical double-op order `min(tc/100,1)*0.4 + alpha*0.4 +
+  * min(swr*5,1)*0.2`. NULL text -> NULL (the HOF form also yields NULL:
+  * its alphaRatio term is NULL-propagating). */
+case class QualityRawExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quality_raw"
+
+  override def nullSafeEval(input: Any): Any =
+    TextScore.qualityRaw(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextScore.qualityRaw($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QualityRawExpr = copy(child = newChild)
+}
+
+/** Row-local worker for [[LangIdExpr]] / [[QualityRawExpr]] — static calls
+  * keep the surrounding projection inside whole-stage codegen. Marker
+  * tables derive from [[TextFunctions.langMarkers]] (single source of
+  * truth with the HOF forms and the DuckDB oracle SQL). */
+object TextScore {
+
+  private val langs: Array[org.apache.spark.unsafe.types.UTF8String] =
+    TextFunctions.langMarkers.map(m =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(m._1)).toArray
+  private val markers: Array[Array[Array[Byte]]] =
+    TextFunctions.langMarkers.map(_._2.map(
+      _.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray).toArray
+  private val enMarkers: Array[Array[Byte]] = markers(0)
+  private val und = org.apache.spark.unsafe.types.UTF8String.fromString("und")
+
+  // Java regex \s = [ \t\n\x0B\f\r] (ASCII-only without UNICODE flags)
+  private def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  private def tokenEq(bytes: Array[Byte], start: Int, len: Int,
+                      w: Array[Byte]): Boolean = {
+    if (w.length != len) return false
+    var k = 0
+    while (k < len) {
+      if (bytes(start + k) != w(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  def langId(s: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val scores = new Array[Int](markers.length)
+    var i = 0
+    while (i < n) {
+      if (isWs(bytes(i))) i += 1
+      else {
+        var j = i + 1
+        while (j < n && !isWs(bytes(j))) j += 1
+        val len = j - i
+        var l = 0
+        while (l < markers.length) {
+          val ws = markers(l)
+          var w = 0
+          var hit = false
+          while (w < ws.length && !hit) {
+            if (tokenEq(bytes, i, len, ws(w))) hit = true
+            w += 1
+          }
+          if (hit) scores(l) += 1
+          l += 1
+        }
+        i = j
+      }
+    }
+    var best = 0
+    var l = 0
+    while (l < scores.length) {
+      if (scores(l) > best) best = scores(l)
+      l += 1
+    }
+    if (best == 0) return und
+    l = 0
+    while (l < scores.length) {
+      if (scores(l) == best) return langs(l)
+      l += 1
+    }
+    und
+  }
+
+  def qualityRaw(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var cp = 0     // code points (= Spark length())
+    var alpha = 0  // ASCII letters
+    var tc = 0     // tokens
+    var stop = 0   // en-marker tokens
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b & 0xc0) != 0x80) cp += 1 // not a UTF-8 continuation byte
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) alpha += 1
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      if (isWs(bytes(i))) i += 1
+      else {
+        var j = i + 1
+        while (j < n && !isWs(bytes(j))) j += 1
+        tc += 1
+        val len = j - i
+        var w = 0
+        while (w < enMarkers.length) {
+          if (tokenEq(bytes, i, len, enMarkers(w))) {
+            stop += 1
+            w = enMarkers.length
+          } else w += 1
+        }
+        i = j
+      }
+    }
+    val alphaRatio = if (cp == 0) 0.0 else alpha.toDouble / cp.toDouble
+    val swr = if (tc == 0) 0.0 else stop.toDouble / tc.toDouble
+    math.min(tc.toDouble / 100.0, 1.0) * 0.4 + alphaRatio * 0.4 +
+      math.min(swr * 5.0, 1.0) * 0.2
+  }
+}
+
 /** Portable-fingerprint worker for [[CdcChunksExpr]]: identical chunk
   * BOUNDARIES (the rolling (h<<1)+b mask test), but each chunk is
   * fingerprinted as the first 60 bits of md5 over the UPPERCASE HEX

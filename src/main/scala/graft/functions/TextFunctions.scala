@@ -48,8 +48,19 @@ object TextFunctions {
   )
 
   /** Heuristic language ID: argmax of stopword hits, ties broken by the
-    * declaration order above; all-zero scores -> "und". */
+    * declaration order above; all-zero scores -> "und"; NULL text -> "und"
+    * (the HOF chain's fall-through). One codegen pass ([[LangIdExpr]]) —
+    * the naive when-chain form re-evaluates every score per branch, ~40
+    * `split(text)` lambdas per row (kept as [[langIdHof]] for the parity
+    * spec; the DuckDB oracle mirrors that reference form). */
   def langId(c: Column): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    coalesce(GraftGlue.column(LangIdExpr(GraftGlue.expression(c))), lit("und"))
+  }
+
+  /** HOF reference form of [[langId]] — bit-parity pinned in
+    * CatalystExprSpec; not for hot paths. */
+  private[graft] def langIdHof(c: Column): Column = {
     val scores = langMarkers.map { case (lang, words) =>
       lang -> tokenSetCount(c, words)
     }
@@ -81,8 +92,17 @@ object TextFunctions {
   }
 
   /** Composite quality score in [0,1]: length saturation + alpha density +
-    * stopword density, weighted 0.4/0.4/0.2, rounded to 4 decimals. */
-  def qualityScore(c: Column): Column =
+    * stopword density, weighted 0.4/0.4/0.2, rounded to 4 decimals. One
+    * codegen pass ([[QualityRawExpr]]) + Spark's own `round`; the HOF
+    * reference form is kept as [[qualityScoreHof]] for the parity spec. */
+  def qualityScore(c: Column): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    round(GraftGlue.column(QualityRawExpr(GraftGlue.expression(c))), 4)
+  }
+
+  /** HOF reference form of [[qualityScore]] — bit-parity pinned in
+    * CatalystExprSpec; not for hot paths. */
+  private[graft] def qualityScoreHof(c: Column): Column =
     round(
       least(tokenCount(c).cast("double") / 100.0, lit(1.0)) * 0.4 +
         alphaRatio(c) * 0.4 +

@@ -94,6 +94,57 @@ class CatalystExprSpec extends SparkSpec {
     rows.foreach { case (f, r) => assert(f == r) }
   }
 
+  private val texts = Seq(
+    (1L, "the quick brown fox and the lazy dog in a field of rye"),
+    (2L, "el perro y la casa de los gatos que en madrid"),
+    (3L, "der hund und die katze das ist von mit haus"),
+    (4L, "le chat et la maison les chiens des rues un jour"),
+    (5L, "的 是 在 了 和 有 我"),
+    (6L, "no marker words whatsoever here!!"),          // all-zero -> und
+    (7L, "the el"),                                     // tie en/es -> en
+    (8L, "de la de la"),                                // tie es/fr -> es
+    (9L, ""),                                           // empty
+    (10L, " \t \n "),                                   // whitespace-only
+    (11L, "  the\t\ta  of\nand   to in is  "),          // odd spacing
+    (12L, "unicode tøkens traîné 中文 𝄞clef the"),       // 2/3/4-byte UTF-8
+    (13L, "Punctuation, only... the; end."),
+    (14L, "ThE A Of")                                   // case-sensitive: 0 hits
+  ).toDF("id", "text")
+    .unionByName(Seq((15L, Option.empty[String])).toDF("id", "text"))
+
+  test("LangIdExpr langId == HOF langId on the full edge battery") {
+    import graft.functions.{TextFunctions => T}
+    val rows = texts.select(
+      T.langIdHof(col("text")).as("hof"),
+      T.langId(col("text")).as("gen"), col("id")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"id=${r.getLong(2)} hof=${r.getString(0)} gen=${r.getString(1)}")
+    }
+  }
+
+  test("QualityRawExpr qualityScore == HOF qualityScore bit-for-bit") {
+    import graft.functions.{TextFunctions => T}
+    val rows = texts.select(
+      T.qualityScoreHof(col("text")).as("hof"),
+      T.qualityScore(col("text")).as("gen"), col("id")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"id=${r.getLong(2)} null mismatch")
+      if (!r.isNullAt(0)) {
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          s"id=${r.getLong(2)} hof=${r.getDouble(0)} gen=${r.getDouble(1)}")
+      }
+    }
+  }
+
+  test("LangIdExpr/QualityRawExpr survive interpreted fallback") {
+    import graft.functions.{TextFunctions => T}
+    // filters force non-codegen eval of the expression value
+    assert(texts.filter(T.langId(col("text")) === "en").count() == 4) // 1,7,11,12
+    assert(texts.filter(T.qualityScore(col("text")) >= 0.0).count() == 14)
+  }
+
   test("SignBucketExpr == signBucket HOF bit-for-bit") {
     val planes = V.randomPlanes(12, 4, seed = 7L)
     val rows = vecs.select(
