@@ -547,6 +547,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ===== bench twins: the production Fast (XXH64) sketch paths ===========
+    // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
+    // what DuckDB can oracle — but production users run Fast mode (the code
+    // documents Portable at ~3-5x the hashing cost). These twins bench the
+    // SAME operators, same shapes, in Fast mode; XXH64 chaining is not
+    // expressible in SQL, so the driver records a rows-only check.
+    "q52_minhash_signatures_fast" -> ((s, dir) => {
+      Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id",
+          numHashes = 16, shingleN = 3, mode = Dedup.Fast)
+        .select(col("doc_id"), col("minhash")(0).as("h0"),
+          col("minhash")(1).as("h1"), col("minhash")(15).as("h15"))
+    }),
+
+    "q53_minhash_pairs_fast" -> ((s, dir) => {
+      Dedup.minhashPairs(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", numHashes = 32, bands = 8,
+          threshold = 0.3, shingleN = 1, mode = Dedup.Fast)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(floor(col("est_jaccard") * 10)), lit(0L)).as("sum_bucket"))
+    }),
+
+    "q54_simhash_fast" -> ((s, dir) => {
+      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id",
+        mode = Dedup.Fast)
+    }),
+
+    "q55_simhash_pairs_fast" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+          maxDist = 3, blocks = 4, mode = Dedup.Fast)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("hamming")), lit(0L)).as("sum_hamming"))
+    }),
+
+    "q56_chunk_overlap_fast" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      val halves = d.select((-col("doc_id") - 1).as("doc_id"),
+        substring(col("text"), 1, 512).as("text"))
+      Dedup.chunkOverlapPairs(d.unionByName(halves), "text", "doc_id",
+          threshold = 0.5, mode = Dedup.Fast)
+        .groupBy(floor(col("overlap") * 10).cast("long").as("ov_bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     "q39_multimodal_frames" -> ((s, dir) => {
       // frame-sample plumbing is byte-deterministic -> DuckDB-oracled
       val withPayload = Multimodal.attachPayload(t(s, dir, "documents"), "text")

@@ -530,6 +530,95 @@ object SignBucket {
   }
 }
 
+/** SimHash over a tokenized document in ONE row-local codegen pass:
+  * per-bit majority vote of the per-token hashes (XXH64 seed-42 over 63
+  * bits, or the md5-derived portable 60-bit hash — exactly matching
+  * `xxhash64()` / [[TextFunctions.portableHash64]] of each token).
+  * Bit-identical to the explode -> 60/63-conditional-sum aggregate form
+  * ([[graft.operators.Dedup.simhashAgg]], kept for the parity spec) but
+  * with no explode, no shuffle and no aggregation: the majority vote only
+  * ever needs a doc's OWN tokens, so it is a scalar of the row. Zero
+  * tokens -> NULL (the aggregate form emits no row; callers filter). */
+case class SimHashExpr(child: Expression, portable: Boolean)
+  extends UnaryExpression {
+
+  // constructed internally over a split(normalized, "\\s+") array<string>
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashWorker.compute(input.asInstanceOf[ArrayData], portable)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("res")
+      s"""
+         |java.lang.Long $res =
+         |  graft.functions.SimHashWorker.compute($c, $portable);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHashExpr = copy(child = newChild)
+}
+
+/** Row-local worker for [[SimHashExpr]] — a static call keeps the
+  * surrounding projection inside whole-stage codegen. Returns a boxed
+  * Long (null = no tokens) so codegen can branch on it. */
+object SimHashWorker {
+
+  def compute(arr: ArrayData, portable: Boolean): java.lang.Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val nbits = if (portable) 60 else 63
+    val counts = new Array[Int](nbits)
+    val n = arr.numElements()
+    var m = 0
+    var i = 0
+    if (portable) {
+      val d = Md5Hash60.md.get()
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        if (s != null && s.numBytes() > 0) {
+          m += 1
+          d.reset()
+          d.update(s.getBytes)
+          vote(counts, Md5Hash60.first60(d.digest()), nbits)
+        }
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        if (s != null && s.numBytes() > 0) {
+          m += 1
+          vote(counts, XXH64.hashUnsafeBytes(s.getBaseObject,
+            s.getBaseOffset, s.numBytes(), 42L), nbits)
+        }
+        i += 1
+      }
+    }
+    if (m == 0) return null
+    var v = 0L
+    var b = 0
+    while (b < nbits) {
+      if (counts(b) > 0) v |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(v)
+  }
+
+  private def vote(counts: Array[Int], h: Long, nbits: Int): Unit = {
+    var b = 0
+    while (b < nbits) {
+      if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+      b += 1
+    }
+  }
+}
+
 /** Heuristic language-ID over raw text in ONE codegen pass. Bit-identical
   * to the HOF reference form ([[TextFunctions.langIdHof]]): tokens are
   * maximal runs of non-`\s` bytes (multibyte UTF-8 units are never ASCII

@@ -196,12 +196,31 @@ object Dedup {
   }
 
   /** SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes. Explode -> one conditional sum per bit in one hash-aggregate.
-    * [[Fast]] votes on 63 XXH64 bits; [[Portable]] votes on the 60 bits of
-    * [[TextFunctions.portableHash64]] (oracle-reproducible). The sign bit
-    * is always clear so the value is a non-negative long. */
+    * hashes. [[Fast]] votes on 63 XXH64 bits; [[Portable]] votes on the 60
+    * bits of [[TextFunctions.portableHash64]] (oracle-reproducible). The
+    * sign bit is always clear so the value is a non-negative long.
+    *
+    * Entirely ROW-LOCAL (codegen [[graft.functions.SimHashExpr]]): the
+    * majority vote needs only a doc's own tokens, so there is no explode,
+    * no shuffle and no aggregate — the corpus is scanned once. Docs with
+    * zero tokens (empty/NULL text) emit no row, and ids are assumed
+    * unique per doc, both matching the aggregate reference form
+    * ([[simhashAgg]], parity-pinned in DedupSimilaritySpec). */
   def simhash(df: DataFrame, textCol: String, idCol: String,
               mode: HashMode = Fast): DataFrame = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    val sig = GraftGlue.column(graft.functions.SimHashExpr(
+      GraftGlue.expression(split(T.normalized(col(textCol)), "\\s+")),
+      portable = mode == Portable))
+    df.select(col(idCol), sig.as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** Aggregate reference form of [[simhash]] (explode -> one conditional
+    * sum per bit): the shape the DuckDB oracle mirrors; not for hot
+    * paths. */
+  private[graft] def simhashAgg(df: DataFrame, textCol: String, idCol: String,
+                                mode: HashMode = Fast): DataFrame = {
     val (hashOf, nbits): (Column => Column, Int) = mode match {
       case Fast     => ((c: Column) => xxhash64(c), 63)
       case Portable => ((c: Column) => T.portableHash64(c), 60)

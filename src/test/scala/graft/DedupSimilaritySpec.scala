@@ -62,6 +62,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("SimHashExpr simhash == aggregate reference form, both modes") {
+    val edge = docs.unionByName(Seq(
+      (6L, ""),                            // zero tokens -> no row
+      (7L, " \t "),                        // whitespace-only -> no row
+      (8L, "one"),                         // single token
+      (9L, "dup dup dup tok"),             // repeated tokens vote repeatedly
+      (10L, "unicode tøkens 中文 𝄞 here"))
+      .toDF("doc_id", "text"))
+      .unionByName(Seq((11L, Option.empty[String])).toDF("doc_id", "text"))
+    for (mode <- Seq(Dedup.Fast, Dedup.Portable)) {
+      val fast = Dedup.simhash(edge, "text", "doc_id", mode)
+        .as[(Long, Long)].collect().toMap
+      val ref = Dedup.simhashAgg(edge, "text", "doc_id", mode)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == ref, s"mode=$mode")
+      assert(!fast.contains(6L) && !fast.contains(7L) && !fast.contains(11L))
+    }
+  }
+
   test("ngram jaccard: exact value on known token sets") {
     val two = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     val p = Dedup.ngramJaccardPairs(two, "text", "doc_id", n = 1,
