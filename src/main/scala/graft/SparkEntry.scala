@@ -425,6 +425,25 @@ object SparkEntry {
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_r"))
     }),
 
+    "q57_ann_ivf_amortized" -> ((s, dir) => {
+      // the documented production IVF shape: ONE ivfBuild serving many
+      // probe batches (q38 is the one-shot twin). The union of 4 batches is
+      // materialized eagerly inside the timed closure, then the index cache
+      // is released — nothing persists past the query. Rows-only check:
+      // per-batch correctness is q38's oracle + the unit spec.
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfBuild(emb, nLists = 32)
+      val out = (0 until 4).map { b =>
+          Similarity.ivfQuery(idx,
+            emb.filter(col("vec_id") % 100 === b), k = 5, nProbe = 8)
+        }.reduce(_ unionByName _)
+        .groupBy(col("rank").cast("long").as("rank"))
+        .agg(count(lit(1)).as("n"), sum(col("neighbor_id")).as("sum_neighbor"))
+        .localCheckpoint(true)
+      idx.assigned.unpersist()
+      out
+    }),
+
     "q37_simhash_pairs" -> ((s, dir) => {
       // blocks > maxDist (the pigeonhole guarantee) AND 63/4 = 15-bit
       // segments keep the blocking selective — more blocks means coarser

@@ -514,6 +514,55 @@ case class SignBucketExpr(child: Expression, planes: Array[Array[Double]])
       newChild: Expression): SignBucketExpr = copy(child = newChild)
 }
 
+/** IVF coarse-quantizer assignment: index of the L2-nearest centroid
+  * (ties -> lowest index). One tight nLists x dim primitive loop per row —
+  * the corpus-assignment pass of [[graft.operators.Similarity.ivfBuild]]
+  * stays scan-bound inside whole-stage codegen. Centroids are driver-side
+  * literals (fitted on a bounded sample), so the expression is
+  * deterministic and identical across executors. Assumes the vector length
+  * equals the centroid dimension (callers guard, like signBucketChecked). */
+case class NearestCentroidExpr(child: Expression,
+                               centroids: Array[Array[Float]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroid.assign(input.asInstanceOf[ArrayData], centroids)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NearestCentroid.assign($c, $cRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidExpr = copy(child = newChild)
+}
+
+object NearestCentroid {
+  def assign(arr: ArrayData, cents: Array[Array[Float]]): Int = {
+    var bi = 0
+    var bd = Double.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val cv = cents(j)
+      var acc = 0.0
+      var i = 0
+      while (i < cv.length) {
+        val d = arr.getFloat(i).toDouble - cv(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      if (acc < bd) { bd = acc; bi = j }
+      j += 1
+    }
+    bi
+  }
+}
+
 object SignBucket {
   def bucket(arr: ArrayData, planes: Array[Array[Double]]): Long = {
     var b = 0L

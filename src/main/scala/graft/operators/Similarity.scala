@@ -106,29 +106,134 @@ object Similarity {
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame,
                             nLists: Int)
 
-  /** Fit the coarse quantizer and assign the corpus — one narrow
-    * assignment pass; deterministic for a fixed seed. */
+  /** Deterministic seeded k-means (k-means++ init + Lloyd's), fitted
+    * DRIVER-SIDE on a bounded sample — the standard coarse-quantizer
+    * recipe (FAISS trains its IVF quantizer on a sample too): quantizer
+    * quality needs a representative sample, not the corpus, so only
+    * `trainSample` vectors ever reach the driver regardless of corpus
+    * size. Empty clusters keep their previous center. Returns float
+    * centroids (the corpus element type). */
+  private[graft] def fitCentroids(pts: Array[Array[Float]], k: Int,
+                                  seed: Long, maxIter: Int): Array[Array[Float]] = {
+    require(pts.nonEmpty, "cannot fit a quantizer on an empty sample")
+    val dim = pts(0).length
+    val n = pts.length
+    def l2sq(a: Array[Double], p: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { val d = a(i) - p(i); acc += d * d; i += 1 }
+      acc
+    }
+    val rng = new scala.util.Random(seed)
+    val centers = Array.ofDim[Double](k, dim)
+    if (n <= k) {
+      // degenerate: cycle the sample; no iterations needed
+      for (j <- 0 until k; i <- 0 until dim) centers(j)(i) = pts(j % n)(i)
+    } else {
+      // k-means++ seeding: subsequent centers drawn with prob ~ D^2
+      val d2 = new Array[Double](n)
+      val first = pts(rng.nextInt(n))
+      for (i <- 0 until dim) centers(0)(i) = first(i)
+      for (i <- 0 until n) d2(i) = l2sq(centers(0), pts(i))
+      for (j <- 1 until k) {
+        val total = d2.sum
+        var pick = 0
+        if (total > 0.0) {
+          var r = rng.nextDouble() * total
+          var i = 0
+          while (i < n - 1 && r >= d2(i)) { r -= d2(i); i += 1 }
+          pick = i
+        } else pick = rng.nextInt(n) // all-identical sample
+        for (i <- 0 until dim) centers(j)(i) = pts(pick)(i)
+        for (i <- 0 until n) d2(i) = math.min(d2(i), l2sq(centers(j), pts(i)))
+      }
+      // Lloyd's iterations: assign to nearest (ties -> lowest index,
+      // matching NearestCentroidExpr), recompute means
+      val sums = Array.ofDim[Double](k, dim)
+      val cnts = new Array[Long](k)
+      var it = 0
+      var moved = true
+      while (it < maxIter && moved) {
+        java.util.Arrays.fill(cnts, 0L)
+        sums.foreach(java.util.Arrays.fill(_, 0.0))
+        var i = 0
+        while (i < n) {
+          val p = pts(i)
+          var bj = 0
+          var bd = Double.MaxValue
+          var j = 0
+          while (j < k) {
+            val d = l2sq(centers(j), p)
+            if (d < bd) { bd = d; bj = j }
+            j += 1
+          }
+          cnts(bj) += 1
+          var x = 0
+          while (x < dim) { sums(bj)(x) += p(x); x += 1 }
+          i += 1
+        }
+        moved = false
+        var j = 0
+        while (j < k) {
+          if (cnts(j) > 0) {
+            var x = 0
+            while (x < dim) {
+              val nc = sums(j)(x) / cnts(j)
+              if (nc != centers(j)(x)) moved = true
+              centers(j)(x) = nc
+              x += 1
+            }
+          } // empty cluster: keep previous center
+          j += 1
+        }
+        it += 1
+      }
+    }
+    centers.map(_.map(_.toFloat))
+  }
+
+  /** Fit the coarse quantizer on a bounded deterministic sample and assign
+    * the corpus — one codegen argmin pass; deterministic for a fixed seed.
+    *
+    * Scale shape: the training sample is TakeOrdered by a seeded hash
+    * (never a full sort; at most `trainSample` rows reach the driver), the
+    * fit is a driver-local Lloyd's over that sample, and the assignment is
+    * a row-local [[graft.functions.NearestCentroidExpr]] — the corpus is
+    * scanned once and never shuffled.
+    *
+    * `persist = true` (the probe-many default) caches the assignment so
+    * every [[ivfQuery]] reuses it — the caller owns the lifetime
+    * (unpersist, or write out partitioned by `__list` for cross-job
+    * reuse). One-shot callers ([[ivfTopK]]) pass false: nothing to
+    * amortize, nothing leaked. */
   def ivfBuild(corpus: DataFrame, nLists: Int = 64, seed: Long = 42L,
                maxIter: Int = 10, vecCol: String = "embedding",
-               idCol: String = "vec_id"): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+               idCol: String = "vec_id", trainSample: Int = 16384,
+               persist: Boolean = true): IvfIndex = {
+    import org.apache.spark.sql.graftglue.GraftGlue
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("__fv", array_to_vector(col("cv")))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__fv").setPredictionCol("__list")
-      .fit(c.select("__fv"))
-    // persist: without it every ivfQuery would lazily re-run the corpus
-    // scan + assignment, and "probe many" would amortize nothing. The
-    // caller owns the lifetime (unpersist, or write out partitioned by
-    // __list for cross-job reuse).
-    val assigned = model.transform(c)
-      .select(col("neighbor_id"), col("cv"), col("__list"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centDf = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+    val sample = c.filter(col("cv").isNotNull).select(col("cv"))
+      .orderBy(xxhash64(col("cv"), lit(seed)))
+      .limit(trainSample)
+      .as[Array[Float]].collect()
+    val cents = fitCentroids(sample, nLists, seed, maxIter)
+    val dim = cents.head.length
+    // same fail-fast dimension guard contract as signBucketChecked: NULL
+    // vectors stay NULL (drop out of the list join); wrong-size raises
+    val assign = when(col("cv").isNull, lit(null).cast("int"))
+      .when(size(col("cv")) === dim, GraftGlue.column(
+        graft.functions.NearestCentroidExpr(GraftGlue.expression(col("cv")), cents)))
+      .otherwise(raise_error(concat(
+        lit(s"embedding dimension != centroid dimension $dim: got "),
+        size(col("cv")).cast("string"))))
+    val assigned0 = c.withColumn("__list", assign)
+    val assigned =
+      if (persist) assigned0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else assigned0
+    val centDf = cents.zipWithIndex.map { case (v, i) => (i, v) }
       .toSeq.toDF("__list", "__centroid")
     IvfIndex(assigned, centDf, nLists)
   }
@@ -158,13 +263,16 @@ object Similarity {
     localThenGlobalTopK(scored, k)
   }
 
-  /** Convenience one-shot: build + query (the q38 shape). Prefer
+  /** Convenience one-shot: build + query (the q38 shape). Builds WITHOUT
+    * persisting — a single query materializes the assignment exactly once,
+    * so caching it would only leak (the round-3 advisor finding). Prefer
     * [[ivfBuild]]/[[ivfQuery]] when serving repeated probe batches. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nLists: Int = 64, nProbe: Int = 8, seed: Long = 42L,
               vecCol: String = "embedding",
               idCol: String = "vec_id"): DataFrame =
-    ivfQuery(ivfBuild(corpus, nLists, seed, vecCol = vecCol, idCol = idCol),
+    ivfQuery(ivfBuild(corpus, nLists, seed, vecCol = vecCol, idCol = idCol,
+        persist = false),
       probes, k, nProbe, vecCol, idCol)
 
   /** LSH-bucketed approximate top-k: candidates are corpus vectors whose
