@@ -368,10 +368,15 @@ object Dedup {
     * candidacy verified by signature agreement >= `threshold`) — the
     * standard pre-training step that within-corpus dedup does not cover.
     *
-    * Scale shape: the reference side is small (benchmark suites), so both
-    * probes are BROADCAST joins — the corpus is never shuffled and the
-    * whole pass is scan-bound; reference fingerprints/signatures are
-    * computed once on a few thousand rows. Output: the corpus plus
+    * Scale shape: the reference side is small (benchmark suites), so the
+    * reference fingerprint/signature probes are BROADCAST joins computed
+    * once on a few thousand rows, and the exact flag costs no corpus
+    * shuffle at all. The near flag joins back a set of CORPUS ids whose
+    * size scales with contamination, not with the reference — that join is
+    * deliberately unhinted: AQE broadcasts it when small and shuffles the
+    * corpus once when contamination is corpus-scale (forcing broadcast
+    * there would be a driver OOM on exactly the corpora this operator
+    * exists to catch). Output: the corpus plus
     * `exact_contaminated` / `near_contaminated` booleans (filter on them
     * to drop; keep them to audit). */
   def contaminationFlags(corpus: DataFrame, reference: DataFrame,
@@ -392,9 +397,11 @@ object Dedup {
     val withSig = corpus.withColumn("__fp", T.fingerprint(col(textCol)))
       .withColumn("__sig",
         minhashSignatureCol(col(textCol), numHashes, shingleN, mode))
-    val exact = withSig.join(broadcast(refFp),
-        col("__fp") === col("__rfp"), "left_semi")
-      .select(col(idCol).as("__xid")).distinct()
+    // exact flag: ONE direct left join against the reference-bounded
+    // distinct fingerprint set (at most one match per row -> no row
+    // multiplication, no derived corpus-scale set to rebroadcast)
+    val withExact = withSig.join(broadcast(refFp.withColumn("__e", lit(true))),
+      col("__fp") === col("__rfp"), "left")
     // band candidacy -> signature-agreement verify, still broadcast-side
     val near = withSig
       .select(col(idCol).as("__nid"), col("__sig"),
@@ -405,16 +412,17 @@ object Dedup {
         .cast("double") / numHashes >= threshold)
       .select(col("__nid")).distinct()
 
-    // the flag sets are bounded by (and in practice far smaller than) the
-    // reference's match surface — broadcast them so the corpus side of
-    // these joins never shuffles, honoring the operator's scale contract
-    corpus.join(broadcast(exact.withColumn("__e", lit(true))),
-        col(idCol) === col("__xid"), "left")
-      .join(broadcast(near.withColumn("__n", lit(true))),
+    // `near` holds CORPUS ids, so its size scales with how contaminated
+    // the corpus is — NOT with the reference. No broadcast hint: AQE
+    // broadcasts it when it is small (the common case) and falls back to a
+    // shuffle join when contamination is corpus-scale, where a forced
+    // broadcast would be a driver OOM (the round-3 hazard). The refFp /
+    // refSig broadcasts above ARE reference-bounded and stay hinted.
+    withExact.join(near.withColumn("__n", lit(true)),
         col(idCol) === col("__nid"), "left")
       .withColumn("exact_contaminated", coalesce(col("__e"), lit(false)))
       .withColumn("near_contaminated", coalesce(col("__n"), lit(false)))
-      .drop("__xid", "__e", "__nid", "__n")
+      .drop("__fp", "__sig", "__rfp", "__e", "__nid", "__n")
   }
 
   /** Connected components over a near-dup pair graph: every node gets

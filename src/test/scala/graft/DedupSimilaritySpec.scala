@@ -301,6 +301,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(flags.size == 5)               // corpus rows all preserved
   }
 
+  test("decontamination: pathological all-contaminated corpus (flag set ~ corpus)") {
+    // every corpus row matches the reference -> the near/exact flag sets
+    // approach corpus cardinality; must complete (no forced corpus-scale
+    // broadcast) and flag everything
+    val n = 2000
+    val corpus = (0 until n).map(i =>
+        (i.toLong, s"shared benchmark sentence number ${i % 50} repeated"))
+      .toDF("doc_id", "text")
+    val reference = (0 until 50).map(i =>
+        (10000L + i, s"shared benchmark sentence number $i repeated"))
+      .toDF("doc_id", "text")
+    val flags = Dedup.contaminationFlags(corpus, reference, "text", "doc_id",
+        numHashes = 32, bands = 8, threshold = 0.8, shingleN = 1)
+    assert(flags.count() == n)
+    assert(flags.filter(col("exact_contaminated") && col("near_contaminated"))
+      .count() == n)
+  }
+
   test("clusters: transitive chains and stars collapse to min-id components") {
     // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, isolated pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
