@@ -566,6 +566,128 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ===== round-4 oracle closures: M3/J5, A11, EP1 lifecycle ==============
+    "q49_conditional_merge" -> ((s, dir) => {
+      // M3/J5: the goals-upsert change-detection merge — composite key
+      // (employee_email, week_first_day), UPDATE only when the goal value
+      // differs, INSERT absent keys (lambda_legal_goals_upsert.py:48-59).
+      // Keys derive bijectively from c_custkey (DIV 7 / % 7), so even keys
+      // <= 100 exercise all four quadrants: updated (goal differs), matched
+      // untouched (goal equal), target-only, and inserts (102..150).
+      val c = t(s, dir, "customer")
+      def email = concat(lit("e"), expr("c_custkey DIV 7").cast("string"),
+        lit("@firm.com"))
+      def week = expr("date_add(DATE '2024-01-01', CAST((c_custkey % 7) * 7 AS INT))")
+      val target = c.filter(col("c_custkey") <= 100)
+        .select(email.as("employee_email"), week.as("week_first_day"),
+          (col("c_custkey") % 5).cast("long").as("goal"))
+      val staging = c.filter(col("c_custkey") % 2 === 0 && col("c_custkey") <= 150)
+        .select(email.as("employee_email"), week.as("week_first_day"),
+          (col("c_custkey") % 10).cast("long").as("goal"))
+      Merge.conditional(target, staging, Seq("employee_email", "week_first_day"),
+          (st, tg) => st("goal") =!= tg("goal"))
+        .select(col("employee_email"), ymd(col("week_first_day")).as("week_str"),
+          col("goal"))
+    }),
+
+    "q50_metrics_pivot" -> ((s, dir) => {
+      // A11: the metrics long->wide first-value pivot with the
+      // expected-metric NULL scaffold (connect_agent_metrics.py:68-106).
+      // Integer-valued doubles keep round(x,2) engine-exact; keepFirst pins
+      // "first" to the lowest event_id (a distributed frame has no pandas
+      // row order). abandon_rate/service_level never occur -> NULL columns.
+      val expected = Seq("agents_online", "agents_available",
+        "contacts_queued", "contacts_handled", "longest_queue_wait",
+        "abandon_rate", "service_level")
+      val e = t(s, dir, "events")
+      val long = e.select(
+        (col("user_id") % 20).as("agent_id"),
+        date_trunc("hour", col("ts")).as("start_time"),
+        (date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR")).as("end_time"),
+        when(col("event_type") === "click", "agents_online")
+          .when(col("event_type") === "view", "agents_available")
+          .when(col("event_type") === "purchase", "contacts_queued")
+          .when(col("event_type") === "signup", "contacts_handled")
+          .otherwise("longest_queue_wait").as("metric"),
+        floor(col("value")).cast("double").as("value"),
+        col("event_id"))
+      val first = Merge.keepFirst(long,
+        Seq("agent_id", "start_time", "metric"), "event_id").drop("event_id")
+      val outCols = Seq(col("agent_id").cast("long").as("agent_id"),
+        ymdhms(col("start_time")).as("start_str"),
+        ymdhms(col("end_time")).as("end_str")) ++ expected.map(col)
+      AgentMetrics.metricsPivot(first, expected).select(outCols: _*)
+    }),
+
+    "q51_lifecycle_ep1" -> ((s, dir) => {
+      // EP1 end-to-end as ONE correctness row (SURVEY §7.2): CSV stage ->
+      // TableSpecs.task cast battery (keep-list, lowercase, truthy bools,
+      // ts coercion) -> scd1Bucketed initial load + merge -> summary view.
+      // The CSV round trip is a true all-string staging hop; its content
+      // derives from `orders` arithmetic so the oracle replays it in SQL.
+      import graft.core.TableSpecs
+      val tmp = java.nio.file.Files.createTempDirectory("q51csv").toString
+      // key cap: the chain's cost is fixture I/O (CSV + two bucketed
+      // table writes), not compute — bound it so the bench entry measures
+      // the merge path, not synthetic volume (covers all of sf0.01)
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") <= 60000)
+      val lmd0 = col("o_orderdate").cast("timestamp")
+      def tsStr(c: Column) = date_format(c, "yyyy-MM-dd HH:mm:ss")
+      val base = o.select(
+        concat(lit("T"), col("o_orderkey").cast("string")).as("Id"),
+        col("o_orderpriority").as("Subject"),
+        col("o_orderstatus").as("Status"),
+        when(col("o_orderkey") % 3 === 0, "High")
+          .when(col("o_orderkey") % 3 === 1, "Normal")
+          .otherwise("").as("Priority"),
+        when(col("o_orderkey") % 5 === 0, "")
+          .when(col("o_orderkey") % 5 === 1, "t")
+          .when(col("o_orderkey") % 5 === 2, "false")
+          .when(col("o_orderkey") % 5 === 3, "1")
+          .otherwise("0").as("IsClosed"),
+        when(col("o_orderkey") % 7 === 0, "not a date")
+          .otherwise(tsStr(lmd0)).as("ActivityDate"),
+        col("o_orderkey"), lmd0.as("__lmd0"))
+      val target = base.withColumn("LastModifiedDate", tsStr(col("__lmd0")))
+        .withColumn("Batch", lit("target"))
+      val staging = base.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("Status", lit("U"))
+        .withColumn("LastModifiedDate", tsStr(
+          when(col("o_orderkey") % 3 === 0,
+            col("__lmd0") + expr("INTERVAL 2 DAYS"))
+            .otherwise(col("__lmd0") - expr("INTERVAL 1 DAYS"))))
+        .withColumn("Batch", lit("staging"))
+      target.unionByName(staging).drop("o_orderkey", "__lmd0")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val raw = s.read.option("header", "true").csv(tmp) // all-string stage
+      val spec = TableSpecs.task
+      val table = "q51_task"
+      // a fresh JVM's in-memory catalog does not know managed tables a
+      // previous run left in the warehouse dir — DROP alone is a no-op
+      // then, and saveAsTable fails with LOCATION_ALREADY_EXISTS; clear
+      // the location too
+      def dropManaged(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      dropManaged(s"${table}__merge_tmp")
+      dropManaged(table)
+      Merge.scd1Bucketed(table, spec(raw.filter(col("Batch") === "target")),
+        Seq("id"), "lastmodifieddate", nBuckets = 8)
+      Merge.scd1Bucketed(table, spec(raw.filter(col("Batch") === "staging")),
+        Seq("id"), "lastmodifieddate", nBuckets = 8)
+      s.table(table)
+        .groupBy(col("status"), col("isclosed").cast("long").as("isclosed"))
+        .agg(count(lit(1)).as("n"),
+          count(col("activitydate")).as("n_valid_activity"),
+          max(tsStr(col("lastmodifieddate"))).as("max_lmd"),
+          countDistinct(col("priority")).as("n_priorities"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -1300,6 +1422,96 @@ dim_users_litify AS (
     "q48_dedup_clusters" -> q48OracleSql,
     "q43_curation_audit" -> q43OracleSql,
     "q40_chunk_overlap" -> q40OracleSql,
+
+    "q49_conditional_merge" ->
+      """WITH tgt AS (
+           SELECT 'e' || CAST(c_custkey // 7 AS VARCHAR) || '@firm.com' AS employee_email,
+             DATE '2024-01-01' + CAST((c_custkey % 7) * 7 AS INT) AS week_first_day,
+             CAST(c_custkey % 5 AS BIGINT) AS goal
+           FROM customer WHERE c_custkey <= 100),
+         stg AS (
+           SELECT 'e' || CAST(c_custkey // 7 AS VARCHAR) || '@firm.com' AS employee_email,
+             DATE '2024-01-01' + CAST((c_custkey % 7) * 7 AS INT) AS week_first_day,
+             CAST(c_custkey % 10 AS BIGINT) AS goal
+           FROM customer WHERE c_custkey % 2 = 0 AND c_custkey <= 150),
+         upd AS (
+           SELECT s.* FROM stg s JOIN tgt t
+             ON s.employee_email = t.employee_email
+            AND s.week_first_day = t.week_first_day
+           WHERE s.goal <> t.goal),
+         ins AS (
+           SELECT s.* FROM stg s WHERE NOT EXISTS (
+             SELECT 1 FROM tgt t WHERE s.employee_email = t.employee_email
+               AND s.week_first_day = t.week_first_day))
+         SELECT employee_email, strftime(week_first_day, '%Y-%m-%d') AS week_str,
+           goal
+         FROM (
+           SELECT t.* FROM tgt t WHERE NOT EXISTS (
+             SELECT 1 FROM upd u WHERE u.employee_email = t.employee_email
+               AND u.week_first_day = t.week_first_day)
+           UNION ALL SELECT * FROM upd
+           UNION ALL SELECT * FROM ins)""",
+
+    "q50_metrics_pivot" ->
+      """WITH long AS (
+           SELECT user_id % 20 AS agent_id,
+             date_trunc('hour', ts) AS start_time,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS end_time,
+             CASE event_type WHEN 'click' THEN 'agents_online'
+               WHEN 'view' THEN 'agents_available'
+               WHEN 'purchase' THEN 'contacts_queued'
+               WHEN 'signup' THEN 'contacts_handled'
+               ELSE 'longest_queue_wait' END AS metric,
+             CAST(FLOOR(value) AS DOUBLE) AS value, event_id
+           FROM events),
+         firsted AS (
+           SELECT * FROM (SELECT *, row_number() OVER (
+               PARTITION BY agent_id, start_time, metric ORDER BY event_id) rn
+             FROM long) WHERE rn = 1)
+         SELECT CAST(agent_id AS BIGINT) AS agent_id,
+           strftime(start_time, '%Y-%m-%d %H:%M:%S') AS start_str,
+           strftime(end_time, '%Y-%m-%d %H:%M:%S') AS end_str,
+           ROUND(MAX(CASE WHEN metric = 'agents_online' THEN value END), 2) AS agents_online,
+           ROUND(MAX(CASE WHEN metric = 'agents_available' THEN value END), 2) AS agents_available,
+           ROUND(MAX(CASE WHEN metric = 'contacts_queued' THEN value END), 2) AS contacts_queued,
+           ROUND(MAX(CASE WHEN metric = 'contacts_handled' THEN value END), 2) AS contacts_handled,
+           ROUND(MAX(CASE WHEN metric = 'longest_queue_wait' THEN value END), 2) AS longest_queue_wait,
+           ROUND(MAX(CASE WHEN metric = 'abandon_rate' THEN value END), 2) AS abandon_rate,
+           ROUND(MAX(CASE WHEN metric = 'service_level' THEN value END), 2) AS service_level
+         FROM firsted GROUP BY 1, 2, 3""",
+
+    "q51_lifecycle_ep1" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k,
+             o_orderstatus AS status,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'High'
+                  WHEN o_orderkey % 3 = 1 THEN 'Normal' ELSE '' END AS priority,
+             CASE o_orderkey % 5 WHEN 0 THEN '' WHEN 1 THEN 't'
+               WHEN 2 THEN 'false' WHEN 3 THEN '1' ELSE '0' END AS isclosed_raw,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+               ELSE CAST(o_orderdate AS TIMESTAMP) END AS activitydate,
+             CAST(o_orderdate AS TIMESTAMP) AS lmd0
+           FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey <= 60000),
+         tgt AS (SELECT k, status, priority, isclosed_raw, activitydate,
+             lmd0 AS lmd FROM base),
+         stg AS (SELECT k, 'U' AS status, priority, isclosed_raw, activitydate,
+             CASE WHEN k % 3 = 0 THEN lmd0 + INTERVAL 2 DAY
+               ELSE lmd0 - INTERVAL 1 DAY END AS lmd
+           FROM base WHERE k % 4 = 0),
+         merged AS (
+           SELECT * FROM (SELECT *, row_number() OVER (
+               PARTITION BY k ORDER BY lmd DESC) rn
+             FROM (SELECT * FROM tgt UNION ALL SELECT * FROM stg))
+           WHERE rn = 1)
+         SELECT status,
+           CAST(CASE WHEN isclosed_raw IS NULL OR isclosed_raw = '' THEN 0
+             WHEN TRY_CAST(isclosed_raw AS DOUBLE) = 0.0 THEN 0
+             ELSE 1 END AS BIGINT) AS isclosed,
+           COUNT(1) AS n,
+           COUNT(activitydate) AS n_valid_activity,
+           MAX(strftime(lmd, '%Y-%m-%d %H:%M:%S')) AS max_lmd,
+           COUNT(DISTINCT priority) AS n_priorities
+         FROM merged GROUP BY 1, 2""",
 
     "q46_exact_quantiles" ->
       """WITH ranked AS (SELECT event_type, value,
