@@ -27,6 +27,12 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   // input-type coercion needed
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // can be NULL (length mismatch) even when both children are non-nullable;
+  // without this override Spark's non-nullable codegen path never declares
+  // ev.isNull, the body's assignment doesn't compile under janino, and the
+  // whole stage silently falls back to interpreted eval (the swallowed
+  // NonFateSharingCache error in the round-2/3 bench tails)
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -309,6 +315,9 @@ case class SeededMinArrayExpr(child: Expression,
   // constructed internally over a transform(_, xxhash64) array<long> child
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // NULL on an empty input array even for a non-nullable child (see
+  // CosineSimilarityExpr.nullable for the codegen hazard this avoids)
+  override def nullable: Boolean = true
   override def prettyName: String = "seeded_min_array"
 
   override def nullSafeEval(input: Any): Any = {
@@ -594,6 +603,9 @@ case class SimHashExpr(child: Expression, portable: Boolean)
   // constructed internally over a split(normalized, "\\s+") array<string>
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // NULL on zero tokens even for a non-nullable child (see
+  // CosineSimilarityExpr.nullable for the codegen hazard this avoids)
+  override def nullable: Boolean = true
   override def prettyName: String = "simhash"
 
   override def nullSafeEval(input: Any): Any =

@@ -143,7 +143,16 @@ object Merge {
     * partition column can bound the rewrite.
     *
     * The rewrite goes through a temp table + catalog rename because Spark
-    * cannot overwrite a table that is being read in the same plan. */
+    * cannot overwrite a table that is being read in the same plan.
+    *
+    * CONCURRENCY: the DROP -> RENAME swap leaves a window in which `table`
+    * does not resolve — a concurrent reader during a merge can fail with
+    * table-not-found (writer crashes ARE recovered, see below; reader
+    * visibility is not). Run merges in the pipeline's single writer slot
+    * (the reference's SP runs inside a Redshift transaction for the same
+    * reason), or front the table with a view/alias flipped after the swap
+    * (CREATE OR REPLACE VIEW over generation tables) when readers must
+    * never observe the gap. */
   def scd1Bucketed(table: String, staging: DataFrame, keys: Seq[String],
                    ordering: String, nBuckets: Int = 256): Unit = {
     val spark = staging.sparkSession

@@ -23,7 +23,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * NOTE: the state schema is Seq[SessionState] (a fragment LIST); a
   * checkpoint written by a pre-fragment-list build cannot be restored —
-  * restart such a query from a fresh checkpoint. */
+  * restart such a query from a fresh checkpoint. A decode failure on an
+  * old checkpoint is rethrown with that instruction instead of the
+  * opaque state-deserialization error. */
 object Sessionize {
 
   case class Event(key: String, ts: Timestamp)
@@ -38,7 +40,16 @@ object Sessionize {
                      state: GroupState[Seq[SessionState]],
                      gapMs: Long): Iterator[Session] = {
     val wm = state.getCurrentWatermarkMs()
-    val existing = state.getOption.getOrElse(Seq.empty)
+    // best-effort schema-mismatch guard: decoding pre-fragment-list state
+    // (single SessionState) as Seq[SessionState] fails here — point the
+    // operator at the cause instead of the opaque decode stack
+    val existing = try state.getOption.getOrElse(Seq.empty) catch {
+      case e: Exception => throw new IllegalStateException(
+        "cannot decode sessionization state — this checkpoint was likely " +
+          "written by a build whose state schema predates the fragment " +
+          "list (Seq[SessionState]); restart the query from a fresh " +
+          "checkpoint", e)
+    }
     val incoming = events.map(e => {
       val t = e.ts.getTime; SessionState(t, t, 1)
     }).toSeq

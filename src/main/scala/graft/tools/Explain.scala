@@ -11,11 +11,16 @@ import graft.SparkEntry
 object Explain {
   private val headline = Seq(
     "q04_star_join", "q08_anti_join", "q24_fingerprint_dedup",
-    "q25_minhash_signatures", "q29_ann_bruteforce", "q30_ann_lsh",
+    "q25_minhash_signatures", "q26_minhash_pairs", "q27_simhash",
+    "q29_ann_bruteforce", "q30_ann_lsh",
     "q32_embedding_neardup", "q35_view_agent_metrics_v1",
-    "q36_view_agent_metrics_v2", "q38_ann_ivf", "q40_chunk_overlap", "q42_stratified_sample",
+    "q36_view_agent_metrics_v2", "q37_simhash_pairs", "q38_ann_ivf",
+    "q40_chunk_overlap", "q42_stratified_sample",
     "q43_curation_audit", "q44_salted_join", "q45_sequence_packing",
-    "q46_exact_quantiles", "q47_decontamination", "q48_dedup_clusters")
+    "q46_exact_quantiles", "q47_decontamination", "q48_dedup_clusters",
+    "q49_conditional_merge", "q50_metrics_pivot",
+    "q52_minhash_signatures_fast", "q54_simhash_fast",
+    "q55_simhash_pairs_fast", "q57_ann_ivf_amortized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

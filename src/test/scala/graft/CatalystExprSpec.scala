@@ -145,6 +145,48 @@ class CatalystExprSpec extends SparkSpec {
     assert(texts.filter(T.qualityScore(col("text")) >= 0.0).count() == 14)
   }
 
+  test("sometimes-NULL exprs declare nullable even over non-nullable children") {
+    // CosineSimilarityExpr / SimHashExpr / SeededMinArrayExpr can return
+    // NULL from non-null inputs (length mismatch / zero tokens / empty
+    // array). If they inherit child nullability, Spark's non-nullable
+    // codegen path never declares ev.isNull, the generated Java does not
+    // compile (janino "not an rvalue") and every containing stage silently
+    // falls back to interpreted eval — the round-2/3 bench-tail
+    // NonFateSharingCache error. Guard the overrides AND the janino
+    // compile with a log appender on the codegen error path.
+    import org.apache.spark.sql.graftglue.GraftGlue
+    import graft.functions.{CosineSimilarityExpr, SimHashExpr, SeededMinArrayExpr}
+    val e = GraftGlue.expression(col("a"))
+    assert(CosineSimilarityExpr(e, e).nullable)
+    assert(SimHashExpr(e, portable = false).nullable)
+    assert(SeededMinArrayExpr(e, Array(1L), Array(0L)).nullable)
+
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+      "graft-codegen-guard", null, null, false, null) {
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      override def append(ev: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (ev.getMessage.getFormattedMessage.contains("Failed to compile"))
+          n.incrementAndGet()
+    }
+    appender.start()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val root = ctx.getConfiguration.getRootLogger
+    root.addAppender(appender, org.apache.logging.log4j.Level.ERROR, null)
+    try {
+      // non-nullable array columns (toDF of Array[Float]) + the expr in a
+      // FILTER: exactly the shape that failed to compile before the fix
+      val out = vecs.filter(V.cosineFast(col("a"), col("b")) > -2.0)
+        .select(V.cosineFast(col("a"), col("b")).as("c")).collect()
+      assert(out.length == 4)
+      assert(appender.n.get() == 0,
+        s"codegen compile failures detected: ${appender.n.get()}")
+    } finally {
+      root.removeAppender("graft-codegen-guard")
+      appender.stop()
+    }
+  }
+
   test("SignBucketExpr == signBucket HOF bit-for-bit") {
     val planes = V.randomPlanes(12, 4, seed = 7L)
     val rows = vecs.select(
