@@ -688,6 +688,30 @@ object SparkEntry {
           countDistinct(col("priority")).as("n_priorities"))
     }),
 
+    "q58_gopher_rules" -> ((s, dir) => {
+      // Gopher-style quality gates, thresholds tuned so every rule class
+      // fires on the synthetic corpus (tokens 10-99, mean word len ~4.5)
+      Curate.gopherAudit(t(s, dir, "documents"), "text",
+          minWords = 25, maxWords = 90, minMeanLen = 3.0, maxMeanLen = 4.6,
+          maxSymbolRatio = 0.1, minAlphaWordRatio = 0.8, minStopwords = 2)
+        .groupBy(col("source"),
+          coalesce(col("gopher_reason"), lit("kept")).as("reason"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q59_line_dedup" -> ((s, dir) => {
+      // intra-doc repetition removal: build a multi-line doc with known
+      // duplicate lines (text + its 50-char prefix twice), dedup, report
+      // the duplicated fraction and the surviving content hash
+      val multi = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"), substring(col("text"), 1, 50),
+          substring(col("text"), 1, 50), col("text")).as("text"))
+      Curate.dedupLines(multi, "text")
+        .select(col("doc_id"),
+          round(col("dup_line_fraction"), 4).as("dup_frac"),
+          md5(col("text_deduped")).as("dedup_md5"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -1512,6 +1536,48 @@ dim_users_litify AS (
            MAX(strftime(lmd, '%Y-%m-%d %H:%M:%S')) AS max_lmd,
            COUNT(DISTINCT priority) AS n_priorities
          FROM merged GROUP BY 1, 2""",
+
+    "q58_gopher_rules" ->
+      """WITH tk AS (
+           SELECT source, text,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
+           FROM documents),
+         st AS (
+           SELECT source, text,
+             len(toks) AS nw,
+             list_sum(list_transform(toks, x -> length(x))) AS sumlen,
+             len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\.\.\.'))
+               + len(regexp_extract_all(text, '…')) AS nsym,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+             len(list_filter(['the','a','of','and','to','in','is'],
+               m -> list_contains(toks, m))) AS nstop
+           FROM tk)
+         SELECT source,
+           CASE WHEN text IS NULL THEN 'null_text'
+             WHEN nw < 25 OR nw > 90 THEN 'word_count'
+             WHEN CAST(sumlen AS DOUBLE)/nw < 3.0
+               OR CAST(sumlen AS DOUBLE)/nw > 4.6 THEN 'word_length'
+             WHEN CAST(nsym AS DOUBLE)/nw > 0.1 THEN 'symbol_ratio'
+             WHEN CAST(nalpha AS DOUBLE)/nw < 0.8 THEN 'alpha_words'
+             WHEN nstop < 2 THEN 'stopword'
+             ELSE 'kept' END AS reason,
+           COUNT(1) AS n
+         FROM st GROUP BY 1, 2""",
+
+    "q59_line_dedup" ->
+      """WITH multi AS (
+           SELECT doc_id, concat_ws(chr(10), text, substring(text, 1, 50),
+             substring(text, 1, 50), text) AS text
+           FROM documents),
+         d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM multi)
+         SELECT doc_id,
+           ROUND(CASE WHEN len(ls) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)/len(ls) END,
+             4) AS dup_frac,
+           md5(array_to_string(list_filter(ls,
+             (x, i) -> list_position(ls, x) = i), chr(10))) AS dedup_md5
+         FROM d""",
 
     "q46_exact_quantiles" ->
       """WITH ranked AS (SELECT event_type, value,

@@ -81,6 +81,74 @@ object Curate {
     curationAudit(df, textCol, idCol, keepLangs, minQuality)
       .filter(col("drop_reason").isNull).drop("drop_reason")
 
+  /** Gopher-style quality-rule audit (Rae et al. 2021 §A1.1 heuristics,
+    * re-expressed as Catalyst columns): every row tagged with the FIRST
+    * failing rule — `null_text`, `word_count` (outside [minWords,
+    * maxWords]), `word_length` (mean token length outside [minMeanLen,
+    * maxMeanLen]), `symbol_ratio` (#/ellipsis glyphs per word above
+    * maxSymbolRatio), `alpha_words` (fraction of tokens containing a
+    * letter below minAlphaWordRatio), `stopword` (fewer than minStopwords
+    * DISTINCT English markers present) — or NULL for keepers.
+    *
+    * Scale shape: entirely row-local, one pass. The token array and the
+    * rule statistics are BOUND as intermediate columns so each is computed
+    * once per row (CollapseProject never inlines multiply-referenced
+    * non-cheap expressions) — the langId round-3 lesson applied here from
+    * the start. */
+  def gopherAudit(df: DataFrame, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  minAlphaWordRatio: Double = 0.8,
+                  minStopwords: Int = 2): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1 (guards the divisions): $minWords")
+    val markers = T.langMarkers.head._2 // the English stop set
+    val txt = col(textCol)
+    val toks = col("__toks")
+    def g(f: String) = col("__gstats").getField(f)
+    val out = df
+      .withColumn("__toks", T.tokens(txt))
+      .withColumn("__gstats", struct(
+        size(toks).as("nw"),
+        aggregate(toks, lit(0L), (a, x) => a + length(x)).as("sumlen"),
+        (regexp_count(txt, lit("#")) + regexp_count(txt, lit("\\.\\.\\.")) +
+          regexp_count(txt, lit("…"))).as("nsym"),
+        size(filter(toks, w => w.rlike("[A-Za-z]"))).as("nalpha"),
+        size(filter(lit(markers.toArray),
+          m => array_contains(toks, m))).as("nstop")))
+      .withColumn("gopher_reason",
+        when(txt.isNull, "null_text")
+          .when(g("nw") < minWords || g("nw") > maxWords, "word_count")
+          .when(g("sumlen").cast("double") / g("nw") < minMeanLen ||
+            g("sumlen").cast("double") / g("nw") > maxMeanLen, "word_length")
+          .when(g("nsym").cast("double") / g("nw") > maxSymbolRatio,
+            "symbol_ratio")
+          .when(g("nalpha").cast("double") / g("nw") < minAlphaWordRatio,
+            "alpha_words")
+          .when(g("nstop") < minStopwords, "stopword"))
+      .drop("__toks", "__gstats")
+    out
+  }
+
+  /** Intra-document repetition removal: drop every line after its first
+    * occurrence (order-preserving) and report the duplicated-line
+    * fraction — the standard "repetition filter" companion to corpus-level
+    * dedup (boilerplate, chat logs, scraped nav menus repeat WITHIN a
+    * doc, which document-level fingerprints never see). Row-local; blank
+    * lines count as lines. NULL text stays NULL (fraction 0.0). */
+  def dedupLines(df: DataFrame, textCol: String): DataFrame = {
+    val ls = col("__lines")
+    df.withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("dup_line_fraction",
+        when(col(textCol).isNull || size(ls) === 0, 0.0)
+          .otherwise(lit(1.0) -
+            size(array_distinct(ls)).cast("double") / size(ls)))
+      .withColumn(s"${textCol}_deduped",
+        array_join(filter(ls,
+          (l, i) => array_position(ls, l) === i + 1), "\n"))
+      .drop("__lines")
+  }
+
   /** Sequence packing for training batches: documents are laid out as one
     * concatenated token stream per shard (deterministic `idCol` order)
     * and cut into fixed-`budget` sequences — `seq_id` is which sequence a

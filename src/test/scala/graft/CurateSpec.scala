@@ -84,6 +84,50 @@ class CurateSpec extends SparkSpec {
     assert(ids == Set(1L, 5L), ids.toString) // 2,3 gated; 4 deduped vs 1
   }
 
+  test("gopherAudit: each rule fires on its crafted doc, first-match order") {
+    val docs = Seq(
+      (1L, "the cat sat on a mat and the dog lay in it"),        // kept
+      (2L, "too short"),                                          // word_count
+      (3L, "extraordinarily magnificent prodigious documentation " +
+        "overwhelmingly sophisticated"),                          // word_length (mean > 10)
+      (4L, "the quick brown fox runs past the lazy dog ### here"), // symbol_ratio
+      (5L, "the 11 22 33 44 55 66 77 88 99 in"),                  // alpha_words
+      (6L, "cat dog bird fish horse cow sheep goat"),             // stopword
+      (7L, null.asInstanceOf[String]))                            // null_text
+      .toDF("doc_id", "text")
+    val out = Curate.gopherAudit(docs, "text", minWords = 5, maxWords = 50,
+        minMeanLen = 2.0, maxMeanLen = 10.0, maxSymbolRatio = 0.1,
+        minAlphaWordRatio = 0.8, minStopwords = 2)
+      .select("doc_id", "gopher_reason")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).contains("word_count"))
+    assert(out(3L).contains("word_length"))
+    assert(out(4L).contains("symbol_ratio"))
+    assert(out(5L).contains("alpha_words"))
+    assert(out(6L).contains("stopword"))
+    assert(out(7L).contains("null_text"))
+  }
+
+  test("dedupLines: first occurrence kept in order; blanks are lines; null safe") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma\nbeta"),
+      (2L, "same\nsame\nsame"),
+      (3L, "one line only"),
+      (4L, "a\n\nb\n\na"),               // blank lines count (and dedup)
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Curate.dedupLines(docs, "text")
+      .select("doc_id", "text_deduped", "dup_line_fraction")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getDouble(2)))).toMap
+    assert(out(1L) == ((Some("alpha\nbeta\ngamma"), 0.4)))
+    assert(out(2L) == ((Some("same"), 1.0 - 1.0 / 3)))
+    assert(out(3L) == ((Some("one line only"), 0.0)))
+    assert(out(4L) == ((Some("a\n\nb"), 0.4)))
+    assert(out(5L)._1.isEmpty && out(5L)._2 == 0.0)
+  }
+
   test("packSequences: contiguous layout, straddling docs, per-shard streams") {
     // shard A: docs of 3,4,5 tokens with budget 8 ->
     //   cum: 0,3,7 -> seq 0,0,0; offsets 0,3,7 (doc 3 straddles into seq 1)
