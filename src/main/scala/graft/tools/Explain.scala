@@ -20,7 +20,8 @@ object Explain {
     "q46_exact_quantiles", "q47_decontamination", "q48_dedup_clusters",
     "q49_conditional_merge", "q50_metrics_pivot",
     "q52_minhash_signatures_fast", "q54_simhash_fast",
-    "q55_simhash_pairs_fast", "q57_ann_ivf_amortized")
+    "q55_simhash_pairs_fast", "q57_ann_ivf_amortized",
+    "q58_gopher_rules", "q59_line_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
