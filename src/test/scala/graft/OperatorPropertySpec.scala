@@ -91,6 +91,42 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("codegen text exprs == HOF forms over randomized unicode documents") {
+    // LangIdExpr / QualityRawExpr / SimHashExpr replaced interpreted HOF
+    // chains this round; the fixed edge battery lives in CatalystExprSpec,
+    // this pins parity over generated docs mixing markers of several
+    // languages, unicode glyphs, digits, punctuation and odd whitespace
+    val token = Gen.oneOf(
+      "the", "a", "of", "in", "is", "el", "la", "de", "los", "der", "und",
+      "das", "le", "les", "un", "的", "是", "我", "und", "zzz", "Wort",
+      "náïve", "𝄞clef", "42", "x#y", "...", "", "tok")
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val doc = for {
+      n <- Gen.choose(0, 25)
+      ts <- Gen.listOfN(n, token)
+      ss <- Gen.listOfN(math.max(n - 1, 0), sep)
+    } yield (ts, ss).zipped.map(_ + _).mkString + ts.drop(math.max(n - 1, 0)).mkString
+    val docs = draw(Gen.listOfN(300, doc), seed = 77L)
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("id", "text")
+    val rows = docs.select(
+      T.langId(col("text")).as("lg"), T.langIdHof(col("text")).as("lh"),
+      T.qualityScore(col("text")).as("qg"),
+      T.qualityScoreHof(col("text")).as("qh")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"langId diverged: $r")
+      assert(java.lang.Double.compare(r.getDouble(2), r.getDouble(3)) == 0,
+        s"quality diverged: $r")
+    }
+    for (mode <- Seq(Dedup.Fast, Dedup.Portable)) {
+      val fast = Dedup.simhash(docs, "text", "id", mode)
+        .as[(Long, Long)].collect().toMap
+      val ref = Dedup.simhashAgg(docs, "text", "id", mode)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == ref, s"simhash diverged in $mode")
+    }
+  }
+
   test("exactQuantiles: known answers, ties safe, nulls skipped") {
     import graft.functions.Stats
     val df = ((1 to 10).map(v => ("a", Some(v.toDouble))) ++
