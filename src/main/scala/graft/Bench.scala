@@ -21,10 +21,15 @@ object Bench {
     // warm up the BENCHED directory's FS metadata plus codegen/JIT once so
     // the alphabetically-first query doesn't absorb all fixed startup
     // cost; never fatal — a missing warmup table must not kill the bench
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count()
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    try {
+      import org.apache.spark.sql.functions.{col, sum}
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        // include a decimal-sum so the alphabetically-first query (q01,
+        // five decimal aggregates) doesn't absorb that codegen/JIT cost
+        .agg(sum(col("l_quantity").cast("decimal(20,4)")))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // optional comma-separated name-prefix filter for single-query iteration
     // (e.g. SPARK_GRAFT_BENCH_FILTER=q43,q22); unset = the full suite
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
