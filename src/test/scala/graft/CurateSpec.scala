@@ -93,7 +93,8 @@ class CurateSpec extends SparkSpec {
       (4L, "the quick brown fox runs past the lazy dog ### here"), // symbol_ratio
       (5L, "the 11 22 33 44 55 66 77 88 99 in"),                  // alpha_words
       (6L, "cat dog bird fish horse cow sheep goat"),             // stopword
-      (7L, null.asInstanceOf[String]))                            // null_text
+      (7L, null.asInstanceOf[String]),                            // null_text
+      (8L, "the quick brown fox runs… and then... stops… here"))  // symbol_ratio via ellipses
       .toDF("doc_id", "text")
     val out = Curate.gopherAudit(docs, "text", minWords = 5, maxWords = 50,
         minMeanLen = 2.0, maxMeanLen = 10.0, maxSymbolRatio = 0.1,
@@ -107,6 +108,7 @@ class CurateSpec extends SparkSpec {
     assert(out(5L).contains("alpha_words"))
     assert(out(6L).contains("stopword"))
     assert(out(7L).contains("null_text"))
+    assert(out(8L).contains("symbol_ratio")) // counts '…' and '...' glyphs
   }
 
   test("dedupLines: first occurrence kept in order; blanks are lines; null safe") {
