@@ -449,13 +449,19 @@ object Dedup {
     var converged = false
     while (!converged && i < maxIter) {
       val prop = edges.join(labels, edges("b") === labels("id"))
-        .select(edges("a").as("id"), col("cluster"))
-      val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("cluster").as("cluster"))
+        .select(edges("a").as("id"), col("cluster"),
+          lit(null).cast("long").as("__old"))
+      // carry each id's previous label through the aggregation (labels has
+      // exactly one row per id, so min(__old) recovers it; min skips the
+      // propagation rows' NULLs) — convergence is then a NARROW filter
+      // over the checkpointed result instead of a per-round shuffle join
+      val next = labels.withColumn("__old", col("cluster"))
+        .unionByName(prop)
+        .groupBy("id").agg(min("cluster").as("cluster"),
+          min("__old").as("__old"))
         .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.cluster") =!= col("o.cluster")).isEmpty
-      labels = next
+      converged = next.filter(col("cluster") =!= col("__old")).isEmpty
+      labels = next.drop("__old")
       i += 1
     }
     // a silent non-converged return would split components (and read as a
