@@ -712,6 +712,40 @@ object SparkEntry {
           md5(col("text_deduped")).as("dedup_md5"))
     }),
 
+    "q60_pii_scrub" -> ((s, dir) => {
+      // deterministic PII is appended to every doc so the oracle verifies
+      // actual redactions (a corpus with nothing to scrub would hash-match
+      // trivially); both engines apply the identical RE2-safe regexes
+      val d = col("doc_id")
+      val withPii = t(s, dir, "documents").select(d,
+        concat_ws(" ", col("text"),
+          concat(lit("user"), d.cast("string"), lit("@example.com")),
+          concat(lit("10.0."), (d % 256).cast("string"), lit("."),
+            (d % 100).cast("string")),
+          concat(lit("555-"), lpad((d % 900 + 100).cast("string"), 3, "0"),
+            lit("-"), lpad((d % 9000 + 1000).cast("string"), 4, "0")),
+          md5(d.cast("string"))).as("text"))
+      Curate.scrubPii(withPii, "text")
+        .select(d, md5(col("text_scrubbed")).as("scrub_md5"),
+          regexp_count(col("text_scrubbed"), lit("<EMAIL>")).cast("long").as("n_email"),
+          regexp_count(col("text_scrubbed"), lit("<IP>")).cast("long").as("n_ip"),
+          regexp_count(col("text_scrubbed"), lit("<PHONE>")).cast("long").as("n_phone"),
+          regexp_count(col("text_scrubbed"), lit("<KEY>")).cast("long").as("n_key"))
+    }),
+
+    "q61_repetition_stats" -> ((s, dir) => {
+      // even docs are doubled (every n-gram repeats); odd docs stay raw.
+      // floor-bucketed fractions: exact on identical doubles, immune to
+      // the round() .xx5 cross-engine divergence
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, concat_ws(" ", col("text"), col("text")))
+          .otherwise(col("text")).as("text"))
+      Curate.repetitionStats(base, "text", ns = Seq(2, 3))
+        .select(col("doc_id"),
+          floor(col("dup_2gram_frac") * 1000).cast("long").as("dup2_bucket"),
+          floor(col("dup_3gram_frac") * 1000).cast("long").as("dup3_bucket"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -1578,6 +1612,59 @@ dim_users_litify AS (
            md5(array_to_string(list_filter(ls,
              (x, i) -> list_position(ls, x) = i), chr(10))) AS dedup_md5
          FROM d""",
+
+    "q60_pii_scrub" ->
+      """WITH pii AS (
+           SELECT doc_id,
+             concat_ws(' ', text,
+               'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+               '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST(doc_id % 100 AS VARCHAR),
+               '555-' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0'),
+               md5(CAST(doc_id AS VARCHAR))) AS text
+           FROM documents),
+         s AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '(?:\+?1[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+             '\b[0-9a-fA-F]{32,}\b', '<KEY>', 'g') AS sc
+           FROM pii)
+         SELECT doc_id, md5(sc) AS scrub_md5,
+           CAST(len(regexp_extract_all(sc, '<EMAIL>')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(sc, '<IP>')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(sc, '<PHONE>')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(sc, '<KEY>')) AS BIGINT) AS n_key
+         FROM s""",
+
+    "q61_repetition_stats" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN text || ' ' || text
+               ELSE text END AS text
+           FROM documents),
+         tk AS (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+               x -> x != '') AS t
+           FROM base),
+         sh AS (SELECT doc_id, text,
+             CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(range(1, len(t)), i ->
+                 array_to_string(t[i:i+1], ' ')) END AS s2,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(range(1, len(t) - 1), i ->
+                 array_to_string(t[i:i+2], ' ')) END AS s3
+           FROM tk)
+         SELECT doc_id,
+           CAST(FLOOR((CASE WHEN text IS NULL OR len(s2) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(s2)) AS DOUBLE)/len(s2) END)
+             * 1000) AS BIGINT) AS dup2_bucket,
+           CAST(FLOOR((CASE WHEN text IS NULL OR len(s3) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(s3)) AS DOUBLE)/len(s3) END)
+             * 1000) AS BIGINT) AS dup3_bucket
+         FROM sh""",
 
     "q46_exact_quantiles" ->
       """WITH ranked AS (SELECT event_type, value,

@@ -149,6 +149,47 @@ object Curate {
       .drop("__lines")
   }
 
+  /** PII scrubbing: redact emails, North-American-style phone numbers,
+    * IPv4 addresses and long hex secrets to typed placeholder tokens — the
+    * standard pre-training redaction pass. Pure `regexp_replace` chain
+    * (codegen'd, row-local, no shuffle); patterns deliberately stay inside
+    * the RE2-compatible subset (no lookarounds/backrefs) so the DuckDB
+    * oracle applies the IDENTICAL regexes. Order matters: emails first
+    * (their local part can contain digits a later rule would mangle),
+    * then IPs before phones (dotted quads contain phone-length digit
+    * runs). */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val rules: Seq[(String, String)] = Seq(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+      "(?:\\+?1[-. ]?)?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>",
+      "\\b[0-9a-fA-F]{32,}\\b" -> "<KEY>")
+    val scrubbed = rules.foldLeft(col(textCol)) { case (c, (pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+    df.withColumn(s"${textCol}_scrubbed", scrubbed)
+  }
+
+  /** Gopher-style repetition signals: the fraction of word n-gram
+    * occurrences that are repeats of an earlier occurrence
+    * (`1 - distinct/total`, 0.0 for docs with no n-grams) — high values
+    * flag boilerplate/loops that document-level dedup and [[dedupLines]]
+    * both miss (repeats need not be line-aligned). Row-local, one pass per
+    * n. */
+  def repetitionStats(df: DataFrame, textCol: String,
+                      ns: Seq[Int] = Seq(2, 3)): DataFrame =
+    ns.foldLeft(df) { (d, n) =>
+      // bind the shingle array once per n (the langId lesson: a column
+      // referenced several times must be an attribute, not an inline expr)
+      val sh = col("__sh")
+      d.withColumn("__sh", T.shingles(col(textCol), n))
+        .withColumn(s"dup_${n}gram_frac",
+          when(col(textCol).isNull || size(sh) === 0, 0.0)
+            .otherwise(lit(1.0) -
+              size(array_distinct(sh)).cast("double") / size(sh)))
+        .drop("__sh")
+    }
+
   /** Sequence packing for training batches: documents are laid out as one
     * concatenated token stream per shard (deterministic `idCol` order)
     * and cut into fixed-`budget` sequences — `seq_id` is which sequence a

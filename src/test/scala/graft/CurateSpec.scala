@@ -130,6 +130,42 @@ class CurateSpec extends SparkSpec {
     assert(out(5L)._1.isEmpty && out(5L)._2 == 0.0)
   }
 
+  test("scrubPii: typed redactions, rule order, clean text untouched") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.org today"),
+      (2L, "server 192.168.1.250 and phone +1 (555) 867-5309"),
+      (3L, "key deadbeefdeadbeefdeadbeefdeadbeef1234 leaked"),
+      (4L, "perfectly clean text with no pii at all"),
+      (5L, "a@b.io or 10.0.0.1 or 555-123-4567 together"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Curate.scrubPii(docs, "text")
+      .select("doc_id", "text_scrubbed")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains("reach me at <EMAIL> today"))
+    assert(out(2L).contains("server <IP> and phone <PHONE>"))
+    assert(out(3L).contains("key <KEY> leaked"))
+    assert(out(4L).contains("perfectly clean text with no pii at all"))
+    assert(out(5L).contains("<EMAIL> or <IP> or <PHONE> together"))
+    assert(out(6L).isEmpty) // NULL stays NULL
+  }
+
+  test("repetitionStats: doubled docs repeat every n-gram; unique docs score 0") {
+    val docs = Seq(
+      (1L, "a b c d a b c d"),   // doubled: 2-grams 7 total, 4 distinct
+      (2L, "all words unique here now"),
+      (3L, "x"),                 // fewer tokens than n -> whole-doc shingle
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Curate.repetitionStats(docs, "text", ns = Seq(2))
+      .select("doc_id", "dup_2gram_frac")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - (1.0 - 4.0 / 7)) < 1e-12)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0)
+    assert(out(4L) == 0.0)
+  }
+
   test("packSequences: contiguous layout, straddling docs, per-shard streams") {
     // shard A: docs of 3,4,5 tokens with budget 8 ->
     //   cum: 0,3,7 -> seq 0,0,0; offsets 0,3,7 (doc 3 straddles into seq 1)
