@@ -21,7 +21,8 @@ object Explain {
     "q49_conditional_merge", "q50_metrics_pivot",
     "q52_minhash_signatures_fast", "q54_simhash_fast",
     "q55_simhash_pairs_fast", "q57_ann_ivf_amortized",
-    "q58_gopher_rules", "q59_line_dedup")
+    "q58_gopher_rules", "q59_line_dedup", "q60_pii_scrub",
+    "q61_repetition_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
