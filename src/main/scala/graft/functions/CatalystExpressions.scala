@@ -680,6 +680,62 @@ object SimHashWorker {
   }
 }
 
+/** Word n-gram repetition statistics in ONE row-local codegen pass:
+  * `[total, distinct]` counts over the document's n-gram windows —
+  * bit-identical to `size(shingles)` / `size(array_distinct(shingles))`
+  * over [[TextFunctions.shingles]] (fewer tokens than n collapses to one
+  * whole-document shingle, so total >= 1 always), but with no interpreted
+  * transform/slice/concat lambdas and no joined-string allocation:
+  * distinctness uses token-sequence equality (UTF8String element-wise),
+  * which equals joined-string equality because tokens cannot contain the
+  * joiner. NULL tokens array (NULL text) -> NULL. */
+case class NgramStatsExpr(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  // constructed internally over a split(normalized, "\\s+") array<string>
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramStats.compute(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramStats.compute($c, $n);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramStatsExpr = copy(child = newChild)
+}
+
+object NgramStats {
+  def compute(arr: ArrayData, n: Int): GenericArrayData = {
+    val n0 = arr.numElements()
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n0)
+    var m = 0
+    var i = 0
+    while (i < n0) {
+      val s = arr.getUTF8String(i)
+      if (s != null && s.numBytes() > 0) { toks(m) = s; m += 1 }
+      i += 1
+    }
+    if (m < n) return new GenericArrayData(Array(1L, 1L)) // whole-doc shingle
+    val total = m - n + 1
+    val seen = new java.util.HashSet[java.util.List[
+      org.apache.spark.unsafe.types.UTF8String]](total * 2)
+    var s0 = 0
+    while (s0 < total) {
+      val w = new java.util.ArrayList[
+        org.apache.spark.unsafe.types.UTF8String](n)
+      var k = 0
+      while (k < n) { w.add(toks(s0 + k)); k += 1 }
+      seen.add(w)
+      s0 += 1
+    }
+    new GenericArrayData(Array(total.toLong, seen.size.toLong))
+  }
+}
+
 /** Heuristic language-ID over raw text in ONE codegen pass. Bit-identical
   * to the HOF reference form ([[TextFunctions.langIdHof]]): tokens are
   * maximal runs of non-`\s` bytes (multibyte UTF-8 units are never ASCII

@@ -177,18 +177,23 @@ object Curate {
     * both miss (repeats need not be line-aligned). Row-local, one pass per
     * n. */
   def repetitionStats(df: DataFrame, textCol: String,
-                      ns: Seq[Int] = Seq(2, 3)): DataFrame =
+                      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    import org.apache.spark.sql.graftglue.GraftGlue
     ns.foldLeft(df) { (d, n) =>
-      // bind the shingle array once per n (the langId lesson: a column
-      // referenced several times must be an attribute, not an inline expr)
-      val sh = col("__sh")
-      d.withColumn("__sh", T.shingles(col(textCol), n))
+      // codegen NgramStatsExpr: [total, distinct] in one pass — the HOF
+      // shingles + array_distinct form re-ran interpreted slice/concat
+      // lambdas per window (40 s at sf0.1 for what is a scan-bound stat)
+      val st = col("__st")
+      d.withColumn("__st", GraftGlue.column(
+          graft.functions.NgramStatsExpr(GraftGlue.expression(
+            split(T.normalized(col(textCol)), "\\s+")), n)))
         .withColumn(s"dup_${n}gram_frac",
-          when(col(textCol).isNull || size(sh) === 0, 0.0)
+          when(col(textCol).isNull, 0.0)
             .otherwise(lit(1.0) -
-              size(array_distinct(sh)).cast("double") / size(sh)))
-        .drop("__sh")
+              st.getItem(1).cast("double") / st.getItem(0)))
+        .drop("__st")
     }
+  }
 
   /** Sequence packing for training batches: documents are laid out as one
     * concatenated token stream per shard (deterministic `idCol` order)
