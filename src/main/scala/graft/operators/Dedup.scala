@@ -448,9 +448,12 @@ object Dedup {
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
+      // __old must match the (caller-defined) cluster id type exactly or
+      // the union would reject/coerce string and numeric id graphs
+      val clusterType = labels.schema("cluster").dataType
       val prop = edges.join(labels, edges("b") === labels("id"))
         .select(edges("a").as("id"), col("cluster"),
-          lit(null).cast("long").as("__old"))
+          lit(null).cast(clusterType).as("__old"))
       // carry each id's previous label through the aggregation (labels has
       // exactly one row per id, so min(__old) recovers it; min skips the
       // propagation rows' NULLs) — convergence is then a NARROW filter

@@ -301,6 +301,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(flags.size == 5)               // corpus rows all preserved
   }
 
+  test("clusters: non-numeric (string) node ids propagate too") {
+    val pairs = Seq(("docA", "docB"), ("docB", "docC"), ("x", "y"))
+      .toDF("a", "b")
+    val out = Dedup.clusters(pairs).as[(String, String)].collect().toMap
+    assert(out("docA") == "docA" && out("docB") == "docA" &&
+      out("docC") == "docA")
+    assert(out("x") == "x" && out("y") == "x")
+  }
+
   test("decontamination: pathological all-contaminated corpus (flag set ~ corpus)") {
     // every corpus row matches the reference -> the near/exact flag sets
     // approach corpus cardinality; must complete (no forced corpus-scale
