@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with self-join-heavy queries needs real heap headroom: at
+  // 8g the unified-memory storage floor plus 32 concurrent task threads
+  // GC-thrash the long bench run (observed as 4-10x inflation of the
+  // pair-family queries). 48g is a cap, not a commit.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -44,7 +44,14 @@ object Bench {
       val outcome =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(e.toString.take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, outcome)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // query isolation (untimed): a query that caches or checkpoints must
+      // not tax its successors' storage memory — drop every cached plan and
+      // persistent RDD block before the next query starts
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (name, dt, outcome)
     }
     // full JSON string escape incl. control chars — exception messages
     // carry newlines that would otherwise break the one-line contract
@@ -57,12 +64,16 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the one JSON line short: full-precision
+    // doubles over 60+ queries overflow a log tail buffer, and a truncated
+    // line is unparseable downstream
+    def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(err)) =>
       "\"" + k + "\":\"" + esc(err) + "\""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = sec(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     if (results.exists(_._3.isDefined)) System.err.println(
       s"[bench] ${results.count(_._3.isDefined)} queries FAILED")

@@ -658,29 +658,37 @@ object SparkEntry {
             col("__lmd0") + expr("INTERVAL 2 DAYS"))
             .otherwise(col("__lmd0") - expr("INTERVAL 1 DAYS"))))
         .withColumn("Batch", lit("staging"))
-      target.unionByName(staging).drop("o_orderkey", "__lmd0")
-        .write.mode("overwrite").option("header", "true").csv(tmp)
-      val raw = s.read.option("header", "true").csv(tmp) // all-string stage
-      val spec = TableSpecs.task
-      val table = "q51_task"
-      // a fresh JVM's in-memory catalog does not know managed tables a
-      // previous run left in the warehouse dir — DROP alone is a no-op
-      // then, and saveAsTable fails with LOCATION_ALREADY_EXISTS; clear
-      // the location too
-      def dropManaged(name: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS $name")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
+      try {
+        target.unionByName(staging).drop("o_orderkey", "__lmd0")
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        val raw = s.read.option("header", "true").csv(tmp) // all-string stage
+        val spec = TableSpecs.task
+        val table = "q51_task"
+        // a fresh JVM's in-memory catalog does not know managed tables a
+        // previous run left in the warehouse dir — DROP alone is a no-op
+        // then, and saveAsTable fails with LOCATION_ALREADY_EXISTS; clear
+        // the location too
+        def dropManaged(name: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        dropManaged(s"${table}__merge_tmp")
+        dropManaged(table)
+        Merge.scd1Bucketed(table, spec(raw.filter(col("Batch") === "target")),
+          Seq("id"), "lastmodifieddate", nBuckets = 8)
+        Merge.scd1Bucketed(table, spec(raw.filter(col("Batch") === "staging")),
+          Seq("id"), "lastmodifieddate", nBuckets = 8)
+      } finally {
+        // both scd1Bucketed calls consumed the CSV eagerly (managed-table
+        // writes) and the result below reads the table, not the stage —
+        // drop the staging dir here or every run leaks an sf-sized /tmp dir
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       }
-      dropManaged(s"${table}__merge_tmp")
-      dropManaged(table)
-      Merge.scd1Bucketed(table, spec(raw.filter(col("Batch") === "target")),
-        Seq("id"), "lastmodifieddate", nBuckets = 8)
-      Merge.scd1Bucketed(table, spec(raw.filter(col("Batch") === "staging")),
-        Seq("id"), "lastmodifieddate", nBuckets = 8)
-      s.table(table)
+      s.table("q51_task")
         .groupBy(col("status"), col("isclosed").cast("long").as("isclosed"))
         .agg(count(lit(1)).as("n"),
           count(col("activitydate")).as("n_valid_activity"),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.GraftGlue
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 
 /** Deduplication operators for training-data pipelines (BASELINE.json
@@ -203,9 +204,11 @@ object Dedup {
     * Entirely ROW-LOCAL (codegen [[graft.functions.SimHashExpr]]): the
     * majority vote needs only a doc's own tokens, so there is no explode,
     * no shuffle and no aggregate — the corpus is scanned once. Docs with
-    * zero tokens (empty/NULL text) emit no row, and ids are assumed
-    * unique per doc, both matching the aggregate reference form
-    * ([[simhashAgg]], parity-pinned in DedupSimilaritySpec). */
+    * zero tokens (empty/NULL text) emit no row. Ids are assumed unique per
+    * doc; on duplicate ids this form emits one signature row per INPUT row
+    * (the aggregate form merged them) — [[simhashPairs]] stays safe either
+    * way (a<b excludes self pairs, dropDuplicates excludes repeats), and
+    * both behaviors are pinned in DedupSimilaritySpec. */
   def simhash(df: DataFrame, textCol: String, idCol: String,
               mode: HashMode = Fast): DataFrame = {
     import org.apache.spark.sql.graftglue.GraftGlue
@@ -435,7 +438,10 @@ object Dedup {
     * rounds suffices; `maxIter` caps adversarial chains and convergence
     * is checked per round (one count action). Lineage is cut with an
     * eager localCheckpoint per round so the plan does not grow
-    * exponentially — the standard Spark iterative-algorithm discipline.
+    * exponentially — the standard Spark iterative-algorithm discipline —
+    * and each superseded round's checkpoint blocks are released as soon
+    * as the next round lands, so peak storage is two label generations +
+    * the edge set, not O(rounds).
     * Output: (id, cluster) for every id appearing in `pairs`. */
   def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
@@ -464,9 +470,13 @@ object Dedup {
           min("__old").as("__old"))
         .localCheckpoint(true)
       converged = next.filter(col("cluster") =!= col("__old")).isEmpty
+      // `next` is materialized — the previous generation's checkpoint
+      // blocks are dead weight from here on; free them now
+      GraftGlue.releaseCheckpoint(labels)
       labels = next.drop("__old")
       i += 1
     }
+    GraftGlue.releaseCheckpoint(edges)
     // a silent non-converged return would split components (and read as a
     // hash mismatch at the oracle) — fail loudly instead
     if (!converged) throw new IllegalStateException(

@@ -214,8 +214,13 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // hash-ordered bounded sample (TakeOrdered, never a full sort). Rows
+    // with byte-identical vectors tie on the hash; the vector itself is the
+    // secondary sort key so which ROW wins stays partition-order-free even
+    // if this select ever grows more columns — the sample must be a pure
+    // function of corpus CONTENT or the fitted centroids drift across runs
     val sample = c.filter(col("cv").isNotNull).select(col("cv"))
-      .orderBy(xxhash64(col("cv"), lit(seed)))
+      .orderBy(xxhash64(col("cv"), lit(seed)), col("cv"))
       .limit(trainSample)
       .as[Array[Float]].collect()
     val cents = fitCentroids(sample, nLists, seed, maxIter)

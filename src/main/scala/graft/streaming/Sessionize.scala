@@ -42,13 +42,20 @@ object Sessionize {
     val wm = state.getCurrentWatermarkMs()
     // best-effort schema-mismatch guard: decoding pre-fragment-list state
     // (single SessionState) as Seq[SessionState] fails here — point the
-    // operator at the cause instead of the opaque decode stack
+    // operator at the cause instead of the opaque decode stack. Only
+    // encoder-decode failures are rebranded (ExpressionEncoder raises
+    // RuntimeException/SparkRuntimeException with a "decod…" message);
+    // anything else — a corrupt state store, an unrelated failure — must
+    // surface as itself, not as migration advice
     val existing = try state.getOption.getOrElse(Seq.empty) catch {
-      case e: Exception => throw new IllegalStateException(
-        "cannot decode sessionization state — this checkpoint was likely " +
-          "written by a build whose state schema predates the fragment " +
-          "list (Seq[SessionState]); restart the query from a fresh " +
-          "checkpoint", e)
+      case e: RuntimeException if Option(e.getMessage).exists(m =>
+          m.toLowerCase.contains("decod") ||
+            m.contains("EXPRESSION_DECODING_FAILED")) =>
+        throw new IllegalStateException(
+          "cannot decode sessionization state — this checkpoint was likely " +
+            "written by a build whose state schema predates the fragment " +
+            "list (Seq[SessionState]); restart the query from a fresh " +
+            "checkpoint", e)
     }
     val incoming = events.map(e => {
       val t = e.ts.getTime; SessionState(t, t, 1)

@@ -13,4 +13,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftGlue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the block-manager storage behind a `localCheckpoint(eager=true)`
+    * Dataset. A checkpointed Dataset's plan is a [[LogicalRDD]] wrapping the
+    * persisted internal RDD; `Dataset.unpersist` cannot reach it (it is not
+    * in the cache manager), so iterative operators that checkpoint per round
+    * would otherwise leak one round's blocks per iteration for the life of
+    * the session. No-op on non-checkpointed frames. */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

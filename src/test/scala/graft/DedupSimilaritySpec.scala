@@ -62,6 +62,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash duplicate ids: one signature row per INPUT row; pairs emit " +
+      "neither self nor duplicated pairs") {
+    // the row-local form deliberately does not merge same-id rows (the old
+    // aggregate form did); this pins the documented contract so a future
+    // rewrite cannot silently flip it — and pins that simhashPairs stays
+    // safe anyway: a<b kills self-pairs, dropDuplicates kills repeats
+    val dup = docs.unionByName(Seq((1L, "the quick brown fox jumps over " +
+      "the lazy dog")).toDF("doc_id", "text"))
+    val sh = Dedup.simhash(dup, "text", "doc_id").collect()
+    assert(sh.length == 6, "row-local simhash emits one row per input row")
+    assert(sh.count(_.getLong(0) == 1L) == 2)
+    val pairs = Dedup.simhashPairs(dup, "text", "doc_id", maxDist = 3)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a < b }, "no self pairs")
+    assert(pairs.distinct.length == pairs.length, "no duplicated pairs")
+    assert(pairs.toSet.contains((1L, 2L)))
+  }
+
   test("SimHashExpr simhash == aggregate reference form, both modes") {
     val edge = docs.unionByName(Seq(
       (6L, ""),                            // zero tokens -> no row
