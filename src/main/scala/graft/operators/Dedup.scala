@@ -62,6 +62,47 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Cross-document paragraph-level exact dedup (the "deduplicating
+    * training data" sub-document granularity): each document is split on
+    * `sep`, every paragraph is fingerprinted on its normalized content,
+    * and only the globally FIRST occurrence of each fingerprint — lowest
+    * (doc id, position) — survives; later occurrences are removed from
+    * their documents. Catches boilerplate (headers, footers, license
+    * blocks) repeated across documents that whole-document fingerprints
+    * can never see, and that intra-doc line dedup ([[Curate.dedupLines]])
+    * cannot see either.
+    *
+    * Scale shape: explode to paragraphs, ONE shuffle on the paragraph
+    * fingerprint (first-occurrence rank), one shuffle back on the doc id
+    * to reassemble — both keys compact, both aggregations combine-enabled;
+    * never corpus-pairwise. Docs whose text is NULL have no paragraphs and
+    * emit no row (matching [[Curate.dedupLines]] NULL semantics).
+    *
+    * Output: (id, n_paragraphs, n_kept, text_deduped) where text_deduped
+    * rejoins the surviving paragraphs with `sep` in original order (empty
+    * string when every paragraph was seen earlier elsewhere). */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
+                      sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))))
+      .withColumnsRenamed(Map("pos" -> "__pos", "col" -> "__para"))
+    val ranked = paras
+      .withColumn("__fp", md5(T.normalized(col("__para"))))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__fp").orderBy(col(idCol), col("__pos"))))
+    ranked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paragraphs"),
+        sum(when(col("__rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the NULLs the `when` leaves for removed
+        // paragraphs; array_sort on (pos, para) structs restores document
+        // order (collect_list order is partition-arbitrary)
+        concat_ws(sep, transform(array_sort(collect_list(
+            when(col("__rk") === 1,
+              struct(col("__pos"), col("__para"))))),
+          s => s.getField("__para"))).as("text_deduped"))
+  }
+
   /** Per-seed multiply-shift mixers over one base xxhash64: odd multipliers
     * (bijective mod 2^64) from a splitmix-style sequence, so each shingle
     * is string-hashed ONCE and the remaining seeds cost a multiply-add. */

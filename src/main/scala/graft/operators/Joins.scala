@@ -95,4 +95,45 @@ object Joins {
       explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Point-in-interval (range) join: every (point, interval) pair with
+    * `start <= point <= end`, both bounds inclusive — IP-to-geo lookups,
+    * event-to-campaign attribution, time-windowed enrichment.
+    *
+    * Spark's planner turns a bare inequality join into
+    * BroadcastNestedLoopJoin (fine only when one side broadcasts) or a
+    * cartesian product. This operator makes it a single EQUI-shuffle:
+    * intervals explode to the fixed-width buckets they overlap, points
+    * compute their one bucket, and the range predicate filters the bucket
+    * join's output. An interval meets a point's bucket exactly once, so no
+    * dedup pass is needed. Cost scales with points + sum(interval spans /
+    * bucketWidth) + true matches — never |points| x |intervals|.
+    *
+    * `bucketWidth` tunes replication: ~the median interval span is right
+    * (each interval lands in 1-2 buckets). `maxBucketsPerInterval` is a
+    * loud guard against a mis-sized width replicating a huge interval
+    * across thousands of buckets (the operator raises instead of silently
+    * exploding the shuffle). Malformed intervals (end < start, NULL
+    * bounds) match nothing, matching the SQL BETWEEN semantics. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+                startCol: String, endCol: String, bucketWidth: Long,
+                maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val nb = floor(col(endCol) / bucketWidth) -
+      floor(col(startCol) / bucketWidth) + 1
+    val iv = intervals
+      .filter(col(startCol) <= col(endCol)) // BETWEEN matches nothing here
+      .withColumn("__b", explode(when(nb <= maxBucketsPerInterval,
+        sequence(floor(col(startCol) / bucketWidth),
+          floor(col(endCol) / bucketWidth)))
+        .otherwise(raise_error(concat(
+          lit(s"interval spans more than $maxBucketsPerInterval buckets of " +
+            s"width $bucketWidth: ["), col(startCol).cast("string"),
+          lit(", "), col(endCol).cast("string"),
+          lit("] — raise bucketWidth or maxBucketsPerInterval"))))))
+    points.withColumn("__b", floor(col(pointCol) / bucketWidth))
+      .join(iv, Seq("__b"))
+      .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__b")
+  }
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T}
+
+/** Corpus-level term-relevance scoring: TF-IDF keyword extraction and BM25
+  * ranking — the retrieval half of a training-data pipeline (quality-aware
+  * sampling, topic balancing, query-targeted subcorpus pulls).
+  *
+  * Scale design (100 TB): the corpus is tokenized ONCE into (doc, term, tf)
+  * with map-side combine, document frequencies are a second aggregation on
+  * the term key, and corpus scalars (N, avgdl) ride along as broadcast
+  * one-row frames — no driver-side collect of anything corpus-sized, no
+  * cross join bigger than a literal. BM25 additionally prunes to the query
+  * termset BEFORE any shuffle, so its cost scales with the posting lists of
+  * the query terms, not the corpus vocabulary.
+  *
+  * Reference anchor: the reference engine has no retrieval surface; this
+  * extends SURVEY §2.8's text battery the way `Dedup`/`Similarity` extend
+  * its dedup surface (BASELINE.json north_star).
+  */
+object Relevance {
+
+  /** (doc, term, tf) postings over whitespace tokens of the normalized
+    * text — one explode + one combine-enabled aggregation. */
+  private def postings(df: DataFrame, textCol: String, idCol: String) =
+    df.select(col(idCol).as("__id"),
+        explode(T.tokens(T.normalized(col(textCol)))).as("term"))
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-k TF-IDF terms per document. idf = ln((N+1)/(df+1)) + 1 (the
+    * smooth scikit-style form: never negative, defined for df = N). Ties
+    * on score break by term ascending so the cut is deterministic.
+    *
+    * df (document frequency) is a window count over the term key, not a
+    * groupBy+self-join: the postings subtree is evaluated ONCE, and the
+    * shuffle-by-term the join would need anyway is the only extra
+    * exchange. Posting-list skew (a stopword's postings land in one
+    * partition) is identical in both shapes — it is the problem's own
+    * skew, bounded by docs-per-term, and it spills rather than fails.
+    * Output: (id, term, tf, score, rank), rank 1..k per doc. */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 5): DataFrame = {
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = postings(df, textCol, idCol)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") *
+        (log((col("__n") + 1).cast("double") / (col("df") + 1)) + 1))
+    scored.withColumn("rank", row_number().over(Window.partitionBy("__id")
+        .orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("__id").as(idCol), col("term"), col("tf"),
+        col("score"), col("rank"))
+  }
+
+  /** BM25 document ranking against a literal query termset (Robertson/
+    * Sparck-Jones idf, k1/b standard defaults). Postings are pruned to the
+    * query terms before the doc-frequency pass, but df and avgdl are still
+    * CORPUS-wide statistics (df counted over all docs containing the term,
+    * avgdl over all docs) — pruning changes cost, not semantics. Docs
+    * matching no query term score 0 and are not returned.
+    *
+    * The global top-k is sort+limit (TakeOrdered: per-partition heaps, one
+    * tiny exchange), NEVER an unpartitioned window over the matched set —
+    * ranks are assigned after the cut, over k rows. Ties break by id.
+    *
+    * `exactSum = true` sums per-term contributions as DECIMAL(27,12):
+    * exact, order-independent addition, so the score is bit-stable across
+    * partition layouts and mirrorable by a SQL oracle (double summation is
+    * order-sensitive in the last ulp). Default stays double for speed.
+    * Output: (id, score, n_matched, rank), rank 1..k. */
+  def bm25Rank(df: DataFrame, textCol: String, idCol: String,
+               query: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               exactSum: Boolean = false): DataFrame = {
+    require(query.nonEmpty, "bm25Rank needs at least one query term")
+    val terms = query.distinct.map(_.toLowerCase)
+    // doc length rides along with the postings (it is row-local, so the
+    // (id, term) aggregation can carry it via first()) — no corpus-scale
+    // doc-length join. The query-term filter sits UNDER the aggregation,
+    // so the one posting shuffle moves only the query terms' posting
+    // lists. The one-row corpus stats frame broadcasts N and avgdl.
+    val stats = df.agg(count(lit(1)).as("__n"),
+      avg(T.tokenCount(T.normalized(col(textCol))).cast("double"))
+        .as("__avgdl"))
+    val matched = df
+      .select(col(idCol).as("__id"),
+        T.tokenCount(T.normalized(col(textCol))).cast("double").as("__dl"),
+        explode(T.tokens(T.normalized(col(textCol)))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("__dl")).as("__dl"))
+    val contrib0 = log(lit(1.0) +
+        (col("__n") - col("df") + 0.5) / (col("df") + 0.5)) *
+      (col("tf") * (lit(k1) + 1) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("__dl") / col("__avgdl"))))
+    val contrib = if (exactSum) contrib0.cast("decimal(27,12)") else contrib0
+    val scored = matched
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("__id"))
+      .agg(sum(contrib).as("score"), count(lit(1)).as("n_matched"))
+    scored.orderBy(col("score").desc, col("__id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("__id"))))
+      .select(col("__id").as(idCol), col("score"), col("n_matched"),
+        col("rank"))
+  }
+}

@@ -62,6 +62,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("dedupParagraphs: first global occurrence survives, later docs lose " +
+      "normalized-duplicate paragraphs, NULL text emits no row") {
+    val corpus = Seq(
+      (1L, "A\n\nB\n\nC"),
+      (2L, "B\n\nD"),          // B first seen in doc 1
+      (3L, "a \n\nE"),         // "a " normalizes to doc 1's "A"
+      (4L, "b\n\nC"),          // everything already seen
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // NULL text -> no paragraphs
+    assert(out(1L) == ((3L, 3L, "A\n\nB\n\nC"))) // doc 1 owns everything
+    assert(out(2L) == ((2L, 1L, "D")))
+    assert(out(3L) == ((2L, 1L, "E")))
+    assert(out(4L) == ((2L, 0L, "")))            // fully boilerplate doc
+  }
+
   test("simhash duplicate ids: one signature row per INPUT row; pairs emit " +
       "neither self nor duplicated pairs") {
     // the row-local form deliberately does not merge same-id rows (the old

@@ -75,4 +75,45 @@ class JoinsSpec extends SparkSpec {
       .distinct().count()
     assert(spread > 1)
   }
+
+  test("rangeJoin: inclusive bounds, multi-match, malformed intervals, " +
+      "parity with the naive cross join") {
+    val points = Seq(1L, 2L, 4L, 6L, 10L, 25L).toDF("p")
+    val intervals = Seq(("A", 2L, 4L), ("B", 4L, 6L), ("C", 20L, 30L),
+      ("M", 9L, 7L)) // malformed: end < start, must match nothing
+      .toDF("iv", "s", "e")
+    val out = Joins.rangeJoin(points, intervals, "p", "s", "e",
+        bucketWidth = 3)
+      .select("p", "iv").as[(Long, String)].collect().toSet
+    assert(out == Set((2L, "A"), (4L, "A"), (4L, "B"), (6L, "B"),
+      (25L, "C")), s"got $out")
+
+    // parity on a denser randomized-but-deterministic set, several bucket
+    // widths (intervals spanning 0, 1, and many bucket boundaries)
+    val ps = (0L until 200L).map(i => (i * 7919) % 500).toDF("p")
+    val ivs = (0L until 40L).map { i =>
+      val s = (i * 104729) % 450; (s"i$i", s, s + (i * 13) % 90)
+    }.toDF("iv", "s", "e")
+    val naive = ps.crossJoin(ivs)
+      .where(col("p") >= col("s") && col("p") <= col("e"))
+      .select("p", "iv").as[(Long, String)].collect().toSet
+    for (w <- Seq(1L, 16L, 1000L)) {
+      val got = Joins.rangeJoin(ps, ivs, "p", "s", "e", bucketWidth = w)
+        .select("p", "iv").as[(Long, String)].collect().toSet
+      assert(got == naive, s"bucketWidth $w diverged from the cross join")
+    }
+  }
+
+  test("rangeJoin: an interval spanning too many buckets fails loudly") {
+    val points = Seq(5L).toDF("p")
+    val wide = Seq(("W", 0L, 10000L)).toDF("iv", "s", "e")
+    val ex = intercept[Exception] {
+      Joins.rangeJoin(points, wide, "p", "s", "e", bucketWidth = 10,
+        maxBucketsPerInterval = 100).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("buckets")), s"got $ex")
+  }
 }
