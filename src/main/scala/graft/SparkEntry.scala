@@ -812,6 +812,44 @@ object SparkEntry {
             .cast("double").as("sum_qty"))
     }),
 
+    "q66_unigram_logprob" -> ((s, dir) => {
+      // corpus-LM perplexity proxy; exactSum (decimal contributions) so
+      // the per-doc mean is independent of partition addition order
+      Relevance.unigramLogProb(t(s, dir, "documents"), "text", "doc_id",
+          exactSum = true)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mean_logprob"), 6).as("mlp_r"))
+    }),
+
+    "q67_top_ngrams" -> ((s, dir) => {
+      Relevance.topNgrams(t(s, dir, "documents"), "text", n = 3, k = 15)
+        .select(col("ngram"), col("n"), col("rank").cast("long").as("rank"))
+    }),
+
+    "q68_url_canonical" -> ((s, dir) => {
+      // deterministic URL synthesis exercising every rule: mixed-case
+      // scheme/host, default and non-default ports, tracking params in
+      // first/middle/last/only positions, fragments, trailing slashes
+      val d = col("doc_id")
+      val urls = t(s, dir, "documents").select(d,
+        concat(
+          when(d % 2 === 0, "http").otherwise("HTTPS"), lit("://WWW.Site"),
+          (d % 20).cast("string"), lit(".example"),
+          when(d % 4 === 0, ":80").when(d % 4 === 1, ":443")
+            .when(d % 4 === 2, ":8080").otherwise(""),
+          lit("/Docs/p"), d.cast("string"),
+          when(d % 3 === 0, "/").otherwise(""),
+          when(d % 5 === 0, concat(lit("?utm_source=feed&q="), d.cast("string")))
+            .when(d % 5 === 1, concat(lit("?q="), d.cast("string"),
+              lit("&utm_campaign=x")))
+            .when(d % 5 === 2, "?fbclid=abc")
+            .when(d % 5 === 4, "?a=1&gclid=z&b=2")
+            .otherwise(""),
+          when(d % 7 === 0, "#Section-2").otherwise("")).as("url"))
+      Curate.canonicalizeUrls(urls, "url")
+        .select(col("doc_id"), col("url_canonical"), col("host"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -1828,6 +1866,87 @@ dim_users_litify AS (
            CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
          FROM pt JOIN iv ON p_s >= start_s AND p_s <= end_s
          GROUP BY 1""",
+
+    "q66_unigram_logprob" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+             x -> x != '')) AS term
+           FROM documents),
+         tot AS (SELECT COUNT(1) AS t FROM tok),
+         c AS (SELECT doc_id, COUNT(1) OVER (PARTITION BY term) AS tc
+           FROM tok),
+         s AS (SELECT doc_id,
+             SUM(CAST(ln(CAST(tc AS DOUBLE) / t) AS DECIMAL(27,12)))
+               AS ssum,
+             COUNT(1) AS n_tokens
+           FROM c CROSS JOIN tot GROUP BY doc_id)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(ssum AS DOUBLE) / n_tokens, 6) AS mlp_r
+         FROM s""",
+
+    "q67_top_ngrams" ->
+      """WITH tk AS (SELECT list_filter(regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+             x -> x != '') AS t
+           FROM documents),
+         g AS (SELECT unnest(CASE WHEN len(t) >= 3 THEN
+             list_transform(range(1, len(t) - 1), i ->
+               array_to_string(t[i:i+2], ' '))
+             ELSE [] END) AS ngram
+           FROM tk),
+         c AS (SELECT ngram, CAST(COUNT(1) AS BIGINT) AS n
+           FROM g GROUP BY 1),
+         r AS (SELECT ngram, n,
+             row_number() OVER (ORDER BY n DESC, ngram) AS rnk
+           FROM c)
+         SELECT ngram, n, CAST(rnk AS BIGINT) AS rank
+         FROM r WHERE rnk <= 15""",
+
+    "q68_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END)
+             || '://WWW.Site' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+             || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                 WHEN 2 THEN ':8080' ELSE '' END)
+             || '/Docs/p' || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+             || (CASE doc_id % 5
+                 WHEN 0 THEN '?utm_source=feed&q=' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN '?q=' || CAST(doc_id AS VARCHAR)
+                   || '&utm_campaign=x'
+                 WHEN 2 THEN '?fbclid=abc'
+                 WHEN 4 THEN '?a=1&gclid=z&b=2' ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END)
+             AS url
+           FROM documents),
+         c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS s
+           FROM u),
+         c2 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+             '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*&', '', 'g'),
+             '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*$', '', 'g') AS s
+           FROM c1),
+         p AS (SELECT doc_id,
+             lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(regexp_extract(s,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+             regexp_replace(regexp_extract(s,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1), '/+$', '', 'g')
+               AS rest
+           FROM c2),
+         h AS (SELECT doc_id, scheme, rest,
+             regexp_extract(hostport, '^([^:]+)', 1) AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+           FROM p)
+         SELECT doc_id,
+           scheme || '://' || host
+             || (CASE WHEN port != '' AND NOT (scheme = 'http' AND port = '80')
+                 AND NOT (scheme = 'https' AND port = '443')
+                 THEN ':' || port ELSE '' END)
+             || rest AS url_canonical,
+           host
+         FROM h""",
 
     "q46_exact_quantiles" ->
       """WITH ranked AS (SELECT event_type, value,

@@ -170,6 +170,52 @@ object Curate {
     df.withColumn(s"${textCol}_scrubbed", scrubbed)
   }
 
+  /** URL canonicalization for crawl curation: the same page arrives under
+    * scheme/host-case variants, default ports, tracking parameters and
+    * fragments — canonicalize BEFORE URL-level dedup or host statistics,
+    * or every variant counts as a distinct page. Rules (each a plain
+    * regexp/extract both engines apply identically — no lookarounds, no
+    * replacement groups, RE2-safe):
+    *   1. drop the `#fragment`;
+    *   2. strip tracking parameters (`utm_*`, `fbclid`, `gclid`),
+    *      whether mid-query or last;
+    *   3. lowercase scheme and host (path/query case is preserved —
+    *      paths are case-sensitive by spec);
+    *   4. drop a default port (`:80` for http, `:443` for https; other
+    *      ports survive);
+    *   5. strip trailing slashes at the end of the URL (`/a/b/` = `/a/b`;
+    *      a slash before a query survives).
+    * Row-local, no shuffle. Non-URL rows (no `scheme://host`) pass
+    * through unchanged with a NULL host. Output: input columns +
+    * (url_canonical, host). */
+  def canonicalizeUrls(df: DataFrame, urlCol: String): DataFrame = {
+    val noFrag = regexp_replace(col(urlCol), "#.*", "")
+    // "p=v&" form first (tracking param followed by another param), then
+    // "[?&]p=v$" (tracking as the final param, separator included)
+    val trackMid = "(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*&"
+    val trackEnd = "[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*$"
+    val clean = regexp_replace(regexp_replace(noFrag, trackMid, ""),
+      trackEnd, "")
+    val scheme = lower(regexp_extract(clean,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(clean,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = regexp_extract(hostport, "^([^:]+)", 1)
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rest = regexp_replace(
+      regexp_extract(clean, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1),
+      "/+$", "")
+    val canonical = concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")), rest)
+    df.withColumn("url_canonical",
+        when(scheme === "", col(urlCol)).otherwise(canonical))
+      .withColumn("host", when(scheme === "", lit(null).cast("string"))
+        .otherwise(host))
+  }
+
   /** Gopher-style repetition signals: the fraction of word n-gram
     * occurrences that are repeats of an earlier occurrence
     * (`1 - distinct/total`, 0.0 for docs with no n-grams) — high values

@@ -111,4 +111,52 @@ object Relevance {
       .select(col("__id").as(idCol), col("score"), col("n_matched"),
         col("rank"))
   }
+
+  /** Mean unigram log-probability per document — the cheap corpus-LM
+    * perplexity proxy quality filters use (a doc of common words scores
+    * near the corpus mode; gibberish/boilerplate-with-rare-junk scores
+    * low). score = (1/|toks|) * sum over tokens of ln(count(term)/total).
+    * No smoothing needed: counts come from the same corpus, so every doc
+    * token has count >= 1.
+    *
+    * Shape: token stream scanned once for the scoring pass (term counts
+    * via a window over the term key, like [[tfidfTopTerms]]); the corpus
+    * token total is a one-row broadcast. Emitting (sum, n) and dividing
+    * outside the aggregate keeps the mean a pure function of the exact
+    * decimal sum when `exactSum` is set. Docs with zero tokens emit no
+    * row. Output: (id, n_tokens, mean_logprob). */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                     exactSum: Boolean = false): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      explode(T.tokens(T.normalized(col(textCol)))).as("term"))
+    val total = toks.agg(count(lit(1)).as("__t"))
+    val contrib0 = log(col("__c").cast("double") / col("__t"))
+    val contrib = if (exactSum) contrib0.cast("decimal(27,12)") else contrib0
+    toks.withColumn("__c", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(total))
+      .groupBy(col("__id"))
+      .agg(sum(contrib).as("__s"), count(lit(1)).as("n_tokens"))
+      .select(col("__id").as(idCol), col("n_tokens"),
+        (col("__s").cast("double") / col("n_tokens")).as("mean_logprob"))
+  }
+
+  /** Corpus-wide top-k word n-grams by occurrence count — the boilerplate
+    * and contamination report (a crawl's most frequent 8-grams are its
+    * shared templates). Count ties break by n-gram ascending. The global
+    * top-k is sort+limit; the count aggregation has map-side combine.
+    * Output: (ngram, n, rank). */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 2,
+                k: Int = 20): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val t = col("__toks")
+    val grams = df
+      .select(T.tokens(T.normalized(col(textCol))).as("__toks")) // bind once
+      .select(explode(when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => array_join(slice(t, i + 1, lit(n)), " ")))).as("ngram"))
+    val counted = grams.groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+    counted.orderBy(col("n").desc, col("ngram")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("ngram"))))
+  }
 }

@@ -23,7 +23,8 @@ object Explain {
     "q55_simhash_pairs_fast", "q57_ann_ivf_amortized",
     "q58_gopher_rules", "q59_line_dedup", "q60_pii_scrub",
     "q61_repetition_stats", "q62_paragraph_dedup", "q63_tfidf_terms",
-    "q64_bm25_rank", "q65_range_join")
+    "q64_bm25_rank", "q65_range_join", "q66_unigram_logprob",
+    "q67_top_ngrams", "q68_url_canonical")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

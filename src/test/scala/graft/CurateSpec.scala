@@ -188,4 +188,36 @@ class CurateSpec extends SparkSpec {
     assert(out(6L) == ((2L, 2L, 0L)))  // unaffected by the null doc
     assert(out(7L) == ((2L, 0L, 0L)))  // shard B has its own stream
   }
+
+  test("canonicalizeUrls: every rule, one crafted URL each") {
+    val cases = Seq(
+      // fragment + default http port + host/scheme case
+      (1L, "HTTP://WWW.Ex.COM:80/A/b#frag", "http://www.ex.com/A/b"),
+      // https default port dropped, non-default kept
+      (2L, "https://ex.com:443/p", "https://ex.com/p"),
+      (3L, "https://ex.com:8443/p", "https://ex.com:8443/p"),
+      // http with :443 is NOT a default -> kept
+      (4L, "http://ex.com:443/p", "http://ex.com:443/p"),
+      // tracking first / middle / last / only
+      (5L, "http://e.com/p?utm_source=a&q=1", "http://e.com/p?q=1"),
+      (6L, "http://e.com/p?q=1&gclid=g&r=2", "http://e.com/p?q=1&r=2"),
+      (7L, "http://e.com/p?q=1&fbclid=f", "http://e.com/p?q=1"),
+      (8L, "http://e.com/p?utm_x=1", "http://e.com/p"),
+      // trailing slashes at end; slash before query survives
+      (9L, "http://e.com/a/b///", "http://e.com/a/b"),
+      (10L, "http://e.com/", "http://e.com"),
+      (11L, "http://e.com/a/?q=1", "http://e.com/a/?q=1"),
+      // path/query case preserved
+      (12L, "http://E.com/CaseD?Q=V", "http://e.com/CaseD?Q=V"),
+      // non-URL passes through, NULL host
+      (13L, "not a url", "not a url"))
+      .toDF("doc_id", "url", "want")
+    val out = Curate.canonicalizeUrls(cases, "url")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("want"), r.getAs[String]("url_canonical"),
+          r.getAs[String]("host")))).toMap
+    out.foreach { case (id, (want, got, _)) =>
+      assert(got == want, s"doc $id: got $got, want $want") }
+    assert(out(1L)._3 == "www.ex.com" && out(13L)._3 == null)
+  }
 }

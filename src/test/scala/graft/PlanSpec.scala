@@ -41,4 +41,33 @@ class PlanSpec extends SparkSpec {
     // partial_count/merge_count pattern = map-side combine before exchange
     assert(p.contains("partial"), s"no partial aggregation in:\n$p")
   }
+
+  test("q65 range join: bucketized equi-join, never nested-loop/cartesian " +
+      "between points and intervals") {
+    val p = plan("q65_range_join")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the interval side is tiny here so AQE may broadcast the EQUI join —
+    // fine; what must never appear is a nested-loop join carrying the
+    // range predicate as its only condition (the |P| x |I| plan)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
+  }
+
+  test("q63/q64 relevance: the postings subtree is scanned once per use, " +
+      "not duplicated by a df self-join") {
+    // document frequency via window (not groupBy+join) means the documents
+    // parquet appears at most twice in each plan: the postings scan and
+    // the one-row corpus-stats scan
+    for (q <- Seq("q63_tfidf_terms", "q64_bm25_rank")) {
+      val scans = plan(q).split("FileScan parquet").length - 1
+      assert(scans <= 2, s"$q scans documents $scans times")
+    }
+  }
+
+  test("q62 paragraph dedup: two shuffles (fingerprint rank + doc " +
+      "reassembly), no join") {
+    val p = plan("q62_paragraph_dedup")
+    assert(!p.contains("Join"), s"unexpected join in:\n$p")
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$p")
+  }
 }

@@ -61,6 +61,35 @@ class RelevanceSpec extends SparkSpec {
       assert(math.abs(exact(id) - s) < 1e-9, s"exactSum diverged for $id") }
   }
 
+  test("unigramLogProb: closed-form known answers, zero-token docs drop") {
+    val tiny = Seq((1L, "a a b"), (2L, "b"), (3L, " \t "))
+      .toDF("doc_id", "text")
+    // corpus: a a b b -> total 4, count(a)=2, count(b)=2
+    val out = Relevance.unigramLogProb(tiny, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L)) // whitespace-only doc has no tokens
+    val lpHalf = math.log(0.5)
+    assert(math.abs(out(1L)._2 - lpHalf) < 1e-12) // mean of 3x ln(1/2)
+    assert(out(1L)._1 == 3 && out(2L)._1 == 1)
+    assert(math.abs(out(2L)._2 - lpHalf) < 1e-12)
+    // exactSum parity
+    val ex = Relevance.unigramLogProb(tiny, "text", "doc_id",
+        exactSum = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach { case (id, (_, m)) =>
+      assert(math.abs(ex(id) - m) < 1e-9) }
+  }
+
+  test("topNgrams: counts, rank order, ngram tiebreak, short docs skipped") {
+    val tiny = Seq((1L, "x y z x y"), (2L, "x y q"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    // 2-grams: doc1: "x y","y z","z x","x y"; doc2: "x y","y q"; doc3: none
+    val out = Relevance.topNgrams(tiny, "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("x y", 3L, 1), ("y q", 1L, 2), ("y z", 1L, 3)))
+  }
+
   test("bm25Rank: identical docs score identically and tie by id") {
     val twins = Seq((10L, "apple pie"), (2L, "apple pie"), (7L, "apple pie"))
       .toDF("doc_id", "text")
