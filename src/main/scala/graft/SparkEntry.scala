@@ -850,6 +850,40 @@ object SparkEntry {
         .select(col("doc_id"), col("url_canonical"), col("host"))
     }),
 
+    "q69_snapshot_diff" -> ((s, dir) => {
+      // corpus versioning audit: new snapshot removes %11 keys, edits %7
+      // texts, adds %13-derived fresh ids — every status class exercised
+      val old = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val kept = old.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text")).as("text"))
+      val added = old.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"))
+      Merge.snapshotDiff(old, kept.unionByName(added), "doc_id", "text")
+    }),
+
+    "q70_overlap_join" -> ((s, dir) => {
+      // two order-derived window sets; every inclusively-overlapping pair
+      // with its overlap length. Emit-once bucketization: no dedup pass.
+      def windows(m: Int, span: Int, kc: String, sc: String, ec: String)
+          (df: DataFrame) =
+        df.filter(col("o_orderkey") % m === 0)
+          .select(col("o_orderkey").as(kc),
+            unix_timestamp(col("o_orderdate")).as(sc),
+            (unix_timestamp(col("o_orderdate")) +
+              (col("o_orderkey") % span + 1) * 86400L).as(ec))
+      val o = t(s, dir, "orders")
+      Joins.overlapJoin(
+          windows(211, 15, "l_key", "ls", "le")(o),
+          windows(307, 10, "r_key", "rs", "re")(o),
+          "ls", "le", "rs", "re", bucketWidth = 7L * 86400)
+        .select(col("l_key"), col("r_key"),
+          ((least(col("le"), col("re")) - greatest(col("ls"), col("rs")))
+            / 86400L).cast("long").as("overlap_days"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -1947,6 +1981,48 @@ dim_users_litify AS (
              || rest AS url_canonical,
            host
          FROM h""",
+
+    "q69_snapshot_diff" ->
+      """WITH oldsnap AS (SELECT doc_id, text FROM documents),
+         newsnap AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' EDITED' ELSE text END
+               AS text
+           FROM documents WHERE doc_id % 11 != 0
+           UNION ALL
+           SELECT doc_id + 1000000,
+             'new doc ' || CAST(doc_id AS VARCHAR)
+           FROM documents WHERE doc_id % 13 = 0),
+         o AS (SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS ofp,
+             TRUE AS in_old
+           FROM oldsnap),
+         n AS (SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS nfp,
+             TRUE AS in_new
+           FROM newsnap)
+         SELECT doc_id,
+           CASE WHEN in_old IS NULL THEN 'added'
+             WHEN in_new IS NULL THEN 'removed'
+             WHEN ofp IS NOT DISTINCT FROM nfp THEN 'unchanged'
+             ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN n USING (doc_id)""",
+
+    "q70_overlap_join" ->
+      """WITH l AS (SELECT o_orderkey AS l_key,
+             CAST(epoch(o_orderdate) AS BIGINT) AS ls,
+             CAST(epoch(o_orderdate) AS BIGINT)
+               + (o_orderkey % 15 + 1) * 86400 AS le
+           FROM orders WHERE o_orderkey % 211 = 0),
+         r AS (SELECT o_orderkey AS r_key,
+             CAST(epoch(o_orderdate) AS BIGINT) AS rs,
+             CAST(epoch(o_orderdate) AS BIGINT)
+               + (o_orderkey % 10 + 1) * 86400 AS re
+           FROM orders WHERE o_orderkey % 307 = 0)
+         SELECT l_key, r_key,
+           CAST((LEAST(le, re) - GREATEST(ls, rs)) / 86400 AS BIGINT)
+             AS overlap_days
+         FROM l JOIN r ON ls <= re AND rs <= le""",
 
     "q46_exact_quantiles" ->
       """WITH ranked AS (SELECT event_type, value,

@@ -136,4 +136,37 @@ object Joins {
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__b")
   }
+
+  /** Interval-overlap join: every (left, right) interval pair with
+    * `lStart <= rEnd AND rStart <= lEnd` (inclusive overlap) — session
+    * vs campaign windows, maintenance vs outage attribution.
+    *
+    * Same bucketization as [[rangeJoin]], on BOTH sides — but a pair can
+    * share many buckets, so a naive bucket join emits duplicates. Instead
+    * of a dedup shuffle, each pair is emitted EXACTLY ONCE: only from the
+    * bucket containing the overlap's start, `floor(max(lStart, rStart) /
+    * bucketWidth)` — a bucket both sides provably cover. Malformed
+    * intervals (end < start) match nothing. */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  lStart: String, lEnd: String,
+                  rStart: String, rEnd: String, bucketWidth: Long,
+                  maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def explodeBuckets(df: DataFrame, s: String, e: String): DataFrame = {
+      val nb = floor(col(e) / bucketWidth) - floor(col(s) / bucketWidth) + 1
+      df.filter(col(s) <= col(e))
+        .withColumn("__b", explode(when(nb <= maxBucketsPerInterval,
+          sequence(floor(col(s) / bucketWidth), floor(col(e) / bucketWidth)))
+          .otherwise(raise_error(concat(
+            lit(s"interval spans more than $maxBucketsPerInterval buckets " +
+              s"of width $bucketWidth: ["), col(s).cast("string"),
+            lit(", "), col(e).cast("string"),
+            lit("] — raise bucketWidth or maxBucketsPerInterval"))))))
+    }
+    explodeBuckets(left, lStart, lEnd)
+      .join(explodeBuckets(right, rStart, rEnd), Seq("__b"))
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__b") === floor(greatest(col(lStart), col(rStart)) / bucketWidth))
+      .drop("__b")
+  }
 }

@@ -200,4 +200,33 @@ object Merge {
       .unionByName(updates.select(target.columns.map(col): _*))
       .unionByName(inserts.select(target.columns.map(col): _*))
   }
+
+  /** Snapshot diff: classify every key across two corpus versions as
+    * `added` (key only in the new snapshot), `removed` (only in the old),
+    * `changed` (both, content fingerprint differs) or `unchanged` — the
+    * audit artifact an incremental pipeline publishes per run (what did
+    * this batch actually do), and the precondition check before a
+    * destructive swap (a diff that says "removed 40% of the corpus" stops
+    * a bad deploy).
+    *
+    * ONE full-outer shuffle join on the key; content comparison is
+    * null-safe (`<=>`: two NULL-text versions of a key are `unchanged`,
+    * not `changed`). Fingerprints are [[graft.functions.TextFunctions
+    * .fingerprint]] (md5 of normalized content) computed row-locally on
+    * each side — at 100 TB the join moves 2 x (key + 32-byte hash), never
+    * document bodies. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    def side(df: DataFrame, fp: String, mark: String) =
+      df.select(col(idCol), T.fingerprint(col(textCol)).as(fp),
+        lit(true).as(mark))
+    side(oldSnap, "__ofp", "__in_old")
+      .join(side(newSnap, "__nfp", "__in_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(coalesce(col("__in_old"), lit(false)) === false, "added")
+          .when(coalesce(col("__in_new"), lit(false)) === false, "removed")
+          .when(col("__ofp") <=> col("__nfp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

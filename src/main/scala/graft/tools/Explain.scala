@@ -24,7 +24,8 @@ object Explain {
     "q58_gopher_rules", "q59_line_dedup", "q60_pii_scrub",
     "q61_repetition_stats", "q62_paragraph_dedup", "q63_tfidf_terms",
     "q64_bm25_rank", "q65_range_join", "q66_unigram_logprob",
-    "q67_top_ngrams", "q68_url_canonical")
+    "q67_top_ngrams", "q68_url_canonical", "q69_snapshot_diff",
+    "q70_overlap_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -104,6 +104,41 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("overlapJoin: inclusive overlap, emit-once across shared buckets, " +
+      "parity with the naive cross join") {
+    val l = Seq(("L1", 0L, 100L), ("L2", 50L, 60L), ("L3", 200L, 210L),
+      ("LM", 30L, 20L)) // malformed
+      .toDF("lk", "ls", "le")
+    val r = Seq(("R1", 100L, 120L), ("R2", 55L, 58L), ("R3", 151L, 199L),
+      ("R4", 210L, 300L))
+      .toDF("rk", "rs", "re")
+    // L1-R1 touch at exactly 100 (inclusive); L1 and R2/R1 share MANY
+    // width-10 buckets with their partners -> emit-once matters
+    val out = Joins.overlapJoin(l, r, "ls", "le", "rs", "re",
+        bucketWidth = 10)
+      .select("lk", "rk").as[(String, String)].collect().toList
+    assert(out.distinct.size == out.size, s"duplicated pairs: $out")
+    assert(out.toSet == Set(("L1", "R1"), ("L1", "R2"), ("L2", "R2"),
+      ("L3", "R4")), s"got $out")
+    // randomized-but-deterministic parity across bucket widths
+    val ls = (0L until 60L).map { i =>
+      val s = (i * 7919) % 400; (s"l$i", s, s + (i * 31) % 70)
+    }.toDF("lk", "ls", "le")
+    val rs = (0L until 60L).map { i =>
+      val s = (i * 104729) % 400; (s"r$i", s, s + (i * 17) % 50)
+    }.toDF("rk", "rs", "re")
+    val naive = ls.crossJoin(rs)
+      .where(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lk", "rk").as[(String, String)].collect().toSet
+    for (w <- Seq(1L, 13L, 1000L)) {
+      val got = Joins.overlapJoin(ls, rs, "ls", "le", "rs", "re",
+          bucketWidth = w)
+        .select("lk", "rk").as[(String, String)].collect()
+      assert(got.length == naive.size && got.toSet == naive,
+        s"bucketWidth $w diverged")
+    }
+  }
+
   test("rangeJoin: an interval spanning too many buckets fails loudly") {
     val points = Seq(5L).toDF("p")
     val wide = Seq(("W", 0L, 10000L)).toDF("iv", "s", "e")

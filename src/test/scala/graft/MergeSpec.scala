@@ -205,4 +205,21 @@ class MergeSpec extends SparkSpec {
     val out = Merge.keepLatest(df, Seq("id"), "lastmodifieddate", Seq(col("seq")))
     assert(out.select("payload").as[String].collect().toSeq == Seq("second"))
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe content, " +
+      "normalization-insensitive") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (4L, null.asInstanceOf[String]), (5L, "Same  Words"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "alpha"),            // unchanged
+      (3L, "gamma EDIT"),                  // changed
+      (4L, null.asInstanceOf[String]),     // NULL on both sides: unchanged
+      (5L, "same words"),                  // normalization-equal: unchanged
+      (6L, "fresh"))                       // added; 2 is removed
+      .toDF("doc_id", "text")
+    val out = Merge.snapshotDiff(old, nw, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "removed", 3L -> "changed",
+      4L -> "unchanged", 5L -> "unchanged", 6L -> "added"))
+  }
 }
