@@ -884,6 +884,15 @@ object SparkEntry {
             / 86400L).cast("long").as("overlap_days"))
     }),
 
+    "q71_heavy_hitters" -> ((s, dir) => {
+      // capacity 64 > the corpus's 31 distinct tokens -> the Misra-Gries
+      // sketch never decrements and is EXACT, so plain counting SQL is a
+      // valid oracle; the bounded (capacity < vocab) regime's guarantees
+      // are property-tested in AggregatesSpec
+      Relevance.heavyHitters(t(s, dir, "documents"), "text",
+        capacity = 64, k = 10)
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -2023,6 +2032,20 @@ dim_users_litify AS (
            CAST((LEAST(le, re) - GREATEST(ls, rs)) / 86400 AS BIGINT)
              AS overlap_days
          FROM l JOIN r ON ls <= re AND rs <= le""",
+
+    "q71_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+             x -> x != '')) AS item
+           FROM documents),
+         c AS (SELECT item, CAST(COUNT(1) AS BIGINT) AS cnt
+           FROM tok GROUP BY 1),
+         r AS (SELECT item, cnt,
+             row_number() OVER (ORDER BY cnt DESC, item) AS rnk
+           FROM c)
+         SELECT CAST(rnk AS BIGINT) AS rank, item, cnt
+         FROM r WHERE rnk <= 10""",
 
     "q46_exact_quantiles" ->
       """WITH ranked AS (SELECT event_type, value,

@@ -159,4 +159,24 @@ object Relevance {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n").desc, col("ngram"))))
   }
+
+  /** Single-pass heavy hitters over the token stream via the
+    * [[graft.functions.FrequentItemsAgg]] Misra-Gries sketch: per
+    * partition at most `capacity` counters, one O(capacity) partial per
+    * partition crosses the shuffle — the shape for vocabularies too large
+    * to groupBy exactly. EXACT whenever the distinct-token count stays
+    * within `capacity`; otherwise every item with count > n/(capacity+1)
+    * is present with an undercount of at most n/(capacity+1).
+    * Output: (rank, item, cnt), rank 1..k by (cnt desc, item asc). */
+  def heavyHitters(df: DataFrame, textCol: String, capacity: Int = 1024,
+                   k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    val sketch = GraftGlue.column(graft.functions.FrequentItemsAgg(
+      GraftGlue.expression(col("term")), capacity).toAggregateExpression())
+    df.select(explode(T.tokens(T.normalized(col(textCol)))).as("term"))
+      .agg(sketch.as("__hh"))
+      .select(posexplode(slice(col("__hh"), 1, k)))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("item"), col("col.cnt").as("cnt"))
+  }
 }

@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Optimizer rule that rewrites an inequality-only point-in-interval join
+  * into the bucketized equi-join of [[graft.operators.Joins.rangeJoin]].
+  *
+  * Spark plans `points JOIN intervals ON p BETWEEN s AND e` (no equality
+  * conjunct) as BroadcastNestedLoopJoin — or a cartesian product when
+  * neither side broadcasts: the |points| x |intervals| plan that falls
+  * over at scale. Users writing plain SQL hit this silently. With this
+  * rule registered ([[GraftExtensions]]) and
+  * `spark.graft.rangeJoin.bucketWidth` set, the join becomes: intervals
+  * exploded to the fixed-width buckets they overlap, points hashed to
+  * their one bucket, an EQUI join on the bucket, and the ORIGINAL range
+  * predicate kept as the join filter — so the rewrite is semantics-
+  * preserving for strict and non-strict bounds alike (the bucket range
+  * over-covers; the filter decides).
+  *
+  * Scope guards: inner joins only; triggers only when a lower and an
+  * upper bound exist on the SAME numeric point expression from one side,
+  * both bounds from the other side; never fires when any equality
+  * conjunct already exists (Spark's hash joins handle those); inactive
+  * unless the conf is set (opt-in, like AQE skew-join thresholds).
+  * Malformed intervals (end < start) explode to zero buckets. The
+  * rewritten join contains a bucket equality, so the rule cannot match
+  * its own output (idempotent under re-optimization/AQE). Unlike the
+  * explicit [[graft.operators.Joins.rangeJoin]] API there is no
+  * max-replication guard here — a conf-driven rewrite must not turn a
+  * previously-running query into an error; size the width to the data. */
+object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  val WidthConf = "spark.graft.rangeJoin.bucketWidth"
+
+  private case class BoundOn(point: Expression, bound: Expression,
+                             lower: Boolean, pointOnLeft: Boolean)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width = conf.getConfString(WidthConf, "")
+    if (width.isEmpty) plan
+    else {
+      val w = width.toLong
+      require(w > 0, s"$WidthConf must be positive: $w")
+      plan.transformUp {
+        case j @ Join(_, _, Inner, Some(_), _) =>
+          rewrite(j, w).getOrElse(j)
+      }
+    }
+  }
+
+  private def rewrite(j: Join, w: Long): Option[LogicalPlan] = {
+    val Join(l, r, _, Some(cond), hint) = j
+    val conjuncts = splitConjunctivePredicates(cond)
+    // which side does an expression read from — entirely left, entirely
+    // right, or neither/both (disqualifying)
+    def side(e: Expression): Option[Boolean] = {
+      val refs = e.references
+      if (refs.isEmpty) None
+      else if (refs.subsetOf(l.outputSet)) Some(true)
+      else if (refs.subsetOf(r.outputSet)) Some(false)
+      else None
+    }
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b) => side(a).isDefined && side(b).isDefined &&
+        side(a) != side(b)
+      case EqualNullSafe(a, b) => side(a).isDefined && side(b).isDefined &&
+        side(a) != side(b)
+      case _ => false
+    }
+    if (hasEqui) return None
+
+    // normalize each comparison into "point bounded by other side's
+    // expression"; every comparison offers both readings (a as point, b
+    // as point)
+    def views(a: Expression, b: Expression, aLower: Boolean): Seq[BoundOn] =
+      (side(a), side(b)) match {
+        case (Some(sa), Some(sb)) if sa != sb &&
+            a.dataType.isInstanceOf[NumericType] &&
+            b.dataType.isInstanceOf[NumericType] &&
+            a.deterministic && b.deterministic =>
+          Seq(BoundOn(a, b, aLower, sa), BoundOn(b, a, !aLower, sb))
+        case _ => Nil
+      }
+    val bounds = conjuncts.flatMap {
+      case GreaterThanOrEqual(a, b) => views(a, b, aLower = true)
+      case GreaterThan(a, b)        => views(a, b, aLower = true)
+      case LessThanOrEqual(a, b)    => views(a, b, aLower = false)
+      case LessThan(a, b)           => views(a, b, aLower = false)
+      case _ => Nil
+    }
+    val pair = (for {
+      lo <- bounds if lo.lower
+      hi <- bounds if !hi.lower
+      if lo.pointOnLeft == hi.pointOnLeft &&
+        lo.point.semanticEquals(hi.point)
+    } yield (lo, hi)).headOption
+    pair.map { case (lo, hi) =>
+      val pointIsLeft = lo.pointOnLeft
+      val (pointPlan, ivPlan) = if (pointIsLeft) (l, r) else (r, l)
+      def bucketOf(e: Expression): Expression =
+        Floor(Divide(Cast(e, DoubleType), Cast(Literal(w), DoubleType)))
+      // point side: one projected bucket column
+      val pAlias = Alias(bucketOf(lo.point), "__graft_pb")()
+      val pPlan = Project(pointPlan.output :+ pAlias, pointPlan)
+      // interval side: explode the covered bucket range; end < start
+      // (malformed) yields zero buckets instead of a Sequence error
+      val bLo = bucketOf(lo.bound)
+      val bHi = bucketOf(hi.bound)
+      val emptyArr = Literal.create(new GenericArrayData(Array.empty[Any]),
+        ArrayType(LongType, containsNull = false))
+      val seq = If(LessThanOrEqual(bLo, bHi),
+        Sequence(bLo, bHi, Some(Literal(1L)),
+          Some(conf.sessionLocalTimeZone)),
+        emptyArr)
+      val bAttr = AttributeReference("__graft_ib", LongType,
+        nullable = false)()
+      val iPlan = Generate(Explode(seq), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(bAttr),
+        child = ivPlan)
+      val newCond = And(EqualTo(pAlias.toAttribute, bAttr), cond)
+      val (nl, nr) =
+        if (pointIsLeft) (pPlan: LogicalPlan, iPlan: LogicalPlan)
+        else (iPlan: LogicalPlan, pPlan: LogicalPlan)
+      Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+    }
+  }
+}
+
+/** Session extension registering [[RangeJoinRule]]:
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => RangeJoinRule)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.plans.{GraftExtensions, RangeJoinRule}
+
+/** The auto-rewrite rule: inequality joins become bucketized equi-joins
+  * exactly when the conf is set and the pattern matches, with identical
+  * results. Uses its own session (extensions are session-scoped) on the
+  * shared SparkContext. */
+class RangeJoinRuleSpec extends SparkSpec {
+
+  private lazy val ext: SparkSession = {
+    val base = spark // force shared session/context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    // the shared spark stays default for the other (lazily-run) suites
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
+
+  private def frames(s: SparkSession) = {
+    import s.implicits._
+    val pts = Seq(1L, 2L, 4L, 6L, 25L, 199L).toDF("p")
+    val ivs = Seq(("A", 2L, 4L), ("B", 4L, 6L), ("C", 20L, 30L),
+      ("M", 9L, 7L)).toDF("iv", "s", "e")
+    (pts, ivs)
+  }
+  private val expected = Set((2L, "A"), (4L, "A"), (4L, "B"), (6L, "B"),
+    (25L, "C"))
+
+  test("rule fires when conf set: no nested-loop/cartesian, same results") {
+    val (pts, ivs) = frames(ext)
+    ext.conf.set(RangeJoinRule.WidthConf, "10")
+    try {
+      val j = pts.join(ivs, col("p") >= col("s") && col("p") <= col("e"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_ib"), s"rule did not fire:\n$plan")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"still a loop join:\n$plan")
+      val rows = j.select("p", "iv").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSet == expected && rows.length == expected.size)
+    } finally ext.conf.unset(RangeJoinRule.WidthConf)
+  }
+
+  test("strict bounds and reversed operand order still match") {
+    val (pts, ivs) = frames(ext)
+    ext.conf.set(RangeJoinRule.WidthConf, "7")
+    try {
+      // s < p AND e > p  (interval side on the left of each comparison)
+      val j = pts.join(ivs, col("s") < col("p") && col("e") > col("p"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_ib"), s"rule did not fire:\n$plan")
+      // strict bounds: 2/4/6 sit exactly on interval borders and drop;
+      // only 25 lies strictly inside (20, 30)
+      val got = j.select("p", "iv").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((25L, "C")), s"got $got")
+    } finally ext.conf.unset(RangeJoinRule.WidthConf)
+  }
+
+  test("rule stays inactive without the conf, and never touches equi or " +
+      "outer joins") {
+    val (pts, ivs) = frames(ext)
+    val noConf = pts.join(ivs, col("p") >= col("s") && col("p") <= col("e"))
+    assert(!noConf.queryExecution.executedPlan.toString
+      .contains("__graft_ib"))
+    assert(noConf.select("p", "iv").collect().length == expected.size)
+    ext.conf.set(RangeJoinRule.WidthConf, "10")
+    try {
+      import ext.implicits._
+      val pts2 = Seq((1L, "k1"), (25L, "k2")).toDF("p", "k")
+      val ivs2 = Seq(("k2", 20L, 30L), ("k1", 5L, 9L)).toDF("k", "s", "e")
+      val equi = pts2.join(ivs2, pts2("k") === ivs2("k") &&
+        col("p") >= col("s") && col("p") <= col("e"))
+      assert(!equi.queryExecution.executedPlan.toString
+        .contains("__graft_ib"), "rule must not touch equi joins")
+      assert(equi.count() == 1)
+      val outer = frames(ext)._1.join(ivs,
+        col("p") >= col("s") && col("p") <= col("e"), "left")
+      assert(!outer.queryExecution.executedPlan.toString
+        .contains("__graft_ib"), "rule must not touch outer joins")
+    } finally ext.conf.unset(RangeJoinRule.WidthConf)
+  }
+}
