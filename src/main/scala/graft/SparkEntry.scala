@@ -893,6 +893,43 @@ object SparkEntry {
         capacity = 64, k = 10)
     }),
 
+    "q72_domain_quota" -> ((s, dir) => {
+      // skewed host synthesis (a third of the corpus on one mega-host)
+      // exercises exactly the imbalance the quota exists to cap
+      val hosts = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "big.example")
+          .otherwise(concat(lit("s"), (col("doc_id") % 7).cast("string"),
+            lit(".example"))).as("host"))
+      Curate.domainQuota(hosts, "host", "doc_id", quota = 20)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    "q73_corpus_split" -> ((s, dir) => {
+      Curate.splitCorpus(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    "q74_sliding_chunks" -> ((s, dir) => {
+      Curate.chunkSliding(t(s, dir, "documents"), "text", "doc_id",
+        chunkSize = 64, stride = 32)
+    }),
+
+    "q75_winsorize" -> ((s, dir) => {
+      // clamp into the exact [p5, p95] band per event_type, then report
+      // the winsorized mean and how many rows each side clamped
+      graft.functions.Stats.winsorize(t(s, dir, "events"),
+          Seq("event_type"), "value", 0.05, 0.95)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value_w").cast("decimal(27,12)")).cast("double") /
+            count(col("value_w")), 6).as("mean_w"),
+          count(when(col("value") < col("lo_threshold"), 1)).as("n_lo"),
+          count(when(col("value") > col("hi_threshold"), 1)).as("n_hi"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -1262,6 +1299,21 @@ dim_users_litify AS (
        |  CASE source WHEN 'src0' THEN ${thr(1.0)} WHEN 'src1' THEN ${thr(0.1)}
        |    ELSE ${thr(0.5)} END
        |GROUP BY source""".stripMargin
+  }
+
+  private def q73OracleSql: String = {
+    val two60 = 1L << 60
+    def thr(c: Double): Long = math.round(c * two60)
+    s"""WITH lab AS (SELECT doc_id,
+       |    CASE WHEN ${duckHash("'graft:' || CAST(doc_id AS VARCHAR)")}
+       |        < ${thr(0.8)} THEN 'train'
+       |      WHEN ${duckHash("'graft:' || CAST(doc_id AS VARCHAR)")}
+       |        < ${thr(0.9)} THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT split, CAST(COUNT(1) AS BIGINT) AS n,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       |FROM lab GROUP BY split""".stripMargin
   }
 
   private def q43OracleSql: String = {
@@ -2046,6 +2098,61 @@ dim_users_litify AS (
            FROM c)
          SELECT CAST(rnk AS BIGINT) AS rank, item, cnt
          FROM r WHERE rnk <= 10""",
+
+    "q72_domain_quota" ->
+      """WITH h AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'big.example'
+             ELSE 's' || CAST(doc_id % 7 AS VARCHAR) || '.example' END
+             AS host
+           FROM documents),
+         r AS (SELECT doc_id, host,
+             row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+           FROM h)
+         SELECT host, CAST(COUNT(1) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+         FROM r WHERE rn <= 20 GROUP BY host""",
+
+    "q73_corpus_split" -> q73OracleSql,
+
+    "q74_sliding_chunks" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+             x -> x != '') AS t
+           FROM documents),
+         nz AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
+         c AS (SELECT doc_id, n, t, unnest(range(0,
+             CASE WHEN n <= 64 THEN 1
+               ELSE 1 + CAST(CEIL(CAST(n - 64 AS DOUBLE) / 32) AS BIGINT)
+             END)) AS i
+           FROM nz)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(t[i*32+1 : i*32+64], ' ') AS chunk_text,
+           CAST(LEAST(64, n - i*32) AS BIGINT) AS n_tokens
+         FROM c""",
+
+    "q75_winsorize" ->
+      """WITH ranked AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(1) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE value IS NOT NULL),
+         thr AS (SELECT event_type,
+             MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT) THEN value END)
+               AS lo,
+             MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN value END)
+               AS hi
+           FROM ranked GROUP BY event_type),
+         w AS (SELECT e.event_type, e.value,
+             CASE WHEN e.value IS NULL THEN NULL
+               WHEN e.value < t.lo THEN t.lo
+               WHEN e.value > t.hi THEN t.hi ELSE e.value END AS vw,
+             t.lo, t.hi
+           FROM events e LEFT JOIN thr t USING (event_type))
+         SELECT event_type, CAST(COUNT(1) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(vw AS DECIMAL(27,12))) AS DOUBLE)
+             / COUNT(vw), 6) AS mean_w,
+           CAST(COUNT(CASE WHEN value < lo THEN 1 END) AS BIGINT) AS n_lo,
+           CAST(COUNT(CASE WHEN value > hi THEN 1 END) AS BIGINT) AS n_hi
+         FROM w GROUP BY event_type""",
 
     "q46_exact_quantiles" ->
       """WITH ranked AS (SELECT event_type, value,

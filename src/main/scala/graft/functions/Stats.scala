@@ -36,4 +36,34 @@ object Stats {
     }
     ranked.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Per-group winsorization: clamp `valueCol` into the group's exact
+    * [pLo, pHi] quantile band — the standard outlier treatment before
+    * means/regressions on heavy-tailed metrics (latencies, doc lengths).
+    * Thresholds come from [[exactQuantiles]] (same type-1 contract), so
+    * the whole pass is the quantile shuffle plus a BROADCAST join of the
+    * one-row-per-group threshold frame back onto the data — the data
+    * itself is never shuffled a second time.
+    *
+    * Clamping is pure VALUE SELECTION (a when-chain, no arithmetic), so
+    * winsorized values are bit-identical to inputs or thresholds — exactly
+    * mirrorable by a SQL oracle. NULL values pass through NULL; rows of
+    * groups with no non-null values keep their value unclamped (their
+    * thresholds do not exist). Output: input columns + `lo_threshold`,
+    * `hi_threshold`, `<valueCol>_w`. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo > 0.0 && pLo < pHi && pHi <= 1.0,
+      s"need 0 < pLo < pHi <= 1: ($pLo, $pHi)")
+    val thr = exactQuantiles(df, groupCols, valueCol, Seq(pLo, pHi))
+      .withColumnRenamed(s"p${math.round(pLo * 100)}", "lo_threshold")
+      .withColumnRenamed(s"p${math.round(pHi * 100)}", "hi_threshold")
+    val v = col(valueCol)
+    df.join(broadcast(thr), groupCols, "left")
+      .withColumn(s"${valueCol}_w",
+        when(v.isNull || col("lo_threshold").isNull, v)
+          .when(v < col("lo_threshold"), col("lo_threshold"))
+          .when(v > col("hi_threshold"), col("hi_threshold"))
+          .otherwise(v))
+  }
 }

@@ -268,6 +268,90 @@ object Curate {
       .drop("__cum")
   }
 
+  /** Per-domain quota cap: keep at most `quota` documents per host,
+    * lowest-`idCol` first — the crawl-curation guard against any single
+    * domain dominating the training mix (a handful of mega-hosts can be
+    * half a crawl). Deterministic: a row's fate depends only on its host,
+    * its id, and the ids of its host-mates below it.
+    *
+    * Scale shape: ONE shuffle on the host key. The `row_number <= quota`
+    * filter is the exact pattern Spark's `InferWindowGroupLimit` rewrites
+    * into a partial `WindowGroupLimit` BELOW the exchange (pinned in
+    * CurateSpec): each map partition forwards at most `quota` rows per
+    * host, so a 100M-page host ships `quota x numPartitions` rows through
+    * the shuffle, not 100M. row_number's Int rank cannot overflow under
+    * that prune (at most quota x partitions rows survive per host). */
+  def domainQuota(df: DataFrame, hostCol: String, idCol: String,
+                  quota: Int): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1: $quota")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(hostCol)).orderBy(col(idCol))))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
+  /** Disjoint deterministic corpus split (train/val/test): each row gets
+    * the label of the hash interval its [[sampleHash]] falls in —
+    * complementary ranges of ONE salt, exactly the discipline
+    * [[hashSample]]'s doc prescribes, so splits are disjoint and exhaustive
+    * BY CONSTRUCTION (never two independent coin flips that can both come
+    * up heads). Growth-stable: adding documents never moves an existing
+    * document between splits, so eval sets stay leak-free across corpus
+    * versions. Weights must sum to 1 (+-1e-9); the last split absorbs the
+    * hash-space remainder so every row is labeled. Row-local, no shuffle. */
+  def splitCorpus(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)],
+                  salt: String = "graft"): DataFrame = {
+    require(splits.size >= 2, s"need at least 2 splits: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names collide: ${splits.map(_._1)}")
+    splits.foreach { case (n, w) =>
+      require(w > 0.0 && w <= 1.0, s"weight for '$n' must be in (0,1]: $w") }
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1: $total")
+    val h = sampleHash(idCol, salt)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val labeled = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), c), acc) =>
+      when(h < math.round(c * two60), name).otherwise(acc)
+    }
+    df.withColumn("split", labeled)
+  }
+
+  /** Sliding-window token chunker: each document becomes overlapping
+    * chunks of `chunkSize` tokens every `stride` tokens (the RAG /
+    * embedding-index layout; `stride = chunkSize` gives disjoint chunks).
+    * Chunk starts are 0, stride, 2*stride, ... and the LAST chunk starts
+    * at the first offset that reaches the end of the document, so every
+    * token is covered and no start lies beyond the text. Documents with no
+    * tokens (empty or NULL text) emit no chunks.
+    *
+    * Scale shape: pure row-local generate — the token array is bound ONCE
+    * per row, chunk texts are `slice` views of it, and no shuffle exists
+    * at all; output size is input tokens x (chunkSize/stride) by
+    * construction. Output: (idCol, chunk_id, chunk_text, n_tokens). */
+  def chunkSliding(df: DataFrame, textCol: String, idCol: String,
+                   chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize]: $stride")
+    val tks = col("__toks")
+    val n = size(tks)
+    val nChunks = when(n <= chunkSize, lit(1L)).otherwise(
+      lit(1L) + ceil((n - chunkSize).cast("double") / stride).cast("long"))
+    df.withColumn("__toks", T.tokens(T.normalized(col(textCol))))
+      .filter(size(tks) > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L), nChunks - 1), i => struct(
+          array_join(slice(tks, (i * stride + 1).cast("int"),
+            lit(chunkSize)), " ").as("chunk_text"),
+          least(lit(chunkSize.toLong), n.cast("long") - i * stride)
+            .as("n_tokens")))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        col("col.chunk_text"), col("col.n_tokens"))
+  }
+
   /** Ingest-time curation for a STREAM: the language/quality/null gates
     * are stateless row filters, and exact-dup removal becomes a
     * watermark-bounded state-store dedup on the content fingerprint

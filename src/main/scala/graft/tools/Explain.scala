@@ -25,7 +25,8 @@ object Explain {
     "q61_repetition_stats", "q62_paragraph_dedup", "q63_tfidf_terms",
     "q64_bm25_rank", "q65_range_join", "q66_unigram_logprob",
     "q67_top_ngrams", "q68_url_canonical", "q69_snapshot_diff",
-    "q70_overlap_join", "q71_heavy_hitters")
+    "q70_overlap_join", "q71_heavy_hitters", "q72_domain_quota",
+    "q73_corpus_split", "q74_sliding_chunks", "q75_winsorize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -220,4 +220,70 @@ class CurateSpec extends SparkSpec {
       assert(got == want, s"doc $id: got $got, want $want") }
     assert(out(1L)._3 == "www.ex.com" && out(13L)._3 == null)
   }
+
+  test("domainQuota: lowest ids kept per host, partial WindowGroupLimit") {
+    val rows = (1L to 100L).map(i => (i, if (i % 2 == 0) "big" else s"s${i % 3}"))
+      .toDF("id", "host")
+    val out = Curate.domainQuota(rows, "host", "id", quota = 5)
+    val kept = out.collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).sorted.toSeq }
+    assert(kept("big") == (2L to 10L by 2))      // the 5 lowest even ids
+    assert(kept.values.forall(_.size <= 5))
+    // every host's kept set is exactly its 5 lowest ids
+    val byHost = (1L to 100L).map(i =>
+      (if (i % 2 == 0) "big" else s"s${i % 3}") -> i)
+      .groupBy(_._1).map { case (h, xs) =>
+        h -> xs.map(_._2).sorted.take(5).toSeq }
+    assert(kept == byHost)
+    // the rank filter must have become a pre-shuffle partial
+    // WindowGroupLimit (the map-side prune the scaladoc promises)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("splitCorpus: disjoint, exhaustive, growth-stable, ~proportional") {
+    val ids = spark.range(0, 5000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val lab = Curate.splitCorpus(ids, "id", splits)
+      .as[(Long, String)].collect()
+    assert(lab.length == 5000)                       // exhaustive, no dup
+    assert(lab.map(_._1).distinct.length == 5000)
+    val byLab = lab.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLab.keySet == Set("train", "val", "test"))
+    assert(math.abs(byLab("train").size - 4000) < 200)
+    assert(math.abs(byLab("val").size - 500) < 120)
+    // growth stability: relabeling a subset agrees with the full labeling
+    val sub = Curate.splitCorpus(ids.filter($"id" < 1000), "id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(lab.filter(_._1 < 1000).forall { case (i, s) => sub(i) == s })
+    // hashSample(rate) equals the train split of (rate, 1-rate): the
+    // complementary-ranges discipline is shared, not merely analogous
+    val s80 = Curate.hashSample(ids, "id", 0.8).as[Long].collect().toSet
+    assert(byLab("train") == s80)
+  }
+
+  test("chunkSliding: coverage, overlap, last-chunk length, empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),   // 10 toks: 3 chunks
+      (2L, "a b c"),                                    // n <= size: 1 chunk
+      (3L, ""), (4L, null.asInstanceOf[String]))        // no chunks
+      .toDF("id", "text")
+    val out = Curate.chunkSliding(docs, "text", "id", chunkSize = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect().sortBy(c => (c._1, c._2))
+    assert(!out.exists(c => c._1 == 3L || c._1 == 4L))
+    assert(out.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, "a b c", 3L)))
+    val c1 = out.filter(_._1 == 1L).toSeq
+    // starts 0,3,6 then 9 reaches the end: ceil((10-4)/3)+1 = 3 chunks
+    assert(c1 == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L)))
+    // disjoint mode reconstructs the token stream exactly
+    val flat = Curate.chunkSliding(docs.filter($"id" === 1L), "text", "id",
+        chunkSize = 3, stride = 3)
+      .orderBy("chunk_id").as[(Long, Long, String, Long)].collect()
+      .map(_._3).mkString(" ")
+    assert(flat == (1 to 10).map(i => s"t$i").mkString(" "))
+  }
 }

@@ -139,4 +139,34 @@ class OperatorPropertySpec extends SparkSpec {
     assert(out("a") == ((5.0, 10.0)))  // rank ceil(.5*10)=5, ceil(.95*10)=10
     assert(out("b") == ((5.0, 9.0)))   // ties at the median rank
   }
+
+  test("winsorize: clamps into the exact band, nulls and thin groups pass") {
+    import graft.functions.Stats
+    val df = ((1 to 100).map(v => ("a", Some(v.toDouble))) ++
+      Seq(("a", None)) ++          // null value -> stays null
+      Seq(("empty", None)))        // group with no non-null values
+      .toDF("g", "v")
+    val out = Stats.winsorize(df, Seq("g"), "v", 0.05, 0.95)
+    val a = out.filter($"g" === "a")
+      .select("v", "v_w", "lo_threshold", "hi_threshold")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        r.getDouble(2), r.getDouble(3)))
+    // thresholds: rank ceil(.05*100)=5 -> 5.0, ceil(.95*100)=95 -> 95.0
+    assert(a.forall { case (_, _, lo, hi) => lo == 5.0 && hi == 95.0 })
+    assert(a.collect { case (Some(v), Some(w), _, _) =>
+      (v.asInstanceOf[Double], w.asInstanceOf[Double]) }.forall {
+      case (v, w) => w == math.max(5.0, math.min(95.0, v)) })
+    assert(a.collect { case (None, w, _, _) => w }.forall(_.isEmpty))
+    // a group with no thresholds keeps its value (NULL here) unclamped
+    val e = out.filter($"g" === "empty").select("v_w", "lo_threshold")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(e.sameElements(Array((None, None))))
+    // clamped values are bit-identical to an input or a threshold: the
+    // winsorized mean of group a is computable by hand
+    val meanW = out.filter($"g" === "a" && $"v_w".isNotNull)
+      .agg(avg($"v_w")).as[Double].head()
+    // 1..4 clamp up to 5 (5 IS the threshold), 96..100 clamp down to 95
+    val expect = ((5 to 95).map(_.toDouble).sum + 4 * 5.0 + 5 * 95.0) / 100
+    assert(meanW == expect)
+  }
 }
