@@ -930,6 +930,33 @@ object SparkEntry {
           count(when(col("value") > col("hi_threshold"), 1)).as("n_hi"))
     }),
 
+    "q76_bloom_semi_join" -> ((s, dir) => {
+      // decontamination shape: lineitems of high-priority open orders —
+      // the bloom prunes the lineitem scan before any exchange; the
+      // confirm join makes it exact regardless of fpp
+      val ref = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_orderpriority")
+          .startsWith("1"))
+      Joins.bloomSemiJoin(t(s, dir, "lineitem"), ref,
+          "l_orderkey", "o_orderkey", fpp = 0.01)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(27,12)")).cast("double")
+            .as("sum_qty"))
+    }),
+
+    "q77_bloom_anti_join" -> ((s, dir) => {
+      val ref = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_orderpriority")
+          .startsWith("1"))
+      Joins.bloomAntiJoin(t(s, dir, "lineitem"), ref,
+          "l_orderkey", "o_orderkey", fpp = 0.01)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(27,12)")).cast("double")
+            .as("sum_qty"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -2153,6 +2180,22 @@ dim_users_litify AS (
            CAST(COUNT(CASE WHEN value < lo THEN 1 END) AS BIGINT) AS n_lo,
            CAST(COUNT(CASE WHEN value > hi THEN 1 END) AS BIGINT) AS n_hi
          FROM w GROUP BY event_type""",
+
+    "q76_bloom_semi_join" ->
+      """SELECT l_returnflag, CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,12))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+           WHERE o_orderstatus = 'O' AND o_orderpriority LIKE '1%')
+         GROUP BY l_returnflag""",
+
+    "q77_bloom_anti_join" ->
+      """SELECT l_returnflag, CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,12))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+           WHERE o_orderstatus = 'O' AND o_orderpriority LIKE '1%')
+         GROUP BY l_returnflag""",
 
     "q46_exact_quantiles" ->
       """WITH ranked AS (SELECT event_type, value,

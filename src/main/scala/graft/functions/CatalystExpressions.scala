@@ -942,3 +942,48 @@ object CdcChunksPortable {
     Md5Hash60.first60(d.digest())
   }
 }
+
+/** `bloom.mightContain(key)` as a codegen expression over a driver-built
+  * [[org.apache.spark.util.sketch.BloomFilter]] — the probe side of the
+  * bloom-prefiltered semi/anti join ([[graft.operators.Joins.bloomSemiJoin]]).
+  * The filter object rides the serialized plan (one copy per stage via the
+  * task-binary broadcast, NOT one per row or task), and the probe runs
+  * inside whole-stage codegen on the scan, i.e. BEFORE any exchange — the
+  * entire point of the operator. Supports the two key shapes bloom
+  * construction supports: integral keys probe `mightContainLong`, string
+  * keys probe `mightContainBinary` over the UTF-8 bytes (bit-compatible
+  * with `DataFrameStatFunctions.bloomFilter`'s `putString`/`putLong`). */
+case class BloomMightContainExpr(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+  extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+
+  private def isString = child.dataType == StringType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isString)
+      bloom.mightContainBinary(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    else bloom.mightContainLong(input match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case s: java.lang.Short => s.longValue()
+      case b: java.lang.Byte => b.longValue()
+      case other => throw new IllegalStateException(
+        s"unsupported bloom key: $other (${child.dataType})")
+    })
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      if (isString) s"${ev.value} = $ref.mightContainBinary($c.getBytes());"
+      else s"${ev.value} = $ref.mightContainLong((long) $c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContainExpr = copy(child = newChild)
+}

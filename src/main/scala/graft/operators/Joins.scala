@@ -169,4 +169,72 @@ object Joins {
         col("__b") === floor(greatest(col(lStart), col(rStart)) / bucketWidth))
       .drop("__b")
   }
+
+  /** Bloom-prefiltered SEMI join: keep `large` rows whose key appears in
+    * `small` — with the corpus-side shuffle paid only by bloom CANDIDATES,
+    * not by every row. The regime this exists for is the gap Spark's
+    * planner leaves open at 100 TB: `small` is far too big to broadcast as
+    * a hash relation (100M keys ≈ several GB of hash table) but its bloom
+    * filter (~1.2 bytes/key at 1% fpp) ships comfortably in the task
+    * binary, so the probe runs inside whole-stage codegen ON THE SCAN and
+    * the exchange only ever sees true matches plus an fpp-sized sliver of
+    * false positives. The confirming semi join makes the result EXACT —
+    * bloom false positives are eliminated, and bloom has no false
+    * negatives — so fpp tunes cost, never correctness.
+    *
+    * Keys may be any integral type (probed as long) or strings (probed as
+    * UTF-8 bytes); NULL keys never match, per semi-join semantics. The
+    * bloom build is one aggregation over `small` (driver holds one filter
+    * of ~`1.2 * expectedItems` bytes at fpp=0.01 — size the fpp, not the
+    * corpus). `expectedItems` defaults to `small.count()` (one cheap
+    * count job); pass it when you already know the bound. */
+  def bloomSemiJoin(large: DataFrame, small: DataFrame,
+                    largeKey: String, smallKey: String,
+                    fpp: Double = 0.01,
+                    expectedItems: Long = -1L): DataFrame = {
+    val (probe, keys, cond) =
+      bloomParts(large, small, largeKey, smallKey, fpp, expectedItems)
+    large.filter(probe).join(keys, cond, "left_semi")
+  }
+
+  /** Bloom-prefiltered ANTI join: keep `large` rows whose key does NOT
+    * appear in `small`. The bloom's one-sided error is exactly the right
+    * shape here too: a key the bloom rejects is DEFINITELY absent (kept
+    * with zero shuffle), and only the fpp-sized candidate sliver pays the
+    * confirming anti join. `large` is scanned twice (both branches are
+    * pushed-down filters on the same source — cheap next to the shuffle
+    * this avoids); NULL keys are kept, per anti-join semantics. */
+  def bloomAntiJoin(large: DataFrame, small: DataFrame,
+                    largeKey: String, smallKey: String,
+                    fpp: Double = 0.01,
+                    expectedItems: Long = -1L): DataFrame = {
+    val (probe, keys, cond) =
+      bloomParts(large, small, largeKey, smallKey, fpp, expectedItems)
+    large.filter(col(largeKey).isNull || !probe)
+      .unionByName(large.filter(probe).join(keys, cond, "left_anti"))
+  }
+
+  /** Shared prefilter plumbing — builds the bloom ONCE and returns (the
+    * probe predicate over `large`'s key, the null-free key frame of
+    * `small`, the confirm-join condition). */
+  private def bloomParts(large: DataFrame, small: DataFrame,
+                         largeKey: String, smallKey: String,
+                         fpp: Double, expectedItems: Long)
+      : (Column, DataFrame, Column) = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1): $fpp")
+    val nonNull = small.filter(col(smallKey).isNotNull)
+    // one count job on the reference side: sizes the bloom AND guards the
+    // empty-reference case (Spark's bloomFilter aggregate NPEs on 0 rows)
+    val nn = nonNull.count()
+    val probe = if (nn == 0L) lit(false) else {
+      val n = if (expectedItems > 0) expectedItems else nn
+      val bloom = nonNull.stat.bloomFilter(smallKey, n, fpp)
+      GraftGlue.column(graft.functions.BloomMightContainExpr(
+        GraftGlue.expression(large(largeKey)), bloom))
+    }
+    val keys = small.select(col(smallKey).as("__bloom_key"))
+      .filter(col("__bloom_key").isNotNull)
+    (probe, keys, col(largeKey) === col("__bloom_key"))
+  }
 }

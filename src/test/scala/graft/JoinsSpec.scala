@@ -151,4 +151,64 @@ class JoinsSpec extends SparkSpec {
         Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("buckets")), s"got $ex")
   }
+
+  test("bloomSemiJoin == plain semi; bloomAntiJoin == plain anti (long keys)") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    val big = ((1 to 2000).map(_ => (Option(rnd.nextInt(500).toLong), rnd.nextInt(9))) ++
+      Seq((None: Option[Long], 1))).toDF("k", "payload")
+    val small = (0 until 200).map(i => Option(i * 3L)).toDF("sk")
+      .unionByName(Seq(None: Option[Long]).toDF("sk"))
+    val semi = Joins.bloomSemiJoin(big, small, "k", "sk")
+    val anti = Joins.bloomAntiJoin(big, small, "k", "sk")
+    val wantSemi = big.join(small, col("k") === col("sk"), "left_semi")
+    val wantAnti = big.join(small, col("k") === col("sk"), "left_anti")
+    assert(semi.columns.toSeq == big.columns.toSeq)
+    assert(anti.columns.toSeq == big.columns.toSeq)
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.get(0)), r.getInt(1))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    assert(bag(semi) == bag(wantSemi))
+    assert(bag(anti) == bag(wantAnti))
+    // partition-wise: semi + anti is exactly the input (null key in anti)
+    assert(semi.count() + anti.count() == big.count())
+    assert(anti.filter(col("k").isNull).count() == 1)
+  }
+
+  test("bloom joins: string keys, empty small side, tiny fpp still exact") {
+    val big = Seq("a", "b", "c", "dd", "ee", null).toDF("k")
+    val small = Seq("b", "dd", "zz").toDF("sk")
+    val semi = Joins.bloomSemiJoin(big, small, "k", "sk", fpp = 0.5)
+      .as[String].collect().sorted.toSeq
+    assert(semi == Seq("b", "dd"))
+    val anti = Joins.bloomAntiJoin(big, small, "k", "sk", fpp = 0.5)
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(anti == Set(Some("a"), Some("c"), Some("ee"), None))
+    // an empty reference: semi keeps nothing, anti keeps everything
+    val none = small.filter(col("sk") === "nope")
+    assert(Joins.bloomSemiJoin(big, none, "k", "sk").count() == 0)
+    assert(Joins.bloomAntiJoin(big, none, "k", "sk").count() == big.count())
+  }
+
+  test("bloom probe runs codegen on the scan, before any exchange") {
+    // AQE's wrapper hides the subtree from collect(); plan-shape pinning
+    // wants the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val big = spark.range(0, 10000).toDF("k")
+      val small = spark.range(0, 100).select((col("id") * 7).as("sk"))
+      val out = Joins.bloomSemiJoin(big, small, "k", "sk")
+      val plan = out.queryExecution.executedPlan
+      // the probe filter must sit BELOW any exchange in the large branch:
+      // its subtree is scan-side (filter pushed to the source, the whole
+      // point of the prefilter)
+      val probeFilter = plan.collectFirst {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("bloom_might_contain") &&
+              !f.condition.toString.contains("__bloom_key") => f }
+      assert(probeFilter.isDefined, plan.toString)
+      assert(!probeFilter.get.child.toString.contains("Exchange"),
+        plan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
