@@ -957,6 +957,16 @@ object SparkEntry {
             .as("sum_qty"))
     }),
 
+    "q78_group_sample" -> ((s, dir) => {
+      // k per-source exemplar docs via the bounded-heap bottom-k-by-hash
+      // aggregate — deterministic, so exactly mirrorable by a rank oracle
+      Curate.groupSample(t(s, dir, "documents"), Seq("source"), "doc_id",
+          k = 5)
+        .select(col("source"), posexplode(col("sample")))
+        .select(col("source"), col("pos").cast("long").as("rank"),
+          col("col").as("doc_id"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -2196,6 +2206,16 @@ dim_users_litify AS (
          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
            WHERE o_orderstatus = 'O' AND o_orderpriority LIKE '1%')
          GROUP BY l_returnflag""",
+
+    "q78_group_sample" -> s"""
+      WITH h AS (SELECT source, CAST(doc_id AS VARCHAR) AS v,
+          ${duckHash("'graft:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents),
+      r AS (SELECT source, v,
+          row_number() OVER (PARTITION BY source ORDER BY h, v) AS rn
+        FROM h)
+      SELECT source, CAST(rn - 1 AS BIGINT) AS rank, v AS doc_id
+      FROM r WHERE rn <= 5""",
 
     "q46_exact_quantiles" ->
       """WITH ranked AS (SELECT event_type, value,

@@ -134,3 +134,129 @@ case class FrequentItemsAgg(child: Expression, capacity: Int,
   override protected def withNewChildInternal(newChild: Expression)
       : FrequentItemsAgg = copy(child = newChild)
 }
+
+/** Deterministic per-group bottom-k-by-hash sample as a native
+  * [[TypedImperativeAggregate]] — the distributed form of "give me k
+  * uniform examples from every group" (per-source spot-check corpora,
+  * per-cluster exemplars, per-label eval slices). Items are ranked by the
+  * portable 60-bit md5 hash of `salt + ":" + value` (exactly
+  * [[graft.operators.Curate.sampleHash]], so samples are consistent with
+  * the hash-sampling family and mirrorable in oracle SQL), and each
+  * group keeps the k smallest — a consistent bottom-k sketch: uniform
+  * over distinct values, reproducible across engines, partitionings, and
+  * corpus growth (a kept item is only ever displaced by globally smaller
+  * hashes, never by reordering).
+  *
+  * Why an aggregate and not a rank window: the window form shuffles EVERY
+  * row to its group's partition before ranking; this sketch's map-side
+  * partial is a bounded heap, so at most k items per group per partition
+  * cross the wire — on a 100 TB corpus with thousands of groups that is
+  * the difference between shuffling the corpus and shuffling kilobytes.
+  * Output: array<string> of the k sampled items, hash-ascending (ties on
+  * the rare equal hash break by item asc; duplicate values occupy
+  * multiple slots — it is a row sample, not a distinct sample). */
+case class BottomKSampleAgg(child: Expression, k: Int,
+    salt: String = "graft",
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, UTF8String)]]
+  with UnaryLike[Expression] {
+
+  require(k >= 1, s"k must be >= 1: $k")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  // max-heap on (hash, item): head is the current WORST kept element
+  private val ord: Ordering[(Long, UTF8String)] =
+    new Ordering[(Long, UTF8String)] {
+      def compare(a: (Long, UTF8String), b: (Long, UTF8String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else a._2.compareTo(b._2)
+      }
+    }
+
+  @transient private lazy val saltBytes =
+    (salt + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def hash(item: UTF8String): Long = {
+    val d = Md5Hash60.md.get()
+    d.reset()
+    d.update(saltBytes)
+    d.update(item.getBytes)
+    Md5Hash60.first60(d.digest())
+  }
+
+  private def insert(buf: mutable.PriorityQueue[(Long, UTF8String)],
+                     h: Long, item: UTF8String): Unit =
+    if (buf.size < k) buf.enqueue((h, item))
+    else if (ord.lt((h, item), buf.head)) {
+      buf.dequeue(); buf.enqueue((h, item))
+    }
+
+  override def createAggregationBuffer()
+      : mutable.PriorityQueue[(Long, UTF8String)] =
+    mutable.PriorityQueue.empty(ord)
+
+  override def update(buf: mutable.PriorityQueue[(Long, UTF8String)],
+                      input: InternalRow)
+      : mutable.PriorityQueue[(Long, UTF8String)] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.asInstanceOf[UTF8String]
+      val h = hash(item)
+      // only copy off the reused row buffer when the item is actually kept
+      if (buf.size < k || ord.lt((h, item), buf.head))
+        insert(buf, h, item.copy())
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Long, UTF8String)],
+                     other: mutable.PriorityQueue[(Long, UTF8String)])
+      : mutable.PriorityQueue[(Long, UTF8String)] = {
+    other.foreach { case (h, item) => insert(buf, h, item) }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Long, UTF8String)]): Any = {
+    // dequeueAll drains worst-first; reverse -> hash-ascending
+    val drained: Seq[(Long, UTF8String)] = buf.clone().dequeueAll
+    new GenericArrayData(drained.reverseIterator.map(_._2).toArray[Any])
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Long, UTF8String)])
+      : Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (h, item) =>
+      val b = item.getBytes
+      out.writeLong(h); out.writeInt(b.length); out.write(b)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : mutable.PriorityQueue[(Long, UTF8String)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val q = mutable.PriorityQueue.empty(ord)
+    var i = 0
+    while (i < n) {
+      val h = in.readLong()
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      q.enqueue((h, UTF8String.fromBytes(b)))
+      i += 1
+    }
+    q
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): BottomKSampleAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BottomKSampleAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression)
+      : BottomKSampleAgg = copy(child = newChild)
+}

@@ -370,4 +370,18 @@ object Curate {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+  /** Per-group deterministic k-sample via the
+    * [[graft.functions.BottomKSampleAgg]] bounded-heap aggregate: k
+    * uniform, growth-stable examples per group, ranked by the SAME
+    * portable hash as [[sampleHash]]. Unlike a rank-window sample, only
+    * k items per group per map partition ever cross the shuffle.
+    * Output: (groupCols..., sample array<string> hash-ascending). */
+  def groupSample(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int, salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    df.groupBy(groupCols.map(col): _*)
+      .agg(GraftGlue.column(graft.functions.BottomKSampleAgg(
+          GraftGlue.expression(col(valueCol).cast("string")), k, salt)
+        .toAggregateExpression()).as("sample"))
+  }
 }

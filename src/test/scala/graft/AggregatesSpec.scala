@@ -63,4 +63,61 @@ class AggregatesSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq
     assert(out == Seq((1L, "x", 1L), (2L, "y", 1L)))
   }
+  test("bottom-k sample: window-rank parity across partition layouts, " +
+      "duplicates, nulls, thin groups") {
+    import graft.operators.Curate
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(i =>
+      (s"g${rnd.nextInt(5)}", if (i % 37 == 0) null else s"v${rnd.nextInt(60)}"))
+    // the window-form reference: rank by the identical portable hash
+    def want(df: org.apache.spark.sql.DataFrame): Map[String, Seq[String]] = {
+      import org.apache.spark.sql.expressions.Window
+      df.filter(col("v").isNotNull)
+        .withColumn("__h", TextFunctions.portableHash64(
+          concat(lit("graft"), lit(":"), col("v"))))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("__h"), col("v"))))
+        .filter(col("__rn") <= 7).orderBy("g", "__rn")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    }
+    for (parts <- Seq(1, 3, 32)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+      val got = Curate.groupSample(df, Seq("g"), "v", k = 7)
+        .collect().map(r => (r.getString(0), r.getSeq[String](1))).toMap
+      assert(got.view.mapValues(_.toSeq).toMap == want(df), s"parts=$parts")
+    }
+    // a group smaller than k returns all its values
+    val tiny = Seq(("a", "x"), ("a", "y"), ("b", "z")).toDF("g", "v")
+    val t = Curate.groupSample(tiny, Seq("g"), "v", k = 10)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).sorted)).toMap
+    assert(t == Map("a" -> Seq("x", "y"), "b" -> Seq("z")))
+    // all-null group yields an empty sample, not a crash
+    val nul = Seq(("n", null: String)).toDF("g", "v")
+    assert(Curate.groupSample(nul, Seq("g"), "v", k = 3)
+      .collect().map(_.getSeq[String](1)).head.isEmpty)
+  }
+
+  test("bottom-k sample: duplicate values keep multiple slots, " +
+      "sample is growth-stable") {
+    import graft.operators.Curate
+    val df = Seq.fill(4)(("g", "dup")).toDF("g", "v")
+    val s = Curate.groupSample(df, Seq("g"), "v", k = 3)
+      .collect().head.getSeq[String](1)
+    assert(s == Seq("dup", "dup", "dup")) // row sample, not distinct
+    // growth stability: adding rows never evicts a smaller-hash keeper
+    val base = (1 to 50).map(i => ("g", s"v$i")).toDF("g", "v")
+    val grown = ((1 to 50) ++ (51 to 90)).map(i => ("g", s"v$i")).toDF("g", "v")
+    val sBase = Curate.groupSample(base, Seq("g"), "v", k = 5)
+      .collect().head.getSeq[String](1).toSet
+    val sGrown = Curate.groupSample(grown, Seq("g"), "v", k = 5)
+      .collect().head.getSeq[String](1).toSet
+    // every grown-sample member absent from the base sample must be new
+    assert(sGrown.diff(sBase).forall(v => v.stripPrefix("v").toInt > 50 ||
+      !sBase.contains(v)))
+    // and the grown sample's hash floor can only move down: its members
+    // that existed in the base corpus must be base-sample members
+    assert(sGrown.filter(_.stripPrefix("v").toInt <= 50).subsetOf(sBase))
+  }
 }
