@@ -967,6 +967,17 @@ object SparkEntry {
           col("col").as("doc_id"))
     }),
 
+    "q79_zorder_value" -> ((s, dir) => {
+      // integer lanes (mod-1024) keep the oracle in pure bit arithmetic;
+      // the min/max-scaled layout path is pinned by CurateSpec
+      val z = Curate.zorderValue(Seq(
+        pmod(col("l_partkey"), lit(1024)).cast("long"),
+        pmod(col("l_suppkey"), lit(1024)).cast("long")), bitsPer = 10)
+      t(s, dir, "lineitem").withColumn("zval", z)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("zval")).as("sum_z"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -2216,6 +2227,19 @@ dim_users_litify AS (
         FROM h)
       SELECT source, CAST(rn - 1 AS BIGINT) AS rank, v AS doc_id
       FROM r WHERE rn <= 5""",
+
+    "q79_zorder_value" -> {
+      // the identical 20-term interleave, generated as literal SQL
+      val terms = (for {
+        (c, j) <- Seq("l_partkey", "l_suppkey").zipWithIndex
+        i <- 0 until 10
+      // NOTE: << binds LOOSER than + in DuckDB; each term needs its own
+      // outer parens or the sum chain-shifts
+      } yield s"(((($c % 1024) >> $i) & 1) << ${i * 2 + j})").mkString(" + ")
+      s"""SELECT l_returnflag, CAST(COUNT(1) AS BIGINT) AS n,
+            CAST(SUM($terms) AS BIGINT) AS sum_z
+          FROM lineitem GROUP BY l_returnflag"""
+    },
 
     "q46_exact_quantiles" ->
       """WITH ranked AS (SELECT event_type, value,

@@ -384,4 +384,58 @@ object Curate {
           GraftGlue.expression(col(valueCol).cast("string")), k, salt)
         .toAggregateExpression()).as("sample"))
   }
+  /** Bit-interleaved Morton (Z-order) value over `cols`, each already
+    * scaled into `[0, 2^bitsPer)`: bit i of column j lands at position
+    * `i * cols.size + j`. Built from native shift/mask expressions — the
+    * whole interleave stays inside whole-stage codegen; no UDF, no custom
+    * expression needed. `cols.size * bitsPer` must fit a signed long. */
+  def zorderValue(cols: Seq[Column], bitsPer: Int): Column = {
+    require(cols.nonEmpty, "zorderValue needs at least one column")
+    require(bitsPer >= 1 && cols.size * bitsPer <= 63,
+      s"${cols.size} cols x $bitsPer bits must be in [1, 63]")
+    val n = cols.size
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bitsPer
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_ + _)
+  }
+
+  /** Multi-dimensional clustering layout for data skipping: scale each
+    * cluster column to its [min, max] range, interleave into a Z-order
+    * value, then range-partition and sort by it — so every output file
+    * covers a small hyper-rectangle of the clustered dimensions and a
+    * reader's min/max (or partition-range) pruning skips most files for
+    * point/range predicates on ANY prefix-free subset of the dimensions,
+    * not just a lexicographic sort's leading column.
+    *
+    * Scale shape: ONE min/max aggregation (2N scalars to the driver — the
+    * legitimate literal collection), then exactly the one range-exchange
+    * any global sort pays; the z-computation itself is row-local codegen.
+    * Constant columns scale to 0 and cost no bits in practice. Output:
+    * the input rows, clustered; the z column is internal and dropped. */
+  def zorderLayout(df: DataFrame, clusterCols: Seq[String],
+                   numPartitions: Int, bitsPer: Int = 16): DataFrame = {
+    require(clusterCols.nonEmpty, "need at least one cluster column")
+    require(numPartitions >= 1, s"numPartitions must be >= 1: $numPartitions")
+    val aggs = clusterCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    val top = (1L << bitsPer) - 1
+    val scaled = clusterCols.zipWithIndex.map { case (c, j) =>
+      // all-NULL or constant columns contribute a constant 0 lane
+      if (mm.isNullAt(2 * j) || mm.isNullAt(2 * j + 1) ||
+          mm.getDouble(2 * j) == mm.getDouble(2 * j + 1)) lit(0L)
+      else {
+        val mn = mm.getDouble(2 * j); val mx = mm.getDouble(2 * j + 1)
+        floor((col(c).cast("double") - mn) * (top.toDouble / (mx - mn)))
+          .cast("long")
+      }
+    }
+    df.withColumn("__z", zorderValue(scaled, bitsPer))
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
 }

@@ -27,7 +27,8 @@ object Explain {
     "q67_top_ngrams", "q68_url_canonical", "q69_snapshot_diff",
     "q70_overlap_join", "q71_heavy_hitters", "q72_domain_quota",
     "q73_corpus_split", "q74_sliding_chunks", "q75_winsorize",
-    "q76_bloom_semi_join", "q77_bloom_anti_join", "q78_group_sample")
+    "q76_bloom_semi_join", "q77_bloom_anti_join", "q78_group_sample",
+    "q79_zorder_value")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -286,4 +286,52 @@ class CurateSpec extends SparkSpec {
       .map(_._3).mkString(" ")
     assert(flat == (1 to 10).map(i => s"t$i").mkString(" "))
   }
+  test("zorderValue: textbook morton interleave, lane placement") {
+    val df = Seq((3L, 1L), (0L, 0L), (3L, 3L), (2L, 2L)).toDF("x", "y")
+    val out = df.select(Curate.zorderValue(
+        Seq(col("x"), col("y")), bitsPer = 2).as("z"))
+      .as[Long].collect().toSeq
+    // morton(x,y) with x in even bit lanes, y in odd
+    assert(out == Seq(7L, 0L, 15L, 12L))
+  }
+
+  test("zorderLayout: one range exchange; files cover small rectangles " +
+      "on BOTH dims (vs a lexicographic sort's trailing-dim blowout)") {
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y").repartition(8)
+    val laid = Curate.zorderLayout(df, Seq("x", "y"), numPartitions = 16,
+      bitsPer = 6)
+    assert(laid.columns.toSeq == Seq("x", "y"))   // z column internal
+    // exactly the one range exchange any global clustering pays
+    val plan = laid.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    val spans = laid.withColumn("p", spark_partition_id())
+      .groupBy("p")
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.map(_._3).sum == 64L * 64L)
+    // each dimension's average per-partition span is a small fraction of
+    // the global 0..63 range; a sort by x alone leaves sy == 63 everywhere
+    val avgSx = spans.map(_._1).sum.toDouble / spans.length
+    val avgSy = spans.map(_._2).sum.toDouble / spans.length
+    assert(avgSx <= 24.0, s"avg x span $avgSx")
+    assert(avgSy <= 24.0, s"avg y span $avgSy")
+    // rows within a partition are z-sorted -> rectangles, not stripes
+    val lexi = df.repartitionByRange(16, col("x"))
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg((max("y") - min("y")).as("sy"))
+      .collect().map(_.getLong(1))
+    assert(lexi.forall(_ == 63L))   // the contrast this layout removes
+  }
+
+  test("zorderLayout: constant and all-null lanes degrade gracefully") {
+    val df = Seq((1L, Option(5L)), (2L, Option(5L)), (3L, None))
+      .toDF("a", "b")
+    val laid = Curate.zorderLayout(df, Seq("a", "b"), numPartitions = 2,
+      bitsPer = 4)
+    assert(laid.count() == 3)
+    val nul = Seq((1L, None: Option[Long]), (2L, None)).toDF("a", "b")
+    assert(Curate.zorderLayout(nul, Seq("b"), 1).count() == 2)
+  }
 }
