@@ -978,6 +978,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("zval")).as("sum_z"))
     }),
 
+    "q80_incremental_dedup" -> ((s, dir) => {
+      // a new ingest batch (even ids) deduped internally, then against
+      // the prior corpus version (ids = 1 mod 4) — disjoint slices of
+      // documents, so cross-version dups are the synthesized duplicate
+      // texts the table carries by design
+      val docs = t(s, dir, "documents")
+      Dedup.exactIncremental(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 4 === 1),
+          "text", "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -2227,6 +2241,23 @@ dim_users_litify AS (
         FROM h)
       SELECT source, CAST(rn - 1 AS BIGINT) AS rank, v AS doc_id
       FROM r WHERE rn <= 5""",
+
+    "q80_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id, source, text,
+           CASE WHEN text IS NULL THEN '__null__' || CAST(doc_id AS VARCHAR)
+             ELSE md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+           END AS f
+         FROM documents),
+       b AS (SELECT doc_id, source, f,
+           row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+         FROM fp WHERE doc_id % 2 = 0),
+       p AS (SELECT DISTINCT
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+         FROM documents WHERE doc_id % 4 = 1 AND text IS NOT NULL)
+       SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       FROM b WHERE rn = 1 AND f NOT IN (SELECT f FROM p)
+       GROUP BY source""",
 
     "q79_zorder_value" -> {
       // the identical 20-term interleave, generated as literal SQL

@@ -534,4 +534,29 @@ object Dedup {
     bucketed.groupBy(bucketCols.map(col): _*)
       .agg(count("*").as("members"))
       .withColumn("capped_out", greatest(col("members") - maxBucket, lit(0L)))
+  /** INCREMENTAL exact dedup: dedup a new ingest batch within itself
+    * (lowest-id survivor per content fingerprint, exactly [[exact]]),
+    * then drop every survivor whose fingerprint already exists in the
+    * PRIOR corpus version — the per-ingest step of a continuously-growing
+    * corpus, where re-deduping the full corpus per batch would be
+    * O(corpus) every day.
+    *
+    * Scale shape: the batch pays [[exact]]'s one fingerprint shuffle; the
+    * corpus-sized prior is reduced to its fingerprint column and probed
+    * via [[graft.operators.Joins.bloomAntiJoin]] — the prior's bloom
+    * ships in the task binary, so prior-corpus fingerprints are scanned
+    * once (to build the bloom + the confirm side) and the BATCH never
+    * shuffles against the full prior, only its fpp-sized candidate
+    * sliver does. NULL-text rows are per-id unique (never cross-version
+    * duplicates), matching [[exact]]'s null-safe fingerprint rule. */
+  def exactIncremental(batch: DataFrame, prior: DataFrame,
+                       textCol: String, idCol: String,
+                       fpp: Double = 0.01): DataFrame = {
+    val deduped = exact(batch, textCol, idCol)
+      .withColumn("__fp", T.fingerprint(col(textCol)))
+    val priorFp = prior.select(T.fingerprint(col(textCol)).as("__pfp"))
+      .filter(col("__pfp").isNotNull)
+    Joins.bloomAntiJoin(deduped, priorFp, "__fp", "__pfp", fpp)
+      .drop("__fp")
+  }
 }

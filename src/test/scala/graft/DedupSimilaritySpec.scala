@@ -377,4 +377,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(20L) == 20L && out(21L) == 20L)
     assert(out.size == 10)
   }
+  test("exactIncremental: in-batch survivor rule + prior-version drop, " +
+      "whitespace-normalized, null text never a cross-version dup") {
+    val batch = Seq(
+      (10L, "shared   doc"),            // dup of prior (normalization)
+      (11L, "fresh one"),
+      (12L, "batch dup"), (13L, "batch dup"),  // in-batch dup: keep 12
+      (14L, null.asInstanceOf[String]),
+      (15L, "also in prior"))
+      .toDF("id", "text")
+    val prior = Seq(
+      (1L, "shared doc"), (2L, "also  in  prior"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = Dedup.exactIncremental(batch, prior, "text", "id")
+    assert(out.columns.toSeq == Seq("id", "text"))
+    val kept = out.select("id").as[Long].collect().toSet
+    // 10 drops (prior dup), 13 drops (in-batch dup), 15 drops (prior dup);
+    // null text is kept even though prior has a null-text row
+    assert(kept == Set(11L, 12L, 14L))
+    // parity with the non-incremental composition: exact over the union,
+    // restricted to batch survivors
+    val unionDedup = Dedup.exact(
+        prior.unionByName(batch), "text", "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == unionDedup.intersect(
+      batch.select("id").as[Long].collect().toSet) ++ Set.empty)
+  }
 }
