@@ -992,6 +992,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
     }),
 
+    "q81_key_skew" -> ((s, dir) => {
+      // the pre-shuffle skew diagnosis: heaviest event keys with exact
+      // ppm share (null keys made explicit so they surface as skew too)
+      graft.functions.Stats.keySkewReport(
+        t(s, dir, "events").select(
+          coalesce(col("user_id").cast("string"), lit("(null)")).as("key")),
+        Seq("key"), topN = 10)
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -2258,6 +2267,19 @@ dim_users_litify AS (
          CAST(SUM(doc_id) AS BIGINT) AS sum_ids
        FROM b WHERE rn = 1 AND f NOT IN (SELECT f FROM p)
        GROUP BY source""",
+
+    "q81_key_skew" ->
+      """WITH k AS (SELECT COALESCE(CAST(user_id AS VARCHAR), '(null)')
+             AS key FROM events),
+         c AS (SELECT key, COUNT(1) AS cnt FROM k GROUP BY key),
+         t AS (SELECT COUNT(1) AS tot FROM k),
+         r AS (SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key) AS rk
+           FROM c)
+         SELECT key, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 1000000 // (SELECT tot FROM t) AS BIGINT) AS share_ppm,
+           CAST(rk AS BIGINT) AS rank
+         FROM r WHERE rk <= 10""",
 
     "q79_zorder_value" -> {
       // the identical 20-term interleave, generated as literal SQL

@@ -66,4 +66,32 @@ object Stats {
           .when(v > col("hi_threshold"), col("hi_threshold"))
           .otherwise(v))
   }
+  /** Key-skew diagnosis: the topN heaviest keys with exact counts and
+    * parts-per-million share — the report you run BEFORE choosing a
+    * partition/salt strategy (a key above ~1/numPartitions share will
+    * straggle its shuffle; see [[graft.operators.Joins.saltedJoin]]).
+    *
+    * Scale shape: one map-side-combined count shuffle on the key, then a
+    * TakeOrdered top-N (never an unpartitioned window over all keys) and
+    * one scalar count job for the denominator. Share uses integer ppm
+    * arithmetic — exact at any corpus size, no double rounding. Output:
+    * (keyCols..., cnt, share_ppm, rank), rank 1 = heaviest, ties broken
+    * by key ascending. */
+  def keySkewReport(df: DataFrame, keyCols: Seq[String],
+                    topN: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val total = math.max(df.count(), 1L)
+    val keyOrder = keyCols.map(col(_).asc)
+    val top = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc +: keyOrder: _*)
+      .limit(topN)
+    top.withColumn("share_ppm",
+        ((col("cnt") * lit(1000000L)).cast("decimal(38,0)") / lit(total))
+          .cast("long"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc +: keyOrder: _*)).cast("long"))
+  }
 }

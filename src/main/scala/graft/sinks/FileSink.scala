@@ -1,0 +1,72 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sized parquet output — the small-files guard every long-running
+  * ingest needs at scale. A 1000-executor job that writes one file per
+  * task per micro-batch produces millions of kilobyte files; every
+  * later scan then pays per-file open/footer costs that dwarf the read
+  * itself, and the namenode/listing layer pays the rest. The fix is the
+  * same everywhere: rewrite N input files into ceil(rows/target) evenly
+  * sized outputs.
+  *
+  * Scale shape: `writeSized` costs ONE round-robin repartition (no key,
+  * no sort — the cheapest possible exchange) sized from a count job;
+  * `maxRecordsPerFile` backstops the target so stragglers cannot exceed
+  * it. Pre-clustered data (e.g. [[graft.operators.Curate.zorderLayout]])
+  * should instead be written directly — its range partitioning IS the
+  * file sizing — so `writeSized` deliberately takes the unclustered
+  * path only. */
+object FileSink {
+
+  /** Write `df` as ~ceil(rows/targetRowsPerFile) parquet files under
+    * `path`, none exceeding the target. Round-robin spreads each input
+    * partition independently, so output partitions can run over the
+    * target by up to one row per input partition; `maxRecordsPerFile`
+    * hard-caps those stragglers (a few extra near-target files, never an
+    * oversized one). Returns the row count written. */
+  def writeSized(df: DataFrame, path: String,
+                 targetRowsPerFile: Long): Long = {
+    require(targetRowsPerFile >= 1,
+      s"targetRowsPerFile must be >= 1: $targetRowsPerFile")
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+      .min(Int.MaxValue.toLong).toInt
+    df.repartition(files)
+      .write.option("maxRecordsPerFile", targetRowsPerFile)
+      .mode("overwrite").parquet(path)
+    n
+  }
+
+  /** Compact an existing parquet directory into evenly sized files at
+    * `outPath`. Returns (dataFilesBefore, dataFilesAfter, rows) — the
+    * audit line an operational compactor logs. Never rewrites in place:
+    * the swap (rename/retarget) is the caller's transactional step. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetRowsPerFile: Long): (Long, Long, Long) = {
+    val before = countDataFiles(spark, inPath)
+    val rows = writeSized(spark.read.parquet(inPath), outPath,
+      targetRowsPerFile)
+    (before, countDataFiles(spark, outPath), rows)
+  }
+
+  /** Parquet data files under `path` (any Hadoop-visible scheme),
+    * excluding _SUCCESS/metadata/hidden entries. */
+  def countDataFiles(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+          n += 1
+      }
+      n
+    }
+  }
+}

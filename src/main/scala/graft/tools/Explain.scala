@@ -28,7 +28,7 @@ object Explain {
     "q70_overlap_join", "q71_heavy_hitters", "q72_domain_quota",
     "q73_corpus_split", "q74_sliding_chunks", "q75_winsorize",
     "q76_bloom_semi_join", "q77_bloom_anti_join", "q78_group_sample",
-    "q79_zorder_value", "q80_incremental_dedup")
+    "q79_zorder_value", "q80_incremental_dedup", "q81_key_skew")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -169,4 +169,23 @@ class OperatorPropertySpec extends SparkSpec {
     val expect = ((5 to 95).map(_.toDouble).sum + 4 * 5.0 + 5 * 95.0) / 100
     assert(meanW == expect)
   }
+  test("keySkewReport: exact counts, ppm floor arithmetic, stable ranks") {
+    import graft.functions.Stats
+    // 600 a, 300 b, 60 c, 30 d, 10 e -> exact ppm of 1000 rows
+    val rows = Seq.fill(600)("a") ++ Seq.fill(300)("b") ++
+      Seq.fill(60)("c") ++ Seq.fill(30)("d") ++ Seq.fill(10)("e")
+    val df = scala.util.Random.shuffle(rows).map(Tuple1(_)).toDF("k")
+      .repartition(13)
+    val out = Stats.keySkewReport(df, Seq("k"), topN = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("a", 600L, 600000L, 1L), ("b", 300L, 300000L, 2L),
+      ("c", 60L, 60000L, 3L), ("d", 30L, 30000L, 4L)))
+    // ties rank deterministically by key
+    val tied = (Seq.fill(5)("x") ++ Seq.fill(5)("w")).map(Tuple1(_)).toDF("k")
+    val t = Stats.keySkewReport(tied, Seq("k"), topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(t == Seq(("w", 1L), ("x", 2L)))
+  }
 }

@@ -159,4 +159,33 @@ class SinkSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out == Map("c1" -> "orig", "c2" -> "new"))
   }
+  test("writeSized/compact: many tiny files -> ceil(n/target) even files, " +
+      "row and schema parity") {
+    import graft.sinks.FileSink
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-")
+    try {
+      val in = s"$dir/in"; val out = s"$dir/out"
+      // the pathological ingest layout: 64 partitions of ~8 rows each
+      spark.range(0, 500).toDF("id")
+        .withColumn("v", col("id") * 2)
+        .repartition(64).write.parquet(in)
+      assert(FileSink.countDataFiles(spark, in) >= 32L)
+      val (before, after, rows) = FileSink.compact(spark, in, out, 100L)
+      assert(rows == 500L)
+      assert(before >= 32L)
+      // ~ceil(500/100): round-robin imbalance may split a few stragglers,
+      // but no file exceeds the target and the count stays near-minimal
+      assert(after >= 5L && after <= 10L, s"after=$after")
+      assert(after < before)
+      val back = spark.read.parquet(out)
+      assert(back.count() == 500L)
+      assert(back.columns.sorted.toSeq == Seq("id", "v"))
+      assert(back.agg(sum("id")).head.getLong(0) == (0L until 500L).sum)
+      // tiny input never produces zero files / zero-target is rejected
+      intercept[IllegalArgumentException] {
+        FileSink.writeSized(spark.range(1).toDF("id"), s"$dir/z", 0L) }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
 }
