@@ -1001,6 +1001,31 @@ object SparkEntry {
         Seq("key"), topN = 10)
     }),
 
+    "q82_sessionize" -> ((s, dir) => {
+      // 30-min-gap sessions per user, reported as per-user session stats
+      graft.operators.Analytics.sessionize(t(s, dir, "events"),
+          "user_id", "ts", gapSeconds = 1800,
+          tiebreakCols = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("len")).as("n_events"),
+          max(col("len")).as("max_len"))
+    }),
+
+    "q83_funnel" -> ((s, dir) => {
+      graft.operators.Analytics.funnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"),
+        withinSeconds = 7L * 24 * 3600)
+    }),
+
+    "q84_rolling_agg" -> ((s, dir) => {
+      graft.operators.Analytics.rollingAgg(t(s, dir, "events"),
+          "user_id", "ts", "value", windowSeconds = 3600)
+        .select(col("event_id"), col("roll_n"), col("roll_sum"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -2280,6 +2305,53 @@ dim_users_litify AS (
            CAST(cnt * 1000000 // (SELECT tot FROM t) AS BIGINT) AS share_ppm,
            CAST(rk AS BIGINT) AS rank
          FROM r WHERE rk <= 10""",
+
+    "q82_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+           FROM events WHERE ts IS NOT NULL),
+         l AS (SELECT user_id, us, event_id,
+             CASE WHEN lag(us) OVER w IS NULL
+                 OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+               AS brk
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM l),
+         g AS (SELECT user_id, sid, COUNT(1) AS len
+           FROM s GROUP BY user_id, sid)
+         SELECT user_id, CAST(COUNT(1) AS BIGINT) AS n_sessions,
+           CAST(SUM(len) AS BIGINT) AS n_events,
+           CAST(MAX(len) AS BIGINT) AS max_len
+         FROM g GROUP BY user_id""",
+
+    "q83_funnel" ->
+      """WITH e AS (SELECT user_id, event_type AS ty, epoch_us(ts) AS us
+           FROM events WHERE ts IS NOT NULL),
+         s1 AS (SELECT user_id, CAST(MIN(us) AS BIGINT) AS t_1
+           FROM e WHERE ty = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, CAST(MIN(us) AS BIGINT) AS t_2
+           FROM e JOIN s1 USING (user_id)
+           WHERE ty = 'click' AND us >= t_1 AND us <= t_1 + 604800000000
+           GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, CAST(MIN(us) AS BIGINT) AS t_3
+           FROM e JOIN s2 USING (user_id)
+           WHERE ty = 'purchase' AND us >= t_2 AND us <= t_2 + 604800000000
+           GROUP BY e.user_id)
+         SELECT s1.user_id, t_1, t_2, t_3,
+           CAST(1 + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS steps_completed
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
+
+    "q84_rolling_agg" ->
+      """SELECT event_id, CAST(COUNT(1) OVER w AS BIGINT) AS roll_n,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) OVER w AS DOUBLE)
+             AS roll_sum
+         FROM events WHERE ts IS NOT NULL
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
 
     "q79_zorder_value" -> {
       // the identical 20-term interleave, generated as literal SQL

@@ -552,11 +552,17 @@ object Dedup {
   def exactIncremental(batch: DataFrame, prior: DataFrame,
                        textCol: String, idCol: String,
                        fpp: Double = 0.01): DataFrame = {
-    val deduped = exact(batch, textCol, idCol)
-      .withColumn("__fp", T.fingerprint(col(textCol)))
+    // prior-drop BEFORE in-batch dedup: the anti join's two branches then
+    // recompute only the row-local fingerprint projection over the batch
+    // scan, never the dedup window shuffle (bloomAntiJoin evaluates its
+    // input twice). Order is semantics-preserving: a prior-version drop
+    // removes a WHOLE fingerprint group or none of it, so the in-batch
+    // survivor per remaining group is unchanged.
+    val withFp = batch.withColumn("__fp", T.fingerprint(col(textCol)))
     val priorFp = prior.select(T.fingerprint(col(textCol)).as("__pfp"))
       .filter(col("__pfp").isNotNull)
-    Joins.bloomAntiJoin(deduped, priorFp, "__fp", "__pfp", fpp)
+    val fresh = Joins.bloomAntiJoin(withFp, priorFp, "__fp", "__pfp", fpp)
       .drop("__fp")
+    exact(fresh, textCol, idCol)
   }
 }

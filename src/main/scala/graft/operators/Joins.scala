@@ -201,9 +201,12 @@ object Joins {
     * appear in `small`. The bloom's one-sided error is exactly the right
     * shape here too: a key the bloom rejects is DEFINITELY absent (kept
     * with zero shuffle), and only the fpp-sized candidate sliver pays the
-    * confirming anti join. `large` is scanned twice (both branches are
-    * pushed-down filters on the same source — cheap next to the shuffle
-    * this avoids); NULL keys are kept, per anti-join semantics. */
+    * confirming anti join. `large` is EVALUATED TWICE (the two branches
+    * are pushed-down filters on the same plan — cheap when it is a
+    * source scan, the intended regime); callers feeding a derived frame
+    * with shuffles/windows upstream should persist it first or restage
+    * so only row-local work repeats (see Dedup.exactIncremental). NULL
+    * keys are kept, per anti-join semantics. */
   def bloomAntiJoin(large: DataFrame, small: DataFrame,
                     largeKey: String, smallKey: String,
                     fpp: Double = 0.01,
