@@ -1026,6 +1026,13 @@ object SparkEntry {
         .select(col("event_id"), col("roll_n"), col("roll_sum"))
     }),
 
+    "q85_table_checksum" -> ((s, dir) => {
+      // migration audit over stable-cast columns (ints/strings/dates)
+      graft.functions.Stats.tableChecksum(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+          "l_shipdate"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -2352,6 +2359,21 @@ dim_users_litify AS (
          FROM events WHERE ts IS NOT NULL
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    "q85_table_checksum" -> {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus", "l_shipdate")
+      val rowStr = "concat_ws(chr(1), " + cols.map(c =>
+        s"CASE WHEN $c IS NULL THEN chr(2) ELSE CAST($c AS VARCHAR) END")
+        .mkString(", ") + ")"
+      val nulls = cols.map(c =>
+        s"CAST(COUNT(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS nulls_$c")
+        .mkString(", ")
+      s"""SELECT CAST(COUNT(1) AS BIGINT) AS n_rows,
+            CAST(CAST(SUM(${duckHash(rowStr)}) AS DECIMAL(38,0)) AS VARCHAR)
+              AS checksum, $nulls
+          FROM lineitem"""
+    },
 
     "q79_zorder_value" -> {
       // the identical 20-term interleave, generated as literal SQL

@@ -94,4 +94,30 @@ object Stats {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc +: keyOrder: _*)).cast("long"))
   }
+  /** Order-independent table checksum — the cross-engine "did the
+    * migration/compaction/rewrite preserve the data" audit. Each row is
+    * canonically serialized (columns joined on \u0001, NULL encoded as
+    * \u0002 — distinct from any cast output), hashed with the portable
+    * 60-bit md5, and the hashes are summed in DECIMAL(38,0): exact and
+    * commutative, so the checksum is identical across engines, partition
+    * layouts, and row orders (capacity ~1e38 / 2^60 ≈ 8e19 rows).
+    * Output is ONE row: n_rows, checksum (decimal as string), and a NULL
+    * count per audited column.
+    *
+    * Scale shape: row-local hashing + a single partial-aggregated scalar
+    * agg — no shuffle of data, only of 1-row partials. Restrict audited
+    * columns to types with stable canonical casts (integers, strings,
+    * dates); float-to-string rendering differs across engines. */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to checksum")
+    import graft.functions.{TextFunctions => T}
+    val rowStr = concat_ws("\u0001", cols.map(c =>
+      when(col(c).isNull, lit("\u0002"))
+        .otherwise(col(c).cast("string"))): _*)
+    val aggs =
+      sum(T.portableHash64(rowStr).cast("decimal(38,0)")).cast("string")
+        .as("checksum") +:
+      cols.map(c => count(when(col(c).isNull, 1)).as(s"nulls_$c"))
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
 }

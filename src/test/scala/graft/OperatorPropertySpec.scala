@@ -188,4 +188,27 @@ class OperatorPropertySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
     assert(t == Seq(("w", 1L), ("x", 2L)))
   }
+  test("tableChecksum: order/partition invariant, change-sensitive, " +
+      "null accounting") {
+    import graft.functions.Stats
+    val rows = (1 to 500).map(i =>
+      (i.toLong, if (i % 7 == 0) null else s"s$i"))
+    def sum(df: org.apache.spark.sql.DataFrame) =
+      Stats.tableChecksum(df, Seq("id", "s")).collect().head
+    val base = sum(rows.toDF("id", "s"))
+    assert(base.getLong(0) == 500L)
+    assert(base.getLong(2) == 0L)                 // nulls_id
+    assert(base.getLong(3) == 500L / 7)           // nulls_s
+    // invariant under row order and partitioning
+    val shuffled = sum(scala.util.Random.shuffle(rows).toDF("id", "s")
+      .repartition(17))
+    assert(base.getString(1) == shuffled.getString(1))
+    // any single-value change moves the checksum
+    val changed = sum(rows.updated(3, (4L, "MUTATED")).toDF("id", "s"))
+    assert(base.getString(1) != changed.getString(1))
+    // null vs the sentinel-free empty string are distinct rows
+    val a = sum(Seq((1L, null: String)).toDF("id", "s"))
+    val b = sum(Seq((1L, "")).toDF("id", "s"))
+    assert(a.getString(1) != b.getString(1))
+  }
 }
