@@ -1033,6 +1033,15 @@ object SparkEntry {
           "l_shipdate"))
     }),
 
+    "q86_rollup" -> ((s, dir) => {
+      // hierarchical subtotals in one pass (grouping-sets expansion under
+      // a single shuffle); grouping_id disambiguates real NULL keys
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -2359,6 +2368,13 @@ dim_users_litify AS (
          FROM events WHERE ts IS NOT NULL
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    "q86_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "q85_table_checksum" -> {
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",

@@ -85,4 +85,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("e4") == ((4L, 15.75)))
     assert(out("e5") == ((1L, 16.0)))
   }
+  test("sessionize: randomized parity with a driver-side reference") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 800).map { i =>
+      (s"u${rnd.nextInt(10)}", 1700000000L + rnd.nextInt(200000), i.toLong)
+    }
+    val df = rows.toDF("user", "sec", "eid")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Analytics.sessionize(df, "user", "ts", gapSeconds = 600,
+        tiebreakCols = Seq("eid"))
+      .select("user", "eid", "session_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ref = rows.groupBy(_._1).flatMap { case (u, es) =>
+      var sid = 0L
+      var prev = Long.MinValue
+      es.sortBy(e => (e._2, e._3)).map { case (_, sec, eid) =>
+        if (prev == Long.MinValue || sec - prev > 600) sid += 1
+        prev = sec
+        (u, eid) -> sid
+      }
+    }.toMap
+    assert(got == ref)
+  }
 }
