@@ -132,10 +132,68 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** Session extension registering [[RangeJoinRule]]:
+/** Session extension registering [[RangeJoinRule]] plus the engine's
+  * custom expressions/aggregates as plain SQL functions — so `spark.sql`
+  * users get the codegen cosine and the bounded-state sketches without
+  * touching the Scala API:
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  *  - `graft_cosine(a, b)` — codegen cosine over array<float>
+  *  - `graft_frequent_items(item, capacity)` — Misra-Gries heavy hitters
+  *  - `graft_bottomk_sample(item, k[, salt])` — deterministic bottom-k
+  *    by the portable sampling hash
+  * Sizing arguments must be integer literals (they parameterize operator
+  * STATE, not per-row inputs). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression,
+    ExpressionInfo, Literal}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def litInt(args: Seq[Expression], i: Int, fn: String): Int =
+    args(i) match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeJoinRule)
+    e.injectFunction((new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(
+        classOf[graft.functions.CosineSimilarityExpr].getName,
+        "graft_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_cosine(a, b) takes 2 arguments")
+        graft.functions.CosineSimilarityExpr(args(0), args(1))
+      }))
+    e.injectFunction((new FunctionIdentifier("graft_frequent_items"),
+      new ExpressionInfo(
+        classOf[graft.functions.FrequentItemsAgg].getName,
+        "graft_frequent_items"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          "graft_frequent_items(item, capacity) takes 2 arguments")
+        graft.functions.FrequentItemsAgg(args.head,
+          litInt(args, 1, "graft_frequent_items"))
+      }))
+    e.injectFunction((new FunctionIdentifier("graft_bottomk_sample"),
+      new ExpressionInfo(
+        classOf[graft.functions.BottomKSampleAgg].getName,
+        "graft_bottomk_sample"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2 || args.size == 3,
+          "graft_bottomk_sample(item, k[, salt]) takes 2 or 3 arguments")
+        val salt = if (args.size < 3) "graft" else args(2) match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_bottomk_sample: salt must be a string literal: $other")
+        }
+        graft.functions.BottomKSampleAgg(args.head,
+          litInt(args, 1, "graft_bottomk_sample"), salt)
+      }))
+  }
 }

@@ -91,4 +91,33 @@ class RangeJoinRuleSpec extends SparkSpec {
         .contains("__graft_ib"), "rule must not touch outer joins")
     } finally ext.conf.unset(RangeJoinRule.WidthConf)
   }
+  test("extension SQL functions: graft_cosine / frequent_items / bottomk") {
+    val cos = ext.sql(
+      """SELECT graft_cosine(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+                             CAST(array(1.0, 0.0) AS ARRAY<FLOAT>))""")
+      .head.getDouble(0)
+    assert(cos == 1.0)
+    val hh = ext.sql(
+      """SELECT graft_frequent_items(v, 8) AS s
+         FROM VALUES ('a'), ('a'), ('b'), ('a') AS t(v)""")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.head.getString(0) == "a" && hh.head.getLong(1) == 3L)
+    val bk = ext.sql(
+      """SELECT g, graft_bottomk_sample(v, 2) AS s
+         FROM VALUES ('x', 'p'), ('x', 'q'), ('x', 'r'), ('y', 'z')
+           AS t(g, v) GROUP BY g ORDER BY g""")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet)
+    assert(bk.map(_._2.size).toSeq == Seq(2, 1))
+    // deterministic: the SQL form agrees with the Scala operator
+    val viaApi = graft.operators.Curate.groupSample(
+      { import ext.implicits._
+        Seq(("x", "p"), ("x", "q"), ("x", "r"), ("y", "z")).toDF("g", "v") },
+      Seq("g"), "v", k = 2)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(bk.toMap == viaApi)
+    // state-sizing args must be literals
+    intercept[Exception] {
+      ext.sql("SELECT graft_frequent_items(v, length(v)) FROM VALUES ('a') t(v)")
+        .collect() }
+  }
 }
