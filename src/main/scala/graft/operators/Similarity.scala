@@ -268,6 +268,29 @@ object Similarity {
     localThenGlobalTopK(scored, k)
   }
 
+  /** Persist a built IVF index as a parquet layout: list assignments
+    * PARTITIONED BY `__list` plus a small centroids table — the
+    * build-once/serve-forever form. A loaded index's query reads only the
+    * probed lists' directories (partition pruning on `__list` does what
+    * the in-memory join's shuffle avoidance did, but across JVMs and
+    * days): index build cost is paid once per corpus version, not per
+    * serving session. */
+  def ivfSave(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("__list").parquet(s"$path/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load an [[ivfSave]]d index. The assignment frame arrives
+    * list-partitioned from the directory layout; queries against it probe
+    * by partition-pruned scan instead of recomputing assignments. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession,
+              path: String): IvfIndex = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    IvfIndex(assigned, centroids, centroids.count().toInt)
+  }
+
   /** Convenience one-shot: build + query (the q38 shape). Builds WITHOUT
     * persisting — a single query materializes the assignment exactly once,
     * so caching it would only leak (the round-3 advisor finding). Prefer

@@ -314,6 +314,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaIndex(10, 13) == oneShot(10, 13))
   }
 
+  test("IVF index survives save/load: parquet layout partition-pruned by " +
+      "list, loaded queries bit-match the in-memory index") {
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.ivfBuild(vecs, nLists = 8, vecCol = "embedding",
+      idCol = "vec_id", persist = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-")
+    try {
+      Similarity.ivfSave(idx, dir.toString)
+      // the serving layout: one directory per list -> probing nProbe
+      // lists is a partition-pruned scan, not a corpus scan
+      val listDirs = new java.io.File(s"$dir/assigned").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__list="))
+      assert(listDirs.length == 8, listDirs.map(_.getName).toSeq)
+      val loaded = Similarity.ivfLoad(spark, dir.toString)
+      assert(loaded.nLists == 8)
+      def q(i: Similarity.IvfIndex) =
+        Similarity.ivfQuery(i, vecs.filter(col("vec_id") < 6), k = 3,
+            nProbe = 8)
+          .select("probe_id", "neighbor_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+      assert(q(loaded) == q(idx))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("decontamination: exact and near reference matches flagged, corpus intact") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
