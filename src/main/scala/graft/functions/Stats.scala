@@ -108,14 +108,21 @@ object Stats {
     * agg — no shuffle of data, only of 1-row partials. Restrict audited
     * columns to types with stable canonical casts (integers, strings,
     * dates); float-to-string rendering differs across engines. */
-  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def tableChecksum(df: DataFrame, cols: Seq[String],
+                    portable: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "need at least one column to checksum")
     import graft.functions.{TextFunctions => T}
     val rowStr = concat_ws("\u0001", cols.map(c =>
       when(col(c).isNull, lit("\u0002"))
         .otherwise(col(c).cast("string"))): _*)
+    // same Fast/Portable discipline as the sketch family: Portable (md5)
+    // is the DuckDB-mirrorable audit hash; Fast (xxhash64) is the
+    // intra-Spark production mode (~3-5x cheaper hashing), equally
+    // order/partition-independent but not cross-engine
+    val rowHash = if (portable) T.portableHash64(rowStr)
+                  else xxhash64(rowStr)
     val aggs =
-      sum(T.portableHash64(rowStr).cast("decimal(38,0)")).cast("string")
+      sum(rowHash.cast("decimal(38,0)")).cast("string")
         .as("checksum") +:
       cols.map(c => count(when(col(c).isNull, 1)).as(s"nulls_$c"))
     df.agg(count(lit(1)).as("n_rows"), aggs: _*)

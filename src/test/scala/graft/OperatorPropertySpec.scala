@@ -210,5 +210,13 @@ class OperatorPropertySpec extends SparkSpec {
     val a = sum(Seq((1L, null: String)).toDF("id", "s"))
     val b = sum(Seq((1L, "")).toDF("id", "s"))
     assert(a.getString(1) != b.getString(1))
+    // Fast (xxhash64) mode: same invariance and sensitivity, cheaper hash
+    def fast(df: org.apache.spark.sql.DataFrame) =
+      Stats.tableChecksum(df, Seq("id", "s"), portable = false)
+        .collect().head.getString(1)
+    assert(fast(rows.toDF("id", "s")) ==
+      fast(scala.util.Random.shuffle(rows).toDF("id", "s").repartition(11)))
+    assert(fast(rows.toDF("id", "s")) !=
+      fast(rows.updated(3, (4L, "MUTATED")).toDF("id", "s")))
   }
 }
