@@ -1042,6 +1042,17 @@ object SparkEntry {
           dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    "q87_mix_corpus" -> ((s, dir) => {
+      // 50/30/20 mixture over three sources under a 60-doc budget:
+      // src0 saturates (keeps all 25 < its 30-doc allocation), the others
+      // downsample; unlisted sources drop
+      Curate.mixCorpus(t(s, dir, "documents"), "source", "doc_id",
+          targetShares = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          budget = 60L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -2375,6 +2386,23 @@ dim_users_litify AS (
            CAST(COUNT(1) AS BIGINT) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q87_mix_corpus" -> s"""
+      WITH n AS (SELECT source, COUNT(1) AS ns FROM documents
+        GROUP BY source),
+      thr AS (SELECT source,
+          CAST(FLOOR(LEAST(1.0,
+            CAST(60 AS DOUBLE) * CASE source
+              WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+              WHEN 'src2' THEN 0.2 END / CAST(ns AS DOUBLE))
+            * 1152921504606846976) AS BIGINT) AS t
+        FROM n
+        WHERE source IN ('src0', 'src1', 'src2'))
+      SELECT d.source, CAST(COUNT(1) AS BIGINT) AS n,
+        CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      FROM documents d JOIN thr ON d.source = thr.source
+      WHERE ${duckHash("'graft:' || CAST(doc_id AS VARCHAR)")} < t
+      GROUP BY d.source""",
 
     "q85_table_checksum" -> {
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",

@@ -370,6 +370,45 @@ object Curate {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+  /** Corpus MIXTURE construction: deterministically downsample each
+    * stratum so the surviving corpus approaches `targetShares` under a
+    * `budget`-document total — the "reweight web vs books vs code"
+    * step every pretraining mix needs. Stratum s of size n_s keeps
+    * rate_s = min(1, budget * share_s / n_s); an under-represented
+    * stratum saturates at keeping EVERYTHING (rate 1) rather than
+    * upsampling, the standard no-duplication discipline. Strata absent
+    * from `targetShares` are dropped (share 0).
+    *
+    * Selection hashes like [[hashSample]] (same salt discipline), so the
+    * mix is growth-stable and nested across budgets: raising the budget
+    * only ADDS documents. ONE count aggregation (|strata| rows to the
+    * driver) fixes the rates; the filter itself is row-local. Thresholds
+    * use floor (not round) so an oracle can mirror the arithmetic
+    * exactly. */
+  def mixCorpus(df: DataFrame, strataCol: String, idCol: String,
+                targetShares: Map[String, Double], budget: Long,
+                salt: String = "graft"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    require(targetShares.nonEmpty, "need at least one stratum share")
+    targetShares.foreach { case (s, w) =>
+      require(w > 0.0 && w <= 1.0, s"share for '$s' must be in (0,1]: $w") }
+    val total = targetShares.values.sum
+    require(math.abs(total - 1.0) < 1e-9, s"shares must sum to 1: $total")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => Option(r.get(0)).map(_.toString).orNull ->
+        r.getLong(1)).toMap
+    val thresholds = targetShares.flatMap { case (s, share) =>
+      counts.get(s).map { n =>
+        val rate = math.min(1.0, budget.toDouble * share / n.toDouble)
+        s -> math.floor(rate * two60).toLong
+      }
+    }
+    val thrCol = thresholds.foldLeft(lit(0L)) { case (acc, (s, thr)) =>
+      when(col(strataCol) === s, thr).otherwise(acc)
+    }
+    df.filter(sampleHash(idCol, salt) < thrCol)
+  }
+
   /** Per-group deterministic k-sample via the
     * [[graft.functions.BottomKSampleAgg]] bounded-heap aggregate: k
     * uniform, growth-stable examples per group, ranked by the SAME

@@ -334,4 +334,30 @@ class CurateSpec extends SparkSpec {
     val nul = Seq((1L, None: Option[Long]), (2L, None)).toDF("a", "b")
     assert(Curate.zorderLayout(nul, Seq("b"), 1).count() == 2)
   }
+  test("mixCorpus: saturation keeps everything, downsampling is nested " +
+      "across budgets, unlisted strata drop, growth-stable") {
+    val docs = (1L to 3000L).map(i =>
+      (i, if (i <= 100) "rare" else if (i <= 1600) "web" else "junk"))
+      .toDF("id", "src")
+    val shares = Map("rare" -> 0.5, "web" -> 0.5)
+    val out = Curate.mixCorpus(docs, "src", "id", shares, budget = 400L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // rare saturates: 400*0.5=200 allocation > 100 docs -> keep all 100
+    assert(bySrc("rare") == 100)
+    // web downsamples: rate 200/1500; deterministic hash -> tolerance band
+    assert(math.abs(bySrc("web") - 200) < 60, bySrc.toString)
+    assert(!bySrc.contains("junk"))
+    // budget nesting: a smaller budget's pick is a subset of a larger's
+    val small = Curate.mixCorpus(docs, "src", "id", shares, budget = 200L)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(out.map(_._1).toSet))
+    // growth stability with unchanged rates: adding docs to an UNLISTED
+    // stratum never changes listed picks (counts of listed strata fixed)
+    val grown = docs.unionByName(
+      (9001L to 9500L).map(i => (i, "junk")).toDF("id", "src"))
+    val regrown = Curate.mixCorpus(grown, "src", "id", shares, budget = 400L)
+      .select("id").as[Long].collect().toSet
+    assert(regrown == out.map(_._1).toSet)
+  }
 }
