@@ -1053,6 +1053,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
     }),
 
+    "q88_incremental_neardup" -> ((s, dir) => {
+      // new batch (even ids) near-deduped against a prior version slice
+      // (ids = 5 mod 20) — Portable mode so the banded candidate join and
+      // the signature-agreement verify are both oracle-mirrorable
+      val docs = t(s, dir, "documents")
+      Dedup.nearIncremental(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 20 === 5),
+          "text", "doc_id", numHashes = 32, bands = 8,
+          threshold = 0.8, mode = Dedup.Portable)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -1352,6 +1366,41 @@ dim_users_litify AS (
        |SELECT cluster, COUNT(1) AS n_members
        |FROM (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
        |GROUP BY 1""".stripMargin
+
+  /** Mirror of Dedup.nearIncremental (Portable): batch = even ids, prior
+    * = ids 5 mod 20; banded candidates + signature agreement >= 0.8. */
+  private def q88OracleSql: String = {
+    val mix = Dedup.mixConstants(32)
+    val sigList = (0 until 32).map { j =>
+      val (a, b) = mix(j)
+      s"list_min(list_transform(hs, h -> ${duckMix("h", a, b)}))"
+    }.mkString("[", ", ", "]")
+    def bkey(s: String) = "md5(array_to_string(list_transform(" +
+      s"$s[b.band*4+1 : b.band*4+4], v -> CAST(v AS VARCHAR)), ','))"
+    s"""WITH base AS (SELECT doc_id, text,
+       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm
+       |  FROM documents WHERE text IS NOT NULL),
+       |toks AS (SELECT doc_id,
+       |    list_filter(string_split(nrm, ' '), x -> x <> '') AS t FROM base),
+       |sh AS (SELECT doc_id, ${duckShingles("t", 3)} AS s FROM toks),
+       |hs AS (SELECT doc_id, list_transform(s, x -> ${duckHash("x")}) AS hs FROM sh),
+       |sig AS (SELECT doc_id, $sigList AS sig FROM hs),
+       |banded AS (SELECT doc_id, sig, b.band, ${bkey("sig")} AS bkey
+       |  FROM sig, (SELECT unnest(range(8)) AS band) b
+       |  WHERE doc_id % 2 = 0),
+       |rbanded AS (SELECT sig AS rsig, b.band, ${bkey("sig")} AS rbkey
+       |  FROM sig, (SELECT unnest(range(8)) AS band) b
+       |  WHERE doc_id % 20 = 5),
+       |near AS (SELECT DISTINCT c.doc_id
+       |  FROM banded c JOIN rbanded r ON c.band = r.band AND c.bkey = r.rbkey
+       |  WHERE CAST(list_sum(list_transform(list_zip(c.sig, r.rsig),
+       |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 >= 0.8)
+       |SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       |FROM documents
+       |WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM near)
+       |GROUP BY source""".stripMargin
+  }
 
   private def q47OracleSql: String = {
     val mix = Dedup.mixConstants(32)
@@ -2403,6 +2452,8 @@ dim_users_litify AS (
       FROM documents d JOIN thr ON d.source = thr.source
       WHERE ${duckHash("'graft:' || CAST(doc_id AS VARCHAR)")} < t
       GROUP BY d.source""",
+
+    "q88_incremental_neardup" -> q88OracleSql,
 
     "q85_table_checksum" -> {
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",

@@ -565,4 +565,44 @@ object Dedup {
       .drop("__fp")
     exact(fresh, textCol, idCol)
   }
+  /** INCREMENTAL near-dedup: drop batch rows whose MinHash signature
+    * agrees >= `threshold` with ANY prior-version row sharing an LSH
+    * band — [[exactIncremental]]'s companion for the near-duplicate tier
+    * of a growing corpus (re-crawls, boilerplate re-scrapes that differ
+    * by a few tokens from documents already kept).
+    *
+    * Scale shape: both sides pay one row-local signature pass; candidates
+    * meet on an equi-shuffle of the band key (prior postings capped at
+    * `maxBucket` per band value, the [[minhashPairs]] hot-bucket
+    * discipline), and the signature-agreement verify runs inside the
+    * join before the id distinct. No broadcast hints: the prior is
+    * corpus-scale by definition — AQE picks the join strategy.
+    * NULL-text batch rows pass through (nothing to match). */
+  def nearIncremental(batch: DataFrame, prior: DataFrame,
+                      textCol: String, idCol: String,
+                      numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.8, shingleN: Int = 3,
+                      maxBucket: Int = 1024,
+                      mode: HashMode = Fast): DataFrame = {
+    def banded(sigCol: Column): Column =
+      bandKeysCol(sigCol, numHashes, bands, mode)
+    val sigB = minhashSignatureCol(col(textCol), numHashes, shingleN, mode)
+    val bB = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__bid"), sigB.as("__sig"))
+      .select(col("__bid"), col("__sig"),
+        explode(banded(col("__sig"))).as("__band"))
+    val p = prior.filter(col(textCol).isNotNull)
+      .select(minhashSignatureCol(col(textCol), numHashes, shingleN, mode)
+        .as("__psig"))
+      .select(col("__psig"), explode(banded(col("__psig"))).as("__pband"))
+    val pCapped = p.withColumn("__bn", row_number().over(
+        Window.partitionBy(col("__pband")).orderBy(col("__psig"))))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val hits = bB.join(pCapped, col("__band") === col("__pband"))
+      .filter(size(filter(zip_with(col("__sig"), col("__psig"),
+        (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+        .cast("double") / numHashes >= threshold)
+      .select(col("__bid")).distinct()
+    batch.join(hits, col(idCol) === col("__bid"), "left_anti")
+  }
 }

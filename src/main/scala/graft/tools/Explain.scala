@@ -30,7 +30,8 @@ object Explain {
     "q76_bloom_semi_join", "q77_bloom_anti_join", "q78_group_sample",
     "q79_zorder_value", "q80_incremental_dedup", "q81_key_skew",
     "q82_sessionize", "q83_funnel", "q84_rolling_agg",
-    "q85_table_checksum", "q86_rollup", "q87_mix_corpus")
+    "q85_table_checksum", "q86_rollup", "q87_mix_corpus",
+    "q88_incremental_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

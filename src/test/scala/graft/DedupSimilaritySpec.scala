@@ -342,6 +342,32 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearIncremental: prior near-dups drop, fresh and null-text rows " +
+      "stay, parity with contaminationFlags' near rule") {
+    val prior = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every day"),
+      (2L, "completely different content about distributed query engines"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog every day"),  // exact-as-near
+      (11L, "the quick brown fox jumps over the lazy cat every day"),  // near
+      (12L, "unrelated fresh document with novel words entirely"),
+      (13L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = Dedup.nearIncremental(batch, prior, "text", "id",
+      numHashes = 32, bands = 8, threshold = 0.5, shingleN = 3)
+    val kept = out.select("id").as[Long].collect().toSet
+    assert(kept.contains(12L) && kept.contains(13L))
+    assert(!kept.contains(10L))   // identical text must near-match
+    assert(out.columns.toSeq == batch.columns.toSeq)
+    // the same rule as contaminationFlags' near flag: rows it flags are
+    // exactly the rows nearIncremental drops (same bands/threshold)
+    val flagged = Dedup.contaminationFlags(batch, prior, "text", "id",
+        numHashes = 32, bands = 8, threshold = 0.5, shingleN = 3)
+      .filter(col("near_contaminated")).select("id").as[Long].collect().toSet
+    assert(kept == Set(10L, 11L, 12L, 13L) -- flagged)
+  }
+
   test("decontamination: exact and near reference matches flagged, corpus intact") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
