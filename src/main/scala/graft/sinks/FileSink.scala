@@ -69,4 +69,28 @@ object FileSink {
       n
     }
   }
+  /** Dynamic-partition overwrite: rewrite ONLY the partitions present in
+    * `df`, leaving all other partitions of the target untouched — the
+    * parquet-side idempotent daily load (re-running a day's batch
+    * replaces that day, never truncates the table; the file analogue of
+    * the JDBC SCD paths). Uses Spark's `partitionOverwriteMode=dynamic`
+    * scoped to this write and restored after. Returns the distinct
+    * partition values written. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCol: String): Seq[String] = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    df.select(partitionCol).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSeq.sorted
+  }
 }

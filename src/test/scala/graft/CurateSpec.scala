@@ -360,4 +360,26 @@ class CurateSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(regrown == out.map(_._1).toSet)
   }
+  test("row-local curation ops are streaming-safe: hashSample and " +
+      "splitCorpus run unchanged on a stream with batch-identical output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    mem.addData(0L until 500L: _*)
+    val streamed = Curate.splitCorpus(
+      Curate.hashSample(mem.toDF().toDF("id"), "id", 0.5), "id",
+      Seq("train" -> 0.9, "val" -> 0.1))
+    val q = streamed.writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("curate_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Curate.splitCorpus(
+      Curate.hashSample(spark.range(0, 500).toDF("id"), "id", 0.5), "id",
+      Seq("train" -> 0.9, "val" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
 }

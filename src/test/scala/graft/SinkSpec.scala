@@ -188,4 +188,31 @@ class SinkSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
   }
+  test("overwritePartitions: rewriting one day leaves the others intact") {
+    import graft.sinks.FileSink
+    val dir = java.nio.file.Files.createTempDirectory("graft-dynpart-")
+    try {
+      val path = s"$dir/t"
+      val day1 = Seq((1L, "2024-01-01"), (2L, "2024-01-01"),
+        (3L, "2024-01-02")).toDF("id", "day")
+      assert(FileSink.overwritePartitions(day1, path, "day") ==
+        Seq("2024-01-01", "2024-01-02"))
+      // re-run day 2 with corrected data: day 1 must survive untouched
+      val day2fix = Seq((30L, "2024-01-02"), (31L, "2024-01-02"))
+        .toDF("id", "day")
+      assert(FileSink.overwritePartitions(day2fix, path, "day") ==
+        Seq("2024-01-02"))
+      // partition-value inference reads the day strings back as DATE
+      val back = spark.read.parquet(path)
+        .select(col("id"), col("day").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(back == Set((1L, "2024-01-01"), (2L, "2024-01-01"),
+        (30L, "2024-01-02"), (31L, "2024-01-02")))
+      // the session conf is restored (default static) after the write
+      assert(spark.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode").forall(_ != "dynamic"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
 }
