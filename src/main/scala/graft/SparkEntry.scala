@@ -1067,6 +1067,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
     }),
 
+    "q89_retention" -> ((s, dir) => {
+      graft.operators.Analytics.retention(t(s, dir, "events"),
+        "user_id", "ts")
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -2454,6 +2459,16 @@ dim_users_litify AS (
       GROUP BY d.source""",
 
     "q88_incremental_neardup" -> q88OracleSql,
+
+    "q89_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS day
+           FROM events WHERE ts IS NOT NULL),
+         c AS (SELECT k, MIN(day) AS cohort FROM a GROUP BY k)
+         SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date,
+           CAST(day - cohort AS BIGINT) AS offset_days,
+           CAST(COUNT(1) AS BIGINT) AS n_active
+         FROM a JOIN c USING (k)
+         GROUP BY cohort, day - cohort""",
 
     "q85_table_checksum" -> {
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",

@@ -103,4 +103,26 @@ object Analytics {
       .withColumn("roll_sum",
         sum(col(valueCol).cast("decimal(27,12)")).over(w).cast("double"))
   }
+  /** Cohort retention: users grouped by their FIRST active day (the
+    * cohort), counted as active again at each day offset — the retention
+    * triangle every growth dashboard draws. Exact integer counts (ratios
+    * are the reader's division): (cohort_date, offset_days, n_active),
+    * offset 0 being the cohort's own size by construction.
+    *
+    * Scale shape: one key shuffle computes first-seen per key riding the
+    * same aggregation as the distinct (key, day) activity set, one more
+    * groups (cohort, offset) with map-side combine; the key join is
+    * key-partitioned on both sides. Null timestamps are excluded. */
+  def retention(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val activity = df.filter(col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val cohorts = activity.groupBy(col("__k"))
+      .agg(min(col("__day")).as("__cohort"))
+    activity.join(cohorts, Seq("__k"))
+      .groupBy(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_date"),
+        datediff(col("__day"), col("__cohort")).cast("long")
+          .as("offset_days"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

@@ -107,4 +107,20 @@ class AnalyticsSpec extends SparkSpec {
     }.toMap
     assert(got == ref)
   }
+  test("retention: cohort by first day, offset counts, day-0 = cohort size") {
+    val df = Seq(
+      ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 22:00:00"), // 1 day
+      ("u1", "2024-01-03 09:00:00"),
+      ("u2", "2024-01-01 11:00:00"), ("u2", "2024-01-02 11:00:00"),
+      ("u3", "2024-01-02 08:00:00"))
+      .toDF("user", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val out = Analytics.retention(df, "user", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L,  // u1, u2
+      ("2024-01-01", 1L) -> 1L,  // u2 returns next day
+      ("2024-01-01", 2L) -> 1L,  // u1 returns on day 3
+      ("2024-01-02", 0L) -> 1L)) // u3's cohort
+  }
 }
