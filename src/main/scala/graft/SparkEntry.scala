@@ -1072,6 +1072,15 @@ object SparkEntry {
         "user_id", "ts")
     }),
 
+    "q90_weighted_sample" -> ((s, dir) => {
+      // keep-probability proportional to document length: the
+      // token-budget-aware corpus thinning
+      Curate.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
+          scale = 0.0005)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -2459,6 +2468,17 @@ dim_users_litify AS (
       GROUP BY d.source""",
 
     "q88_incremental_neardup" -> q88OracleSql,
+
+    "q90_weighted_sample" -> s"""
+      SELECT source, CAST(COUNT(1) AS BIGINT) AS n,
+        CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0.0
+        AND ${duckHash("'graft:' || CAST(doc_id AS VARCHAR)")}
+          < CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+              CAST(0.0005 AS DOUBLE) * n_chars)
+              * 1152921504606846976) AS BIGINT)
+      GROUP BY source""",
 
     "q89_retention" ->
       """WITH a AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS day

@@ -370,6 +370,23 @@ object Curate {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+  /** Weight-proportional deterministic Bernoulli sample: each row keeps
+    * with probability min(1, scale * weight) — the "sample proportional
+    * to token count / quality score" corpus thinning, with all of
+    * [[hashSample]]'s guarantees (reproducible across engines and runs,
+    * growth-stable, nested in `scale`: raising scale only ADDS rows).
+    * Row-local: the per-row threshold is floor(p * 2^60) computed from
+    * the weight column with the same IEEE double ops an oracle replays.
+    * NULL or non-positive weights never sample. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     scale: Double, salt: String = "graft"): DataFrame = {
+    require(scale > 0.0, s"scale must be positive: $scale")
+    val p = least(lit(1.0), lit(scale) * col(weightCol))
+    val thr = floor(p * two60).cast("long")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0.0 &&
+      sampleHash(idCol, salt) < thr)
+  }
+
   /** Corpus MIXTURE construction: deterministically downsample each
     * stratum so the surviving corpus approaches `targetShares` under a
     * `budget`-document total — the "reweight web vs books vs code"

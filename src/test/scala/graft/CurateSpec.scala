@@ -382,4 +382,27 @@ class CurateSpec extends SparkSpec {
     assert(got == batch)
     assert(got.nonEmpty)
   }
+  test("weightedSample: keep rate tracks weight, nested in scale, " +
+      "null/zero weights never sample") {
+    val docs = ((1L to 1000L).map(i => (i, Option(100.0))) ++
+      (1001L to 2000L).map(i => (i, Option(1000.0))) ++
+      Seq((3000L, None: Option[Double]), (3001L, Option(0.0)),
+        (3002L, Option(-5.0))))
+      .toDF("id", "w")
+    val out = Curate.weightedSample(docs, "id", "w", scale = 0.0005)
+      .select("id").as[Long].collect().toSet
+    assert(!out.contains(3000L) && !out.contains(3001L) &&
+      !out.contains(3002L))
+    val light = out.count(_ <= 1000)    // p = 0.05
+    val heavy = out.count(i => i > 1000 && i <= 2000) // p = 0.5
+    assert(math.abs(light - 50) < 35, s"light=$light")
+    assert(math.abs(heavy - 500) < 80, s"heavy=$heavy")
+    // scale nesting: smaller scale picks a subset
+    val half = Curate.weightedSample(docs, "id", "w", scale = 0.00025)
+      .select("id").as[Long].collect().toSet
+    assert(half.subsetOf(out))
+    // saturation: scale large enough -> every positive-weight row kept
+    assert(Curate.weightedSample(docs, "id", "w", scale = 1.0).count()
+      == 2000)
+  }
 }
