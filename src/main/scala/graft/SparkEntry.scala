@@ -1081,6 +1081,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
     }),
 
+    "q91_cube" -> ((s, dir) => {
+      // the full grouping-sets lattice (q86's ROLLUP sibling)
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -2449,6 +2457,13 @@ dim_users_litify AS (
            CAST(COUNT(1) AS BIGINT) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q91_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 
     "q87_mix_corpus" -> s"""
       WITH n AS (SELECT source, COUNT(1) AS ns FROM documents

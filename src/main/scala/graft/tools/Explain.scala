@@ -31,7 +31,8 @@ object Explain {
     "q79_zorder_value", "q80_incremental_dedup", "q81_key_skew",
     "q82_sessionize", "q83_funnel", "q84_rolling_agg",
     "q85_table_checksum", "q86_rollup", "q87_mix_corpus",
-    "q88_incremental_neardup", "q89_retention", "q90_weighted_sample")
+    "q88_incremental_neardup", "q89_retention", "q90_weighted_sample",
+    "q91_cube")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
