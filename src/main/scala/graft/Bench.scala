@@ -78,16 +78,30 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    // millisecond precision keeps the one JSON line short: full-precision
-    // doubles over 60+ queries overflow a log tail buffer, and a truncated
-    // line is unparseable downstream
+    // The metric line must survive a bounded (~2000 char) log tail: per-query
+    // keys are compacted to their qNN prefix and values to centiseconds so
+    // 100+ queries still fit on one parseable line. Full names + full
+    // precision go to BENCH_LOCAL.json alongside the repo.
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
+    def sec2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    val qs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + sec2(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(err)) =>
-      "\"" + k + "\":\"" + esc(err) + "\""
+      "\"" + shortKey(k) + "\":\"" + esc(err).take(120) + "\""
     }.mkString("{", ",", "}")
     val total = sec(results.map(_._2).sum)
+    val detail = {
+      val dq = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
+        .mkString("{", ",", "}")
+      val df = results.collect { case (k, _, Some(err)) =>
+        "\"" + k + "\":\"" + esc(err) + "\"" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$dq,"failed":$df,"sf":"$sfDir"}"""
+    }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // detail file is best-effort
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     if (results.exists(_._3.isDefined)) System.err.println(
       s"[bench] ${results.count(_._3.isDefined)} queries FAILED")
