@@ -55,6 +55,16 @@ object SparkEntry {
 
   private val mergeCols = Seq("user_id", "event_id", "ts", "event_type", "value")
 
+  // q93/q94 share these between the Spark query and its oracle generator so
+  // the two sides can never drift. Weights are DYADIC rationals (exact in
+  // double under any summation order — Double.toString round-trips them
+  // bit-exactly through DuckDB's literal parser).
+  private val q93Weights: Seq[(String, Double)] = Seq(
+    "spark" -> 0.25, "fast" -> 0.5, "slow" -> -0.5, "join" -> 0.125,
+    "window" -> 0.125, "data" -> 0.0625, "error" -> -0.25, "the" -> -0.0625)
+  private val q93Bias = -0.125
+  private val q94Terms = Seq("slow", "error", "scan")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================= reference parity: aggregation (§2.6) ================
@@ -1089,6 +1099,84 @@ object SparkEntry {
           dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    "q92_ngram_decontaminate" -> ((s, dir) => {
+      // benchmark slice = every 17th doc; corpus = the rest. The table's
+      // synthesized duplicate texts create genuine cross-slice overlap, so
+      // the 5-gram rule fires on real quoted content, not noise.
+      val docs = t(s, dir, "documents")
+      Dedup.ngramDecontaminate(
+          docs.filter(col("doc_id") % 17 =!= 3),
+          docs.filter(col("doc_id") % 17 === 3),
+          "text", "doc_id", n = 5, minMatches = 2)
+        .filter(col("n_matched") > 0)
+        .select(col("doc_id"), col("n_matched"), col("contaminated"))
+    }),
+
+    "q93_classifier_score" -> ((s, dir) => {
+      // dyadic weights -> bit-exact logits (no rounding tolerance needed)
+      Curate.classifierScore(t(s, dir, "documents"), "text",
+          q93Weights.toMap, bias = q93Bias)
+        .select(col("doc_id"), col("n_tokens"), col("logit"), col("label"))
+    }),
+
+    "q94_blocklist_filter" -> ((s, dir) => {
+      // 4% blocked-token tolerance over a blocklist of real corpus words
+      Curate.blocklistAudit(t(s, dir, "documents"), "text",
+          terms = q94Terms, maxRatePpm = 40000L)
+        .groupBy(col("source"), col("keep"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_blocked")), lit(0L)).as("n_blocked_sum"),
+          sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    "q95_semantic_prune" -> ((s, dir) => {
+      // same banding/threshold as q32 so its pair CTEs oracle this too;
+      // prune = pairs -> transitive closure -> keep each cluster's min id
+      Dedup.semanticPrune(t(s, dir, "embeddings"), "embedding", "vec_id",
+          threshold = 0.4, nBits = 4, bands = 8, maxBucket = 64, dim = 64)
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_ids"))
+    }),
+
+    "q96_embedding_centroids" -> ((s, dir) => {
+      graft.functions.Stats.embeddingCentroids(t(s, dir, "embeddings"),
+          "embedding", Seq("label"), dim = 64)
+        .select(col("label").cast("long").as("label"), col("dim"), col("n"),
+          col("mean"), col("variance"))
+    }),
+
+    "q97_corpus_report" -> ((s, dir) => {
+      Curate.corpusReport(t(s, dir, "documents"), "text", "source")
+    }),
+
+    "q98_pagerank" -> ((s, dir) => {
+      // link-authority scoring (the crawl-curation quality feature) over a
+      // synthetic 300-node link graph derived from orders; 3 fixed-point
+      // iterations — integer units make every round bit-exact
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 300).as("src"),
+          (col("o_orderkey") % 300).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.Analytics.pagerank(edges, "src", "dst",
+        iterations = 3)
+    }),
+
+    "q99_pseudonymize" -> ((s, dir) => {
+      // joinability-preserving de-identification: both tables tokenized
+      // with ONE salt still join; the tokens themselves are hash-checked
+      val salt = "rel6"
+      val c = Curate.pseudonymize(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        Seq("c_custkey"), salt)
+      val o = Curate.pseudonymize(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderstatus")),
+        Seq("o_custkey"), salt)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c_custkey")).as("min_token"),
+          max(col("c_custkey")).as("max_token"))
+    }),
+
     // ===== bench twins: the production Fast (XXH64) sketch paths ===========
     // q25/q26/q27/q37/q40 bench the Portable (md5) hashing because that is
     // what DuckDB can oracle — but production users run Fast mode (the code
@@ -1238,12 +1326,13 @@ dim_users_litify AS (
        WHERE rn <= 5"""
   }
 
-  private def q32OracleSql: String = {
-    // mirror of Dedup.embeddingNearDupPairs(threshold=0.4, nBits=4,
-    // bands=8, maxBucket=64): exact-dup pre-pass, banded sign-LSH with
-    // per-bucket cap, exact cosine verify
+  /** The q32 pair CTEs — mirror of Dedup.embeddingNearDupPairs(
+    * threshold=0.4, nBits=4, bands=8, maxBucket=64): exact-dup pre-pass,
+    * banded sign-LSH with per-bucket cap, exact cosine verify. Shared by
+    * the q32 bucket-histogram oracle and the q95 semantic-prune closure. */
+  private def q32PairCtes: String = {
     val planes = V.randomPlanes(4 * 8, 64, 42L)
-    s"""WITH base AS (SELECT vec_id AS id, embedding AS v,
+    s"""base AS (SELECT vec_id AS id, embedding AS v,
          MIN(vec_id) OVER (PARTITION BY embedding) AS rep FROM embeddings),
        exact_pairs AS (SELECT rep AS a, id AS b, 1.0 AS cos
          FROM base WHERE id <> rep),
@@ -1260,9 +1349,187 @@ dim_users_litify AS (
        lsh0 AS (SELECT c.a, c.b, ${duckCos("ra.v", "rb.v")} AS cos
          FROM cand c JOIN reps ra ON ra.id = c.a JOIN reps rb ON rb.id = c.b),
        pairs AS (SELECT * FROM exact_pairs
-         UNION ALL SELECT * FROM lsh0 WHERE cos >= 0.4)
+         UNION ALL SELECT * FROM lsh0 WHERE cos >= 0.4)"""
+  }
+
+  private def q32OracleSql: String =
+    s"""WITH $q32PairCtes
        SELECT CAST(FLOOR(cos * 10) AS BIGINT) AS cos_bucket,
          COUNT(1) AS n_pairs FROM pairs GROUP BY 1"""
+
+  /** q95: the q32 pair graph, transitively closed (q48's recursive-CTE
+    * pattern); every id whose min-reachable label is not itself is pruned,
+    * everything else (paired or not) survives. */
+  private def q95OracleSql: String =
+    s"""WITH RECURSIVE $q32PairCtes,
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT a AS id, a AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       |removed AS (SELECT id
+       |  FROM (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+       |  WHERE cluster <> id)
+       |SELECT CAST(COUNT(1) AS BIGINT) AS n_kept,
+       |  CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+       |FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM removed)""".stripMargin
+
+  /** q92: 5-gram decontamination vs the doc_id%17=3 benchmark slice. The
+    * oracle joins the gram STRINGS where Spark joins their 64-bit hashes —
+    * identical results (a collision among ~10^5 grams is ~1e-9 and would be
+    * a deterministic, diagnosable hash mismatch). */
+  private def q92OracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS t
+       |    FROM documents WHERE text IS NOT NULL),
+       |sh AS (SELECT doc_id, list_distinct(${duckShingles("t", 5)}) AS g
+       |    FROM toks),
+       |ref AS (SELECT DISTINCT unnest(g) AS rg FROM sh WHERE doc_id % 17 = 3),
+       |corp AS (SELECT doc_id, unnest(g) AS cg FROM sh WHERE doc_id % 17 <> 3)
+       |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_matched,
+       |  COUNT(1) >= 2 AS contaminated
+       |FROM corp JOIN ref ON cg = rg
+       |GROUP BY doc_id""".stripMargin
+
+  /** q93: the linear classifier, weights/bias shared with the Spark query
+    * via [[q93Weights]]/[[q93Bias]] (dyadic -> exact under any sum order). */
+  private def q93OracleSql: String = {
+    val cases = q93Weights.map { case (t, w) =>
+      s"WHEN '$t' THEN $w" }.mkString(" ")
+    s"""WITH tk AS (SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+       |  FROM documents),
+       |s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CASE WHEN text IS NULL THEN NULL
+       |      WHEN len(t) = 0 THEN $q93Bias
+       |      ELSE $q93Bias + list_sum(list_transform(t,
+       |        x -> CASE x $cases ELSE 0.0 END)) / len(t) END AS logit
+       |  FROM tk)
+       |SELECT doc_id, n_tokens, logit, logit > 0.0 AS label FROM s""".stripMargin
+  }
+
+  /** q94: blocklist gate over normalized tokens, integer-ppm exact. */
+  private def q94OracleSql: String = {
+    val set = q94Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, source, text, $duckToks AS t
+       |  FROM documents),
+       |a AS (SELECT doc_id, source,
+       |    CAST(len(list_filter(t, x -> x IN ($set))) AS BIGINT) AS nb,
+       |    (text IS NULL) OR
+       |      (len(list_filter(t, x -> x IN ($set))) * 1000000
+       |        <= len(t) * 40000) AS keep
+       |  FROM tk)
+       |SELECT source, keep, CAST(COUNT(1) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_blocked_sum,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       |FROM a GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q96: per-(label, dim) mean/variance over 1e-9-quantized values; dims
+    * indexed by a literal range since
+    * [[graft.functions.Stats.embeddingCentroids]] enforces the width
+    * loudly. trunc() mirrors Spark's double->long cast (truncation — the
+    * one float->fixed-point step engines agree on); integer unit sums are
+    * exact, and the division ORDER (/n then /units) mirrors the operator
+    * so the doubles are bit-identical. */
+  private def q96OracleSql: String =
+    """WITH idx AS (SELECT unnest(range(64)) AS dim),
+      |e AS (SELECT label, dim,
+      |    CAST(trunc(embedding[CAST(dim AS INT) + 1]::DOUBLE * 1.0E9)
+      |      AS BIGINT) AS q
+      |  FROM embeddings CROSS JOIN idx WHERE embedding IS NOT NULL)
+      |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+      |  CAST(COUNT(1) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / COUNT(1) / 1.0E9
+      |    AS mean,
+      |  CAST(SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)))
+      |      AS DOUBLE) / COUNT(1) / 1.0E18
+      |    - (CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / COUNT(1) / 1.0E9)
+      |      * (CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / COUNT(1) / 1.0E9)
+      |    AS variance
+      |FROM e GROUP BY 1, 2""".stripMargin
+
+  /** q98: fixed-point PageRank, 3 iterations, mirrored as a recursive CTE.
+    * The self-marker edges (`selfm`) keep every node present as a dst each
+    * round with zero contribution — the recursive term may reference `pr`
+    * only once, so zero-inflow nodes cannot come from a second UNION
+    * branch. HUGEINT `//` and Spark's `div` both truncate (all values
+    * positive), so every iteration is bit-identical. */
+  private def q98OracleSql: String =
+    """WITH RECURSIVE eraw AS (
+      |  SELECT DISTINCT o_custkey % 300 AS src, o_orderkey % 300 AS dst
+      |  FROM orders WHERE o_custkey % 300 <> o_orderkey % 300),
+      |nodes AS (SELECT DISTINCT id
+      |  FROM (SELECT src AS id FROM eraw UNION SELECT dst FROM eraw)),
+      |outd AS (SELECT src, COUNT(1) AS d FROM eraw GROUP BY 1),
+      |e2 AS (SELECT src, dst, FALSE AS selfm FROM eraw
+      |  UNION ALL SELECT id, id, TRUE FROM nodes),
+      |pr(iter, id, r) AS (
+      |  SELECT 0, id, 1000000000000::HUGEINT FROM nodes
+      |  UNION ALL
+      |  SELECT g.iter + 1, g.id,
+      |    150000000000::HUGEINT + (g.inflow * 85::HUGEINT) // 100::HUGEINT
+      |  FROM (SELECT p.iter AS iter, ed.dst AS id,
+      |      SUM(CASE WHEN ed.selfm THEN 0::HUGEINT
+      |        ELSE p.r // od.d::HUGEINT END) AS inflow
+      |    FROM pr p JOIN e2 ed ON ed.src = p.id
+      |      LEFT JOIN outd od ON od.src = p.id
+      |    GROUP BY p.iter, ed.dst) g
+      |  WHERE g.iter < 3)
+      |SELECT CAST(id AS BIGINT) AS id, CAST(r AS BIGINT) AS rank_units,
+      |  CAST(r AS BIGINT)::DOUBLE / 1000000000000.0 AS rank
+      |FROM pr WHERE iter = 3""".stripMargin
+
+  /** q99: pseudonymized join — tokens via the portable hash on both
+    * sides, so the oracle joins the SAME token space (parity holds even
+    * if two ids ever collided: both engines would see the same join). */
+  private def q99OracleSql: String = {
+    def tok(c: String) = duckHash(s"'rel6:' || CAST($c AS VARCHAR)")
+    s"""WITH c AS (SELECT ${tok("c_custkey")} AS tok, c_mktsegment
+       |    FROM customer),
+       |o AS (SELECT ${tok("o_custkey")} AS tok, o_orderstatus FROM orders)
+       |SELECT c_mktsegment, o_orderstatus, CAST(COUNT(1) AS BIGINT) AS n,
+       |  CAST(MIN(tok) AS BIGINT) AS min_token,
+       |  CAST(MAX(tok) AS BIGINT) AS max_token
+       |FROM c JOIN o USING (tok) GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q97: the corpus report card — langId and quality mirrors are the
+    * q22/q23 oracle expressions rebased onto one bound token list. */
+  private def q97OracleSql: String = {
+    def sc(set: Seq[String]) =
+      s"len(list_filter(tk, x -> x IN (${set.map(w => s"'$w'").mkString(",")})))"
+    val scores = T.langMarkers.map { case (l, ws) => l -> sc(ws) }
+    val g = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val langCase = scores.map { case (l, s) =>
+      s"WHEN $s > 0 AND $s = $g THEN '$l'" }.mkString(" ")
+    s"""WITH b AS (SELECT source, text,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM documents),
+       |s AS (SELECT source, text, tk, fp,
+       |    CASE $langCase ELSE 'und' END AS lang,
+       |    ROUND(
+       |      LEAST(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |      (CASE WHEN length(text) = 0 THEN 0.0
+       |        ELSE CAST(length(text) - length(regexp_replace(text,
+       |          '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END) * 0.4 +
+       |      LEAST((CASE WHEN len(tk) = 0 THEN 0.0
+       |        ELSE CAST(len(list_filter(tk,
+       |          x -> x IN ('the','a','of','and','to','in','is')))
+       |          AS DOUBLE) / len(tk) END) * 5.0, 1.0) * 0.2,
+       |    4) AS q
+       |  FROM b)
+       |SELECT source,
+       |  CAST(COUNT(1) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS n_null,
+       |  CAST(COALESCE(SUM(len(tk)), 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(SUM(CAST(q AS DECIMAL(27,12))) AS DOUBLE) / COUNT(q)
+       |    AS mean_quality,
+       |  CAST(COUNT(fp) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups
+       |FROM s GROUP BY source""".stripMargin
   }
 
   // ---- portable-hash oracle generators (q25/q26/q27/q37) -------------------
@@ -2464,6 +2731,15 @@ dim_users_litify AS (
            CAST(COUNT(1) AS BIGINT) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "q92_ngram_decontaminate" -> q92OracleSql,
+    "q93_classifier_score" -> q93OracleSql,
+    "q94_blocklist_filter" -> q94OracleSql,
+    "q95_semantic_prune" -> q95OracleSql,
+    "q96_embedding_centroids" -> q96OracleSql,
+    "q97_corpus_report" -> q97OracleSql,
+    "q98_pagerank" -> q98OracleSql,
+    "q99_pseudonymize" -> q99OracleSql,
 
     "q87_mix_corpus" -> s"""
       WITH n AS (SELECT source, COUNT(1) AS ns FROM documents

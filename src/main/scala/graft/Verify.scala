@@ -17,7 +17,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated name-prefix filter for single-query
+    // iteration (same contract as Bench); unset = the full suite
+    val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = filter match {
+      case Some(prefixes) => SparkEntry.queries.filter { case (n, _) =>
+        prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -94,6 +94,65 @@ object Stats {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc +: keyOrder: _*)).cast("long"))
   }
+  /** Per-group embedding centroid + dispersion, one dimension per row —
+    * the embedding-space audit behind semantic clustering / whitening /
+    * drift detection: for each (group, dim), the mean and population
+    * variance of that coordinate over values quantized to
+    * `1/unitsPerValue` (default 1e-9 — the float32 noise floor for
+    * unit-scale embeddings, exact for typical stored values).
+    *
+    * Why quantize: casting arbitrary DOUBLEs to DECIMAL rounds, and
+    * engines disagree on the rounding of near-tie values (observed as a
+    * 1e-14 cross-engine drift) — whereas `(x * unitsPerValue) cast long`
+    * TRUNCATES, which every engine defines identically, and the integer
+    * sums after it are exact under any order/partitioning. The derived
+    * moments are then bit-deterministic across engines AND partition
+    * layouts. Per-element units must stay within long range
+    * (|x| * unitsPerValue < 2^63); squares accumulate in DECIMAL(38,0).
+    *
+    * Scale shape: `posexplode` fans each vector into (dim, value) rows —
+    * row-local, no data shuffle yet — then ONE map-side-combined
+    * aggregation on the compact (group, dim) key; integer/decimal partials
+    * are cheaper than per-element decimal casts. Vectors are validated to
+    * have exactly `dim` entries (a ragged corpus fails loudly, not with
+    * silently misaligned statistics). NULL vectors are skipped.
+    * Output: (groupCols..., dim, n, mean, variance). */
+  def embeddingCentroids(df: DataFrame, vecCol: String,
+                         groupCols: Seq[String], dim: Int,
+                         unitsPerValue: Double = 1e9): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    require(unitsPerValue > 0.0, s"unitsPerValue must be > 0: $unitsPerValue")
+    val grp = groupCols.map(col)
+    val exploded = df.filter(col(vecCol).isNotNull)
+      // ragged-vector guard, row-local and loud: a wrong-width vector
+      // would silently misalign every dim statistic after it
+      .withColumn("__v", when(size(col(vecCol)) === dim, col(vecCol))
+        .otherwise(raise_error(concat(lit(s"embeddingCentroids: expected " +
+          s"$dim-dim vector, got "), size(col(vecCol)).cast("string")))))
+      .select(grp :+ posexplode(col("__v")): _*)
+      .withColumnsRenamed(Map("pos" -> "dim", "col" -> "__x"))
+      .withColumn("dim", col("dim").cast("long"))
+      // double->long cast truncates toward zero: the one float->fixed-point
+      // step every engine agrees on bit-for-bit
+      .withColumn("__q",
+        (col("__x").cast("double") * unitsPerValue).cast("long"))
+    val u = lit(unitsPerValue)
+    exploded
+      .groupBy((grp :+ col("dim")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__q").cast("decimal(38,0)")).as("__s"),
+        sum(col("__q").cast("decimal(19,0)") *
+          col("__q").cast("decimal(19,0)")).as("__s2"))
+      // division order matters for bit-parity: (sum -> /n -> /units),
+      // mirrored exactly by the oracle generator
+      .withColumn("mean", col("__s").cast("double") / col("n") / u)
+      .withColumn("variance",
+        col("__s2").cast("double") / col("n") / (u * u) -
+          (col("__s").cast("double") / col("n") / u) *
+          (col("__s").cast("double") / col("n") / u))
+      .drop("__s", "__s2")
+  }
+
   /** Order-independent table checksum — the cross-engine "did the
     * migration/compaction/rewrite preserve the data" audit. Each row is
     * canonically serialized (columns joined on \u0001, NULL encoded as

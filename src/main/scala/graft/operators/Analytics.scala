@@ -125,4 +125,72 @@ object Analytics {
           .as("offset_days"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** EXACT fixed-point PageRank over an edge list — the link-authority
+    * signal crawl curation weights page quality by (domain/page authority
+    * as a curation feature). Fixed iteration count, damping 0.85, ranks
+    * held in integer `unitScale`-ths (default 1e-12 resolution) with
+    * TRUNCATING division everywhere:
+    *
+    *   rank_0(v)   = unitScale                      (mean rank 1.0)
+    *   rank_t+1(v) = 15*unitScale/100
+    *               + (85 * sum over u->v of rank_t(u) div out(u)) div 100
+    *
+    * Why fixed-point: double PageRank is not even run-to-run deterministic
+    * under Spark's unordered partial sums; integer units with `div` make
+    * every iteration bit-identical across engines, partitionings, and row
+    * orders (each truncation loses < 1 unit — at 1e-12 resolution, far
+    * below any ranking-relevant difference). Dangling nodes (no
+    * out-edges) keep receiving rank but leak their own mass — the
+    * standard simplification; renormalize downstream if absolute values
+    * matter. Worst-case node rank is bounded by the total mass
+    * `unitScale * |V|`, which must fit a signed long — lower `unitScale`
+    * for graphs beyond ~10^6 nodes.
+    *
+    * Scale shape: out-degrees computed once; each iteration is ONE
+    * map-side-combined shuffle of (dst, contribution) plus a left join
+    * back onto the node frame; lineage is cut per round with an eager
+    * localCheckpoint and superseded checkpoints are released (the
+    * [[Dedup.clusters]] iterative discipline). Output: (id, rank_units,
+    * rank) with rank = rank_units / unitScale as double. */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 5,
+               unitScale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(unitScale >= 1000L, s"unitScale too coarse: $unitScale")
+    import org.apache.spark.sql.graftglue.GraftGlue
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct().localCheckpoint(true)
+    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__d"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("__src").as("id"))
+      .unionByName(e.select(col("__dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val base = 15L * unitScale / 100L
+    var r = nodes.withColumn("rank_units", lit(unitScale))
+      .localCheckpoint(true)
+    (1 to iterations).foreach { _ =>
+      val inflow = r.join(e, col("id") === col("__src"))
+        .join(outdeg, "__src")
+        .select(col("__dst"),
+          expr("rank_units div __d").as("__c"))
+        .groupBy(col("__dst"))
+        // decimal inflow sum: a hub can receive up to the whole graph's
+        // mass, which overflows long partials before the final div
+        .agg(sum(col("__c").cast("decimal(38,0)")).as("__in"))
+      val next = nodes.join(inflow, col("id") === col("__dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr(
+            "coalesce(__in, cast(0 as decimal(38,0))) * 85 div 100"))
+            .cast("long").as("rank_units"))
+        .localCheckpoint(true)
+      GraftGlue.releaseCheckpoint(r)
+      r = next
+    }
+    GraftGlue.releaseCheckpoint(e)
+    GraftGlue.releaseCheckpoint(outdeg)
+    GraftGlue.releaseCheckpoint(nodes)
+    r.withColumn("rank",
+      col("rank_units").cast("double") / unitScale.toDouble)
+  }
 }

@@ -130,6 +130,129 @@ object Curate {
     out
   }
 
+  /** Linear bag-of-words classifier score — the fastText-style quality
+    * classifier shape (a trained model is weights + bias; this applies
+    * them): logit = bias + (sum over tokens of weight(token)) / n_tokens,
+    * label = logit > 0. Unknown tokens weigh 0.
+    *
+    * Scale shape: entirely row-local whole-stage codegen — the token array
+    * binds once, the dot product is ONE `aggregate` fold over a map
+    * literal, no shuffle, no UDF. Exactness contract: pass weights as
+    * DYADIC rationals (multiples of 2^-20 are plenty for trained models);
+    * then the fold is exact in double regardless of token order and the
+    * logit is bit-identical across engines — an oracle can verify scores
+    * without rounding tolerance.
+    *
+    * Output: input + `n_tokens`, `logit` (NULL text -> NULL logit),
+    * `label`. */
+  def classifierScore(df: DataFrame, textCol: String,
+                      weights: Map[String, Double],
+                      bias: Double = 0.0): DataFrame = {
+    require(weights.nonEmpty, "need at least one vocabulary weight")
+    val terms = weights.toSeq.sortBy(_._1)
+    val wmap = map(terms.flatMap { case (t, w) =>
+      Seq(lit(t), lit(w)) }: _*)
+    val toks = col("__toks")
+    df.withColumn("__toks", T.tokens(col(textCol)))
+      // size() is -1 (not NULL) on NULL input under ansi=false — make the
+      // NULL-text row report NULL counts, not a sentinel
+      .withColumn("n_tokens",
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(size(toks).cast("long")))
+      .withColumn("logit",
+        when(col(textCol).isNull, lit(null).cast("double"))
+          .when(col("n_tokens") === 0, lit(bias))
+          .otherwise(lit(bias) +
+            aggregate(toks, lit(0.0),
+              (acc, x) => acc + coalesce(element_at(wmap, x), lit(0.0))) /
+              col("n_tokens")))
+      .withColumn("label", col("logit") > 0.0)
+      .drop("__toks")
+  }
+
+  /** Blocklist audit — the badwords/NSFW curation gate: per-row blocked
+    * token count and an integer-exact keep decision (`blocked * 1e6 >
+    * n_tokens * maxRatePpm` — no double ratio, so the gate is bit-exact at
+    * any corpus size). Matching is exact-token, case-insensitive via the
+    * normalized token stream ([[T.normalized]]). NULL text keeps (the
+    * quality gates own that case). Row-local, one pass, no shuffle.
+    *
+    * Output: input + `n_tokens`, `n_blocked`, `keep`. */
+  def blocklistAudit(df: DataFrame, textCol: String, terms: Seq[String],
+                     maxRatePpm: Long = 0L): DataFrame = {
+    require(terms.nonEmpty, "need at least one blocklist term")
+    require(maxRatePpm >= 0L, s"maxRatePpm must be >= 0: $maxRatePpm")
+    val toks = col("__toks")
+    df.withColumn("__toks", T.tokens(T.normalized(col(textCol))))
+      // size() is -1 (not NULL) on NULL input under ansi=false
+      .withColumn("n_tokens",
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(size(toks).cast("long")))
+      .withColumn("n_blocked",
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(
+            size(filter(toks, t => t.isin(terms.map(lit(_)): _*)))
+              .cast("long")))
+      .withColumn("keep",
+        col(textCol).isNull ||
+          col("n_blocked") * 1000000L <= col("n_tokens") * maxRatePpm)
+      .drop("__toks")
+  }
+
+  /** Per-stratum corpus report card — the dataset-documentation numbers a
+    * training run wants before it starts: document/token/char volume,
+    * language mix breadth, mean quality, and the exact-duplicate rate.
+    * One row-local projection (token array + langId + quality each bound
+    * once) feeding ONE map-side-combined aggregation; the duplicate rate
+    * rides the same pass as a COUNT(DISTINCT fingerprint) — no second scan,
+    * no join. Sums are decimal-exact (order-independent). NULL text rows
+    * are counted in n_docs but contribute no tokens/chars/quality. */
+  def corpusReport(df: DataFrame, textCol: String,
+                   strataCol: String): DataFrame = {
+    val txt = col(textCol)
+    df.select(col(strataCol),
+        txt.isNull.as("__isnull"),
+        // size() is -1 (not NULL) on NULL input under ansi=false; NULL-text
+        // rows must contribute nothing to the token sum
+        when(txt.isNull, lit(null).cast("long"))
+          .otherwise(T.tokenCount(txt).cast("long")).as("__ntok"),
+        length(txt).cast("long").as("__nchar"),
+        T.langId(txt).as("__lang"),
+        T.qualityScore(txt).as("__q"),
+        T.fingerprint(txt).as("__fp"))
+      .groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("__isnull"), 1)).as("n_null"),
+        coalesce(sum(col("__ntok")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("__nchar")), lit(0L)).as("n_chars"),
+        countDistinct(col("__lang")).as("n_langs"),
+        // decimal SUM (exact, order-independent) cast to double BEFORE the
+        // divide — decimal-division result scales differ across engines
+        (sum(col("__q").cast("decimal(27,12)")).cast("double") /
+          count(col("__q"))).as("mean_quality"),
+        (count(col("__fp")) - countDistinct(col("__fp")))
+          .as("n_exact_dups"))
+  }
+
+  /** Salted pseudonymization: replace identifier columns with a stable
+    * 60-bit token derived from `salt:value` via the portable hash — the
+    * de-identification step before sharing a derived corpus. The same
+    * (salt, value) maps to the same token across tables, engines, and
+    * runs, so JOINABILITY on the pseudonym is preserved; re-identification
+    * without the salt requires a dictionary attack over the id space, and
+    * rotating the salt unlinks every release. NULL stays NULL. Row-local,
+    * zero shuffle; replaced columns become LongType. */
+  def pseudonymize(df: DataFrame, cols: Seq[String],
+                   salt: String): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to pseudonymize")
+    require(salt.nonEmpty, "an empty salt defeats the purpose")
+    cols.foldLeft(df)((d, c) => d.withColumn(c,
+      when(col(c).isNull, lit(null).cast("long"))
+        .otherwise(T.portableHash64(
+          concat(lit(salt), lit(":"), col(c).cast("string"))))))
+  }
+
   /** Intra-document repetition removal: drop every line after its first
     * occurrence (order-preserving) and report the duplicated-line
     * fraction — the standard "repetition filter" companion to corpus-level

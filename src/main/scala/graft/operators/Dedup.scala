@@ -469,6 +469,53 @@ object Dedup {
       .drop("__fp", "__sig", "__rfp", "__e", "__nid", "__n")
   }
 
+  /** N-GRAM overlap decontamination — the published-benchmark rule (GPT-3
+    * appendix C / PaLM style): a corpus doc is contaminated when it shares
+    * at least `minMatches` DISTINCT word n-grams with the reference
+    * (benchmark) set. Complements [[contaminationFlags]]: that flags
+    * whole-content matches (exact fingerprint / MinHash agreement), this
+    * catches a benchmark QUOTED INSIDE an otherwise-novel document, which
+    * whole-document similarity dilutes below any threshold.
+    *
+    * Scale shape: each side deduplicates its n-grams row-locally
+    * (`array_distinct` BEFORE the explode, so a doc repeating one phrase
+    * 10^6 times contributes each gram once), grams travel as 8-byte
+    * hashes, and the reference gram set is benchmark-bounded — the join is
+    * left unhinted so AQE broadcasts it (the common case) without hardcoding
+    * a driver-size assumption. One gram-hash join + one doc-id count
+    * aggregation; never pairwise in the corpus.
+    *
+    * Output: (id, n_matched, contaminated) for every corpus row —
+    * n_matched = distinct reference grams the doc shares (0 for clean docs,
+    * and for docs shorter than n words: a sub-n doc yields its whole text
+    * as its only "gram", matching [[TextFunctions.shingles]]). */
+  def ngramDecontaminate(corpus: DataFrame, reference: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 13, minMatches: Int = 1,
+                         mode: HashMode = Fast): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(minMatches >= 1, s"minMatches must be >= 1: $minMatches")
+    def gramHashes(c: Column): Column = {
+      val grams = array_distinct(T.shingles(c, n))
+      mode match {
+        case Fast     => transform(grams, g => xxhash64(g))
+        case Portable => transform(grams, g => T.portableHash64(g))
+      }
+    }
+    val refGrams = reference.filter(col(textCol).isNotNull)
+      .select(explode(gramHashes(col(textCol))).as("__rg")).distinct()
+    val matches = corpus.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__mid"),
+        explode(gramHashes(col(textCol))).as("__g"))
+      .join(refGrams, col("__g") === col("__rg"))
+      .groupBy(col("__mid"))
+      .agg(count(lit(1)).as("n_matched")) // grams pre-distinct per side
+    corpus.join(matches, col(idCol) === col("__mid"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("contaminated", col("n_matched") >= minMatches)
+      .drop("__mid")
+  }
+
   /** Connected components over a near-dup pair graph: every node gets
     * `cluster = `the minimum id reachable through pairs — the transitive
     * closure semantics real dedup needs (A~B and B~C means keep ONE of
@@ -524,6 +571,35 @@ object Dedup {
       s"label propagation did not converge in $maxIter rounds; " +
         "the pair graph has a min-id eccentricity beyond maxIter — raise it")
     labels
+  }
+
+  /** SEMANTIC dedup (SemDeDup-shaped): prune a corpus down to one
+    * representative per embedding-similarity cluster. Composes the scale
+    * machinery this file already pins: [[embeddingNearDupPairs]] (banded
+    * sign-LSH candidates, capped buckets, exact-cosine verify) feeds
+    * [[clusters]] (transitive min-label closure), and every row whose
+    * cluster label is not its own id is dropped — so A~B and B~C keeps
+    * exactly one of {A,B,C} even though A and C never paired directly.
+    * Rows that pair with nothing keep themselves.
+    *
+    * Scale shape: inherits the pair family's bounded candidate volume and
+    * the closure's O(diameter) rounds; the final prune is ONE anti join on
+    * the id against the (pairs-bounded, much-smaller-than-corpus) dropped
+    * set — unhinted, AQE broadcasts it when pruning is light.
+    *
+    * Output: the input rows that survive, unchanged. Audit the other side
+    * with [[clusters]] directly if you need cluster sizes. */
+  def semanticPrune(df: DataFrame, vecCol: String, idCol: String,
+                    threshold: Double = 0.9, nBits: Int = 4,
+                    bands: Int = 8, maxBucket: Int = 256,
+                    dim: Int = 64, seed: Long = 42L,
+                    maxIter: Int = 10): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, vecCol, idCol, threshold, nBits,
+      bands, maxBucket, dim, seed)
+    val dropped = clusters(pairs, maxIter)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__drop_id"))
+    df.join(dropped, col(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** Bucket-population audit for the capped LSH families: per-bucket member

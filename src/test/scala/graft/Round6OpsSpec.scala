@@ -1,0 +1,257 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curate, Dedup}
+import graft.functions.Stats
+
+/** Round-6 operators: n-gram decontamination, semantic prune, linear
+  * classifier scoring, blocklist gating, corpus report card, embedding
+  * centroids. */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- ngramDecontaminate --------------------------------------------------
+
+  private val bench = Seq(
+    (100L, "what is the capital of france"),
+    (101L, "name the largest planet in the solar system"))
+    .toDF("doc_id", "text")
+
+  private val corpus = Seq(
+    (1L, "quiz night asked what is the capital of france twice"), // quotes q100
+    (2L, "the capital markets rallied in france yesterday"),      // shares < n-grams
+    (3L, "a completely unrelated document about cooking pasta"),
+    (4L, null.asInstanceOf[String]),
+    (5L, "name the largest planet in the solar system"))          // verbatim q101
+    .toDF("doc_id", "text")
+
+  test("ngramDecontaminate: quoted benchmark flagged, partial overlap counted") {
+    val out = Dedup.ngramDecontaminate(corpus, bench, "text", "doc_id",
+        n = 5, minMatches = 2)
+      .select("doc_id", "n_matched", "contaminated")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1 contains "what is the capital of france" = two 5-gram matches
+    assert(out(1L) == ((2L, true)))
+    assert(out(2L)._2 == false)
+    assert(out(3L) == ((0L, false)))
+    assert(out(4L) == ((0L, false))) // NULL text is clean, still present
+    // doc 5 is the benchmark verbatim: 8 tokens -> 4 distinct 5-grams
+    assert(out(5L) == ((4L, true)))
+  }
+
+  test("ngramDecontaminate: distinct grams only (repetition does not inflate)") {
+    val rep = Seq((1L, Array.fill(50)("what is the capital of france")
+      .mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.ngramDecontaminate(rep, bench, "text", "doc_id",
+        n = 6, minMatches = 1)
+      .select("n_matched").as[Long].head()
+    assert(out == 1L) // the one gram, not 50
+  }
+
+  test("ngramDecontaminate: Fast and Portable agree") {
+    def run(m: Dedup.HashMode) =
+      Dedup.ngramDecontaminate(corpus, bench, "text", "doc_id",
+          n = 3, minMatches = 1, mode = m)
+        .select("doc_id", "n_matched").as[(Long, Long)].collect().toSet
+    assert(run(Dedup.Fast) == run(Dedup.Portable))
+  }
+
+  // ---- semanticPrune -------------------------------------------------------
+
+  test("semanticPrune: transitive clusters keep exactly the min id") {
+    // three near-identical vectors (A~B, B~C chains) + one distant
+    def v(x: Double, y: Double) = Array.tabulate(8)(i =>
+      if (i == 0) x.toFloat else if (i == 1) y.toFloat else 0.0f)
+    val df = Seq(
+      (1L, v(1.0, 0.00)), (2L, v(1.0, 0.02)), (3L, v(1.0, 0.04)),
+      (7L, v(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticPrune(df, "embedding", "vec_id",
+        threshold = 0.999, nBits = 2, bands = 4, maxBucket = 16, dim = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 7L))
+  }
+
+  test("semanticPrune: no pairs -> corpus unchanged") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticPrune(df, "embedding", "vec_id",
+        threshold = 0.99, nBits = 2, bands = 4, dim = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  // ---- classifierScore -----------------------------------------------------
+
+  private val weights = Map("good" -> 0.5, "great" -> 0.25,
+    "bad" -> -0.5, "awful" -> -0.25)
+
+  test("classifierScore: exact dyadic logit, label, edge cases") {
+    val df = Seq(
+      (1L, "good good bad food"),        // (0.5+0.5-0.5)/4 = 0.125
+      (2L, "awful awful awful awful"),   // -0.25
+      (3L, "neutral words only here"),   // 0.0
+      (4L, ""),                          // no tokens -> bias
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Curate.classifierScore(df, "text", weights, bias = 0.0)
+      .select("doc_id", "logit").as[(Long, Option[Double])]
+      .collect().toMap
+    val ntok = Curate.classifierScore(df, "text", weights)
+      .select("doc_id", "n_tokens").as[(Long, Option[Long])].collect().toMap
+    assert(ntok(1L).contains(4L) && ntok(4L).contains(0L) && ntok(5L).isEmpty)
+    assert(out(1L).contains(0.125))
+    assert(out(2L).contains(-0.25))
+    assert(out(3L).contains(0.0))
+    assert(out(4L).contains(0.0))   // bias
+    assert(out(5L).isEmpty)          // NULL text -> NULL logit
+    val labels = Curate.classifierScore(df, "text", weights)
+      .select("doc_id", "label").as[(Long, Option[Boolean])].collect().toMap
+    assert(labels(1L).contains(true) && labels(2L).contains(false))
+    assert(labels(5L).isEmpty)
+  }
+
+  test("classifierScore: bias shifts every logit") {
+    val df = Seq((1L, "good")).toDF("doc_id", "text")
+    val l = Curate.classifierScore(df, "text", weights, bias = -0.75)
+      .select("logit").as[Double].head()
+    assert(l == -0.25) // -0.75 + 0.5/1
+  }
+
+  // ---- blocklistAudit ------------------------------------------------------
+
+  test("blocklistAudit: integer-exact gate, case-insensitive, NULL keeps") {
+    val df = Seq(
+      (1L, "clean text with no issues at all here ok"),       // 0/9 blocked
+      (2L, "BADWORD inside an otherwise long enough document"), // 1/7
+      (3L, "badword badword badword"),                        // 3/3
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Curate.blocklistAudit(df, "text", Seq("badword"),
+        maxRatePpm = 200000L) // 20%
+      .select("doc_id", "n_blocked", "keep")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(0L), true)))
+    assert(out(2L) == ((Some(1L), true)))   // 1/7 ~ 14% <= 20%
+    assert(out(3L) == ((Some(3L), false)))  // 100% > 20%
+    assert(out(4L) == ((None, true)))       // NULL text: NULL count, keeps
+    // zero tolerance drops any hit
+    val strict = Curate.blocklistAudit(df, "text", Seq("badword"), 0L)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!strict(2L) && strict(1L))
+  }
+
+  // ---- corpusReport --------------------------------------------------------
+
+  test("corpusReport: per-source docs/tokens/langs/quality/dup-rate") {
+    val df = Seq(
+      (1L, "the quick brown fox and the lazy dog in a field", "a"),
+      (2L, "THE  quick   brown fox and the lazy dog in a field", "a"), // dup of 1
+      (3L, "el perro de la casa y el gato en los tejados", "a"),
+      (4L, null.asInstanceOf[String], "b"),
+      (5L, "one two three", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = Curate.corpusReport(df, "text", "source")
+      .select("source", "n_docs", "n_null", "n_tokens", "n_langs",
+        "n_exact_dups")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val a = out("a")
+    assert(a._2 == 3 && a._3 == 0 && a._4 == 11 + 11 + 11)
+    assert(a._5 == 2)  // en + es
+    assert(a._6 == 1)  // doc 2 is a normalized dup of doc 1
+    val b = out("b")
+    assert(b._2 == 2 && b._3 == 1 && b._4 == 3)
+    assert(b._5 == 1)  // NULL text and marker-less doc 5 are both "und"
+    assert(b._6 == 0)
+  }
+
+  // ---- embeddingCentroids --------------------------------------------------
+
+  test("embeddingCentroids: exact mean/variance per (group, dim)") {
+    val df = Seq(
+      (0, Array(1.0f, 10.0f)), (0, Array(3.0f, 10.0f)),
+      (1, Array(-2.0f, 4.0f)))
+      .toDF("label", "embedding")
+    val out = Stats.embeddingCentroids(df, "embedding", Seq("label"), dim = 2)
+      .select("label", "dim", "n", "mean", "variance")
+      .as[(Int, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out((0, 0L)) == ((2L, 2.0, 1.0)))   // mean(1,3)=2, var=1
+    assert(out((0, 1L)) == ((2L, 10.0, 0.0)))
+    assert(out((1, 0L)) == ((1L, -2.0, 0.0)))
+    assert(out((1, 1L)) == ((1L, 4.0, 0.0)))
+  }
+
+  // ---- pagerank ------------------------------------------------------------
+
+  test("pagerank: known graph, exact fixed-point values") {
+    // star: 2->1, 3->1, plus 1->2. out(1)=1, out(2)=out(3)=1
+    val edges = Seq((2L, 1L), (3L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r1 = graft.operators.Analytics.pagerank(edges, "src", "dst",
+        iterations = 1)
+      .select("id", "rank_units").as[(Long, Long)].collect().toMap
+    // unit = 1e12, base = 0.15e12; after one round:
+    // node1 inflow = r2/1 + r3/1 = 2e12 -> 0.15e12 + 2e12*85/100
+    assert(r1(1L) == 150000000000L + 2000000000000L * 85L / 100L)
+    assert(r1(2L) == 150000000000L + 1000000000000L * 85L / 100L)
+    assert(r1(3L) == 150000000000L) // no inbound
+    // determinism across partition layouts
+    val a = graft.operators.Analytics.pagerank(edges.repartition(7),
+      "src", "dst", iterations = 4).select("id", "rank_units")
+      .as[(Long, Long)].collect().toSet
+    val b = graft.operators.Analytics.pagerank(edges.coalesce(1),
+      "src", "dst", iterations = 4).select("id", "rank_units")
+      .as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("pagerank: authority ordering on a hub graph") {
+    // many pages point at node 100; it should outrank everything
+    val edges = (1L to 20L).map(i => (i, 100L)) ++ Seq((100L, 1L))
+    val r = graft.operators.Analytics.pagerank(edges.toDF("src", "dst"),
+        "src", "dst", iterations = 5)
+      .select("id", "rank_units").as[(Long, Long)].collect().toMap
+    assert(r(100L) > r(1L) && r(1L) > r(2L)) // 1 gets 100's mass back
+  }
+
+  // ---- pseudonymize --------------------------------------------------------
+
+  test("pseudonymize: stable, joinable, NULL-safe, salt-sensitive") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((1L, 10.0), (3L, 30.0)).toDF("id", "w")
+    val pa = Curate.pseudonymize(a, Seq("id"), "s1")
+    val pb = Curate.pseudonymize(b, Seq("id"), "s1")
+    // joinability preserved: id 1 still matches
+    assert(pa.join(pb, "id").count() == 1)
+    // same value -> same token across frames
+    val t1a = pa.filter(col("v") === "x").select("id").as[Long].head()
+    val t1b = Curate.pseudonymize(b, Seq("id"), "s1")
+      .filter(col("w") === 10.0).select("id").as[Long].head()
+    assert(t1a == t1b)
+    // a different salt unlinks
+    val t1c = Curate.pseudonymize(a, Seq("id"), "s2")
+      .filter(col("v") === "x").select("id").as[Long].head()
+    assert(t1a != t1c)
+    // NULL stays NULL
+    val withNull = Seq((Some(1L), "x"), (None, "y")).toDF("id", "v")
+    val pn = Curate.pseudonymize(withNull, Seq("id"), "s1")
+    assert(pn.filter(col("id").isNull).count() == 1)
+  }
+
+  test("embeddingCentroids: ragged vector fails loudly; NULL skipped") {
+    val ok = Stats.embeddingCentroids(
+      Seq((0, Array(1.0f, 2.0f)), (0, null.asInstanceOf[Array[Float]]))
+        .toDF("label", "embedding"),
+      "embedding", Seq("label"), dim = 2)
+    assert(ok.count() == 2) // NULL row skipped, one row per dim
+    val bad = Stats.embeddingCentroids(
+      Seq((0, Array(1.0f, 2.0f)), (0, Array(1.0f)))
+        .toDF("label", "embedding"),
+      "embedding", Seq("label"), dim = 2)
+    assertThrows[Exception](bad.collect())
+  }
+}
