@@ -139,11 +139,18 @@ object TextFunctions {
       maskBits, portable))
   }
 
-  /** Word n-gram shingles of the normalized text (MinHash input). */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(normalized(c))
-    when(size(t) < n, array(concat_ws(" ", t)))
-      .otherwise(transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles of the normalized text (MinHash input).
+    *
+    * The token array is BOUND as a lambda variable (single-element-array
+    * transform) before the per-gram loop: HOFs run interpreted with no
+    * subexpression elimination, so a lambda that references the raw
+    * `tokens(normalized(c))` expression re-tokenizes the whole document
+    * once PER GRAM — the q43-class blowup, measured at ~18x on the q92
+    * corpus. Binding makes tokenization once-per-row; the inner lambda
+    * then only slices an in-memory array. */
+  def shingles(c: Column, n: Int): Column =
+    flatten(transform(array(tokens(normalized(c))), t =>
+      when(size(t) < n, array(concat_ws(" ", t)))
+        .otherwise(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))))
 }

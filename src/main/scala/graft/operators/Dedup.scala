@@ -532,10 +532,15 @@ object Dedup {
     * the edge set, not O(rounds).
     * Output: (id, cluster) for every id appearing in `pairs`. */
   def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    // materialize the (possibly expensive — LSH join) pair plan ONCE: the
+    // symmetric union would otherwise evaluate it twice, and every
+    // downstream round leans on `edges` anyway
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val edges = p
+      .unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint(true)
+    GraftGlue.releaseCheckpoint(p)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)

@@ -32,7 +32,10 @@ object Explain {
     "q82_sessionize", "q83_funnel", "q84_rolling_agg",
     "q85_table_checksum", "q86_rollup", "q87_mix_corpus",
     "q88_incremental_neardup", "q89_retention", "q90_weighted_sample",
-    "q91_cube")
+    "q91_cube", "q92_ngram_decontaminate", "q93_classifier_score",
+    "q94_blocklist_filter", "q95_semantic_prune",
+    "q96_embedding_centroids", "q97_corpus_report", "q98_pagerank",
+    "q99_pseudonymize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
