@@ -242,6 +242,69 @@ class Round6OpsSpec extends SparkSpec {
     assert(pn.filter(col("id").isNull).count() == 1)
   }
 
+  // ---- streaming parity ----------------------------------------------------
+
+  test("row-local round-6 ops are streaming-safe: classifierScore, " +
+      "blocklistAudit, pseudonymize run on a stream with batch-identical " +
+      "output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 50L).map(i =>
+      (i, if (i % 10 == 0) null else s"good text $i with bad word count"))
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      Curate.pseudonymize(
+        Curate.blocklistAudit(
+          Curate.classifierScore(df, "text", weights)
+            .withColumnRenamed("label", "cls_label")
+            .withColumnRenamed("n_tokens", "cls_n"),
+          "text", Seq("bad"), maxRatePpm = 100000L),
+        Seq("doc_id"), "s")
+        .select("doc_id", "cls_n", "logit", "n_blocked", "keep")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val q = chain(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("r6_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("r6_stream").collect().map(_.toSeq).toSet
+    val batch = chain(rows.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
+  // ---- cross-op properties -------------------------------------------------
+
+  test("ngramDecontaminate: every verbatim reference doc is flagged") {
+    val ref = (1L to 30L).map(i =>
+      (i, s"reference document number $i about topic ${i % 7} end"))
+      .toDF("doc_id", "text")
+    val corpusWithRefs = (100L to 129L).map(i =>
+      (i, s"reference document number ${i - 99} about topic ${(i - 99) % 7} end"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramDecontaminate(corpusWithRefs, ref, "text",
+        "doc_id", n = 5, minMatches = 1)
+      .select("contaminated").as[Boolean].collect()
+    assert(out.forall(identity) && out.length == 30)
+  }
+
+  test("semanticPrune: output is a subset; pruned mass equals cluster overflow") {
+    def v(seed: Int) = Array.tabulate(8)(i =>
+      (math.sin(seed * 31 + i) * 100).toFloat)
+    // 10 distinct vectors + 15 exact duplicates of the first 5
+    val rows = (0 until 10).map(i => (i.toLong, v(i))) ++
+      (0 until 15).map(i => (100L + i, v(i % 5)))
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Dedup.semanticPrune(df, "embedding", "vec_id",
+        threshold = 0.9999, nBits = 2, bands = 4, dim = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.subsetOf(rows.map(_._1).toSet))
+    // exact dups always pair with their rep: the 15 copies must be gone
+    assert((100L until 115L).forall(id => !kept.contains(id)))
+    assert((0L until 10L).forall(kept.contains)) // reps survive
+  }
+
   test("embeddingCentroids: ragged vector fails loudly; NULL skipped") {
     val ok = Stats.embeddingCentroids(
       Seq((0, Array(1.0f, 2.0f)), (0, null.asInstanceOf[Array[Float]]))
