@@ -30,15 +30,9 @@ object Bench {
         .agg(sum(col("l_quantity").cast("decimal(20,4)")))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    // optional comma-separated name-prefix filter for single-query iteration
+    // optional name-prefix filter for single-query iteration
     // (e.g. SPARK_GRAFT_BENCH_FILTER=q43,q22); unset = the full suite
-    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val selected = filter match {
-      case Some(prefixes) => SparkEntry.queries.filter { case (n, _) =>
-        prefixes.exists(n.startsWith) }
-      case None => SparkEntry.queries
-    }
+    val selected = SparkEntry.selectQueries("SPARK_GRAFT_BENCH_FILTER")
     def time1(name: String,
               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Option[String]) = {
@@ -88,7 +82,9 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + sec2(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(err)) =>
-      "\"" + shortKey(k) + "\":\"" + esc(err).take(120) + "\""
+      // truncate BEFORE escaping — cutting after could split an escape
+      // sequence and leave a dangling backslash that breaks the line
+      "\"" + shortKey(k) + "\":\"" + esc(err.take(120)) + "\""
     }.mkString("{", ",", "}")
     val total = sec(results.map(_._2).sum)
     val detail = {

@@ -45,6 +45,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q04_star_join")(spark, "/root/testdata/sf0.001")
 
+  /** Comma-separated name-prefix selection over [[queries]], shared by the
+    * Verify and Bench mains (e.g. `FILTER=q43,q92`); unset = full suite. */
+  def selectQueries(envVar: String)
+      : Map[String, (SparkSession, String) => DataFrame] =
+    sys.env.get(envVar)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
+      case Some(prefixes) => queries.filter { case (n, _) =>
+        prefixes.exists(n.startsWith) }
+      case None => queries
+    }
+
   // ---- shared sub-plans for the merge family -------------------------------
   // target = latest even-day event per user; staging = odd-day events.
   private def evenTarget(e: DataFrame): DataFrame =

@@ -17,15 +17,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // optional comma-separated name-prefix filter for single-query
-    // iteration (same contract as Bench); unset = the full suite
-    val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val selected = filter match {
-      case Some(prefixes) => SparkEntry.queries.filter { case (n, _) =>
-        prefixes.exists(n.startsWith) }
-      case None => SparkEntry.queries
-    }
+    // optional name-prefix filter for single-query iteration (same
+    // contract as Bench); unset = the full suite
+    val selected = SparkEntry.selectQueries("SPARK_GRAFT_VERIFY_FILTER")
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

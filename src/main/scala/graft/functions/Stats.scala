@@ -133,9 +133,17 @@ object Stats {
       .withColumnsRenamed(Map("pos" -> "dim", "col" -> "__x"))
       .withColumn("dim", col("dim").cast("long"))
       // double->long cast truncates toward zero: the one float->fixed-point
-      // step every engine agrees on bit-for-bit
-      .withColumn("__q",
-        (col("__x").cast("double") * unitsPerValue).cast("long"))
+      // step every engine agrees on bit-for-bit. |q| is capped at 1e14 so
+      // q^2 <= 1e28 and the decimal(38,0) sum of squares has 10 digits of
+      // row headroom per (group, dim) before overflow would NULL it
+      // silently under ansi=false — out-of-range values fail loudly here
+      .withColumn("__q", {
+        val q = (col("__x").cast("double") * unitsPerValue).cast("long")
+        when(abs(q) < 100000000000000L, q).otherwise(raise_error(concat(
+          lit(s"embeddingCentroids: |value| * $unitsPerValue exceeds 1e14 " +
+            "units (sum-of-squares overflow risk) — lower unitsPerValue; " +
+            "value: "), col("__x").cast("string"))))
+      })
     val u = lit(unitsPerValue)
     exploded
       .groupBy((grp :+ col("dim")): _*)
@@ -148,8 +156,7 @@ object Stats {
       .withColumn("mean", col("__s").cast("double") / col("n") / u)
       .withColumn("variance",
         col("__s2").cast("double") / col("n") / (u * u) -
-          (col("__s").cast("double") / col("n") / u) *
-          (col("__s").cast("double") / col("n") / u))
+          col("mean") * col("mean"))
       .drop("__s", "__s2")
   }
 

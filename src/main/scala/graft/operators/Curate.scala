@@ -182,6 +182,9 @@ object Curate {
                      maxRatePpm: Long = 0L): DataFrame = {
     require(terms.nonEmpty, "need at least one blocklist term")
     require(maxRatePpm >= 0L, s"maxRatePpm must be >= 0: $maxRatePpm")
+    // tokens are normalized (lowercased) — the terms must be too, or a
+    // mixed-case blocklist entry would silently never match
+    val termsLc = terms.map(_.toLowerCase).distinct
     val toks = col("__toks")
     df.withColumn("__toks", T.tokens(T.normalized(col(textCol))))
       // size() is -1 (not NULL) on NULL input under ansi=false
@@ -191,7 +194,7 @@ object Curate {
       .withColumn("n_blocked",
         when(col(textCol).isNull, lit(null).cast("long"))
           .otherwise(
-            size(filter(toks, t => t.isin(terms.map(lit(_)): _*)))
+            size(filter(toks, t => t.isin(termsLc.map(lit(_)): _*)))
               .cast("long")))
       .withColumn("keep",
         col(textCol).isNull ||

@@ -142,6 +142,10 @@ class Round6OpsSpec extends SparkSpec {
     val strict = Curate.blocklistAudit(df, "text", Seq("badword"), 0L)
       .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
     assert(!strict(2L) && strict(1L))
+    // a MIXED-CASE blocklist entry must still match the lowercased tokens
+    val mixed = Curate.blocklistAudit(df, "text", Seq("BadWord"), 0L)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!mixed(2L) && !mixed(3L) && mixed(1L))
   }
 
   // ---- corpusReport --------------------------------------------------------
