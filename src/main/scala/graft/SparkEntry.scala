@@ -1171,6 +1171,27 @@ object SparkEntry {
         iterations = 3)
     }),
 
+    "q100_perplexity_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail corpus partition by exact per-source
+      // LM-score terciles
+      Curate.perplexityBuckets(t(s, dir, "documents"), "text", "doc_id",
+          "source")
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    "q101_standardize_embeddings" -> ((s, dir) => {
+      // whitening apply-step over the q96 moments; three probe dims keep
+      // the output scalar (raw doubles, bit-deterministic)
+      val emb = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      graft.functions.Stats.standardizeEmbeddings(emb, "embedding",
+          dim = 64)
+        .select(col("vec_id"),
+          element_at(col("embedding_std"), 1).as("s0"),
+          element_at(col("embedding_std"), 32).as("s31"),
+          element_at(col("embedding_std"), 64).as("s63"))
+    }),
+
     "q99_pseudonymize" -> ((s, dir) => {
       // joinability-preserving de-identification: both tables tokenized
       // with ONE salt still join; the tokens themselves are hash-checked
@@ -1504,6 +1525,71 @@ dim_users_litify AS (
        |  CAST(MAX(tok) AS BIGINT) AS max_token
        |FROM c JOIN o USING (tok) GROUP BY 1, 2""".stripMargin
   }
+
+  /** q100: per-source LM-score terciles — the q66 scoring CTEs (exact
+    * decimal sums) + the exactQuantiles type-1 rank rule (value at rank
+    * CEIL(p*n); ceil over the same double product on both engines). */
+  private def q100OracleSql: String = {
+    val lo = (1.0 / 3).toString
+    val hi = (2.0 / 3).toString
+    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+       |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '\\s+'),
+       |    x -> x != '')) AS term
+       |  FROM documents),
+       |tot AS (SELECT COUNT(1) AS t FROM tok),
+       |c AS (SELECT doc_id, COUNT(1) OVER (PARTITION BY term) AS tc
+       |  FROM tok),
+       |s AS (SELECT doc_id,
+       |    SUM(CAST(ln(CAST(tc AS DOUBLE) / t) AS DECIMAL(27,12))) AS ssum,
+       |    COUNT(1) AS n_tokens
+       |  FROM c CROSS JOIN tot GROUP BY doc_id),
+       |sc AS (SELECT d.source, s.doc_id,
+       |    CAST(ssum AS DOUBLE) / n_tokens AS mlp
+       |  FROM s JOIN documents d USING (doc_id)),
+       |r AS (SELECT source, doc_id, mlp,
+       |    COUNT(1) OVER (PARTITION BY source ORDER BY mlp
+       |      ROWS UNBOUNDED PRECEDING) AS rn,
+       |    COUNT(1) OVER (PARTITION BY source) AS n FROM sc),
+       |thr AS (SELECT source,
+       |    MAX(CASE WHEN rn = CEIL(n * $lo) THEN mlp END) AS plo,
+       |    MAX(CASE WHEN rn = CEIL(n * $hi) THEN mlp END) AS phi
+       |  FROM r GROUP BY source),
+       |b AS (SELECT sc.source, doc_id,
+       |    CASE WHEN mlp <= plo THEN 'tail'
+       |      WHEN mlp <= phi THEN 'middle' ELSE 'head' END AS bucket
+       |  FROM sc JOIN thr USING (source))
+       |SELECT source, bucket, CAST(COUNT(1) AS BIGINT) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       |FROM b GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q101: whitening apply-step — the q96 global moments rebuilt as
+    * ORDER BY dim lists, then three probe dims standardized; sqrt/
+    * subtract/divide are IEEE-correctly-rounded on both engines. */
+  private def q101OracleSql: String =
+    """WITH idx AS (SELECT unnest(range(64)) AS dim),
+      |e AS (SELECT dim,
+      |    CAST(trunc(embedding[CAST(dim AS INT) + 1]::DOUBLE * 1.0E9)
+      |      AS BIGINT) AS q
+      |  FROM embeddings CROSS JOIN idx WHERE embedding IS NOT NULL),
+      |st AS (SELECT dim,
+      |    CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / COUNT(1) / 1.0E9
+      |      AS mean,
+      |    CAST(SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)))
+      |        AS DOUBLE) / COUNT(1) / 1.0E18
+      |      - (CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / COUNT(1) / 1.0E9)
+      |        * (CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / COUNT(1) / 1.0E9)
+      |      AS variance
+      |  FROM e GROUP BY 1),
+      |m AS (SELECT list(mean ORDER BY dim) AS ms,
+      |    list(sqrt(GREATEST(variance, 1.0E-12)) ORDER BY dim) AS ss
+      |  FROM st)
+      |SELECT vec_id,
+      |  (embedding[1]::DOUBLE - ms[1]) / ss[1] AS s0,
+      |  (embedding[32]::DOUBLE - ms[32]) / ss[32] AS s31,
+      |  (embedding[64]::DOUBLE - ms[64]) / ss[64] AS s63
+      |FROM embeddings CROSS JOIN m
+      |WHERE embedding IS NOT NULL""".stripMargin
 
   /** q97: the corpus report card — langId and quality mirrors are the
     * q22/q23 oracle expressions rebased onto one bound token list. */
@@ -2751,6 +2837,8 @@ dim_users_litify AS (
     "q97_corpus_report" -> q97OracleSql,
     "q98_pagerank" -> q98OracleSql,
     "q99_pseudonymize" -> q99OracleSql,
+    "q100_perplexity_buckets" -> q100OracleSql,
+    "q101_standardize_embeddings" -> q101OracleSql,
 
     "q87_mix_corpus" -> s"""
       WITH n AS (SELECT source, COUNT(1) AS ns FROM documents

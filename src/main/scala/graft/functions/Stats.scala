@@ -160,6 +160,40 @@ object Stats {
       .drop("__s", "__s2")
   }
 
+  /** Whitening apply-step: per-dimension standardization
+    * `(x - mean_d) / std_d` with the corpus moments from
+    * [[embeddingCentroids]] (global, no grouping) — the normalization
+    * before cosine/IVF indexing when dimensions have unequal spread.
+    *
+    * Scale shape: the moments frame is DIM-BOUNDED (one row per
+    * dimension, 64–4096 rows), so it is collected once and inlined as
+    * constant-folded literal arrays; the corpus pass is then a pure
+    * row-local projection — no join, no second shuffle (the documented
+    * bounded-collect exception, like scd1Partitioned's partition list).
+    * `std_d = sqrt(max(variance_d, eps))` floors zero-variance dims;
+    * sqrt/subtract/divide are IEEE-correctly-rounded on both engines, so
+    * standardized values are bit-deterministic. NULL vectors pass through
+    * NULL. Output: input + `<vecCol>_std` (array<double>). */
+  def standardizeEmbeddings(df: DataFrame, vecCol: String, dim: Int,
+                            unitsPerValue: Double = 1e9,
+                            eps: Double = 1e-12): DataFrame = {
+    require(eps > 0.0, s"eps must be > 0: $eps")
+    val stats = embeddingCentroids(df, vecCol, Nil, dim, unitsPerValue)
+      .select(col("dim"), col("mean"), col("variance"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(stats.length == dim,
+      s"expected $dim dimension rows, got ${stats.length}")
+    val means = array(stats.map(s => lit(s._2)): _*)
+    val stds = array(stats.map(s =>
+      lit(math.sqrt(math.max(s._3, eps)))): _*)
+    df.withColumn(s"${vecCol}_std",
+      transform(col(vecCol), (x, i) =>
+        (x.cast("double") - element_at(means, i + 1)) /
+          element_at(stds, i + 1)))
+  }
+
   /** Order-independent table checksum — the cross-engine "did the
     * migration/compaction/rewrite preserve the data" audit. Each row is
     * canonically serialized (columns joined on \u0001, NULL encoded as

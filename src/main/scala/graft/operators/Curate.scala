@@ -238,6 +238,43 @@ object Curate {
           .as("n_exact_dups"))
   }
 
+  /** CCNet-style corpus partition by language-model score: per stratum,
+    * documents are bucketed `head` / `middle` / `tail` by the EXACT
+    * (type-1) quantiles of their mean unigram log-probability — the
+    * standard "keep the head, mine the middle, drop the tail" curation
+    * split. Scores use [[Relevance.unigramLogProb]] with decimal exact
+    * summation (order-independent, engine-portable); thresholds come from
+    * [[graft.functions.Stats.exactQuantiles]], so bucket boundaries are
+    * actual score VALUES and assignment is bit-deterministic.
+    *
+    * Scale shape: the score pass is the unigram operator's one term-key
+    * window; thresholds are a one-row-per-stratum frame broadcast back;
+    * the bucketing itself is a row-local when-chain. NULL-text docs have
+    * no tokens, hence no score, and are excluded (curate them with
+    * [[curationAudit]] first). Output: (idCol, strataCol, mean_logprob,
+    * bucket). */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+                        strataCol: String,
+                        loQ: Double = 1.0 / 3,
+                        hiQ: Double = 2.0 / 3): DataFrame = {
+    require(loQ > 0 && loQ < hiQ && hiQ < 1,
+      s"need 0 < loQ < hiQ < 1: ($loQ, $hiQ)")
+    val scores = Relevance.unigramLogProb(df, textCol, idCol,
+        exactSum = true)
+      .join(df.select(col(idCol), col(strataCol)), Seq(idCol))
+    val loL = s"p${math.round(loQ * 100)}"
+    val hiL = s"p${math.round(hiQ * 100)}"
+    val thr = graft.functions.Stats.exactQuantiles(scores, Seq(strataCol),
+      "mean_logprob", Seq(loQ, hiQ))
+    scores.join(broadcast(thr), Seq(strataCol))
+      .withColumn("bucket",
+        when(col("mean_logprob") <= col(loL), "tail")
+          .when(col("mean_logprob") <= col(hiL), "middle")
+          .otherwise("head"))
+      .select(col(idCol), col(strataCol), col("mean_logprob"),
+        col("bucket"))
+  }
+
   /** Salted pseudonymization: replace identifier columns with a stable
     * 60-bit token derived from `salt:value` via the portable hash — the
     * de-identification step before sharing a derived corpus. The same

@@ -246,6 +246,47 @@ class Round6OpsSpec extends SparkSpec {
     assert(pn.filter(col("id").isNull).count() == 1)
   }
 
+  // ---- perplexityBuckets ---------------------------------------------------
+
+  test("perplexityBuckets: terciles partition each stratum; repeated docs " +
+      "score higher (head) than rare-word docs") {
+    // doc i = i copies of the corpus-common token plus one unique token:
+    // mean log-prob strictly increases with i, so terciles split 1-3 /
+    // 4-6 / 7-9 exactly
+    val docs = (1L to 9L).map(i =>
+      (i, ("common " * i.toInt) + s"unique$i", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Curate.perplexityBuckets(docs, "text", "doc_id", "source")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(out.size == 9)
+    assert((1L to 3L).forall(out(_) == "tail"))
+    assert((4L to 6L).forall(out(_) == "middle"))
+    assert((7L to 9L).forall(out(_) == "head"))
+  }
+
+  // ---- standardizeEmbeddings -----------------------------------------------
+
+  test("standardizeEmbeddings: standardized dims have mean~0 and the " +
+      "values match hand-computed (x-mean)/std") {
+    val df = Seq(
+      (1L, Array(1.0f, 10.0f)), (2L, Array(3.0f, 10.0f)),
+      (3L, Array(5.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.functions.Stats.standardizeEmbeddings(df, "embedding",
+        dim = 2)
+      .select(col("vec_id"), element_at(col("embedding_std"), 1).as("s0"),
+        element_at(col("embedding_std"), 2).as("s1"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // dim0: mean 3, var 8/3; dim1: constant -> variance 0 -> eps floor
+    val std0 = math.sqrt(8.0 / 3)
+    assert(math.abs(out(1L)._1 - (1.0 - 3.0) / std0) < 1e-12)
+    assert(math.abs(out(3L)._1 - (5.0 - 3.0) / std0) < 1e-12)
+    assert(out(2L)._1 == 0.0)
+    // constant dim standardizes to exactly 0 (x == mean), no div-by-zero
+    assert(out.values.forall(_._2 == 0.0))
+  }
+
   // ---- streaming parity ----------------------------------------------------
 
   test("row-local round-6 ops are streaming-safe: classifierScore, " +
