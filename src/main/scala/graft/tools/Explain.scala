@@ -35,7 +35,8 @@ object Explain {
     "q91_cube", "q92_ngram_decontaminate", "q93_classifier_score",
     "q94_blocklist_filter", "q95_semantic_prune",
     "q96_embedding_centroids", "q97_corpus_report", "q98_pagerank",
-    "q99_pseudonymize")
+    "q99_pseudonymize", "q100_perplexity_buckets",
+    "q101_standardize_embeddings")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
