@@ -45,14 +45,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q04_star_join")(spark, "/root/testdata/sf0.001")
 
-  /** Comma-separated name-prefix selection over [[queries]], shared by the
-    * Verify and Bench mains (e.g. `FILTER=q43,q92`); unset = full suite. */
+  /** Comma-separated name selection over [[queries]], shared by the
+    * Verify and Bench mains (e.g. `FILTER=q43,q92`); unset = full suite.
+    * A term matches the whole name or a `_`-boundary prefix — plain
+    * startsWith would make `q10` also select q100/q101. */
   def selectQueries(envVar: String)
       : Map[String, (SparkSession, String) => DataFrame] =
-    sys.env.get(envVar)
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
-      case Some(prefixes) => queries.filter { case (n, _) =>
-        prefixes.exists(n.startsWith) }
+    filterQueries(sys.env.get(envVar))
+
+  private[graft] def filterQueries(spec: Option[String])
+      : Map[String, (SparkSession, String) => DataFrame] =
+    spec.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
+      case Some(terms) => queries.filter { case (n, _) =>
+        terms.exists(t => n == t || n.startsWith(t + "_")) }
       case None => queries
     }
 

@@ -133,16 +133,25 @@ object Stats {
       .withColumnsRenamed(Map("pos" -> "dim", "col" -> "__x"))
       .withColumn("dim", col("dim").cast("long"))
       // double->long cast truncates toward zero: the one float->fixed-point
-      // step every engine agrees on bit-for-bit. |q| is capped at 1e14 so
-      // q^2 <= 1e28 and the decimal(38,0) sum of squares has 10 digits of
+      // step every engine agrees on bit-for-bit. The magnitude gate runs on
+      // the DOUBLE (a long-cast saturates extreme negatives to
+      // Long.MinValue, whose abs is still negative — gating after the cast
+      // would wave exactly those values through); |q| < 1e14 keeps
+      // q^2 <= 1e28, giving the decimal(38,0) sum of squares 10 digits of
       // row headroom per (group, dim) before overflow would NULL it
-      // silently under ansi=false — out-of-range values fail loudly here
+      // silently under ansi=false. NULL elements inside a vector also fail
+      // loudly — moments over silently-skipped dirty elements would
+      // misreport every statistic of that dimension.
       .withColumn("__q", {
-        val q = (col("__x").cast("double") * unitsPerValue).cast("long")
-        when(abs(q) < 100000000000000L, q).otherwise(raise_error(concat(
-          lit(s"embeddingCentroids: |value| * $unitsPerValue exceeds 1e14 " +
-            "units (sum-of-squares overflow risk) — lower unitsPerValue; " +
-            "value: "), col("__x").cast("string"))))
+        val scaled = col("__x").cast("double") * unitsPerValue
+        when(col("__x").isNull, raise_error(lit(
+          "embeddingCentroids: NULL element inside a vector — clean or " +
+            "impute before computing moments")))
+          .when(abs(scaled) < 1e14, scaled.cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"embeddingCentroids: |value| * $unitsPerValue exceeds " +
+              "1e14 units (sum-of-squares overflow risk) — lower " +
+              "unitsPerValue; value: "), col("__x").cast("string"))))
       })
     val u = lit(unitsPerValue)
     exploded

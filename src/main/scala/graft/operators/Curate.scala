@@ -251,22 +251,33 @@ object Curate {
     * window; thresholds are a one-row-per-stratum frame broadcast back;
     * the bucketing itself is a row-local when-chain. NULL-text docs have
     * no tokens, hence no score, and are excluded (curate them with
-    * [[curationAudit]] first). Output: (idCol, strataCol, mean_logprob,
-    * bucket). */
+    * [[curationAudit]] first); docs with a NULL stratum form their own
+    * stratum (null-safe threshold join) rather than vanishing. Output:
+    * (idCol, strataCol, mean_logprob, bucket). */
   def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
                         strataCol: String,
                         loQ: Double = 1.0 / 3,
                         hiQ: Double = 2.0 / 3): DataFrame = {
     require(loQ > 0 && loQ < hiQ && hiQ < 1,
       s"need 0 < loQ < hiQ < 1: ($loQ, $hiQ)")
+    // materialize the scoring pass ONCE: it feeds both the threshold
+    // branch and the final bucket join, and uncached would recompute the
+    // token explode + term window twice in the same action (blocks are
+    // freed by the bench's isolation / the ContextCleaner)
     val scores = Relevance.unigramLogProb(df, textCol, idCol,
         exactSum = true)
       .join(df.select(col(idCol), col(strataCol)), Seq(idCol))
+      .localCheckpoint(true)
     val loL = s"p${math.round(loQ * 100)}"
     val hiL = s"p${math.round(hiQ * 100)}"
     val thr = graft.functions.Stats.exactQuantiles(scores, Seq(strataCol),
-      "mean_logprob", Seq(loQ, hiQ))
-    scores.join(broadcast(thr), Seq(strataCol))
+        "mean_logprob", Seq(loQ, hiQ))
+      .withColumnRenamed(strataCol, "__thr_strata")
+    // null-safe threshold join: exactQuantiles emits a NULL-stratum row
+    // (groupBy keeps NULL groups), and docs with missing strata must land
+    // in ITS buckets, not silently vanish from the output
+    scores.join(broadcast(thr),
+        col(strataCol) <=> col("__thr_strata"))
       .withColumn("bucket",
         when(col("mean_logprob") <= col(loL), "tail")
           .when(col("mean_logprob") <= col(hiL), "middle")

@@ -362,4 +362,51 @@ class Round6OpsSpec extends SparkSpec {
       "embedding", Seq("label"), dim = 2)
     assertThrows[Exception](bad.collect())
   }
+
+  test("embeddingCentroids: out-of-range values (either sign) and NULL " +
+      "elements fail loudly, not silently") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def df(vec: Array[java.lang.Float]) = spark.createDataFrame(
+      java.util.List.of(Row(0, vec.toSeq)),
+      StructType(Seq(StructField("label", IntegerType),
+        StructField("embedding", ArrayType(FloatType, containsNull = true)))))
+    // the negative extreme saturates the long cast to Long.MinValue —
+    // gate must run on the DOUBLE or abs() waves it through
+    val negBig = Stats.embeddingCentroids(
+      df(Array(java.lang.Float.valueOf(-1.0e10f),
+        java.lang.Float.valueOf(1.0f))),
+      "embedding", Seq("label"), dim = 2)
+    val eNeg = intercept[Exception](negBig.collect())
+    assert(eNeg.toString.contains("exceeds") ||
+      Option(eNeg.getCause).exists(_.toString.contains("exceeds")))
+    val withNull = Stats.embeddingCentroids(
+      df(Array(java.lang.Float.valueOf(1.0f), null)),
+      "embedding", Seq("label"), dim = 2)
+    val eNull = intercept[Exception](withNull.collect())
+    assert(eNull.toString.contains("NULL element") ||
+      Option(eNull.getCause).exists(_.toString.contains("NULL element")))
+  }
+
+  test("perplexityBuckets: NULL-strata docs form their own stratum") {
+    val docs = ((1L to 9L).map(i =>
+      (i, ("common " * i.toInt) + s"unique$i", Option("s"))) ++
+      (11L to 19L).map(i =>
+        (i, ("common " * (i - 10).toInt) + s"unique$i", None: Option[String])))
+      .toDF("doc_id", "text", "source")
+    val out = Curate.perplexityBuckets(docs, "text", "doc_id", "source")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(out.size == 18) // nobody vanished
+    assert((11L to 13L).forall(out(_) == "tail"))
+    assert((17L to 19L).forall(out(_) == "head"))
+  }
+
+  test("filterQueries: terms match whole names or _-boundary prefixes only") {
+    val all = SparkEntry.filterQueries(None)
+    assert(all.size == SparkEntry.queries.size)
+    val q10 = SparkEntry.filterQueries(Some("q10")).keySet
+    assert(q10 == Set("q10_cast_battery")) // NOT q100/q101
+    val two = SparkEntry.filterQueries(Some("q100, q99")).keySet
+    assert(two == Set("q100_perplexity_buckets", "q99_pseudonymize"))
+  }
 }
