@@ -504,16 +504,37 @@ object SparkEntry {
 
 
     "q33_multimodal_meta" -> ((s, dir) => {
-      val withPayload = Multimodal.attachPayload(t(s, dir, "documents"), "text")
+      // REAL codec: per-row PNG encode (ImageFixture) -> ImageIO decode;
+      // width/height come from the decoded raster, so a decoder that
+      // misreads IHDR or the scanlines fails the oracle
+      val withPayload = Multimodal.attachImagePayload(s, t(s, dir, "documents"), "doc_id")
       Multimodal.featurize(s, withPayload, "doc_id")
-        .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"))
+        .where(col("decode_ok"))
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
     }),
 
     "q34_multimodal_features" -> ((s, dir) => {
-      val withPayload = Multimodal.attachPayload(t(s, dir, "documents"), "text")
+      // REAL codec: decoded-pixel channel sums (exact longs); DuckDB replays
+      // the ImageFixture arithmetic — PNG is lossless so they must agree
+      val withPayload = Multimodal.attachImagePayload(s, t(s, dir, "documents"), "doc_id")
       Multimodal.featurize(s, withPayload, "doc_id")
-        .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
-          col("features")(0).as("f0"), col("features")(7).as("f7"))
+        .where(col("decode_ok"))
+        .select(col("doc_id"), col("sum_r"), col("sum_g"), col("sum_b"),
+          col("sumsq_r"), col("sumsq_g"), col("sumsq_b"))
+    }),
+
+    "q102_image_resize_stats" -> ((s, dir) => {
+      // REAL codec round trip x2: PNG encode -> decode -> exact 2x2
+      // block-average on the decoded raster -> PNG re-encode -> decode ->
+      // channel sums; DuckDB replays the block-average arithmetic
+      val withPayload = Multimodal.attachImagePayload(s, t(s, dir, "documents"), "doc_id")
+      val resized = Multimodal.resize(s, withPayload, "doc_id", factor = 2)
+      Multimodal.featurize(s, resized, "doc_id")
+        .where(col("decode_ok"))
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
     }),
 
     "q44_salted_join" -> ((s, dir) => {
@@ -1260,14 +1281,16 @@ object SparkEntry {
     }),
 
     "q39_multimodal_frames" -> ((s, dir) => {
-      // frame-sample plumbing is byte-deterministic -> DuckDB-oracled
-      val withPayload = Multimodal.attachPayload(t(s, dir, "documents"), "text")
-      // md5 over the HEX of the frame (not raw bytes): DuckDB 1.0 can
-      // slice hex strings but not BLOBs, so both sides hash the hex form
-      Multimodal.frameSample(s, withPayload, "doc_id", n = 4)
+      // REAL demux+decode: GFRM container of 4 real PNG frames per doc ->
+      // partition-local unpack -> per-frame ImageIO decode -> channel sums
+      val withPayload = Multimodal.attachVideoPayload(s, t(s, dir, "documents"),
+        "doc_id", nFrames = 4)
+      Multimodal.frameStats(s, withPayload, "doc_id")
+        .where(col("decode_ok"))
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-          length(col("frame")).cast("long").as("frame_len"),
-          md5(hex(col("frame"))).as("frame_md5"))
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
     })
   )
 
@@ -1831,26 +1854,73 @@ dim_users_litify AS (
        |FROM flags GROUP BY 1, 2""".stripMargin
   }
 
-  /** Mirror of Multimodal.StubCodec.featurize: per-residue-class polynomial
-    * byte hash (acc*31 + byte, 64-bit wrap), (v % 1000)/1000 in FLOAT.
-    * Bytes come from hex(text::BLOB) — DuckDB 1.0 can slice hex strings
-    * but not BLOBs. */
-  private def q34OracleSql: String = {
-    val two64 = "18446744073709551616::HUGEINT"
-    def feat(j: Int): String = {
-      val acc = s"list_reduce(list_prepend(0::HUGEINT, " +
-        s"list_transform(list_filter(range(0, len(bytes)), p -> p % 8 = $j), " +
-        s"p -> bytes[p+1]::HUGEINT)), (a, x) -> (a * 31 + x) % $two64)"
-      val signed = s"CAST(CASE WHEN $acc >= 9223372036854775808::HUGEINT " +
-        s"THEN $acc - $two64 ELSE $acc END AS BIGINT)"
-      s"CAST($signed % 1000 AS FLOAT) / CAST(1000 AS FLOAT)"
-    }
-    s"""WITH hx AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hxs FROM documents),
-       |b AS (SELECT doc_id, CAST(length(hxs) / 2 AS BIGINT) AS byte_len,
-       |  list_transform(range(0, CAST(length(hxs) / 2 AS BIGINT)),
-       |    k -> CAST(concat('0x', substring(hxs, CAST(2*k+1 AS INT), 2)) AS INT)) AS bytes
-       |  FROM hx)
-       |SELECT doc_id, byte_len, ${feat(0)} AS f0, ${feat(7)} AS f7 FROM b""".stripMargin
+  /** Mirrors of Multimodal.ImageFixture — the multimodal queries run the
+    * REAL javax.imageio codec (PNG encode -> decode -> pixel stats); the
+    * oracle replays the fixture's (id, x, y) arithmetic directly. PNG is
+    * lossless, so decoded raster == generated raster and the sums must
+    * agree exactly; a decoder bug breaks the hash match. Constants are in
+    * lockstep with ImageFixture.{width,height,r,g,b}. */
+  private def imgChan(idMult: Int, fMult: Int, xMult: Int, yMult: Int,
+                      x: String, y: String, f: String): String =
+    s"(doc_id*$idMult + ($f)*$fMult + ($x)*$xMult + ($y)*$yMult) % 256"
+  private def imgR(x: String, y: String, f: String = "0"): String =
+    imgChan(31, 101, 7, 13, x, y, f)
+  private def imgG(x: String, y: String, f: String = "0"): String =
+    imgChan(17, 59, 3, 5, x, y, f)
+  private def imgB(x: String, y: String, f: String = "0"): String =
+    imgChan(13, 29, 11, 23, x, y, f)
+
+  private def q34OracleSql: String =
+    s"""WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+       |  FROM documents),
+       |px AS (SELECT doc_id,
+       |    ${imgR("x.x", "y.y")} AS pr, ${imgG("x.x", "y.y")} AS pg,
+       |    ${imgB("x.x", "y.y")} AS pb
+       |  FROM g, (SELECT UNNEST(range(16)) AS x) x,
+       |    (SELECT UNNEST(range(14)) AS y) y
+       |  WHERE x.x < g.w AND y.y < g.h)
+       |SELECT doc_id,
+       |  CAST(SUM(pr) AS BIGINT) AS sum_r, CAST(SUM(pg) AS BIGINT) AS sum_g,
+       |  CAST(SUM(pb) AS BIGINT) AS sum_b,
+       |  CAST(SUM(pr*pr) AS BIGINT) AS sumsq_r,
+       |  CAST(SUM(pg*pg) AS BIGINT) AS sumsq_g,
+       |  CAST(SUM(pb*pb) AS BIGINT) AS sumsq_b
+       |FROM px GROUP BY doc_id""".stripMargin
+
+  private def q39OracleSql: String =
+    s"""WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+       |  FROM documents),
+       |px AS (SELECT doc_id, f.f AS f, g.w, g.h,
+       |    ${imgR("x.x", "y.y", "f.f")} AS pr,
+       |    ${imgG("x.x", "y.y", "f.f")} AS pg,
+       |    ${imgB("x.x", "y.y", "f.f")} AS pb
+       |  FROM g, (SELECT UNNEST(range(4)) AS f) f,
+       |    (SELECT UNNEST(range(16)) AS x) x,
+       |    (SELECT UNNEST(range(14)) AS y) y
+       |  WHERE x.x < g.w AND y.y < g.h)
+       |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(w AS BIGINT) AS width,
+       |  CAST(h AS BIGINT) AS height,
+       |  CAST(SUM(pr) AS BIGINT) AS sum_r, CAST(SUM(pg) AS BIGINT) AS sum_g,
+       |  CAST(SUM(pb) AS BIGINT) AS sum_b
+       |FROM px GROUP BY doc_id, f, w, h""".stripMargin
+
+  /** 2x2 block-average resize replay: output pixel = floor(mean of the four
+    * source pixels), integer arithmetic — identical to ImageCodec.blockResize. */
+  private def q102OracleSql: String = {
+    def avg4(p: (String, String, String) => String): String =
+      s"(${p("2*ox.ox", "2*oy.oy", "0")} + ${p("2*ox.ox+1", "2*oy.oy", "0")} + " +
+        s"${p("2*ox.ox", "2*oy.oy+1", "0")} + ${p("2*ox.ox+1", "2*oy.oy+1", "0")}) // 4"
+    s"""WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+       |  FROM documents),
+       |px AS (SELECT doc_id, g.w // 2 AS ow, g.h // 2 AS oh,
+       |    ${avg4(imgR)} AS pr, ${avg4(imgG)} AS pg, ${avg4(imgB)} AS pb
+       |  FROM g, (SELECT UNNEST(range(8)) AS ox) ox,
+       |    (SELECT UNNEST(range(7)) AS oy) oy
+       |  WHERE ox.ox < g.w // 2 AND oy.oy < g.h // 2)
+       |SELECT doc_id, CAST(ow AS BIGINT) AS width, CAST(oh AS BIGINT) AS height,
+       |  CAST(SUM(pr) AS BIGINT) AS sum_r, CAST(SUM(pg) AS BIGINT) AS sum_g,
+       |  CAST(SUM(pb) AS BIGINT) AS sum_b
+       |FROM px GROUP BY doc_id, ow, oh""".stripMargin
   }
 
   private def q42OracleSql: String = {
@@ -3108,19 +3178,9 @@ GROUP BY
     "q32_embedding_neardup" -> q32OracleSql,
 
 
-    "q39_multimodal_frames" ->
-      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
-           octet_length(encode(text)) AS L FROM documents),
-         f AS (SELECT doc_id, i.i AS frame_idx,
-             (L * i.i) // 4 AS s0,
-             LEAST(GREATEST((L * (i.i + 1)) // 4, (L * i.i) // 4 + 1), L) AS e0, h
-           FROM b, (SELECT UNNEST(range(4)) AS i) i
-           WHERE L > 0)
-         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-           CAST(e0 - s0 AS BIGINT) AS frame_len,
-           md5(substring(h, CAST(s0 * 2 + 1 AS BIGINT),
-             CAST((e0 - s0) * 2 AS BIGINT))) AS frame_md5
-         FROM f""",
+    "q39_multimodal_frames" -> q39OracleSql,
+
+    "q102_image_resize_stats" -> q102OracleSql,
 
 
     "q41_asof_join" ->
@@ -3138,7 +3198,8 @@ GROUP BY
            ON c.user_id = s.user_id AND s.sts <= c.ts""",
 
     "q33_multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+      """SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           CAST(8 + doc_id % 7 AS BIGINT) AS height
          FROM documents"""
   )
 }

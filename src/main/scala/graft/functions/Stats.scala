@@ -14,11 +14,17 @@ import org.apache.spark.sql.functions._
   * no per-group sort); this is the exact contract the oracle checks. */
 object Stats {
 
+  /** Output-column label for quantile p in [[exactQuantiles]] — the ONE
+    * place the formatting lives; callers that need to reference the
+    * threshold columns (e.g. Curate.perplexityBuckets) use this instead
+    * of re-deriving the formula and risking silent drift. */
+  def quantileLabel(p: Double): String = s"p${math.round(p * 100)}"
+
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantiles must be in (0,1]: $ps")
-    val labels = ps.map(p => s"p${math.round(p * 100)}")
+    val labels = ps.map(quantileLabel)
     require(labels.distinct.size == labels.size,
       s"quantile labels collide (sub-percent resolution): $ps -> $labels")
     val grp = groupCols.map(col)

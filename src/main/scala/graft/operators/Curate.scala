@@ -585,9 +585,7 @@ object Curate {
       require(w > 0.0 && w <= 1.0, s"share for '$s' must be in (0,1]: $w") }
     val total = targetShares.values.sum
     require(math.abs(total - 1.0) < 1e-9, s"shares must sum to 1: $total")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => Option(r.get(0)).map(_.toString).orNull ->
-        r.getLong(1)).toMap
+    val counts = strataCounts(df, strataCol, targetShares.keys.toSeq)
     val thresholds = targetShares.flatMap { case (s, share) =>
       counts.get(s).map { n =>
         val rate = math.min(1.0, budget.toDouble * share / n.toDouble)
@@ -599,6 +597,19 @@ object Curate {
     }
     df.filter(sampleHash(idCol, salt) < thrCol)
   }
+
+  /** Stratum sizes for [[mixCorpus]]: pre-filters to the target strata
+    * BEFORE the groupBy/collect, so the driver materialization is
+    * |targetStrata|-bounded regardless of the stratum column's cardinality
+    * (a raw groupBy-collect over e.g. a URL-host column would be a
+    * driver-scale collect; dropped strata need no counts anyway).
+    * Package-visible so the spec can pin the bound directly. */
+  private[graft] def strataCounts(df: DataFrame, strataCol: String,
+                                  targetStrata: Seq[String]): Map[String, Long] =
+    df.filter(col(strataCol).isin(targetStrata.map(lit(_)): _*))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => Option(r.get(0)).map(_.toString).orNull ->
+        r.getLong(1)).toMap
 
   /** Per-group deterministic k-sample via the
     * [[graft.functions.BottomKSampleAgg]] bounded-heap aggregate: k

@@ -1,20 +1,55 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Decoded-image channel statistics row (top-level, public: Spark's encoder
+  * codegen compiles accessor calls with janino, which cannot see private
+  * nested classes — a private class here silently degrades every featurize
+  * to interpreted mode). */
+case class ImgStats(
+    id: Long, decode_ok: Boolean, byte_len: Int,
+    width: Option[Int], height: Option[Int],
+    sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long],
+    sumsq_r: Option[Long], sumsq_g: Option[Long], sumsq_b: Option[Long])
+
+/** Per-frame stats row for [[Multimodal.frameStats]]. */
+case class FrameStats(
+    id: Long, frame_idx: Int, decode_ok: Boolean,
+    width: Option[Int], height: Option[Int],
+    sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long])
+
 /** Multimodal column plumbing (BASELINE.json north_star): media payloads are
   * opaque `binary` columns with a typed metadata struct; decode /
-  * feature-extract run as partition-local batch transforms.
+  * feature-extract / resize / frame-sample run as partition-local batch
+  * transforms over a REAL codec — `javax.imageio` (JDK-only: PNG/JPEG
+  * decode, pixel access, re-encode). No stubs: `featurize` decodes actual
+  * image bytes and reports per-channel pixel statistics; `resize` decodes,
+  * block-averages real pixels, and re-encodes; `frameStats` demuxes a frame
+  * container and decodes every frame.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries) behind [[StubCodec]] — a deterministic fake that derives
-  * "features" from the payload bytes. The Spark-side plumbing — schema,
-  * partition-local batching, output shape — is real and tested, and is what
-  * matters at 100 TB: payloads never pass through a shuffle (featurize
-  * before any wide op), and the binary column is pruned away the moment the
-  * features are extracted.
+  * What matters at 100 TB (and is pinned by spec + plan): payloads never
+  * pass through a shuffle — decode/featurize runs `mapPartitions` at the
+  * codec boundary (the one place imperative per-row work is the right tool),
+  * and the binary column is pruned away the moment the narrow features are
+  * extracted, so downstream wide ops move ids + stats, not pixels.
+  *
+  * Oracle strategy: [[ImageFixture]] generates pixels from documented
+  * (id, x, y) integer arithmetic and encodes them as real PNGs. PNG is
+  * lossless, so the decoded raster equals the generated one and DuckDB can
+  * verify every decoded-pixel statistic by replaying the arithmetic —
+  * while the Spark path exercises the genuine encode→decode round trip.
+  * A broken decoder cannot pass the oracle.
+  *
+  * Video: the JDK has no video demuxer, so "video" payloads use a trivial
+  * length-prefixed frame container ([[ImageCodec.packFrames]]) whose frames
+  * are real PNGs — container parse + per-frame real decode, the same shape
+  * as a production demux+decode stage.
   */
 object Multimodal {
 
@@ -27,8 +62,8 @@ object Multimodal {
     StructField("sample_rate", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** Attach a payload+meta pair from a text column — the stand-in "media"
-    * for tests (payload = UTF-8 bytes; kind derived from the id). */
+  /** Attach a payload+meta pair from a text column — the text-modality
+    * stand-in (payload = UTF-8 bytes). */
   def attachPayload(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("payload", encode(col(textCol), "UTF-8"))
       .withColumn("meta", struct(
@@ -37,90 +72,260 @@ object Multimodal {
         lit(null).cast("int").as("sample_rate"),
         lit(null).cast("long").as("duration_ms")))
 
-  /** ======= STUB CODEC =======
-    * Deterministic fake decode: real deployments swap this object for one
-    * backed by actual codecs (e.g. JNI image decoders) — the call sites and
-    * batch shape stay identical. */
-  object StubCodec {
-    val featureDim = 8
-    /** "Decode" payload bytes into a fixed-size float feature vector.
-      * Deterministic rolling-hash over bytes, bucketed into featureDim. */
-    def featurize(payload: Array[Byte]): Array[Float] = {
-      val acc = new Array[Long](featureDim)
-      var i = 0
-      while (i < payload.length) {
-        acc(i % featureDim) = acc(i % featureDim) * 31 + (payload(i) & 0xff)
-        i += 1
+  /** Deterministic synthetic-image formulas — the cross-engine contract.
+    * Every constant here is mirrored verbatim in the DuckDB oracle SQL
+    * (SparkEntry.q34/q39/q102 oracles); change them together or not at all. */
+  object ImageFixture {
+    def width(id: Long): Int  = (8 + (id % 9)).toInt   // 8..16
+    def height(id: Long): Int = (8 + (id % 7)).toInt   // 8..14
+    def r(id: Long, f: Int, x: Int, y: Int): Int =
+      ((id * 31 + f * 101L + x * 7 + y * 13) % 256).toInt
+    def g(id: Long, f: Int, x: Int, y: Int): Int =
+      ((id * 17 + f * 59L + x * 3 + y * 5) % 256).toInt
+    def b(id: Long, f: Int, x: Int, y: Int): Int =
+      ((id * 13 + f * 29L + x * 11 + y * 23) % 256).toInt
+
+    def image(id: Long, frame: Int = 0): BufferedImage = {
+      val (w, h) = (width(id), height(id))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (r(id, frame, x, y) << 16) | (g(id, frame, x, y) << 8) | b(id, frame, x, y))
+          x += 1
+        }
+        y += 1
       }
-      acc.map(v => ((v % 1000L).toFloat / 1000f))
+      img
     }
-    /** "Frame-sample": byte-range slices standing in for video frames. */
-    def frameSample(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
-      if (payload.isEmpty) Seq.empty
-      else (0 until n).map { i =>
-        val start = (payload.length.toLong * i / n).toInt
-        val end = (payload.length.toLong * (i + 1) / n).toInt
-        java.util.Arrays.copyOfRange(payload, start, math.max(end, start + 1)
-          .min(payload.length))
-      }
+
+    def png(id: Long, frame: Int = 0): Array[Byte] =
+      ImageCodec.encodePng(image(id, frame))
+
+    def video(id: Long, nFrames: Int): Array[Byte] =
+      ImageCodec.packFrames((0 until nFrames).map(f => png(id, f)))
+  }
+
+  /** Real JDK codec: `javax.imageio` PNG/JPEG decode + PNG encode, exact
+    * integer block-average resize on the decoded raster, and a trivial
+    * length-prefixed multi-frame container (the JDK ships no video demuxer;
+    * the frames inside are real PNGs). */
+  object ImageCodec {
+    // In-memory only: ImageIO's default disk cache would add a tmp-file per
+    // decode on every executor thread.
+    ImageIO.setUseCache(false)
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", baos)
+      baos.toByteArray
     }
-    /** "Resize": deterministic re-sampling of payload bytes to a target
-      * byte budget (stride-sampled when shrinking, cycle-padded when
-      * growing) — stands in for pixel resampling. */
-    def resize(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
-      if (payload.isEmpty || targetBytes <= 0) Array.emptyByteArray
-      else Array.tabulate(targetBytes) { i =>
-        payload((payload.length.toLong * i / targetBytes).toInt % payload.length)
+
+    /** Decode any ImageIO-supported payload (PNG/JPEG/GIF/BMP); None when
+      * the bytes are not a decodable image — callers fail soft (dead-letter
+      * flag), never throw on corrupt payloads. */
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    /** Per-channel integer pixel statistics over the decoded raster:
+      * (width, height, sumR, sumG, sumB, sumSqR, sumSqG, sumSqB). Exact
+      * longs — cross-engine comparable with no float drift. */
+    def channelStats(img: BufferedImage): (Int, Int, Long, Long, Long, Long, Long, Long) = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb, qr, qg, qb) = (0L, 0L, 0L, 0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          sr += r; sg += g; sb += b
+          qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
+          x += 1
+        }
+        y += 1
       }
+      (w, h, sr, sg, sb, qr, qg, qb)
+    }
+
+    /** Exact k×k block-average downscale on real decoded pixels: output
+      * pixel (ox,oy) = floor(mean of the k×k input block) per channel.
+      * Integer arithmetic → bit-reproducible across engines (unlike
+      * Graphics2D bilinear, whose rounding is implementation-defined). */
+    def blockResize(img: BufferedImage, k: Int): BufferedImage = {
+      require(k >= 1, s"resize factor must be >= 1, got $k")
+      val ow = img.getWidth / k; val oh = img.getHeight / k
+      require(ow > 0 && oh > 0,
+        s"resize factor $k collapses ${img.getWidth}x${img.getHeight} to zero")
+      val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var (sr, sg, sb) = (0, 0, 0)
+          var dy = 0
+          while (dy < k) {
+            var dx = 0
+            while (dx < k) {
+              val p = img.getRGB(ox * k + dx, oy * k + dy)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              dx += 1
+            }
+            dy += 1
+          }
+          val n = k * k
+          out.setRGB(ox, oy, ((sr / n) << 16) | ((sg / n) << 8) | (sb / n))
+          ox += 1
+        }
+        oy += 1
+      }
+      out
+    }
+
+    // --- frame container: "GFRM" + int32 count + (int32 len + bytes)* ---
+    private val Magic = Array[Byte]('G', 'F', 'R', 'M')
+
+    def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val baos = new ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(baos)
+      out.write(Magic); out.writeInt(frames.size)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      baos.toByteArray
+    }
+
+    def unpackFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+      if (payload.length < 8 || payload(0) != 'G' || payload(1) != 'F' ||
+          payload(2) != 'R' || payload(3) != 'M') return Seq.empty
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(payload, 4, payload.length - 4))
+      try {
+        val n = in.readInt()
+        (0 until n).map { _ =>
+          val len = in.readInt()
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          buf
+        }
+      } catch { case _: java.io.IOException => Seq.empty }
     }
   }
 
-  /** Partition-local featurization: mapPartitions over (id, payload) batches
-    * — the Scala analogue of a pandas-UDF `mapInPandas` stage. Binary data
-    * stays inside its input partition; output is narrow (id + features) so
-    * downstream shuffles never move payload bytes. */
+  /** Attach a real PNG payload per row (the image-modality fixture):
+    * partition-local generate+encode, meta carries the true dimensions. */
+  def attachImagePayload(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val ids: Dataset[Long] = df.select(col(idCol).cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id => (id, ImageFixture.png(id), ImageFixture.width(id), ImageFixture.height(id)) }
+    }.toDF(idCol, "payload", "gen_width", "gen_height")
+      .withColumn("meta", struct(
+        lit("image").as("kind"), lit("image/png").as("mime"),
+        col("gen_width").as("width"), col("gen_height").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("long").as("duration_ms")))
+      .drop("gen_width", "gen_height")
+  }
+
+  /** Attach a multi-frame payload per row (the video-modality fixture):
+    * n real PNG frames in the GFRM container. */
+  def attachVideoPayload(spark: SparkSession, df: DataFrame, idCol: String,
+                         nFrames: Int): DataFrame = {
+    import spark.implicits._
+    val ids: Dataset[Long] = df.select(col(idCol).cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id => (id, ImageFixture.video(id, nFrames)) }
+    }.toDF(idCol, "payload")
+      .withColumn("meta", struct(
+        lit("video").as("kind"), lit("video/x-graft-frames").as("mime"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(nFrames.toLong * 40L).as("duration_ms")))
+  }
+
+  private def statsOf(id: Long, bytes: Array[Byte]): ImgStats =
+    ImageCodec.decode(bytes) match {
+      case Some(img) =>
+        val (w, h, sr, sg, sb, qr, qg, qb) = ImageCodec.channelStats(img)
+        ImgStats(id, decode_ok = true, bytes.length, Some(w), Some(h),
+          Some(sr), Some(sg), Some(sb), Some(qr), Some(qg), Some(qb))
+      case None =>
+        ImgStats(id, decode_ok = false, bytes.length,
+          None, None, None, None, None, None, None, None)
+    }
+
+  /** Partition-local featurization over REAL decode: each payload is decoded
+    * with ImageIO and reduced to per-channel pixel statistics. Undecodable
+    * payloads fail soft (`decode_ok = false`, null stats) — the dead-letter
+    * pattern, so one corrupt object cannot kill a 100 TB scan. Output is
+    * narrow (id + stats); the binary column dies here. */
   def featurize(spark: SparkSession, df: DataFrame, idCol: String,
                 payloadCol: String = "payload"): DataFrame = {
     import spark.implicits._
     val pairs: Dataset[(Long, Array[Byte])] =
       df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
     pairs.mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        (id, bytes.length, StubCodec.featurize(bytes))
-      }
-    }.toDF(idCol, "byte_len", "features")
+      it.map { case (id, bytes) => statsOf(id, bytes) }
+    }.toDF().withColumnRenamed("id", idCol)
   }
 
-  /** Frame sampling: each payload expands partition-locally to `n`
-    * (id, frame_idx, frame) rows — a video becomes n image-ish payloads
-    * WITHOUT the parent payload ever crossing a shuffle; downstream
-    * featurize runs per frame. Output stays binary + narrow metadata. */
-  def frameSample(spark: SparkSession, df: DataFrame, idCol: String, n: Int,
+  /** Frame sampling: demux the GFRM container partition-locally into
+    * (id, frame_idx, frame) rows — each frame a standalone real PNG —
+    * WITHOUT the parent payload ever crossing a shuffle. */
+  def frameSample(spark: SparkSession, df: DataFrame, idCol: String,
                   payloadCol: String = "payload"): DataFrame = {
     import spark.implicits._
     val pairs: Dataset[(Long, Array[Byte])] =
       df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
     pairs.mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
-        StubCodec.frameSample(bytes, n).zipWithIndex.map {
+        ImageCodec.unpackFrames(bytes).zipWithIndex.map {
           case (frame, idx) => (id, idx, frame)
         }
       }
     }.toDF(idCol, "frame_idx", "frame")
   }
 
-  /** Resize: partition-local payload re-sampling to a byte budget, with
-    * the metadata struct updated to the target dimensions. The payload
-    * column is REPLACED (old bytes are never carried alongside) so the
-    * narrowest schema flows downstream. */
-  def resize(spark: SparkSession, df: DataFrame, idCol: String,
-             targetBytes: Int, payloadCol: String = "payload"): DataFrame = {
+  /** Demux + per-frame real decode + stats in one partition-local pass —
+    * the fused shape a production video pipeline uses (frames never
+    * materialize outside the partition that owns the container). */
+  def frameStats(spark: SparkSession, df: DataFrame, idCol: String,
+                 payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    val pairs: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+    pairs.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        ImageCodec.unpackFrames(bytes).zipWithIndex.map { case (frame, idx) =>
+          ImageCodec.decode(frame) match {
+            case Some(img) =>
+              val (w, h, sr, sg, sb, _, _, _) = ImageCodec.channelStats(img)
+              FrameStats(id, idx, decode_ok = true, Some(w), Some(h),
+                Some(sr), Some(sg), Some(sb))
+            case None =>
+              FrameStats(id, idx, decode_ok = false, None, None, None, None, None)
+          }
+        }
+      }
+    }.toDF().withColumnRenamed("id", idCol)
+  }
+
+  /** Resize: partition-local decode → exact k×k block-average on the real
+    * raster → PNG re-encode. The payload column is REPLACED (old bytes are
+    * never carried alongside) so the narrowest schema flows downstream.
+    * Undecodable payloads pass through untouched (fail-soft). */
+  def resize(spark: SparkSession, df: DataFrame, idCol: String, factor: Int,
+             payloadCol: String = "payload"): DataFrame = {
     import spark.implicits._
     val pairs: Dataset[(Long, Array[Byte])] =
       df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
     pairs.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        (id, StubCodec.resize(bytes, targetBytes))
+        ImageCodec.decode(bytes) match {
+          case Some(img) => (id, ImageCodec.encodePng(ImageCodec.blockResize(img, factor)))
+          case None      => (id, bytes)
+        }
       }
     }.toDF(idCol, payloadCol)
   }

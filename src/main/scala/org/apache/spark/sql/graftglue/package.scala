@@ -23,6 +23,13 @@ object GraftGlue {
   def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
+        // Spark WARNs ("locally checkpointed ... cannot be recomputed after
+        // unpersisting") on every such unpersist via the concrete RDD
+        // class's logger. The release is deliberate — the frame is dead by
+        // contract — so mute exactly that logger (not rdd.* wholesale);
+        // at 100 bench queries the flood would bury real warnings.
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          l.rdd.getClass.getName, org.apache.logging.log4j.Level.ERROR)
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }

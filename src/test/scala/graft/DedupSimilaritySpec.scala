@@ -264,32 +264,71 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(audit(8L) == (1L, 0L))
   }
 
-  test("multimodal: frame sampling and resize plumbing") {
-    val withPayload = Multimodal.attachPayload(docs, "text")
-    val frames = Multimodal.frameSample(spark, withPayload, "doc_id", n = 4)
-    val f = frames.filter(col("doc_id") === 1L).orderBy("frame_idx").collect()
-    assert(f.length == 4)
-    val whole = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
-    assert(f.map(_.getAs[Array[Byte]]("frame").length).sum == whole.length)
-    assert(f(0).getAs[Array[Byte]]("frame").sameElements(
-      whole.slice(0, whole.length / 4)))
-    val resized = Multimodal.resize(spark, withPayload, "doc_id", 16)
-    assert(resized.collect().forall(_.getAs[Array[Byte]]("payload").length == 16))
+  test("multimodal: real PNG round trip — decoded stats match the fixture formula") {
+    val withPayload = Multimodal.attachImagePayload(spark, docs, "doc_id")
+    // payloads are genuine PNGs (magic bytes)
+    val payload = withPayload.filter(col("doc_id") === 1L).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    assert((payload(0) & 0xff) == 0x89 && payload(1) == 'P' && payload(2) == 'N')
+    val out = Multimodal.featurize(spark, withPayload, "doc_id")
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("decode_ok"))
+      val (w, h) = (Multimodal.ImageFixture.width(id), Multimodal.ImageFixture.height(id))
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      val expSumR = (for (x <- 0 until w; y <- 0 until h)
+        yield Multimodal.ImageFixture.r(id, 0, x, y).toLong).sum
+      assert(r.getAs[Long]("sum_r") == expSumR)
+    }
   }
 
-  test("multimodal: deterministic stub featurize, byte lengths real") {
-    val withPayload = Multimodal.attachPayload(docs, "text")
-    val out = Multimodal.featurize(spark, withPayload, "doc_id")
-    val r = out.orderBy("doc_id").collect()
-    assert(r(0).getAs[Int]("byte_len") ==
-      "the quick brown fox jumps over the lazy dog".getBytes("UTF-8").length)
-    val f1 = r(0).getAs[scala.collection.Seq[Float]]("features").toSeq
-    assert(f1.size == Multimodal.StubCodec.featureDim)
-    // determinism
-    val again = Multimodal.featurize(spark, withPayload, "doc_id")
-      .orderBy("doc_id").collect()(0)
-      .getAs[scala.collection.Seq[Float]]("features").toSeq
-    assert(f1 == again)
+  test("multimodal: undecodable payload fails soft with decode_ok=false") {
+    val junk = Seq((1L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val r = Multimodal.featurize(spark, junk, "doc_id").collect()(0)
+    assert(!r.getAs[Boolean]("decode_ok"))
+    assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("sum_r")))
+  }
+
+  test("multimodal: frame container demux + per-frame real decode") {
+    val withPayload = Multimodal.attachVideoPayload(spark, docs, "doc_id", nFrames = 3)
+    val frames = Multimodal.frameSample(spark, withPayload, "doc_id")
+    val f = frames.filter(col("doc_id") === 1L).orderBy("frame_idx").collect()
+    assert(f.length == 3)
+    // each frame is an independently decodable real PNG
+    f.foreach { row =>
+      val img = Multimodal.ImageCodec.decode(row.getAs[Array[Byte]]("frame"))
+      assert(img.isDefined)
+      assert(img.get.getWidth == Multimodal.ImageFixture.width(1L))
+    }
+    // fused frameStats agrees with the per-frame formula
+    val st = Multimodal.frameStats(spark, withPayload, "doc_id")
+      .filter(col("doc_id") === 1L).orderBy("frame_idx").collect()
+    assert(st.length == 3)
+    st.zipWithIndex.foreach { case (r, fi) =>
+      val (w, h) = (Multimodal.ImageFixture.width(1L), Multimodal.ImageFixture.height(1L))
+      val expSumG = (for (x <- 0 until w; y <- 0 until h)
+        yield Multimodal.ImageFixture.g(1L, fi, x, y).toLong).sum
+      assert(r.getAs[Long]("sum_g") == expSumG)
+    }
+  }
+
+  test("multimodal: block-average resize is exact integer arithmetic") {
+    val withPayload = Multimodal.attachImagePayload(spark, docs, "doc_id")
+    val resized = Multimodal.resize(spark, withPayload, "doc_id", factor = 2)
+    val r = Multimodal.featurize(spark, resized, "doc_id")
+      .filter(col("doc_id") === 2L).collect()(0)
+    val id = 2L
+    val (w, h) = (Multimodal.ImageFixture.width(id), Multimodal.ImageFixture.height(id))
+    assert(r.getAs[Int]("width") == w / 2 && r.getAs[Int]("height") == h / 2)
+    val expSumB = (for (ox <- 0 until w / 2; oy <- 0 until h / 2) yield {
+      val s = Multimodal.ImageFixture.b(id, 0, 2 * ox, 2 * oy) +
+        Multimodal.ImageFixture.b(id, 0, 2 * ox + 1, 2 * oy) +
+        Multimodal.ImageFixture.b(id, 0, 2 * ox, 2 * oy + 1) +
+        Multimodal.ImageFixture.b(id, 0, 2 * ox + 1, 2 * oy + 1)
+      (s / 4).toLong
+    }).sum
+    assert(r.getAs[Long]("sum_b") == expSumB)
   }
 
   test("IVF index: build once, serve many probe batches identically") {
