@@ -6,6 +6,17 @@ import org.apache.spark.sql.SparkSession
   * map-only queries look free). Failures are recorded and surfaced, never
   * folded into a fast-looking timing. */
 object Bench {
+  /** Sub-component timings registered by query closures (q57 splits its
+    * driver-side ivfBuild fit from the executor-side probe batches so
+    * driver-thread noise can never masquerade as probe cost). Re-timed
+    * runs keep the MIN per component, matching the per-query discipline.
+    * Merged into BENCH_LOCAL's detail JSON under "components". */
+  private val componentTimes =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  def recordComponent(name: String, sec: Double): Unit =
+    componentTimes.merge(name, sec,
+      (a, b) => java.lang.Double.valueOf(math.min(a, b)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -79,6 +90,12 @@ object Bench {
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def sec2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def shortKey(k: String): String = k.takeWhile(_ != '_')
+    // two names sharing a qNN prefix would silently emit duplicate JSON
+    // keys and lose a timing — fail loud instead
+    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+      "bench short keys collide: " + results.map(r => shortKey(r._1))
+        .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+        .mkString(","))
     val qs = results.map { case (k, v, _) => "\"" + shortKey(k) + "\":" + sec2(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(err)) =>
@@ -92,7 +109,13 @@ object Bench {
         .mkString("{", ",", "}")
       val df = results.collect { case (k, _, Some(err)) =>
         "\"" + k + "\":\"" + esc(err) + "\"" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$dq,"failed":$df,"sf":"$sfDir"}"""
+      val comps = {
+        import scala.jdk.CollectionConverters._
+        componentTimes.asScala.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + esc(k) + "\":" + sec(v) }
+          .mkString("{", ",", "}")
+      }
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$dq,"failed":$df,"components":$comps,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),

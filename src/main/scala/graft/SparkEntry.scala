@@ -56,8 +56,15 @@ object SparkEntry {
   private[graft] def filterQueries(spec: Option[String])
       : Map[String, (SparkSession, String) => DataFrame] =
     spec.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
-      case Some(terms) => queries.filter { case (n, _) =>
-        terms.exists(t => n == t || n.startsWith(t + "_")) }
+      case Some(terms) =>
+        // fail loud on terms that select nothing: a typo (q999) would
+        // otherwise run a silently-shrunken suite and report success
+        val dead = terms.filterNot(t =>
+          queries.keys.exists(n => n == t || n.startsWith(t + "_")))
+        require(dead.isEmpty,
+          s"filter terms match no query: ${dead.mkString(",")}")
+        queries.filter { case (n, _) =>
+          terms.exists(t => n == t || n.startsWith(t + "_")) }
       case None => queries
     }
 
@@ -458,7 +465,15 @@ object SparkEntry {
       // is released — nothing persists past the query. Rows-only check:
       // per-batch correctness is q38's oracle + the unit spec.
       val emb = t(s, dir, "embeddings")
+      // build vs probe timed separately (Bench "components"): the k-means
+      // fit is DRIVER-side single-threaded compute — on a shared host it is
+      // steal-exposed in a way the executor-side probes are not, and folding
+      // both into one number made that indistinguishable (round-6 verdict)
+      val tBuild = System.nanoTime()
       val idx = Similarity.ivfBuild(emb, nLists = 32)
+      idx.assigned.write.format("noop").mode("overwrite").save()
+      Bench.recordComponent("q57_build", (System.nanoTime() - tBuild) / 1e9)
+      val tProbe = System.nanoTime()
       val out = (0 until 4).map { b =>
           Similarity.ivfQuery(idx,
             emb.filter(col("vec_id") % 100 === b), k = 5, nProbe = 8)
@@ -466,6 +481,7 @@ object SparkEntry {
         .groupBy(col("rank").cast("long").as("rank"))
         .agg(count(lit(1)).as("n"), sum(col("neighbor_id")).as("sum_neighbor"))
         .localCheckpoint(true)
+      Bench.recordComponent("q57_probe", (System.nanoTime() - tProbe) / 1e9)
       idx.assigned.unpersist()
       out
     }),

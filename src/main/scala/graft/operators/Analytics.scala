@@ -178,11 +178,19 @@ object Analytics {
         // decimal inflow sum: a hub can receive up to the whole graph's
         // mass, which overflows long partials before the final div
         .agg(sum(col("__c").cast("decimal(38,0)")).as("__in"))
+      // fail-loud overflow guard: under ansi=false a decimal->long cast
+      // past long range silently NULLs every downstream rank; the
+      // documented unitScale * |V| bound is ENFORCED, not just advised
+      // (same discipline as embeddingCentroids' quantization guard)
+      val nextUnits = lit(base) + expr(
+        "coalesce(__in, cast(0 as decimal(38,0))) * 85 div 100")
       val next = nodes.join(inflow, col("id") === col("__dst"), "left")
         .select(col("id"),
-          (lit(base) + expr(
-            "coalesce(__in, cast(0 as decimal(38,0))) * 85 div 100"))
-            .cast("long").as("rank_units"))
+          when(nextUnits > lit(Long.MaxValue), raise_error(concat(
+              lit("pagerank rank_units overflow (unitScale * |V| exceeds "),
+              lit("long range) — lower unitScale: "),
+              nextUnits.cast("string"))))
+            .otherwise(nextUnits.cast("long")).as("rank_units"))
         .localCheckpoint(true)
       GraftGlue.releaseCheckpoint(r)
       r = next

@@ -268,15 +268,17 @@ object Curate {
         exactSum = true)
       .join(df.select(col(idCol), col(strataCol)), Seq(idCol))
       .localCheckpoint(true)
-    val loL = s"p${math.round(loQ * 100)}"
-    val hiL = s"p${math.round(hiQ * 100)}"
+    // labels come from the SAME formatter exactQuantiles uses — no
+    // duplicated formula to drift
+    val loL = graft.functions.Stats.quantileLabel(loQ)
+    val hiL = graft.functions.Stats.quantileLabel(hiQ)
     val thr = graft.functions.Stats.exactQuantiles(scores, Seq(strataCol),
         "mean_logprob", Seq(loQ, hiQ))
       .withColumnRenamed(strataCol, "__thr_strata")
     // null-safe threshold join: exactQuantiles emits a NULL-stratum row
     // (groupBy keeps NULL groups), and docs with missing strata must land
     // in ITS buckets, not silently vanish from the output
-    scores.join(broadcast(thr),
+    val out = scores.join(broadcast(thr),
         col(strataCol) <=> col("__thr_strata"))
       .withColumn("bucket",
         when(col("mean_logprob") <= col(loL), "tail")
@@ -284,6 +286,13 @@ object Curate {
           .otherwise("head"))
       .select(col(idCol), col(strataCol), col("mean_logprob"),
         col("bucket"))
+      // materialize the final frame, then release the score checkpoint —
+      // the same blocks-don't-outlive-the-call discipline as
+      // Analytics.pagerank/Dedup.clusters; without this, repeated calls
+      // in a long-lived session accumulate checkpoint blocks until GC
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(scores)
+    out
   }
 
   /** Salted pseudonymization: replace identifier columns with a stable

@@ -360,6 +360,25 @@ class CurateSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(regrown == out.map(_._1).toSet)
   }
+  test("mixCorpus strata-count collect is |targetShares|-bounded on a " +
+      "high-cardinality stratum column") {
+    // 1000 distinct strata, 2 targets: the driver-side counts map must be
+    // bounded by the TARGETS (pre-filtered before the groupBy/collect),
+    // not by the column's cardinality — a URL-host stratum column at
+    // corpus scale would otherwise be a driver-scale collect
+    val wide = (1L to 2000L).map(i => (i, s"host$i"))
+      .toDF("id", "src")
+      .unionByName(Seq((9001L, "keepA"), (9002L, "keepA"), (9003L, "keepB"))
+        .toDF("id", "src"))
+    val counts = Curate.strataCounts(wide, "src", Seq("keepA", "keepB"))
+    assert(counts.size <= 2, s"collect not bounded: ${counts.size} entries")
+    assert(counts == Map("keepA" -> 2L, "keepB" -> 1L))
+    // and the mix itself only ever emits target strata
+    val mixed = Curate.mixCorpus(wide, "src", "id",
+      Map("keepA" -> 0.5, "keepB" -> 0.5), budget = 10L)
+    assert(mixed.select("src").distinct().as[String].collect().toSet
+      .subsetOf(Set("keepA", "keepB")))
+  }
   test("row-local curation ops are streaming-safe: hashSample and " +
       "splitCorpus run unchanged on a stream with batch-identical output") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
