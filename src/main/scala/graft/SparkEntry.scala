@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Coercions
 import graft.operators.{Curate, Dedup, Joins, Merge, Multimodal, Relevance, Similarity}
-import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.functions.{Bpe, BpeVocab, TextFunctions => T, VectorFunctions => V}
 import graft.queries.{AgentMetrics, ConnectFixtures}
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -613,6 +613,29 @@ object SparkEntry {
       // per (shard, sequence) doc counts and fill levels
       Curate.packSequences(t(s, dir, "documents"), "text", "doc_id",
           budget = 512, shardCol = "source")
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("token_count")).as("sum_tokens"),
+          min(col("seq_offset")).as("first_offset"))
+    }),
+
+    "q103_bpe_token_count" -> ((s, dir) => {
+      // corpus-trained byte-pair encoding (committed vocab, BpeSpec pins
+      // provenance): token count = one row-local chain of codegen'd
+      // replaces; the oracle replays the SAME merge table in DuckDB.
+      // Whitespace proxy alongside for the fertility comparison.
+      t(s, dir, "documents").select(col("doc_id"),
+        Bpe.tokenCount(col("text"), BpeVocab.merges).cast("long").as("n_bpe"),
+        T.tokenCount(col("text")).cast("long").as("n_ws"))
+    }),
+
+    "q104_bpe_sequence_packing" -> ((s, dir) => {
+      // tokenizer-faithful q45: packing budgeted by the BPE count column
+      // instead of the whitespace proxy (tokenCountCol wiring)
+      val d = t(s, dir, "documents").withColumn("__bpe",
+        Bpe.tokenCount(col("text"), BpeVocab.merges).cast("long"))
+      Curate.packSequences(d, "text", "doc_id", budget = 2048,
+          shardCol = "source", tokenCountCol = Some("__bpe"))
         .groupBy(col("source"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("token_count")).as("sum_tokens"),
@@ -3009,6 +3032,30 @@ dim_users_litify AS (
            MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN value END) AS p95,
            MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN value END) AS p99
          FROM ranked GROUP BY event_type""",
+
+    "q103_bpe_token_count" -> {
+      val bpe = Bpe.oracleTokenCountSql("text", BpeVocab.merges)
+      s"""SELECT doc_id, CAST($bpe AS BIGINT) AS n_bpe,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+           x -> x != '')) AS BIGINT) AS n_ws
+         FROM documents"""
+    },
+
+    "q104_bpe_sequence_packing" -> {
+      val bpe = Bpe.oracleTokenCountSql("text", BpeVocab.merges)
+      s"""WITH toks AS (SELECT doc_id, source,
+           COALESCE(CAST($bpe AS BIGINT), 0) AS token_count
+         FROM documents),
+         packed AS (SELECT source, doc_id, token_count,
+           COALESCE(SUM(token_count) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         FROM toks)
+         SELECT source, CAST(cum // 2048 AS BIGINT) AS seq_id,
+           COUNT(1) AS n_docs,
+           CAST(SUM(token_count) AS BIGINT) AS sum_tokens,
+           CAST(MIN(cum % 2048) AS BIGINT) AS first_offset
+         FROM packed GROUP BY 1, 2"""
+    },
 
     "q45_sequence_packing" ->
       """WITH toks AS (SELECT doc_id, source,

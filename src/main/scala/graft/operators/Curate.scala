@@ -434,17 +434,24 @@ object Curate {
     * global sort exists — the window is then one shuffle on the shard
     * key, never a single-partition sort. */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
-                    budget: Int, shardCol: String): DataFrame = {
+                    budget: Int, shardCol: String,
+                    tokenCountCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // NULL text contributes zero tokens (legacy size(NULL) = -1 would
-    // corrupt the running sum); exact integer division — the double-going
-    // `/` would go inexact past 2^53 cumulative tokens
-    df.withColumn("token_count",
-        when(col(textCol).isNull, lit(0L))
-          .otherwise(T.tokenCount(col(textCol)).cast("long")))
+    // budget source: a caller-provided count column (e.g. the BPE count
+    // from graft.functions.Bpe — tokenizer-faithful packing) or the
+    // whitespace proxy. Either way NULL contributes zero tokens (legacy
+    // size(NULL) = -1 would corrupt the running sum); exact integer
+    // division — the double-going `/` would go inexact past 2^53
+    // cumulative tokens
+    val cnt = tokenCountCol match {
+      case Some(c) => coalesce(col(c).cast("long"), lit(0L))
+      case None => when(col(textCol).isNull, lit(0L))
+        .otherwise(T.tokenCount(col(textCol)).cast("long"))
+    }
+    df.withColumn("token_count", cnt)
       .withColumn("__cum", coalesce(sum(col("token_count")).over(w), lit(0L)))
       .withColumn("seq_id", expr(s"__cum DIV $budget"))
       .withColumn("seq_offset", (col("__cum") % budget).cast("long"))
@@ -515,7 +522,9 @@ object Curate {
     * at all; output size is input tokens x (chunkSize/stride) by
     * construction. Output: (idCol, chunk_id, chunk_text, n_tokens). */
   def chunkSliding(df: DataFrame, textCol: String, idCol: String,
-                   chunkSize: Int, stride: Int): DataFrame = {
+                   chunkSize: Int, stride: Int,
+                   tokensCol: Option[String] = None,
+                   joinSep: String = " "): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
     require(stride >= 1 && stride <= chunkSize,
       s"stride must be in [1, chunkSize]: $stride")
@@ -523,12 +532,19 @@ object Curate {
     val n = size(tks)
     val nChunks = when(n <= chunkSize, lit(1L)).otherwise(
       lit(1L) + ceil((n - chunkSize).cast("double") / stride).cast("long"))
-    df.withColumn("__toks", T.tokens(T.normalized(col(textCol))))
+    // token source: a caller-provided array column (e.g. BPE tokens via
+    // graft.functions.Bpe — then pass joinSep="" so chunk_text re-joins
+    // the merged-char encoding losslessly) or the whitespace tokenizer
+    val toks = tokensCol match {
+      case Some(c) => col(c)
+      case None => T.tokens(T.normalized(col(textCol)))
+    }
+    df.withColumn("__toks", toks)
       .filter(size(tks) > 0)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0L), nChunks - 1), i => struct(
           array_join(slice(tks, (i * stride + 1).cast("int"),
-            lit(chunkSize)), " ").as("chunk_text"),
+            lit(chunkSize)), joinSep).as("chunk_text"),
           least(lit(chunkSize.toLong), n.cast("long") - i * stride)
             .as("n_tokens")))))
       .select(col(idCol), col("pos").cast("long").as("chunk_id"),
@@ -587,14 +603,21 @@ object Curate {
     * exactly. */
   def mixCorpus(df: DataFrame, strataCol: String, idCol: String,
                 targetShares: Map[String, Double], budget: Long,
-                salt: String = "graft"): DataFrame = {
+                salt: String = "graft",
+                weightCol: Option[String] = None): DataFrame = {
     require(budget >= 1, s"budget must be >= 1: $budget")
     require(targetShares.nonEmpty, "need at least one stratum share")
     targetShares.foreach { case (s, w) =>
       require(w > 0.0 && w <= 1.0, s"share for '$s' must be in (0,1]: $w") }
     val total = targetShares.values.sum
     require(math.abs(total - 1.0) < 1e-9, s"shares must sum to 1: $total")
-    val counts = strataCounts(df, strataCol, targetShares.keys.toSeq)
+    // weightCol (e.g. a BPE token count from graft.functions.Bpe) switches
+    // the budget to WEIGHT units: stratum mass n_s = sum(weight), rate_s =
+    // min(1, budget * share_s / n_s), selection still per-document by the
+    // same portable hash — expected kept mass per stratum = budget*share_s,
+    // i.e. token-budgeted mixing with all of the doc-count mode's
+    // determinism/nesting guarantees
+    val counts = strataCounts(df, strataCol, targetShares.keys.toSeq, weightCol)
     val thresholds = targetShares.flatMap { case (s, share) =>
       counts.get(s).map { n =>
         val rate = math.min(1.0, budget.toDouble * share / n.toDouble)
@@ -614,11 +637,17 @@ object Curate {
     * driver-scale collect; dropped strata need no counts anyway).
     * Package-visible so the spec can pin the bound directly. */
   private[graft] def strataCounts(df: DataFrame, strataCol: String,
-                                  targetStrata: Seq[String]): Map[String, Long] =
+                                  targetStrata: Seq[String],
+                                  weightCol: Option[String] = None): Map[String, Long] = {
+    val mass = weightCol match {
+      case Some(w) => sum(coalesce(col(w).cast("long"), lit(0L)))
+      case None => count(lit(1))
+    }
     df.filter(col(strataCol).isin(targetStrata.map(lit(_)): _*))
-      .groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .groupBy(col(strataCol)).agg(mass.as("__n"))
       .collect().map(r => Option(r.get(0)).map(_.toString).orNull ->
         r.getLong(1)).toMap
+  }
 
   /** Per-group deterministic k-sample via the
     * [[graft.functions.BottomKSampleAgg]] bounded-heap aggregate: k

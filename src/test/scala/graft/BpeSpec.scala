@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Bpe, BpeVocab}
+import graft.operators.Curate
+
+/** The corpus-trained BPE contract: committed-vocab provenance, Spark vs
+  * driver encoder parity, and the tokenCountCol/tokensCol/weightCol wiring
+  * into the layout operators. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsParquet = "/root/testdata/sf0.001/documents.parquet"
+
+  test("committed vocab IS the trainer's output on the fixture corpus") {
+    val f = new java.io.File(docsParquet)
+    assume(f.exists(), s"fixture corpus missing: $docsParquet")
+    val texts = graft.tools.BpeTrain.corpus(spark, docsParquet)
+    // fingerprint guard: a REGENERATED fixture corpus should skip (the
+    // vocab would legitimately differ), not false-fail
+    assume(graft.tools.BpeTrain.fingerprint(texts) == BpeVocab.corpusFingerprint,
+      "fixture corpus changed since the vocab was trained")
+    assert(Bpe.train(texts, BpeVocab.merges.size) == BpeVocab.merges)
+  }
+
+  test("Spark column encoder == driver reference encoder (counts + string)") {
+    val samples = Seq(
+      "the quick brown fox", "spark sort sort sort fast", "a", "", "   ",
+      "UPPER Case & punct! 123", "aaa aaaa aaaaa")
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        Bpe.applyMerges(col("text"), BpeVocab.merges).as("enc"),
+        Bpe.tokenCount(col("text"), BpeVocab.merges).as("n"))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      val expected = Bpe.encodeStr(samples(r.getLong(0).toInt), BpeVocab.merges)
+      assert(r.getString(1) == expected)
+      assert(r.getInt(2) == expected.length)
+    }
+    // merges strictly compress vs raw normalized length on real text
+    val raw = Bpe.normalizeStr(samples.head).length
+    assert(Bpe.encodeStr(samples.head, BpeVocab.merges).length < raw)
+  }
+
+  test("trainer is deterministic and order-independent") {
+    val texts = Seq("low lower lowest", "new newer newest", "low low new")
+    val a = Bpe.train(texts, 10)
+    val b = Bpe.train(texts.reverse, 10)
+    assert(a == b)
+    assert(a.nonEmpty)
+    // early stop: no pair occurs twice -> fewer merges than asked
+    assert(Bpe.train(Seq("ab"), 10).size <= 1)
+  }
+
+  test("packSequences honors a caller-provided tokenCountCol") {
+    val df = Seq((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "a"))
+      .toDF("id", "text", "src")
+      .withColumn("my_count", col("id") * 100)
+    val out = Curate.packSequences(df, "text", "id", budget = 250,
+        shardCol = "src", tokenCountCol = Some("my_count"))
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("token_count")).toSeq == Seq(100L, 200L, 300L))
+    // cum = 0, 100, 300 -> seq_id = 0, 0, 1
+    assert(out.map(_.getAs[Long]("seq_id")).toSeq == Seq(0L, 0L, 1L))
+  }
+
+  test("mixCorpus weightCol budgets by token mass, not doc count") {
+    // two strata, same doc counts, 10x different weight mass
+    val docs = ((1L to 100L).map(i => (i, "light", 10L)) ++
+      (101L to 200L).map(i => (i, "heavy", 100L))).toDF("id", "src", "w")
+    val counts = Curate.strataCounts(docs, "src", Seq("light", "heavy"),
+      weightCol = Some("w"))
+    assert(counts == Map("light" -> 1000L, "heavy" -> 10000L))
+    val mixed = Curate.mixCorpus(docs, "src", "id",
+        Map("light" -> 0.5, "heavy" -> 0.5), budget = 2000L,
+        weightCol = Some("w"))
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    // light: budget share 1000 tokens / 1000 mass -> rate 1.0, keep all 100
+    assert(mixed("light") == 100L)
+    // heavy: 1000 / 10000 -> rate 0.1 of docs (hash-deterministic band)
+    assert(mixed("heavy") < 30L && mixed("heavy") > 1L, mixed.toString)
+  }
+
+  test("chunkSliding over BPE tokens rejoins losslessly with joinSep empty") {
+    val df = Seq((1L, "spark fast spark fast spark")).toDF("id", "text")
+      .withColumn("bpe", split(Bpe.applyMerges(col("text"), BpeVocab.merges), ""))
+    val chunks = Curate.chunkSliding(df, "text", "id", chunkSize = 4,
+        stride = 4, tokensCol = Some("bpe"), joinSep = "")
+      .orderBy("chunk_id").collect()
+    val enc = Bpe.encodeStr("spark fast spark fast spark", BpeVocab.merges)
+    assert(chunks.map(_.getAs[String]("chunk_text")).mkString == enc)
+    assert(chunks.map(_.getAs[Long]("n_tokens")).sum == enc.length)
+  }
+}
