@@ -7,6 +7,7 @@ import graft.core.Coercions
 import graft.operators.{Curate, Dedup, Joins, Merge, Multimodal, Relevance, Similarity}
 import graft.functions.{Bpe, BpeVocab, TextFunctions => T, VectorFunctions => V}
 import graft.queries.{AgentMetrics, ConnectFixtures}
+import graft.streaming.StreamingNearDup
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the north_star extension operators), with a DuckDB
@@ -34,6 +35,46 @@ object SparkEntry {
   /** Exact, order-independent sum of a double expression. */
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(20,4)")).cast("double")
+
+  /** Run a STREAMING transform end-to-end — file source already attached
+    * by the caller — through a real `Trigger.AvailableNow` execution into
+    * a parquet sink, read the landed table back, aggregate it with `agg`,
+    * materialize, and clean up the sink/checkpoint dirs. This is the
+    * correctness harness for the streaming twins: the rows the driver
+    * hash-compares came out of the actual streaming engine (state store,
+    * watermarks, micro-batch planner), not the batch analyzer. */
+  private def streamToResult(s: SparkSession, streamed: DataFrame)
+                            (agg: DataFrame => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_")
+    try {
+      val q = streamed.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("append").start()
+      q.awaitTermination()
+      // localCheckpoint so the result survives the temp-dir cleanup below
+      agg(s.read.parquet(s"$base/out")).localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** File-source stream over one fixture table with a CONSTANT event-time
+    * column: every row inside one watermark window, so stream-vs-batch
+    * parity is exact (no arrival-horizon truncation to reason about). */
+  private def streamTable(s: SparkSession, dir: String,
+                          name: String): DataFrame = {
+    // the file source wants a DIRECTORY; the fixture table is one file in
+    // the shared sf dir, so scope the listing with a glob filter
+    val sch = s.read.parquet(s"$dir/$name.parquet").schema
+    s.readStream.schema(sch).option("pathGlobFilter", s"$name.parquet")
+      .parquet(dir)
+      .withColumn("__ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+  }
 
   private def ymd(c: Column): Column = date_format(c, "yyyy-MM-dd")
   private def ymdhms(c: Column): Column =
@@ -640,6 +681,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("token_count")).as("sum_tokens"),
           min(col("seq_offset")).as("first_offset"))
+    }),
+
+    "q105_streaming_curate" -> ((s, dir) => {
+      // the ACTUAL streaming execution path (file source -> watermark ->
+      // dropDuplicatesWithinWatermark state store -> AvailableNow -> parquet
+      // sink), hash-compared against the batch-semantics oracle. Counting
+      // per lang (a pure function of text, identical for all copies of a
+      // fingerprint) keeps the result arrival-order-invariant; count(1)
+      // equals COUNT(DISTINCT fp) only if the stream dedup actually
+      // deduplicated, so the state store is what's being checked
+      val curated = Curate.curateStream(streamTable(s, dir, "documents"),
+        "text", "__ts", keepLangs = Seq("en", "es"), minQuality = 0.3)
+      streamToResult(s, curated) { landed =>
+        landed.groupBy(T.langId(col("text")).as("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+      }
+    }),
+
+    "q106_streaming_neardup" -> ((s, dir) => {
+      // streaming LSH near-dup twin run through the real engine:
+      // flatMapGroupsWithState bucket state, emitted pairs landed in
+      // parquet; constant event time puts the whole corpus in one horizon
+      // so the pair SET equals the banded-LSH closed form the oracle
+      // replays (members capped per bucket in (ts,id)=id order)
+      // doc_id % 5 sample (the q26 discipline): the unigram-shingle fixture
+      // corpus is near-dup-dense, and the UNSAMPLED pair set (31k rows at
+      // sf0.01) would make this a result-volume benchmark, not a state
+      // -store check. Filter sits on the streamed frame -> pushed to scan.
+      val pairs = StreamingNearDup.pairs(
+        streamTable(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", "__ts", numHashes = 32, bands = 8,
+        threshold = 0.8, shingleN = 1, maxBucket = 256,
+        mode = Dedup.Portable)
+      streamToResult(s, pairs.toDF()) { landed =>
+        // per-band duplicate emissions collapse (same est from full sigs);
+        // id-sum checksums pin the exact pair SET, compactly
+        landed.select(col("a"), col("b"), col("est_jaccard")).distinct()
+          .groupBy(floor(col("est_jaccard") * 10).cast("long").as("jac_bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("a")).as("sum_a"), sum(col("b")).as("sum_b"))
+      }
     }),
 
     "q43_curation_audit" -> ((s, dir) => {
@@ -1694,6 +1776,76 @@ dim_users_litify AS (
        |    AS mean_quality,
        |  CAST(COUNT(fp) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups
        |FROM s GROUP BY source""".stripMargin
+  }
+
+  /** q105: batch-semantics closed form of the streaming curate pipeline —
+    * kept docs per language = DISTINCT fingerprints among filter-passing
+    * docs (stream keeps exactly one arrival per fp; lang is a function of
+    * the text so it is identical for every copy). Lang/quality mirrors are
+    * the q97 oracle expressions. */
+  private def q105OracleSql: String = {
+    def sc(set: Seq[String]) =
+      s"len(list_filter(tk, x -> x IN (${set.map(w => s"'$w'").mkString(",")})))"
+    val scores = T.langMarkers.map { case (l, ws) => l -> sc(ws) }
+    val g = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val langCase = scores.map { case (l, s) =>
+      s"WHEN $s > 0 AND $s = $g THEN '$l'" }.mkString(" ")
+    s"""WITH b AS (SELECT text,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS (SELECT text, fp,
+       |    CASE $langCase ELSE 'und' END AS lang,
+       |    ROUND(
+       |      LEAST(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |      (CASE WHEN length(text) = 0 THEN 0.0
+       |        ELSE CAST(length(text) - length(regexp_replace(text,
+       |          '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END) * 0.4 +
+       |      LEAST((CASE WHEN len(tk) = 0 THEN 0.0
+       |        ELSE CAST(len(list_filter(tk,
+       |          x -> x IN ('the','a','of','and','to','in','is')))
+       |          AS DOUBLE) / len(tk) END) * 5.0, 1.0) * 0.2,
+       |    4) AS q
+       |  FROM b)
+       |SELECT lang, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_docs
+       |FROM s WHERE lang IN ('en','es') AND q >= 0.3
+       |GROUP BY lang""".stripMargin
+  }
+
+  /** q106: closed form of the streaming LSH bucket semantics — candidate
+    * (a,b) iff a is among the first `maxBucket` members of some bucket (id
+    * order = arrival order under the constant event time) and b shares
+    * that bucket with a.id < b.id; emitted iff full-signature agreement
+    * >= threshold. Same Portable sketch mirrors as q25/q26. */
+  private def q106OracleSql: String = {
+    val mix = Dedup.mixConstants(32)
+    val sigList = (0 until 32).map { j =>
+      val (a, b) = mix(j)
+      s"list_min(list_transform(hs, h -> ${duckMix("h", a, b)}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH toks AS (SELECT doc_id AS id, $duckToks AS t
+       |  FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0),
+       |sh AS (SELECT id, ${duckShingles("t", 1)} AS s FROM toks),
+       |hs AS (SELECT id, list_transform(s, x -> ${duckHash("x")}) AS hs FROM sh),
+       |sig AS (SELECT id, $sigList AS sig FROM hs),
+       |banded AS (SELECT id, sig, b.band,
+       |    md5(array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
+       |      v -> CAST(v AS VARCHAR)), ',')) AS bkey
+       |  FROM sig, (SELECT unnest(range(8)) AS band) b),
+       |capped AS (SELECT * FROM banded
+       |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY id) <= 256),
+       |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM capped x JOIN banded y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+       |est0 AS (SELECT c.a, c.b,
+       |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 32
+       |      AS est_jaccard
+       |  FROM cand c JOIN sig sa ON sa.id = c.a JOIN sig sb ON sb.id = c.b)
+       |SELECT CAST(FLOOR(est_jaccard * 10) AS BIGINT) AS jac_bucket,
+       |  COUNT(1) AS n_pairs, CAST(SUM(a) AS BIGINT) AS sum_a,
+       |  CAST(SUM(b) AS BIGINT) AS sum_b
+       |FROM est0 WHERE est_jaccard >= 0.8 GROUP BY 1""".stripMargin
   }
 
   // ---- portable-hash oracle generators (q25/q26/q27/q37) -------------------
@@ -3032,6 +3184,10 @@ dim_users_litify AS (
            MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN value END) AS p95,
            MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN value END) AS p99
          FROM ranked GROUP BY event_type""",
+
+    "q105_streaming_curate" -> q105OracleSql,
+
+    "q106_streaming_neardup" -> q106OracleSql,
 
     "q103_bpe_token_count" -> {
       val bpe = Bpe.oracleTokenCountSql("text", BpeVocab.merges)

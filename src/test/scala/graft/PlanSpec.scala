@@ -70,4 +70,78 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.split("Exchange hashpartitioning").length - 1
     assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$p")
   }
+
+  test("q92 decontamination: grams are distinct'd BEFORE the explode on " +
+      "both sides — exactly two Generates, both under the gram join") {
+    // one Generate per side (corpus grams, reference grams); a third
+    // would mean the probe side re-expands grams above the join — the
+    // shape that turns an 8-byte-hash join into a per-gram blowup
+    val p = plan("q92_ngram_decontaminate")
+    val generates = p.split("Generate").length - 1
+    assert(generates == 2, s"expected 2 Generates, got $generates:\n$p")
+    // the reference-gram side aggregates to DISTINCT hashes before its
+    // broadcast (HashAggregate pair around an Exchange under the
+    // BroadcastExchange) — broadcasting raw grams would ship duplicates
+    assert(p.contains("BroadcastExchange"), s"reference not broadcast:\n$p")
+  }
+
+  test("q100 score pass (unigramLogProb): exactly the one term-key window " +
+      "shuffle plus the per-doc re-aggregation") {
+    // q100's own executedPlan is a checkpoint scan (the operator
+    // materializes eagerly to share the score pass), so the pin sits on
+    // the score operator itself: 2 hash exchanges — term window + doc_id
+    // aggregation — and the corpus-size side is a broadcast, not a join
+    // shuffle
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.operators.Relevance
+      .unigramLogProb(docs, "text", "doc_id", exactSum = true)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$p")
+    assert(p.contains("BroadcastExchange"), s"corpus count not broadcast:\n$p")
+  }
+
+  test("q98 pagerank: per-iteration stage cost is CONSTANT (lineage is " +
+      "cut per round, not regrown)") {
+    // the iterative-algorithm regression to guard against is superlinear
+    // plan growth (a dropped localCheckpoint makes round k replay rounds
+    // 1..k-1). Measuring submitted stages for 2/4/6 iterations: the two
+    // deltas must be equal (linear total = constant per-iteration) and
+    // small (the one contribution shuffle + its join/materialization
+    // stages, bounded by 8 per iteration with AQE retries)
+    val edges = {
+      import spark.implicits._
+      (0L until 60L).flatMap(i => Seq((i, (i + 1) % 60), (i, (i * 7) % 60)))
+        .toDF("src", "dst")
+    }
+    def stagesFor(iters: Int): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageSubmitted(
+            s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        graft.operators.Analytics.pagerank(edges, "src", "dst",
+          iterations = iters).count()
+        // listener bus is async: wait until the count is stable
+        var last = -1
+        var stable = 0
+        var spins = 0
+        while (stable < 3 && spins < 100) {
+          val c = counter.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+          Thread.sleep(50)
+          spins += 1
+        }
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val s2 = stagesFor(2); val s4 = stagesFor(4); val s6 = stagesFor(6)
+    val d1 = s4 - s2; val d2 = s6 - s4
+    assert(d1 == d2, s"per-iteration stage cost drifted: $s2/$s4/$s6")
+    assert(d1 <= 16, s"iterations too expensive: +${d1 / 2.0} stages/iter")
+  }
 }
