@@ -594,6 +594,30 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
     }),
 
+    "q107_audio_decode_stats" -> ((s, dir) => {
+      // REAL audio codec: PCM16 WAV fixture (AudioFixture arithmetic) ->
+      // javax.sound AudioSystem decode -> exact integer waveform stats;
+      // DuckDB replays the sample formula (WAV PCM is lossless)
+      val withPayload = Multimodal.attachAudioPayload(s, t(s, dir, "documents"), "doc_id")
+      Multimodal.audioFeaturize(s, withPayload, "doc_id")
+        .where(col("decode_ok"))
+        .select(col("doc_id"), col("n_samples").cast("long").as("n_samples"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("sum_s"), col("sumsq_s"), col("zero_cross"))
+    }),
+
+    "q108_audio_resample_stats" -> ((s, dir) => {
+      // REAL codec round trip x2: WAV encode -> decode -> 3x decimation on
+      // the decoded samples -> re-encode -> decode -> stats
+      val withPayload = Multimodal.attachAudioPayload(s, t(s, dir, "documents"), "doc_id")
+      val resampled = Multimodal.audioResample(s, withPayload, "doc_id", factor = 3)
+      Multimodal.audioFeaturize(s, resampled, "doc_id")
+        .where(col("decode_ok"))
+        .select(col("doc_id"), col("n_samples").cast("long").as("n_samples"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("sum_s"), col("zero_cross"))
+    }),
+
     "q44_salted_join" -> ((s, dir) => {
       // skew-salted equi-join: user_id % 5 concentrates 2M events onto 5
       // keys — the pathological reducer-melting shape; salting spreads
@@ -1847,6 +1871,45 @@ dim_users_litify AS (
        |  CAST(SUM(b) AS BIGINT) AS sum_b
        |FROM est0 WHERE est_jaccard >= 0.8 GROUP BY 1""".stripMargin
   }
+
+  /** Mirrors of Multimodal.AudioFixture — q107/q108 run the REAL
+    * javax.sound codec; the oracle replays the PCM sample arithmetic
+    * (WAV PCM16 is lossless). In lockstep with AudioFixture.{nSamples,
+    * sample} and AudioCodec.decimate. */
+  private def audioSample(i: String): String =
+    s"((doc_id*31 + ($i)*17) % 2003) - 1001"
+
+  private def q107OracleSql: String =
+    s"""WITH g AS (SELECT doc_id, 256 + doc_id % 128 AS n FROM documents),
+       |sm AS (SELECT doc_id, g.n, i.i AS i,
+       |    ${audioSample("i.i")} AS s,
+       |    CASE WHEN i.i > 0 THEN ${audioSample("i.i - 1")} END AS p
+       |  FROM g, (SELECT UNNEST(range(384)) AS i) i
+       |  WHERE i.i < g.n)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       |  CAST(8000 AS BIGINT) AS sample_rate,
+       |  CAST(SUM(s) AS BIGINT) AS sum_s,
+       |  CAST(SUM(s*s) AS BIGINT) AS sumsq_s,
+       |  CAST(SUM(CASE WHEN p IS NOT NULL AND
+       |    ((p < 0 AND s >= 0) OR (p >= 0 AND s < 0)) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS zero_cross
+       |FROM sm GROUP BY doc_id, n""".stripMargin
+
+  private def q108OracleSql: String =
+    s"""WITH g AS (SELECT doc_id, 256 + doc_id % 128 AS n,
+       |    (256 + doc_id % 128 + 2) // 3 AS m FROM documents),
+       |sm AS (SELECT doc_id, g.m, j.j AS j,
+       |    ${audioSample("3*j.j")} AS s,
+       |    CASE WHEN j.j > 0 THEN ${audioSample("3*(j.j - 1)")} END AS p
+       |  FROM g, (SELECT UNNEST(range(128)) AS j) j
+       |  WHERE j.j < g.m)
+       |SELECT doc_id, CAST(m AS BIGINT) AS n_samples,
+       |  CAST(2666 AS BIGINT) AS sample_rate,
+       |  CAST(SUM(s) AS BIGINT) AS sum_s,
+       |  CAST(SUM(CASE WHEN p IS NOT NULL AND
+       |    ((p < 0 AND s >= 0) OR (p >= 0 AND s < 0)) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS zero_cross
+       |FROM sm GROUP BY doc_id, m""".stripMargin
 
   // ---- portable-hash oracle generators (q25/q26/q27/q37) -------------------
   // The Spark side runs Dedup.Portable: base hash = decimal of the first 15
@@ -3184,6 +3247,10 @@ dim_users_litify AS (
            MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN value END) AS p95,
            MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN value END) AS p99
          FROM ranked GROUP BY event_type""",
+
+    "q107_audio_decode_stats" -> q107OracleSql,
+
+    "q108_audio_resample_stats" -> q108OracleSql,
 
     "q105_streaming_curate" -> q105OracleSql,
 

@@ -24,6 +24,12 @@ case class FrameStats(
     width: Option[Int], height: Option[Int],
     sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long])
 
+/** Decoded-waveform statistics row for [[Multimodal.audioFeaturize]]. */
+case class AudioStats(
+    id: Long, decode_ok: Boolean,
+    n_samples: Option[Int], sample_rate: Option[Int],
+    sum_s: Option[Long], sumsq_s: Option[Long], zero_cross: Option[Long])
+
 /** Multimodal column plumbing (BASELINE.json north_star): media payloads are
   * opaque `binary` columns with a typed metadata struct; decode /
   * feature-extract / resize / frame-sample run as partition-local batch
@@ -210,6 +216,147 @@ object Multimodal {
         }
       } catch { case _: java.io.IOException => Seq.empty }
     }
+  }
+
+  /** Deterministic synthetic-audio formulas — the audio cross-engine
+    * contract (mirrored in the q107/q108 oracle SQL): PCM16 mono samples
+    * generated from (id, i) integer arithmetic. */
+  object AudioFixture {
+    val sampleRate = 8000
+    def nSamples(id: Long): Int = (256 + (id % 128)).toInt   // 256..383
+    /** Sample i in [-1001, 1001] — well inside 16-bit range so decode
+      * round-trips exactly and decimation stays overflow-free. */
+    def sample(id: Long, i: Int): Int =
+      (((id * 31 + i.toLong * 17) % 2003) - 1001).toInt
+    def samples(id: Long): Array[Int] =
+      Array.tabulate(nSamples(id))(i => sample(id, i))
+    def wav(id: Long): Array[Byte] = AudioCodec.encodeWav(samples(id), sampleRate)
+  }
+
+  /** Real JDK audio codec: `javax.sound.sampled` WAV (RIFF/PCM16LE mono)
+    * decode + encode. Like the image tier, no stubs — `audioFeaturize`
+    * parses actual WAV bytes through AudioSystem and reduces the decoded
+    * samples to exact integer statistics. */
+  object AudioCodec {
+    /** PCM16LE mono WAV via the JDK's audio writer. */
+    def encodeWav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i)
+        require(s >= Short.MinValue && s <= Short.MaxValue, s"sample out of PCM16 range: $s")
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val baos = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
+    /** Decode WAV bytes through the REAL AudioSystem parser: None when the
+      * bytes are not a PCM16 mono WAV (fail-soft, like image decode). */
+    def decode(bytes: Array[Byte]): Option[(Array[Int], Int)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian) None
+        else {
+          val raw = ais.readAllBytes()
+          val out = new Array[Int](raw.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = ((raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff)).toShort.toInt
+            i += 1
+          }
+          Some((out, fmt.getSampleRate.toInt))
+        }
+      } catch { case _: Exception => None }
+
+    /** Exact waveform statistics: (n, rate, sum, sumSq, zeroCrossings) —
+      * all integer, cross-engine reproducible. */
+    def waveformStats(samples: Array[Int], rate: Int): (Int, Int, Long, Long, Long) = {
+      var (s, q, z) = (0L, 0L, 0L)
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i)
+        s += v; q += v.toLong * v
+        if (i > 0 && ((samples(i - 1) < 0 && v >= 0) || (samples(i - 1) >= 0 && v < 0))) z += 1
+        i += 1
+      }
+      (samples.length, rate, s, q, z)
+    }
+
+    /** Exact k-decimation on real decoded samples (every k-th sample,
+      * starting at 0) — deterministic resample both engines can replay;
+      * the declared rate scales with the kept samples. */
+    def decimate(samples: Array[Int], k: Int): Array[Int] = {
+      require(k >= 1, s"decimation factor must be >= 1: $k")
+      Array.tabulate((samples.length + k - 1) / k)(i => samples(i * k))
+    }
+  }
+
+  /** Attach a real WAV payload per row (the audio-modality fixture). */
+  def attachAudioPayload(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val ids: Dataset[Long] = df.select(col(idCol).cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id => (id, AudioFixture.wav(id)) }
+    }.toDF(idCol, "payload")
+      .withColumn("meta", struct(
+        lit("audio").as("kind"), lit("audio/wav").as("mime"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(AudioFixture.sampleRate).as("sample_rate"),
+        lit(null).cast("long").as("duration_ms")))
+  }
+
+  /** Partition-local audio featurization over REAL decode (AudioSystem):
+    * exact integer waveform stats, fail-soft on undecodable payloads, the
+    * binary column dies here — same contract as the image featurize. */
+  def audioFeaturize(spark: SparkSession, df: DataFrame, idCol: String,
+                     payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    val pairs: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+    pairs.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        AudioCodec.decode(bytes) match {
+          case Some((samples, rate)) =>
+            val (n, r, s, q, z) = AudioCodec.waveformStats(samples, rate)
+            AudioStats(id, decode_ok = true, Some(n), Some(r),
+              Some(s), Some(q), Some(z))
+          case None =>
+            AudioStats(id, decode_ok = false, None, None, None, None, None)
+        }
+      }
+    }.toDF().withColumnRenamed("id", idCol)
+  }
+
+  /** Resample (k-decimate): decode -> every k-th REAL sample -> WAV
+    * re-encode at the scaled rate. Payload replaced; fail-soft. */
+  def audioResample(spark: SparkSession, df: DataFrame, idCol: String,
+                    factor: Int, payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    val pairs: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+    pairs.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        AudioCodec.decode(bytes) match {
+          case Some((samples, rate)) =>
+            (id, AudioCodec.encodeWav(AudioCodec.decimate(samples, factor),
+              math.max(rate / factor, 1)))
+          case None => (id, bytes)
+        }
+      }
+    }.toDF(idCol, payloadCol)
   }
 
   /** Attach a real PNG payload per row (the image-modality fixture):

@@ -313,6 +313,55 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multimodal: JPEG decode path works (lossy — dims exact, stats near)") {
+    // the oracle tier uses PNG (lossless); this pins that the SAME decode
+    // path handles JPEG payloads: real ImageIO JPEG encode -> decode
+    val img = Multimodal.ImageFixture.image(5L)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val df = Seq((5L, baos.toByteArray)).toDF("doc_id", "payload")
+    val r = Multimodal.featurize(spark, df, "doc_id").collect()(0)
+    assert(r.getAs[Boolean]("decode_ok"))
+    assert(r.getAs[Int]("width") == Multimodal.ImageFixture.width(5L))
+    assert(r.getAs[Int]("height") == Multimodal.ImageFixture.height(5L))
+    // lossy but bounded: mean channel value within 25% of the source's
+    val n = Multimodal.ImageFixture.width(5L) * Multimodal.ImageFixture.height(5L)
+    val exact = (for (x <- 0 until Multimodal.ImageFixture.width(5L);
+                      y <- 0 until Multimodal.ImageFixture.height(5L))
+      yield Multimodal.ImageFixture.r(5L, 0, x, y).toLong).sum
+    assert(math.abs(r.getAs[Long]("sum_r") - exact).toDouble / (n * 255) < 0.25)
+  }
+
+  test("multimodal audio: real WAV round trip matches the fixture formula") {
+    val withPayload = Multimodal.attachAudioPayload(spark, docs, "doc_id")
+    // payloads are genuine RIFF/WAVE files
+    val wav = withPayload.filter(col("doc_id") === 1L).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val r = Multimodal.audioFeaturize(spark, withPayload, "doc_id")
+      .filter(col("doc_id") === 2L).collect()(0)
+    assert(r.getAs[Boolean]("decode_ok"))
+    val exp = Multimodal.AudioFixture.samples(2L)
+    assert(r.getAs[Int]("n_samples") == exp.length)
+    assert(r.getAs[Long]("sum_s") == exp.map(_.toLong).sum)
+    // junk fails soft
+    val junk = Seq((9L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val j = Multimodal.audioFeaturize(spark, junk, "doc_id").collect()(0)
+    assert(!j.getAs[Boolean]("decode_ok") && j.isNullAt(j.fieldIndex("sum_s")))
+  }
+
+  test("multimodal audio: decimation keeps every k-th real decoded sample") {
+    val withPayload = Multimodal.attachAudioPayload(spark, docs, "doc_id")
+    val res = Multimodal.audioResample(spark, withPayload, "doc_id", factor = 4)
+    val r = Multimodal.audioFeaturize(spark, res, "doc_id")
+      .filter(col("doc_id") === 3L).collect()(0)
+    val exp = Multimodal.AudioCodec.decimate(Multimodal.AudioFixture.samples(3L), 4)
+    assert(r.getAs[Int]("n_samples") == exp.length)
+    assert(r.getAs[Int]("sample_rate") == Multimodal.AudioFixture.sampleRate / 4)
+    assert(r.getAs[Long]("sumsq_s") == exp.map(v => v.toLong * v).sum)
+  }
+
   test("multimodal: block-average resize is exact integer arithmetic") {
     val withPayload = Multimodal.attachImagePayload(spark, docs, "doc_id")
     val resized = Multimodal.resize(spark, withPayload, "doc_id", factor = 2)
