@@ -36,7 +36,9 @@ object Explain {
     "q94_blocklist_filter", "q95_semantic_prune",
     "q96_embedding_centroids", "q97_corpus_report", "q98_pagerank",
     "q99_pseudonymize", "q100_perplexity_buckets",
-    "q101_standardize_embeddings")
+    "q101_standardize_embeddings", "q102_image_resize_stats",
+    "q103_bpe_token_count", "q104_bpe_sequence_packing",
+    "q107_audio_decode_stats", "q108_audio_resample_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
