@@ -594,6 +594,26 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
     }),
 
+    "q109_repeated_spans" -> ((s, dir) => {
+      // ExactSubstr-style sequence dedup (Lee et al. 2022), gram-wise:
+      // cross-document repeated 8-gram positions merged to maximal spans
+      Dedup.repeatedSpans(t(s, dir, "documents"), "text", "doc_id",
+          n = 8, minDf = 2, mode = Dedup.Portable)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_end") - col("span_start")).as("covered_tokens"),
+          sum(col("n_grams")).as("n_grams"))
+    }),
+
+    "q110_cut_repeated_spans" -> ((s, dir) => {
+      // the remedy: cut the repeated spans, keep the document; md5 of the
+      // rebuilt text pins the cut token-exactly on both engines
+      Dedup.cutRepeatedSpans(t(s, dir, "documents"), "text", "doc_id",
+          n = 8, minDf = 2, mode = Dedup.Portable)
+        .select(col("doc_id"), col("n_tokens_kept"), col("n_tokens_cut"),
+          md5(col("text")).as("text_md5"))
+    }),
+
     "q107_audio_decode_stats" -> ((s, dir) => {
       // REAL audio codec: PCM16 WAV fixture (AudioFixture arithmetic) ->
       // javax.sound AudioSystem decode -> exact integer waveform stats;
@@ -1871,6 +1891,59 @@ dim_users_litify AS (
        |  CAST(SUM(b) AS BIGINT) AS sum_b
        |FROM est0 WHERE est_jaccard >= 0.8 GROUP BY 1""".stripMargin
   }
+
+  /** Shared CTE chain for q109/q110: repeated-8-gram positions -> merged
+    * spans, the DuckDB replay of Dedup.repeatedSpans(n=8, minDf=2,
+    * Portable). Ends in `spans(doc_id, s, e, ng)` + carries `toks`. */
+  private def repeatedSpanCtes: String = {
+    val gram = duckHash("array_to_string(t[pos+1:pos+8], ' ')")
+    s"""toks AS (SELECT doc_id, $duckToks AS t FROM documents
+       |  WHERE text IS NOT NULL),
+       |pg AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos, t
+       |  FROM toks WHERE len(t) >= 8),
+       |hg AS (SELECT doc_id, pos, $gram AS h FROM pg),
+       |rep AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df
+       |  FROM hg GROUP BY h) WHERE df >= 2),
+       |fl AS (SELECT doc_id, pos FROM hg WHERE h IN (SELECT h FROM rep)),
+       |pm AS (SELECT doc_id, pos, MAX(pos + 8) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    AS prev_end
+       |  FROM fl),
+       |nw AS (SELECT doc_id, pos,
+       |    CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END
+       |      AS is_new
+       |  FROM pm),
+       |sp AS (SELECT doc_id, pos, SUM(is_new) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM nw),
+       |spans AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 8 AS e,
+       |    COUNT(1) AS ng
+       |  FROM sp GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def q109OracleSql: String =
+    s"""WITH $repeatedSpanCtes
+       |SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_spans,
+       |  CAST(SUM(e - s) AS BIGINT) AS covered_tokens,
+       |  CAST(SUM(ng) AS BIGINT) AS n_grams
+       |FROM spans GROUP BY doc_id""".stripMargin
+
+  private def q110OracleSql: String =
+    s"""WITH $repeatedSpanCtes,
+       |allpos AS (SELECT doc_id, unnest(range(len(t))) AS p, t FROM toks),
+       |cov AS (SELECT DISTINCT a.doc_id, a.p FROM allpos a
+       |  JOIN spans x ON a.doc_id = x.doc_id AND a.p >= x.s AND a.p < x.e),
+       |kept AS (SELECT a.doc_id, a.p, a.t[a.p + 1] AS tok
+       |  FROM allpos a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.p = c.p
+       |  WHERE c.p IS NULL),
+       |cleaned AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt,
+       |    COUNT(1) AS nk
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(c.nk, 0) AS BIGINT) AS n_tokens_kept,
+       |  CAST(len(d.t) - COALESCE(c.nk, 0) AS BIGINT) AS n_tokens_cut,
+       |  md5(COALESCE(c.txt, '')) AS text_md5
+       |FROM toks d LEFT JOIN cleaned c ON d.doc_id = c.doc_id""".stripMargin
 
   /** Mirrors of Multimodal.AudioFixture — q107/q108 run the REAL
     * javax.sound codec; the oracle replays the PCM sample arithmetic
@@ -3247,6 +3320,10 @@ dim_users_litify AS (
            MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN value END) AS p95,
            MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN value END) AS p99
          FROM ranked GROUP BY event_type""",
+
+    "q109_repeated_spans" -> q109OracleSql,
+
+    "q110_cut_repeated_spans" -> q110OracleSql,
 
     "q107_audio_decode_stats" -> q107OracleSql,
 

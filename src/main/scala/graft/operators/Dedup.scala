@@ -686,4 +686,99 @@ object Dedup {
       .select(col("__bid")).distinct()
     batch.join(hits, col(idCol) === col("__bid"), "left_anti")
   }
+
+  /** ExactSubstr-style repeated-span detection (the sequence-level dedup
+    * of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", re-expressed gram-wise for Spark): every token
+    * position starting an `n`-gram that occurs in >= `minDf` DISTINCT
+    * documents is "repeated"; overlapping repeated [pos, pos+n) windows
+    * merge into maximal spans per document. Unlike the suffix-array
+    * original this is gram-quantized (a repeat shorter than n is missed,
+    * a repeat of length L >= n is found exactly), which is what makes it
+    * distribute: no global suffix sort exists.
+    *
+    * Scale shape: one row-local shingle+hash pass; document frequency by
+    * ONE shuffle of compact (8-byte gram hash, id) pairs with map-side
+    * combine; flagged hashes rejoin the position rows on the same hash
+    * partitioning; the interval merge is one window shuffle on the doc
+    * key. Grams, not suffixes, cross the wire — and only flagged
+    * positions reach the merge. Short docs (< n tokens) emit nothing.
+    * Output: (idCol, span_start, span_end, n_grams) with token-index
+    * spans, span_end exclusive. */
+  def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                    n: Int = 8, minDf: Int = 2,
+                    mode: HashMode = Fast): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(minDf >= 2, s"minDf must be >= 2 (1 flags everything): $minDf")
+    val hashOf: Column => Column = mode match {
+      case Fast     => xxhash64(_)
+      case Portable => T.portableHash64(_)
+    }
+    val toks = T.tokens(T.normalized(col(textCol)))
+    val pos = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("__id"), posexplode(transform(
+        sequence(lit(0), size(col("__t")) - n),
+        i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))))
+      .select(col("__id"), col("pos"), hashOf(col("col")).as("__h"))
+    val repeated = pos.select(col("__h"), col("__id")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+    val flagged = pos.join(repeated, Seq("__h")).select(col("__id"), col("pos"))
+    // classic interval merge: a window start is "new" iff it begins after
+    // every earlier window ends; running sum of the flag numbers the spans
+    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    val prevMaxEnd = max(col("pos") + n).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("__new", when(prevMaxEnd.isNull ||
+        col("pos") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("__span", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__span"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + n).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        col("n_grams"))
+  }
+
+  /** Apply [[repeatedSpans]]: rebuild each document's text with every
+    * repeated span's tokens removed — the "cut the duplicated substring,
+    * keep the document" remedy (dropping whole documents for one shared
+    * boilerplate paragraph wastes the unique remainder). Span-owning
+    * docs get their kept tokens re-joined; span-free docs pass through
+    * with their normalized token stream intact (output text is always
+    * the normalized form, so the operation is idempotent).
+    *
+    * Scale shape: [[repeatedSpans]]'s cost plus ONE per-doc aggregation
+    * of its (few, merged) spans to an array and a broadcast-friendly
+    * left join back; the cut itself is a row-local HOF filter over token
+    * indices. Output: (idCol, textCol, n_tokens_kept, n_tokens_cut). */
+  def cutRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 8, minDf: Int = 2,
+                       mode: HashMode = Fast): DataFrame = {
+    val spans = repeatedSpans(df, textCol, idCol, n, minDf, mode)
+      .groupBy(col(idCol).as("__sid"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val toks = T.tokens(T.normalized(col(textCol)))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__t"))
+      .join(spans, col(idCol) === col("__sid"), "left")
+      // size=0 guard: sequence(0, -1) would generate a DESCENDING [0,-1]
+      .withColumn("__idx", when(size(col("__t")) === 0,
+          array().cast("array<int>"))
+        .otherwise(sequence(lit(0), size(col("__t")) - 1)))
+      .withColumn("__keep", filter(col("__idx"),
+        i => col("__spans").isNull || !exists(col("__spans"),
+          s => i >= s.getField("span_start") && i < s.getField("span_end"))))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("__keep"),
+          i => element_at(col("__t"), (i + 1).cast("int")))).as(textCol),
+        size(col("__keep")).cast("long").as("n_tokens_kept"),
+        (size(col("__t")) - size(col("__keep"))).cast("long")
+          .as("n_tokens_cut"))
+  }
 }

@@ -264,6 +264,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(audit(8L) == (1L, 0L))
   }
 
+  test("repeatedSpans: cross-doc repeated grams merge to maximal spans; " +
+      "unique and short docs emit nothing") {
+    val boiler = "one two three four five six seven eight"   // 8 tokens
+    val d = Seq(
+      (1L, s"alpha $boiler beta"),                  // span at tokens 1..8
+      (2L, s"$boiler gamma delta"),                 // span at tokens 0..7
+      (3L, "totally unique text with no repeats at all here ok"),
+      (4L, "short doc")                             // < 8 tokens
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(d, "text", "doc_id", n = 8, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 1L, 9L), (2L, 0L, 8L)))
+    // overlapping repeated windows merge into ONE maximal span
+    val two = Seq((1L, s"$boiler nine"), (2L, s"$boiler nine"))
+      .toDF("doc_id", "text")
+    val m = Dedup.repeatedSpans(two, "text", "doc_id", n = 8, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 9 tokens, two overlapping 8-gram starts (0 and 1) -> one span [0,9)
+    assert(m.toSet == Set((1L, 0L, 9L, 2L), (2L, 0L, 9L, 2L)))
+  }
+
+  test("cutRepeatedSpans removes exactly the span tokens and is idempotent") {
+    val boiler = "one two three four five six seven eight"
+    val d = Seq(
+      (1L, s"alpha $boiler beta"),
+      (2L, s"$boiler gamma delta"),
+      (3L, "untouched document stays normalized only")
+    ).toDF("doc_id", "text")
+    val cut = Dedup.cutRepeatedSpans(d, "text", "doc_id", n = 8, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(cut(1L) == ("alpha beta", 2L, 8L))
+    assert(cut(2L) == ("gamma delta", 2L, 8L))
+    assert(cut(3L) == ("untouched document stays normalized only", 5L, 0L))
+    // idempotent: cutting the cleaned corpus cuts nothing further
+    val again = Dedup.cutRepeatedSpans(
+        d.select(col("doc_id"), col("text")), "text", "doc_id", 8, 2)
+      .select("doc_id", "text")
+    val twice = Dedup.cutRepeatedSpans(again, "text", "doc_id", 8, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(twice.values.forall(_ == 0L), twice.toString)
+  }
+
   test("multimodal: real PNG round trip — decoded stats match the fixture formula") {
     val withPayload = Multimodal.attachImagePayload(spark, docs, "doc_id")
     // payloads are genuine PNGs (magic bytes)
