@@ -38,7 +38,8 @@ object Explain {
     "q99_pseudonymize", "q100_perplexity_buckets",
     "q101_standardize_embeddings", "q102_image_resize_stats",
     "q103_bpe_token_count", "q104_bpe_sequence_packing",
-    "q107_audio_decode_stats", "q108_audio_resample_stats")
+    "q107_audio_decode_stats", "q108_audio_resample_stats",
+    "q109_repeated_spans", "q110_cut_repeated_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
