@@ -219,4 +219,66 @@ class OperatorPropertySpec extends SparkSpec {
     assert(fast(rows.toDF("id", "s")) !=
       fast(rows.updated(3, (4L, "MUTATED")).toDF("id", "s")))
   }
+
+  test("Bpe: Spark encoder == reference encoder on randomized text, and " +
+      "token counts are merge-monotone") {
+    import graft.functions.{Bpe, BpeVocab}
+    val charGen = Gen.frequency(8 -> Gen.alphaLowerChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('X', '7', '!', '.'))
+    val textGen = Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, charGen))
+      .map(_.mkString)
+    val texts = (1 to 60).map(i => draw(textGen, seed = 100L + i))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        Bpe.applyMerges(col("text"), BpeVocab.merges).as("enc"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ref = Bpe.encodeStr(t, BpeVocab.merges)
+      assert(got(i.toLong) == ref, s"parity broke on: '$t'")
+      // every merge can only shrink or preserve the token count, and the
+      // count is bounded below by ceil(normalized length / max token len)
+      assert(ref.length <= Bpe.normalizeStr(t).length)
+    }
+  }
+
+  test("repeatedSpans invariants on randomized corpora: spans disjoint, " +
+      "in-bounds, gram-consistent; cut + spans account for every token") {
+    import graft.operators.Dedup
+    val n = 4
+    val docGen2 = for {
+      len <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(len, wordGen)
+    } yield ws.mkString(" ")
+    val texts = (1 to 50).map(i => draw(docGen2, seed = 500L + i))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "text", "doc_id", n = n, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tokLen = texts.map(_.split("\\s+").filter(_.nonEmpty).length)
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { case (_, s, e, ng) =>
+        assert(s >= 0 && e <= tokLen(id.toInt), s"span out of bounds: $id [$s,$e)")
+        assert(e - s >= n, s"span shorter than a gram: [$s,$e)")
+        // ng grams starting in [s, e-n] exactly fill the merged span chain
+        assert(ng >= 1 && ng <= e - n - s + 1)
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1, s"overlapping merged spans for doc $id")
+        case _ => ()
+      }
+    }
+    // conservation: kept + cut == token count, cut == covered span length
+    val cut = Dedup.cutRepeatedSpans(df, "text", "doc_id", n = n, minDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val covered = spans.groupBy(_._1).view
+      .mapValues(_.map(s => s._3 - s._2).sum).toMap
+    texts.indices.foreach { i =>
+      val (kept, c) = cut(i.toLong)
+      assert(kept + c == tokLen(i), s"doc $i: $kept + $c != ${tokLen(i)}")
+      assert(c == covered.getOrElse(i.toLong, 0L))
+    }
+  }
 }
