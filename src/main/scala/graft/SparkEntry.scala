@@ -594,6 +594,32 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
     }),
 
+    "q111_bpe_chunks" -> ((s, dir) => {
+      // chunkSliding over BPE tokens (tokensCol + joinSep="" wiring):
+      // every chunk's md5 pins the exact token windows; one BPE token =
+      // one char of the encoded form, so the oracle replays chunks as
+      // substrings of the same nested-replace encoding
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        split(Bpe.applyMerges(col("text"), BpeVocab.merges), "").as("bpe"))
+      Curate.chunkSliding(d, "text", "doc_id", chunkSize = 64, stride = 32,
+          tokensCol = Some("bpe"), joinSep = "")
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))
+    }),
+
+    "q112_bpe_weighted_mix" -> ((s, dir) => {
+      // token-mass-budgeted corpus mixing (mixCorpus weightCol wiring):
+      // the 8000-token budget is allocated by BPE mass, not doc count
+      val d = t(s, dir, "documents").withColumn("__bpe",
+        Bpe.tokenCount(col("text"), BpeVocab.merges).cast("long"))
+      Curate.mixCorpus(d, "source", "doc_id",
+          targetShares = Map("src0" -> 0.5, "src1" -> 0.5), budget = 8000L,
+          weightCol = Some("__bpe"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("__bpe")).as("kept_tokens"))
+    }),
+
     "q109_repeated_spans" -> ((s, dir) => {
       // ExactSubstr-style sequence dedup (Lee et al. 2022), gram-wise:
       // cross-document repeated 8-gram positions merged to maximal spans
@@ -3320,6 +3346,40 @@ dim_users_litify AS (
            MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN value END) AS p95,
            MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN value END) AS p99
          FROM ranked GROUP BY event_type""",
+
+    "q111_bpe_chunks" -> {
+      val enc = Bpe.oracleEncodeSql("text", BpeVocab.merges)
+      s"""WITH e AS (SELECT doc_id, $enc AS enc FROM documents),
+         |l AS (SELECT doc_id, enc, length(enc) AS n FROM e
+         |  WHERE length(enc) > 0),
+         |c AS (SELECT doc_id, enc, n, unnest(range(
+         |    CASE WHEN n <= 64 THEN 1
+         |      ELSE 1 + CAST(CEIL(CAST(n - 64 AS DOUBLE) / 32) AS BIGINT)
+         |    END)) AS j
+         |  FROM l)
+         |SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+         |  md5(substring(enc, CAST(j*32 + 1 AS BIGINT), 64)) AS chunk_md5,
+         |  CAST(LEAST(64, n - j*32) AS BIGINT) AS n_tokens
+         |FROM c""".stripMargin
+    },
+
+    "q112_bpe_weighted_mix" -> {
+      val cnt = Bpe.oracleTokenCountSql("text", BpeVocab.merges)
+      s"""WITH w AS (SELECT doc_id, source, $cnt AS bpe FROM documents),
+         |n AS (SELECT source, SUM(bpe) AS ns FROM w
+         |  WHERE source IN ('src0', 'src1') GROUP BY source),
+         |thr AS (SELECT source,
+         |    CAST(FLOOR(LEAST(1.0,
+         |      CAST(8000 AS DOUBLE) * 0.5 / CAST(ns AS DOUBLE))
+         |      * 1152921504606846976) AS BIGINT) AS t
+         |  FROM n)
+         |SELECT d.source, CAST(COUNT(1) AS BIGINT) AS n,
+         |  CAST(SUM(d.doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(SUM(d.bpe) AS BIGINT) AS kept_tokens
+         |FROM w d JOIN thr ON d.source = thr.source
+         |WHERE ${duckHash("'graft:' || CAST(d.doc_id AS VARCHAR)")} < t
+         |GROUP BY d.source""".stripMargin
+    },
 
     "q109_repeated_spans" -> q109OracleSql,
 

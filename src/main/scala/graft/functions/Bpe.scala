@@ -107,12 +107,15 @@ object Bpe {
     * normalize + replace chain, emitted as nested function calls. The
     * alphabet ([a-z ], `¤`, PUA chars) contains no quotes, so literals
     * embed without escaping. */
-  def oracleTokenCountSql(inner: String, merges: Seq[(String, String)]): String = {
+  def oracleTokenCountSql(inner: String, merges: Seq[(String, String)]): String =
+    s"length(${oracleEncodeSql(inner, merges)})"
+
+  /** DuckDB replay of [[applyMerges]] (the encoded string itself). */
+  def oracleEncodeSql(inner: String, merges: Seq[(String, String)]): String = {
     val normalized = s"regexp_replace(lower($inner), '[^a-z ]', '$placeholder', 'g')"
-    val merged = merges.zipWithIndex.foldLeft(normalized) {
+    merges.zipWithIndex.foldLeft(normalized) {
       case (acc, ((a, b), j)) => s"replace($acc, '${a + b}', '${mergeChar(j)}')"
     }
-    s"length($merged)"
   }
 
   /** Render a merges table as a Scala literal (the committed-vocab format;
