@@ -180,6 +180,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.FrequentItemsAgg(args.head,
           litInt(args, 1, "graft_frequent_items"))
       }))
+    e.injectFunction((new FunctionIdentifier("graft_langid"),
+      new ExpressionInfo(
+        classOf[graft.functions.LangIdExpr].getName, "graft_langid"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_langid(text) takes 1 argument")
+        graft.functions.LangIdExpr(args.head)
+      }))
+    // the sketch expressions consume split(normalized(text)) token arrays;
+    // the SQL forms take raw text and prepend the same normalize+split
+    // chain the DataFrame operators use, so signatures JOIN across APIs
+    def tokenized(text: Expression): Expression = {
+      import org.apache.spark.sql.catalyst.expressions.{Lower, RegExpReplace,
+        StringSplit, StringTrim}
+      StringSplit(
+        Lower(StringTrim(RegExpReplace(text,
+          Literal(UTF8String.fromString("\\s+"), StringType),
+          Literal(UTF8String.fromString(" "), StringType)))),
+        Literal(UTF8String.fromString("\\s+"), StringType),
+        Literal(-1, IntegerType))
+    }
+    e.injectFunction((new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(
+        classOf[graft.functions.SimHashExpr].getName, "graft_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_simhash(text) takes 1 argument")
+        graft.functions.SimHashExpr(tokenized(args.head), portable = false)
+      }))
+    e.injectFunction((new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(
+        classOf[graft.functions.MinHashSignatureExpr].getName,
+        "graft_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "graft_minhash(text, shingleN, numHashes) takes 3 arguments")
+        // same seed-mix derivation as Dedup.minhashSignatureCol(Fast)
+        val mix = graft.operators.Dedup.mixConstants(
+          litInt(args, 2, "graft_minhash"))
+        graft.functions.MinHashSignatureExpr(tokenized(args.head),
+          litInt(args, 1, "graft_minhash"),
+          mix.map(_._1).toArray, mix.map(_._2).toArray)
+      }))
     e.injectFunction((new FunctionIdentifier("graft_bottomk_sample"),
       new ExpressionInfo(
         classOf[graft.functions.BottomKSampleAgg].getName,

@@ -120,4 +120,32 @@ class RangeJoinRuleSpec extends SparkSpec {
       ext.sql("SELECT graft_frequent_items(v, length(v)) FROM VALUES ('a') t(v)")
         .collect() }
   }
+
+  test("extension SQL functions: graft_langid / graft_simhash / " +
+      "graft_minhash agree with the DataFrame forms") {
+    import org.apache.spark.sql.functions.col
+    val docs = { import ext.implicits._
+      Seq((1L, "the quick brown fox and the lazy dog of the farm"),
+          (2L, "el perro y el gato de la casa que en los campos"))
+        .toDF("id", "text") }
+    docs.createOrReplaceTempView("sqlfn_docs")
+    val viaSql = ext.sql(
+      """SELECT id, graft_langid(text) AS lang, graft_simhash(text) AS sh,
+           graft_minhash(text, 3, 16) AS mh
+         FROM sqlfn_docs ORDER BY id""").collect()
+    val viaApi = docs.select(col("id"),
+        graft.functions.TextFunctions.langId(col("text")).as("lang"),
+        graft.operators.Dedup.minhashSignatureCol(col("text"), 16, 3,
+          graft.operators.Dedup.Fast).as("mh"))
+      .join(graft.operators.Dedup.simhash(docs, "text", "id")
+        .withColumnRenamed("simhash", "sh"), Seq("id"))
+      .select(col("id"), col("lang"), col("sh"), col("mh"))
+      .orderBy("id").collect()
+    viaSql.zip(viaApi).foreach { case (s, a) =>
+      assert(s.getString(1) == a.getString(1))
+      assert(s.getLong(2) == a.getLong(2))
+      assert(s.getSeq[Long](3) == a.getSeq[Long](3))
+    }
+    assert(viaSql(0).getString(1) == "en" && viaSql(1).getString(1) == "es")
+  }
 }
