@@ -55,12 +55,14 @@ object SparkEntry {
       q.awaitTermination()
       // localCheckpoint so the result survives the temp-dir cleanup below
       agg(s.read.parquet(s"$base/out")).localCheckpoint(true)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).sorted(
-          java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally deleteRecursively(base)
+  }
+
+  private def deleteRecursively(base: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(base).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   /** File-source stream over one fixture table with a CONSTANT event-time
@@ -497,6 +499,27 @@ object SparkEntry {
           nLists = 32, nProbe = 32)
         .select(col("probe_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    "q113_ann_ivf_persisted" -> ((s, dir) => {
+      // the cross-session serving path IN the correctness gate: build ->
+      // ivfSave (parquet layout partitioned by __list) -> ivfLoad ->
+      // partition-pruned probe. nProbe = nLists keeps recall exactly 1.0,
+      // so the q29/q38 brute-force SQL remains a valid oracle — what's
+      // new under test is the save/load round trip and the pruned scan
+      val emb = t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_ivf_")
+      try {
+        val idx = Similarity.ivfBuild(emb, nLists = 32, persist = false)
+        Similarity.ivfSave(idx, base.toString)
+        val loaded = Similarity.ivfLoad(s, base.toString)
+        Similarity.ivfQuery(loaded, emb.filter(col("vec_id") < 8), k = 5,
+            nProbe = 32)
+          .select(col("probe_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rank"),
+            round(col("cos"), 6).as("cos_r"))
+          .localCheckpoint(true)
+      } finally deleteRecursively(base)
     }),
 
     "q57_ann_ivf_amortized" -> ((s, dir) => {
@@ -2654,6 +2677,8 @@ dim_users_litify AS (
     // IVF at nProbe = nLists is exact (recall 1.0), so the brute-force SQL
     // is its oracle too — the k-means/list/probe machinery still runs.
     "q38_ann_ivf" -> bruteForceTopKOracle,
+
+    "q113_ann_ivf_persisted" -> bruteForceTopKOracle,
 
     "q25_minhash_signatures" -> q25OracleSql,
     "q26_minhash_pairs" -> q26OracleSql,
