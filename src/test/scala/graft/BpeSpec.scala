@@ -43,6 +43,18 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeStr(samples.head, BpeVocab.merges).length < raw)
   }
 
+  test("adversarial input containing PUA merge chars cannot alias tokens") {
+    // a document that already contains U+E000.. must not be mistaken for
+    // merged tokens: normalize maps every non-[a-z ] char to the
+    // placeholder BEFORE any merge applies
+    val sneaky = "abc  def"
+    val enc = Bpe.encodeStr(sneaky, BpeVocab.merges)
+    assert(Bpe.normalizeStr(sneaky) == "abc \u00a4\u00a4\u00a4 def")
+    val viaSpark = Seq((1L, sneaky)).toDF("id", "text")
+      .select(Bpe.applyMerges(col("text"), BpeVocab.merges)).collect()(0).getString(0)
+    assert(viaSpark == enc)
+  }
+
   test("trainer is deterministic and order-independent") {
     val texts = Seq("low lower lowest", "new newer newest", "low low new")
     val a = Bpe.train(texts, 10)
