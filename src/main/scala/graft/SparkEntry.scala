@@ -643,6 +643,28 @@ object SparkEntry {
           sum(col("__bpe")).as("kept_tokens"))
     }),
 
+    "q114_training_pipeline" -> ((s, dir) => {
+      // the composed flagship: curate (dedup+lang+quality) -> cut
+      // cross-document repeated spans from the SURVIVORS -> count the
+      // cleaned text in BPE tokens -> pack into 2048-token training
+      // sequences per source shard. One oracle pins the whole chain.
+      val docs = t(s, dir, "documents")
+      val kept = Curate.curate(docs, "text", "doc_id",
+        keepLangs = Seq("en", "es"), minQuality = 0.3)
+      val cut = Dedup.cutRepeatedSpans(kept, "text", "doc_id",
+        n = 8, minDf = 2, mode = Dedup.Portable)
+      val withBudget = cut
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("__bpe",
+          Bpe.tokenCount(col("text"), BpeVocab.merges).cast("long"))
+      Curate.packSequences(withBudget, "text", "doc_id", budget = 2048,
+          shardCol = "source", tokenCountCol = Some("__bpe"))
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("token_count")).as("sum_tokens"),
+          sum(col("n_tokens_cut")).as("cut_tokens"))
+    }),
+
     "q109_repeated_spans" -> ((s, dir) => {
       // ExactSubstr-style sequence dedup (Lee et al. 2022), gram-wise:
       // cross-document repeated 8-gram positions merged to maximal spans
@@ -1944,10 +1966,14 @@ dim_users_litify AS (
   /** Shared CTE chain for q109/q110: repeated-8-gram positions -> merged
     * spans, the DuckDB replay of Dedup.repeatedSpans(n=8, minDf=2,
     * Portable). Ends in `spans(doc_id, s, e, ng)` + carries `toks`. */
-  private def repeatedSpanCtes: String = {
+  private def repeatedSpanCtes: String = repeatedSpanCtesOver(
+    "documents WHERE text IS NOT NULL")
+
+  /** Same chain over an arbitrary (doc_id, text) relation — q114 runs it
+    * over the CURATED subset instead of the raw table. */
+  private def repeatedSpanCtesOver(baseRel: String): String = {
     val gram = duckHash("array_to_string(t[pos+1:pos+8], ' ')")
-    s"""toks AS (SELECT doc_id, $duckToks AS t FROM documents
-       |  WHERE text IS NOT NULL),
+    s"""toks AS (SELECT doc_id, $duckToks AS t FROM $baseRel),
        |pg AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos, t
        |  FROM toks WHERE len(t) >= 8),
        |hg AS (SELECT doc_id, pos, $gram AS h FROM pg),
@@ -1993,6 +2019,73 @@ dim_users_litify AS (
        |  CAST(len(d.t) - COALESCE(c.nk, 0) AS BIGINT) AS n_tokens_cut,
        |  md5(COALESCE(c.txt, '')) AS text_md5
        |FROM toks d LEFT JOIN cleaned c ON d.doc_id = c.doc_id""".stripMargin
+
+  /** CTE chain ending in `ckept(doc_id, source, text)` — the curated
+    * corpus (Curate.curate semantics: non-null, exact-dup representative,
+    * lang in (en, es), quality >= 0.3). Lang/quality mirrors are the
+    * q97/q105 oracle expressions; the rep rule is q43's. */
+  private def curatedDocsCtes: String = {
+    def sc(set: Seq[String]) =
+      s"len(list_filter(ctk, x -> x IN (${set.map(w => s"'$w'").mkString(",")})))"
+    val scores = T.langMarkers.map { case (l, ws) => l -> sc(ws) }
+    val g = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val langCase = scores.map { case (l, s) =>
+      s"WHEN $s > 0 AND $s = $g THEN '$l'" }.mkString(" ")
+    s"""cb AS (SELECT doc_id, source, text,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS ctk,
+       |    MIN(doc_id) OVER (PARTITION BY
+       |      coalesce(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
+       |        '__null__' || CAST(doc_id AS VARCHAR))) AS rep_id
+       |  FROM documents),
+       |cs AS (SELECT doc_id, source, text, rep_id,
+       |    CASE $langCase ELSE 'und' END AS clang,
+       |    ROUND(
+       |      LEAST(CAST(len(ctk) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |      (CASE WHEN length(text) = 0 THEN 0.0
+       |        ELSE CAST(length(text) - length(regexp_replace(text,
+       |          '[A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END) * 0.4 +
+       |      LEAST((CASE WHEN len(ctk) = 0 THEN 0.0
+       |        ELSE CAST(len(list_filter(ctk,
+       |          x -> x IN ('the','a','of','and','to','in','is')))
+       |          AS DOUBLE) / len(ctk) END) * 5.0, 1.0) * 0.2,
+       |    4) AS cq
+       |  FROM cb),
+       |ckept AS (SELECT doc_id, source, text FROM cs
+       |  WHERE text IS NOT NULL AND doc_id = rep_id
+       |    AND clang IN ('en','es') AND cq >= 0.3)""".stripMargin
+  }
+
+  /** q114: the composed pipeline — curate -> cut repeated spans (over the
+    * CURATED subset) -> BPE-count the cleaned text -> pack by token
+    * budget. Every stage reuses its own query's oracle machinery. */
+  private def q114OracleSql: String = {
+    val bpe = Bpe.oracleTokenCountSql("txt", BpeVocab.merges)
+    s"""WITH $curatedDocsCtes,
+       |${repeatedSpanCtesOver("ckept")},
+       |allpos AS (SELECT doc_id, unnest(range(len(t))) AS p, t FROM toks),
+       |cov AS (SELECT DISTINCT a.doc_id, a.p FROM allpos a
+       |  JOIN spans x ON a.doc_id = x.doc_id AND a.p >= x.s AND a.p < x.e),
+       |kept AS (SELECT a.doc_id, a.p, a.t[a.p + 1] AS tok
+       |  FROM allpos a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.p = c.p
+       |  WHERE c.p IS NULL),
+       |cleaned AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ctxt,
+       |    COUNT(1) AS nk
+       |  FROM kept GROUP BY doc_id),
+       |cw AS (SELECT d.doc_id, k.source, COALESCE(c.ctxt, '') AS txt,
+       |    len(d.t) - COALESCE(c.nk, 0) AS ncut
+       |  FROM toks d
+       |  JOIN ckept k ON d.doc_id = k.doc_id
+       |  LEFT JOIN cleaned c ON d.doc_id = c.doc_id),
+       |bp AS (SELECT doc_id, source, $bpe AS bpe, ncut FROM cw),
+       |packed AS (SELECT source, doc_id, bpe, ncut,
+       |    COALESCE(SUM(bpe) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM bp)
+       |SELECT source, CAST(cum // 2048 AS BIGINT) AS seq_id,
+       |  COUNT(1) AS n_docs, CAST(SUM(bpe) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(ncut) AS BIGINT) AS cut_tokens
+       |FROM packed GROUP BY 1, 2""".stripMargin
+  }
 
   /** Mirrors of Multimodal.AudioFixture — q107/q108 run the REAL
     * javax.sound codec; the oracle replays the PCM sample arithmetic
@@ -3405,6 +3498,8 @@ dim_users_litify AS (
          |WHERE ${duckHash("'graft:' || CAST(d.doc_id AS VARCHAR)")} < t
          |GROUP BY d.source""".stripMargin
     },
+
+    "q114_training_pipeline" -> q114OracleSql,
 
     "q109_repeated_spans" -> q109OracleSql,
 
