@@ -39,7 +39,9 @@ object Explain {
     "q101_standardize_embeddings", "q102_image_resize_stats",
     "q103_bpe_token_count", "q104_bpe_sequence_packing",
     "q107_audio_decode_stats", "q108_audio_resample_stats",
-    "q109_repeated_spans", "q110_cut_repeated_spans")
+    "q109_repeated_spans", "q110_cut_repeated_spans",
+    "q111_bpe_chunks", "q112_bpe_weighted_mix", "q113_ann_ivf_persisted",
+    "q114_training_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
