@@ -643,6 +643,25 @@ object SparkEntry {
           sum(col("__bpe")).as("kept_tokens"))
     }),
 
+    "q115_perceptron_training" -> ((s, dir) => {
+      // ON-CLUSTER classifier training in the correctness gate: 5 epochs
+      // of integer batch perceptron over engineered doc features; the
+      // oracle replays the full weight trajectory as chained CTEs. The
+      // label is the fixture lang tag; features are capped integers.
+      val toks = T.tokens(T.normalized(col("text")))
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val feats = t(s, dir, "documents").select(
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        least(size(toks), lit(500)).cast("long").as("f_ntok"),
+        expr("length(regexp_replace(text, '[^A-Za-z]', '')) " +
+          "* CAST(1000 AS BIGINT) div greatest(length(text), 1)")
+          .as("f_alpha"),
+        least(size(filter(toks, x => x.isin(stop.map(lit(_)): _*))),
+          lit(50)).cast("long").as("f_stop"))
+      Curate.trainPerceptron(feats, Seq("f_ntok", "f_alpha", "f_stop"),
+        "y", epochs = 5)
+    }),
+
     "q114_training_pipeline" -> ((s, dir) => {
       // the composed flagship: curate (dedup+lang+quality) -> cut
       // cross-document repeated spans from the SURVIVORS -> count the
@@ -2087,6 +2106,52 @@ dim_users_litify AS (
        |FROM packed GROUP BY 1, 2""".stripMargin
   }
 
+  /** q115: the perceptron weight trajectory replayed as chained CTEs —
+    * one (e_k, w_k) pair per epoch, margins in HUGEINT. Bit-exact because
+    * the training arithmetic is pure integer sums. */
+  private def q115OracleSql: String = {
+    val feats = Seq("f_ntok", "f_alpha", "f_stop")
+    val epochs = 5
+    val f =
+      s"""f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |    LEAST(len(tk), 500) AS f_ntok,
+         |    (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000)
+         |      // GREATEST(length(text), 1) AS f_alpha,
+         |    LEAST(len(list_filter(tk,
+         |      x -> x IN ('the','a','of','and','to','in','is'))), 50) AS f_stop
+         |  FROM (SELECT lang, text, $duckToks AS tk FROM documents))""".stripMargin
+    def margin(k: Int): String =
+      if (k == 0) "0::HUGEINT"
+      else s"w$k.b::HUGEINT" + feats.map(c =>
+        s" + w$k.w_$c::HUGEINT * $c::HUGEINT").mkString
+    val chain = (1 to epochs).map { k =>
+      val m = margin(k - 1)
+      val from = if (k == 1) "f" else s"f, w${k - 1}"
+      val e =
+        s"""e$k AS (SELECT
+           |    SUM(CASE WHEN y::HUGEINT * ($m) <= 0 THEN y ELSE 0 END) AS db,
+           |    ${feats.map(c => s"SUM(CASE WHEN y::HUGEINT * ($m) <= 0 " +
+                s"THEN y * $c ELSE 0 END) AS dw_$c").mkString(",\n    ")},
+           |    SUM(CASE WHEN y::HUGEINT * ($m) <= 0 THEN 1 ELSE 0 END) AS n
+           |  FROM $from)""".stripMargin
+      val prevB = if (k == 1) "0" else s"w${k - 1}.b"
+      def prevW(c: String) = if (k == 1) "0" else s"w${k - 1}.w_$c"
+      val prevFrom = if (k == 1) s"e$k" else s"e$k, w${k - 1}"
+      val w =
+        s"""w$k AS (SELECT CAST($prevB + e$k.db AS BIGINT) AS b,
+           |    ${feats.map(c => s"CAST(${prevW(c)} + e$k.dw_$c AS BIGINT) AS w_$c")
+                .mkString(",\n    ")},
+           |    CAST(e$k.n AS BIGINT) AS n_updates
+           |  FROM $prevFrom)""".stripMargin
+      s"$e,\n$w"
+    }.mkString(",\n")
+    val sel = (1 to epochs).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS epoch, b, " +
+        feats.map(c => s"w_$c").mkString(", ") + s", n_updates FROM w$k"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $f,\n$chain\n$sel"
+  }
+
   /** Mirrors of Multimodal.AudioFixture — q107/q108 run the REAL
     * javax.sound codec; the oracle replays the PCM sample arithmetic
     * (WAV PCM16 is lossless). In lockstep with AudioFixture.{nSamples,
@@ -3500,6 +3565,8 @@ dim_users_litify AS (
     },
 
     "q114_training_pipeline" -> q114OracleSql,
+
+    "q115_perceptron_training" -> q115OracleSql,
 
     "q109_repeated_spans" -> q109OracleSql,
 

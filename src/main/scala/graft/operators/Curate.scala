@@ -630,6 +630,63 @@ object Curate {
     df.filter(sampleHash(idCol, salt) < thrCol)
   }
 
+  /** Deterministic ON-CLUSTER classifier training: full-batch perceptron
+    * (Rosenblatt's rule, the public algorithm) over INTEGER feature
+    * columns with labels in {-1, +1} — the trainable half of the quality
+    * -classifier story ([[classifierScore]] applies a model; this fits
+    * one). Each epoch computes the batch update
+    * `w += sum over misclassified rows of (y * x)` in one map-side
+    * -combined aggregation; a row is misclassified iff
+    * `y * (w . x + b) <= 0`. All arithmetic is integer (margins in
+    * decimal(38,0) so a 10^9-row corpus with 10^6-unit features cannot
+    * overflow), so every engine replays the trajectory bit-exactly — no
+    * learning-rate float, no sigmoid, no libm.
+    *
+    * Scale shape: `epochs` passes over the corpus, each ONE aggregation
+    * to a single (F+2)-column row; the weight vector lives on the driver
+    * between epochs (F is feature count — bounded by construction).
+    * Deterministic: integer sums are associative-commutative, so
+    * partitioning and row order cannot change the result.
+    * Output: one row per epoch — (epoch, b, w_<feature>..., n_updates)
+    * where n_updates counts that epoch's misclassified rows. */
+  def trainPerceptron(df: DataFrame, featureCols: Seq[String],
+                      labelCol: String, epochs: Int = 5): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    require(epochs >= 1 && epochs <= 64, s"epochs out of range: $epochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats = df.select(
+      (col(labelCol).cast("long").as("__y") +:
+        featureCols.map(c => col(c).cast("long").as(s"__x_$c"))): _*)
+    var b = 0L
+    var w = featureCols.map(_ => 0L)
+    val rows = Seq.newBuilder[(Int, Long, Seq[Long], Long)]
+    (1 to epochs).foreach { epoch =>
+      // margin in decimal(38,0): |w| can reach epochs * sum|x|, so the
+      // dot product must not be computed in long
+      val margin = featureCols.zip(w).foldLeft(
+          lit(b).cast("decimal(38,0)")) { case (acc, (c, wi)) =>
+        acc + col(s"__x_$c").cast("decimal(38,0)") * lit(wi) }
+      val mis = (col("__y") * margin) <= 0
+      val aggs =
+        sum(when(mis, col("__y")).otherwise(0L)).as("__db") +:
+        featureCols.map(c => sum(when(mis,
+          col("__y") * col(s"__x_$c")).otherwise(0L)).as(s"__dw_$c")) :+
+        sum(when(mis, 1L).otherwise(0L)).as("__n")
+      val r = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+      b += Option(r.getAs[Long]("__db")).getOrElse(0L)
+      w = featureCols.zip(w).map { case (c, wi) =>
+        wi + Option(r.getAs[Long](s"__dw_$c")).getOrElse(0L) }
+      rows += ((epoch, b, w, Option(r.getAs[Long]("__n")).getOrElse(0L)))
+    }
+    rows.result()
+      .map { case (e, bb, ww, n) => (e.toLong, bb, ww, n) }
+      .toDF("epoch", "b", "w", "n_updates")
+      .select((col("epoch") +: col("b") +:
+        featureCols.zipWithIndex.map { case (c, i) =>
+          col("w")(i).as(s"w_$c") } :+ col("n_updates")): _*)
+  }
+
   /** Stratum sizes for [[mixCorpus]]: pre-filters to the target strata
     * BEFORE the groupBy/collect, so the driver materialization is
     * |targetStrata|-bounded regardless of the stratum column's cardinality

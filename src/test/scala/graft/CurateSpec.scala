@@ -360,6 +360,31 @@ class CurateSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(regrown == out.map(_._1).toSet)
   }
+  test("trainPerceptron: converges on separable data, trajectory is " +
+      "partition-invariant, margins survive huge weights") {
+    import graft.operators.Curate
+    // linearly separable: y = sign(x1 - x2)
+    val data = ((1L to 40L).map(i => (1L, 100L + i, 10L)) ++
+      (1L to 40L).map(i => (-1L, 10L, 100L + i))).toDF("y", "x1", "x2")
+    val out = Curate.trainPerceptron(data, Seq("x1", "x2"), "y", epochs = 6)
+      .orderBy("epoch").collect()
+    // epoch 1 misclassifies everything (w=0 -> margin 0), then converges
+    assert(out(0).getAs[Long]("n_updates") == 80L)
+    assert(out.last.getAs[Long]("n_updates") == 0L, "did not converge")
+    // converged weights separate: w_x1 > 0 > w_x2
+    assert(out.last.getAs[Long]("w_x1") > 0 && out.last.getAs[Long]("w_x2") < 0)
+    // partitioning cannot change the trajectory (integer sums commute)
+    val re = Curate.trainPerceptron(data.repartition(13), Seq("x1", "x2"),
+      "y", epochs = 6).orderBy("epoch").collect()
+    assert(out.map(_.toSeq).toSeq == re.map(_.toSeq).toSeq)
+    // decimal margins: 10^15-unit features with 10^3 rows must not wrap
+    val big = ((1L to 500L).map(i => (1L, 1000000000000000L + i)) ++
+      (1L to 500L).map(i => (-1L, -1000000000000000L - i))).toDF("y", "x1")
+    val bo = Curate.trainPerceptron(big, Seq("x1"), "y", epochs = 3)
+      .orderBy("epoch").collect()
+    assert(bo.last.getAs[Long]("n_updates") == 0L)
+  }
+
   test("mixCorpus strata-count collect is |targetShares|-bounded on a " +
       "high-cardinality stratum column") {
     // 1000 distinct strata, 2 targets: the driver-side counts map must be
