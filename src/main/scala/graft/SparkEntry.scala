@@ -643,6 +643,15 @@ object SparkEntry {
           sum(col("__bpe")).as("kept_tokens"))
     }),
 
+    "q116_kmeans_distributed" -> ((s, dir) => {
+      // distributed integer-exact Lloyd's: 3 full iterations over the
+      // embeddings corpus, k=4, seeds = lowest vec_ids; the oracle
+      // replays the complete trajectory (assignment argmin, exact sums,
+      // truncating centroid updates) per iteration
+      Similarity.kmeansLloyd(t(s, dir, "embeddings"), "embedding",
+        "vec_id", k = 4, iterations = 3)
+    }),
+
     "q115_perceptron_training" -> ((s, dir) => {
       // ON-CLUSTER classifier training in the correctness gate: 5 epochs
       // of integer batch perceptron over engineered doc features; the
@@ -2152,6 +2161,51 @@ dim_users_litify AS (
     s"WITH $f,\n$chain\n$sel"
   }
 
+  /** q116: the k-means trajectory replayed per iteration — assignment by
+    * rank-1 argmin (ties to lowest j), centroid update by exact integer
+    * sums with truncating double division, empty clusters carried. */
+  private def q116OracleSql: String = {
+    val (k, iters, dim, scale) = (4, 3, 64, 1000000L)
+    val head =
+      s"""xu AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(trunc(x::DOUBLE * $scale) AS BIGINT)) AS xu
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |dd AS (SELECT unnest(range($dim)) AS d),
+         |c0 AS (SELECT CAST(s.j AS INT) AS j, dd.d AS d, s.xu[dd.d + 1] AS c
+         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, xu
+         |    FROM (SELECT vec_id, xu FROM xu ORDER BY vec_id LIMIT $k)) s, dd)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      val p = i - 1
+      s"""a$i AS (SELECT v.vec_id, c.j,
+         |    SUM((v.xu[c.d + 1] - c.c) * (v.xu[c.d + 1] - c.c)) AS dist
+         |  FROM xu v, c$p c GROUP BY 1, 2),
+         |b$i AS (SELECT vec_id, j AS cl FROM (SELECT vec_id, j,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+         |  FROM a$i) WHERE rn = 1),
+         |s$i AS (SELECT b.cl, dd.d, CAST(SUM(v.xu[dd.d + 1]) AS BIGINT) AS s,
+         |    COUNT(1) AS n
+         |  FROM xu v JOIN b$i b ON v.vec_id = b.vec_id, dd GROUP BY 1, 2),
+         |c$i AS (SELECT cl AS j, d,
+         |    CAST(trunc(CAST(s AS DOUBLE) / n) AS BIGINT) AS c FROM s$i
+         |  UNION ALL SELECT j, d, c FROM c$p
+         |    WHERE j NOT IN (SELECT DISTINCT cl FROM b$i)),
+         |o$i AS (SELECT $i AS iter, s.cl AS cluster, MAX(s.n) AS n_members,
+         |    SUM(c.c) AS c_checksum,
+         |    MAX(CASE WHEN c.d = 0 THEN c.c END) AS c_d0,
+         |    MAX(CASE WHEN c.d = ${dim - 1} THEN c.c END) AS c_dlast
+         |  FROM s$i s JOIN c$i c ON s.cl = c.j AND s.d = c.d
+         |  GROUP BY s.cl)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to iters).map(i => s"SELECT * FROM o$i").mkString(" UNION ALL ")
+    s"""WITH $head,
+       |$iterCtes
+       |SELECT CAST(iter AS BIGINT) AS iter, CAST(cluster AS BIGINT) AS cluster,
+       |  CAST(n_members AS BIGINT) AS n_members,
+       |  CAST(c_checksum AS BIGINT) AS c_checksum,
+       |  CAST(c_d0 AS BIGINT) AS c_d0, CAST(c_dlast AS BIGINT) AS c_dlast
+       |FROM ($union)""".stripMargin
+  }
+
   /** Mirrors of Multimodal.AudioFixture — q107/q108 run the REAL
     * javax.sound codec; the oracle replays the PCM sample arithmetic
     * (WAV PCM16 is lossless). In lockstep with AudioFixture.{nSamples,
@@ -3567,6 +3621,8 @@ dim_users_litify AS (
     "q114_training_pipeline" -> q114OracleSql,
 
     "q115_perceptron_training" -> q115OracleSql,
+
+    "q116_kmeans_distributed" -> q116OracleSql,
 
     "q109_repeated_spans" -> q109OracleSql,
 

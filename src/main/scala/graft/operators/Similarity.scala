@@ -332,4 +332,83 @@ object Similarity {
         V.cosineFast(col("pv"), col("cv")).as("cos"))
     localThenGlobalTopK(scored, k)
   }
+
+  /** DISTRIBUTED integer-exact Lloyd's k-means — the cluster-scale
+    * counterpart of [[ivfBuild]]'s bounded-sample driver fit. Vectors are
+    * quantized once to integer units (`trunc(x * unitScale)`, the
+    * embeddingCentroids convention), so every distance, assignment, and
+    * centroid update is exact integer / deterministic-double arithmetic:
+    * the ENTIRE trajectory is bit-reproducible across engines,
+    * partitionings, and row orders — and therefore oracle-checkable.
+    *
+    * Per iteration: assignment is ROW-LOCAL (centroids ride into the
+    * task as array literals; argmin ties break to the lowest cluster id),
+    * and the update is ONE map-side-combined aggregation of compact
+    * (cluster, dim, unit) longs; k x dim sums come back to the driver
+    * (bounded by construction). Seeds are the k lowest-`idCol` vectors.
+    * Empty clusters keep their previous centroid. No corpus-size
+    * driver materialization anywhere — this is the 100 TB shape.
+    *
+    * Output, one row per (iteration, non-empty cluster):
+    * (iter, cluster, n_members, c_checksum = sum of centroid units over
+    * all dims, c_d0, c_dLast) — the checksum pins every dimension. */
+  def kmeansLloyd(df: DataFrame, vecCol: String, idCol: String,
+                  k: Int, iterations: Int,
+                  unitScale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations out of range: $iterations")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val xu = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        transform(col(vecCol),
+          x => (x.cast("double") * unitScale).cast("long")).as("__xu"))
+    val seedRows = xu.orderBy(col("__id")).limit(k)
+      .select(col("__xu")).as[Array[Long]].collect()
+    require(seedRows.length == k, s"corpus smaller than k=$k")
+    val dim = seedRows.head.length
+    var cents: Array[Array[Long]] = seedRows
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+    (1 to iterations).foreach { iter =>
+      // row-local argmin over k broadcast-literal centroids; strict <
+      // keeps the earlier cluster on ties
+      val dists = cents.map { cj =>
+        aggregate(zip_with(col("__xu"), typedLit(cj.toSeq),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+      }
+      val assign = dists.zipWithIndex.tail.foldLeft(
+          (dists.head, lit(0).cast("int"))) {
+        case ((bestD, bestJ), (dj, j)) =>
+          (when(dj < bestD, dj).otherwise(bestD),
+            when(dj < bestD, j).otherwise(bestJ))
+      }._2
+      val sums = xu.select(col("__id"), col("__xu"), assign.as("__c"))
+        .select(col("__c"), posexplode(col("__xu")))
+        .groupBy(col("__c"), col("pos"))
+        .agg(sum(col("col")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getAs[Int]("__c"))
+      val nextCents = cents.zipWithIndex.map { case (old, j) =>
+        byCluster.get(j) match {
+          case Some(rows) =>
+            val c = new Array[Long](dim)
+            rows.foreach { r =>
+              c(r.getAs[Int]("pos")) =
+                (r.getAs[Long]("__s").toDouble / r.getAs[Long]("__n")).toLong
+            }
+            c
+          case None => old  // empty cluster: keep
+        }
+      }
+      byCluster.toSeq.sortBy(_._1).foreach { case (j, rows) =>
+        val n = rows.head.getAs[Long]("__n")
+        val cj = nextCents(j)
+        out += ((iter.toLong, j.toLong, n, cj.sum, cj.head, cj.last))
+      }
+      cents = nextCents
+    }
+    out.result().toDF("iter", "cluster", "n_members", "c_checksum",
+      "c_d0", "c_dlast")
+  }
 }

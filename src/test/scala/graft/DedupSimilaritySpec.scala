@@ -423,6 +423,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("sum_b") == expSumB)
   }
 
+  test("kmeansLloyd: partition-invariant trajectory, tight clusters found, " +
+      "empty clusters carried") {
+    import graft.operators.Similarity
+    // two point-masses far apart + k=3: seeds 0/1/2 are all IDENTICAL
+    // (first blob), so ties send every member to cluster 0 and seeds 1/2
+    // starve — the empty-cluster carry path runs every iteration
+    val vecs = ((0L until 20L).map(i =>
+        (i, Array.tabulate(4)(d => 10f + d))) ++
+      (100L until 120L).map(i =>
+        (i, Array.tabulate(4)(d => -10f - d))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansLloyd(vecs, "embedding", "vec_id",
+      k = 3, iterations = 4)
+    val last = out.filter(col("iter") === 4).collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n_members")).toMap
+    // the two masses land on clusters {0, and one of 1/2}; starved seeds
+    // never appear in the output (no members), tie goes to the lowest id
+    assert(last(0L) == 20L, last.toString)
+    assert(last.values.sum == 40L && last.size == 2, last.toString)
+    // exact determinism under repartition + row order
+    val re = Similarity.kmeansLloyd(vecs.repartition(7).orderBy(rand(1)),
+      "embedding", "vec_id", k = 3, iterations = 4)
+    assert(out.orderBy("iter", "cluster").collect().map(_.toSeq).toSeq ==
+      re.orderBy("iter", "cluster").collect().map(_.toSeq).toSeq)
+    // converged: last two iterations identical memberships and centroids
+    val it3 = out.filter(col("iter") === 3).orderBy("cluster")
+      .collect().map(_.toSeq.drop(1)).toSeq
+    val it4 = out.filter(col("iter") === 4).orderBy("cluster")
+      .collect().map(_.toSeq.drop(1)).toSeq
+    assert(it3 == it4, "did not converge on separated blobs")
+  }
+
   test("IVF index: build once, serve many probe batches identically") {
     val vecs = (0L until 64L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
