@@ -41,7 +41,8 @@ object Explain {
     "q107_audio_decode_stats", "q108_audio_resample_stats",
     "q109_repeated_spans", "q110_cut_repeated_spans",
     "q111_bpe_chunks", "q112_bpe_weighted_mix", "q113_ann_ivf_persisted",
-    "q114_training_pipeline")
+    "q114_training_pipeline", "q115_perceptron_training",
+    "q116_kmeans_distributed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
