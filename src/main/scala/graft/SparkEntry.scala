@@ -677,20 +677,27 @@ object SparkEntry {
       // cleaned text in BPE tokens -> pack into 2048-token training
       // sequences per source shard. One oracle pins the whole chain.
       val docs = t(s, dir, "documents")
+      // the curated frame feeds the span-gram pass (twice, by design) AND
+      // the final rejoin — materialize its exact-dup window shuffle ONCE
+      // and release after the result lands (perplexityBuckets discipline)
       val kept = Curate.curate(docs, "text", "doc_id",
-        keepLangs = Seq("en", "es"), minQuality = 0.3)
+          keepLangs = Seq("en", "es"), minQuality = 0.3)
+        .localCheckpoint(true)
       val cut = Dedup.cutRepeatedSpans(kept, "text", "doc_id",
         n = 8, minDf = 2, mode = Dedup.Portable)
       val withBudget = cut
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .withColumn("__bpe",
           Bpe.tokenCount(col("text"), BpeVocab.merges).cast("long"))
-      Curate.packSequences(withBudget, "text", "doc_id", budget = 2048,
-          shardCol = "source", tokenCountCol = Some("__bpe"))
+      val out = Curate.packSequences(withBudget, "text", "doc_id",
+          budget = 2048, shardCol = "source", tokenCountCol = Some("__bpe"))
         .groupBy(col("source"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("token_count")).as("sum_tokens"),
           sum(col("n_tokens_cut")).as("cut_tokens"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(kept)
+      out
     }),
 
     "q109_repeated_spans" -> ((s, dir) => {
