@@ -646,7 +646,10 @@ object Curate {
     * to a single (F+2)-column row; the weight vector lives on the driver
     * between epochs (F is feature count — bounded by construction).
     * Deterministic: integer sums are associative-commutative, so
-    * partitioning and row order cannot change the result.
+    * partitioning and row order cannot change the result. Rows with a
+    * NULL label or NULL feature contribute NOTHING (margin and update
+    * predicates are null-propagating) — pre-clean or impute features if
+    * every row must vote.
     * Output: one row per epoch — (epoch, b, w_<feature>..., n_updates)
     * where n_updates counts that epoch's misclassified rows. */
   def trainPerceptron(df: DataFrame, featureCols: Seq[String],

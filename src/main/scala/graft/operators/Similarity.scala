@@ -360,14 +360,22 @@ object Similarity {
       s"iterations out of range: $iterations")
     val spark = df.sparkSession
     import spark.implicits._
-    val xu = df.filter(col(vecCol).isNotNull)
+    val xu0 = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         transform(col(vecCol),
           x => (x.cast("double") * unitScale).cast("long")).as("__xu"))
-    val seedRows = xu.orderBy(col("__id")).limit(k)
+    val seedRows = xu0.orderBy(col("__id")).limit(k)
       .select(col("__xu")).as[Array[Long]].collect()
     require(seedRows.length == k, s"corpus smaller than k=$k")
     val dim = seedRows.head.length
+    // fail-loud dimension guard (the ivfBuild contract): a wrong-size
+    // vector would otherwise zip_with to NULL distances and silently land
+    // in a NULL cluster
+    val xu = xu0.withColumn("__xu",
+      when(size(col("__xu")) === dim, col("__xu"))
+        .otherwise(raise_error(concat(
+          lit(s"kmeansLloyd: embedding dimension != $dim: got "),
+          size(col("__xu")).cast("string")))))
     var cents: Array[Array[Long]] = seedRows
     val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
     (1 to iterations).foreach { iter =>
