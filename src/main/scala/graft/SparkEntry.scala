@@ -652,6 +652,54 @@ object SparkEntry {
         "vec_id", k = 4, iterations = 3)
     }),
 
+    "q117_pq_encode" -> ((s, dir) => {
+      // product quantization: 4 subspaces x 8 integer-unit codewords
+      // trained by the fused integer-exact Lloyd's (2 iterations, one
+      // compact shuffle each), then a row-local zero-shuffle encode; the
+      // oracle replays all 4 subspace trajectories AND the argmin encode
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(emb, m = 4, kCodes = 8, iterations = 2)
+      Similarity.pqEncode(emb, cb)
+        .select(col("vec_id"),
+          element_at(col("codes"), 1).cast("long").as("c0"),
+          element_at(col("codes"), 2).cast("long").as("c1"),
+          element_at(col("codes"), 3).cast("long").as("c2"),
+          element_at(col("codes"), 4).cast("long").as("c3"))
+    }),
+
+    "q119_semantic_decontaminate" -> ((s, dir) => {
+      // paraphrase-level decontamination: benchmark = the 32 lowest
+      // vec_ids (broadcast), corpus = the rest; keep/drop decided by the
+      // exact integer-unit cosine rule, so the oracle replays it
+      // bit-for-bit — no float ties at the threshold
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDecontaminate(
+          emb.filter(col("vec_id") >= 32),
+          emb.filter(col("vec_id") < 32),
+          "embedding", "vec_id", thresholdPct = 50)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_ids"))
+    }),
+
+    "q120_training_order" -> ((s, dir) => {
+      // reproducible epoch permutation: salted-hash shard + dense
+      // in-shard position — one hash exchange, no global total order
+      Curate.trainingOrder(t(s, dir, "documents"), "doc_id", nShards = 8,
+          salt = "epoch1")
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
+    "q118_pq_ann" -> ((s, dir) => {
+      // ADC top-k over the PQ code table: probes stay full-precision,
+      // each corpus row costs 4 codeword lookups on a representation
+      // ~32x smaller than the raw vectors — the serving shape at 100 TB.
+      // Integer-exact end to end, so DuckDB replays train+encode+ADC.
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(emb, m = 4, kCodes = 8, iterations = 2)
+      val codes = Similarity.pqEncode(emb, cb)
+      Similarity.pqQuery(codes, emb.filter(col("vec_id") < 4), cb, k = 5)
+    }),
+
     "q115_perceptron_training" -> ((s, dir) => {
       // ON-CLUSTER classifier training in the correctness gate: 5 epochs
       // of integer batch perceptron over engineered doc features; the
@@ -2213,6 +2261,80 @@ dim_users_litify AS (
        |FROM ($union)""".stripMargin
   }
 
+  /** Shared replay of Similarity.pqTrain + pqEncode (m=4 subspaces x
+    * k=8 codewords, 2 Lloyd's iterations): one q116-style trajectory
+    * chain PER SUBSPACE over the sliced units, then the row-local
+    * argmin encode. Ends with CTEs `cfin` (s, j, d, c) and `enc`
+    * (vec_id, s, code) for the finals to consume. */
+  private def pqOracleWithBody: String = {
+    val (m, k, iters, subDim, scale) = (4, 8, 2, 16, 1000000L)
+    val head =
+      s"""xu AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(trunc(x::DOUBLE * $scale) AS BIGINT)) AS xu
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |dd AS (SELECT unnest(range($subDim)) AS d),
+         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, xu
+         |  FROM (SELECT vec_id, xu FROM xu ORDER BY vec_id LIMIT $k))""".stripMargin
+    val chains = (0 until m).map { s =>
+      val off = s * subDim
+      val init =
+        s"""k${s}c0 AS (SELECT CAST(sd.j AS INT) AS j, dd.d AS d,
+           |  sd.xu[$off + dd.d + 1] AS c FROM seeds sd, dd)""".stripMargin
+      val iterCtes = (1 to iters).map { i =>
+        val p = i - 1
+        s"""k${s}a$i AS (SELECT v.vec_id, c.j,
+           |    SUM((v.xu[$off + c.d + 1] - c.c) * (v.xu[$off + c.d + 1] - c.c)) AS dist
+           |  FROM xu v, k${s}c$p c GROUP BY 1, 2),
+           |k${s}b$i AS (SELECT vec_id, j AS cl FROM (SELECT vec_id, j,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+           |  FROM k${s}a$i) WHERE rn = 1),
+           |k${s}s$i AS (SELECT b.cl, dd.d,
+           |    CAST(SUM(v.xu[$off + dd.d + 1]) AS BIGINT) AS s, COUNT(1) AS n
+           |  FROM xu v JOIN k${s}b$i b ON v.vec_id = b.vec_id, dd GROUP BY 1, 2),
+           |k${s}c$i AS (SELECT cl AS j, d,
+           |    CAST(trunc(CAST(s AS DOUBLE) / n) AS BIGINT) AS c FROM k${s}s$i
+           |  UNION ALL SELECT j, d, c FROM k${s}c$p
+           |    WHERE j NOT IN (SELECT DISTINCT cl FROM k${s}b$i))""".stripMargin
+      }.mkString(",\n")
+      s"$init,\n$iterCtes"
+    }.mkString(",\n")
+    val cfin = (0 until m).map(s =>
+      s"SELECT $s AS s, j, d, c FROM k${s}c$iters").mkString(" UNION ALL ")
+    s"""$head,
+       |$chains,
+       |cfin AS ($cfin),
+       |ed AS (SELECT v.vec_id, c.s, c.j,
+       |    SUM((v.xu[c.s * $subDim + c.d + 1] - c.c)
+       |      * (v.xu[c.s * $subDim + c.d + 1] - c.c)) AS dist
+       |  FROM xu v, cfin c GROUP BY 1, 2, 3),
+       |enc AS (SELECT vec_id, s, j AS code FROM (SELECT vec_id, s, j,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+       |  FROM ed) WHERE rn = 1)""".stripMargin
+  }
+
+  private def q117OracleSql: String =
+    s"""WITH $pqOracleWithBody
+       |SELECT vec_id,
+       |  CAST(MAX(CASE WHEN s = 0 THEN code END) AS BIGINT) AS c0,
+       |  CAST(MAX(CASE WHEN s = 1 THEN code END) AS BIGINT) AS c1,
+       |  CAST(MAX(CASE WHEN s = 2 THEN code END) AS BIGINT) AS c2,
+       |  CAST(MAX(CASE WHEN s = 3 THEN code END) AS BIGINT) AS c3
+       |FROM enc GROUP BY vec_id""".stripMargin
+
+  private def q118OracleSql: String =
+    s"""WITH $pqOracleWithBody,
+       |p AS (SELECT vec_id, xu FROM xu WHERE vec_id < 4),
+       |adc AS (SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |    SUM((p.xu[c.s * 16 + c.d + 1] - c.c)
+       |      * (p.xu[c.s * 16 + c.d + 1] - c.c)) AS dist
+       |  FROM p, enc e JOIN cfin c ON c.s = e.s AND c.j = e.code
+       |  WHERE e.vec_id <> p.vec_id GROUP BY 1, 2)
+       |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       |  CAST(dist AS BIGINT) AS adc_dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY dist, neighbor_id) AS rn FROM adc)
+       |WHERE rn <= 5""".stripMargin
+
   /** Mirrors of Multimodal.AudioFixture — q107/q108 run the REAL
     * javax.sound codec; the oracle replays the PCM sample arithmetic
     * (WAV PCM16 is lossless). In lockstep with AudioFixture.{nSamples,
@@ -3630,6 +3752,44 @@ dim_users_litify AS (
     "q115_perceptron_training" -> q115OracleSql,
 
     "q116_kmeans_distributed" -> q116OracleSql,
+
+    "q117_pq_encode" -> q117OracleSql,
+
+    "q118_pq_ann" -> q118OracleSql,
+
+    "q119_semantic_decontaminate" ->
+      """WITH au AS (SELECT vec_id, label, list_transform(embedding,
+             x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu
+           FROM embeddings WHERE vec_id >= 32),
+         bu AS (SELECT list_transform(embedding,
+             x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu
+           FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL),
+         an AS (SELECT vec_id, label, xu,
+             list_sum(list_transform(xu, x -> x * x)) AS n2 FROM au),
+         bn AS (SELECT xu,
+             list_sum(list_transform(xu, x -> x * x)) AS n2 FROM bu),
+         hits AS (SELECT DISTINCT vec_id FROM (
+             SELECT a.vec_id,
+               list_sum(list_transform(list_zip(a.xu, b.xu),
+                 p -> p[1] * p[2])) AS dot,
+               a.n2 AS an2, b.n2 AS bn2
+             FROM an a, bn b)
+           WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000
+             >= 2500 * CAST(an2 AS HUGEINT) * bn2)
+         SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(1) AS BIGINT) AS n_kept,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+         FROM an WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+         GROUP BY 1""",
+
+    "q120_training_order" -> {
+      val h = duckHash("'epoch1:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH h AS (SELECT doc_id, $h AS h FROM documents)
+         |SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8
+         |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |FROM h""".stripMargin
+    },
 
     "q109_repeated_spans" -> q109OracleSql,
 

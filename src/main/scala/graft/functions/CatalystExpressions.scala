@@ -572,6 +572,55 @@ object NearestCentroid {
   }
 }
 
+/** Integer-exact nearest-codeword over a SLICE of a long-array column:
+  * argmin_j of sum_d (arr[offset+d] - centroids(j)(d))^2 in pure 64-bit
+  * integer arithmetic, ties to the LOWEST j (strict `<`) — the
+  * cross-engine-replayable convention of `Similarity.kmeansLloyd`. One
+  * codegen call per subspace instead of a k-term `when` fold, so PQ
+  * assignment stays compact at production code-book sizes (k = 256). */
+case class NearestSubCentroidExpr(child: Expression, offset: Int,
+                                  centroids: Array[Array[Long]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_sub_centroid"
+
+  override def nullSafeEval(input: Any): Any =
+    NearestSubCentroid.assign(input.asInstanceOf[ArrayData], offset, centroids)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NearestSubCentroid" +
+        s".assign($c, $offset, $cRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestSubCentroidExpr = copy(child = newChild)
+}
+
+object NearestSubCentroid {
+  def assign(arr: ArrayData, off: Int, cents: Array[Array[Long]]): Int = {
+    var bi = 0
+    var bd = Long.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val cv = cents(j)
+      var acc = 0L
+      var i = 0
+      while (i < cv.length) {
+        val d = arr.getLong(off + i) - cv(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bd) { bd = acc; bi = j }
+      j += 1
+    }
+    bi
+  }
+}
+
 object SignBucket {
   def bucket(arr: ArrayData, planes: Array[Array[Double]]): Long = {
     var b = 0L

@@ -509,6 +509,32 @@ object Curate {
     df.withColumn("split", labeled)
   }
 
+  /** Deterministic epoch shuffle for training order: every row gets a
+    * shard and a dense position inside that shard, drawn from ONE salted
+    * [[sampleHash]] — the reproducible global permutation an LLM training
+    * run needs (re-running with the same salt replays the exact data
+    * order; a new salt = a fresh independent epoch permutation; document
+    * ids never decide order directly, so corpus sort bias cannot leak
+    * into the curriculum).
+    *
+    * Scale shape: ONE hash-key exchange (partition by shard) + a
+    * within-shard sort — no global total order, no single-reducer
+    * bottleneck; shards are written/read independently by the trainer.
+    * Position ties are impossible (hash ties break by id). Output: input
+    * rows + (shard, pos), pos starting at 0 per shard. */
+  def trainingOrder(df: DataFrame, idCol: String, nShards: Int,
+                    salt: String = "graft-epoch0"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val h = sampleHash(idCol, salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("__shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .withColumn("shard", col("__shard").cast("long"))
+      .drop("__h", "__shard")
+  }
+
   /** Sliding-window token chunker: each document becomes overlapping
     * chunks of `chunkSize` tokens every `stride` tokens (the RAG /
     * embedding-index layout; `stride = chunkSize` gives disjoint chunks).

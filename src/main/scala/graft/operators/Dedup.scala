@@ -516,6 +516,51 @@ object Dedup {
       .drop("__mid")
   }
 
+  /** SEMANTIC decontamination — drop corpus rows whose embedding is
+    * cosine-similar (>= thresholdPct/100) to ANY benchmark embedding:
+    * the paraphrase-contamination rule that text-overlap decontamination
+    * ([[ngramDecontaminate]]) structurally cannot catch (a reworded
+    * benchmark item shares no 13-gram with its source).
+    *
+    * Scale shape: the benchmark set is eval-benchmark-bounded (thousands,
+    * not corpus-scale) and rides into every task as ONE broadcast; the
+    * corpus is scanned ONCE through a broadcast nested-loop ANTI join —
+    * zero corpus shuffle, and each row short-circuits on its first hit.
+    * The threshold test is exact integer arithmetic over truncating
+    * unit-quantized vectors (dot > 0 and (dot*100)^2 >= t^2*|a|^2*|b|^2
+    * in decimal(38)), so the keep/drop decision replays bit-for-bit in
+    * another engine — no float-tie hazard at the threshold boundary.
+    *
+    * NULL corpus vectors match nothing and are KEPT (they carry no
+    * semantic evidence; route them to a quality gate instead). NULL
+    * benchmark vectors are ignored. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            vecCol: String, idCol: String,
+                            thresholdPct: Int,
+                            unitScale: Long = 1000000L): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct must be in [1,100]: $thresholdPct")
+    def toUnits(c: Column): Column =
+      transform(c, x => (x.cast("double") * unitScale).cast("long"))
+    def norm2(c: Column): Column =
+      aggregate(transform(c, x => x * x), lit(0L), (acc, v) => acc + v)
+    val dec = "decimal(38,0)"
+    val bench = benchmark.filter(col(vecCol).isNotNull)
+      .select(toUnits(col(vecCol)).as("__bu"))
+      .withColumn("__bn", norm2(col("__bu")))
+    val withUnits = corpus
+      .withColumn("__au", when(col(vecCol).isNotNull, toUnits(col(vecCol))))
+      .withColumn("__an", when(col(vecCol).isNotNull, norm2(col("__au"))))
+    val dot = aggregate(zip_with(col("__au"), col("__bu"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val t2 = thresholdPct.toLong * thresholdPct
+    val hit = dot > 0 &&
+      (dot.cast(dec) * dot.cast(dec) * lit(10000L).cast(dec)) >=
+        (lit(t2).cast(dec) * col("__an").cast(dec) * col("__bn").cast(dec))
+    withUnits.join(broadcast(bench), hit, "left_anti")
+      .drop("__au", "__an")
+  }
+
   /** Connected components over a near-dup pair graph: every node gets
     * `cluster = `the minimum id reachable through pairs — the transitive
     * closure semantics real dedup needs (A~B and B~C means keep ONE of

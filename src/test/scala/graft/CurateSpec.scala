@@ -449,4 +449,32 @@ class CurateSpec extends SparkSpec {
     assert(Curate.weightedSample(docs, "id", "w", scale = 1.0).count()
       == 2000)
   }
+
+  test("trainingOrder: dense per-shard positions, hash-driven order, " +
+      "deterministic under repartition, salt changes the permutation") {
+    val docs = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val out = Curate.trainingOrder(docs, "id", nShards = 4, salt = "e1")
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.length == 200)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 4))
+    // positions are dense 0..n-1 within every shard
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $s positions not dense")
+    }
+    // bit-exact determinism under repartition + row order
+    val re = Curate.trainingOrder(docs.repartition(7).orderBy(rand(5)),
+        "id", nShards = 4, salt = "e1")
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == re.sortBy(_._1).toSeq)
+    // a different salt yields a different permutation (fresh epoch)
+    val e2 = Curate.trainingOrder(docs, "id", nShards = 4, salt = "e2")
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq != e2.sortBy(_._1).toSeq)
+    // id never decides order directly: within a shard, ascending pos is
+    // NOT ascending id (the permutation actually permutes)
+    val byShard = out.groupBy(_._2).values.find(_.length > 3).get
+    assert(byShard.sortBy(_._3).map(_._1).toSeq !=
+      byShard.map(_._1).sorted.toSeq)
+  }
 }

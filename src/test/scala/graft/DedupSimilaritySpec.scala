@@ -620,4 +620,105 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == unionDedup.intersect(
       batch.select("id").as[Long].collect().toSet) ++ Set.empty)
   }
+
+  test("semanticDecontaminate: inclusive integer threshold, negative-dot " +
+      "and NULL rows kept, broadcast anti-join plan with no exchange") {
+    import graft.operators.Dedup
+    val bench = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, null.asInstanceOf[Array[Float]])) // ignored
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(2f, 0f, 0f, 0f)),    // cos 1.0 -> dropped
+      (11L, Array(0f, 3f, 0f, 0f)),    // orthogonal -> kept
+      (12L, Array(-1f, 0f, 0f, 0f)),   // cos -1 (dot < 0) -> kept
+      (13L, Array(1f, 1f, 1f, 1f)),    // cos exactly 0.5 -> dropped (>=)
+      (14L, null.asInstanceOf[Array[Float]])) // no evidence -> kept
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDecontaminate(corpus, bench,
+      "embedding", "vec_id", thresholdPct = 50)
+    assert(out.select("vec_id").as[Long].collect().toSet ==
+      Set(11L, 12L, 14L))
+    // zero corpus shuffle: broadcast nested-loop anti, no Exchange other
+    // than the broadcast side
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  private def pqCorpus = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
+    .toDF("vec_id", "embedding")
+
+  private def units(v: Array[Float]): Array[Long] =
+    v.map(x => (x.toDouble * 1000000L).toLong)
+
+  test("pq: codes optimal per subspace, deterministic under repartition, " +
+      "zero-shuffle encode") {
+    import graft.operators.Similarity
+    val vecs = pqCorpus
+    val cb = Similarity.pqTrain(vecs, m = 2, kCodes = 4, iterations = 2)
+    assert(cb.subDim == 4 && cb.centroids.length == 2 &&
+      cb.centroids.forall(_.length == 4))
+    val enc = Similarity.pqEncode(vecs, cb)
+    // the encode pass is row-local: no Exchange anywhere in its plan
+    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"),
+      enc.queryExecution.executedPlan.toString)
+    val got = enc.select("vec_id", "codes")
+      .as[(Long, Array[Int])].collect().toMap
+    assert(got.size == 40 &&
+      got.values.forall(cs => cs.length == 2 && cs.forall(c => c >= 0 && c < 4)))
+    // each emitted code is the true argmin (ties to lowest) over its subspace
+    val raw = vecs.as[(Long, Array[Float])].collect().toMap
+    got.foreach { case (id, cs) =>
+      val xu = units(raw(id))
+      cs.zipWithIndex.foreach { case (c, s) =>
+        val dists = cb.centroids(s).map(cw =>
+          (0 until 4).map(d => { val df = xu(s * 4 + d) - cw(d); df * df }).sum)
+        assert(dists(c) == dists.min && dists.indexOf(dists.min) == c,
+          s"vec $id subspace $s: code $c dists ${dists.toSeq}")
+      }
+    }
+    // bit-exact determinism under repartition + row order
+    val cb2 = Similarity.pqTrain(vecs.repartition(7).orderBy(rand(3)),
+      m = 2, kCodes = 4, iterations = 2)
+    assert(cb.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb2.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("pq: ADC top-k parity with driver recompute; dim guard raises") {
+    import graft.operators.Similarity
+    val vecs = pqCorpus
+    val cb = Similarity.pqTrain(vecs, m = 2, kCodes = 4, iterations = 2)
+    val codes = Similarity.pqEncode(vecs, cb)
+    val probes = vecs.filter(col("vec_id") < 3)
+    val out = Similarity.pqQuery(codes, probes, cb, k = 5)
+      .select("probe_id", "neighbor_id", "rank", "adc_dist")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 15) // 3 probes x k=5
+    // driver-side ADC recompute over the same codes and codebook
+    val raw = vecs.as[(Long, Array[Float])].collect().toMap
+    val codeMap = codes.select("vec_id", "codes")
+      .as[(Long, Array[Int])].collect().toMap
+    val exp = (0L until 3L).flatMap { p =>
+      val pu = units(raw(p))
+      raw.keys.filter(_ != p).map { n =>
+        val d = (0 until 2).map { s =>
+          val cw = cb.centroids(s)(codeMap(n)(s))
+          (0 until 4).map(i => {
+            val df = pu(s * 4 + i) - cw(i); df * df }).sum
+        }.sum
+        (p, n, d)
+      }.toSeq.sortBy(t => (t._3, t._2)).take(5)
+        .zipWithIndex.map { case ((pp, n, d), r) => (pp, n, r + 1L, d) }
+    }.toSet
+    assert(out.toSet == exp, s"got ${out.toSeq.sorted}")
+    // wrong-dimension vector fails loudly, not silently
+    val bad = Seq((99L, Array.tabulate(5)(_.toFloat))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.pqEncode(bad, cb).collect()
+    }
+    assert(ex.getMessage.contains("dimension") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("dimension"))
+  }
 }
