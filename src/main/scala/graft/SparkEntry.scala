@@ -667,6 +667,16 @@ object SparkEntry {
           element_at(col("codes"), 4).cast("long").as("c3"))
     }),
 
+    "q121_hard_negatives" -> ((s, dir) => {
+      // contrastive negatives: nearest corpus rows with a DIFFERENT
+      // label — probes broadcast, corpus scanned once, k-heap pruned
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .select(col("probe_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("cos"), 6).as("cos_r"))
+    }),
+
     "q119_semantic_decontaminate" -> ((s, dir) => {
       // paraphrase-level decontamination: benchmark = the 32 lowest
       // vec_ids (broadcast), corpus = the rest; keep/drop decided by the
@@ -3756,6 +3766,24 @@ dim_users_litify AS (
     "q117_pq_encode" -> q117OracleSql,
 
     "q118_pq_ann" -> q118OracleSql,
+
+    "q121_hard_negatives" ->
+      """WITH p AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id < 8),
+         s AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(p.embedding, c.embedding),
+               x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+             (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+              sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+           FROM embeddings c, p
+           WHERE c.vec_id <> p.vec_id AND c.label IS NOT NULL
+             AND p.label IS NOT NULL AND c.label <> p.label)
+         SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+           ROUND(cos, 6) AS cos_r
+         FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+           ORDER BY cos DESC, neighbor_id) rn FROM s)
+         WHERE rn <= 5""",
 
     "q119_semantic_decontaminate" ->
       """WITH au AS (SELECT vec_id, label, list_transform(embedding,

@@ -96,6 +96,35 @@ object Similarity {
     localThenGlobalTopK(scored, k)
   }
 
+  /** Contrastive hard-negative mining: for each probe, the k MOST
+    * similar corpus rows whose `labelCol` DIFFERS from the probe's —
+    * the negatives that sit closest to the decision boundary, which is
+    * what contrastive / embedding-model training wants (random
+    * negatives are too easy to teach anything).
+    *
+    * Same scale discipline as [[bruteForceTopK]]: probes broadcast,
+    * corpus scanned once, partition-local k-heaps before the tiny
+    * ranking exchange. Rows with NULL labels on either side are
+    * excluded — an unknown label is not evidence of a negative. For
+    * corpus-scale probe sets, run over [[pqEncode]] codes with
+    * [[pqQuery]] semantics instead. */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id",
+                    labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(labelCol).as("__nl"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("pv"), col(labelCol).as("__pl"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("neighbor_id") =!= col("probe_id") &&
+        col("__nl").isNotNull && col("__pl").isNotNull &&
+        col("__nl") =!= col("__pl"))
+      .select(col("probe_id"), col("neighbor_id"),
+        V.cosineFast(col("pv"), col("cv")).as("cos"))
+    localThenGlobalTopK(scored, k)
+  }
+
   /** A prebuilt IVF (inverted-file) index: the corpus assigned to `nLists`
     * inverted lists by a seeded k-means coarse quantizer, plus the tiny
     * centroid table. BUILD ONCE, PROBE MANY: at 100 TB, `assigned` is
@@ -551,7 +580,16 @@ object Similarity {
     val dim = cb.m * cb.subDim
     val p = dimGuard(quantizedUnits(probes, vecCol, idCol, cb.unitScale), dim)
       .select(col("__id").as("probe_id"), col("__xu").as("__pxu"))
-    val c = codes.select(col(idCol).as("neighbor_id"), col("codes"))
+    // fail-loud codebook-compatibility guard: codes from a different
+    // codebook (wrong m, out-of-range code) would element_at to NULL and
+    // SILENTLY drop rows from the ranking under ansi=false
+    val codesOk = size(col("codes")) === cb.m &&
+      forall(col("codes"), cc => cc >= 0 && cc < cb.kCodes)
+    val c = codes.select(col(idCol).as("neighbor_id"),
+      when(codesOk, col("codes")).otherwise(raise_error(concat(
+        lit(s"pqQuery: codes incompatible with codebook m=${cb.m} " +
+          s"k=${cb.kCodes}: "),
+        col("codes").cast("string")))).as("codes"))
     val dist = (0 until cb.m).map { s =>
       aggregate(zip_with(
         slice(col("__pxu"), s * cb.subDim + 1, cb.subDim),

@@ -42,7 +42,9 @@ object Explain {
     "q109_repeated_spans", "q110_cut_repeated_spans",
     "q111_bpe_chunks", "q112_bpe_weighted_mix", "q113_ann_ivf_persisted",
     "q114_training_pipeline", "q115_perceptron_training",
-    "q116_kmeans_distributed")
+    "q116_kmeans_distributed", "q117_pq_encode", "q118_pq_ann",
+    "q119_semantic_decontaminate", "q120_training_order",
+    "q121_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -621,6 +621,29 @@ class DedupSimilaritySpec extends SparkSpec {
       batch.select("id").as[Long].collect().toSet) ++ Set.empty)
   }
 
+  test("hardNegatives: only different-label neighbors, ranked by cosine, " +
+      "NULL labels excluded on both sides") {
+    import graft.operators.Similarity
+    // 1D-ish geometry on 4 dims: label A clusters near +x, B near -x,
+    // one B vector almost exactly on a probe's direction
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), "A"),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), "A"),
+      (2L, Array(0.8f, 0.6f, 0f, 0f), "B"),   // closest different-label
+      (3L, Array(-1f, 0f, 0f, 0f), "B"),
+      (4L, Array(0.99f, 0.01f, 0f, 0f), null.asInstanceOf[String]), // excluded
+      (5L, Array(0f, 1f, 0f, 0f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(rows, rows.filter(col("vec_id") === 0), k = 2)
+      .select("probe_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    // same-label 1 and null-label 4 are closer than 2 but must not appear
+    assert(out.toSeq == Seq((0L, 2L, 1), (0L, 5L, 2)), out.toSeq.toString)
+    // a NULL-label probe mines nothing
+    assert(Similarity.hardNegatives(rows,
+      rows.filter(col("vec_id") === 4), k = 2).count() == 0)
+  }
+
   test("semanticDecontaminate: inclusive integer threshold, negative-dot " +
       "and NULL rows kept, broadcast anti-join plan with no exchange") {
     import graft.operators.Dedup
@@ -720,5 +743,13 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("dimension") ||
       ex.getCause != null && ex.getCause.getMessage.contains("dimension"))
+    // codes from an incompatible codebook fail loudly too (a wrong-m or
+    // out-of-range code would otherwise NULL out of the ranking silently)
+    val badCodes = Seq((7L, Array(0, 9))).toDF("vec_id", "codes")
+    val ex2 = intercept[Exception] {
+      Similarity.pqQuery(badCodes, probes, cb, k = 2).collect()
+    }
+    assert(ex2.getMessage.contains("incompatible") ||
+      ex2.getCause != null && ex2.getCause.getMessage.contains("incompatible"))
   }
 }
