@@ -667,6 +667,19 @@ object SparkEntry {
           element_at(col("codes"), 4).cast("long").as("c3"))
     }),
 
+    "q122_pq_ann_persisted" -> ((s, dir) => {
+      // PQ cross-session serving path: train -> encode -> pqSave (the
+      // compressed code table + codebook parquet) -> pqLoad -> ADC.
+      // Same deterministic arithmetic as q118, so its oracle holds —
+      // what's new under test is the save/load round trip
+      val emb = t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_pq_")
+      val cb = Similarity.pqTrain(emb, m = 4, kCodes = 8, iterations = 2)
+      Similarity.pqSave(Similarity.pqEncode(emb, cb), cb, base.toString)
+      val (codes, loaded) = Similarity.pqLoad(s, base.toString)
+      Similarity.pqQuery(codes, emb.filter(col("vec_id") < 4), loaded, k = 5)
+    }),
+
     "q121_hard_negatives" -> ((s, dir) => {
       // contrastive negatives: nearest corpus rows with a DIFFERENT
       // label — probes broadcast, corpus scanned once, k-heap pruned
@@ -3766,6 +3779,10 @@ dim_users_litify AS (
     "q117_pq_encode" -> q117OracleSql,
 
     "q118_pq_ann" -> q118OracleSql,
+
+    // identical arithmetic to q118 — the round trip through pqSave/pqLoad
+    // must not change a single code or distance
+    "q122_pq_ann_persisted" -> q118OracleSql,
 
     "q121_hard_negatives" ->
       """WITH p AS (SELECT vec_id, embedding, label FROM embeddings

@@ -567,6 +567,41 @@ object Similarity {
         pqAssign(col("__xu"), s, cb.subDim, cb.centroids(s))): _*).as("codes"))
   }
 
+  /** Persist a PQ index: the code table as parquet (the ~32x-compressed
+    * serving artifact) plus the codebook as one (s, j, d, c) long table
+    * and a one-row meta table — build once, probe many across jobs,
+    * the [[ivfSave]] discipline. */
+  def pqSave(codes: DataFrame, cb: PqCodebook, path: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    val rows = for {
+      s <- 0 until cb.m; j <- 0 until cb.kCodes; d <- 0 until cb.subDim
+    } yield (s, j, d, cb.centroids(s)(j)(d))
+    rows.toDF("s", "j", "d", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((cb.m, cb.kCodes, cb.subDim, cb.unitScale))
+      .toDF("m", "k_codes", "sub_dim", "unit_scale").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[pqSave]]d index: (codes frame, codebook). The codebook is
+    * a bounded driver collect by construction (m*k*subDim longs). */
+  def pqLoad(spark: org.apache.spark.sql.SparkSession,
+             path: String): (DataFrame, PqCodebook) = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (m, k, subDim, unitScale) = (meta.getAs[Int]("m"),
+      meta.getAs[Int]("k_codes"), meta.getAs[Int]("sub_dim"),
+      meta.getAs[Long]("unit_scale"))
+    val cents = Array.fill(m, k)(new Array[Long](subDim))
+    spark.read.parquet(s"$path/codebook").collect().foreach { r =>
+      cents(r.getAs[Int]("s"))(r.getAs[Int]("j"))(r.getAs[Int]("d")) =
+        r.getAs[Long]("c")
+    }
+    (spark.read.parquet(s"$path/codes"),
+      PqCodebook(m, k, subDim, unitScale, cents))
+  }
+
   /** Asymmetric-distance (ADC) top-k over a PQ code table: the probe
     * stays full-precision, each corpus row costs m codeword lookups —
     * distance = sum over subspaces of l2(probe_sub, codeword[code_s]),
