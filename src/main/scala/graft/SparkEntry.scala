@@ -667,6 +667,33 @@ object SparkEntry {
           element_at(col("codes"), 4).cast("long").as("c3"))
     }),
 
+    "q123_leak_safe_split" -> ((s, dir) => {
+      // eval-leak guard: near-dup clusters (q32's pair family) must land
+      // in ONE split — the split hash runs over the cluster label, so a
+      // doc and its near-duplicate can never straddle train/test
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+        threshold = 0.4, nBits = 4, bands = 8, maxBucket = 64)
+      Curate.leakSafeSplit(emb, pairs, "vec_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sum_ids"))
+    }),
+
+    "q124_keep_best_per_cluster" -> ((s, dir) => {
+      // quality-aware dedup: per near-dup cluster (q26's minhash pair
+      // family) keep the LONGEST text (ties -> lowest id), not the
+      // lowest id — the curation rule for near-duplicate crawls
+      val d = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"),
+          when(col("text").isNotNull, length(col("text")))
+            .as("quality"))
+      val pairs = Dedup.minhashPairs(d, "text", "doc_id", numHashes = 32,
+        bands = 8, threshold = 0.7, shingleN = 1, mode = Dedup.Portable)
+      Dedup.keepBestPerCluster(d, pairs, "doc_id", "quality")
+        .select(col("doc_id"), col("quality").cast("long").as("quality"))
+    }),
+
     "q122_pq_ann_persisted" -> ((s, dir) => {
       // PQ cross-session serving path: train -> encode -> pqSave (the
       // compressed code table + codebook parquet) -> pqLoad -> ADC.
@@ -2470,8 +2497,12 @@ dim_users_litify AS (
        |FROM pairs WHERE hamming <= 3 GROUP BY 1""".stripMargin
 
   /** The q26 MinHash-pair pipeline as a reusable CTE chain (ends in
-    * `pairs(a, b, est)`), shared with the q48 clustering oracle. */
-  private def q26PairCtes: String = {
+    * `pairs(a, b, est)`), shared with the q48 clustering oracle, and —
+    * at threshold 0.7, where the word-salad corpus stops collapsing into
+    * one transitive cluster — with the q124 keep-best oracle. */
+  private def q26PairCtes: String = q26PairCtesAt(0.3)
+
+  private def q26PairCtesAt(threshold: Double): String = {
     val mix = Dedup.mixConstants(32)
     val sigList = (0 until 32).map { j =>
       val (a, b) = mix(j)
@@ -2499,7 +2530,7 @@ dim_users_litify AS (
        |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
        |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est
        |  FROM cand c JOIN sig sa ON sa.id = c.a JOIN sig sb ON sb.id = c.b),
-       |pairs AS (SELECT a, b, est FROM est0 WHERE est >= 0.3
+       |pairs AS (SELECT a, b, est FROM est0 WHERE est >= $threshold
        |  UNION ALL SELECT a, b, est FROM exact_pairs)""".stripMargin
   }
 
@@ -3783,6 +3814,47 @@ dim_users_litify AS (
     // identical arithmetic to q118 — the round trip through pqSave/pqLoad
     // must not change a single code or distance
     "q122_pq_ann_persisted" -> q118OracleSql,
+
+    "q123_leak_safe_split" -> {
+      val two60 = 1L << 60
+      def thr(c: Double): Long = math.round(c * two60)
+      val h = duckHash("'graft:' || CAST(cluster AS VARCHAR)")
+      s"""WITH RECURSIVE $q32PairCtes,
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |lab AS (SELECT e.vec_id, COALESCE(c.cluster, e.vec_id) AS cluster
+         |  FROM embeddings e LEFT JOIN cl c ON e.vec_id = c.id),
+         |sp AS (SELECT vec_id,
+         |    CASE WHEN $h < ${thr(0.8)} THEN 'train'
+         |      WHEN $h < ${thr(0.9)} THEN 'val' ELSE 'test' END AS split
+         |  FROM lab)
+         |SELECT split, CAST(COUNT(1) AS BIGINT) AS n,
+         |  CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+         |FROM sp GROUP BY split""".stripMargin
+    },
+
+    "q124_keep_best_per_cluster" ->
+      s"""WITH RECURSIVE ${q26PairCtesAt(0.7)},
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |d AS (SELECT doc_id,
+         |    CASE WHEN text IS NOT NULL THEN length(text) END AS quality
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |lab AS (SELECT d.doc_id, d.quality,
+         |    COALESCE(c.cluster, d.doc_id) AS cluster
+         |  FROM d LEFT JOIN cl c ON d.doc_id = c.id)
+         |SELECT doc_id, CAST(quality AS BIGINT) AS quality FROM (
+         |  SELECT doc_id, quality, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY quality DESC NULLS LAST, doc_id) AS rn FROM lab)
+         |WHERE rn = 1""".stripMargin,
 
     "q121_hard_negatives" ->
       """WITH p AS (SELECT vec_id, embedding, label FROM embeddings

@@ -492,7 +492,13 @@ object Curate {
     * hash-space remainder so every row is labeled. Row-local, no shuffle. */
   def splitCorpus(df: DataFrame, idCol: String,
                   splits: Seq[(String, Double)],
-                  salt: String = "graft"): DataFrame = {
+                  salt: String = "graft"): DataFrame =
+    df.withColumn("split", splitLabelFor(sampleHash(idCol, salt), splits))
+
+  /** The hash-interval split labeling shared by [[splitCorpus]] and
+    * [[leakSafeSplit]] (validates the split spec once, here). */
+  private def splitLabelFor(h: Column,
+                            splits: Seq[(String, Double)]): Column = {
     require(splits.size >= 2, s"need at least 2 splits: $splits")
     require(splits.map(_._1).distinct.size == splits.size,
       s"split names collide: ${splits.map(_._1)}")
@@ -500,13 +506,35 @@ object Curate {
       require(w > 0.0 && w <= 1.0, s"weight for '$n' must be in (0,1]: $w") }
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1: $total")
-    val h = sampleHash(idCol, salt)
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
-    val labeled = splits.init.zip(cum.init).foldRight(
+    splits.init.zip(cum.init).foldRight(
       lit(splits.last._1): Column) { case (((name, _), c), acc) =>
       when(h < math.round(c * two60), name).otherwise(acc)
     }
-    df.withColumn("split", labeled)
+  }
+
+  /** LEAK-SAFE corpus split: like [[splitCorpus]], but every near-dup
+    * CLUSTER lands in one split — the split hash is taken over the
+    * cluster's representative id ([[Dedup.clusters]] min-label), not the
+    * row's own id. This closes the classic eval-leak hole: a document and
+    * its near-duplicate can never straddle train/test, which per-row
+    * hashing cannot guarantee no matter the salt. Rows that pair with
+    * nothing hash by their own id, so `leakSafeSplit(df, emptyPairs) ==
+    * splitCorpus(df)` — the guarantee composes with growth-stability.
+    *
+    * Scale shape: the label frame is pairs-bounded (unhinted join, AQE
+    * broadcasts when duplication is light); the labeling itself is
+    * row-local. One extra join over [[splitCorpus]], nothing else. */
+  def leakSafeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+                    splits: Seq[(String, Double)],
+                    salt: String = "graft", maxIter: Int = 10): DataFrame = {
+    val labels = Dedup.clusters(pairs, maxIter)
+      .select(col("id").as("__cid"), col("cluster").as("__cl"))
+    val h = T.portableHash64(concat(lit(salt), lit(":"),
+      coalesce(col("__cl"), col(idCol)).cast("string")))
+    df.join(labels, col(idCol) === col("__cid"), "left")
+      .withColumn("split", splitLabelFor(h, splits))
+      .drop("__cid", "__cl")
   }
 
   /** Deterministic epoch shuffle for training order: every row gets a

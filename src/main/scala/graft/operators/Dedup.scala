@@ -652,6 +652,32 @@ object Dedup {
     df.join(dropped, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** QUALITY-AWARE cluster representative selection: one survivor per
+    * near-dup cluster — the row with the HIGHEST `scoreCol` (ties to the
+    * lowest id; NULL scores lose to any non-NULL) — instead of
+    * [[semanticPrune]]'s keep-lowest-id convention. The curation rule
+    * real pipelines want: among near-duplicate crawls of one page, keep
+    * the longest / highest-quality capture, not whichever id sorted
+    * first. Rows that pair with nothing are their own cluster and
+    * survive unchanged.
+    *
+    * Scale shape: [[clusters]]' label frame is pairs-bounded (unhinted
+    * join — AQE broadcasts it when duplication is light), then ONE
+    * window shuffle on the cluster key. Output: surviving input rows,
+    * unchanged columns. */
+  def keepBestPerCluster(df: DataFrame, pairs: DataFrame, idCol: String,
+                         scoreCol: String, maxIter: Int = 10): DataFrame = {
+    val labels = clusters(pairs, maxIter)
+      .select(col("id").as("__cid"), col("cluster").as("__cl"))
+    val withCl = df.join(labels, col(idCol) === col("__cid"), "left")
+      .withColumn("__cluster", coalesce(col("__cl"), col(idCol)))
+      .drop("__cid", "__cl")
+    val w = Window.partitionBy(col("__cluster"))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+    withCl.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__cluster")
+  }
+
   /** Bucket-population audit for the capped LSH families: per-bucket member
     * counts and how many members the `maxBucket` cap would drop. Run this
     * (cheap: one aggregation) to observe what the caps cost on a corpus. */

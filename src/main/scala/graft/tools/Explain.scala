@@ -44,7 +44,8 @@ object Explain {
     "q114_training_pipeline", "q115_perceptron_training",
     "q116_kmeans_distributed", "q117_pq_encode", "q118_pq_ann",
     "q119_semantic_decontaminate", "q120_training_order",
-    "q121_hard_negatives", "q122_pq_ann_persisted")
+    "q121_hard_negatives", "q122_pq_ann_persisted",
+    "q123_leak_safe_split", "q124_keep_best_per_cluster")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -450,6 +450,36 @@ class CurateSpec extends SparkSpec {
       == 2000)
   }
 
+  test("leakSafeSplit: near-dup clusters never straddle splits; unpaired " +
+      "rows match splitCorpus exactly; empty pairs = splitCorpus") {
+    import graft.operators.Dedup
+    val docs = (0L until 100L).map(i => (i, s"doc$i")).toDF("id", "text")
+    // two transitive chains + one pair; everything else unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 51L), (70L, 90L))
+      .toDF("a", "b")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curate.leakSafeSplit(docs, pairs, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(out.size == 100)
+    // every cluster lands in ONE split
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(out(50L) == out(51L) && out(70L) == out(90L))
+    // unpaired rows are hashed by their own id -> identical to splitCorpus
+    val plain = Curate.splitCorpus(docs, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val paired = Set(1L, 2L, 3L, 50L, 51L, 70L, 90L)
+    (0L until 100L).filterNot(paired).foreach(i =>
+      assert(out(i) == plain(i), s"id $i moved without being paired"))
+    // clustered rows adopt their REPRESENTATIVE's plain label
+    assert(out(1L) == plain(1L) && out(50L) == plain(50L) &&
+      out(70L) == plain(70L))
+    // no pairs at all -> exactly splitCorpus
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val same = Curate.leakSafeSplit(docs, empty, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(same == plain)
+  }
+
   test("trainingOrder: dense per-shard positions, hash-driven order, " +
       "deterministic under repartition, salt changes the permutation") {
     val docs = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "text")

@@ -621,6 +621,23 @@ class DedupSimilaritySpec extends SparkSpec {
       batch.select("id").as[Long].collect().toSet) ++ Set.empty)
   }
 
+  test("keepBestPerCluster: highest score survives (ties -> lowest id, " +
+      "NULL loses), unpaired rows survive unchanged") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, java.lang.Long.valueOf(5L)),   // cluster {1,2,3}
+      (2L, java.lang.Long.valueOf(9L)),   //  - 2 and 3 tie at 9 -> keep 2
+      (3L, java.lang.Long.valueOf(9L)),
+      (4L, null.asInstanceOf[java.lang.Long]), // unpaired, NULL score: kept
+      (5L, null.asInstanceOf[java.lang.Long]), // cluster {5,6}: NULL loses
+      (6L, java.lang.Long.valueOf(1L)))
+      .toDF("id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val kept = Dedup.keepBestPerCluster(docs, pairs, "id", "quality")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L), kept.toString)
+  }
+
   test("hardNegatives: only different-label neighbors, ranked by cosine, " +
       "NULL labels excluded on both sides") {
     import graft.operators.Similarity
