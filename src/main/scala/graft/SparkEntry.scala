@@ -755,18 +755,21 @@ object SparkEntry {
       // of integer batch perceptron over engineered doc features; the
       // oracle replays the full weight trajectory as chained CTEs. The
       // label is the fixture lang tag; features are capped integers.
-      val toks = T.tokens(T.normalized(col("text")))
-      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-      val feats = t(s, dir, "documents").select(
-        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
-        least(size(toks), lit(500)).cast("long").as("f_ntok"),
-        expr("length(regexp_replace(text, '[^A-Za-z]', '')) " +
-          "* CAST(1000 AS BIGINT) div greatest(length(text), 1)")
-          .as("f_alpha"),
-        least(size(filter(toks, x => x.isin(stop.map(lit(_)): _*))),
-          lit(50)).cast("long").as("f_stop"))
-      Curate.trainPerceptron(feats, Seq("f_ntok", "f_alpha", "f_stop"),
+      Curate.trainPerceptron(perceptronFeatures(t(s, dir, "documents")),
+        perceptronFeatCols, "y", epochs = 5)
+    }),
+
+    "q125_perceptron_inference" -> ((s, dir) => {
+      // the train -> serve handoff in one engine: fit the q115 model,
+      // then score the corpus ROW-LOCALLY (weights as literals, no
+      // shuffle) and report the integer confusion counts. NULL-feature
+      // rows predict NULL on both engines (no silent class assignment).
+      val feats = perceptronFeatures(t(s, dir, "documents"))
+      val (b, w) = Curate.fitPerceptron(feats, perceptronFeatCols,
         "y", epochs = 5)
+      Curate.applyPerceptron(feats, perceptronFeatCols, b, w)
+        .groupBy(col("y"), col("prediction"))
+        .agg(count(lit(1)).as("n"))
     }),
 
     "q114_training_pipeline" -> ((s, dir) => {
@@ -2223,8 +2226,52 @@ dim_users_litify AS (
   /** q115: the perceptron weight trajectory replayed as chained CTEs —
     * one (e_k, w_k) pair per epoch, margins in HUGEINT. Bit-exact because
     * the training arithmetic is pure integer sums. */
+  private[graft] val perceptronFeatCols = Seq("f_ntok", "f_alpha", "f_stop")
+
+  /** The q115/q125 feature frame: lang label in {-1,+1} + three capped
+    * integer features over the document text. */
+  private def perceptronFeatures(docs: DataFrame): DataFrame = {
+    val toks = T.tokens(T.normalized(col("text")))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    docs.select(
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      least(size(toks), lit(500)).cast("long").as("f_ntok"),
+      expr("length(regexp_replace(text, '[^A-Za-z]', '')) " +
+        "* CAST(1000 AS BIGINT) div greatest(length(text), 1)")
+        .as("f_alpha"),
+      least(size(filter(toks, x => x.isin(stop.map(lit(_)): _*))),
+        lit(50)).cast("long").as("f_stop"))
+  }
+
   private def q115OracleSql: String = {
-    val feats = Seq("f_ntok", "f_alpha", "f_stop")
+    val (ctes, _, epochs) = perceptronOracleParts
+    val feats = perceptronFeatCols
+    val sel = (1 to epochs).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS epoch, b, " +
+        feats.map(c => s"w_$c").mkString(", ") + s", n_updates FROM w$k"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$sel"
+  }
+
+  /** q125: the q115 chain's FINAL weights applied back to every row —
+    * margin > 0 -> +1, <= 0 -> -1, NULL -> NULL (both engines). */
+  private def q125OracleSql: String = {
+    val (ctes, finalMargin, _) = perceptronOracleParts
+    s"""WITH $ctes
+       |SELECT CAST(y AS BIGINT) AS y, CAST(pred AS BIGINT) AS prediction,
+       |  CAST(COUNT(1) AS BIGINT) AS n
+       |FROM (SELECT y,
+       |    CASE WHEN ($finalMargin) > 0 THEN 1
+       |      WHEN ($finalMargin) <= 0 THEN -1 END AS pred
+       |  FROM f, w${5})
+       |GROUP BY y, pred""".stripMargin
+  }
+
+  /** Shared q115/q125 oracle machinery: the feature CTE + the full
+    * epoch chain (e1/w1 ... e5/w5), plus the margin expression of the
+    * FINAL weight row. */
+  private def perceptronOracleParts: (String, String, Int) = {
+    val feats = perceptronFeatCols
     val epochs = 5
     val f =
       s"""f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
@@ -2259,11 +2306,7 @@ dim_users_litify AS (
            |  FROM $prevFrom)""".stripMargin
       s"$e,\n$w"
     }.mkString(",\n")
-    val sel = (1 to epochs).map { k =>
-      s"SELECT CAST($k AS BIGINT) AS epoch, b, " +
-        feats.map(c => s"w_$c").mkString(", ") + s", n_updates FROM w$k"
-    }.mkString("\nUNION ALL\n")
-    s"WITH $f,\n$chain\n$sel"
+    (s"$f,\n$chain", margin(epochs), epochs)
   }
 
   /** q116: the k-means trajectory replayed per iteration — assignment by
@@ -3804,6 +3847,8 @@ dim_users_litify AS (
     "q114_training_pipeline" -> q114OracleSql,
 
     "q115_perceptron_training" -> q115OracleSql,
+
+    "q125_perceptron_inference" -> q125OracleSql,
 
     "q116_kmeans_distributed" -> q116OracleSql,
 

@@ -708,10 +708,23 @@ object Curate {
     * where n_updates counts that epoch's misclassified rows. */
   def trainPerceptron(df: DataFrame, featureCols: Seq[String],
                       labelCol: String, epochs: Int = 5): DataFrame = {
-    require(featureCols.nonEmpty, "need at least one feature column")
-    require(epochs >= 1 && epochs <= 64, s"epochs out of range: $epochs")
     val spark = df.sparkSession
     import spark.implicits._
+    perceptronEpochs(df, featureCols, labelCol, epochs)
+      .map { case (e, bb, ww, n) => (e.toLong, bb, ww, n) }
+      .toDF("epoch", "b", "w", "n_updates")
+      .select((col("epoch") +: col("b") +:
+        featureCols.zipWithIndex.map { case (c, i) =>
+          col("w")(i).as(s"w_$c") } :+ col("n_updates")): _*)
+  }
+
+  /** The [[trainPerceptron]] loop itself: one (F+2)-column aggregation
+    * per epoch, weights on the driver between epochs. */
+  private def perceptronEpochs(df: DataFrame, featureCols: Seq[String],
+                               labelCol: String,
+                               epochs: Int): Seq[(Int, Long, Seq[Long], Long)] = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    require(epochs >= 1 && epochs <= 64, s"epochs out of range: $epochs")
     val feats = df.select(
       (col(labelCol).cast("long").as("__y") +:
         featureCols.map(c => col(c).cast("long").as(s"__x_$c"))): _*)
@@ -737,11 +750,35 @@ object Curate {
       rows += ((epoch, b, w, Option(r.getAs[Long]("__n")).getOrElse(0L)))
     }
     rows.result()
-      .map { case (e, bb, ww, n) => (e.toLong, bb, ww, n) }
-      .toDF("epoch", "b", "w", "n_updates")
-      .select((col("epoch") +: col("b") +:
-        featureCols.zipWithIndex.map { case (c, i) =>
-          col("w")(i).as(s"w_$c") } :+ col("n_updates")): _*)
+  }
+
+  /** Fit and return just the FINAL weights `(b, w)` — the handoff from
+    * training to serving ([[applyPerceptron]]). Same loop, same
+    * bit-exact arithmetic as [[trainPerceptron]]. */
+  def fitPerceptron(df: DataFrame, featureCols: Seq[String],
+                    labelCol: String, epochs: Int = 5): (Long, Seq[Long]) = {
+    val last = perceptronEpochs(df, featureCols, labelCol, epochs).last
+    (last._2, last._3)
+  }
+
+  /** Batch inference with a fitted perceptron: adds `margin`
+    * (decimal(38,0) — exact) and `prediction` (+1 when margin > 0 else
+    * -1; the boundary convention mirrors training, where margin <= 0
+    * counts as misclassified for a +1 row). ROW-LOCAL: weights ride in
+    * as literals, no shuffle, no driver involvement — the corpus-scale
+    * half of the train/apply pair. NULL features yield NULL margin and
+    * NULL prediction (no silent class assignment). */
+  def applyPerceptron(df: DataFrame, featureCols: Seq[String],
+                      b: Long, w: Seq[Long]): DataFrame = {
+    require(w.size == featureCols.size,
+      s"weight count ${w.size} != feature count ${featureCols.size}")
+    val margin = featureCols.zip(w).foldLeft(
+        lit(b).cast("decimal(38,0)")) { case (acc, (c, wi)) =>
+      acc + col(c).cast("decimal(38,0)") * lit(wi) }
+    df.withColumn("margin", margin)
+      .withColumn("prediction",
+        when(col("margin") > 0, 1L)
+          .when(col("margin") <= 0, -1L))
   }
 
   /** Stratum sizes for [[mixCorpus]]: pre-filters to the target strata

@@ -45,7 +45,8 @@ object Explain {
     "q116_kmeans_distributed", "q117_pq_encode", "q118_pq_ann",
     "q119_semantic_decontaminate", "q120_training_order",
     "q121_hard_negatives", "q122_pq_ann_persisted",
-    "q123_leak_safe_split", "q124_keep_best_per_cluster")
+    "q123_leak_safe_split", "q124_keep_best_per_cluster",
+    "q125_perceptron_inference")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -385,6 +385,32 @@ class CurateSpec extends SparkSpec {
     assert(bo.last.getAs[Long]("n_updates") == 0L)
   }
 
+  test("fitPerceptron matches trainPerceptron's last row; applyPerceptron " +
+      "separates, NULLs predict NULL, boundary goes to -1, no shuffle") {
+    import graft.operators.Curate
+    val data = ((1L to 40L).map(i => (1L, 100L + i, 10L)) ++
+      (1L to 40L).map(i => (-1L, 10L, 100L + i))).toDF("y", "x1", "x2")
+    val (b, w) = Curate.fitPerceptron(data, Seq("x1", "x2"), "y", epochs = 6)
+    val last = Curate.trainPerceptron(data, Seq("x1", "x2"), "y", epochs = 6)
+      .orderBy("epoch").collect().last
+    assert(b == last.getAs[Long]("b") &&
+      w == Seq(last.getAs[Long]("w_x1"), last.getAs[Long]("w_x2")))
+    // converged weights classify the training set perfectly
+    val scored = Curate.applyPerceptron(data, Seq("x1", "x2"), b, w)
+    assert(scored.filter(col("prediction") =!= col("y")).count() == 0)
+    // inference is row-local: no exchange anywhere in the plan
+    assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"),
+      scored.queryExecution.executedPlan.toString)
+    // NULL feature -> NULL margin -> NULL prediction; margin 0 -> -1
+    val edge = Seq((java.lang.Long.valueOf(5L), java.lang.Long.valueOf(5L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)))
+      .toDF("x1", "x2")
+    val e = Curate.applyPerceptron(edge, Seq("x1", "x2"), 0L, Seq(1L, -1L))
+      .select("prediction").collect()
+    assert(e(0).getLong(0) == -1L)  // margin exactly 0 -> -1 (training rule)
+    assert(e(1).isNullAt(0))        // no silent class for NULL features
+  }
+
   test("mixCorpus strata-count collect is |targetShares|-bounded on a " +
       "high-cardinality stratum column") {
     // 1000 distinct strata, 2 targets: the driver-side counts map must be
