@@ -667,6 +667,27 @@ object SparkEntry {
           element_at(col("codes"), 4).cast("long").as("c3"))
     }),
 
+    "q126_embedding_pipeline" -> ((s, dir) => {
+      // the embedding-side composed flagship (q114's twin): semantic
+      // decontamination vs the benchmark slice -> near-dup prune
+      // (pairs + transitive closure) -> growth-stable split -> epoch
+      // ordering of the train split. One oracle pins the whole chain,
+      // including the permutation itself (sum of pos*vec_id per shard).
+      val emb = t(s, dir, "embeddings")
+      val clean = Dedup.semanticDecontaminate(
+        emb.filter(col("vec_id") >= 32), emb.filter(col("vec_id") < 32),
+        "embedding", "vec_id", thresholdPct = 50)
+      val pruned = Dedup.semanticPrune(clean, "embedding", "vec_id",
+        threshold = 0.4, nBits = 4, bands = 8, maxBucket = 64, dim = 64)
+      val train = Curate.splitCorpus(pruned, "vec_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .filter(col("split") === "train")
+      Curate.trainingOrder(train, "vec_id", nShards = 4, salt = "epoch1")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sum_ids"),
+          sum(col("pos") * col("vec_id")).as("order_checksum"))
+    }),
+
     "q123_leak_safe_split" -> ((s, dir) => {
       // eval-leak guard: near-dup clusters (q32's pair family) must land
       // in ONE split — the split hash runs over the cluster label, so a
@@ -1762,10 +1783,15 @@ dim_users_litify AS (
     * threshold=0.4, nBits=4, bands=8, maxBucket=64): exact-dup pre-pass,
     * banded sign-LSH with per-bucket cap, exact cosine verify. Shared by
     * the q32 bucket-histogram oracle and the q95 semantic-prune closure. */
-  private def q32PairCtes: String = {
+  private def q32PairCtes: String = q32PairCtesFrom("embeddings")
+
+  /** The q32 embedding near-dup pair family over an arbitrary
+    * (vec_id, embedding) relation — shared by q32/q95/q123 (over
+    * `embeddings`) and q126 (over the decontamination survivors). */
+  private def q32PairCtesFrom(rel: String): String = {
     val planes = V.randomPlanes(4 * 8, 64, 42L)
     s"""base AS (SELECT vec_id AS id, embedding AS v,
-         MIN(vec_id) OVER (PARTITION BY embedding) AS rep FROM embeddings),
+         MIN(vec_id) OVER (PARTITION BY embedding) AS rep FROM $rel),
        exact_pairs AS (SELECT rep AS a, id AS b, 1.0 AS cos
          FROM base WHERE id <> rep),
        reps AS (SELECT id, v FROM base WHERE id = rep),
@@ -3859,6 +3885,54 @@ dim_users_litify AS (
     // identical arithmetic to q118 — the round trip through pqSave/pqLoad
     // must not change a single code or distance
     "q122_pq_ann_persisted" -> q118OracleSql,
+
+    "q126_embedding_pipeline" -> {
+      val two60 = 1L << 60
+      def thr(c: Double): Long = math.round(c * two60)
+      val sh = duckHash("'graft:' || CAST(vec_id AS VARCHAR)")
+      val oh = duckHash("'epoch1:' || CAST(vec_id AS VARCHAR)")
+      s"""WITH RECURSIVE au AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu
+         |  FROM embeddings WHERE vec_id >= 32),
+         |bu AS (SELECT list_transform(embedding,
+         |    x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu
+         |  FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL),
+         |an AS (SELECT vec_id, xu,
+         |    list_sum(list_transform(xu, x -> x * x)) AS n2 FROM au),
+         |bn AS (SELECT xu,
+         |    list_sum(list_transform(xu, x -> x * x)) AS n2 FROM bu),
+         |hits AS (SELECT DISTINCT vec_id FROM (
+         |    SELECT a.vec_id,
+         |      list_sum(list_transform(list_zip(a.xu, b.xu),
+         |        p -> p[1] * p[2])) AS dot,
+         |      a.n2 AS an2, b.n2 AS bn2
+         |    FROM an a, bn b)
+         |  WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000
+         |    >= 2500 * CAST(an2 AS HUGEINT) * bn2),
+         |surv AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         |  WHERE e.vec_id >= 32
+         |    AND e.vec_id NOT IN (SELECT vec_id FROM hits)),
+         |${q32PairCtesFrom("surv")},
+         |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |removed AS (SELECT id
+         |  FROM (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         |  WHERE cluster <> id),
+         |train AS (SELECT vec_id FROM surv
+         |  WHERE vec_id NOT IN (SELECT id FROM removed)
+         |    AND $sh < ${thr(0.8)}),
+         |ord AS (SELECT vec_id, $oh % 4 AS shard,
+         |    row_number() OVER (PARTITION BY $oh % 4
+         |      ORDER BY $oh, vec_id) - 1 AS pos
+         |  FROM train)
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(1) AS BIGINT) AS n,
+         |  CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+         |  CAST(SUM(pos * vec_id) AS BIGINT) AS order_checksum
+         |FROM ord GROUP BY shard""".stripMargin
+    },
 
     "q123_leak_safe_split" -> {
       val two60 = 1L << 60
