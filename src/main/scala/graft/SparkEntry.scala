@@ -667,6 +667,19 @@ object SparkEntry {
           element_at(col("codes"), 4).cast("long").as("c3"))
     }),
 
+    "q127_ivfpq_ann" -> ((s, dir) => {
+      // the production ANN capstone: IVF coarse quantizer + RESIDUAL
+      // product quantization, probed at nProbe=2 of 4 lists — coarse
+      // fit, assignment, residuals, per-subspace codebooks, encode and
+      // ADC are ALL integer-exact, so DuckDB replays the entire index
+      // build and query
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfPqBuild(emb, nLists = 4, m = 4, kCodes = 8,
+        iterations = 2)
+      Similarity.ivfPqQuery(idx, emb.filter(col("vec_id") < 4), k = 5,
+        nProbe = 2)
+    }),
+
     "q126_embedding_pipeline" -> ((s, dir) => {
       // the embedding-side composed flagship (q114's twin): semantic
       // decontamination vs the benchmark slice -> near-dup prune
@@ -2454,6 +2467,118 @@ dim_users_litify AS (
        |  ORDER BY dist, neighbor_id) AS rn FROM adc)
        |WHERE rn <= 5""".stripMargin
 
+  /** q127: the complete IVF-PQ replay — coarse Lloyd's chain (list
+    * form), argmin assignment, residual rows, four residual-subspace
+    * Lloyd's chains (row form), argmin encode, coarse-list probe
+    * ranking at nProbe=2, and the residual ADC. Every stage mirrors
+    * Similarity.ivfPqBuild/ivfPqQuery arithmetic exactly. */
+  private def q127OracleSql: String = {
+    val (nLists, m, k, iters, subDim, dim, scale, nProbe) =
+      (4, 4, 8, 2, 16, 64, 1000000L, 2)
+    val head =
+      s"""xu AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(trunc(x::DOUBLE * $scale) AS BIGINT)) AS xu
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |d64 AS (SELECT unnest(range($dim)) AS d),
+         |gseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, xu
+         |  FROM (SELECT vec_id, xu FROM xu ORDER BY vec_id LIMIT $nLists)),
+         |gc0 AS (SELECT CAST(sd.j AS INT) AS j, d64.d AS d,
+         |  sd.xu[d64.d + 1] AS c FROM gseeds sd, d64)""".stripMargin
+    val coarseChain = (1 to iters).map { i =>
+      val p = i - 1
+      s"""ga$i AS (SELECT v.vec_id, c.j,
+         |    SUM((v.xu[c.d + 1] - c.c) * (v.xu[c.d + 1] - c.c)) AS dist
+         |  FROM xu v, gc$p c GROUP BY 1, 2),
+         |gb$i AS (SELECT vec_id, j AS cl FROM (SELECT vec_id, j,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+         |  FROM ga$i) WHERE rn = 1),
+         |gs$i AS (SELECT b.cl, d64.d,
+         |    CAST(SUM(v.xu[d64.d + 1]) AS BIGINT) AS s, COUNT(1) AS n
+         |  FROM xu v JOIN gb$i b ON v.vec_id = b.vec_id, d64 GROUP BY 1, 2),
+         |gc$i AS MATERIALIZED (SELECT cl AS j, d,
+         |    CAST(trunc(CAST(s AS DOUBLE) / n) AS BIGINT) AS c FROM gs$i
+         |  UNION ALL SELECT j, d, c FROM gc$p
+         |    WHERE j NOT IN (SELECT DISTINCT cl FROM gb$i))""".stripMargin
+    }.mkString(",\n")
+    val resid =
+      s"""ad AS (SELECT v.vec_id, c.j,
+         |    SUM((v.xu[c.d + 1] - c.c) * (v.xu[c.d + 1] - c.c)) AS dist
+         |  FROM xu v, gc$iters c GROUP BY 1, 2),
+         |asg AS MATERIALIZED (SELECT vec_id, j AS lst FROM (SELECT vec_id, j,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+         |  FROM ad) WHERE rn = 1),
+         |rd AS MATERIALIZED (SELECT v.vec_id, a.lst, c.d, v.xu[c.d + 1] - c.c AS ru
+         |  FROM xu v JOIN asg a ON v.vec_id = a.vec_id
+         |  JOIN gc$iters c ON c.j = a.lst),
+         |pseeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+         |  FROM (SELECT DISTINCT vec_id FROM rd ORDER BY vec_id LIMIT $k))""".stripMargin
+    val pqChains = (0 until m).map { s =>
+      val off = s * subDim
+      val init =
+        s"""p${s}c0 AS (SELECT CAST(ps.j AS INT) AS j, rd.d - $off AS d,
+           |  rd.ru AS c FROM pseeds ps JOIN rd ON rd.vec_id = ps.vec_id
+           |  WHERE rd.d >= $off AND rd.d < ${off + subDim})""".stripMargin
+      val iterCtes = (1 to iters).map { i =>
+        val p = i - 1
+        s"""p${s}a$i AS (SELECT r.vec_id, c.j,
+           |    SUM((r.ru - c.c) * (r.ru - c.c)) AS dist
+           |  FROM rd r JOIN p${s}c$p c ON c.d = r.d - $off
+           |  WHERE r.d >= $off AND r.d < ${off + subDim} GROUP BY 1, 2),
+           |p${s}b$i AS (SELECT vec_id, j AS cl FROM (SELECT vec_id, j,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+           |  FROM p${s}a$i) WHERE rn = 1),
+           |p${s}s$i AS (SELECT b.cl, r.d - $off AS d,
+           |    CAST(SUM(r.ru) AS BIGINT) AS s, COUNT(1) AS n
+           |  FROM rd r JOIN p${s}b$i b ON r.vec_id = b.vec_id
+           |  WHERE r.d >= $off AND r.d < ${off + subDim} GROUP BY 1, 2),
+           |p${s}c$i AS MATERIALIZED (SELECT cl AS j, d,
+           |    CAST(trunc(CAST(s AS DOUBLE) / n) AS BIGINT) AS c FROM p${s}s$i
+           |  UNION ALL SELECT j, d, c FROM p${s}c$p
+           |    WHERE j NOT IN (SELECT DISTINCT cl FROM p${s}b$i))""".stripMargin
+      }.mkString(",\n")
+      s"$init,\n$iterCtes"
+    }.mkString(",\n")
+    val pcfin = (0 until m).map(s =>
+      s"SELECT $s AS s, j, d, c FROM p${s}c$iters").mkString(" UNION ALL ")
+    s"""WITH $head,
+       |$coarseChain,
+       |$resid,
+       |$pqChains,
+       |pcfin AS MATERIALIZED ($pcfin),
+       |ped AS (SELECT r.vec_id, c.s, c.j,
+       |    SUM((r.ru - c.c) * (r.ru - c.c)) AS dist
+       |  FROM rd r JOIN pcfin c ON r.d = c.s * $subDim + c.d
+       |  GROUP BY 1, 2, 3),
+       |penc AS MATERIALIZED (SELECT vec_id, s, j AS code FROM (SELECT vec_id, s, j,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+       |  FROM ped) WHERE rn = 1),
+       |p AS (SELECT vec_id, xu FROM xu WHERE vec_id < 4),
+       |pcd AS (SELECT p.vec_id AS probe_id, c.j,
+       |    SUM((p.xu[c.d + 1] - c.c) * (p.xu[c.d + 1] - c.c)) AS dist
+       |  FROM p, gc$iters c GROUP BY 1, 2),
+       |pl AS MATERIALIZED (SELECT probe_id, j AS lst FROM (SELECT probe_id, j,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY dist, j) AS rn
+       |  FROM pcd) WHERE rn <= $nProbe),
+       |prd AS MATERIALIZED (SELECT p.vec_id AS probe_id, pl.lst, c.d,
+       |    p.xu[c.d + 1] - c.c AS pru
+       |  FROM p JOIN pl ON pl.probe_id = p.vec_id
+       |  JOIN gc$iters c ON c.j = pl.lst),
+       |adc AS (SELECT prd.probe_id, e.vec_id AS neighbor_id,
+       |    SUM((prd.pru - c.c) * (prd.pru - c.c)) AS dist
+       |  FROM prd
+       |  JOIN asg a ON a.lst = prd.lst
+       |  JOIN penc e ON e.vec_id = a.vec_id
+       |  JOIN pcfin c ON c.s = e.s AND c.j = e.code
+       |    AND prd.d = c.s * $subDim + c.d
+       |  WHERE e.vec_id <> prd.probe_id
+       |  GROUP BY 1, 2)
+       |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       |  CAST(dist AS BIGINT) AS adc_dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY dist, neighbor_id) AS rn FROM adc)
+       |WHERE rn <= 5""".stripMargin
+  }
+
   /** Mirrors of Multimodal.AudioFixture — q107/q108 run the REAL
     * javax.sound codec; the oracle replays the PCM sample arithmetic
     * (WAV PCM16 is lossless). In lockstep with AudioFixture.{nSamples,
@@ -3875,6 +4000,8 @@ dim_users_litify AS (
     "q115_perceptron_training" -> q115OracleSql,
 
     "q125_perceptron_inference" -> q125OracleSql,
+
+    "q127_ivfpq_ann" -> q127OracleSql,
 
     "q116_kmeans_distributed" -> q116OracleSql,
 

@@ -502,13 +502,20 @@ object Similarity {
   def pqTrain(corpus: DataFrame, vecCol: String = "embedding",
               idCol: String = "vec_id", m: Int = 4, kCodes: Int = 8,
               iterations: Int = 2,
-              unitScale: Long = 1000000L): PqCodebook = {
+              unitScale: Long = 1000000L): PqCodebook =
+    pqTrainUnits(quantizedUnits(corpus, vecCol, idCol, unitScale),
+      m, kCodes, iterations, unitScale)
+
+  /** [[pqTrain]] over an ALREADY-quantized (`__id`, `__xu`: array<long>)
+    * frame — the entry point [[ivfPqBuild]] uses to train on residuals. */
+  private[graft] def pqTrainUnits(xu0: DataFrame, m: Int, kCodes: Int,
+                                  iterations: Int,
+                                  unitScale: Long): PqCodebook = {
     require(m >= 1 && kCodes >= 1, s"bad pq shape: m=$m k=$kCodes")
     require(iterations >= 1 && iterations <= 64,
       s"iterations out of range: $iterations")
-    val spark = corpus.sparkSession
+    val spark = xu0.sparkSession
     import spark.implicits._
-    val xu0 = quantizedUnits(corpus, vecCol, idCol, unitScale)
     val seedRows = xu0.orderBy(col("__id")).limit(kCodes)
       .select(col("__xu")).as[Array[Long]].collect()
     require(seedRows.length == kCodes, s"corpus smaller than k=$kCodes")
@@ -562,9 +569,104 @@ object Similarity {
     val dim = cb.m * cb.subDim
     val xu = dimGuard(
       quantizedUnits(corpus, vecCol, idCol, cb.unitScale), dim)
-    xu.select(col("__id").as(idCol),
-      array((0 until cb.m).map(s =>
-        pqAssign(col("__xu"), s, cb.subDim, cb.centroids(s))): _*).as("codes"))
+    xu.select(col("__id").as(idCol), pqCodesCol(col("__xu"), cb).as("codes"))
+  }
+
+  /** The row-local code array for a units column against a codebook. */
+  private def pqCodesCol(xuCol: org.apache.spark.sql.Column,
+                         cb: PqCodebook): org.apache.spark.sql.Column =
+    array((0 until cb.m).map(s =>
+      pqAssign(xuCol, s, cb.subDim, cb.centroids(s))): _*)
+
+  /** The full production ANN structure: IVF coarse quantizer + RESIDUAL
+    * product quantization (the FAISS IVFPQ recipe) — both trained with
+    * the integer-exact Lloyd's, so the ENTIRE index build replays
+    * bit-for-bit in another engine. `encoded` holds one
+    * (id, __list, codes) row per corpus vector. */
+  final case class IvfPqIndex(encoded: DataFrame,
+                              coarse: Array[Array[Long]],
+                              cb: PqCodebook, nLists: Int)
+
+  /** Build an IVF-PQ index: coarse centroids (integer Lloyd's over the
+    * full dim), row-local assignment + residual (vector minus its coarse
+    * centroid), then a PQ codebook trained ON THE RESIDUALS — residual
+    * magnitudes are much smaller than vector magnitudes, so the same
+    * code budget quantizes finer (why FAISS does it). Every stage is the
+    * fused one-pass-per-iteration shape; driver state = (nLists +
+    * m*kCodes) * dim longs, bounded.
+    *
+    * 100 TB shape: persist `encoded` partitioned by `__list` (the
+    * [[ivfSave]] discipline) and each probe batch reads only its nProbe
+    * list-partitions of a ~32x-compressed table. */
+  def ivfPqBuild(corpus: DataFrame, vecCol: String = "embedding",
+                 idCol: String = "vec_id", nLists: Int = 4, m: Int = 4,
+                 kCodes: Int = 8, iterations: Int = 2,
+                 unitScale: Long = 1000000L): IvfPqIndex = {
+    require(nLists >= 1, s"nLists must be >= 1: $nLists")
+    val xu0 = quantizedUnits(corpus, vecCol, idCol, unitScale)
+    val coarse =
+      pqTrainUnits(xu0, 1, nLists, iterations, unitScale).centroids(0)
+    val dim = coarse.head.length
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    def withResiduals(f: DataFrame): DataFrame =
+      dimGuard(f, dim)
+        .withColumn("__list", pqAssign(col("__xu"), 0, dim, coarse))
+        .withColumn("__ru", zip_with(col("__xu"),
+          element_at(coarseLit, col("__list") + 1), (a, b) => a - b))
+    val withList = withResiduals(xu0)
+    val cb = pqTrainUnits(
+      withList.select(col("__id"), col("__ru").as("__xu")),
+      m, kCodes, iterations, unitScale)
+    val encoded = withList.select(col("__id").as(idCol), col("__list"),
+      pqCodesCol(col("__ru"), cb).as("codes"))
+    IvfPqIndex(encoded, coarse, cb, nLists)
+  }
+
+  /** IVF-PQ probe: rank the coarse lists per probe (integer distances,
+    * ties to the lowest list), keep `nProbe`, compute the probe's
+    * residual AGAINST EACH probed list's centroid, and run the
+    * integer-exact ADC of [[pqQuery]] over just those lists' codes —
+    * candidates shrink by ~nProbe/nLists on top of PQ's compression.
+    * Probe-side expansion is |probes| x nLists rows (probe-bounded);
+    * the code table is reached through ONE equi join on `__list`. */
+  def ivfPqQuery(index: IvfPqIndex, probes: DataFrame, k: Int,
+                 nProbe: Int = 2, vecCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= index.nLists,
+      s"nProbe must be in [1, ${index.nLists}]: $nProbe")
+    val cb = index.cb
+    val dim = cb.m * cb.subDim
+    val pxu = dimGuard(
+      quantizedUnits(probes, vecCol, idCol, cb.unitScale), dim)
+      .select(col("__id").as("probe_id"), col("__xu").as("__pxu"))
+    val coarseLit = typedLit(index.coarse.map(_.toSeq).toSeq)
+    val expanded = pxu
+      .select(col("probe_id"), col("__pxu"), posexplode(coarseLit))
+      .select(col("probe_id"), col("__pxu"),
+        col("pos").cast("int").as("__list"),
+        aggregate(zip_with(col("__pxu"), col("col"),
+          (a, b) => (a - b) * (a - b)), lit(0L),
+          (acc, v) => acc + v).as("__cd"),
+        zip_with(col("__pxu"), col("col"), (a, b) => a - b).as("__pru"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__cd"), col("__list"))
+    val probeLists = expanded.withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= nProbe)
+      .select(col("probe_id"), col("__list"), col("__pru"))
+    val dist = (0 until cb.m).map { s =>
+      aggregate(zip_with(
+        slice(col("__pru"), s * cb.subDim + 1, cb.subDim),
+        element_at(typedLit(cb.centroids(s).map(_.toSeq).toSeq),
+          element_at(col("codes"), s + 1) + 1),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+    }.reduce(_ + _)
+    val scored = index.encoded.join(broadcast(probeLists), Seq("__list"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        (-dist).cast("double").as("cos"), dist.as("adc_dist"))
+    localThenGlobalTopK(scored, k)
+      .select(col("probe_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("adc_dist"))
   }
 
   /** Persist a PQ index: the code table as parquet (the ~32x-compressed

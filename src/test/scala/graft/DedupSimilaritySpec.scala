@@ -621,6 +621,55 @@ class DedupSimilaritySpec extends SparkSpec {
       batch.select("id").as[Long].collect().toSet) ++ Set.empty)
   }
 
+  test("ivfPq: assignment is the true coarse argmin, ADC parity with " +
+      "driver recompute, deterministic under repartition") {
+    import graft.operators.Similarity
+    val vecs = pqCorpus // 40 vecs, dim 8
+    val idx = Similarity.ivfPqBuild(vecs, nLists = 3, m = 2, kCodes = 4,
+      iterations = 2)
+    val enc = idx.encoded.select("vec_id", "__list", "codes")
+      .as[(Long, Int, Array[Int])].collect()
+    assert(enc.length == 40)
+    val raw = vecs.as[(Long, Array[Float])].collect().toMap
+    // every row sits in its nearest coarse list (ties to lowest)
+    enc.foreach { case (id, lst, _) =>
+      val xu = units(raw(id))
+      val dists = idx.coarse.map(c =>
+        (0 until 8).map(d => { val df = xu(d) - c(d); df * df }).sum)
+      assert(dists(lst) == dists.min && dists.indexOf(dists.min) == lst)
+    }
+    // full-coverage probe (nProbe = nLists): ADC matches a driver
+    // recompute over residuals vs the residual codebook
+    val out = Similarity.ivfPqQuery(idx, vecs.filter(col("vec_id") < 2),
+        k = 4, nProbe = 3)
+      .select("probe_id", "neighbor_id", "rank", "adc_dist")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 8)
+    val codeMap = enc.map(e => e._1 -> (e._2, e._3)).toMap
+    val exp = (0L until 2L).flatMap { p =>
+      val pxu = units(raw(p))
+      raw.keys.filter(_ != p).map { n =>
+        val (nl, codes) = codeMap(n)
+        // probe residual vs the NEIGHBOR's list centroid
+        val pru = (0 until 8).map(d => pxu(d) - idx.coarse(nl)(d))
+        val d = (0 until 2).map { s =>
+          val cw = idx.cb.centroids(s)(codes(s))
+          (0 until 4).map(i => {
+            val df = pru(s * 4 + i) - cw(i); df * df }).sum
+        }.sum
+        (p, n, d)
+      }.toSeq.sortBy(t => (t._3, t._2)).take(4)
+        .zipWithIndex.map { case ((pp, n, d), r) => (pp, n, r + 1L, d) }
+    }.toSet
+    assert(out.toSet == exp)
+    // bit-exact determinism of the whole build under repartition
+    val idx2 = Similarity.ivfPqBuild(vecs.repartition(7).orderBy(rand(9)),
+      nLists = 3, m = 2, kCodes = 4, iterations = 2)
+    assert(idx.coarse.map(_.toSeq).toSeq == idx2.coarse.map(_.toSeq).toSeq)
+    assert(idx.cb.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx2.cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("keepBestPerCluster: highest score survives (ties -> lowest id, " +
       "NULL loses), unpaired rows survive unchanged") {
     import graft.operators.Dedup
