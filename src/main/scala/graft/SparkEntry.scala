@@ -680,6 +680,20 @@ object SparkEntry {
         nProbe = 2)
     }),
 
+    "q128_ivfpq_persisted" -> ((s, dir) => {
+      // the compressed serving path end-to-end: build -> ivfPqSave
+      // (encoded parquet partitioned by __list) -> ivfPqLoad -> probe.
+      // Identical arithmetic to q127, so its oracle holds — what's new
+      // under test is the round trip and the list-partitioned layout
+      val emb = t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_")
+      Similarity.ivfPqSave(Similarity.ivfPqBuild(emb, nLists = 4, m = 4,
+        kCodes = 8, iterations = 2), base.toString)
+      val loaded = Similarity.ivfPqLoad(s, base.toString)
+      Similarity.ivfPqQuery(loaded, emb.filter(col("vec_id") < 4), k = 5,
+        nProbe = 2)
+    }),
+
     "q126_embedding_pipeline" -> ((s, dir) => {
       // the embedding-side composed flagship (q114's twin): semantic
       // decontamination vs the benchmark slice -> near-dup prune
@@ -4002,6 +4016,10 @@ dim_users_litify AS (
     "q125_perceptron_inference" -> q125OracleSql,
 
     "q127_ivfpq_ann" -> q127OracleSql,
+
+    // identical arithmetic to q127 — the list-partitioned save/load
+    // round trip must not change a single code, list or distance
+    "q128_ivfpq_persisted" -> q127OracleSql,
 
     "q116_kmeans_distributed" -> q116OracleSql,
 

@@ -669,6 +669,53 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("adc_dist"))
   }
 
+  /** Persist an IVF-PQ index: the encoded table parquet PARTITIONED BY
+    * `__list` (probe batches read only their nProbe list-partitions),
+    * plus coarse centroids, residual codebook and meta — the
+    * [[ivfSave]] discipline over the compressed representation. */
+  def ivfPqSave(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    index.encoded.write.mode("overwrite")
+      .partitionBy("__list").parquet(s"$path/encoded")
+    val cRows = for {
+      j <- 0 until index.nLists; d <- 0 until index.coarse(j).length
+    } yield (j, d, index.coarse(j)(d))
+    cRows.toDF("j", "d", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/coarse")
+    val cb = index.cb
+    val pqRows = for {
+      s <- 0 until cb.m; j <- 0 until cb.kCodes; d <- 0 until cb.subDim
+    } yield (s, j, d, cb.centroids(s)(j)(d))
+    pqRows.toDF("s", "j", "d", "c").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((index.nLists, cb.m, cb.kCodes, cb.subDim, cb.unitScale))
+      .toDF("n_lists", "m", "k_codes", "sub_dim", "unit_scale").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load an [[ivfPqSave]]d index; both codebooks are bounded driver
+    * collects by construction. */
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession,
+                path: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (nLists, m, k, subDim, unitScale) = (meta.getAs[Int]("n_lists"),
+      meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
+      meta.getAs[Int]("sub_dim"), meta.getAs[Long]("unit_scale"))
+    val dim = m * subDim
+    val coarse = Array.fill(nLists)(new Array[Long](dim))
+    spark.read.parquet(s"$path/coarse").collect().foreach { r =>
+      coarse(r.getAs[Int]("j"))(r.getAs[Int]("d")) = r.getAs[Long]("c")
+    }
+    val cents = Array.fill(m, k)(new Array[Long](subDim))
+    spark.read.parquet(s"$path/codebook").collect().foreach { r =>
+      cents(r.getAs[Int]("s"))(r.getAs[Int]("j"))(r.getAs[Int]("d")) =
+        r.getAs[Long]("c")
+    }
+    IvfPqIndex(spark.read.parquet(s"$path/encoded"), coarse,
+      PqCodebook(m, k, subDim, unitScale, cents), nLists)
+  }
+
   /** Persist a PQ index: the code table as parquet (the ~32x-compressed
     * serving artifact) plus the codebook as one (s, j, d, c) long table
     * and a one-row meta table — build once, probe many across jobs,

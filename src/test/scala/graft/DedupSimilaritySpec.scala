@@ -670,6 +670,29 @@ class DedupSimilaritySpec extends SparkSpec {
       idx2.cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("ivfPqSave/Load: list-partitioned layout on disk, loaded index " +
+      "serves identical results") {
+    import graft.operators.Similarity
+    val vecs = pqCorpus
+    val idx = Similarity.ivfPqBuild(vecs, nLists = 3, m = 2, kCodes = 4,
+      iterations = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_t")
+    Similarity.ivfPqSave(idx, dir.toString)
+    // the probe-pruning contract is physical: one directory per list
+    val parts = new java.io.File(s"$dir/encoded").listFiles()
+      .filter(_.getName.startsWith("__list=")).map(_.getName).sorted
+    assert(parts.nonEmpty && parts.forall(_.matches("__list=\\d+")),
+      parts.toSeq.toString)
+    val loaded = Similarity.ivfPqLoad(spark, dir.toString)
+    assert(loaded.nLists == 3 && loaded.cb.m == 2)
+    def serve(i: Similarity.IvfPqIndex) =
+      Similarity.ivfPqQuery(i, vecs.filter(col("vec_id") < 2), k = 4,
+          nProbe = 2)
+        .select("probe_id", "neighbor_id", "rank", "adc_dist")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(serve(idx) == serve(loaded))
+  }
+
   test("keepBestPerCluster: highest score survives (ties -> lowest id, " +
       "NULL loses), unpaired rows survive unchanged") {
     import graft.operators.Dedup
