@@ -687,11 +687,14 @@ object SparkEntry {
       // under test is the round trip and the list-partitioned layout
       val emb = t(s, dir, "embeddings")
       val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_")
-      Similarity.ivfPqSave(Similarity.ivfPqBuild(emb, nLists = 4, m = 4,
-        kCodes = 8, iterations = 2), base.toString)
-      val loaded = Similarity.ivfPqLoad(s, base.toString)
-      Similarity.ivfPqQuery(loaded, emb.filter(col("vec_id") < 4), k = 5,
-        nProbe = 2)
+      try {
+        Similarity.ivfPqSave(Similarity.ivfPqBuild(emb, nLists = 4, m = 4,
+          kCodes = 8, iterations = 2), base.toString)
+        val loaded = Similarity.ivfPqLoad(s, base.toString)
+        Similarity.ivfPqQuery(loaded, emb.filter(col("vec_id") < 4), k = 5,
+            nProbe = 2)
+          .localCheckpoint(true) // materialize before the dir vanishes
+      } finally deleteRecursively(base)
     }),
 
     "q126_embedding_pipeline" -> ((s, dir) => {
@@ -749,10 +752,14 @@ object SparkEntry {
       // what's new under test is the save/load round trip
       val emb = t(s, dir, "embeddings")
       val base = java.nio.file.Files.createTempDirectory("graft_pq_")
-      val cb = Similarity.pqTrain(emb, m = 4, kCodes = 8, iterations = 2)
-      Similarity.pqSave(Similarity.pqEncode(emb, cb), cb, base.toString)
-      val (codes, loaded) = Similarity.pqLoad(s, base.toString)
-      Similarity.pqQuery(codes, emb.filter(col("vec_id") < 4), loaded, k = 5)
+      try {
+        val cb = Similarity.pqTrain(emb, m = 4, kCodes = 8, iterations = 2)
+        Similarity.pqSave(Similarity.pqEncode(emb, cb), cb, base.toString)
+        val (codes, loaded) = Similarity.pqLoad(s, base.toString)
+        Similarity.pqQuery(codes, emb.filter(col("vec_id") < 4), loaded,
+            k = 5)
+          .localCheckpoint(true) // materialize before the dir vanishes
+      } finally deleteRecursively(base)
     }),
 
     "q121_hard_negatives" -> ((s, dir) => {
