@@ -680,6 +680,19 @@ object SparkEntry {
         nProbe = 2)
     }),
 
+    "q129_scalar_quantize" -> ((s, dir) => {
+      // int8 embedding compression: per-dim min/span fit (one compact
+      // agg) + row-local encode; checksum pins every dimension's code
+      val emb = t(s, dir, "embeddings")
+      val sq = Similarity.scalarQuantizeFit(emb)
+      Similarity.scalarQuantizeEncode(emb, sq)
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, v) => a + v)
+            .as("code_checksum"),
+          element_at(col("codes"), 1).as("c_d0"),
+          element_at(col("codes"), 64).as("c_dlast"))
+    }),
+
     "q128_ivfpq_persisted" -> ((s, dir) => {
       // the compressed serving path end-to-end: build -> ivfPqSave
       // (encoded parquet partitioned by __list) -> ivfPqLoad -> probe.
@@ -4023,6 +4036,24 @@ dim_users_litify AS (
     "q125_perceptron_inference" -> q125OracleSql,
 
     "q127_ivfpq_ann" -> q127OracleSql,
+
+    "q129_scalar_quantize" ->
+      """WITH xu AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu
+           FROM embeddings WHERE embedding IS NOT NULL),
+         ex AS (SELECT vec_id, dd.d AS d, xu[dd.d + 1] AS v
+           FROM xu, (SELECT unnest(range(64)) AS d) dd),
+         st AS (SELECT d, MIN(v) AS mn, MAX(v) - MIN(v) AS sp
+           FROM ex GROUP BY d),
+         co AS (SELECT e.vec_id, e.d,
+             CASE WHEN s.sp = 0 THEN 0
+               ELSE GREATEST(LEAST(((e.v - s.mn) * 255) // s.sp, 255), 0)
+             END AS c
+           FROM ex e JOIN st s ON e.d = s.d)
+         SELECT vec_id, CAST(SUM(c) AS BIGINT) AS code_checksum,
+           CAST(MAX(CASE WHEN d = 0 THEN c END) AS BIGINT) AS c_d0,
+           CAST(MAX(CASE WHEN d = 63 THEN c END) AS BIGINT) AS c_dlast
+         FROM co GROUP BY vec_id""",
 
     // identical arithmetic to q127 — the list-partitioned save/load
     // round trip must not change a single code, list or distance

@@ -578,6 +578,60 @@ object Similarity {
     array((0 until cb.m).map(s =>
       pqAssign(xuCol, s, cb.subDim, cb.centroids(s))): _*)
 
+  /** A fitted per-dimension scalar quantizer: integer-unit min and span
+    * per dim (span 0 for degenerate dims). Driver footprint = 2*dim
+    * longs. */
+  final case class ScalarQuantizer(mins: Array[Long], spans: Array[Long],
+                                   unitScale: Long, levels: Int)
+
+  /** Fit an int8-style scalar quantizer: per-dimension min/max over the
+    * corpus in ONE compact aggregation (dim-bounded rows to the driver
+    * — the codebook discipline). All integer units, so fit and encode
+    * replay exactly in another engine. */
+  def scalarQuantizeFit(corpus: DataFrame, vecCol: String = "embedding",
+                        idCol: String = "vec_id", levels: Int = 256,
+                        unitScale: Long = 1000000L): ScalarQuantizer = {
+    require(levels >= 2, s"levels must be >= 2: $levels")
+    val xu = quantizedUnits(corpus, vecCol, idCol, unitScale)
+    val stats = xu.select(posexplode(col("__xu")))
+      .groupBy(col("pos"))
+      .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      .collect()
+    require(stats.nonEmpty, "cannot fit a quantizer on an empty corpus")
+    val dim = stats.map(_.getAs[Int]("pos")).max + 1
+    val mins = new Array[Long](dim)
+    val spans = new Array[Long](dim)
+    stats.foreach { r =>
+      val p = r.getAs[Int]("pos")
+      mins(p) = r.getAs[Long]("mn")
+      spans(p) = r.getAs[Long]("mx") - mins(p)
+    }
+    ScalarQuantizer(mins, spans, unitScale, levels)
+  }
+
+  /** Encode to `levels` buckets per dim: ROW-LOCAL, zero shuffle —
+    * `code = (x_units - min) * (levels-1) / span` (exact: the integer
+    * numerator stays far below 2^53, so the truncating double division
+    * equals integer division), clamped to [0, levels-1] so
+    * out-of-fit-range inputs saturate instead of overflowing; degenerate
+    * dims (span 0) encode 0. A 4x compression at levels=256 that
+    * composes with [[pqEncode]] (int8 the corpus, PQ the index). */
+  def scalarQuantizeEncode(corpus: DataFrame, sq: ScalarQuantizer,
+                           vecCol: String = "embedding",
+                           idCol: String = "vec_id"): DataFrame = {
+    val dim = sq.mins.length
+    val xu = dimGuard(
+      quantizedUnits(corpus, vecCol, idCol, sq.unitScale), dim)
+    val top = sq.levels - 1
+    val codes = zip_with(
+      zip_with(col("__xu"), typedLit(sq.mins.toSeq), (x, mn) => x - mn),
+      typedLit(sq.spans.toSeq),
+      (dd, sp) => when(sp === 0L, 0L).otherwise(
+        greatest(least(((dd * top) / sp).cast("long"), lit(top.toLong)),
+          lit(0L))))
+    xu.select(col("__id").as(idCol), codes.as("codes"))
+  }
+
   /** The full production ANN structure: IVF coarse quantizer + RESIDUAL
     * product quantization (the FAISS IVFPQ recipe) — both trained with
     * the integer-exact Lloyd's, so the ENTIRE index build replays

@@ -670,6 +670,30 @@ class DedupSimilaritySpec extends SparkSpec {
       idx2.cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("scalarQuantize: codes span [0, levels-1], extremes hit the ends, " +
+      "degenerate dims encode 0, zero-shuffle encode, deterministic") {
+    import graft.operators.Similarity
+    val vecs = (0L until 20L).map(i =>
+      (i, Array(i.toFloat, -i.toFloat, 7f, i.toFloat / 100)))
+      .toDF("vec_id", "embedding")
+    val sq = Similarity.scalarQuantizeFit(vecs)
+    assert(sq.mins.length == 4 && sq.spans(2) == 0L) // constant dim
+    val enc = Similarity.scalarQuantizeEncode(vecs, sq)
+    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = enc.select("vec_id", "codes")
+      .as[(Long, Array[Long])].collect().toMap
+    assert(got.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    // min row encodes 0, max row encodes 255 on the varying dims
+    assert(got(0L)(0) == 0L && got(19L)(0) == 255L)
+    assert(got(19L)(1) == 0L && got(0L)(1) == 255L) // negated dim flips
+    assert(got.values.forall(_(2) == 0L))           // degenerate dim
+    // determinism under repartition
+    val sq2 = Similarity.scalarQuantizeFit(
+      vecs.repartition(7).orderBy(rand(11)))
+    assert(sq.mins.toSeq == sq2.mins.toSeq &&
+      sq.spans.toSeq == sq2.spans.toSeq)
+  }
+
   test("ivfPqSave/Load: list-partitioned layout on disk, loaded index " +
       "serves identical results") {
     import graft.operators.Similarity
