@@ -144,4 +144,37 @@ class PlanSpec extends SparkSpec {
     assert(d1 == d2, s"per-iteration stage cost drifted: $s2/$s4/$s6")
     assert(d1 <= 16, s"iterations too expensive: +${d1 / 2.0} stages/iter")
   }
+
+  test("q117/q129 quantized encodes are shuffle-free; q119 decontamination " +
+      "is a broadcast nested-loop anti with no corpus exchange") {
+    // the encode passes are pure scan->project chains: any Exchange in
+    // the FINAL encode plan is a scale regression (the trains' compact
+    // aggregations run as separate jobs and are not part of this plan)
+    assert(!plan("q117_pq_encode").contains("Exchange"))
+    assert(!plan("q129_scalar_quantize").split("HashAggregate").head
+      .contains("Exchange hashpartitioning"))
+    val p = plan("q119_semantic_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"not a BNLJ:\n$p")
+    // the final two-phase aggregation's exchange sits ABOVE the join
+    // (prints first); nothing BELOW the join may hash-shuffle — the
+    // corpus reaches the anti join straight off the scan
+    assert(!p.substring(p.indexOf("BroadcastNestedLoopJoin"))
+      .contains("Exchange hashpartitioning"), s"corpus shuffled:\n$p")
+  }
+
+  test("q127 ivf-pq probe: code table reached through ONE broadcast equi " +
+      "join on __list, ranking exchange only after the heap prune") {
+    val p = plan("q127_ivfpq_ann")
+    assert(p.contains("BroadcastHashJoin"), s"list join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi candidate join:\n$p")
+    // the heap pruner (MapPartitions) must sit BELOW the single ranking
+    // exchange: candidates are cut to k-per-probe before any shuffle
+    // tree text prints parents first: the Exchange (parent) must appear
+    // BEFORE the MapPartitions pruner (child) it consumes
+    val prune = p.indexOf("MapPartitions")
+    val exch = p.indexOf("Exchange hashpartitioning")
+    assert(prune >= 0 && exch >= 0 && exch < prune,
+      s"heap prune not below the ranking exchange:\n$p")
+  }
 }
