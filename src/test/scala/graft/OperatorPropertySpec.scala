@@ -281,4 +281,76 @@ class OperatorPropertySpec extends SparkSpec {
       assert(c == covered.getOrElse(i.toLong, 0L))
     }
   }
+
+  private def units(v: Array[Float]): Array[Long] =
+    v.map(x => (x.toDouble * 1000000L).toLong)
+
+  test("pq: on RANDOM vectors every emitted code is the argmin codeword " +
+      "and ADC matches a BigInt driver recompute") {
+    import graft.operators.Similarity
+    val vecGen = Gen.listOfN(8, Gen.choose(-999, 999).map(_ / 500.0f))
+    val vecs = draw(Gen.listOfN(30, vecGen), seed = 7L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vecs, m = 2, kCodes = 4, iterations = 3)
+    val raw = vecs.as[(Long, Array[Float])].collect().toMap
+    val codes = Similarity.pqEncode(vecs, cb)
+      .select("vec_id", "codes").as[(Long, Array[Int])].collect().toMap
+    codes.foreach { case (id, cs) =>
+      val xu = units(raw(id))
+      cs.zipWithIndex.foreach { case (c, s) =>
+        val d = cb.centroids(s).map(cw => (0 until 4).map(i => {
+          val df = BigInt(xu(s * 4 + i) - cw(i)); df * df }).sum)
+        assert(d(c) == d.min && d.indexOf(d.min) == c,
+          s"vec $id sub $s code $c")
+      }
+    }
+    val out = Similarity.pqQuery(codes.toSeq.toDF("vec_id", "codes")
+        .select(col("vec_id"), col("codes")),
+        vecs.filter(col("vec_id") < 2), cb, k = 3)
+      .select("probe_id", "neighbor_id", "rank", "adc_dist")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val exp = (0L until 2L).flatMap { p =>
+      val pu = units(raw(p))
+      raw.keys.filter(_ != p).map { n =>
+        val d = (0 until 2).map { s =>
+          val cw = cb.centroids(s)(codes(n)(s))
+          (0 until 4).map(i => {
+            val df = BigInt(pu(s * 4 + i) - cw(i)); df * df }).sum
+        }.sum
+        (p, n, d)
+      }.toSeq.sortBy(t => (t._3, t._2)).take(3)
+        .zipWithIndex.map { case ((pp, n, d), r) =>
+          (pp, n, r + 1L, d.toLong) }
+    }.toSet
+    assert(out == exp)
+  }
+
+  test("semanticDecontaminate on RANDOM vectors == a BigInt rational " +
+      "cosine filter (inclusive threshold, zero vectors kept)") {
+    import graft.operators.Dedup
+    val vecGen = Gen.listOfN(6, Gen.choose(-999, 999).map(_ / 500.0f))
+    val all = draw(Gen.listOfN(40, vecGen), seed = 8L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    // plant a zero vector on each side: dot = 0 -> never a hit
+    val rows = all :+ (40L, Array.fill(6)(0f)) :+ (41L, Array.fill(6)(0f))
+    val corpus = rows.filter(_._1 % 3 != 0).toDF("vec_id", "embedding")
+    val bench = rows.filter(_._1 % 3 == 0).toDF("vec_id", "embedding")
+    for (t <- Seq(25, 50, 90, 100)) {
+      val got = Dedup.semanticDecontaminate(corpus, bench,
+          "embedding", "vec_id", thresholdPct = t)
+        .select("vec_id").as[Long].collect().toSet
+      val bu = rows.filter(_._1 % 3 == 0).map(r => units(r._2))
+      val exp = rows.filter(_._1 % 3 != 0).filter { case (_, v) =>
+        val au = units(v)
+        val an = au.map(x => BigInt(x) * x).sum
+        !bu.exists { b =>
+          val dot = au.zip(b).map { case (x, y) => BigInt(x) * y }.sum
+          val bn = b.map(x => BigInt(x) * x).sum
+          dot > 0 && dot * dot * 10000 >= BigInt(t) * t * an * bn
+        }
+      }.map(_._1).toSet
+      assert(got == exp, s"diverged at threshold $t")
+    }
+  }
 }
