@@ -680,6 +680,20 @@ object SparkEntry {
         nProbe = 2)
     }),
 
+    "q130_ann_recall" -> ((s, dir) => {
+      // the ANN quality loop: recall@5 of the nProbe=2 IVF-PQ probe
+      // against the exact integer-L2 top-5 ground truth — the metric
+      // every ANN deployment tracks, here oracled end-to-end (both
+      // sides deterministic)
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 4)
+      val idx = Similarity.ivfPqBuild(emb, nLists = 4, m = 4, kCodes = 8,
+        iterations = 2)
+      Similarity.recallAtK(
+        Similarity.ivfPqQuery(idx, probes, k = 5, nProbe = 2),
+        Similarity.bruteForceTopKL2(emb, probes, k = 5), k = 5)
+    }),
+
     "q129_scalar_quantize" -> ((s, dir) => {
       // int8 embedding compression: per-dim min/span fit (one compact
       // agg) + row-local encode; checksum pins every dimension's code
@@ -2506,7 +2520,39 @@ dim_users_litify AS (
     * Lloyd's chains (row form), argmin encode, coarse-list probe
     * ranking at nProbe=2, and the residual ADC. Every stage mirrors
     * Similarity.ivfPqBuild/ivfPqQuery arithmetic exactly. */
-  private def q127OracleSql: String = {
+  private def q127OracleSql: String =
+    s"""WITH $q127OracleBody
+       |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       |  CAST(dist AS BIGINT) AS adc_dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY dist, neighbor_id) AS rn FROM adc)
+       |WHERE rn <= 5""".stripMargin
+
+  /** q130: recall@5 of the nProbe=2 IVF-PQ probe against the exact
+    * integer-L2 top-5 — the q127 replay joined with a brute-force CTE;
+    * per-probe hit counts, probes with no hits preserved at 0. */
+  private def q130OracleSql: String =
+    s"""WITH $q127OracleBody,
+       |ax AS (SELECT probe_id, neighbor_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY dist, neighbor_id) AS rn FROM adc) WHERE rn <= 5),
+       |exd AS (SELECT p.vec_id AS probe_id, v.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(p.xu, v.xu),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
+       |  FROM p, xu v WHERE v.vec_id <> p.vec_id),
+       |ex AS (SELECT probe_id, neighbor_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY dist, neighbor_id) AS rn FROM exd) WHERE rn <= 5),
+       |hits AS (SELECT probe_id, COUNT(1) AS n_hits
+       |  FROM ax JOIN ex USING (probe_id, neighbor_id) GROUP BY 1)
+       |SELECT e.probe_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(5 AS BIGINT) AS k
+       |FROM (SELECT DISTINCT probe_id FROM ex) e
+       |LEFT JOIN hits h ON e.probe_id = h.probe_id""".stripMargin
+
+  /** The q127 IVF-PQ replay through the `adc` CTE (plus `p`/`xu` for
+    * ground-truth reuse) — shared by q127/q128/q130. */
+  private def q127OracleBody: String = {
     val (nLists, m, k, iters, subDim, dim, scale, nProbe) =
       (4, 4, 8, 2, 16, 64, 1000000L, 2)
     val head =
@@ -2574,7 +2620,7 @@ dim_users_litify AS (
     }.mkString(",\n")
     val pcfin = (0 until m).map(s =>
       s"SELECT $s AS s, j, d, c FROM p${s}c$iters").mkString(" UNION ALL ")
-    s"""WITH $head,
+    s"""$head,
        |$coarseChain,
        |$resid,
        |$pqChains,
@@ -2597,7 +2643,7 @@ dim_users_litify AS (
        |    p.xu[c.d + 1] - c.c AS pru
        |  FROM p JOIN pl ON pl.probe_id = p.vec_id
        |  JOIN gc$iters c ON c.j = pl.lst),
-       |adc AS (SELECT prd.probe_id, e.vec_id AS neighbor_id,
+       |adc AS MATERIALIZED (SELECT prd.probe_id, e.vec_id AS neighbor_id,
        |    SUM((prd.pru - c.c) * (prd.pru - c.c)) AS dist
        |  FROM prd
        |  JOIN asg a ON a.lst = prd.lst
@@ -2605,12 +2651,7 @@ dim_users_litify AS (
        |  JOIN pcfin c ON c.s = e.s AND c.j = e.code
        |    AND prd.d = c.s * $subDim + c.d
        |  WHERE e.vec_id <> prd.probe_id
-       |  GROUP BY 1, 2)
-       |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
-       |  CAST(dist AS BIGINT) AS adc_dist
-       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
-       |  ORDER BY dist, neighbor_id) AS rn FROM adc)
-       |WHERE rn <= 5""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
   }
 
   /** Mirrors of Multimodal.AudioFixture — q107/q108 run the REAL
@@ -4036,6 +4077,8 @@ dim_users_litify AS (
     "q125_perceptron_inference" -> q125OracleSql,
 
     "q127_ivfpq_ann" -> q127OracleSql,
+
+    "q130_ann_recall" -> q130OracleSql,
 
     "q129_scalar_quantize" ->
       """WITH xu AS (SELECT vec_id, list_transform(embedding,

@@ -578,6 +578,56 @@ object Similarity {
     array((0 until cb.m).map(s =>
       pqAssign(xuCol, s, cb.subDim, cb.centroids(s))): _*)
 
+  /** Exact L2 top-k in INTEGER UNITS — the ground truth the quantized
+    * tier ([[pqQuery]], [[ivfPqQuery]]) is measured against (those rank
+    * by integer L2 too, so recall@k compares like with like; cosine
+    * [[bruteForceTopK]] would not). Same scale discipline: probes
+    * broadcast, corpus scanned once, partition-local k-heaps. */
+  def bruteForceTopKL2(corpus: DataFrame, probes: DataFrame, k: Int,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id",
+                       unitScale: Long = 1000000L): DataFrame = {
+    val c = quantizedUnits(corpus, vecCol, idCol, unitScale)
+      .select(col("__id").as("neighbor_id"), col("__xu").as("__cu"))
+    val p = quantizedUnits(probes, vecCol, idCol, unitScale)
+      .select(col("__id").as("probe_id"), col("__xu").as("__pu"))
+    val dist = aggregate(zip_with(col("__pu"), col("__cu"),
+      (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (-dist).cast("double").as("cos"), dist.as("l2_dist"))
+    localThenGlobalTopK(scored, k)
+      .select(col("probe_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("l2_dist"))
+  }
+
+  /** Recall@k of an approximate ANN result against exact ground truth:
+    * per probe, how many of the exact top-k the approximate index
+    * returned — the metric every ANN deployment tracks. Both inputs are
+    * (probe_id, neighbor_id, ...) frames (ranks beyond `k` are
+    * ignored); output (probe_id, n_hits, k) with n_hits = 0 rows
+    * preserved for probes the approximate side missed entirely.
+    * One small join + one aggregation over two k-per-probe frames —
+    * cost is probes*k, never corpus-scale. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def top(df: DataFrame, n: String) = {
+      val ranked =
+        if (df.columns.contains("rank")) df.filter(col("rank") <= k) else df
+      ranked.select(col("probe_id"), col("neighbor_id").as(n))
+    }
+    val a = top(approx, "__n")
+    val e = top(exact, "__n")
+    val joined = a.join(e, Seq("probe_id", "__n"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("probe_id")).distinct()
+      .join(joined, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        lit(k.toLong).as("k"))
+  }
+
   /** A fitted per-dimension scalar quantizer: integer-unit min and span
     * per dim (span 0 for degenerate dims). Driver footprint = 2*dim
     * longs. */

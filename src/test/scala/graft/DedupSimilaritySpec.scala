@@ -670,6 +670,33 @@ class DedupSimilaritySpec extends SparkSpec {
       idx2.cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("recallAtK: overlap counted per probe, zero-hit probes preserved, " +
+      "ranks beyond k ignored; bruteForceTopKL2 ranks by integer L2") {
+    import graft.operators.Similarity
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L), (2L, 21L, 2L))
+      .toDF("probe_id", "neighbor_id", "rank")
+    val approx = Seq(
+      (1L, 11L, 1L), (1L, 99L, 2L),   // one hit for probe 1
+      (2L, 98L, 1L), (2L, 97L, 2L),   // zero hits for probe 2
+      (2L, 20L, 3L))                  // rank 3 > k: must NOT count
+      .toDF("probe_id", "neighbor_id", "rank")
+    val r = Similarity.recallAtK(approx, exact, k = 2)
+      .select("probe_id", "n_hits", "k")
+      .as[(Long, Long, Long)].collect()
+      .map { case (p, h, kk) => p -> (h, kk) }.toMap
+    assert(r == Map(1L -> (1L, 2L), 2L -> (0L, 2L)))
+    // integer-L2 ground truth: nearest by units distance, ties by id
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(3f, 0f))).toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopKL2(vecs,
+        vecs.filter(col("vec_id") === 0), k = 2)
+      .select("neighbor_id", "rank", "l2_dist")
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    // dist(1) = dist(2) = 1e12 -> tie broken by lower id
+    assert(bf.toSeq == Seq((1L, 1L, 1000000000000L), (2L, 2L, 1000000000000L)))
+  }
+
   test("scalarQuantize: codes span [0, levels-1], extremes hit the ends, " +
       "degenerate dims encode 0, zero-shuffle encode, deterministic") {
     import graft.operators.Similarity
