@@ -680,6 +680,21 @@ object SparkEntry {
         nProbe = 2)
     }),
 
+    "q131_streaming_decontaminate" -> ((s, dir) => {
+      // the decontamination gate through the REAL streaming engine:
+      // file-source corpus stream, STATIC broadcast benchmark, the
+      // stateless broadcast-anti filter applied in-flight, AvailableNow
+      // to parquet, landed table hash-compared vs q119's batch oracle
+      val streamed = Dedup.semanticDecontaminate(
+        streamTable(s, dir, "embeddings").filter(col("vec_id") >= 32),
+        t(s, dir, "embeddings").filter(col("vec_id") < 32),
+        "embedding", "vec_id", thresholdPct = 50)
+      streamToResult(s, streamed.drop("__ts")) { df =>
+        df.groupBy(col("label").cast("long").as("label"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_ids"))
+      }
+    }),
+
     "q130_ann_recall" -> ((s, dir) => {
       // the ANN quality loop: recall@5 of the nProbe=2 IVF-PQ probe
       // against the exact integer-L2 top-5 ground truth — the metric
@@ -2528,6 +2543,33 @@ dim_users_litify AS (
        |  ORDER BY dist, neighbor_id) AS rn FROM adc)
        |WHERE rn <= 5""".stripMargin
 
+  /** q119/q131 (batch + streaming twin): the integer-cosine
+    * decontamination replay. */
+  private def q119OracleSql: String =
+    """WITH au AS (SELECT vec_id, label, list_transform(embedding,
+             x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu
+           FROM embeddings WHERE vec_id >= 32),
+         bu AS (SELECT list_transform(embedding,
+             x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu
+           FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL),
+         an AS (SELECT vec_id, label, xu,
+             list_sum(list_transform(xu, x -> x * x)) AS n2 FROM au),
+         bn AS (SELECT xu,
+             list_sum(list_transform(xu, x -> x * x)) AS n2 FROM bu),
+         hits AS (SELECT DISTINCT vec_id FROM (
+             SELECT a.vec_id,
+               list_sum(list_transform(list_zip(a.xu, b.xu),
+                 p -> p[1] * p[2])) AS dot,
+               a.n2 AS an2, b.n2 AS bn2
+             FROM an a, bn b)
+           WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000
+             >= 2500 * CAST(an2 AS HUGEINT) * bn2)
+         SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(1) AS BIGINT) AS n_kept,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+         FROM an WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+         GROUP BY 1"""
+
   /** q130: recall@5 of the nProbe=2 IVF-PQ probe against the exact
     * integer-L2 top-5 — the q127 replay joined with a brute-force CTE;
     * per-probe hit counts, probes with no hits preserved at 0. */
@@ -4080,6 +4122,10 @@ dim_users_litify AS (
 
     "q130_ann_recall" -> q130OracleSql,
 
+    // the streaming twin lands the SAME rows as the batch gate — q119's
+    // oracle verbatim
+    "q131_streaming_decontaminate" -> q119OracleSql,
+
     "q129_scalar_quantize" ->
       """WITH xu AS (SELECT vec_id, list_transform(embedding,
              x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu
@@ -4219,30 +4265,7 @@ dim_users_litify AS (
            ORDER BY cos DESC, neighbor_id) rn FROM s)
          WHERE rn <= 5""",
 
-    "q119_semantic_decontaminate" ->
-      """WITH au AS (SELECT vec_id, label, list_transform(embedding,
-             x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu
-           FROM embeddings WHERE vec_id >= 32),
-         bu AS (SELECT list_transform(embedding,
-             x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu
-           FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL),
-         an AS (SELECT vec_id, label, xu,
-             list_sum(list_transform(xu, x -> x * x)) AS n2 FROM au),
-         bn AS (SELECT xu,
-             list_sum(list_transform(xu, x -> x * x)) AS n2 FROM bu),
-         hits AS (SELECT DISTINCT vec_id FROM (
-             SELECT a.vec_id,
-               list_sum(list_transform(list_zip(a.xu, b.xu),
-                 p -> p[1] * p[2])) AS dot,
-               a.n2 AS an2, b.n2 AS bn2
-             FROM an a, bn b)
-           WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000
-             >= 2500 * CAST(an2 AS HUGEINT) * bn2)
-         SELECT CAST(label AS BIGINT) AS label,
-           CAST(COUNT(1) AS BIGINT) AS n_kept,
-           CAST(SUM(vec_id) AS BIGINT) AS sum_ids
-         FROM an WHERE vec_id NOT IN (SELECT vec_id FROM hits)
-         GROUP BY 1""",
+    "q119_semantic_decontaminate" -> q119OracleSql,
 
     "q120_training_order" -> {
       val h = duckHash("'epoch1:' || CAST(doc_id AS VARCHAR)")
