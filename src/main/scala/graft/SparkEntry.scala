@@ -680,6 +680,26 @@ object SparkEntry {
         nProbe = 2)
     }),
 
+    "q132_ivfpq_nprobe_sweep" -> ((s, dir) => {
+      // the tuning loop operators use to pick nProbe for a recall
+      // target: recall@5 at nProbe = 1..4 against the exact integer-L2
+      // ground truth, one row per setting
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 4)
+      val idx = Similarity.ivfPqBuild(emb, nLists = 4, m = 4, kCodes = 8,
+        iterations = 2)
+      val exact = Similarity.bruteForceTopKL2(emb, probes, k = 5)
+        .localCheckpoint(true) // consumed by all four sweep points
+      (1 to 4).map { n =>
+        Similarity.recallAtK(
+            Similarity.ivfPqQuery(idx, probes, k = 5, nProbe = n),
+            exact, k = 5)
+          .agg(sum(col("n_hits")).as("n_hits"))
+          .select(lit(n.toLong).as("n_probe"), col("n_hits"),
+            lit(20L).as("n_possible"))
+      }.reduce(_ unionByName _)
+    }),
+
     "q131_streaming_decontaminate" -> ((s, dir) => {
       // the decontamination gate through the REAL streaming engine:
       // file-source corpus stream, STATIC broadcast benchmark, the
@@ -2592,11 +2612,42 @@ dim_users_litify AS (
        |FROM (SELECT DISTINCT probe_id FROM ex) e
        |LEFT JOIN hits h ON e.probe_id = h.probe_id""".stripMargin
 
+  /** q132: the nProbe tuning sweep — ONE candidate set built at
+    * nProbe=4 (each candidate tagged with its list's probe rank), then
+    * four filtered rankings (prank <= n) joined against the exact
+    * integer-L2 top-5 — recall@5 as a function of nProbe. */
+  private def q132OracleSql: String = {
+    val sweeps = (1 to 4).map { n =>
+      s"""ax$n AS (SELECT probe_id, neighbor_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY dist, neighbor_id) AS rn FROM adc WHERE prank <= $n)
+         |  WHERE rn <= 5),
+         |h$n AS (SELECT $n AS n_probe, COUNT(1) AS n_hits
+         |  FROM ax$n JOIN ex USING (probe_id, neighbor_id))""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 4).map(n => s"SELECT * FROM h$n").mkString(" UNION ALL ")
+    s"""WITH ${q127OracleBodyAt(4)},
+       |exd AS (SELECT p.vec_id AS probe_id, v.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(p.xu, v.xu),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
+       |  FROM p, xu v WHERE v.vec_id <> p.vec_id),
+       |ex AS MATERIALIZED (SELECT probe_id, neighbor_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY dist, neighbor_id) AS rn FROM exd) WHERE rn <= 5),
+       |$sweeps
+       |SELECT CAST(n_probe AS BIGINT) AS n_probe,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(20 AS BIGINT) AS n_possible
+       |FROM ($union)""".stripMargin
+  }
+
   /** The q127 IVF-PQ replay through the `adc` CTE (plus `p`/`xu` for
-    * ground-truth reuse) — shared by q127/q128/q130. */
-  private def q127OracleBody: String = {
-    val (nLists, m, k, iters, subDim, dim, scale, nProbe) =
-      (4, 4, 8, 2, 16, 64, 1000000L, 2)
+    * ground-truth reuse) — shared by q127/q128/q130/q132. */
+  private def q127OracleBody: String = q127OracleBodyAt(2)
+
+  private def q127OracleBodyAt(nProbe: Int): String = {
+    val (nLists, m, k, iters, subDim, dim, scale) =
+      (4, 4, 8, 2, 16, 64, 1000000L)
     val head =
       s"""xu AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
          |    x -> CAST(trunc(x::DOUBLE * $scale) AS BIGINT)) AS xu
@@ -2678,14 +2729,16 @@ dim_users_litify AS (
        |pcd AS (SELECT p.vec_id AS probe_id, c.j,
        |    SUM((p.xu[c.d + 1] - c.c) * (p.xu[c.d + 1] - c.c)) AS dist
        |  FROM p, gc$iters c GROUP BY 1, 2),
-       |pl AS MATERIALIZED (SELECT probe_id, j AS lst FROM (SELECT probe_id, j,
+       |pl AS MATERIALIZED (SELECT probe_id, j AS lst, rn AS prank
+       |  FROM (SELECT probe_id, j,
        |    row_number() OVER (PARTITION BY probe_id ORDER BY dist, j) AS rn
        |  FROM pcd) WHERE rn <= $nProbe),
-       |prd AS MATERIALIZED (SELECT p.vec_id AS probe_id, pl.lst, c.d,
-       |    p.xu[c.d + 1] - c.c AS pru
+       |prd AS MATERIALIZED (SELECT p.vec_id AS probe_id, pl.lst, pl.prank,
+       |    c.d, p.xu[c.d + 1] - c.c AS pru
        |  FROM p JOIN pl ON pl.probe_id = p.vec_id
        |  JOIN gc$iters c ON c.j = pl.lst),
        |adc AS MATERIALIZED (SELECT prd.probe_id, e.vec_id AS neighbor_id,
+       |    MIN(prd.prank) AS prank,
        |    SUM((prd.pru - c.c) * (prd.pru - c.c)) AS dist
        |  FROM prd
        |  JOIN asg a ON a.lst = prd.lst
@@ -4121,6 +4174,8 @@ dim_users_litify AS (
     "q127_ivfpq_ann" -> q127OracleSql,
 
     "q130_ann_recall" -> q130OracleSql,
+
+    "q132_ivfpq_nprobe_sweep" -> q132OracleSql,
 
     // the streaming twin lands the SAME rows as the batch gate — q119's
     // oracle verbatim
