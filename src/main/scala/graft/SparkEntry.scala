@@ -680,6 +680,41 @@ object SparkEntry {
         nProbe = 2)
     }),
 
+    "q133_corpus_to_shards" -> ((s, dir) => {
+      // the FULL corpus-to-training-data flagship, chaining BOTH
+      // pipelines: text curation (dedup+lang+quality) -> SEMANTIC
+      // decontamination via the docs' embeddings (docs without an
+      // embedding carry no evidence and are kept — the NULL contract)
+      // -> cut cross-document repeated spans -> BPE token budget ->
+      // 2048-token packing per source shard. One oracle pins the chain.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val kept = Curate.curate(docs, "text", "doc_id",
+          keepLangs = Seq("en", "es"), minQuality = 0.3)
+        .join(emb.select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"), "left")
+      val kept2 = Dedup.semanticDecontaminate(kept,
+          emb.filter(col("vec_id") < 32), "embedding", "doc_id",
+          thresholdPct = 50)
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(true) // feeds the span-gram pass twice + rejoin
+      val cut = Dedup.cutRepeatedSpans(kept2, "text", "doc_id",
+        n = 8, minDf = 2, mode = Dedup.Portable)
+      val withBudget = cut
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("__bpe",
+          Bpe.tokenCount(col("text"), BpeVocab.merges).cast("long"))
+      val out = Curate.packSequences(withBudget, "text", "doc_id",
+          budget = 2048, shardCol = "source", tokenCountCol = Some("__bpe"))
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("token_count")).as("sum_tokens"),
+          sum(col("n_tokens_cut")).as("cut_tokens"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(kept2)
+      out
+    }),
+
     "q132_ivfpq_nprobe_sweep" -> ((s, dir) => {
       // the tuning loop operators use to pick nProbe for a recall
       // target: recall@5 at nProbe = 1..4 against the exact integer-L2
@@ -2333,6 +2368,61 @@ dim_users_litify AS (
        |    len(d.t) - COALESCE(c.nk, 0) AS ncut
        |  FROM toks d
        |  JOIN ckept k ON d.doc_id = k.doc_id
+       |  LEFT JOIN cleaned c ON d.doc_id = c.doc_id),
+       |bp AS (SELECT doc_id, source, $bpe AS bpe, ncut FROM cw),
+       |packed AS (SELECT source, doc_id, bpe, ncut,
+       |    COALESCE(SUM(bpe) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM bp)
+       |SELECT source, CAST(cum // 2048 AS BIGINT) AS seq_id,
+       |  COUNT(1) AS n_docs, CAST(SUM(bpe) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(ncut) AS BIGINT) AS cut_tokens
+       |FROM packed GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q133: the full corpus-to-shards chain — the q114 oracle with a
+    * semantic-decontamination stage (q119's integer-cosine rule over
+    * the curated docs' embeddings, inner-joined: docs without an
+    * embedding cannot hit and stay) injected between curation and the
+    * span cut. */
+  private def q133OracleSql: String = {
+    val bpe = Bpe.oracleTokenCountSql("txt", BpeVocab.merges)
+    s"""WITH $curatedDocsCtes,
+       |dau AS (SELECT e.vec_id, list_transform(e.embedding,
+       |    x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu
+       |  FROM embeddings e JOIN ckept k ON e.vec_id = k.doc_id
+       |  WHERE e.embedding IS NOT NULL),
+       |dbu AS (SELECT list_transform(embedding,
+       |    x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu
+       |  FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL),
+       |dan AS (SELECT vec_id, xu,
+       |    list_sum(list_transform(xu, x -> x * x)) AS n2 FROM dau),
+       |dbn AS (SELECT xu,
+       |    list_sum(list_transform(xu, x -> x * x)) AS n2 FROM dbu),
+       |dhits AS (SELECT DISTINCT vec_id FROM (
+       |    SELECT a.vec_id,
+       |      list_sum(list_transform(list_zip(a.xu, b.xu),
+       |        p -> p[1] * p[2])) AS dot,
+       |      a.n2 AS an2, b.n2 AS bn2
+       |    FROM dan a, dbn b)
+       |  WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000
+       |    >= 2500 * CAST(an2 AS HUGEINT) * bn2),
+       |ckept2 AS (SELECT doc_id, source, text FROM ckept
+       |  WHERE doc_id NOT IN (SELECT vec_id FROM dhits)),
+       |${repeatedSpanCtesOver("ckept2")},
+       |allpos AS (SELECT doc_id, unnest(range(len(t))) AS p, t FROM toks),
+       |cov AS (SELECT DISTINCT a.doc_id, a.p FROM allpos a
+       |  JOIN spans x ON a.doc_id = x.doc_id AND a.p >= x.s AND a.p < x.e),
+       |kept AS (SELECT a.doc_id, a.p, a.t[a.p + 1] AS tok
+       |  FROM allpos a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.p = c.p
+       |  WHERE c.p IS NULL),
+       |cleaned AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ctxt,
+       |    COUNT(1) AS nk
+       |  FROM kept GROUP BY doc_id),
+       |cw AS (SELECT d.doc_id, k.source, COALESCE(c.ctxt, '') AS txt,
+       |    len(d.t) - COALESCE(c.nk, 0) AS ncut
+       |  FROM toks d
+       |  JOIN ckept2 k ON d.doc_id = k.doc_id
        |  LEFT JOIN cleaned c ON d.doc_id = c.doc_id),
        |bp AS (SELECT doc_id, source, $bpe AS bpe, ncut FROM cw),
        |packed AS (SELECT source, doc_id, bpe, ncut,
@@ -4176,6 +4266,8 @@ dim_users_litify AS (
     "q130_ann_recall" -> q130OracleSql,
 
     "q132_ivfpq_nprobe_sweep" -> q132OracleSql,
+
+    "q133_corpus_to_shards" -> q133OracleSql,
 
     // the streaming twin lands the SAME rows as the batch gate — q119's
     // oracle verbatim
