@@ -680,6 +680,20 @@ object SparkEntry {
         nProbe = 2)
     }),
 
+    "q134_nprobe_autotune" -> ((s, dir) => {
+      // recall-targeted tuning: smallest nProbe whose recall@5 meets
+      // 80%, else the full-probe row — with the demo codebooks the
+      // sweep is flat at 4/20, so the tuner must fall through to
+      // nLists and report the shortfall (the honest outcome)
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfPqBuild(emb, nLists = 4, m = 4, kCodes = 8,
+        iterations = 2)
+      val (n, h, p) = Similarity.pickNProbe(idx, emb,
+        emb.filter(col("vec_id") < 4), k = 5, targetPct = 80)
+      Seq((n.toLong, h, p)).toDF("n_probe", "n_hits", "n_possible")
+    }),
+
     "q133_corpus_to_shards" -> ((s, dir) => {
       // the FULL corpus-to-training-data flagship, chaining BOTH
       // pipelines: text curation (dedup+lang+quality) -> SEMANTIC
@@ -2716,7 +2730,42 @@ dim_users_litify AS (
          |  FROM ax$n JOIN ex USING (probe_id, neighbor_id))""".stripMargin
     }.mkString(",\n")
     val union = (1 to 4).map(n => s"SELECT * FROM h$n").mkString(" UNION ALL ")
-    s"""WITH ${q127OracleBodyAt(4)},
+    s"""WITH ${sweepCtes(sweeps)}
+       |SELECT CAST(n_probe AS BIGINT) AS n_probe,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(20 AS BIGINT) AS n_possible
+       |FROM ($union)""".stripMargin
+  }
+
+  /** q134: recall-targeted auto-tuning replay — the q132 sweep plus the
+    * pick rule: smallest nProbe meeting the 80% target, else the
+    * full-probe (nLists) row with its achieved hits. */
+  private def q134OracleSql: String = {
+    val sweeps = (1 to 4).map { n =>
+      s"""ax$n AS (SELECT probe_id, neighbor_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY dist, neighbor_id) AS rn FROM adc WHERE prank <= $n)
+         |  WHERE rn <= 5),
+         |h$n AS (SELECT $n AS n_probe, COUNT(1) AS n_hits
+         |  FROM ax$n JOIN ex USING (probe_id, neighbor_id))""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 4).map(n => s"SELECT * FROM h$n").mkString(" UNION ALL ")
+    s"""WITH ${sweepCtes(sweeps)},
+       |allu AS ($union),
+       |sel AS (SELECT * FROM allu
+       |  WHERE n_hits * 100 >= 80 * 20 ORDER BY n_probe LIMIT 1)
+       |SELECT CAST(n_probe AS BIGINT) AS n_probe,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(20 AS BIGINT) AS n_possible
+       |FROM (SELECT * FROM sel
+       |  UNION ALL SELECT * FROM allu
+       |  WHERE n_probe = 4 AND NOT EXISTS (SELECT 1 FROM sel))""".stripMargin
+  }
+
+  /** The shared q132/q134 sweep scaffold: the nProbe=4 IVF-PQ body, the
+    * exact integer-L2 top-5 ground truth, and the per-nProbe hit CTEs. */
+  private def sweepCtes(sweeps: String): String =
+    s"""${q127OracleBodyAt(4)},
        |exd AS (SELECT p.vec_id AS probe_id, v.vec_id AS neighbor_id,
        |    list_sum(list_transform(list_zip(p.xu, v.xu),
        |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
@@ -2724,12 +2773,7 @@ dim_users_litify AS (
        |ex AS MATERIALIZED (SELECT probe_id, neighbor_id
        |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
        |    ORDER BY dist, neighbor_id) AS rn FROM exd) WHERE rn <= 5),
-       |$sweeps
-       |SELECT CAST(n_probe AS BIGINT) AS n_probe,
-       |  CAST(n_hits AS BIGINT) AS n_hits,
-       |  CAST(20 AS BIGINT) AS n_possible
-       |FROM ($union)""".stripMargin
-  }
+       |$sweeps""".stripMargin
 
   /** The q127 IVF-PQ replay through the `adc` CTE (plus `p`/`xu` for
     * ground-truth reuse) — shared by q127/q128/q130/q132. */
@@ -4268,6 +4312,8 @@ dim_users_litify AS (
     "q132_ivfpq_nprobe_sweep" -> q132OracleSql,
 
     "q133_corpus_to_shards" -> q133OracleSql,
+
+    "q134_nprobe_autotune" -> q134OracleSql,
 
     // the streaming twin lands the SAME rows as the batch gate — q119's
     // oracle verbatim

@@ -773,6 +773,41 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("adc_dist"))
   }
 
+  /** Recall-targeted nProbe auto-tuning: probe the index at nProbe =
+    * 1, 2, ... against exact ground truth over a (small, caller-chosen)
+    * tuning probe set and return the SMALLEST nProbe whose total
+    * recall@k meets `targetPct` — or (nLists, its hits) when none does
+    * (the q132 diagnosis: if even full probing misses the target, the
+    * codebook, not the probe count, is the bottleneck). Driver-side
+    * loop of at most nLists bounded jobs over probes*k-sized frames —
+    * the tuning set is probe-bounded by contract, never corpus-scale. */
+  def pickNProbe(index: IvfPqIndex, corpus: DataFrame, probes: DataFrame,
+                 k: Int, targetPct: Int, vecCol: String = "embedding",
+                 idCol: String = "vec_id"): (Int, Long, Long) = {
+    require(targetPct >= 1 && targetPct <= 100,
+      s"targetPct must be in [1,100]: $targetPct")
+    val exact = bruteForceTopKL2(corpus, probes, k, vecCol, idCol)
+      .localCheckpoint(true) // consumed once per candidate nProbe
+    try {
+      var result: Option[(Int, Long, Long)] = None
+      var n = 1
+      while (result.isEmpty && n <= index.nLists) {
+        val r = recallAtK(
+            ivfPqQuery(index, probes, k, n, vecCol, idCol), exact, k)
+          .agg(sum(col("n_hits")).cast("long").as("h"),
+            sum(col("k")).cast("long").as("p"))
+          .collect()(0)
+        val (hits, possible) = (r.getAs[Long]("h"), r.getAs[Long]("p"))
+        if (hits * 100L >= targetPct.toLong * possible ||
+            n == index.nLists)
+          result = Some((n, hits, possible))
+        n += 1
+      }
+      result.get
+    } finally
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(exact)
+  }
+
   /** Persist an IVF-PQ index: the encoded table parquet PARTITIONED BY
     * `__list` (probe batches read only their nProbe list-partitions),
     * plus coarse centroids, residual codebook and meta — the

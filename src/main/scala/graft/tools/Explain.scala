@@ -48,7 +48,7 @@ object Explain {
     "q123_leak_safe_split", "q124_keep_best_per_cluster",
     "q125_perceptron_inference", "q126_embedding_pipeline",
     "q127_ivfpq_ann", "q128_ivfpq_persisted",
-    "q129_scalar_quantize", "q130_ann_recall", "q132_ivfpq_nprobe_sweep", "q133_corpus_to_shards")
+    "q129_scalar_quantize", "q130_ann_recall", "q132_ivfpq_nprobe_sweep", "q133_corpus_to_shards", "q134_nprobe_autotune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
