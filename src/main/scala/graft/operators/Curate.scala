@@ -593,8 +593,13 @@ object Curate {
       case Some(c) => col(c)
       case None => T.tokens(T.normalized(col(textCol)))
     }
+    // "no tokens" must include a caller-supplied [""] — the shape an
+    // empty-string BPE encoding takes after split("", "") — or an empty
+    // doc would emit one chunk with n_tokens=1 (diverging from the
+    // oracle's length(enc) > 0 semantics)
     df.withColumn("__toks", toks)
-      .filter(size(tks) > 0)
+      .filter(size(tks) > 0 &&
+        !(size(tks) === 1 && length(element_at(tks, 1)) === 0))
       .select(col(idCol), posexplode(transform(
         sequence(lit(0L), nChunks - 1), i => struct(
           array_join(slice(tks, (i * stride + 1).cast("int"),

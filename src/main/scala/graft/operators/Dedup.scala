@@ -554,9 +554,19 @@ object Dedup {
     val dot = aggregate(zip_with(col("__au"), col("__bu"), (a, b) => a * b),
       lit(0L), (acc, v) => acc + v)
     val t2 = thresholdPct.toLong * thresholdPct
-    val hit = dot > 0 &&
+    val exactHit = dot > 0 &&
       (dot.cast(dec) * dot.cast(dec) * lit(10000L).cast(dec)) >=
         (lit(t2).cast(dec) * col("__an").cast(dec) * col("__bn").cast(dec))
+    // Fail LOUD, not open: a corpus/benchmark dimension mismatch would make
+    // zip_with pad with NULLs, NULL the hit predicate, and silently keep
+    // every row — i.e. silently disable the contamination gate. Same
+    // discipline as the PQ paths' dimGuard.
+    val hit = when(col("__au").isNull, lit(false))
+      .when(size(col("__au")) === size(col("__bu")), exactHit)
+      .otherwise(raise_error(concat(
+        lit("semanticDecontaminate: corpus/benchmark embedding dimension "),
+        lit("mismatch: "), size(col("__au")).cast("string"),
+        lit(" vs "), size(col("__bu")).cast("string"))))
     withUnits.join(broadcast(bench), hit, "left_anti")
       .drop("__au", "__an")
   }

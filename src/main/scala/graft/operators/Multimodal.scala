@@ -207,14 +207,27 @@ object Multimodal {
           payload(2) != 'R' || payload(3) != 'M') return Seq.empty
       val in = new java.io.DataInputStream(new ByteArrayInputStream(payload, 4, payload.length - 4))
       try {
+        // Fail-soft on corrupt containers: a valid-magic payload with a
+        // garbage count or frame length must not throw (NegativeArraySize)
+        // or allocate beyond the payload — every length is bounded by the
+        // bytes actually remaining.
         val n = in.readInt()
-        (0 until n).map { _ =>
+        if (n < 0 || n > payload.length) return Seq.empty
+        var remaining = payload.length - 8
+        val frames = Seq.newBuilder[Array[Byte]]
+        var i = 0
+        while (i < n) {
           val len = in.readInt()
+          remaining -= 4
+          if (len < 0 || len > remaining) return Seq.empty
           val buf = new Array[Byte](len)
           in.readFully(buf)
-          buf
+          remaining -= len
+          frames += buf
+          i += 1
         }
-      } catch { case _: java.io.IOException => Seq.empty }
+        frames.result()
+      } catch { case _: java.io.IOException | _: RuntimeException => Seq.empty }
     }
   }
 

@@ -105,9 +105,12 @@ object Relevance {
       .crossJoin(broadcast(stats))
       .groupBy(col("__id"))
       .agg(sum(contrib).as("score"), count(lit(1)).as("n_matched"))
+    // the ranked frame is already limit(k)'d — partition by a constant so
+    // the k-row window is an ordinary (single-partition) WindowExec and
+    // not the "No Partition Defined" global-window shape
     scored.orderBy(col("score").desc, col("__id")).limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("__id"))))
+        Window.partitionBy(lit(0)).orderBy(col("score").desc, col("__id"))))
       .select(col("__id").as(idCol), col("score"), col("n_matched"),
         col("rank"))
   }
@@ -155,9 +158,12 @@ object Relevance {
         transform(sequence(lit(0), size(t) - n),
           i => array_join(slice(t, i + 1, lit(n)), " ")))).as("ngram"))
     val counted = grams.groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+    // constant partition key for the same reason as [[bm25Rank]]: the
+    // frame is k rows post-limit, so a single-partition window is exact
+    // and silences the global-window WARN
     counted.orderBy(col("n").desc, col("ngram")).limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("n").desc, col("ngram"))))
+        Window.partitionBy(lit(0)).orderBy(col("n").desc, col("ngram"))))
   }
 
   /** Single-pass heavy hitters over the token stream via the

@@ -786,7 +786,11 @@ object Similarity {
                  idCol: String = "vec_id"): (Int, Long, Long) = {
     require(targetPct >= 1 && targetPct <= 100,
       s"targetPct must be in [1,100]: $targetPct")
-    val exact = bruteForceTopKL2(corpus, probes, k, vecCol, idCol)
+    // ground truth must rank under the INDEX's quantization, not the
+    // bruteForceTopKL2 default — otherwise a non-default unitScale build
+    // would be measured against a differently-quantized ranking
+    val exact = bruteForceTopKL2(corpus, probes, k, vecCol, idCol,
+        index.cb.unitScale)
       .localCheckpoint(true) // consumed once per candidate nProbe
     try {
       var result: Option[(Int, Long, Long)] = None

@@ -25,12 +25,28 @@ object GraftGlue {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         // Spark WARNs ("locally checkpointed ... cannot be recomputed after
         // unpersisting") on every such unpersist via the concrete RDD
-        // class's logger. The release is deliberate — the frame is dead by
-        // contract — so mute exactly that logger (not rdd.* wholesale);
-        // at 100 bench queries the flood would bury real warnings.
+        // class's logger (synchronously, before the async block drop). The
+        // release is deliberate — the frame is dead by contract — so mute
+        // that logger ONLY for the duration of the call and restore its
+        // prior state after: the class (MapPartitionsRDD) backs nearly all
+        // RDDs, so a permanent mute would swallow unrelated legitimate
+        // WARNs for the rest of the JVM.
+        val name = l.rdd.getClass.getName
+        val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+          .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+        val conf = ctx.getConfiguration
+        val hadExplicit = conf.getLoggerConfig(name).getName == name
+        val prior =
+          if (hadExplicit) conf.getLoggerConfig(name).getLevel else null
         org.apache.logging.log4j.core.config.Configurator.setLevel(
-          l.rdd.getClass.getName, org.apache.logging.log4j.Level.ERROR)
-        l.rdd.unpersist(blocking = false)
+          name, org.apache.logging.log4j.Level.ERROR)
+        try l.rdd.unpersist(blocking = false)
+        finally {
+          if (hadExplicit)
+            org.apache.logging.log4j.core.config.Configurator.setLevel(
+              name, prior)
+          else { conf.removeLogger(name); ctx.updateLoggers() }
+        }
       case _ => ()
     }
 }

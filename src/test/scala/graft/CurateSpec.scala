@@ -286,6 +286,20 @@ class CurateSpec extends SparkSpec {
       .map(_._3).mkString(" ")
     assert(flat == (1 to 10).map(i => s"t$i").mkString(" "))
   }
+
+  test("chunkSliding with tokensCol: an empty-string encoding ([\"\"], the " +
+      "split(\"\",\"\") shape) emits NO chunks — matching length(enc) > 0") {
+    val docs = Seq(
+      (1L, Array("a", "b", "c")),          // real tokens: chunks
+      (2L, Array("")),                     // empty-text BPE encoding: none
+      (3L, Array.empty[String]))           // empty array: none
+      .toDF("id", "toks")
+    val out = Curate.chunkSliding(docs, "toks", "id", chunkSize = 2,
+        stride = 2, tokensCol = Some("toks"), joinSep = "")
+      .as[(Long, Long, String, Long)].collect().toSeq.sortBy(c => (c._1, c._2))
+    assert(out.map(_._1).toSet == Set(1L))
+    assert(out == Seq((1L, 0L, "ab", 2L), (1L, 1L, "c", 1L)))
+  }
   test("zorderValue: textbook morton interleave, lane placement") {
     val df = Seq((3L, 1L), (0L, 0L), (3L, 3L), (2L, 2L)).toDF("x", "y")
     val out = df.select(Curate.zorderValue(

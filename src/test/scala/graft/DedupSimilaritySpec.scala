@@ -892,4 +892,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ex2.getMessage.contains("incompatible") ||
       ex2.getCause != null && ex2.getCause.getMessage.contains("incompatible"))
   }
+
+  test("unpackFrames: corrupt containers fail soft (garbage count/length, " +
+      "truncated payload) — never throw, never over-allocate") {
+    import Multimodal.ImageCodec
+    val good = ImageCodec.packFrames(Seq(Array[Byte](1, 2, 3), Array[Byte](4)))
+    assert(ImageCodec.unpackFrames(good).map(_.toSeq) ==
+      Seq(Seq[Byte](1, 2, 3), Seq[Byte](4)))
+    def withInt(payload: Array[Byte], at: Int, v: Int): Array[Byte] = {
+      val b = payload.clone()
+      b(at) = ((v >> 24) & 0xff).toByte; b(at + 1) = ((v >> 16) & 0xff).toByte
+      b(at + 2) = ((v >> 8) & 0xff).toByte; b(at + 3) = (v & 0xff).toByte
+      b
+    }
+    // negative frame count
+    assert(ImageCodec.unpackFrames(withInt(good, 4, -1)).isEmpty)
+    // huge frame count (would loop far past the payload)
+    assert(ImageCodec.unpackFrames(withInt(good, 4, Int.MaxValue)).isEmpty)
+    // negative first-frame length (NegativeArraySizeException before the fix)
+    assert(ImageCodec.unpackFrames(withInt(good, 8, -5)).isEmpty)
+    // length far beyond remaining bytes (would allocate 2 GB before the fix)
+    assert(ImageCodec.unpackFrames(withInt(good, 8, Int.MaxValue - 2)).isEmpty)
+    // truncated payload: container cut mid-frame
+    assert(ImageCodec.unpackFrames(good.take(good.length - 2)).isEmpty)
+    // and a corrupt payload inside a frameSample scan must not kill the job
+    val mixed = Seq((1L, good), (2L, withInt(good, 8, -5))).toDF("doc_id", "payload")
+    val rows = Multimodal.frameSample(spark, mixed, "doc_id").collect()
+    assert(rows.forall(_.getAs[Long]("doc_id") == 1L) && rows.length == 2)
+  }
+
+  test("semanticDecontaminate: corpus/benchmark dimension mismatch fails " +
+      "LOUD (not silently keeping everything)") {
+    val corpus = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val bench = Seq((Array(1.0f, 0.0f))).toDF("embedding")
+    val ex = intercept[Exception] {
+      Dedup.semanticDecontaminate(corpus, bench, "embedding", "vec_id", 90).collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t).map(e => e.getMessage + " " + msg(e.getCause)).getOrElse("")
+    assert(msg(ex).contains("dimension mismatch"))
+    // NULL corpus vectors still pass through (kept, no error)
+    val withNull = Seq((1L, Array(1.0f, 0.0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDecontaminate(withNull, bench, "embedding", "vec_id", 99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(2L)) // row 1 is an exact benchmark hit; NULL row kept
+  }
 }
