@@ -78,6 +78,20 @@ object SparkEntry {
       .withColumn("__ts", lit("2024-01-01 00:00:00").cast("timestamp"))
   }
 
+  /** [[streamTable]] for the events fixture: the NANOS timestamp is read
+    * as long (same conf as [[t]]) and truncated to whole SECONDS — the
+    * flatMapGroupsWithState operators keep event time at millisecond
+    * precision (java.sql.Timestamp), so second-granular inputs make the
+    * stream's gap/seal arithmetic exactly mirrorable in oracle SQL. */
+  private def streamEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(sch).option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts",
+        expr("date_trunc('second', timestamp_micros(ts div 1000))"))
+  }
+
   private def ymd(c: Column): Column = date_format(c, "yyyy-MM-dd")
   private def ymdhms(c: Column): Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
@@ -761,6 +775,68 @@ object SparkEntry {
       streamToResult(s, streamed.drop("__ts")) { df =>
         df.groupBy(col("label").cast("long").as("label"))
           .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_ids"))
+      }
+    }),
+
+    "q135_streaming_sessionize" -> ((s, dir) => {
+      // gap-sessionization through the REAL engine: flatMapGroupsWithState
+      // fragment-list state, event-time timeout, AvailableNow. REAL event
+      // times drive the watermark (unlike the constant-ts q105/q106
+      // pattern), so the engine emits exactly the sessions the final
+      // watermark SEALS — end + gap <= max(ts) - delay — and the oracle
+      // replays that subset of the q82 batch sessions. The delay carries
+      // a 500 ms offset so the seal comparison can never tie: stream
+      // state is ms-granular, all inputs are whole seconds.
+      val sessions = graft.streaming.Sessionize.sessions(
+        streamEvents(s, dir)
+          .select(col("user_id").cast("string").as("key"), col("ts")),
+        gap = "30 minutes", watermark = "3600500 milliseconds")
+      streamToResult(s, sessions.toDF()) { landed =>
+        landed.groupBy(col("key").cast("long").as("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            max(col("n_events")).as("max_len"))
+      }
+    }),
+
+    "q136_streaming_funnel" -> ((s, dir) => {
+      // the ordered-step funnel through the real engine: chain + candidate
+      // buffer state, sealed (one row per key) when the watermark passes
+      // t_last + within. Emitted set = q83's greedy chains restricted to
+      // keys that reached step 1 AND sealed: t_last <= max(ts) - delay -
+      // within; same 500 ms tie-killer as q135.
+      val f = graft.streaming.StreamingFunnel.funnel(
+        streamEvents(s, dir)
+          .select(col("user_id").cast("string").as("key"), col("ts"),
+            col("event_type")),
+        steps = Seq("view", "click", "purchase"),
+        withinMs = 7L * 24 * 3600 * 1000,
+        watermark = "3600500 milliseconds")
+      streamToResult(s, f.toDF()) { landed =>
+        landed.select(col("key").cast("long").as("user_id"),
+          col("steps_completed"),
+          unix_timestamp(element_at(col("step_ts"), 1)).as("t_1"),
+          unix_timestamp(element_at(col("step_ts"), 2)).as("t_2"),
+          unix_timestamp(element_at(col("step_ts"), 3)).as("t_3"))
+      }
+    }),
+
+    "q137_streaming_heavy_hitters" -> ((s, dir) => {
+      // windowed Misra-Gries through the real engine: hour-slot synthetic
+      // event time per doc (deterministic doc_id arithmetic), 1 h tumbling
+      // windows, watermark-finalized append output — only windows whose
+      // end precedes the final watermark land. capacity 64 > the corpus
+      // vocabulary, so the sketch is exact and plain counting SQL is the
+      // oracle (q71's contract, per sealed window).
+      val withTs = streamTable(s, dir, "documents")
+        .withColumn("__ev",
+          timestamp_seconds(lit(1704067200L) + (col("doc_id") % 4) * 3600L))
+        .withWatermark("__ev", "500 milliseconds")
+      val hh = graft.streaming.StreamingHeavyHitters.topTokens(
+        withTs, "text", "__ev", windowDur = "1 hour", capacity = 64, k = 10)
+      streamToResult(s, hh) { landed =>
+        landed.select(unix_timestamp(col("window_start")).as("win_start"),
+          col("rank"), col("item"), col("cnt"))
       }
     }),
 
@@ -4318,6 +4394,81 @@ dim_users_litify AS (
     // the streaming twin lands the SAME rows as the batch gate — q119's
     // oracle verbatim
     "q131_streaming_decontaminate" -> q119OracleSql,
+
+    // q135: the q82 batch sessions over second-truncated event times,
+    // restricted to the sessions the final watermark seals. wm =
+    // max(sec) - 3600.5 s; seal end + 1800 <= wm <=> end <= max - 5401
+    // (the .5 makes integer equality impossible on either side).
+    "q135_streaming_sessionize" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS uid, event_id,
+           epoch_us(ts) // 1000000 AS sec
+           FROM events WHERE ts IS NOT NULL),
+         mx AS (SELECT MAX(sec) AS maxs FROM e),
+         l AS (SELECT uid, sec, event_id,
+             CASE WHEN lag(sec) OVER w IS NULL
+                 OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+           FROM e
+           WINDOW w AS (PARTITION BY uid ORDER BY sec, event_id)),
+         s AS (SELECT uid, sec,
+             SUM(brk) OVER (PARTITION BY uid ORDER BY sec, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM l),
+         g AS (SELECT uid, sid, COUNT(1) AS len, MAX(sec) AS send
+           FROM s GROUP BY uid, sid),
+         sealed AS (SELECT g.* FROM g, mx WHERE send <= maxs - 5401)
+         SELECT uid AS user_id, CAST(COUNT(1) AS BIGINT) AS n_sessions,
+           CAST(SUM(len) AS BIGINT) AS n_events,
+           CAST(MAX(len) AS BIGINT) AS max_len
+         FROM sealed GROUP BY uid""",
+
+    // q136: q83's greedy chains on second-truncated times, keys sealed by
+    // the final watermark only: wm > t_last + within <=> t_last <=
+    // max(sec) - 604800 - 3601 (same 500 ms tie-killer as q135).
+    "q136_streaming_funnel" ->
+      """WITH e AS (SELECT CAST(user_id AS BIGINT) AS uid, event_type AS ty,
+           epoch_us(ts) // 1000000 AS sec
+           FROM events WHERE ts IS NOT NULL),
+         mx AS (SELECT MAX(sec) AS maxs FROM e),
+         s1 AS (SELECT uid, CAST(MIN(sec) AS BIGINT) AS t_1
+           FROM e WHERE ty = 'view' GROUP BY uid),
+         s2 AS (SELECT e.uid, CAST(MIN(sec) AS BIGINT) AS t_2
+           FROM e JOIN s1 USING (uid)
+           WHERE ty = 'click' AND sec >= t_1 AND sec <= t_1 + 604800
+           GROUP BY e.uid),
+         s3 AS (SELECT e.uid, CAST(MIN(sec) AS BIGINT) AS t_3
+           FROM e JOIN s2 USING (uid)
+           WHERE ty = 'purchase' AND sec >= t_2 AND sec <= t_2 + 604800
+           GROUP BY e.uid),
+         f AS (SELECT s1.uid, t_1, t_2, t_3,
+             CAST(1 + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS steps_completed,
+             COALESCE(t_3, t_2, t_1) AS t_last
+           FROM s1 LEFT JOIN s2 USING (uid) LEFT JOIN s3 USING (uid))
+         SELECT uid AS user_id, steps_completed, t_1, t_2, t_3
+         FROM f, mx WHERE t_last <= maxs - 608401""",
+
+    // q137: exact per-window token counts (capacity > vocab => the MG
+    // sketch is exact) over the deterministic hour-slot event times, for
+    // the windows the final watermark finalizes (window end < max ts).
+    "q137_streaming_heavy_hitters" ->
+      """WITH d AS (SELECT doc_id, text,
+           1704067200 + (doc_id % 4) * 3600 AS sec FROM documents),
+         mx AS (SELECT MAX(sec) AS maxs FROM d),
+         tok AS (SELECT (sec // 3600) * 3600 AS win_start,
+             unnest(list_filter(regexp_split_to_array(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+               x -> x != '')) AS item
+           FROM d),
+         c AS (SELECT win_start, item, CAST(COUNT(1) AS BIGINT) AS cnt
+           FROM tok GROUP BY 1, 2),
+         r AS (SELECT win_start, item, cnt,
+             row_number() OVER (PARTITION BY win_start
+               ORDER BY cnt DESC, item) AS rnk
+           FROM c)
+         SELECT CAST(win_start AS BIGINT) AS win_start,
+           CAST(rnk AS BIGINT) AS rank, item, cnt
+         FROM r, mx WHERE rnk <= 10 AND win_start + 3600 < maxs""",
 
     "q129_scalar_quantize" ->
       """WITH xu AS (SELECT vec_id, list_transform(embedding,
