@@ -708,6 +708,37 @@ object SparkEntry {
       Seq((n.toLong, h, p)).toDF("n_probe", "n_hits", "n_possible")
     }),
 
+    "q138_ivfpq_production" -> ((s, dir) => {
+      // the production-size ANN demonstration (the round-7/8 carried
+      // ask): kCodes=256 / m=8 / nLists=floor(sqrt(n)) IVF-PQ over the
+      // full embeddings table, served through the FAISS refine recipe
+      // (ADC shortlist of 10*k, exact re-rank of just those ids) and
+      // recall@10-GATED at >= 80% Spark-side — a below-target build
+      // fails the query instead of shipping a bad index — then
+      // hash-oracled per probe via the full DuckDB replay of the
+      // build + probe + refine + recall chain (dynamic nLists derived
+      // from the data on both sides)
+      val emb = t(s, dir, "embeddings")
+      val n = emb.filter(col("embedding").isNotNull).count()
+      val nLists = math.floor(math.sqrt(n.toDouble)).toInt
+      val nProbe = math.max(1, nLists / 4)
+      val k = 10
+      val idx = Similarity.ivfPqBuild(emb, nLists = nLists, m = 8,
+        kCodes = 256, iterations = 2)
+      val probes = emb.filter(col("vec_id") < 16)
+      val refined = Similarity.ivfPqQueryRefined(idx, emb, probes, k,
+        nProbe = nProbe, refine = 10)
+      val rec = Similarity.recallAtK(refined,
+          Similarity.bruteForceTopKL2(emb, probes, k), k)
+        .localCheckpoint(true) // consumed by the gate agg + result dump
+      val g = rec.agg(sum(col("n_hits")).cast("long").as("h"),
+        sum(col("k")).cast("long").as("p")).collect()(0)
+      val (hits, possible) = (g.getAs[Long]("h"), g.getAs[Long]("p"))
+      require(hits * 100L >= 80L * possible,
+        s"production ANN recall gate failed: $hits/$possible < 80%")
+      rec
+    }),
+
     "q133_corpus_to_shards" -> ((s, dir) => {
       // the FULL corpus-to-training-data flagship, chaining BOTH
       // pipelines: text curation (dedup+lang+quality) -> SEMANTIC
@@ -2855,16 +2886,32 @@ dim_users_litify AS (
     * ground-truth reuse) — shared by q127/q128/q130/q132. */
   private def q127OracleBody: String = q127OracleBodyAt(2)
 
-  private def q127OracleBodyAt(nProbe: Int): String = {
-    val (nLists, m, k, iters, subDim, dim, scale) =
-      (4, 4, 8, 2, 16, 64, 1000000L)
+  private def q127OracleBodyAt(nProbe: Int): String =
+    ivfPqOracleBody(nListsSql = "4", nProbeSql = nProbe.toString,
+      m = 4, kCodes = 8, iters = 2, dim = 64, scale = 1000000L,
+      probeWhere = "vec_id < 4")
+
+  /** The fully parameterized IVF-PQ replay generator behind
+    * [[q127OracleBodyAt]] (demo config) and q138 (production config):
+    * `nListsSql` / `nProbeSql` are SQL scalar expressions (literals for
+    * the demo oracles; `floor(sqrt(count))`-style subqueries for the
+    * production build, so the oracle derives the list count from the
+    * data exactly as the Spark side does). */
+  private def ivfPqOracleBody(nListsSql: String, nProbeSql: String,
+                              m: Int, kCodes: Int, iters: Int, dim: Int,
+                              scale: Long, probeWhere: String): String = {
+    val (k, subDim) = (kCodes, dim / m)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val head =
       s"""xu AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
          |    x -> CAST(trunc(x::DOUBLE * $scale) AS BIGINT)) AS xu
          |  FROM embeddings WHERE embedding IS NOT NULL),
          |d64 AS (SELECT unnest(range($dim)) AS d),
-         |gseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, xu
-         |  FROM (SELECT vec_id, xu FROM xu ORDER BY vec_id LIMIT $nLists)),
+         |nlv AS (SELECT CAST(($nListsSql) AS INT) AS nl),
+         |npv AS (SELECT CAST(($nProbeSql) AS INT) AS np),
+         |gseeds AS (SELECT j, xu FROM (SELECT row_number() OVER
+         |    (ORDER BY vec_id) - 1 AS j, xu FROM xu)
+         |  WHERE j < (SELECT nl FROM nlv)),
          |gc0 AS (SELECT CAST(sd.j AS INT) AS j, d64.d AS d,
          |  sd.xu[d64.d + 1] AS c FROM gseeds sd, d64)""".stripMargin
     val coarseChain = (1 to iters).map { i =>
@@ -2935,14 +2982,14 @@ dim_users_litify AS (
        |penc AS MATERIALIZED (SELECT vec_id, s, j AS code FROM (SELECT vec_id, s, j,
        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
        |  FROM ped) WHERE rn = 1),
-       |p AS (SELECT vec_id, xu FROM xu WHERE vec_id < 4),
+       |p AS (SELECT vec_id, xu FROM xu WHERE $probeWhere),
        |pcd AS (SELECT p.vec_id AS probe_id, c.j,
        |    SUM((p.xu[c.d + 1] - c.c) * (p.xu[c.d + 1] - c.c)) AS dist
        |  FROM p, gc$iters c GROUP BY 1, 2),
        |pl AS MATERIALIZED (SELECT probe_id, j AS lst, rn AS prank
        |  FROM (SELECT probe_id, j,
        |    row_number() OVER (PARTITION BY probe_id ORDER BY dist, j) AS rn
-       |  FROM pcd) WHERE rn <= $nProbe),
+       |  FROM pcd) WHERE rn <= (SELECT np FROM npv)),
        |prd AS MATERIALIZED (SELECT p.vec_id AS probe_id, pl.lst, pl.prank,
        |    c.d, p.xu[c.d + 1] - c.c AS pru
        |  FROM p JOIN pl ON pl.probe_id = p.vec_id
@@ -2957,6 +3004,45 @@ dim_users_litify AS (
        |    AND prd.d = c.s * $subDim + c.d
        |  WHERE e.vec_id <> prd.probe_id
        |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** q138: the production-size IVF-PQ replay — same generator as q127
+    * but at kCodes=256 / m=8 / nLists=floor(sqrt(n)) (derived from the
+    * data INSIDE the SQL, mirroring the Spark side's count-based
+    * sizing), nProbe=max(1, nLists/4), followed by the refine tail:
+    * ADC shortlist of 100, exact integer-L2 re-rank, recall@10 per
+    * probe against the exact ground truth. */
+  private def q138OracleSql: String = {
+    val body = ivfPqOracleBody(
+      nListsSql = "SELECT CAST(floor(sqrt(COUNT(*))) AS INT) FROM xu",
+      nProbeSql = "SELECT greatest(1, nl // 4) FROM nlv",
+      m = 8, kCodes = 256, iters = 2, dim = 64, scale = 1000000L,
+      probeWhere = "vec_id < 16")
+    s"""WITH $body,
+       |cand AS (SELECT probe_id, neighbor_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY dist, neighbor_id) AS rn FROM adc) WHERE rn <= 100),
+       |rrk AS (SELECT c.probe_id, c.neighbor_id,
+       |    list_sum(list_transform(list_zip(p.xu, v.xu),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
+       |  FROM cand c JOIN p ON p.vec_id = c.probe_id
+       |  JOIN xu v ON v.vec_id = c.neighbor_id),
+       |ax AS (SELECT probe_id, neighbor_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY dist, neighbor_id) AS rn FROM rrk) WHERE rn <= 10),
+       |exd AS (SELECT p.vec_id AS probe_id, v.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(p.xu, v.xu),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
+       |  FROM p, xu v WHERE v.vec_id <> p.vec_id),
+       |ex AS (SELECT probe_id, neighbor_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY dist, neighbor_id) AS rn FROM exd) WHERE rn <= 10),
+       |hits AS (SELECT probe_id, COUNT(1) AS n_hits
+       |  FROM ax JOIN ex USING (probe_id, neighbor_id) GROUP BY 1)
+       |SELECT e.probe_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(10 AS BIGINT) AS k
+       |FROM (SELECT DISTINCT probe_id FROM ex) e
+       |LEFT JOIN hits h ON e.probe_id = h.probe_id""".stripMargin
   }
 
   /** Mirrors of Multimodal.AudioFixture — q107/q108 run the REAL
@@ -4384,6 +4470,7 @@ dim_users_litify AS (
     "q127_ivfpq_ann" -> q127OracleSql,
 
     "q130_ann_recall" -> q130OracleSql,
+    "q138_ivfpq_production" -> q138OracleSql,
 
     "q132_ivfpq_nprobe_sweep" -> q132OracleSql,
 

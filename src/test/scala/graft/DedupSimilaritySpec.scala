@@ -697,6 +697,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bf.toSeq == Seq((1L, 1L, 1000000000000L), (2L, 2L, 1000000000000L)))
   }
 
+  test("ivfPqQueryRefined: exact parity when the shortlist covers the " +
+      "corpus; narrow shortlist is the exact re-rank of the ADC candidates") {
+    import graft.operators.Similarity
+    val vecs = pqCorpus // 40 vecs, dim 8
+    val probes = vecs.filter(col("vec_id") < 2)
+    val idx = Similarity.ivfPqBuild(vecs, nLists = 3, m = 2, kCodes = 4,
+      iterations = 2)
+    // full probe + shortlist >= corpus: the refine stage sees every
+    // candidate, so the result IS the exact integer-L2 top-k
+    val full = Similarity.ivfPqQueryRefined(idx, vecs, probes, k = 4,
+        nProbe = 3, refine = 10)
+      .select("probe_id", "neighbor_id", "rank", "l2_dist")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopKL2(vecs, probes, k = 4)
+      .select("probe_id", "neighbor_id", "rank", "l2_dist")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(full == exact)
+    // refine=1: the output is the exact-L2 re-ranking of EXACTLY the
+    // ADC top-4 shortlist (driver recompute of the contract)
+    val shortlist = Similarity.ivfPqQuery(idx, probes, k = 4, nProbe = 3)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val narrow = Similarity.ivfPqQueryRefined(idx, vecs, probes, k = 4,
+        nProbe = 3, refine = 1)
+      .select("probe_id", "neighbor_id", "rank", "l2_dist")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(narrow.length == 8)
+    val raw = vecs.as[(Long, Array[Float])].collect().toMap
+    narrow.groupBy(_._1).foreach { case (p, rows) =>
+      assert(rows.map(_._2).toSet == shortlist(p))
+      val pxu = units(raw(p))
+      val expOrder = shortlist(p).toSeq.map { n =>
+        val nxu = units(raw(n))
+        val d = (0 until 8).map(i => {
+          val df = pxu(i) - nxu(i); df * df }).sum
+        (n, d)
+      }.sortBy(t => (t._2, t._1))
+      assert(rows.sortBy(_._3).map(r => (r._2, r._4)).toSeq == expOrder)
+    }
+  }
+
   test("scalarQuantize: codes span [0, levels-1], extremes hit the ends, " +
       "degenerate dims encode 0, zero-shuffle encode, deterministic") {
     import graft.operators.Similarity
