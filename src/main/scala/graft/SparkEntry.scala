@@ -739,6 +739,24 @@ object SparkEntry {
       rec
     }),
 
+    "q139_decontaminate_scaled" -> ((s, dir) => {
+      // corpus-scale semantic decontamination (the round-7/8/9 carried
+      // ask #2): q119's exact fixture and integer-cosine rule, but the
+      // reference meets the corpus through a banded sign-LSH equi join
+      // instead of a broadcast nested loop — the shape that survives a
+      // corpus-scale reference set. The oracle replays prefilter AND
+      // verify, so the hash gate pins the whole path bit-for-bit;
+      // q119-parity on this fixture is pinned in DedupSimilaritySpec.
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDecontaminateAtScale(
+          emb.filter(col("vec_id") >= 32),
+          emb.filter(col("vec_id") < 32),
+          "embedding", "vec_id", thresholdPct = 50,
+          nBits = 4, bands = 8)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_ids"))
+    }),
+
     "q133_corpus_to_shards" -> ((s, dir) => {
       // the FULL corpus-to-training-data flagship, chaining BOTH
       // pipelines: text curation (dedup+lang+quality) -> SEMANTIC
@@ -859,12 +877,30 @@ object SparkEntry {
       // end precedes the final watermark land. capacity 64 > the corpus
       // vocabulary, so the sketch is exact and plain counting SQL is the
       // oracle (q71's contract, per sealed window).
+      // exact-regime precondition ENFORCED, not assumed: the counting-SQL
+      // oracle is valid only while every window's vocabulary fits the
+      // sketch capacity — a fixture/scale change that overflows it would
+      // otherwise fail the hash gate with a confusing diff instead of
+      // this message
+      val capacity = 64
+      val maxVocab = t(s, dir, "documents")
+        .select((col("doc_id") % 4).as("__slot"),
+          explode(array_distinct(T.tokens(T.normalized(col("text")))))
+            .as("__term"))
+        .groupBy(col("__slot"))
+        .agg(countDistinct(col("__term")).as("__v"))
+        .agg(max(col("__v")).as("__mx")).collect()(0).getAs[Long]("__mx")
+      require(maxVocab <= capacity,
+        s"q137 exact-regime precondition broken: window vocabulary " +
+          s"$maxVocab > Misra-Gries capacity $capacity — the counting " +
+          s"oracle no longer matches the (now approximate) sketch")
       val withTs = streamTable(s, dir, "documents")
         .withColumn("__ev",
           timestamp_seconds(lit(1704067200L) + (col("doc_id") % 4) * 3600L))
         .withWatermark("__ev", "500 milliseconds")
       val hh = graft.streaming.StreamingHeavyHitters.topTokens(
-        withTs, "text", "__ev", windowDur = "1 hour", capacity = 64, k = 10)
+        withTs, "text", "__ev", windowDur = "1 hour", capacity = capacity,
+        k = 10)
       streamToResult(s, hh) { landed =>
         landed.select(unix_timestamp(col("window_start")).as("win_start"),
           col("rank"), col("item"), col("cnt"))
@@ -2801,6 +2837,45 @@ dim_users_litify AS (
          FROM an WHERE vec_id NOT IN (SELECT vec_id FROM hits)
          GROUP BY 1"""
 
+  /** q139: the corpus-scale decontamination replay — q119's integer
+    * verify reached through the banded sign-LSH prefilter (planes and
+    * band slicing shared with the q32 family), so prefilter misses and
+    * verify decisions replay identically. */
+  private def q139OracleSql: String = {
+    val planes = V.randomPlanes(4 * 8, 64, 42L)
+    val dot = "list_sum(list_transform(list_zip(a.xu, b.xu), p -> p[1] * p[2]))"
+    s"""WITH an AS (SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu,
+         ${duckBucket("embedding", planes)} AS sig
+         FROM embeddings WHERE vec_id >= 32 AND embedding IS NOT NULL),
+       an2 AS (SELECT vec_id, xu, sig,
+           list_sum(list_transform(xu, x -> x * x)) AS n2 FROM an),
+       ab AS (SELECT vec_id, xu, n2, g.band,
+           (sig >> (g.band * 4)) & 15 AS bval
+         FROM an2, (SELECT UNNEST(range(8)) AS band) g),
+       bn AS (SELECT
+           list_transform(embedding,
+             x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu,
+           ${duckBucket("embedding", planes)} AS sig
+         FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL),
+       bn2 AS (SELECT xu, sig,
+           list_sum(list_transform(xu, x -> x * x)) AS n2 FROM bn),
+       bb AS (SELECT xu, n2, g.band, (sig >> (g.band * 4)) & 15 AS bval
+         FROM bn2, (SELECT UNNEST(range(8)) AS band) g),
+       hits AS (SELECT DISTINCT vec_id FROM (
+           SELECT a.vec_id, $dot AS dot, a.n2 AS an2, b.n2 AS bn2
+           FROM ab a JOIN bb b ON a.band = b.band AND a.bval = b.bval)
+         WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000
+           >= 2500 * CAST(an2 AS HUGEINT) * bn2)
+       SELECT CAST(label AS BIGINT) AS label,
+         CAST(COUNT(1) AS BIGINT) AS n_kept,
+         CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+       FROM embeddings WHERE vec_id >= 32
+         AND vec_id NOT IN (SELECT vec_id FROM hits)
+       GROUP BY 1"""
+  }
+
   /** q130: recall@5 of the nProbe=2 IVF-PQ probe against the exact
     * integer-L2 top-5 — the q127 replay joined with a brute-force CTE;
     * per-probe hit counts, probes with no hits preserved at 0. */
@@ -4471,6 +4546,7 @@ dim_users_litify AS (
 
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,
+    "q139_decontaminate_scaled" -> q139OracleSql,
 
     "q132_ivfpq_nprobe_sweep" -> q132OracleSql,
 

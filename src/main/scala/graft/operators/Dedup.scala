@@ -560,8 +560,11 @@ object Dedup {
     // Fail LOUD, not open: a corpus/benchmark dimension mismatch would make
     // zip_with pad with NULLs, NULL the hit predicate, and silently keep
     // every row — i.e. silently disable the contamination gate. Same
-    // discipline as the PQ paths' dimGuard.
-    val hit = when(col("__au").isNull, lit(false))
+    // discipline as the PQ paths' dimGuard. A NULL on EITHER side carries
+    // no evidence and is never a hit (the benchmark filter above already
+    // drops NULL bench rows; the guard keeps the raise_error branch from
+    // firing a misleading "N vs -1" if that filter is ever bypassed).
+    val hit = when(col("__au").isNull || col("__bu").isNull, lit(false))
       .when(size(col("__au")) === size(col("__bu")), exactHit)
       .otherwise(raise_error(concat(
         lit("semanticDecontaminate: corpus/benchmark embedding dimension "),
@@ -569,6 +572,80 @@ object Dedup {
         lit(" vs "), size(col("__bu")).cast("string"))))
     withUnits.join(broadcast(bench), hit, "left_anti")
       .drop("__au", "__an")
+  }
+
+  /** CORPUS-SCALE semantic decontamination — the same exact integer-cosine
+    * keep/drop rule as [[semanticDecontaminate]], but safe when the
+    * reference set is itself large (a second corpus, not a benchmark
+    * suite): candidates meet through ONE equi join on banded sign-LSH keys
+    * (the [[embeddingNearDupPairs]] machinery) instead of a broadcast
+    * nested-loop over every (corpus, reference) pair — no driver-sized
+    * assumption on the reference, no |corpus|x|reference| scored volume.
+    *
+    * Scale shape: both sides compute a `bands*nBits`-bit signature in one
+    * row-local projection pass, explode to `bands` compact (band, value)
+    * keys, and shuffle ONCE on those keys; only band-colliding pairs reach
+    * the exact verify. AQE broadcasts the reference side when it happens to
+    * be small — but as a hash join on the band key, never a nested loop.
+    * A pair colliding in several bands is verified per collision (bounded
+    * by `bands`) and collapsed by the final distinct-id anti join.
+    *
+    * RECALL CONTRACT (the banded-LSH trade, same as
+    * [[embeddingNearDupPairs]]): a contaminated pair is caught iff it
+    * agrees on all `nBits` planes of at least one band — probability
+    * 1-(1-p^nBits)^bands at p = 1-acos(cos)/pi. Paraphrase-level hits
+    * (cos >= ~0.9, p >= 0.9) are caught with near-certainty at the
+    * defaults; pairs AT a low threshold boundary can be missed — use
+    * [[semanticDecontaminate]] when the reference truly is
+    * benchmark-bounded and exactness at the boundary matters more than
+    * scale. The verify itself is the identical decimal(38) integer rule,
+    * so everything past the prefilter replays bit-for-bit.
+    *
+    * NULL corpus vectors are KEPT, NULL reference vectors ignored, and a
+    * dimension mismatch fails loud inside signBucketChecked — the
+    * [[semanticDecontaminate]] contracts, unchanged. */
+  def semanticDecontaminateAtScale(corpus: DataFrame, reference: DataFrame,
+                                   vecCol: String, idCol: String,
+                                   thresholdPct: Int, nBits: Int = 4,
+                                   bands: Int = 8, dim: Int = 64,
+                                   seed: Long = 42L,
+                                   unitScale: Long = 1000000L): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct must be in [1,100]: $thresholdPct")
+    require(nBits >= 1 && bands >= 1 && nBits * bands <= 62,
+      s"signature must fit in a long: nBits=$nBits bands=$bands")
+    def toUnits(c: Column): Column =
+      transform(c, x => (x.cast("double") * unitScale).cast("long"))
+    def norm2(c: Column): Column =
+      aggregate(transform(c, x => x * x), lit(0L), (acc, v) => acc + v)
+    val planes = V.randomPlanes(nBits * bands, dim, seed)
+    def bandKeys(sig: Column): Column =
+      array((0 until bands).map(b =>
+        shiftright(sig, b * nBits).bitwiseAND((1L << nBits) - 1)): _*)
+    val ref = reference.filter(col(vecCol).isNotNull)
+      .select(toUnits(col(vecCol)).as("__bu"),
+        V.signBucketChecked(col(vecCol), planes).as("__bsig"))
+      .withColumn("__bn", norm2(col("__bu")))
+      .select(col("__bu"), col("__bn"),
+        posexplode(bandKeys(col("__bsig"))))
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bval"))
+    val cand = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__cid"), toUnits(col(vecCol)).as("__au"),
+        V.signBucketChecked(col(vecCol), planes).as("__asig"))
+      .withColumn("__an", norm2(col("__au")))
+      .select(col("__cid"), col("__au"), col("__an"),
+        posexplode(bandKeys(col("__asig"))))
+      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bval"))
+    val dot = aggregate(zip_with(col("__au"), col("__bu"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val dec = "decimal(38,0)"
+    val t2 = thresholdPct.toLong * thresholdPct
+    val hitIds = cand.join(ref, Seq("__band", "__bval"))
+      .filter(dot > 0 &&
+        (dot.cast(dec) * dot.cast(dec) * lit(10000L).cast(dec)) >=
+          (lit(t2).cast(dec) * col("__an").cast(dec) * col("__bn").cast(dec)))
+      .select(col("__cid")).distinct()
+    corpus.join(hitIds, col(idCol) === col("__cid"), "left_anti")
   }
 
   /** Connected components over a near-dup pair graph: every node gets

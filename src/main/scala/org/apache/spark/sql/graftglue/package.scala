@@ -22,31 +22,41 @@ object GraftGlue {
     * the session. No-op on non-checkpointed frames. */
   def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        // Spark WARNs ("locally checkpointed ... cannot be recomputed after
-        // unpersisting") on every such unpersist via the concrete RDD
-        // class's logger (synchronously, before the async block drop). The
-        // release is deliberate — the frame is dead by contract — so mute
-        // that logger ONLY for the duration of the call and restore its
-        // prior state after: the class (MapPartitionsRDD) backs nearly all
-        // RDDs, so a permanent mute would swallow unrelated legitimate
-        // WARNs for the rest of the JVM.
-        val name = l.rdd.getClass.getName
-        val ctx = org.apache.logging.log4j.LogManager.getContext(false)
-          .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
-        val conf = ctx.getConfiguration
-        val hadExplicit = conf.getLoggerConfig(name).getName == name
-        val prior =
-          if (hadExplicit) conf.getLoggerConfig(name).getLevel else null
-        org.apache.logging.log4j.core.config.Configurator.setLevel(
-          name, org.apache.logging.log4j.Level.ERROR)
-        try l.rdd.unpersist(blocking = false)
-        finally {
-          if (hadExplicit)
-            org.apache.logging.log4j.core.config.Configurator.setLevel(
-              name, prior)
-          else { conf.removeLogger(name); ctx.updateLoggers() }
-        }
+      case l: org.apache.spark.sql.execution.LogicalRDD => releaseRdd(l.rdd)
       case _ => ()
     }
+
+  /** Unpersist ANY persistent RDD under the same scoped mute — for
+    * between-query sweepers (Bench) that drop leftover
+    * `localCheckpoint(eager=true)` blocks a query deliberately left
+    * behind for its consumer (e.g. a result frame checkpointed so a gate
+    * aggregation and the output dump share one materialization). The
+    * drop is intentional cleanup, so the WARN is noise there exactly as
+    * it is in [[releaseCheckpoint]]. */
+  def releaseRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    // Spark WARNs ("locally checkpointed ... cannot be recomputed after
+    // unpersisting") on every such unpersist via the concrete RDD
+    // class's logger (synchronously, before the async block drop). The
+    // release is deliberate — the frame is dead by contract — so mute
+    // that logger ONLY for the duration of the call and restore its
+    // prior state after: the class (MapPartitionsRDD) backs nearly all
+    // RDDs, so a permanent mute would swallow unrelated legitimate
+    // WARNs for the rest of the JVM.
+    val name = rdd.getClass.getName
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val conf = ctx.getConfiguration
+    val hadExplicit = conf.getLoggerConfig(name).getName == name
+    val prior =
+      if (hadExplicit) conf.getLoggerConfig(name).getLevel else null
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      name, org.apache.logging.log4j.Level.ERROR)
+    try rdd.unpersist(blocking = false)
+    finally {
+      if (hadExplicit)
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          name, prior)
+      else { conf.removeLogger(name); ctx.updateLoggers() }
+    }
+  }
 }

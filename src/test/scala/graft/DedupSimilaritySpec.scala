@@ -980,4 +980,47 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(2L)) // row 1 is an exact benchmark hit; NULL row kept
   }
+
+  test("semanticDecontaminateAtScale: parity with the exact broadcast rule " +
+      "on paraphrase-level contamination; NULLs kept; band equi join, " +
+      "never a nested loop; wrong dim fails loud") {
+    val ref = Seq(
+      (0L, Array(1f, 0.02f, -0.01f, 0f)),
+      (1L, Array(-0.5f, 0.5f, 0.5f, -0.5f)),
+      (2L, null.asInstanceOf[Array[Float]])) // ignored
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.99f, 0.03f, 0f, 0.01f)),  // ~ref0 -> dropped
+      (11L, Array(0f, 1f, 0f, 0f)),           // far -> kept
+      (12L, Array(-1f, 1f, 1f, -1f)),         // parallel to ref1 -> dropped
+      (13L, Array(0f, 0f, -1f, 0f)),          // far -> kept
+      (14L, null.asInstanceOf[Array[Float]])) // no evidence -> kept
+      .toDF("vec_id", "embedding")
+    val scaled = Dedup.semanticDecontaminateAtScale(corpus, ref,
+      "embedding", "vec_id", thresholdPct = 90, nBits = 2, bands = 8,
+      dim = 4)
+    val gotScaled = scaled.select("vec_id").as[Long].collect().toSet
+    // parity with the exact-NLJ rule on the same fixture: paraphrase-level
+    // hits (cos ~1) collide in every band, so the prefilter loses nothing
+    val gotExact = Dedup.semanticDecontaminate(corpus, ref,
+        "embedding", "vec_id", thresholdPct = 90)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotScaled == gotExact, s"scaled=$gotScaled exact=$gotExact")
+    assert(gotScaled == Set(11L, 13L, 14L))
+    // the scale contract: candidates meet through a band equi join — no
+    // nested loop / cartesian regardless of reference size
+    val plan = scaled.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // wrong-dimension vectors fail loud (signBucketChecked's guard), not
+    // silently bucketing to 0
+    def msg(t: Throwable): String =
+      Option(t).map(e => e.getMessage + " " + msg(e.getCause)).getOrElse("")
+    val bad = Seq((99L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Dedup.semanticDecontaminateAtScale(bad, ref, "embedding", "vec_id",
+        50, nBits = 2, bands = 8, dim = 4).collect()
+    }
+    assert(msg(ex).contains("dimension"))
+  }
 }

@@ -162,6 +162,14 @@ class PlanSpec extends SparkSpec {
       .contains("Exchange hashpartitioning"), s"corpus shuffled:\n$p")
   }
 
+  test("q139 corpus-scale decontamination: candidates meet through a band " +
+      "equi join — NEVER a nested loop or cartesian, whatever the " +
+      "reference size") {
+    val p = plan("q139_decontaminate_scaled")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("q127 ivf-pq probe: code table reached through ONE broadcast equi " +
       "join on __list, ranking exchange only after the heap prune") {
     val p = plan("q127_ivfpq_ann")
