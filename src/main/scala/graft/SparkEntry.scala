@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Coercions
 import graft.operators.{Curate, Dedup, Joins, Merge, Multimodal, Relevance, Similarity}
-import graft.functions.{Bpe, BpeVocab, TextFunctions => T, VectorFunctions => V}
+import graft.functions.{Bpe, BpeByteVocab, BpeVocab, TextFunctions => T, VectorFunctions => V}
 import graft.queries.{AgentMetrics, ConnectFixtures}
 import graft.streaming.StreamingNearDup
 
@@ -597,6 +597,23 @@ object SparkEntry {
     // ================= extensions: multimodal plumbing =====================
 
 
+    "q142_jpeg_decode" -> ((s, dir) => {
+      // LOSSY codec end-to-end: per-row JPEG encode (real JDK encoder)
+      // -> ImageIO decode -> DECODER-INVARIANT fields only (decode_ok +
+      // dimensions + band count; pixel values are decoder-version
+      // dependent and deliberately not pinned). The oracle replays the
+      // fixture's dimension formulas — a decoder that fails any payload,
+      // misreads SOF dimensions, or decodes to the wrong channel count
+      // fails the hash gate.
+      val withJpeg = Multimodal.attachJpegPayload(
+        s, t(s, dir, "documents"), "doc_id")
+      Multimodal.decodeMeta(s, withJpeg, "doc_id")
+        .select(col("doc_id"), col("decode_ok"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_channels").cast("long").as("n_channels"))
+    }),
+
     "q33_multimodal_meta" -> ((s, dir) => {
       // REAL codec: per-row PNG encode (ImageFixture) -> ImageIO decode;
       // width/height come from the decoded raster, so a decoder that
@@ -737,6 +754,33 @@ object SparkEntry {
       require(hits * 100L >= 80L * possible,
         s"production ANN recall gate failed: $hits/$possible < 80%")
       rec
+    }),
+
+    "q140_bpe1k_tokens" -> ((s, dir) => {
+      // the production-size BPE demonstration (the round-7/8/9 carried
+      // ask #3): per-doc token counts under the committed 1024-merge
+      // BYTE-LEVEL vocab, computed by ONE native expression for the
+      // whole chain (a 1k-deep replace() Column chain would blow codegen
+      // limits). Oracle = the full merge-chain replay as a 1024-step
+      // recursive CTE over a deterministic doc_id-hash sample — every
+      // merge of every sampled doc is hash-pinned; the corpus-wide mass
+      // is pinned by q141.
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 29 === 3 && col("text").isNotNull)
+        .select(col("doc_id"),
+          Bpe.byteTokenCount(col("text"), BpeByteVocab.merges)
+            .cast("long").as("n_tokens"))
+    }),
+
+    "q141_bpe1k_mass" -> ((s, dir) => {
+      // the full-corpus pin for the byte-level tier: total token mass +
+      // doc count under the committed vocab (what a token-budget
+      // mixture/packing stage consumes). DuckDB replays the chain over
+      // EVERY doc at the correctness SF — corpus coverage, not sampling.
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Bpe.byteTokenCount(col("text"), BpeByteVocab.merges)
+            .cast("long")).as("token_mass"))
     }),
 
     "q139_decontaminate_scaled" -> ((s, dir) => {
@@ -2837,6 +2881,27 @@ dim_users_litify AS (
          FROM an WHERE vec_id NOT IN (SELECT vec_id FROM hits)
          GROUP BY 1"""
 
+  /** q140/q141: the byte-level 1024-merge chain replayed as a recursive
+    * CTE (one replace per iteration over the committed merge table) —
+    * q140 per sampled doc, q141 the corpus-wide token mass. */
+  private def q140OracleSql: String = {
+    val n = BpeByteVocab.merges.size
+    s"""WITH RECURSIVE ${Bpe.oracleByteCtes(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 29 = 3) src",
+        "doc_id", "text", BpeByteVocab.merges)}
+       SELECT doc_id, CAST(length(s) AS BIGINT) AS n_tokens
+       FROM enc WHERE r = $n"""
+  }
+
+  private def q141OracleSql: String = {
+    val n = BpeByteVocab.merges.size
+    s"""WITH RECURSIVE ${Bpe.oracleByteCtes("documents",
+        "doc_id", "text", BpeByteVocab.merges)}
+       SELECT CAST(COUNT(1) AS BIGINT) AS n_docs,
+         CAST(SUM(length(s)) AS BIGINT) AS token_mass
+       FROM enc WHERE r = $n"""
+  }
+
   /** q139: the corpus-scale decontamination replay — q119's integer
     * verify reached through the banded sign-LSH prefilter (planes and
     * band slicing shared with the q32 family), so prefilter misses and
@@ -4547,6 +4612,8 @@ dim_users_litify AS (
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,
     "q139_decontaminate_scaled" -> q139OracleSql,
+    "q140_bpe1k_tokens" -> q140OracleSql,
+    "q141_bpe1k_mass" -> q141OracleSql,
 
     "q132_ivfpq_nprobe_sweep" -> q132OracleSql,
 
@@ -5006,6 +5073,15 @@ GROUP BY
     "q39_multimodal_frames" -> q39OracleSql,
 
     "q102_image_resize_stats" -> q102OracleSql,
+
+    // the lossy-codec contract: every fixture JPEG decodes, dimensions
+    // replay the generator formulas, 3 bands — decoder-invariant only
+    "q142_jpeg_decode" ->
+      """SELECT doc_id, true AS decode_ok,
+           CAST(8 + (doc_id % 9) AS BIGINT) AS width,
+           CAST(8 + (doc_id % 7) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_channels
+         FROM documents""",
 
 
     "q41_asof_join" ->

@@ -128,4 +128,145 @@ object Bpe {
     merges.map { case (a, b) => s"""("${esc(a)}", "${esc(b)}")""" }
       .mkString("Seq(\n    ", ",\n    ", ")")
   }
+
+  // ======================= byte-level tier ===============================
+  // The production-size vocabulary ([[BpeByteVocab]], ~1k merges): the
+  // SAME merge semantics (rank-order, left-to-right non-overlapping,
+  // lexicographic tie-break) over the FULL byte alphabet — no lowercase,
+  // no placeholder collapse; case, digits, punctuation and whitespace all
+  // carry tokens, as real byte-level tokenizers (GPT-2 style) do. Base
+  // symbols are the 256 byte values; merge rank j is symbol 256+j,
+  // rendered as the PUA char U+{E000+j} in the committed table and the
+  // DuckDB replay. At ~1k merges a chain of per-merge `replace` Columns
+  // would blow past codegen limits, so encoding is ONE native expression
+  // ([[BpeByteCountExpr]]) doing the whole chain in a single pass per row
+  // — still row-local, still zero shuffle. Because merge j's pair members
+  // are always symbols older than j, and a merge never deletes symbols,
+  // the sequential global-replace chain and the single-pass encoder are
+  // provably identical (no later merge can create an earlier pair's
+  // adjacency) — pinned against the replace-chain reference in BpeSpec.
+
+  /** Committed-table symbol decode: byte chars map to themselves, PUA
+    * chars to 256 + rank. Members of a merge pair are single chars by
+    * construction. */
+  private[graft] def symbolOf(c: Char): Int =
+    if (c < 256) c.toInt
+    else if (c >= 0xE000 && c < 0xE000 + 0x1000) 256 + (c - 0xE000)
+    else throw new IllegalArgumentException(
+      f"not a byte or merge symbol: U+${c.toInt}%04x")
+
+  /** Merge table as parallel symbol arrays (pairA, pairB) — the compact
+    * form the native expression carries. */
+  private[graft] def pairSymbols(merges: Seq[(String, String)])
+      : (Array[Int], Array[Int]) = {
+    require(merges.forall(p => p._1.length == 1 && p._2.length == 1),
+      "merge pair members must be single symbols")
+    (merges.map(p => symbolOf(p._1.charAt(0))).toArray,
+      merges.map(p => symbolOf(p._2.charAt(0))).toArray)
+  }
+
+  /** Train `nMerges` byte-level merges: identical algorithm to [[train]]
+    * (count all adjacent pairs, merge the most frequent everywhere, ties
+    * to the lexicographically smallest pair, stop when nothing repeats)
+    * over UTF-8 byte sequences instead of the normalized char alphabet.
+    * Tight int-array loops — at ~1k merges the naive recount-per-round
+    * stays seconds-bounded on the training sample. */
+  def trainBytes(texts: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1 && nMerges < 0x1000, s"nMerges out of range: $nMerges")
+    var docs: Array[Array[Int]] = texts.filter(_ != null).map(
+      _.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => (b & 0xff): Int)).toArray
+    var lens: Array[Int] = docs.map(_.length)
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val counts = scala.collection.mutable.LongMap.empty[Long]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      counts.clear()
+      var d = 0
+      while (d < docs.length) {
+        val s = docs(d)
+        val n = lens(d)
+        var i = 0
+        while (i < n - 1) {
+          val k = (s(i).toLong << 32) | s(i + 1).toLong
+          counts(k) = counts.getOrElse(k, 0L) + 1L
+          i += 1
+        }
+        d += 1
+      }
+      var bestK = -1L
+      var bestN = 1L // require >= 2 occurrences
+      counts.foreachEntry { (k, n) =>
+        if (n > bestN || (n == bestN && bestK >= 0 && k < bestK)) {
+          bestK = k; bestN = n
+        }
+      }
+      if (bestK < 0) done = true
+      else {
+        val a = (bestK >> 32).toInt
+        val b = (bestK & 0xffffffffL).toInt
+        val merged = 256 + rank
+        var d2 = 0
+        while (d2 < docs.length) {
+          val s = docs(d2)
+          val n = lens(d2)
+          var w = 0
+          var r = 0
+          while (r < n) {
+            if (r + 1 < n && s(r) == a && s(r + 1) == b) {
+              s(w) = merged; r += 2
+            } else { s(w) = s(r); r += 1 }
+            w += 1
+          }
+          lens(d2) = w
+          d2 += 1
+        }
+        def charOf(sym: Int): String =
+          (if (sym < 256) sym.toChar else (0xE000 + (sym - 256)).toChar).toString
+        merges += ((charOf(a), charOf(b)))
+        rank += 1
+      }
+    }
+    merges.toList
+  }
+
+  /** Driver-side reference encoder for the byte tier: the literal
+    * replace-chain semantics (what the DuckDB replay executes). ASCII
+    * input only — on ASCII, chars == bytes, so this chain is exactly the
+    * byte-level merge sequence; the native expression is pinned equal to
+    * it in BpeSpec. */
+  def encodeBytesStr(s: String, merges: Seq[(String, String)]): String =
+    merges.zipWithIndex.foldLeft(s) {
+      case (acc, ((a, b), j)) => acc.replace(a + b, mergeChar(j).toString)
+    }
+
+  /** Byte-level BPE token count of a text column — ONE native expression
+    * for the whole ~1k-merge chain (row-local, codegen'd, zero shuffle).
+    * NULL in, NULL out. */
+  def byteTokenCount(c: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    val (pa, pb) = pairSymbols(merges)
+    GraftGlue.column(BpeByteCountExpr(GraftGlue.expression(c), pa, pb))
+  }
+
+  /** DuckDB replay of the byte-level chain as a RECURSIVE CTE pair —
+    * `(mergesCte, encCte)` fragments over relation `rel`'s (idCol,
+    * textCol): one VALUES row per merge, one `replace` per iteration.
+    * Valid for ASCII corpora (chars == bytes). Returned `enc` relation:
+    * (idCol, s, r) with the fully-merged string at r = nMerges. */
+  def oracleByteCtes(rel: String, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): String = {
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    val rows = merges.zipWithIndex.map { case ((a, b), j) =>
+      s"(${j}, ${q(a + b)}, ${q(mergeChar(j).toString)})"
+    }.mkString(", ")
+    s"""m(mr, pat, rep) AS (SELECT * FROM (VALUES $rows) v),
+       |enc AS (
+       |  SELECT $idCol, $textCol AS s, 0 AS r FROM $rel
+       |    WHERE $textCol IS NOT NULL
+       |  UNION ALL
+       |  SELECT e.$idCol, replace(e.s, m.pat, m.rep) AS s, e.r + 1 AS r
+       |  FROM enc e JOIN m ON m.mr = e.r)""".stripMargin
+  }
 }

@@ -1036,3 +1036,89 @@ case class BloomMightContainExpr(child: Expression,
   override protected def withNewChildInternal(
       newChild: Expression): BloomMightContainExpr = copy(child = newChild)
 }
+
+/** Byte-level BPE token count: the ENTIRE ~1k-merge chain applied in one
+  * pass per row (`reference [[Bpe.encodeBytesStr]]` replace-chain
+  * semantics: merges in rank order, each as a left-to-right
+  * non-overlapping replacement). A Column-level chain of 1k `replace`
+  * calls would blow codegen/analyzer limits; this expression keeps the
+  * whole encoder inside whole-stage codegen as one static call.
+  *
+  * Correctness of the single-pass form: merge j's pair members are
+  * symbols older than j and a merge never deletes symbols, so no later
+  * merge can create an earlier pair's adjacency — applying ranks
+  * 0..n-1 once each IS the fixed point of the rank-order chain (pinned
+  * against the reference encoder in BpeSpec).
+  *
+  * Cost: O(merges x len) worst case, cut hard by a symbol-presence
+  * bitmap (a rank whose pair members don't both occur in the row is
+  * skipped in O(1)). Row-local, zero shuffle — the 100 TB shape. */
+case class BpeByteCountExpr(child: Expression,
+                            pairA: Array[Int], pairB: Array[Int])
+  extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_byte_count"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeByteCodec.count(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      pairA, pairB)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("pairA", pairA, "int[]")
+    val bRef = ctx.addReferenceObj("pairB", pairB, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeByteCodec.count($c, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeByteCountExpr = copy(child = newChild)
+}
+
+object BpeByteCodec {
+  /** Symbols after the full merge chain over the UTF-8 bytes of `u`.
+    * Base symbols = byte values 0..255; merge rank j = symbol 256+j. */
+  def count(u: org.apache.spark.unsafe.types.UTF8String,
+            pairA: Array[Int], pairB: Array[Int]): Int = {
+    val bytes = u.getBytes
+    var n = bytes.length
+    if (n == 0) return 0
+    val s = new Array[Int](n)
+    val nm = pairA.length
+    // presence bitmap over the symbol space (256 + nm bits)
+    val present = new Array[Long]((256 + nm + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      val sym = bytes(i) & 0xff
+      s(i) = sym
+      present(sym >>> 6) |= 1L << (sym & 63)
+      i += 1
+    }
+    var j = 0
+    while (j < nm && n > 1) {
+      val a = pairA(j)
+      val b = pairB(j)
+      if ((present(a >>> 6) & (1L << (a & 63))) != 0 &&
+          (present(b >>> 6) & (1L << (b & 63))) != 0) {
+        var w = 0
+        var r = 0
+        var hit = false
+        while (r < n) {
+          if (r + 1 < n && s(r) == a && s(r + 1) == b) {
+            s(w) = 256 + j; r += 2; hit = true
+          } else { s(w) = s(r); r += 1 }
+          w += 1
+        }
+        n = w
+        if (hit) {
+          val m = 256 + j
+          present(m >>> 6) |= 1L << (m & 63)
+        }
+      }
+      j += 1
+    }
+    n
+  }
+}

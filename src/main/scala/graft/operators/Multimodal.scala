@@ -18,6 +18,14 @@ case class ImgStats(
     sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long],
     sumsq_r: Option[Long], sumsq_g: Option[Long], sumsq_b: Option[Long])
 
+/** Decoder-invariant JPEG metadata row for [[Multimodal.decodeMeta]]:
+  * the fields every spec-compliant decoder agrees on (dimensions, band
+  * count) — pixel VALUES are lossy-codec/decoder-version dependent and
+  * deliberately absent. */
+case class JpegMeta(
+    id: Long, decode_ok: Boolean,
+    width: Option[Int], height: Option[Int], n_channels: Option[Int])
+
 /** Per-frame stats row for [[Multimodal.frameStats]]. */
 case class FrameStats(
     id: Long, frame_idx: Int, decode_ok: Boolean,
@@ -110,6 +118,12 @@ object Multimodal {
     def png(id: Long, frame: Int = 0): Array[Byte] =
       ImageCodec.encodePng(image(id, frame))
 
+    /** The same synthetic raster as REAL JPEG bytes (JDK encoder). Pixel
+      * values are lossy; dimensions and band count survive exactly —
+      * which is why [[Multimodal.decodeMeta]] exposes only those. */
+    def jpeg(id: Long, frame: Int = 0): Array[Byte] =
+      ImageCodec.encodeJpeg(image(id, frame))
+
     def video(id: Long, nFrames: Int): Array[Byte] =
       ImageCodec.packFrames((0 until nFrames).map(f => png(id, f)))
   }
@@ -126,6 +140,14 @@ object Multimodal {
     def encodePng(img: BufferedImage): Array[Byte] = {
       val baos = new ByteArrayOutputStream()
       ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
+    /** Real JDK JPEG encode (default quality). TYPE_INT_RGB rasters
+      * write as baseline 3-channel JFIF. */
+    def encodeJpeg(img: BufferedImage): Array[Byte] = {
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", baos)
       baos.toByteArray
     }
 
@@ -386,6 +408,44 @@ object Multimodal {
         lit(null).cast("int").as("sample_rate"),
         lit(null).cast("long").as("duration_ms")))
       .drop("gen_width", "gen_height")
+  }
+
+  /** Attach a REAL JPEG payload per row (the lossy-codec fixture): the
+    * same deterministic raster as [[attachImagePayload]], through the JDK
+    * JPEG encoder. */
+  def attachJpegPayload(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val ids: Dataset[Long] = df.select(col(idCol).cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id => (id, ImageFixture.jpeg(id)) }
+    }.toDF(idCol, "payload")
+      .withColumn("meta", struct(
+        lit("image").as("kind"), lit("image/jpeg").as("mime"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("long").as("duration_ms")))
+  }
+
+  /** Partition-local REAL decode reduced to the DECODER-INVARIANT fields
+    * only (decode_ok, width, height, band count) — the contract a lossy
+    * codec supports cross-engine: JPEG pixel values vary by decoder
+    * version, dimensions and channel count cannot. Fail-soft on corrupt
+    * payloads (decode_ok = false, null fields) like [[featurize]]. */
+  def decodeMeta(spark: SparkSession, df: DataFrame, idCol: String,
+                 payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    val pairs: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
+    pairs.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        ImageCodec.decode(bytes) match {
+          case Some(img) => JpegMeta(id, decode_ok = true,
+            Some(img.getWidth), Some(img.getHeight),
+            Some(img.getRaster.getNumBands))
+          case None => JpegMeta(id, decode_ok = false, None, None, None)
+        }
+      }
+    }.toDF().withColumnRenamed("id", idCol)
   }
 
   /** Attach a multi-frame payload per row (the video-modality fixture):

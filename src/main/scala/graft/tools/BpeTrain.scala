@@ -30,13 +30,18 @@ object BpeTrain {
     val docs = if (args.length > 0) args(0)
       else "/root/testdata/sf0.001/documents.parquet"
     val nMerges = if (args.length > 1) args(1).toInt else 48
+    // third arg "bytes" = the production byte-level tier (BpeByteVocab)
+    val byteLevel = args.length > 2 && args(2) == "bytes"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val texts = corpus(spark, docs)
-    val merges = Bpe.train(texts, nMerges)
+    val merges =
+      if (byteLevel) Bpe.trainBytes(texts, nMerges)
+      else Bpe.train(texts, nMerges)
     println(s"// trained on $docs (${texts.size} docs, " +
-      s"fingerprint ${fingerprint(texts)}L), nMerges=$nMerges")
+      s"fingerprint ${fingerprint(texts)}L), nMerges=$nMerges" +
+      (if (byteLevel) " (byte-level)" else ""))
     println("  val merges: Seq[(String, String)] = " +
       Bpe.toScalaLiteral(merges))
     spark.stop()

@@ -48,7 +48,12 @@ object Explain {
     "q123_leak_safe_split", "q124_keep_best_per_cluster",
     "q125_perceptron_inference", "q126_embedding_pipeline",
     "q127_ivfpq_ann", "q128_ivfpq_persisted",
-    "q129_scalar_quantize", "q130_ann_recall", "q132_ivfpq_nprobe_sweep", "q133_corpus_to_shards", "q134_nprobe_autotune")
+    "q129_scalar_quantize", "q130_ann_recall", "q132_ivfpq_nprobe_sweep",
+    "q133_corpus_to_shards", "q134_nprobe_autotune",
+    "q135_streaming_sessionize", "q136_streaming_funnel",
+    "q137_streaming_heavy_hitters", "q138_ivfpq_production",
+    "q139_decontaminate_scaled", "q140_bpe1k_tokens", "q141_bpe1k_mass",
+    "q142_jpeg_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -65,6 +65,74 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(Seq("ab"), 10).size <= 1)
   }
 
+  test("byte tier: committed 1024-merge vocab IS the trainer's output on " +
+      "the fixture corpus (provenance at production size)") {
+    import graft.functions.BpeByteVocab
+    val f = new java.io.File(docsParquet)
+    assume(f.exists(), s"fixture corpus missing: $docsParquet")
+    val texts = graft.tools.BpeTrain.corpus(spark, docsParquet)
+    assume(graft.tools.BpeTrain.fingerprint(texts) ==
+      BpeByteVocab.corpusFingerprint,
+      "fixture corpus changed since the byte vocab was trained")
+    assert(BpeByteVocab.merges.size == 1024)
+    assert(Bpe.trainBytes(texts, 1024) == BpeByteVocab.merges)
+  }
+
+  test("byte tier: native chain expression == replace-chain reference on " +
+      "ASCII (fixture docs + adversarial shapes); PUA input cannot alias") {
+    import graft.functions.BpeByteVocab
+    val adversarial = Seq(
+      "The quick BROWN fox!", "  spaces   and\ttabs\n", "", "a",
+      "quotes 'single' \"double\" and \\backslash",
+      "digits 0123456789 mixed2with3letters",
+      "repeat repeat repeat repeat repeat")
+    val fixture = spark.read.parquet(docsParquet)
+      .selectExpr("text").limit(40)
+      .collect().map(_.getString(0)).toSeq
+    val samples = (adversarial ++ fixture).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = samples.toDF("id", "text")
+      .select(col("id"),
+        Bpe.byteTokenCount(col("text"), BpeByteVocab.merges).as("n"))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      val s = samples(r.getLong(0).toInt)._2
+      val expected = Bpe.encodeBytesStr(s, BpeByteVocab.merges).length
+      assert(r.getInt(1) == expected, s"doc ${r.getLong(0)}: '$s'")
+    }
+    // compression is real at production size: fixture docs shrink well
+    // below their raw byte length (≈2.8x measured on this corpus)
+    val raw = fixture.map(_.length).sum
+    val enc = fixture.map(Bpe.encodeBytesStr(_, BpeByteVocab.merges).length).sum
+    assert(enc * 2 < raw, s"weak compression: $enc tokens from $raw bytes")
+    // byte-level is alias-proof BY CONSTRUCTION: a PUA char in the INPUT
+    // is just its 3 UTF-8 bytes (0xEE ...), never a merge token — unlike
+    // the char-level tier there is no normalize step to rely on
+    val sneaky = ""
+    val viaExpr = Seq((1L, sneaky)).toDF("id", "text")
+      .select(Bpe.byteTokenCount(col("text"), BpeByteVocab.merges))
+      .collect()(0).getInt(0)
+    // 6 raw bytes, possibly merged among THEMSELVES by byte merges, but
+    // never collapsing to the 2 "tokens" an aliasing encoder would see
+    assert(viaExpr > 2, s"PUA input aliased to merge tokens: $viaExpr")
+  }
+
+  test("byte tier: trainer is deterministic, order-independent, and " +
+      "early-stops when nothing repeats") {
+    val texts = Seq("low lower lowest", "New NEWER newest", "low low new")
+    val a = Bpe.trainBytes(texts, 16)
+    val b = Bpe.trainBytes(texts.reverse, 16)
+    assert(a == b)
+    assert(a.nonEmpty)
+    assert(Bpe.trainBytes(Seq("xy"), 10).isEmpty ||
+      Bpe.trainBytes(Seq("xy"), 10).size <= 1)
+    // case is NOT folded at the byte tier: "New" vs "new" share no pair
+    // with each other through lowercasing (the char tier would)
+    val enc1 = Bpe.encodeBytesStr("NEWER", a)
+    val enc2 = Bpe.encodeBytesStr("newer", a)
+    assert(enc1 != enc2)
+  }
+
   test("packSequences honors a caller-provided tokenCountCol") {
     val df = Seq((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "a"))
       .toDF("id", "text", "src")

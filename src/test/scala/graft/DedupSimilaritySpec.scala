@@ -963,6 +963,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("doc_id") == 1L) && rows.length == 2)
   }
 
+  test("jpeg tier: real JDK encode->decode preserves dimensions and band " +
+      "count; corrupt bytes fail soft through decodeMeta") {
+    val jpg = Multimodal.ImageFixture.jpeg(7L)
+    // real JPEG bytes: SOI marker, decodable, dims/bands invariant
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "no SOI")
+    val img = Multimodal.ImageCodec.decode(jpg).get
+    assert(img.getWidth == Multimodal.ImageFixture.width(7L) &&
+      img.getHeight == Multimodal.ImageFixture.height(7L) &&
+      img.getRaster.getNumBands == 3)
+    // pixel values are NOT invariant (lossy) — decodeMeta must not expose
+    // them, and a corrupt payload must flag, not throw
+    val mixed = Seq((1L, jpg), (2L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.decodeMeta(spark, mixed, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[Boolean]("decode_ok") &&
+      rows(0).getAs[Int]("n_channels") == 3)
+    assert(!rows(1).getAs[Boolean]("decode_ok") &&
+      rows(1).isNullAt(rows(1).fieldIndex("width")))
+  }
+
   test("semanticDecontaminate: corpus/benchmark dimension mismatch fails " +
       "LOUD (not silently keeping everything)") {
     val corpus = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")

@@ -162,6 +162,13 @@ class PlanSpec extends SparkSpec {
       .contains("Exchange hashpartitioning"), s"corpus shuffled:\n$p")
   }
 
+  test("q140 byte-level BPE count: one row-local native expression — " +
+      "no Exchange, no Generate, the whole 1k-merge chain in the scan") {
+    val p = plan("q140_bpe1k_tokens")
+    assert(!p.contains("Exchange"), s"shuffle in a row-local encode:\n$p")
+    assert(p.contains("bpe_byte_count"), s"native expression missing:\n$p")
+  }
+
   test("q139 corpus-scale decontamination: candidates meet through a band " +
       "equi join — NEVER a nested loop or cartesian, whatever the " +
       "reference size") {
