@@ -756,6 +756,45 @@ object SparkEntry {
       rec
     }),
 
+    "q143_ivfpq_production_serve" -> ((s, dir) => {
+      // the end-to-end serving-latency story for the PRODUCTION codebook
+      // (q138's kCodes=256/m=8/nLists=sqrt(n) config): build + ivfPqSave
+      // ONCE (the __list-partitioned serving layout), then serve 4
+      // REFINED probe batches from the LOADED index — what a retrieval
+      // deployment pays per batch once the build is amortized across
+      // batches and sessions. Build/save vs serve timed separately
+      // (Bench "components"): the codebook trains are driver-coordinated
+      // compact aggregations, steal-exposed in a way the executor-side
+      // probes are not (the q57 discipline). Rows-only check: per-batch
+      // arithmetic is q138's oracle; the round trip is q128's.
+      val emb = t(s, dir, "embeddings")
+      val n = emb.filter(col("embedding").isNotNull).count()
+      val nLists = math.floor(math.sqrt(n.toDouble)).toInt
+      val nProbe = math.max(1, nLists / 4)
+      val base = java.nio.file.Files.createTempDirectory("graft_q143_")
+      try {
+        val tBuild = System.nanoTime()
+        Similarity.ivfPqSave(Similarity.ivfPqBuild(emb, nLists = nLists,
+          m = 8, kCodes = 256, iterations = 2), base.toString)
+        Bench.recordComponent("q143_build_save",
+          (System.nanoTime() - tBuild) / 1e9)
+        val loaded = Similarity.ivfPqLoad(s, base.toString)
+        val tServe = System.nanoTime()
+        val out = (0 until 4).map { b =>
+            Similarity.ivfPqQueryRefined(loaded, emb,
+              emb.filter(col("vec_id") % 100 === b), k = 10,
+              nProbe = nProbe, refine = 10)
+          }.reduce(_ unionByName _)
+          .groupBy(col("rank"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("neighbor_id")).as("sum_neighbor"))
+          .localCheckpoint(true) // materialize before the dir vanishes
+        Bench.recordComponent("q143_serve",
+          (System.nanoTime() - tServe) / 1e9)
+        out
+      } finally deleteRecursively(base)
+    }),
+
     "q140_bpe1k_tokens" -> ((s, dir) => {
       // the production-size BPE demonstration (the round-7/8/9 carried
       // ask #3): per-doc token counts under the committed 1024-merge
