@@ -583,12 +583,19 @@ object Dedup {
     * assumption on the reference, no |corpus|x|reference| scored volume.
     *
     * Scale shape: both sides compute a `bands*nBits`-bit signature in one
-    * row-local projection pass, explode to `bands` compact (band, value)
-    * keys, and shuffle ONCE on those keys; only band-colliding pairs reach
-    * the exact verify. AQE broadcasts the reference side when it happens to
-    * be small — but as a hash join on the band key, never a nested loop.
-    * A pair colliding in several bands is verified per collision (bounded
-    * by `bands`) and collapsed by the final distinct-id anti join.
+    * row-local projection pass and explode to `bands` (band, value) keys —
+    * but the corpus side ships ONLY the compact (id, band, value) triple
+    * through the band shuffle, never its unit vectors: candidate pairs
+    * (id, reference vector) come out of the band join sized by COLLISION
+    * count, not corpus count, and the corpus's unit vectors are re-joined
+    * by id for candidate rows only (unhinted — AQE broadcasts the
+    * candidate set when contamination is sparse, the common case, so the
+    * corpus is scanned rather than shuffled; corpus-scale contamination
+    * falls back to one id-hash shuffle, where a forced broadcast would be
+    * a driver OOM). AQE may also broadcast a small reference side — but as
+    * a hash join on the band key, never a nested loop. A pair colliding in
+    * several bands is verified per collision (bounded by `bands`) and
+    * collapsed by the final distinct-id anti join.
     *
     * RECALL CONTRACT (the banded-LSH trade, same as
     * [[embeddingNearDupPairs]]): a contaminated pair is caught iff it
@@ -629,18 +636,21 @@ object Dedup {
       .select(col("__bu"), col("__bn"),
         posexplode(bandKeys(col("__bsig"))))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bval"))
-    val cand = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("__cid"), toUnits(col(vecCol)).as("__au"),
+    val corpusBands = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__cid"),
         V.signBucketChecked(col(vecCol), planes).as("__asig"))
-      .withColumn("__an", norm2(col("__au")))
-      .select(col("__cid"), col("__au"), col("__an"),
-        posexplode(bandKeys(col("__asig"))))
+      .select(col("__cid"), posexplode(bandKeys(col("__asig"))))
       .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bval"))
+    val candPairs = corpusBands.join(ref, Seq("__band", "__bval"))
+      .select(col("__cid"), col("__bu"), col("__bn"))
+    val units = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__cid"), toUnits(col(vecCol)).as("__au"))
+      .withColumn("__an", norm2(col("__au")))
     val dot = aggregate(zip_with(col("__au"), col("__bu"), (a, b) => a * b),
       lit(0L), (acc, v) => acc + v)
     val dec = "decimal(38,0)"
     val t2 = thresholdPct.toLong * thresholdPct
-    val hitIds = cand.join(ref, Seq("__band", "__bval"))
+    val hitIds = units.join(candPairs, Seq("__cid"))
       .filter(dot > 0 &&
         (dot.cast(dec) * dot.cast(dec) * lit(10000L).cast(dec)) >=
           (lit(t2).cast(dec) * col("__an").cast(dec) * col("__bn").cast(dec)))

@@ -353,4 +353,38 @@ class OperatorPropertySpec extends SparkSpec {
       assert(got == exp, s"diverged at threshold $t")
     }
   }
+
+  test("semanticDecontaminateAtScale on RANDOM vectors: drops are a " +
+      "SUBSET of the exact rule's drops (the prefilter can only miss, " +
+      "never fabricate a hit), and every drop re-verifies exactly") {
+    import graft.operators.Dedup
+    // dim must match the LSH plane dimension passed to the scaled variant
+    val dim = 6
+    val vecGen = Gen.listOfN(dim, Gen.choose(-999, 999).map(_ / 500.0f))
+    val all = draw(Gen.listOfN(60, vecGen), seed = 21L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    // plant exact duplicates across the split so certain hits exist
+    val rows = all :+ (60L, all(0)._2) :+ (61L, all(3)._2)
+    val corpus = rows.filter(_._1 % 3 != 0).toDF("vec_id", "embedding")
+    val ref = rows.filter(_._1 % 3 == 0).toDF("vec_id", "embedding")
+    for (t <- Seq(50, 90)) {
+      val keptExact = Dedup.semanticDecontaminate(corpus, ref,
+          "embedding", "vec_id", thresholdPct = t)
+        .select("vec_id").as[Long].collect().toSet
+      val keptScaled = Dedup.semanticDecontaminateAtScale(corpus, ref,
+          "embedding", "vec_id", thresholdPct = t,
+          nBits = 2, bands = 8, dim = dim)
+        .select("vec_id").as[Long].collect().toSet
+      // exact drops ⊆ scaled keeps' complement: anything scaled dropped,
+      // exact dropped too (identical verify behind the prefilter)
+      assert(keptExact.subsetOf(keptScaled),
+        s"scaled fabricated a hit at t=$t: " +
+          (keptExact -- keptScaled).toSeq.sorted)
+      // a planted exact duplicate (61 = copy of ref id 3, cos = 1)
+      // collides in every band -> the scaled tier must drop it
+      assert(!keptScaled.contains(61L),
+        s"planted duplicate survived at t=$t")
+      assert(!keptExact.contains(61L))
+    }
+  }
 }
