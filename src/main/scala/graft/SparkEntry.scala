@@ -795,6 +795,34 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    "q144_bpe1k_quality" -> ((s, dir) => {
+      // the compression-ratio quality gate: docs that compress poorly
+      // under the production byte-level vocab are junk candidates (the
+      // vocabulary IS the quality model). Integer-exact keep rule; the
+      // oracle replays the full merge chain per doc and the same rule.
+      // Threshold 8.0 bytes/token sits inside this corpus's 6.8-10.6
+      // ratio range, so the gate DISCRIMINATES here (~bottom decile
+      // flagged) and the hash oracle exercises the integer boundary.
+      Curate.compressionGate(t(s, dir, "documents"), "text",
+          BpeByteVocab.merges, minRatioTenths = 80)
+        .select(col("doc_id"), col("n_bytes"), col("n_tokens"),
+          coalesce(col("compress_reason"), lit("pass")).as("reason"))
+    }),
+
+    "q145_bpe1k_packing" -> ((s, dir) => {
+      // q104's tokenizer-faithful packing, budgeted by the PRODUCTION
+      // byte-level vocab — the count column the 2048-token packer would
+      // actually consume in a training pipeline
+      val d = t(s, dir, "documents").withColumn("__bpe",
+        Bpe.byteTokenCount(col("text"), BpeByteVocab.merges).cast("long"))
+      Curate.packSequences(d, "text", "doc_id", budget = 2048,
+          shardCol = "source", tokenCountCol = Some("__bpe"))
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("token_count")).as("sum_tokens"),
+          min(col("seq_offset")).as("first_offset"))
+    }),
+
     "q140_bpe1k_tokens" -> ((s, dir) => {
       // the production-size BPE demonstration (the round-7/8/9 carried
       // ask #3): per-doc token counts under the committed 1024-merge
@@ -2941,6 +2969,47 @@ dim_users_litify AS (
        FROM enc WHERE r = $n"""
   }
 
+  /** q144: the compression gate replayed — full merge chain per doc,
+    * then the identical integer keep rule. */
+  private def q144OracleSql: String = {
+    val n = BpeByteVocab.merges.size
+    s"""WITH RECURSIVE ${Bpe.oracleByteCtes("documents",
+        "doc_id", "text", BpeByteVocab.merges)}
+       SELECT d.doc_id,
+         CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+         CAST(length(e.s) AS BIGINT) AS n_tokens,
+         CASE WHEN d.text IS NULL THEN 'null_text'
+              WHEN strlen(d.text) * 10 < length(e.s) * 80
+                THEN 'low_compression'
+              ELSE 'pass' END AS reason
+       FROM documents d
+       LEFT JOIN (SELECT doc_id, s FROM enc WHERE r = $n) e
+         USING (doc_id)"""
+  }
+
+  /** q145: q104's packing replay with the byte-level chain providing the
+    * token counts. */
+  private def q145OracleSql: String = {
+    val n = BpeByteVocab.merges.size
+    s"""WITH RECURSIVE ${Bpe.oracleByteCtes("documents",
+        "doc_id", "text", BpeByteVocab.merges)},
+       toks AS (SELECT d.doc_id, d.source,
+           COALESCE(CAST(length(e.s) AS BIGINT), 0) AS token_count
+         FROM documents d
+         LEFT JOIN (SELECT doc_id, s FROM enc WHERE r = $n) e
+           USING (doc_id)),
+       packed AS (SELECT source, doc_id, token_count,
+           COALESCE(SUM(token_count) OVER (PARTITION BY source
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         FROM toks)
+       SELECT source, CAST(cum // 2048 AS BIGINT) AS seq_id,
+         COUNT(1) AS n_docs,
+         CAST(SUM(token_count) AS BIGINT) AS sum_tokens,
+         CAST(MIN(cum % 2048) AS BIGINT) AS first_offset
+       FROM packed GROUP BY 1, 2"""
+  }
+
   /** q139: the corpus-scale decontamination replay — q119's integer
     * verify reached through the banded sign-LSH prefilter (planes and
     * band slicing shared with the q32 family), so prefilter misses and
@@ -4653,6 +4722,8 @@ dim_users_litify AS (
     "q139_decontaminate_scaled" -> q139OracleSql,
     "q140_bpe1k_tokens" -> q140OracleSql,
     "q141_bpe1k_mass" -> q141OracleSql,
+    "q144_bpe1k_quality" -> q144OracleSql,
+    "q145_bpe1k_packing" -> q145OracleSql,
 
     "q132_ivfpq_nprobe_sweep" -> q132OracleSql,
 

@@ -130,6 +130,38 @@ object Curate {
     out
   }
 
+  /** Compression-ratio quality gate: flag documents that compress POORLY
+    * under a corpus-trained byte-level BPE vocabulary. Natural text in the
+    * training distribution compresses ~2-3x (bytes per token); gibberish,
+    * random strings, base64 blobs and wrong-distribution content stay
+    * near 1 byte/token — a single integer signal that catches junk the
+    * word-shape gates ([[gopherAudit]]) miss. Published data-curation
+    * practice; the vocabulary IS the quality model.
+    *
+    * Integer-exact keep rule (oracle-replayable, no float ties):
+    * pass iff `n_bytes * 10 >= n_tokens * minRatioTenths`
+    * (minRatioTenths = 25 means ratio >= 2.5). Adds `n_bytes` (UTF-8
+    * octets), `n_tokens` (byte-BPE count), and `compress_reason`
+    * (NULL = pass, the [[gopherAudit]] convention). NULL text carries no
+    * compression evidence -> "null_text"; EMPTY text passes vacuously
+    * (0 >= 0 — route empties to the word-count gate). Row-local, one
+    * codegen expression per row — zero shuffle at any scale. */
+  def compressionGate(df: DataFrame, textCol: String,
+                      merges: Seq[(String, String)],
+                      minRatioTenths: Int = 25): DataFrame = {
+    require(minRatioTenths >= 10 && minRatioTenths <= 1000,
+      s"minRatioTenths out of range: $minRatioTenths")
+    val txt = col(textCol)
+    df.withColumn("n_bytes",
+        when(txt.isNotNull, octet_length(txt).cast("long")))
+      .withColumn("n_tokens",
+        graft.functions.Bpe.byteTokenCount(txt, merges).cast("long"))
+      .withColumn("compress_reason",
+        when(txt.isNull, "null_text")
+          .when(col("n_bytes") * 10L <
+            col("n_tokens") * minRatioTenths.toLong, "low_compression"))
+  }
+
   /** Linear bag-of-words classifier score — the fastText-style quality
     * classifier shape (a trained model is weights + bias; this applies
     * them): logit = bias + (sum over tokens of weight(token)) / n_tokens,

@@ -101,7 +101,8 @@ class BpeSpec extends SparkSpec {
       assert(r.getInt(1) == expected, s"doc ${r.getLong(0)}: '$s'")
     }
     // compression is real at production size: fixture docs shrink well
-    // below their raw byte length (≈2.8x measured on this corpus)
+    // below their raw byte length (~9x median on this corpus — the vocab
+    // is trained on the same distribution)
     val raw = fixture.map(_.length).sum
     val enc = fixture.map(Bpe.encodeBytesStr(_, BpeByteVocab.merges).length).sum
     assert(enc * 2 < raw, s"weak compression: $enc tokens from $raw bytes")
@@ -131,6 +132,30 @@ class BpeSpec extends SparkSpec {
     val enc1 = Bpe.encodeBytesStr("NEWER", a)
     val enc2 = Bpe.encodeBytesStr("newer", a)
     assert(enc1 != enc2)
+  }
+
+  test("compressionGate: natural text passes, random gibberish flags " +
+      "low_compression, NULL text routes to null_text") {
+    import graft.functions.BpeByteVocab
+    val rng = new scala.util.Random(5)
+    val gibberish = (1 to 300).map(_ => ('!' + rng.nextInt(90)).toChar).mkString
+    val natural = spark.read.parquet(docsParquet)
+      .selectExpr("text").limit(1).collect()(0).getString(0)
+    val df = Seq((1L, natural), (2L, gibberish),
+        (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = Curate.compressionGate(df, "text", BpeByteVocab.merges,
+      minRatioTenths = 30).orderBy("id").collect()
+    // corpus-distribution text compresses far above 3 bytes/token
+    assert(out(0).getAs[String]("compress_reason") == null, out(0).toString)
+    assert(out(0).getAs[Long]("n_bytes") > out(0).getAs[Long]("n_tokens"))
+    // uniform printable noise stays near 1 byte/token under a vocab
+    // trained on natural text — the junk signature the gate exists for
+    assert(out(1).getAs[String]("compress_reason") == "low_compression",
+      s"gibberish ratio: ${out(1).getAs[Long]("n_bytes")}/" +
+        s"${out(1).getAs[Long]("n_tokens")}")
+    assert(out(2).getAs[String]("compress_reason") == "null_text")
+    assert(out(2).isNullAt(out(2).fieldIndex("n_bytes")))
   }
 
   test("packSequences honors a caller-provided tokenCountCol") {
