@@ -24,12 +24,20 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet stores TIMESTAMP(NANOS) which Spark has no native
-      // type for: read nanos as long, truncate to micros (identical to
-      // DuckDB's ns->us truncation).
+      // events.parquet has shipped as TIMESTAMP(NANOS) in some fixture
+      // generations (no native Spark type: read nanos as long, truncate
+      // to micros — identical to DuckDB's ns->us truncation) and as
+      // TIMESTAMP(MICROS) in others (reads natively as TIMESTAMP_NTZ;
+      // session tz is UTC everywhere, so the cast to session-tz
+      // timestamp is value-identical). Branch on the landed type.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Exact, order-independent sum of a double expression. */
@@ -86,10 +94,16 @@ object SparkEntry {
   private def streamEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sch = s.read.parquet(s"$dir/events.parquet").schema
+    // same dual-generation contract as [[t]]: nanos-as-long fixtures
+    // need the explicit us truncation, micros fixtures only the NTZ->
+    // session-tz cast (tz is UTC, so the values are identical)
+    val toTs =
+      if (sch("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("date_trunc('second', timestamp_micros(ts div 1000))")
+      else date_trunc("second", col("ts").cast("timestamp"))
     s.readStream.schema(sch).option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts",
-        expr("date_trunc('second', timestamp_micros(ts div 1000))"))
+      .withColumn("ts", toTs)
   }
 
   private def ymd(c: Column): Column = date_format(c, "yyyy-MM-dd")
