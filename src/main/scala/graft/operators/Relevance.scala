@@ -105,14 +105,20 @@ object Relevance {
       .crossJoin(broadcast(stats))
       .groupBy(col("__id"))
       .agg(sum(contrib).as("score"), count(lit(1)).as("n_matched"))
-    // the ranked frame is already limit(k)'d — partition by a constant so
-    // the k-row window is an ordinary (single-partition) WindowExec and
-    // not the "No Partition Defined" global-window shape
+    // ranks over the k-row cut are computed WITHOUT a window: an
+    // empty-partition WindowExec logs the global-window WARN, and a
+    // foldable partition key (lit(0)) constant-folds back to empty. The
+    // TakeOrdered cut is collapsed into one sorted array (a global agg of
+    // k rows — one tiny partial per partition) and posexploded, so rank is
+    // the array position. Sort key: (-score, id) ascending == (score desc,
+    // id asc); negation is exact for both double and decimal scores.
     scored.orderBy(col("score").desc, col("__id")).limit(k)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("score").desc, col("__id"))))
-      .select(col("__id").as(idCol), col("score"), col("n_matched"),
-        col("rank"))
+      .agg(sort_array(collect_list(struct(
+        (-col("score")).as("__ns"), col("__id"), col("n_matched"))))
+        .as("__r"))
+      .select(posexplode(col("__r")))
+      .select(col("col.__id").as(idCol), (-col("col.__ns")).as("score"),
+        col("col.n_matched").as("n_matched"), (col("pos") + 1).as("rank"))
   }
 
   /** Mean unigram log-probability per document — the cheap corpus-LM
@@ -158,12 +164,14 @@ object Relevance {
         transform(sequence(lit(0), size(t) - n),
           i => array_join(slice(t, i + 1, lit(n)), " ")))).as("ngram"))
     val counted = grams.groupBy(col("ngram")).agg(count(lit(1)).as("n"))
-    // constant partition key for the same reason as [[bm25Rank]]: the
-    // frame is k rows post-limit, so a single-partition window is exact
-    // and silences the global-window WARN
+    // window-free rank over the post-limit k rows, same shape and
+    // rationale as [[bm25Rank]]: sorted-array agg + posexplode
     counted.orderBy(col("n").desc, col("ngram")).limit(k)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("n").desc, col("ngram"))))
+      .agg(sort_array(collect_list(struct(
+        (-col("n")).as("__nn"), col("ngram")))).as("__r"))
+      .select(posexplode(col("__r")))
+      .select(col("col.ngram").as("ngram"), (-col("col.__nn")).as("n"),
+        (col("pos") + 1).as("rank"))
   }
 
   /** Single-pass heavy hitters over the token stream via the
