@@ -864,6 +864,40 @@ object SparkEntry {
             .cast("long")).as("token_mass"))
     }),
 
+    "q146_bpe1k_token_ids" -> ((s, dir) => {
+      // the round-9 ask #1: the token-id ARRAYS themselves (not counts) —
+      // what a training shard physically contains. Same deterministic
+      // doc_id-hash sample as q140; the oracle replays the full
+      // 1024-merge recursive-CTE chain AND maps every char of the merged
+      // string back to its id, so each id at each position is hash-pinned
+      // (the space-joined serialization is the oracle-portable array
+      // form). count == ids.length by construction (one shared codec
+      // loop), asserted here by emitting both.
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 29 === 3 && col("text").isNotNull)
+        .select(col("doc_id"),
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges).as("__ids"))
+        .select(col("doc_id"), size(col("__ids")).cast("long").as("n_tokens"),
+          Bpe.idsString(col("__ids")).as("ids_str"))
+    }),
+
+    "q147_token_shards" -> ((s, dir) => {
+      // the physical training shard: per (source, seq) rows of at most
+      // 2048 production-vocab token ids (Curate.packTokenIds — the
+      // token-level materialization of q145's layout). The oracle replays
+      // encode + pack + cut over the WHOLE corpus and pins each
+      // sequence's id stream via md5 of its space-joined ids — corpus
+      // coverage of the actual shard payload, not a sample.
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("__ids",
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+      Curate.packTokenIds(d, "__ids", "doc_id", budget = 2048,
+          shardCol = "source")
+        .select(col("source"), col("seq_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          md5(Bpe.idsString(col("token_ids"))).as("ids_md5"))
+    }),
+
     "q139_decontaminate_scaled" -> ((s, dir) => {
       // corpus-scale semantic decontamination (the round-7/8/9 carried
       // ask #2): q119's exact fixture and integer-cosine rule, but the
@@ -2983,6 +3017,43 @@ dim_users_litify AS (
        FROM enc WHERE r = $n"""
   }
 
+  /** q146: the q140 sample's token IDS pinned position-by-position — the
+    * recursive-CTE chain replayed, then every char of the merged string
+    * mapped back to its symbol id and space-joined. */
+  private def q146OracleSql: String = {
+    val n = BpeByteVocab.merges.size
+    s"""WITH RECURSIVE ${Bpe.oracleByteCtes(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 29 = 3) src",
+        "doc_id", "text", BpeByteVocab.merges)}
+       SELECT doc_id, CAST(length(s) AS BIGINT) AS n_tokens,
+         ${Bpe.oracleIdsStringSql("s")} AS ids_str
+       FROM enc WHERE r = $n"""
+  }
+
+  /** q147: the full-corpus shard replay — encode every doc, lay the id
+    * streams out per source in doc_id order, cut every 2048 tokens, and
+    * md5 each sequence's space-joined ids. */
+  private def q147OracleSql: String = {
+    val n = BpeByteVocab.merges.size
+    s"""WITH RECURSIVE ${Bpe.oracleByteCtes("documents",
+        "doc_id", "text", BpeByteVocab.merges)},
+       ids AS (SELECT d.doc_id, d.source,
+           ${Bpe.oracleIdsListSql("e.s")} AS ids
+         FROM documents d
+         JOIN (SELECT doc_id, s FROM enc WHERE r = $n) e USING (doc_id)),
+       cum AS (SELECT source, doc_id, ids,
+           COALESCE(SUM(len(ids)) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+         FROM ids),
+       t0 AS (SELECT source, c, ids, UNNEST(range(len(ids))) AS i FROM cum),
+       t AS (SELECT source, c + i AS gp,
+           ids[CAST(i AS INT) + 1] AS tok FROM t0)
+       SELECT source, CAST(gp // 2048 AS BIGINT) AS seq_id,
+         CAST(COUNT(1) AS BIGINT) AS n_tokens,
+         md5(string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gp)) AS ids_md5
+       FROM t GROUP BY 1, 2"""
+  }
+
   /** q144: the compression gate replayed — full merge chain per doc,
     * then the identical integer keep rule. */
   private def q144OracleSql: String = {
@@ -4736,6 +4807,8 @@ dim_users_litify AS (
     "q139_decontaminate_scaled" -> q139OracleSql,
     "q140_bpe1k_tokens" -> q140OracleSql,
     "q141_bpe1k_mass" -> q141OracleSql,
+    "q146_bpe1k_token_ids" -> q146OracleSql,
+    "q147_token_shards" -> q147OracleSql,
     "q144_bpe1k_quality" -> q144OracleSql,
     "q145_bpe1k_packing" -> q145OracleSql,
 

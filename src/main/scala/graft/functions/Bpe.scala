@@ -250,6 +250,38 @@ object Bpe {
     GraftGlue.column(BpeByteCountExpr(GraftGlue.expression(c), pa, pb))
   }
 
+  /** Byte-level BPE token IDS of a text column — the id array a training
+    * shard physically holds (bytes 0..255, merge rank j = 256+j), from
+    * the SAME single-pass native chain as [[byteTokenCount]] (one shared
+    * merge loop, so count == ids.length by construction). NULL in, NULL
+    * out. */
+  def byteTokenIds(c: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    val (pa, pb) = pairSymbols(merges)
+    GraftGlue.column(BpeByteIdsExpr(GraftGlue.expression(c), pa, pb))
+  }
+
+  /** Space-joined decimal token-id serialization of an ids column — the
+    * oracle-portable form (arrays hash awkwardly across engines; the
+    * joined string pins every id and its position). */
+  def idsString(ids: Column): Column =
+    array_join(transform(ids, _.cast("string")), " ")
+
+  /** DuckDB mirror of the id array over an `enc` final string `sExpr`:
+    * each char of the merged string back to its symbol id (byte chars map
+    * to their codepoint — the corpus is ASCII — PUA char U+{E000+j} to
+    * 256+j). 57344 = 0xE000. */
+  def oracleIdsListSql(sExpr: String): String =
+    s"""list_transform(range(1, length($sExpr) + 1),
+       |  i -> CASE WHEN unicode($sExpr[i:i]) >= 57344
+       |    THEN 256 + unicode($sExpr[i:i]) - 57344
+       |    ELSE unicode($sExpr[i:i]) END)""".stripMargin
+
+  /** DuckDB mirror of [[idsString]]: the id list space-joined. */
+  def oracleIdsStringSql(sExpr: String): String =
+    s"""array_to_string(list_transform(${oracleIdsListSql(sExpr)},
+       |  x -> CAST(x AS VARCHAR)), ' ')""".stripMargin
+
   /** DuckDB replay of the byte-level chain as a RECURSIVE CTE pair —
     * `(mergesCte, encCte)` fragments over relation `rel`'s (idCol,
     * textCol): one VALUES row per merge, one `replace` per iteration.

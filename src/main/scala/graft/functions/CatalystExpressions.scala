@@ -1078,13 +1078,36 @@ case class BpeByteCountExpr(child: Expression,
 }
 
 object BpeByteCodec {
-  /** Symbols after the full merge chain over the UTF-8 bytes of `u`.
-    * Base symbols = byte values 0..255; merge rank j = symbol 256+j. */
+  /** Token count after the full merge chain — the trimmed length of
+    * [[merge]]'s symbol buffer, sharing ONE loop with [[ids]] so the two
+    * surfaces cannot drift. */
   def count(u: org.apache.spark.unsafe.types.UTF8String,
-            pairA: Array[Int], pairB: Array[Int]): Int = {
+            pairA: Array[Int], pairB: Array[Int]): Int =
+    merge(u, pairA, pairB)._2
+
+  /** The token-id array itself (what a training shard physically holds):
+    * base symbols = byte values 0..255, merge rank j = id 256+j — the
+    * same id space [[graft.functions.Bpe.symbolOf]] defines for the
+    * committed table. Returned as an UnsafeArrayData copy of the trimmed
+    * merge buffer. */
+  def ids(u: org.apache.spark.unsafe.types.UTF8String,
+          pairA: Array[Int], pairB: Array[Int]): ArrayData = {
+    val (s, n) = merge(u, pairA, pairB)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(s, n))
+  }
+
+  private val empty = new Array[Int](0)
+
+  /** Symbols after the full merge chain over the UTF-8 bytes of `u`:
+    * (buffer, length) — the buffer is over-allocated, only the first
+    * `length` entries are tokens. Base symbols = byte values 0..255;
+    * merge rank j = symbol 256+j. */
+  private def merge(u: org.apache.spark.unsafe.types.UTF8String,
+                    pairA: Array[Int], pairB: Array[Int]): (Array[Int], Int) = {
     val bytes = u.getBytes
     var n = bytes.length
-    if (n == 0) return 0
+    if (n == 0) return (empty, 0)
     val s = new Array[Int](n)
     val nm = pairA.length
     // presence bitmap over the symbol space (256 + nm bits)
@@ -1119,6 +1142,36 @@ object BpeByteCodec {
       }
       j += 1
     }
-    n
+    (s, n)
   }
+}
+
+/** Byte-level BPE token IDS: the same single-pass merge chain as
+  * [[BpeByteCountExpr]] (one shared loop in [[BpeByteCodec.merge]]), but
+  * returning the token-id array itself — the payload a training shard
+  * physically contains. Id space: bytes 0..255, merge rank j = 256+j.
+  * Row-local, inside whole-stage codegen, zero shuffle. NULL in, NULL
+  * out; empty string -> empty array. */
+case class BpeByteIdsExpr(child: Expression,
+                          pairA: Array[Int], pairB: Array[Int])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_byte_ids"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeByteCodec.ids(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      pairA, pairB)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("pairA", pairA, "int[]")
+    val bRef = ctx.addReferenceObj("pairB", pairB, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeByteCodec.ids($c, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeByteIdsExpr = copy(child = newChild)
 }

@@ -490,6 +490,44 @@ object Curate {
       .drop("__cum")
   }
 
+  /** Materialize the packed sequences [[packSequences]] lays out: rows of
+    * AT MOST `budget` token ids each — what a training shard physically
+    * contains. Same layout contract as [[packSequences]] (per-shard
+    * deterministic `idCol` order, documents straddle sequence
+    * boundaries), taken to the token level: the concatenated id stream of
+    * a shard, cut every `budget` tokens, so every sequence but a shard's
+    * last holds exactly `budget` ids.
+    *
+    * Scale shape: ONE doc-level shuffle total — the running-sum window
+    * shuffles doc rows onto the shard key, and the (shard, seq) groupBy
+    * reuses that same hashpartitioning (shard is a prefix of the grouping
+    * key), so the posexploded token stream is grouped IN PLACE and never
+    * crosses an exchange (pinned in PLANS.md: exactly one Exchange).
+    * Per-group state is bounded by `budget` (the sort_array runs over
+    * <= `budget` elements). NULL ids arrays contribute zero tokens.
+    * Output: (shardCol, seq_id, token_ids, n_tokens). */
+  def packTokenIds(df: DataFrame, idsCol: String, idCol: String,
+                   budget: Int, shardCol: String): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(shardCol), col(idCol),
+        coalesce(col(idsCol), array().cast("array<int>")).as("__ids"))
+      .withColumn("__cum",
+        coalesce(sum(size(col("__ids"))).over(w).cast("long"), lit(0L)))
+      .select(col(shardCol), col("__cum"),
+        posexplode(col("__ids")).as(Seq("__p", "__tok")))
+      .withColumn("__gp", col("__cum") + col("__p"))
+      .withColumn("seq_id", expr(s"__gp DIV $budget"))
+      .withColumn("__pos", (col("__gp") % budget).cast("int"))
+      .groupBy(col(shardCol), col("seq_id"))
+      .agg(transform(
+          sort_array(collect_list(struct(col("__pos"), col("__tok")))),
+          _.getField("__tok")).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")))
+  }
+
   /** Per-domain quota cap: keep at most `quota` documents per host,
     * lowest-`idCol` first — the crawl-curation guard against any single
     * domain dominating the training mix (a handful of mega-hosts can be

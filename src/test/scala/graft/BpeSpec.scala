@@ -118,6 +118,65 @@ class BpeSpec extends SparkSpec {
     assert(viaExpr > 2, s"PUA input aliased to merge tokens: $viaExpr")
   }
 
+  test("byte tier: token-id expression == reference chain mapped to ids; " +
+      "count == ids.length; null -> null, empty -> empty") {
+    import graft.functions.BpeByteVocab
+    val samples = Seq(
+      "The quick BROWN fox!", "  spaces   and\ttabs\n", "", "a",
+      "repeat repeat repeat repeat repeat",
+      "digits 0123456789 mixed2with3letters") ++
+      spark.read.parquet(docsParquet).selectExpr("text").limit(25)
+        .collect().map(_.getString(0)).toSeq
+    val indexed = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val rows = indexed.toDF("id", "text")
+      .select(col("id"),
+        Bpe.byteTokenIds(col("text"), BpeByteVocab.merges).as("ids"),
+        Bpe.byteTokenCount(col("text"), BpeByteVocab.merges).as("n"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      val s = indexed(r.getLong(0).toInt)._2
+      // reference ids: the replace-chain encoder's merged string, each
+      // char decoded through the committed-table symbol space
+      val expected = Bpe.encodeBytesStr(s, BpeByteVocab.merges)
+        .map(Bpe.symbolOf).toSeq
+      assert(r.getSeq[Int](1) == expected, s"ids diverge on '$s'")
+      assert(r.getInt(2) == expected.size, s"count != ids.length on '$s'")
+    }
+    // NULL propagates
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
+  test("packTokenIds: every sequence but a shard's last holds exactly " +
+      "budget ids; concatenation reproduces the per-shard doc stream") {
+    import graft.functions.BpeByteVocab
+    val docs = spark.read.parquet(docsParquet)
+      .filter(col("text").isNotNull).limit(60)
+      .withColumn("__ids",
+        Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+    val packed = Curate.packTokenIds(docs, "__ids", "doc_id",
+        budget = 512, shardCol = "source")
+      .orderBy("source", "seq_id").collect()
+    val byShard = packed.groupBy(_.getString(0))
+    byShard.foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // dense seq ids from 0; all full except possibly the last
+      assert(sorted.map(_.getLong(1)).toSeq == sorted.indices.map(_.toLong))
+      sorted.dropRight(1).foreach(r => assert(r.getInt(3) == 512,
+        s"$src seq ${r.getLong(1)} not full: ${r.getInt(3)}"))
+      assert(sorted.last.getInt(3) <= 512)
+    }
+    // the concatenated stream == per-doc ids concatenated in doc order
+    val expect = docs.select(col("source"), col("doc_id"), col("__ids"))
+      .collect().groupBy(_.getString(0)).map { case (src, rs) =>
+        src -> rs.sortBy(_.getLong(1)).flatMap(_.getSeq[Int](2)).toSeq }
+    byShard.foreach { case (src, rows) =>
+      val got = rows.sortBy(_.getLong(1)).flatMap(_.getSeq[Int](2)).toSeq
+      assert(got == expect(src), s"stream diverges for shard $src")
+    }
+  }
+
   test("byte tier: trainer is deterministic, order-independent, and " +
       "early-stops when nothing repeats") {
     val texts = Seq("low lower lowest", "New NEWER newest", "low low new")

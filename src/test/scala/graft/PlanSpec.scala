@@ -177,6 +177,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q147 token shards: exactly one hash exchange (the doc-level " +
+      "window shuffle) — the exploded token stream grouped in place") {
+    // the (shard, seq) groupBy must reuse the window's
+    // hashpartitioning(shard): shard is a prefix of the grouping key, so
+    // a second exchange would mean the token stream itself reshuffles —
+    // the scale regression this operator's layout exists to avoid
+    val p = plan("q147_token_shards")
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+    assert(p.contains("bpe_byte_ids"), s"native ids expression missing:\n$p")
+  }
+
   test("q127 ivf-pq probe: code table reached through ONE broadcast equi " +
       "join on __list, ranking exchange only after the heap prune") {
     val p = plan("q127_ivfpq_ann")
