@@ -1037,6 +1037,132 @@ case class BloomMightContainExpr(child: Expression,
       newChild: Expression): BloomMightContainExpr = copy(child = newChild)
 }
 
+/** Integer-exact squared-L2 distance over two array<long> unit vectors —
+  * sum((a-b)^2) as one codegen loop. The `aggregate(zip_with(...))` HOF
+  * form evaluates its lambdas interpreted, once per ELEMENT; at a
+  * 100k-corpus brute-force recall gate (1.6M pairs x 64 dims) that is
+  * ~100 s of lambda dispatch for what is one fused multiply-add loop.
+  * Arithmetic is IDENTICAL to the HOF form (long multiply-add, order
+  * irrelevant), so every oracle replay is unaffected. NULL when either
+  * side is NULL or lengths differ (zip_with's null-pad would poison the
+  * sum the same way). */
+case class L2UnitsDistExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // length mismatch -> NULL
+  override def prettyName: String = "l2_units_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      var acc = 0L
+      var i = 0
+      val n = x.numElements()
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2UnitsDistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** PQ asymmetric-distance (ADC): squared L2 between a full-dim integer
+  * unit vector and the codebook reconstruction of a code array —
+  * sum over subspaces s of sum_d (vec[s*subDim+d] -
+  * centroids[s][codes[s]][d])^2 — as ONE codegen loop over the
+  * broadcast-literal codebook. Replaces a per-subspace chain of
+  * interpreted `aggregate(zip_with(slice, element_at(...)))` lambdas on
+  * the ADC hot path (every candidate row of every probe). Arithmetic
+  * identical to the HOF chain; out-of-range codes fail loudly (the
+  * upstream pqQuery guard's contract — silent NULLs would drop rows
+  * from rankings under ansi=false). */
+case class PqAdcDistExpr(vec: Expression, codes: Expression,
+                         centroids: Array[Array[Array[Long]]])
+  extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = codes
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqAdcCodec.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      centroids)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCents", centroids, "long[][][]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PqAdcCodec.dist($a, $b, $ref);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDistExpr =
+    copy(vec = newLeft, codes = newRight)
+}
+
+object PqAdcCodec {
+  /** Shared interpreted/codegen ADC kernel. Fail-loud on shape drift:
+    * wrong code count or an out-of-range code means the codes column
+    * does not belong to this codebook. */
+  def dist(vec: ArrayData, codes: ArrayData,
+           centroids: Array[Array[Array[Long]]]): Long = {
+    val m = centroids.length
+    if (codes.numElements() != m) throw new IllegalStateException(
+      s"pq_adc_dist: ${codes.numElements()} codes for m=$m subspaces")
+    val subDim = centroids(0)(0).length
+    if (vec.numElements() != m * subDim) throw new IllegalStateException(
+      s"pq_adc_dist: vector dim ${vec.numElements()} != ${m * subDim}")
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      val code = codes.getInt(s)
+      if (code < 0 || code >= centroids(s).length)
+        throw new IllegalStateException(
+          s"pq_adc_dist: code $code out of range for subspace $s")
+      val cw = centroids(s)(code)
+      var d = 0
+      val off = s * subDim
+      while (d < subDim) {
+        val diff = vec.getLong(off + d) - cw(d)
+        acc += diff * diff
+        d += 1
+      }
+      s += 1
+    }
+    acc
+  }
+}
+
 /** Byte-level BPE token count: the ENTIRE ~1k-merge chain applied in one
   * pass per row (`reference [[Bpe.encodeBytesStr]]` replace-chain
   * semantics: merges in rank order, each as a left-to-right

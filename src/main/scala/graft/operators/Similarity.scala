@@ -457,6 +457,32 @@ object Similarity {
                               unitScale: Long,
                               centroids: Array[Array[Array[Long]]])
 
+  /** Codegen integer squared-L2 over unit arrays — same arithmetic as
+    * the `aggregate(zip_with(...))` HOF form it replaces (long
+    * multiply-add; NULL on NULL or length mismatch), but one fused loop
+    * inside whole-stage codegen instead of per-element interpreted
+    * lambdas: the difference between ~100 s and ~2 s on a 100k-corpus
+    * brute-force recall gate. */
+  private def l2UnitsDist(a: org.apache.spark.sql.Column,
+                          b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    GraftGlue.column(graft.functions.L2UnitsDistExpr(
+      GraftGlue.expression(a), GraftGlue.expression(b)))
+  }
+
+  /** Codegen ADC distance against a codebook (see
+    * [[graft.functions.PqAdcDistExpr]]) — replaces the per-subspace
+    * interpreted `aggregate(zip_with(slice, element_at))` chain on the
+    * candidate hot path. */
+  private def adcDist(vec: org.apache.spark.sql.Column,
+                      codes: org.apache.spark.sql.Column,
+                      cb: PqCodebook): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    GraftGlue.column(graft.functions.PqAdcDistExpr(
+      GraftGlue.expression(vec), GraftGlue.expression(codes), cb.centroids))
+  }
+
   private def quantizedUnits(df: DataFrame, vecCol: String, idCol: String,
                              unitScale: Long): DataFrame =
     df.filter(col(vecCol).isNotNull)
@@ -591,8 +617,7 @@ object Similarity {
       .select(col("__id").as("neighbor_id"), col("__xu").as("__cu"))
     val p = quantizedUnits(probes, vecCol, idCol, unitScale)
       .select(col("__id").as("probe_id"), col("__xu").as("__pu"))
-    val dist = aggregate(zip_with(col("__pu"), col("__cu"),
-      (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+    val dist = l2UnitsDist(col("__pu"), col("__cu"))
     val scored = c.crossJoin(broadcast(p))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
@@ -757,13 +782,7 @@ object Similarity {
     val probeLists = expanded.withColumn("__pr", row_number().over(w))
       .filter(col("__pr") <= nProbe)
       .select(col("probe_id"), col("__list"), col("__pru"))
-    val dist = (0 until cb.m).map { s =>
-      aggregate(zip_with(
-        slice(col("__pru"), s * cb.subDim + 1, cb.subDim),
-        element_at(typedLit(cb.centroids(s).map(_.toSeq).toSeq),
-          element_at(col("codes"), s + 1) + 1),
-        (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
-    }.reduce(_ + _)
+    val dist = adcDist(col("__pru"), col("codes"), cb)
     val scored = index.encoded.join(broadcast(probeLists), Seq("__list"))
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"), col(idCol).as("neighbor_id"),
@@ -805,8 +824,7 @@ object Similarity {
       .select(col("__id").as("neighbor_id"), col("__xu").as("__cu"))
     val p = quantizedUnits(probes, vecCol, idCol, scale)
       .select(col("__id").as("probe_id"), col("__xu").as("__pu"))
-    val dist = aggregate(zip_with(col("__pu"), col("__cu"),
-      (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+    val dist = l2UnitsDist(col("__pu"), col("__cu"))
     val scored = c.join(broadcast(cand), Seq("neighbor_id"))
       .join(broadcast(p), Seq("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
@@ -960,13 +978,7 @@ object Similarity {
         lit(s"pqQuery: codes incompatible with codebook m=${cb.m} " +
           s"k=${cb.kCodes}: "),
         col("codes").cast("string")))).as("codes"))
-    val dist = (0 until cb.m).map { s =>
-      aggregate(zip_with(
-        slice(col("__pxu"), s * cb.subDim + 1, cb.subDim),
-        element_at(typedLit(cb.centroids(s).map(_.toSeq).toSeq),
-          element_at(col("codes"), s + 1) + 1),
-        (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
-    }.reduce(_ + _)
+    val dist = adcDist(col("__pxu"), col("codes"), cb)
     val scored = c.crossJoin(broadcast(p))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),

@@ -187,6 +187,64 @@ class CatalystExprSpec extends SparkSpec {
     }
   }
 
+  test("L2UnitsDistExpr == aggregate/zip_with HOF form; NULL on " +
+      "mismatch/null; interpreted fallback parity") {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    import graft.functions.L2UnitsDistExpr
+    def fast(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      GraftGlue.column(L2UnitsDistExpr(
+        GraftGlue.expression(a), GraftGlue.expression(b)))
+    val rng = new scala.util.Random(11)
+    val units = (0 until 20).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextLong() % 2000000L),
+        Array.fill(16)(rng.nextLong() % 2000000L)) }
+      .toDF("id", "a", "b")
+    val rows = units.select(
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v).as("hof"),
+      fast(col("a"), col("b")).as("gen")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // mismatch + null -> NULL (like zip_with's null-pad poisoning the sum)
+    val odd = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+    assert(odd.select(fast(col("a"), col("b"))).collect()(0).isNullAt(0))
+    val nul = Seq((Some(Array(1L, 2L)), Option.empty[Array[Long]]))
+      .toDF("a", "b")
+    assert(nul.select(fast(col("a"), col("b"))).collect()(0).isNullAt(0))
+    // interpreted fallback (filter forces eval)
+    assert(units.filter(fast(col("a"), col("b")) >= 0L).count() == 20)
+  }
+
+  test("PqAdcDistExpr == per-subspace HOF ADC chain; fail-loud on " +
+      "out-of-range codes") {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    import graft.functions.PqAdcDistExpr
+    val rng = new scala.util.Random(13)
+    val m = 4; val kCodes = 8; val subDim = 4
+    val cents = Array.fill(m, kCodes, subDim)(rng.nextLong() % 1000000L)
+    val df = (0 until 12).map { i =>
+      (i.toLong, Array.fill(m * subDim)(rng.nextLong() % 1000000L),
+        Array.fill(m)(rng.nextInt(kCodes))) }
+      .toDF("id", "vec", "codes")
+    def fast(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      GraftGlue.column(PqAdcDistExpr(
+        GraftGlue.expression(v), GraftGlue.expression(c), cents))
+    val hof = (0 until m).map { s =>
+      aggregate(zip_with(
+        slice(col("vec"), s * subDim + 1, subDim),
+        element_at(typedLit(cents(s).map(_.toSeq).toSeq),
+          element_at(col("codes"), s + 1) + 1),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+    }.reduce(_ + _)
+    df.select(hof.as("hof"), fast(col("vec"), col("codes")).as("gen"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // wrong-shape codes must throw, not NULL-and-drop
+    val bad = Seq((Array.fill(m * subDim)(0L), Array(0, 1, 2, 99)))
+      .toDF("vec", "codes")
+    val e = intercept[Exception] {
+      bad.select(fast(col("vec"), col("codes"))).collect() }
+    assert(e.getMessage != null)
+  }
+
   test("SignBucketExpr == signBucket HOF bit-for-bit") {
     val planes = V.randomPlanes(12, 4, seed = 7L)
     val rows = vecs.select(
