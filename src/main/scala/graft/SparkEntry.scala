@@ -1149,6 +1149,26 @@ object SparkEntry {
       }
     }),
 
+    "q149_streaming_rolling" -> ((s, dir) => {
+      // the rolling trailing-hour aggregate through the REAL engine
+      // (flatMapGroupsWithState event-buffer state, event-time timeout,
+      // AvailableNow) — closes the last streaming-relevant surface
+      // without a real-engine row (round-9 ask #6). Real event times
+      // drive the watermark; only events the final watermark SEALS emit
+      // (a frame looks backward only, so sealed rows carry exactly the
+      // batch rollingAgg values — q84's math), and the oracle replays
+      // that subset: sec <= max(sec) - 3601 under the 3600500 ms delay
+      // (the q135 no-tie offset; inputs are whole seconds).
+      val rolled = graft.streaming.StreamingRollingAgg.rolling(
+        streamEvents(s, dir)
+          .select(col("user_id").cast("string").as("key"), col("event_id"),
+            col("ts"), col("value")),
+        windowSeconds = 3600, watermark = "3600500 milliseconds")
+      streamToResult(s, rolled.toDF()) { landed =>
+        landed.select(col("event_id"), col("roll_n"), col("roll_sum"))
+      }
+    }),
+
     "q130_ann_recall" -> ((s, dir) => {
       // the ANN quality loop: recall@5 of the nProbe=2 IVF-PQ probe
       // against the exact integer-L2 top-5 ground truth — the metric
@@ -4930,6 +4950,26 @@ dim_users_litify AS (
            CAST(SUM(len) AS BIGINT) AS n_events,
            CAST(MAX(len) AS BIGINT) AS max_len
          FROM sealed GROUP BY uid""",
+
+    // q149: q84's trailing-hour RANGE frames on second-truncated times,
+    // restricted to the events the final watermark seals — a frame looks
+    // backward only, so sealing at wm >= ts makes the streamed values
+    // exactly the batch ones. Seal: sec*1000 <= max(sec)*1000 - 3600500
+    // <=> sec <= maxs - 3601 (the q135 500 ms tie-killer).
+    "q149_streaming_rolling" ->
+      """WITH e AS (SELECT event_id, user_id,
+           epoch_us(ts) // 1000000 AS sec, value
+           FROM events WHERE ts IS NOT NULL),
+         mx AS (SELECT MAX(sec) AS maxs FROM e),
+         r AS (SELECT event_id, sec,
+             CAST(COUNT(1) OVER w AS BIGINT) AS roll_n,
+             CAST(SUM(CAST(value AS DECIMAL(27,12))) OVER w AS DOUBLE)
+               AS roll_sum
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+         SELECT event_id, roll_n, roll_sum FROM r, mx
+         WHERE sec <= maxs - 3601""",
 
     // q136: q83's greedy chains on second-truncated times, keys sealed by
     // the final watermark only: wm > t_last + within <=> t_last <=

@@ -55,7 +55,8 @@ object Explain {
     "q139_decontaminate_scaled", "q140_bpe1k_tokens", "q141_bpe1k_mass",
     "q142_jpeg_decode", "q143_ivfpq_production_serve",
     "q144_bpe1k_quality", "q145_bpe1k_packing",
-    "q146_bpe1k_token_ids", "q147_token_shards", "q148_ivfpq_100k")
+    "q146_bpe1k_token_ids", "q147_token_shards", "q148_ivfpq_100k",
+    "q149_streaming_rolling")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
