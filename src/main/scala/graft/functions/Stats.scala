@@ -93,12 +93,21 @@ object Stats {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc +: keyOrder: _*)
       .limit(topN)
-    top.withColumn("share_ppm",
-        ((col("cnt") * lit(1000000L)).cast("decimal(38,0)") / lit(total))
-          .cast("long"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("cnt").desc +: keyOrder: _*)).cast("long"))
+    // rank over the topN-row cut WITHOUT a window: an empty-partition
+    // WindowExec is the global-window WARN shape (and a lit() partition
+    // key constant-folds back to it) — collapse the cut into one sorted
+    // array and posexplode, same as Relevance.bm25Rank. Sort key
+    // (-cnt, keys...) ascending == (cnt desc, keys asc).
+    val withShare = top.withColumn("share_ppm",
+      ((col("cnt") * lit(1000000L)).cast("decimal(38,0)") / lit(total))
+        .cast("long"))
+    val packed = struct(
+      (-col("cnt")).as("__nc") +: keyCols.map(col) :+ col("share_ppm"): _*)
+    withShare.agg(sort_array(collect_list(packed)).as("__r"))
+      .select(posexplode(col("__r")))
+      .select(keyCols.map(k => col(s"col.$k")) ++ Seq(
+        (-col("col.__nc")).as("cnt"), col("col.share_ppm").as("share_ppm"),
+        (col("pos") + 1).cast("long").as("rank")): _*)
   }
   /** Per-group embedding centroid + dispersion, one dimension per row —
     * the embedding-space audit behind semantic clustering / whitening /

@@ -47,22 +47,39 @@ class WarnTailSpec extends SparkSpec {
     app.hits.toArray(Array.empty[String]).toSeq
   }
 
-  test("q64/q67 physical plans carry no empty-partition WindowExec " +
+  /** Walk a physical plan INCLUDING through AdaptiveSparkPlanExec —
+    * which is a leaf node, so a plain `plan.collect` never descends into
+    * the actual tree and silently asserts nothing (the round-10 lesson:
+    * the first version of this check was vacuous under AQE). */
+  private def globalWindows(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] = {
+    val here = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      case _ => Nil
+    }
+    val below = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        globalWindows(a.executedPlan)
+      case other => other.children.flatMap(globalWindows)
+    }
+    here ++ below
+  }
+
+  test("q64/q67/q81 physical plans carry no empty-partition WindowExec " +
       "(the lit(0) key constant-folds away — rank must not use one)") {
-    for (q <- Seq("q64_bm25_rank", "q67_top_ngrams")) {
+    for (q <- Seq("q64_bm25_rank", "q67_top_ngrams", "q81_key_skew")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan
-      val global = plan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w }
+      val global = globalWindows(plan)
       assert(global.isEmpty,
         s"$q has ${global.size} global (unpartitioned) WindowExec node(s)")
     }
   }
 
-  test("bench tail is WARN-clean: zero WindowExec WARNs (q64/q67) and " +
-      "zero locally-checkpointed WARNs (q48 closure + Bench sweep)") {
+  test("bench tail is WARN-clean: zero WindowExec WARNs (q64/q67/q81) " +
+      "and zero locally-checkpointed WARNs (q48 closure + Bench sweep)") {
     val warns = capturedWarns {
-      for (q <- Seq("q64_bm25_rank", "q67_top_ngrams",
+      for (q <- Seq("q64_bm25_rank", "q67_top_ngrams", "q81_key_skew",
           "q48_dedup_clusters")) {
         SparkEntry.queries(q)(spark, sf)
           .write.format("noop").mode("overwrite").save()
