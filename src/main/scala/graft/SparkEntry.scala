@@ -892,6 +892,93 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    "q150_mixed_serving" -> ((s, dir) => {
+      // round-9 stretch ask #7: serving latency under concurrent
+      // analytic load — the contention story a per-query bench can't
+      // see. One q143-style serve (load the saved __list-partitioned
+      // index, 4 refined probe batches) runs CONCURRENTLY with a
+      // curation scan loop (the q58 gopher pass, 3 passes over
+      // documents) on the same local[32] scheduler; components split
+      // serve-under-load vs scan-under-load vs the whole wall. No
+      // oracle by design (arithmetic is q138/q58's; this row exists
+      // for its component timings) — rows-only check.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val emb = t(s, dir, "embeddings")
+      val n = emb.filter(col("embedding").isNotNull).count()
+      val nLists = math.floor(math.sqrt(n.toDouble)).toInt
+      val nProbe = math.max(1, nLists / 4)
+      val base = java.nio.file.Files.createTempDirectory("graft_q150_")
+      try {
+        Similarity.ivfPqSave(Similarity.ivfPqBuild(emb, nLists = nLists,
+          m = 8, kCodes = 256, iterations = 2), base.toString)
+        val loaded = Similarity.ivfPqLoad(s, base.toString)
+        val t0 = System.nanoTime()
+        val scanF = Future {
+          val tS = System.nanoTime()
+          (1 to 3).foreach { _ =>
+            Curate.gopherAudit(t(s, dir, "documents"), "text")
+              .write.format("noop").mode("overwrite").save()
+          }
+          (System.nanoTime() - tS) / 1e9
+        }
+        val tServe = System.nanoTime()
+        val out = (0 until 4).map { b =>
+            Similarity.ivfPqQueryRefined(loaded, emb,
+              emb.filter(col("vec_id") % 100 === b), k = 10,
+              nProbe = nProbe, refine = 10)
+          }.reduce(_ unionByName _)
+          .groupBy(col("rank"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("neighbor_id")).as("sum_neighbor"))
+          .localCheckpoint(true) // materialize before the dir vanishes
+        Bench.recordComponent("q150_serve_under_load",
+          (System.nanoTime() - tServe) / 1e9)
+        Bench.recordComponent("q150_scan_under_load",
+          Await.result(scanF, Duration.Inf))
+        Bench.recordComponent("q150_wall",
+          (System.nanoTime() - t0) / 1e9)
+        out
+      } finally deleteRecursively(base)
+    }),
+
+    "q151_shards_with_ids" -> ((s, dir) => {
+      // the flagship, finished: q133 chained both pipelines but its
+      // shards held text + counts; this runs the SAME chain (curate ->
+      // semantic decontamination -> cut repeated spans) and then emits
+      // what a training shard PHYSICALLY contains — per-(source, seq)
+      // rows of <= 2048 production byte-BPE token ids (packTokenIds over
+      // byteTokenIds). The oracle replays the whole chain AND pins every
+      // sequence's id stream by md5 — a user could hand the output
+      // directly to a loader and the bytes are bit-pinned.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val kept = Curate.curate(docs, "text", "doc_id",
+          keepLangs = Seq("en", "es"), minQuality = 0.3)
+        .join(emb.select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"), "left")
+      val kept2 = Dedup.semanticDecontaminate(kept,
+          emb.filter(col("vec_id") < 32), "embedding", "doc_id",
+          thresholdPct = 50)
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(true) // feeds the span-gram pass twice + rejoin
+      val cut = Dedup.cutRepeatedSpans(kept2, "text", "doc_id",
+        n = 8, minDf = 2, mode = Dedup.Portable)
+      val withIds = cut
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("__ids",
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+      val out = Curate.packTokenIds(withIds, "__ids", "doc_id",
+          budget = 2048, shardCol = "source")
+        .select(col("source"), col("seq_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          md5(Bpe.idsString(col("token_ids"))).as("ids_md5"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(kept2)
+      out
+    }),
+
     "q144_bpe1k_quality" -> ((s, dir) => {
       // the compression-ratio quality gate: docs that compress poorly
       // under the production byte-level vocab are junk candidates (the
@@ -2852,6 +2939,66 @@ dim_users_litify AS (
        |  COUNT(1) AS n_docs, CAST(SUM(bpe) AS BIGINT) AS sum_tokens,
        |  CAST(SUM(ncut) AS BIGINT) AS cut_tokens
        |FROM packed GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q151: the q133 chain (curate -> semantic decontamination -> cut
+    * repeated spans) replayed verbatim up to the cleaned per-doc text
+    * `cw`, then the byte-level 1024-merge chain over THAT text and the
+    * q147 shard tail — every sequence's id stream md5-pinned. */
+  private def q151OracleSql: String = {
+    val n = BpeByteVocab.merges.size
+    s"""WITH RECURSIVE $curatedDocsCtes,
+       |dau AS (SELECT e.vec_id, list_transform(e.embedding,
+       |    x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu
+       |  FROM embeddings e JOIN ckept k ON e.vec_id = k.doc_id
+       |  WHERE e.embedding IS NOT NULL),
+       |dbu AS (SELECT list_transform(embedding,
+       |    x -> CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)) AS xu
+       |  FROM embeddings WHERE vec_id < 32 AND embedding IS NOT NULL),
+       |dan AS (SELECT vec_id, xu,
+       |    list_sum(list_transform(xu, x -> x * x)) AS n2 FROM dau),
+       |dbn AS (SELECT xu,
+       |    list_sum(list_transform(xu, x -> x * x)) AS n2 FROM dbu),
+       |dhits AS (SELECT DISTINCT vec_id FROM (
+       |    SELECT a.vec_id,
+       |      list_sum(list_transform(list_zip(a.xu, b.xu),
+       |        p -> p[1] * p[2])) AS dot,
+       |      a.n2 AS an2, b.n2 AS bn2
+       |    FROM dan a, dbn b)
+       |  WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000
+       |    >= 2500 * CAST(an2 AS HUGEINT) * bn2),
+       |ckept2 AS (SELECT doc_id, source, text FROM ckept
+       |  WHERE doc_id NOT IN (SELECT vec_id FROM dhits)),
+       |${repeatedSpanCtesOver("ckept2")},
+       |allpos AS (SELECT doc_id, unnest(range(len(t))) AS p, t FROM toks),
+       |cov AS (SELECT DISTINCT a.doc_id, a.p FROM allpos a
+       |  JOIN spans x ON a.doc_id = x.doc_id AND a.p >= x.s AND a.p < x.e),
+       |kept AS (SELECT a.doc_id, a.p, a.t[a.p + 1] AS tok
+       |  FROM allpos a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.p = c.p
+       |  WHERE c.p IS NULL),
+       |cleaned AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ctxt
+       |  FROM kept GROUP BY doc_id),
+       |cw AS (SELECT d.doc_id, k.source, COALESCE(c.ctxt, '') AS txt
+       |  FROM toks d
+       |  JOIN ckept2 k ON d.doc_id = k.doc_id
+       |  LEFT JOIN cleaned c ON d.doc_id = c.doc_id),
+       |${Bpe.oracleByteCtes("(SELECT doc_id, txt FROM cw) src",
+            "doc_id", "txt", BpeByteVocab.merges)},
+       |ids AS (SELECT c.doc_id, c.source,
+       |    ${Bpe.oracleIdsListSql("e.s")} AS ids
+       |  FROM cw c
+       |  JOIN (SELECT doc_id, s FROM enc WHERE r = $n) e USING (doc_id)),
+       |cum AS (SELECT source, doc_id, ids,
+       |    COALESCE(SUM(len(ids)) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+       |  FROM ids),
+       |t0 AS (SELECT source, c, ids, UNNEST(range(len(ids))) AS i FROM cum),
+       |tt AS (SELECT source, c + i AS gp,
+       |    ids[CAST(i AS INT) + 1] AS tok FROM t0)
+       |SELECT source, CAST(gp // 2048 AS BIGINT) AS seq_id,
+       |  CAST(COUNT(1) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gp)) AS ids_md5
+       |FROM tt GROUP BY 1, 2""".stripMargin
   }
 
   /** q115: the perceptron weight trajectory replayed as chained CTEs —
@@ -4912,6 +5059,7 @@ dim_users_litify AS (
     "q141_bpe1k_mass" -> q141OracleSql,
     "q146_bpe1k_token_ids" -> q146OracleSql,
     "q147_token_shards" -> q147OracleSql,
+    "q151_shards_with_ids" -> q151OracleSql,
     "q144_bpe1k_quality" -> q144OracleSql,
     "q145_bpe1k_packing" -> q145OracleSql,
 

@@ -56,7 +56,8 @@ object Explain {
     "q142_jpeg_decode", "q143_ivfpq_production_serve",
     "q144_bpe1k_quality", "q145_bpe1k_packing",
     "q146_bpe1k_token_ids", "q147_token_shards", "q148_ivfpq_100k",
-    "q149_streaming_rolling")
+    "q149_streaming_rolling", "q150_mixed_serving",
+    "q151_shards_with_ids")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
