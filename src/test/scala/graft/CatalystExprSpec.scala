@@ -155,11 +155,14 @@ class CatalystExprSpec extends SparkSpec {
     // NonFateSharingCache error. Guard the overrides AND the janino
     // compile with a log appender on the codegen error path.
     import org.apache.spark.sql.graftglue.GraftGlue
-    import graft.functions.{CosineSimilarityExpr, SimHashExpr, SeededMinArrayExpr}
+    import graft.functions.{CosineSimilarityExpr, L2UnitsDistExpr,
+      SeededMinArrayExpr, SimHashExpr}
     val e = GraftGlue.expression(col("a"))
     assert(CosineSimilarityExpr(e, e).nullable)
     assert(SimHashExpr(e, portable = false).nullable)
     assert(SeededMinArrayExpr(e, Array(1L), Array(0L)).nullable)
+    // same class: NULL on length mismatch from non-null children
+    assert(L2UnitsDistExpr(e, e).nullable)
 
     val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
       "graft-codegen-guard", null, null, false, null) {
@@ -179,6 +182,16 @@ class CatalystExprSpec extends SparkSpec {
       val out = vecs.filter(V.cosineFast(col("a"), col("b")) > -2.0)
         .select(V.cosineFast(col("a"), col("b")).as("c")).collect()
       assert(out.length == 4)
+      // the round-10 distance exprs through the same non-nullable-child
+      // filter shape: a janino failure here would silently fall back to
+      // interpreted eval and erase their entire point
+      import graft.functions.L2UnitsDistExpr
+      def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        GraftGlue.column(L2UnitsDistExpr(
+          GraftGlue.expression(a), GraftGlue.expression(b)))
+      val lu = Seq((Array(1L, 2L), Array(3L, 4L)), (Array(5L, 6L), Array(7L, 8L)))
+        .toDF("x", "y")
+      assert(lu.filter(l2(col("x"), col("y")) >= 0L).count() == 2)
       assert(appender.n.get() == 0,
         s"codegen compile failures detected: ${appender.n.get()}")
     } finally {

@@ -387,4 +387,54 @@ class OperatorPropertySpec extends SparkSpec {
       assert(!keptExact.contains(61L))
     }
   }
+
+  test("packTokenIds: generated corpora, arbitrary budgets — stream " +
+      "reassembly, full-sequence invariant, packSequences consistency") {
+    val idsGen = for {
+      n <- Gen.frequency(1 -> Gen.const(0), 9 -> Gen.choose(1, 120))
+      ids <- Gen.listOfN(n, Gen.choose(0, 1279))
+    } yield ids.toArray
+    val shardGen = Gen.oneOf("s0", "s1", "s2")
+    val rows = draw(Gen.listOfN(80, Gen.zip(shardGen, idsGen)), seed = 9L)
+      .zipWithIndex.map { case ((sh, ids), i) => (sh, i.toLong, ids) }
+    for (budget <- Seq(1, 7, 64, 100000)) {
+      val df = rows.toDF("shard", "id", "ids")
+      val packed = Curate.packTokenIds(df, "ids", "id", budget, "shard")
+        .collect()
+      val byShard = packed.groupBy(_.getString(0))
+      val expect = rows.groupBy(_._1).map { case (sh, rs) =>
+        sh -> rs.sortBy(_._2).flatMap(_._3).toSeq }
+      byShard.foreach { case (sh, out) =>
+        val sorted = out.sortBy(_.getLong(1))
+        // dense seq ids; every sequence but the last exactly `budget`
+        assert(sorted.map(_.getLong(1)).toSeq ==
+          sorted.indices.map(_.toLong), s"$sh/$budget seq ids not dense")
+        sorted.dropRight(1).foreach(r => assert(r.getInt(3) == budget,
+          s"$sh/$budget seq ${r.getLong(1)} not full"))
+        // token stream reassembles exactly (order and values)
+        assert(sorted.flatMap(_.getSeq[Int](2)).toSeq == expect(sh),
+          s"$sh/$budget stream diverged")
+      }
+      // shards with only empty ids arrays produce no sequences
+      val emptyShards = rows.groupBy(_._1)
+        .filter(_._2.forall(_._3.isEmpty)).keySet
+      assert(byShard.keySet.intersect(emptyShards).isEmpty)
+      // layout consistency with packSequences: a document's seq_id there
+      // is the sequence its FIRST token lands in here
+      val layout = Curate.packSequences(
+          df.withColumn("__n", size(col("ids"))), "ids", "id",
+          budget, "shard", tokenCountCol = Some("__n"))
+        .filter(size(col("ids")) > 0)
+        .select(col("shard"), col("id"), col("seq_id"), col("seq_offset"))
+        .collect()
+      layout.foreach { r =>
+        val sh = r.getString(0); val id = r.getLong(1)
+        val firstTok = rows.filter(_._1 == sh).sortBy(_._2)
+          .takeWhile(_._2 < id).map(_._3.length).sum
+        assert(r.getLong(2) == firstTok / budget,
+          s"$sh/$budget doc $id seq_id mismatch")
+        assert(r.getLong(3) == firstTok % budget)
+      }
+    }
+  }
 }
