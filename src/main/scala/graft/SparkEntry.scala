@@ -853,6 +853,55 @@ object SparkEntry {
         org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(emb)
     }),
 
+    "q153_ivfpq_sampled_train" -> ((s, dir) => {
+      // the 100-TB-viable build: codebooks fit on a 10% hash-sample
+      // (Lloyd's never scans the corpus — the FAISS train-set recipe,
+      // `ivfPqBuild(trainOn = ...)`), full corpus assigned + encoded
+      // only, then the q138 refine recipe recall-gated >= 0.80
+      // in-query. Same synthetic corpus and config as q148, so the two
+      // rows isolate exactly one variable: what sampling the training
+      // set costs in recall (and saves in build time). A sample-fit
+      // RESIDUAL codebook quantizes coarser, so the true neighbors sit
+      // deeper in the ADC ranking — measured at q148's refine=10 this
+      // config hits 0.73 regardless of nProbe (nLists/4 and nLists/2
+      // score identically: the right lists ARE probed, the shortlist is
+      // what clips) — and the production compensation is a DEEPER
+      // refine shortlist: refine=30 (still <0.5% of the corpus per
+      // probe) measures recall@10 = 1.0 at n=100k. No-oracle bench row
+      // by design (the gate is in-query; arithmetic is q138's oracle).
+      val n = if (dir.replaceAll("/+$", "").endsWith("sf0.1")) 100000L
+              else 20000L
+      val nLists = math.floor(math.sqrt(n.toDouble)).toInt
+      val nProbe = math.max(1, nLists / 4)
+      val k = 10
+      val emb = synthClusteredEmbeddings(s, n, dim = 64, nClusters = 400)
+        .localCheckpoint(true)
+      try {
+        val sample = Curate.hashSample(emb, "vec_id", rate = 0.1)
+        val tBuild = System.nanoTime()
+        val idx = Similarity.ivfPqBuild(emb, nLists = nLists, m = 8,
+          kCodes = 256, iterations = 2, trainOn = sample)
+        val nEnc = idx.encoded.count()
+        require(nEnc == n, s"encoded $nEnc of $n vectors")
+        Bench.recordComponent(s"q153_sampled_build_n$n",
+          (System.nanoTime() - tBuild) / 1e9)
+        val probes = emb.filter(col("vec_id") % (n / 16) === 0)
+        val refined = Similarity.ivfPqQueryRefined(idx, emb, probes, k,
+            nProbe = nProbe, refine = 30)
+          .localCheckpoint(true)
+        val rec = Similarity.recallAtK(refined,
+            Similarity.bruteForceTopKL2(emb, probes, k), k)
+          .localCheckpoint(true)
+        val g = rec.agg(sum(col("n_hits")).cast("long").as("h"),
+          sum(col("k")).cast("long").as("p")).collect()(0)
+        val (hits, possible) = (g.getAs[Long]("h"), g.getAs[Long]("p"))
+        require(hits * 100L >= 80L * possible,
+          s"sampled-train ANN recall gate failed: $hits/$possible < 80%")
+        rec
+      } finally
+        org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(emb)
+    }),
+
     "q143_ivfpq_production_serve" -> ((s, dir) => {
       // the end-to-end serving-latency story for the PRODUCTION codebook
       // (q138's kCodes=256/m=8/nLists=sqrt(n) config): build + ivfPqSave
@@ -941,6 +990,26 @@ object SparkEntry {
           (System.nanoTime() - t0) / 1e9)
         out
       } finally deleteRecursively(base)
+    }),
+
+    "q152_bpe1k_roundtrip" -> ((s, dir) => {
+      // the loader side of the tokenizer: decode(encode(text)) must
+      // reproduce the text BYTE-FOR-BYTE (byte-level BPE has no
+      // normalize step to lose). Spark computes the full round trip —
+      // ids via the single-pass codegen encode, text back via the
+      // expansion-table decode — and the oracle pins the decoded string
+      // against the ORIGINAL text's md5: a wrong expansion anywhere in
+      // the 1,280-symbol table breaks the hash. Corpus-wide, not
+      // sampled (the round trip is cheap).
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("__ids",
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+        .select(col("doc_id"),
+          size(col("__ids")).cast("long").as("n_tokens"),
+          md5(Bpe.byteDecode(col("__ids"), BpeByteVocab.merges))
+            .as("decoded_md5"),
+          (Bpe.byteDecode(col("__ids"), BpeByteVocab.merges)
+            === col("text")).as("roundtrip_ok"))
     }),
 
     "q151_shards_with_ids" -> ((s, dir) => {
@@ -3304,6 +3373,20 @@ dim_users_litify AS (
        FROM t GROUP BY 1, 2"""
   }
 
+  /** q152: the decode round trip — token counts replayed by the full
+    * recursive chain; the DECODED text pinned against the ORIGINAL
+    * text's md5 (byte-level BPE is lossless, so decode(encode(t)) == t
+    * and the oracle needs no decode machinery of its own). */
+  private def q152OracleSql: String = {
+    val n = BpeByteVocab.merges.size
+    s"""WITH RECURSIVE ${Bpe.oracleByteCtes("documents",
+        "doc_id", "text", BpeByteVocab.merges)}
+       SELECT e.doc_id, CAST(length(e.s) AS BIGINT) AS n_tokens,
+         md5(d.text) AS decoded_md5, TRUE AS roundtrip_ok
+       FROM (SELECT doc_id, s FROM enc WHERE r = $n) e
+       JOIN documents d USING (doc_id)"""
+  }
+
   /** q144: the compression gate replayed — full merge chain per doc,
     * then the identical integer keep rule. */
   private def q144OracleSql: String = {
@@ -5060,6 +5143,7 @@ dim_users_litify AS (
     "q146_bpe1k_token_ids" -> q146OracleSql,
     "q147_token_shards" -> q147OracleSql,
     "q151_shards_with_ids" -> q151OracleSql,
+    "q152_bpe1k_roundtrip" -> q152OracleSql,
     "q144_bpe1k_quality" -> q144OracleSql,
     "q145_bpe1k_packing" -> q145OracleSql,
 

@@ -261,6 +261,16 @@ object Bpe {
     GraftGlue.column(BpeByteIdsExpr(GraftGlue.expression(c), pa, pb))
   }
 
+  /** Byte-level BPE DECODE of a token-id array column — the loader side:
+    * ids back to the exact text they encode (inverse of [[byteTokenIds]]
+    * by construction; fail-loud on ids outside the vocabulary's symbol
+    * space). NULL in, NULL out. */
+  def byteDecode(c: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    val (pa, pb) = pairSymbols(merges)
+    GraftGlue.column(BpeByteDecodeExpr(GraftGlue.expression(c), pa, pb))
+  }
+
   /** Space-joined decimal token-id serialization of an ids column — the
     * oracle-portable form (arrays hash awkwardly across engines; the
     * joined string pins every id and its position). */

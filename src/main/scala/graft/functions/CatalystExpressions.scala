@@ -1225,6 +1225,49 @@ object BpeByteCodec {
 
   private val empty = new Array[Int](0)
 
+  /** Per-symbol byte expansions for [[BpeByteDecodeExpr]]: index = symbol
+    * id, value = the byte sequence it stands for. Built in rank order —
+    * merge j's members are symbols < 256 + j, so their expansions already
+    * exist when j's is concatenated. */
+  def expansions(pairA: Array[Int], pairB: Array[Int]): Array[Array[Byte]] = {
+    val t = new Array[Array[Byte]](256 + pairA.length)
+    var b = 0
+    while (b < 256) { t(b) = Array(b.toByte); b += 1 }
+    var j = 0
+    while (j < pairA.length) {
+      t(256 + j) = t(pairA(j)) ++ t(pairB(j))
+      j += 1
+    }
+    t
+  }
+
+  /** Token ids back to text: one flat byte copy per token. Throws on an
+    * id outside the table — a shard encoded under a different vocabulary
+    * must fail, not decode to garbage. */
+  def decode(ids: ArrayData,
+             table: Array[Array[Byte]]): org.apache.spark.unsafe.types.UTF8String = {
+    val n = ids.numElements()
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id < 0 || id >= table.length) throw new IllegalStateException(
+        s"bpe_byte_decode: token id $id outside symbol space ${table.length}")
+      total += table(id).length
+      i += 1
+    }
+    val out = new Array[Byte](total)
+    var w = 0
+    i = 0
+    while (i < n) {
+      val e = table(ids.getInt(i))
+      System.arraycopy(e, 0, out, w, e.length)
+      w += e.length
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+
   /** Symbols after the full merge chain over the UTF-8 bytes of `u`:
     * (buffer, length) — the buffer is over-allocated, only the first
     * `length` entries are tokens. Base symbols = byte values 0..255;
@@ -1270,6 +1313,42 @@ object BpeByteCodec {
     }
     (s, n)
   }
+}
+
+/** Byte-level BPE token DECODE — the loader side of the tokenizer: an
+  * array<int> of token ids back to the text it encodes. Each id expands
+  * through the committed merge table (id < 256 is its byte; id 256+j
+  * expands to merge j's pair, recursively) — pair members always predate
+  * their merge, so expansion terminates and a precomputed per-symbol
+  * byte table makes decode a flat array copy per token. Exact inverse of
+  * [[BpeByteIdsExpr]] by construction: decode(encode(text)) == text for
+  * any byte sequence. NULL in, NULL out; empty array -> empty string.
+  * Fail-loud on ids outside the symbol space (a foreign vocabulary's
+  * shard must not silently decode to garbage). */
+case class BpeByteDecodeExpr(child: Expression,
+                             pairA: Array[Int], pairB: Array[Int])
+  extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_byte_decode"
+
+  // one expansion table per expression instance, built once on the
+  // driver and shipped via the task-binary broadcast like the pair
+  // arrays themselves
+  private val table: Array[Array[Byte]] = BpeByteCodec.expansions(pairA, pairB)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeByteCodec.decode(input.asInstanceOf[ArrayData], table)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bpeExp", table, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeByteCodec.decode($c, $tRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeByteDecodeExpr = copy(child = newChild)
 }
 
 /** Byte-level BPE token IDS: the same single-pass merge chain as

@@ -730,11 +730,19 @@ object Similarity {
   def ivfPqBuild(corpus: DataFrame, vecCol: String = "embedding",
                  idCol: String = "vec_id", nLists: Int = 4, m: Int = 4,
                  kCodes: Int = 8, iterations: Int = 2,
-                 unitScale: Long = 1000000L): IvfPqIndex = {
+                 unitScale: Long = 1000000L,
+                 trainOn: DataFrame = null): IvfPqIndex = {
     require(nLists >= 1, s"nLists must be >= 1: $nLists")
     val xu0 = quantizedUnits(corpus, vecCol, idCol, unitScale)
+    // the FAISS production recipe: codebooks fit on a bounded TRAIN set
+    // (pass a deterministic sample as `trainOn`), the full corpus only
+    // ever assigned + encoded — Lloyd's never scans 100 TB. Default
+    // (null) trains on the corpus itself, the demo-size behavior every
+    // existing oracle replays.
+    val xuT = if (trainOn == null) xu0
+              else quantizedUnits(trainOn, vecCol, idCol, unitScale)
     val coarse =
-      pqTrainUnits(xu0, 1, nLists, iterations, unitScale).centroids(0)
+      pqTrainUnits(xuT, 1, nLists, iterations, unitScale).centroids(0)
     val dim = coarse.head.length
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
     def withResiduals(f: DataFrame): DataFrame =
@@ -742,12 +750,12 @@ object Similarity {
         .withColumn("__list", pqAssign(col("__xu"), 0, dim, coarse))
         .withColumn("__ru", zip_with(col("__xu"),
           element_at(coarseLit, col("__list") + 1), (a, b) => a - b))
-    val withList = withResiduals(xu0)
     val cb = pqTrainUnits(
-      withList.select(col("__id"), col("__ru").as("__xu")),
+      withResiduals(xuT).select(col("__id"), col("__ru").as("__xu")),
       m, kCodes, iterations, unitScale)
-    val encoded = withList.select(col("__id").as(idCol), col("__list"),
-      pqCodesCol(col("__ru"), cb).as("codes"))
+    val encoded = withResiduals(xu0)
+      .select(col("__id").as(idCol), col("__list"),
+        pqCodesCol(col("__ru"), cb).as("codes"))
     IvfPqIndex(encoded, coarse, cb, nLists)
   }
 

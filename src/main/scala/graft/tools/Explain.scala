@@ -57,7 +57,8 @@ object Explain {
     "q144_bpe1k_quality", "q145_bpe1k_packing",
     "q146_bpe1k_token_ids", "q147_token_shards", "q148_ivfpq_100k",
     "q149_streaming_rolling", "q150_mixed_serving",
-    "q151_shards_with_ids")
+    "q151_shards_with_ids", "q152_bpe1k_roundtrip",
+    "q153_ivfpq_sampled_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

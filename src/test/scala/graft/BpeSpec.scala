@@ -148,6 +148,38 @@ class BpeSpec extends SparkSpec {
     assert(nulls(0).isNullAt(0))
   }
 
+  test("byte tier: decode is the exact inverse of encode (fixture + " +
+      "adversarial, incl. non-ASCII UTF-8); foreign ids fail loudly") {
+    import graft.functions.BpeByteVocab
+    // byte-level decode must round-trip ANY byte sequence — multi-byte
+    // UTF-8 included (each byte is its own base symbol)
+    val samples = Seq(
+      "", "a", "The quick BROWN fox!", "tabs\tand\nnewlines",
+      "unicode: éü中文 😀",
+      "repeat repeat repeat repeat") ++
+      spark.read.parquet(docsParquet).selectExpr("text").limit(20)
+        .collect().map(_.getString(0)).toSeq
+    val rows = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), col("text"),
+        Bpe.byteDecode(
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges),
+          BpeByteVocab.merges).as("rt"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(2) == r.getString(1),
+        s"round trip broke on '${r.getString(1).take(40)}'")
+    }
+    // NULL propagates; an id outside the symbol space throws
+    val nul = Seq((1L, null.asInstanceOf[Array[Int]])).toDF("id", "ids")
+      .select(Bpe.byteDecode(col("ids"), BpeByteVocab.merges)).collect()
+    assert(nul(0).isNullAt(0))
+    val bad = Seq((1L, Array(0, 5000))).toDF("id", "ids")
+    assertThrows[Exception] {
+      bad.select(Bpe.byteDecode(col("ids"), BpeByteVocab.merges)).collect()
+    }
+  }
+
   test("packTokenIds: every sequence but a shard's last holds exactly " +
       "budget ids; concatenation reproduces the per-shard doc stream") {
     import graft.functions.BpeByteVocab
