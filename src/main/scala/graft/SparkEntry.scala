@@ -992,6 +992,33 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    "q154_incremental_shards" -> ((s, dir) => {
+      // the weekly-crawl-refresh layout: an existing packTokenIds corpus
+      // (docs with id % 3 != 0) receives a new batch (id % 3 == 0)
+      // WITHOUT repacking — shipped full sequences keep their seq_ids,
+      // each shard's partial tail tops up, new sequences continue. The
+      // DELTA only is emitted; the oracle replays the combined
+      // old-then-new stream and pins every delta sequence's id stream
+      // by md5 (untouched-seq stability is spec-pinned in BpeSpec).
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("__ids",
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+        .localCheckpoint(true) // feeds both the base layout and the batch
+      try {
+        val existing = Curate.packTokenIds(
+          d.filter(col("doc_id") % 3 =!= 0), "__ids", "doc_id",
+          budget = 2048, shardCol = "source")
+        Curate.packTokenIdsIncremental(existing,
+            d.filter(col("doc_id") % 3 === 0), "__ids", "doc_id",
+            budget = 2048, shardCol = "source")
+          .select(col("source"), col("seq_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            md5(Bpe.idsString(col("token_ids"))).as("ids_md5"))
+          .localCheckpoint(true)
+      } finally
+        org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+    }),
+
     "q152_bpe1k_roundtrip" -> ((s, dir) => {
       // the loader side of the tokenizer: decode(encode(text)) must
       // reproduce the text BYTE-FOR-BYTE (byte-level BPE has no
@@ -3373,6 +3400,41 @@ dim_users_litify AS (
        FROM t GROUP BY 1, 2"""
   }
 
+  /** q154: the incremental layout replayed — the combined old-then-new
+    * stream per shard (old docs in id order, then new docs in id order),
+    * cut every 2048, restricted to the sequences at-or-after each
+    * shard's old-stream boundary (old_total div budget) for shards that
+    * received new documents — exactly the delta the operator emits. */
+  private def q154OracleSql: String = {
+    val n = BpeByteVocab.merges.size
+    s"""WITH RECURSIVE ${Bpe.oracleByteCtes("documents",
+        "doc_id", "text", BpeByteVocab.merges)},
+       ids AS (SELECT d.doc_id, d.source, (d.doc_id % 3 = 0) AS nw,
+           ${Bpe.oracleIdsListSql("e.s")} AS ids
+         FROM documents d
+         JOIN (SELECT doc_id, s FROM enc WHERE r = $n) e USING (doc_id)),
+       cum AS (SELECT source, doc_id, nw, ids,
+           COALESCE(SUM(len(ids)) OVER (PARTITION BY source
+             ORDER BY nw, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+         FROM ids),
+       ot AS (SELECT source,
+           COALESCE(SUM(CASE WHEN NOT nw THEN len(ids) END), 0)
+             AS old_total,
+           COUNT(CASE WHEN nw THEN 1 END) AS n_new
+         FROM ids GROUP BY source),
+       t0 AS (SELECT source, c, ids, UNNEST(range(len(ids))) AS i
+         FROM cum),
+       tt AS (SELECT source, c + i AS gp,
+           ids[CAST(i AS INT) + 1] AS tok FROM t0)
+       SELECT source, CAST(gp // 2048 AS BIGINT) AS seq_id,
+         CAST(COUNT(1) AS BIGINT) AS n_tokens,
+         md5(string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gp)) AS ids_md5
+       FROM tt JOIN ot USING (source)
+       WHERE n_new > 0 AND gp // 2048 >= old_total // 2048
+       GROUP BY 1, 2"""
+  }
+
   /** q152: the decode round trip — token counts replayed by the full
     * recursive chain; the DECODED text pinned against the ORIGINAL
     * text's md5 (byte-level BPE is lossless, so decode(encode(t)) == t
@@ -5144,6 +5206,7 @@ dim_users_litify AS (
     "q147_token_shards" -> q147OracleSql,
     "q151_shards_with_ids" -> q151OracleSql,
     "q152_bpe1k_roundtrip" -> q152OracleSql,
+    "q154_incremental_shards" -> q154OracleSql,
     "q144_bpe1k_quality" -> q144OracleSql,
     "q145_bpe1k_packing" -> q145OracleSql,
 

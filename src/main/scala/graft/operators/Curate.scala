@@ -528,6 +528,86 @@ object Curate {
       .withColumn("n_tokens", size(col("token_ids")))
   }
 
+  /** Incremental shard production: append a NEW batch of documents to an
+    * existing [[packTokenIds]] layout WITHOUT repacking shipped
+    * sequences — the weekly-crawl-refresh shape (the
+    * [[graft.operators.Dedup.exactIncremental]] discipline applied to
+    * layout). Every already-FULL sequence is untouched and keeps its
+    * seq_id forever; each shard's trailing partial sequence (if any) is
+    * topped up with the first new tokens, and new sequences continue
+    * from there. Returns the DELTA only — the re-emitted (merged)
+    * partial plus the new sequences, for shards that received new
+    * documents — which the caller overwrites/appends into the shard
+    * store.
+    *
+    * Layout contract: `existing` is a packTokenIds output (every
+    * sequence but a shard's last holds exactly `budget` ids — violating
+    * rows fail loudly); new documents are appended AFTER the existing
+    * stream in `idCol` order. Equivalent to a full repack whenever new
+    * ids sort after existing ones; when they interleave, incremental
+    * deliberately trades global determinism for shipped-shard stability.
+    *
+    * Scale shape: the existing corpus contributes ONE tail row per
+    * shard (the rank<=1 window filter is WindowGroupLimit-pruned below
+    * its exchange, so full sequences never ship their ids), broadcast
+    * onto the new batch; the new batch then follows [[packTokenIds]]'s
+    * exact plan — one doc-level shuffle, token stream grouped in place.
+    * Cost is O(new batch + shards), never O(existing corpus). */
+  def packTokenIdsIncremental(existing: DataFrame, newDocs: DataFrame,
+                              idsCol: String, idCol: String,
+                              budget: Int, shardCol: String): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val wTail = Window.partitionBy(col(shardCol))
+      .orderBy(col("__sq").desc)
+    val tails = existing
+      .select(col(shardCol), col("seq_id").cast("long").as("__sq"),
+        col("token_ids"), col("n_tokens").cast("long").as("__nt"))
+      .withColumn("__nt",
+        when(col("__nt") <= budget, col("__nt")).otherwise(raise_error(
+          concat(lit(s"packTokenIdsIncremental: sequence exceeds budget "
+            + s"$budget: "), col("__nt").cast("string")))))
+      .withColumn("__rn", row_number().over(wTail))
+      .filter(col("__rn") === 1)
+      .select(col(shardCol),
+        (col("__sq") * budget + col("__nt")).as("__base"),
+        // a PARTIAL tail re-enters the stream at its own start; a full
+        // tail contributes nothing (new tokens start a fresh sequence)
+        when(col("__nt") < budget, col("token_ids"))
+          .otherwise(array().cast("array<int>")).as("__tailIds"),
+        when(col("__nt") < budget, col("__sq") * budget)
+          .otherwise((col("__sq") + 1) * budget).as("__tailStart"))
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = newDocs
+      .select(col(shardCol), col(idCol),
+        coalesce(col(idsCol), array().cast("array<int>")).as("__ids"))
+      .withColumn("__cum",
+        coalesce(sum(size(col("__ids"))).over(w).cast("long"), lit(0L)))
+      .join(broadcast(tails), Seq(shardCol), "left")
+      .withColumn("__base", coalesce(col("__base"), lit(0L)))
+    val newTok = withCum
+      .select(col(shardCol), (col("__base") + col("__cum")).as("__ds"),
+        posexplode(col("__ids")).as(Seq("__p", "__tok")))
+      .select(col(shardCol), (col("__ds") + col("__p")).as("__gp"),
+        col("__tok"))
+    // the partial tail's ids re-enter ONLY for shards with new docs
+    val tailTok = tails
+      .join(newDocs.select(col(shardCol)).distinct(), Seq(shardCol))
+      .select(col(shardCol), col("__tailStart"),
+        posexplode(col("__tailIds")).as(Seq("__p", "__tok")))
+      .select(col(shardCol), (col("__tailStart") + col("__p")).as("__gp"),
+        col("__tok"))
+    newTok.unionByName(tailTok)
+      .withColumn("seq_id", expr(s"__gp DIV $budget"))
+      .withColumn("__pos", (col("__gp") % budget).cast("int"))
+      .groupBy(col(shardCol), col("seq_id"))
+      .agg(transform(
+          sort_array(collect_list(struct(col("__pos"), col("__tok")))),
+          _.getField("__tok")).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")))
+  }
+
   /** Per-domain quota cap: keep at most `quota` documents per host,
     * lowest-`idCol` first — the crawl-curation guard against any single
     * domain dominating the training mix (a handful of mega-hosts can be

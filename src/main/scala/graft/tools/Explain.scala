@@ -58,7 +58,7 @@ object Explain {
     "q146_bpe1k_token_ids", "q147_token_shards", "q148_ivfpq_100k",
     "q149_streaming_rolling", "q150_mixed_serving",
     "q151_shards_with_ids", "q152_bpe1k_roundtrip",
-    "q153_ivfpq_sampled_train")
+    "q153_ivfpq_sampled_train", "q154_incremental_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

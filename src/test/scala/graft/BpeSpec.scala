@@ -209,6 +209,58 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("packTokenIdsIncremental: delta == full repack's new/changed " +
+      "sequences; shipped full sequences never re-emit; tail tops up") {
+    import graft.functions.BpeByteVocab
+    val all = spark.read.parquet(docsParquet)
+      .filter(col("text").isNotNull).limit(60)
+      .withColumn("__ids",
+        Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+      .localCheckpoint(true)
+    // old corpus = first two thirds by id, new batch = the rest (new ids
+    // sort after old, so incremental must equal the full repack exactly)
+    val ids = all.select("doc_id").as[Long].collect().sorted
+    val cutoff = ids(ids.length * 2 / 3)
+    val old = all.filter(col("doc_id") <= cutoff)
+    val fresh = all.filter(col("doc_id") > cutoff)
+    val budget = 512
+    val existing = Curate.packTokenIds(old, "__ids", "doc_id",
+      budget, "source").localCheckpoint(true)
+    val delta = Curate.packTokenIdsIncremental(existing, fresh,
+      "__ids", "doc_id", budget, "source").collect()
+    val full = Curate.packTokenIds(all, "__ids", "doc_id",
+      budget, "source").collect()
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+    def ids3(r: org.apache.spark.sql.Row) = r.getSeq[Int](2)
+    val fullMap = full.map(r => key(r) -> ids3(r)).toMap
+    val existMap = existing.collect().map(r => key(r) -> ids3(r)).toMap
+    // every delta sequence matches the full repack bit-for-bit
+    delta.foreach { r =>
+      assert(fullMap(key(r)) == ids3(r), s"delta diverges at ${key(r)}") }
+    // delta covers exactly the sequences the repack changed or added
+    val expectedDelta = fullMap.keySet.filter { k =>
+      existMap.get(k) match {
+        case Some(prev) => prev != fullMap(k) // the topped-up partial
+        case None => true                     // brand-new sequence
+      }
+    } -- existMap.keySet.filter(k => // shards with no new docs: no delta
+      !delta.exists(r => r.getString(0) == k._1))
+    val deltaKeys = delta.map(key).toSet
+    assert(deltaKeys.subsetOf(fullMap.keySet))
+    expectedDelta.filter(k => deltaKeys.exists(_._1 == k._1)).foreach { k =>
+      assert(deltaKeys.contains(k), s"missing delta seq $k") }
+    // no shipped FULL sequence re-emits
+    existing.collect().filter(_.getInt(3) == budget).map(key).foreach { k =>
+      assert(!deltaKeys.contains(k), s"full shipped seq $k re-emitted") }
+    // malformed existing layout (an over-budget row) fails loudly
+    val bogus = Seq(("s0", 0L, Array.fill(budget + 1)(1), budget + 1))
+      .toDF("source", "seq_id", "token_ids", "n_tokens")
+    assertThrows[Exception] {
+      Curate.packTokenIdsIncremental(bogus, fresh, "__ids", "doc_id",
+        budget, "source").collect()
+    }
+  }
+
   test("byte tier: trainer is deterministic, order-independent, and " +
       "early-stops when nothing repeats") {
     val texts = Seq("low lower lowest", "New NEWER newest", "low low new")
