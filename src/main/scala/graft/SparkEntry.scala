@@ -116,6 +116,27 @@ object SparkEntry {
       .withColumn("ts", tsColumn(sch("ts").dataType, toSecond = true))
   }
 
+  /** Corpus size for the synthetic ANN scale rows (q148/q153), matched
+    * EXPLICITLY against the fixture dir's scale factor: bench SF (0.1)
+    * gets the 100k scale-evidence corpus, the correctness SFs get the
+    * seconds-bounded 20k twin. Any other SF fails loudly — a new bench
+    * scale (e.g. sf1) must pick its corpus size deliberately rather
+    * than silently running the 20k corpus while being reported as a
+    * scale-evidence row. (The 10^6 evidence run is once-per-round via
+    * `tools/`, not a bench row — at nLists=1000 the coarse assignment
+    * alone is ~64G int ops per pass and would dominate every bench.) */
+  private def annScaleCorpusN(dir: String): Long = {
+    val name = new java.io.File(dir.replaceAll("/+$", "")).getName
+    name match {
+      case "sf0.1" => 100000L
+      case "sf0.01" | "sf0.001" => 20000L
+      case other => throw new IllegalArgumentException(
+        s"ANN scale rows have no corpus size for fixture dir '$other' — "
+          + "add an explicit mapping in annScaleCorpusN (refusing to "
+          + "silently demote a scale-evidence row to the 20k corpus)")
+    }
+  }
+
   /** Deterministic synthetic clustered embeddings for the ANN
     * scale-stress row (q148): engine-independent seeded geometry —
     * vector(id) = center(id % nClusters) + 0.15 * noise(id), every
@@ -813,8 +834,7 @@ object SparkEntry {
       // No oracle by design: the build+probe+refine+recall arithmetic is
       // q138's oracle at correctness SF; this row exists to measure the
       // recipe at n >= 10^5 with the gate enforced in-query.
-      val n = if (dir.replaceAll("/+$", "").endsWith("sf0.1")) 100000L
-              else 20000L
+      val n = annScaleCorpusN(dir)
       val nLists = math.floor(math.sqrt(n.toDouble)).toInt
       val nProbe = math.max(1, nLists / 4)
       val k = 10
@@ -869,8 +889,7 @@ object SparkEntry {
       // refine shortlist: refine=30 (still <0.5% of the corpus per
       // probe) measures recall@10 = 1.0 at n=100k. No-oracle bench row
       // by design (the gate is in-query; arithmetic is q138's oracle).
-      val n = if (dir.replaceAll("/+$", "").endsWith("sf0.1")) 100000L
-              else 20000L
+      val n = annScaleCorpusN(dir)
       val nLists = math.floor(math.sqrt(n.toDouble)).toInt
       val nProbe = math.max(1, nLists / 4)
       val k = 10

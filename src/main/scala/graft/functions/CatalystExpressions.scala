@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -1045,10 +1045,14 @@ case class BloomMightContainExpr(child: Expression,
   * Arithmetic is IDENTICAL to the HOF form (long multiply-add, order
   * irrelevant), so every oracle replay is unaffected. NULL when either
   * side is NULL or lengths differ (zip_with's null-pad would poison the
-  * sum the same way). */
+  * sum the same way). Inputs are analysis-checked as array<long> — the
+  * unsafe getLong reads would otherwise reinterpret an array<int>
+  * bytewise into garbage distances with no error. */
 case class L2UnitsDistExpr(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true // length mismatch -> NULL
@@ -1104,11 +1108,15 @@ case class L2UnitsDistExpr(left: Expression, right: Expression)
   * the ADC hot path (every candidate row of every probe). Arithmetic
   * identical to the HOF chain; out-of-range codes fail loudly (the
   * upstream pqQuery guard's contract — silent NULLs would drop rows
-  * from rankings under ansi=false). */
+  * from rankings under ansi=false). Inputs are analysis-checked
+  * (vec: array<long>, codes: array<int>) — the unsafe getLong/getInt
+  * reads would otherwise reinterpret a foreign column's bytes. */
 case class PqAdcDistExpr(vec: Expression, codes: Expression,
                          centroids: Array[Array[Array[Long]]])
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(IntegerType))
   override def left: Expression = vec
   override def right: Expression = codes
   override def dataType: DataType = LongType
@@ -1324,11 +1332,16 @@ object BpeByteCodec {
   * [[BpeByteIdsExpr]] by construction: decode(encode(text)) == text for
   * any byte sequence. NULL in, NULL out; empty array -> empty string.
   * Fail-loud on ids outside the symbol space (a foreign vocabulary's
-  * shard must not silently decode to garbage). */
+  * shard must not silently decode to garbage). The ids input is
+  * analysis-checked as array<int> — an array<bigint> shard (foreign
+  * parquet, literal Seq[Long]) would otherwise be reinterpreted
+  * bytewise instead of failing. */
 case class BpeByteDecodeExpr(child: Expression,
                              pairA: Array[Int], pairB: Array[Int])
-  extends UnaryExpression {
+  extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType))
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bpe_byte_decode"

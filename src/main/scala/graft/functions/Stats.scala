@@ -87,19 +87,28 @@ object Stats {
                     topN: Int = 20): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(topN >= 1, s"topN must be >= 1: $topN")
-    val total = math.max(df.count(), 1L)
     val keyOrder = keyCols.map(col(_).asc)
-    val top = df.groupBy(keyCols.map(col): _*)
+    val counts = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
+    val top = counts
       .orderBy(col("cnt").desc +: keyOrder: _*)
       .limit(topN)
+    // denominator from the grouped-counts frame itself, NOT a second
+    // df.count() scan: both the top-N cut and the total re-aggregate the
+    // SAME partial-agg + exchange subtree, so ReuseExchange runs the
+    // input scan once. No driver materialization either — |keys| is
+    // unbounded at corpus scale, so caching the grouped frame is not an
+    // option. greatest(...,1) keeps the empty-input division defined.
+    val totalDf = counts
+      .agg(greatest(coalesce(sum(col("cnt")), lit(0L)), lit(1L))
+        .as("__total"))
     // rank over the topN-row cut WITHOUT a window: an empty-partition
     // WindowExec is the global-window WARN shape (and a lit() partition
     // key constant-folds back to it) — collapse the cut into one sorted
     // array and posexplode, same as Relevance.bm25Rank. Sort key
     // (-cnt, keys...) ascending == (cnt desc, keys asc).
-    val withShare = top.withColumn("share_ppm",
-      ((col("cnt") * lit(1000000L)).cast("decimal(38,0)") / lit(total))
+    val withShare = top.crossJoin(totalDf).withColumn("share_ppm",
+      ((col("cnt") * lit(1000000L)).cast("decimal(38,0)") / col("__total"))
         .cast("long"))
     val packed = struct(
       (-col("cnt")).as("__nc") +: keyCols.map(col) :+ col("share_ppm"): _*)

@@ -560,17 +560,48 @@ object Curate {
     import org.apache.spark.sql.expressions.Window
     val wTail = Window.partitionBy(col(shardCol))
       .orderBy(col("__sq").desc)
-    val tails = existing
+    val scanned = existing
       .select(col(shardCol), col("seq_id").cast("long").as("__sq"),
         col("token_ids"), col("n_tokens").cast("long").as("__nt"))
+    // shard-store audit over the columns the budget guard already scans
+    // (seq_id, n_tokens — column-pruned, never token payloads): a
+    // corrupted/hand-edited store with a mid-shard PARTIAL sequence or
+    // non-dense/duplicated seq_ids would otherwise yield a silently
+    // wrong `__base` and overlapping delta positions, since only the
+    // rank-1 tail row feeds the append math. Valid shard: seq_ids are
+    // exactly {0..n-1} and at most the max seq_id is under budget.
+    val audit = scanned.groupBy(col(shardCol)).agg(
+      count(lit(1)).as("__an"),
+      countDistinct(col("__sq")).as("__and"),
+      min(col("__sq")).as("__amn"),
+      max(col("__sq")).as("__amx"),
+      sum(when(col("__nt") < budget, 1L).otherwise(0L)).as("__ap"),
+      max(when(col("__nt") < budget, col("__sq"))).as("__apsq"))
+    val auditOk = col("__amn") === 0L && col("__amx") === col("__an") - 1L &&
+      col("__and") === col("__an") && col("__ap") <= 1L &&
+      (col("__ap") === 0L || col("__apsq") === col("__amx"))
+    val tails = scanned
       .withColumn("__nt",
         when(col("__nt") <= budget, col("__nt")).otherwise(raise_error(
           concat(lit(s"packTokenIdsIncremental: sequence exceeds budget "
             + s"$budget: "), col("__nt").cast("string")))))
       .withColumn("__rn", row_number().over(wTail))
       .filter(col("__rn") === 1)
+      .join(broadcast(audit), Seq(shardCol))
       .select(col(shardCol),
-        (col("__sq") * budget + col("__nt")).as("__base"),
+        // the audit guard rides the load-bearing __base expression so
+        // column pruning cannot eliminate it
+        when(auditOk, col("__sq") * budget + col("__nt"))
+          .otherwise(raise_error(concat(
+            lit("packTokenIdsIncremental: corrupt shard store in shard "),
+            col(shardCol).cast("string"),
+            lit(": seq_ids must be dense 0..n-1 with at most a partial "
+              + "tail (n="), col("__an").cast("string"),
+            lit(", distinct="), col("__and").cast("string"),
+            lit(", min="), col("__amn").cast("string"),
+            lit(", max="), col("__amx").cast("string"),
+            lit(", partials="), col("__ap").cast("string"),
+            lit(")"))).cast("long")).as("__base"),
         // a PARTIAL tail re-enters the stream at its own start; a full
         // tail contributes nothing (new tokens start a fresh sequence)
         when(col("__nt") < budget, col("token_ids"))

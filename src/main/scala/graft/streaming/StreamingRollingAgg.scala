@@ -12,9 +12,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Exactness contract: an event's frame is `[ts - window, ts]` — it only
   * looks BACKWARD, so the event is emittable the moment no admissible
-  * event at-or-before its timestamp can still arrive, i.e. once the
-  * watermark reaches `ts` (Spark drops later-arriving rows older than the
-  * watermark before they reach the state function). Every emitted row
+  * event at-or-before its timestamp can still arrive. Spark's late-data
+  * filter KEEPS rows with `ts >= watermark` (only strictly-older rows are
+  * dropped before the state function), so an equal-timestamp frame peer
+  * can still legally arrive while `ts == watermark` — the seal is
+  * therefore STRICT: an event emits only once `ts < watermark`. A
+  * corollary: an event whose timestamp exactly equals the FINAL watermark
+  * never emits (it is unsealed by construction); callers wanting every
+  * event emitted should advance the watermark past max(ts), e.g. the
+  * q149 pattern of a sub-tick watermark offset. Every emitted row
   * therefore carries exactly the values the batch operator computes on
   * the full data — the streamed result IS the batch result restricted to
   * the rows the final watermark seals (the q135 sessionization
@@ -53,10 +59,11 @@ object StreamingRollingAgg {
     val existing = state.getOption.getOrElse(Seq.empty)
     val all = existing ++ events.map(e =>
       Buffered(e.ts.getTime, e.event_id, e.value, emitted = false))
-    val toEmit = all.filter(b => !b.emitted && b.tsMs <= wm)
+    val toEmit = all.filter(b => !b.emitted && b.tsMs < wm)
     val out = toEmit.map { e =>
       // frame peers: everything in [ts - window, ts]; unsealed events all
-      // sit beyond the watermark (> wm >= e.tsMs) so they never leak in
+      // sit at-or-beyond the watermark (>= wm > e.tsMs) so they never
+      // leak in
       val frame = all.filter(b =>
         b.tsMs >= e.tsMs - windowMs && b.tsMs <= e.tsMs)
       val sum = frame.sortBy(b => (b.tsMs, b.eventId))
@@ -65,19 +72,20 @@ object StreamingRollingAgg {
       Rolled(key, e.eventId, new Timestamp(e.tsMs),
         frame.size.toLong, sum.doubleValue())
     }
-    // retain: unsealed events (ts > wm) and sealed lookback context still
-    // reachable from a future frame (future events have ts > wm, so their
-    // frame floor is > wm - window)
+    // retain: unsealed events (ts >= wm) and sealed lookback context
+    // still reachable from a future frame (admissible future events have
+    // ts >= wm, so their frame floor is >= wm - window)
     val keep = all.map(b =>
-        if (!b.emitted && b.tsMs <= wm) b.copy(emitted = true) else b)
-      .filter(b => !b.emitted || b.tsMs > wm - windowMs)
+        if (!b.emitted && b.tsMs < wm) b.copy(emitted = true) else b)
+      .filter(b => !b.emitted || b.tsMs >= wm - windowMs)
     if (keep.isEmpty) state.remove()
     else {
       state.update(keep)
-      // earliest future transition: an unsealed event's seal (wm reaches
-      // tsMs) or a context row's expiry (wm passes tsMs + window)
+      // earliest future transition: an unsealed event's seal (wm passes
+      // tsMs — event-time timeout fires at wm > timeoutTs, exactly the
+      // strict seal) or a context row's expiry (wm passes tsMs + window)
       val next = keep.map(b =>
-        if (!b.emitted) b.tsMs else b.tsMs + windowMs + 1L).min
+        if (!b.emitted) b.tsMs else b.tsMs + windowMs).min
       state.setTimeoutTimestamp(math.max(next, wm + 1L))
     }
     out.iterator

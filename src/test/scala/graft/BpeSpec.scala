@@ -259,6 +259,33 @@ class BpeSpec extends SparkSpec {
       Curate.packTokenIdsIncremental(bogus, fresh, "__ids", "doc_id",
         budget, "source").collect()
     }
+    // a mid-shard PARTIAL sequence (only the max seq_id may be short)
+    // fails loudly instead of silently corrupting __base
+    val midPartial = Seq(
+      ("s0", 0L, Array.fill(10)(1), 10),          // partial, NOT the tail
+      ("s0", 1L, Array.fill(budget)(1), budget))
+      .toDF("source", "seq_id", "token_ids", "n_tokens")
+    assertThrows[Exception] {
+      Curate.packTokenIdsIncremental(midPartial, fresh, "__ids", "doc_id",
+        budget, "source").collect()
+    }
+    // duplicated / non-dense seq_ids fail loudly
+    val dupSeq = Seq(
+      ("s0", 0L, Array.fill(budget)(1), budget),
+      ("s0", 0L, Array.fill(budget)(1), budget))
+      .toDF("source", "seq_id", "token_ids", "n_tokens")
+    assertThrows[Exception] {
+      Curate.packTokenIdsIncremental(dupSeq, fresh, "__ids", "doc_id",
+        budget, "source").collect()
+    }
+    val gapSeq = Seq(
+      ("s0", 1L, Array.fill(budget)(1), budget),  // no seq_id 0
+      ("s0", 2L, Array.fill(7)(1), 7))
+      .toDF("source", "seq_id", "token_ids", "n_tokens")
+    assertThrows[Exception] {
+      Curate.packTokenIdsIncremental(gapSeq, fresh, "__ids", "doc_id",
+        budget, "source").collect()
+    }
   }
 
   test("byte tier: trainer is deterministic, order-independent, and " +

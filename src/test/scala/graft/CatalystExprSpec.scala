@@ -258,6 +258,42 @@ class CatalystExprSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("distance/decode exprs reject wrong element types at ANALYSIS " +
+      "(array<bigint> codes would otherwise be read bytewise as garbage)") {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    import graft.functions.{BpeByteDecodeExpr, L2UnitsDistExpr,
+      PqAdcDistExpr}
+    val cents = Array.fill(2, 2, 2)(1L)
+    // codes as array<bigint> — the exact foreign-parquet drift ADVICE
+    // flagged: must fail analysis, not compute garbage distances
+    val longCodes = Seq((Array.fill(4)(0L), Array(0L, 1L)))
+      .toDF("vec", "codes")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      longCodes.select(GraftGlue.column(PqAdcDistExpr(
+        GraftGlue.expression(col("vec")),
+        GraftGlue.expression(col("codes")), cents))).collect()
+    }
+    // vec as array<int> into the long-units distance
+    val intVecs = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      intVecs.select(GraftGlue.column(L2UnitsDistExpr(
+        GraftGlue.expression(col("a")),
+        GraftGlue.expression(col("b"))))).collect()
+    }
+    // token ids as array<bigint> into decode
+    val longIds = Seq(Tuple1(Array(104L, 105L))).toDF("ids")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      longIds.select(GraftGlue.column(BpeByteDecodeExpr(
+        GraftGlue.expression(col("ids")),
+        Array.empty[Int], Array.empty[Int]))).collect()
+    }
+    // and the correctly-typed forms still pass analysis untouched
+    val okCodes = Seq((Array.fill(4)(0L), Array(0, 1))).toDF("vec", "codes")
+    assert(okCodes.select(GraftGlue.column(PqAdcDistExpr(
+      GraftGlue.expression(col("vec")),
+      GraftGlue.expression(col("codes")), cents))).count() == 1)
+  }
+
   test("SignBucketExpr == signBucket HOF bit-for-bit") {
     val planes = V.randomPlanes(12, 4, seed = 7L)
     val rows = vecs.select(

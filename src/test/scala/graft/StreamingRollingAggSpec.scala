@@ -66,6 +66,48 @@ class StreamingRollingAggSpec extends SparkSpec {
     assert(got(2L) == ((2L, 3.0))) // its own frame: 10:00 + 10:40
   }
 
+  test("seal is STRICT at ts < watermark: an equal-timestamp peer " +
+      "arriving while ts == watermark still lands in the frame") {
+    // Spark's late-data filter KEEPS rows with ts >= watermark, so while
+    // the watermark sits exactly ON an event's timestamp an equal-ts
+    // RANGE-frame peer can still legally arrive. A `<=` seal emits the
+    // event one batch early and under-counts that peer (the ADVICE
+    // scenario); the strict seal waits until wm passes the ts.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Timestamp, Double)]
+    // batch 1: event 1 at 10:00 + a 10:30 row -> wm becomes exactly 10:00
+    mem.addData(("u1", 1L, ts(10, 0), 1.0), ("u1", 2L, ts(10, 30), 2.0))
+    // batch 2 (wm == 10:00): invokes the group WITHOUT advancing the
+    // watermark — a <= seal would emit event 1 here, peerless
+    mem.addData(("u1", 9L, ts(10, 20), 0.0))
+    // batch 3 (wm still 10:00): the equal-ts peer, legally admitted
+    mem.addData(("u1", 3L, ts(10, 0), 5.0))
+    mem.addData(("wm", 99L, ts(23), 0.0)) // seal everything
+    val out = StreamingRollingAgg.rolling(
+      mem.toDF().toDF("key", "event_id", "ts", "value"),
+      windowSeconds = 3600, watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sroll_strict")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sroll_strict").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((2L, 6.0)), // counts the late equal-ts peer
+      s"event 1 under-counted its equal-ts peer: ${got(1L)}")
+    assert(got(3L) == ((2L, 6.0)))
+    assert(got(9L) == ((3L, 6.0))) // [9:20,10:20]: events 1, 3, 9
+    assert(got(2L) == ((4L, 8.0))) // [9:30,10:30]: all four
+    // and the result equals the batch operator on the full data
+    val batch = graft.operators.Analytics.rollingAgg(
+        Seq(("u1", 1L, ts(10, 0), 1.0), ("u1", 2L, ts(10, 30), 2.0),
+          ("u1", 9L, ts(10, 20), 0.0), ("u1", 3L, ts(10, 0), 5.0))
+          .toDF("key", "event_id", "ts", "value"),
+        "key", "ts", "value", windowSeconds = 3600)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("roll_n"), r.getAs[Double]("roll_sum")))).toMap
+    Seq(1L, 2L, 3L, 9L).foreach(id => assert(got(id) == batch(id),
+      s"event $id diverges from batch: ${got(id)} vs ${batch(id)}"))
+  }
+
   test("unsealed tail rows do not emit (watermark truncation)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Timestamp, Double)]
