@@ -204,4 +204,14 @@ class PlanSpec extends SparkSpec {
     assert(prune >= 0 && exch >= 0 && exch < prune,
       s"heap prune not below the ranking exchange:\n$p")
   }
+
+  test("q81 key skew: denominator reuses the grouped-counts exchange — " +
+      "the input is scanned once, not re-counted") {
+    // the reuse materializes at AQE runtime, so execute first
+    val df = SparkEntry.queries("q81_key_skew")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"total should reuse the grouped-counts stage, not rescan:\n$p")
+  }
 }
