@@ -1038,6 +1038,47 @@ object SparkEntry {
         org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
     }),
 
+    "q155_incremental_pipeline" -> ((s, dir) => {
+      // the weekly crawl refresh END-TO-END (round-10 ask #4): one new
+      // batch (doc_id % 3 == 0) flows through q80's exact incremental
+      // dedup (vs the prior corpus), q88's near incremental dedup
+      // (Portable minhash, vs prior), q92's 5-gram decontamination (vs
+      // a held-out benchmark slice of the prior corpus), the production
+      // byte-BPE encode, and q154's incremental shard append — so the
+      // O(batch) contract is pinned ACROSS stage boundaries, not
+      // per-operator. Every stage keeps its already-oracled config; the
+      // oracle replays the whole chain and pins every delta sequence's
+      // id stream by md5.
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+        .localCheckpoint(true) // feeds the layout + three dedup stages
+      try {
+        val prior = d.filter(col("doc_id") % 3 =!= 0)
+        val batch = d.filter(col("doc_id") % 3 === 0)
+        val exactKept = Dedup.exactIncremental(batch, prior,
+          "text", "doc_id")
+        val nearKept = Dedup.nearIncremental(exactKept, prior, "text",
+          "doc_id", numHashes = 32, bands = 8, threshold = 0.8,
+          mode = Dedup.Portable)
+        val cleaned = Dedup.ngramDecontaminate(nearKept,
+            prior.filter(col("doc_id") % 17 === 3), "text", "doc_id",
+            n = 5, minMatches = 2)
+          .filter(!col("contaminated")).drop("n_matched", "contaminated")
+        val withIds = cleaned.withColumn("__ids",
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+        val existing = Curate.packTokenIds(
+          prior.withColumn("__ids",
+            Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
+          "__ids", "doc_id", budget = 2048, shardCol = "source")
+        Curate.packTokenIdsIncremental(existing, withIds, "__ids",
+            "doc_id", budget = 2048, shardCol = "source")
+          .select(col("source"), col("seq_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            md5(Bpe.idsString(col("token_ids"))).as("ids_md5"))
+          .localCheckpoint(true)
+      } finally
+        org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+    }),
+
     "q152_bpe1k_roundtrip" -> ((s, dir) => {
       // the loader side of the tokenizer: decode(encode(text)) must
       // reproduce the text BYTE-FOR-BYTE (byte-level BPE has no
@@ -3454,6 +3495,90 @@ dim_users_litify AS (
        GROUP BY 1, 2"""
   }
 
+  /** q155: the full incremental-refresh chain replayed — q80's
+    * fingerprint anti-join, q88's Portable minhash band/verify, q92's
+    * distinct-5-gram decontamination, the recursive byte-BPE chain, and
+    * q154's combined-stream repack with the delta cut. Stage outputs
+    * thread through as id sets (ex -> nr -> surv), so a divergence at
+    * ANY stage boundary breaks the final md5 pins. */
+  private def q155OracleSql: String = {
+    val n = BpeByteVocab.merges.size
+    val mix = Dedup.mixConstants(32)
+    val sigList = (0 until 32).map { j =>
+      val (a, b) = mix(j)
+      s"list_min(list_transform(hs, h -> ${duckMix("h", a, b)}))"
+    }.mkString("[", ", ", "]")
+    def bkey(s: String) = "md5(array_to_string(list_transform(" +
+      s"$s[b.band*4+1 : b.band*4+4], v -> CAST(v AS VARCHAR)), ','))"
+    s"""WITH RECURSIVE ${Bpe.oracleByteCtes("documents",
+        "doc_id", "text", BpeByteVocab.merges)},
+       |nn AS (SELECT doc_id, source, text FROM documents
+       |  WHERE text IS NOT NULL),
+       |fp AS (SELECT doc_id,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+       |  FROM nn),
+       |bfp AS (SELECT doc_id, f,
+       |    row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+       |  FROM fp WHERE doc_id % 3 = 0),
+       |ex AS (SELECT doc_id FROM bfp WHERE rn = 1
+       |  AND f NOT IN (SELECT f FROM fp WHERE doc_id % 3 <> 0)),
+       |toks AS (SELECT doc_id, $duckToks AS t FROM nn),
+       |sh AS (SELECT doc_id, ${duckShingles("t", 3)} AS s FROM toks),
+       |hs AS (SELECT doc_id,
+       |    list_transform(s, x -> ${duckHash("x")}) AS hs FROM sh),
+       |sig AS (SELECT doc_id, $sigList AS sig FROM hs),
+       |banded AS (SELECT doc_id, sig, b.band, ${bkey("sig")} AS bkey
+       |  FROM sig, (SELECT unnest(range(8)) AS band) b
+       |  WHERE doc_id IN (SELECT doc_id FROM ex)),
+       |rbanded AS (SELECT sig AS rsig, b.band, ${bkey("sig")} AS rbkey
+       |  FROM sig, (SELECT unnest(range(8)) AS band) b
+       |  WHERE doc_id % 3 <> 0),
+       |near AS (SELECT DISTINCT c.doc_id
+       |  FROM banded c JOIN rbanded r ON c.band = r.band AND c.bkey = r.rbkey
+       |  WHERE CAST(list_sum(list_transform(list_zip(c.sig, r.rsig),
+       |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 32
+       |    >= 0.8),
+       |nr AS (SELECT doc_id FROM ex
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM near)),
+       |g5 AS (SELECT doc_id, list_distinct(${duckShingles("t", 5)}) AS g
+       |  FROM toks),
+       |ref5 AS (SELECT DISTINCT unnest(g) AS rg FROM g5
+       |  WHERE doc_id % 3 <> 0 AND doc_id % 17 = 3),
+       |cont AS (SELECT doc_id FROM (
+       |    SELECT c.doc_id FROM (SELECT doc_id, unnest(g) AS cg FROM g5
+       |      WHERE doc_id IN (SELECT doc_id FROM nr)) c
+       |    JOIN ref5 ON cg = rg)
+       |  GROUP BY doc_id HAVING COUNT(1) >= 2),
+       |surv AS (SELECT doc_id FROM nr
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |ids AS (SELECT d.doc_id, d.source, (d.doc_id % 3 = 0) AS nw,
+       |    ${Bpe.oracleIdsListSql("e.s")} AS ids
+       |  FROM nn d
+       |  JOIN (SELECT doc_id, s FROM enc WHERE r = $n) e USING (doc_id)
+       |  WHERE d.doc_id % 3 <> 0
+       |    OR d.doc_id IN (SELECT doc_id FROM surv)),
+       |cum AS (SELECT source, doc_id, nw, ids,
+       |    COALESCE(SUM(len(ids)) OVER (PARTITION BY source
+       |      ORDER BY nw, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+       |  FROM ids),
+       |ot AS (SELECT source,
+       |    COALESCE(SUM(CASE WHEN NOT nw THEN len(ids) END), 0)
+       |      AS old_total,
+       |    COUNT(CASE WHEN nw THEN 1 END) AS n_new
+       |  FROM ids GROUP BY source),
+       |t0 AS (SELECT source, c, ids, UNNEST(range(len(ids))) AS i
+       |  FROM cum),
+       |tt AS (SELECT source, c + i AS gp,
+       |    ids[CAST(i AS INT) + 1] AS tok FROM t0)
+       |SELECT source, CAST(gp // 2048 AS BIGINT) AS seq_id,
+       |  CAST(COUNT(1) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gp)) AS ids_md5
+       |FROM tt JOIN ot USING (source)
+       |WHERE n_new > 0 AND gp // 2048 >= old_total // 2048
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** q152: the decode round trip — token counts replayed by the full
     * recursive chain; the DECODED text pinned against the ORIGINAL
     * text's md5 (byte-level BPE is lossless, so decode(encode(t)) == t
@@ -5226,6 +5351,7 @@ dim_users_litify AS (
     "q151_shards_with_ids" -> q151OracleSql,
     "q152_bpe1k_roundtrip" -> q152OracleSql,
     "q154_incremental_shards" -> q154OracleSql,
+    "q155_incremental_pipeline" -> q155OracleSql,
     "q144_bpe1k_quality" -> q144OracleSql,
     "q145_bpe1k_packing" -> q145OracleSql,
 
