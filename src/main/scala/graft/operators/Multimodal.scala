@@ -60,10 +60,15 @@ case class AudioStats(
   * while the Spark path exercises the genuine encode→decode round trip.
   * A broken decoder cannot pass the oracle.
   *
-  * Video: the JDK has no video demuxer, so "video" payloads use a trivial
-  * length-prefixed frame container ([[ImageCodec.packFrames]]) whose frames
-  * are real PNGs — container parse + per-frame real decode, the same shape
-  * as a production demux+decode stage.
+  * Video: two real container paths through ONE operator surface
+  * (dispatch by magic in [[ImageCodec.unpackContainer]]): the trivial
+  * length-prefixed GFRM container with lossless PNG frames (pixel sums
+  * oracle-replayable), and genuine Motion-JPEG-in-AVI — a
+  * standards-layout RIFF file [[ImageCodec.packAvi]] writes and
+  * [[ImageCodec.unpackAvi]] walks, with real JDK JPEG codec frames
+  * (decoder-invariant fields oracled, q142's lossy-codec contract).
+  * The JDK ships no video codec; MJPEG/AVI needs only RIFF + JPEG, both
+  * of which are here for real.
   */
 object Multimodal {
 
@@ -126,6 +131,14 @@ object Multimodal {
 
     def video(id: Long, nFrames: Int): Array[Byte] =
       ImageCodec.packFrames((0 until nFrames).map(f => png(id, f)))
+
+    /** The same frame sequence as a REAL video file: Motion-JPEG in a
+      * standards-layout AVI container (JDK JPEG encoder per frame,
+      * [[ImageCodec.packAvi]] RIFF mux). 25 fps — 40 ms per frame, the
+      * duration arithmetic the GFRM fixture already uses. */
+    def avi(id: Long, nFrames: Int): Array[Byte] =
+      ImageCodec.packAvi((0 until nFrames).map(f => jpeg(id, f)),
+        width(id), height(id), fps = 25)
   }
 
   /** Real JDK codec: `javax.imageio` PNG/JPEG decode + PNG encode, exact
@@ -251,6 +264,125 @@ object Multimodal {
         frames.result()
       } catch { case _: java.io.IOException | _: RuntimeException => Seq.empty }
     }
+
+    // --- real video container: MJPEG-in-AVI (RIFF) mux/demux -------------
+    // The JDK ships no video CONTAINER support, but its JPEG codec plus
+    // this RIFF layer are everything Motion-JPEG needs — closing the gap
+    // GFRM papered over with a synthetic layout. Little-endian, chunks
+    // word-aligned, standards AVI structure (hdrl: avih + one vids/MJPG
+    // stream; movi: one '00dc' chunk per JPEG frame; idx1), so any
+    // external AVI demuxer reads what packAvi writes.
+
+    /** Minimal standards-layout AVI muxer over already-encoded JPEG
+      * frames (all frames one geometry — the MJPG contract). */
+    def packAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+                fps: Int = 25): Array[Byte] = {
+      require(fps >= 1, s"fps must be >= 1: $fps")
+      val bo = new ByteArrayOutputStream()
+      def w32(v: Int): Unit = {
+        bo.write(v & 0xFF); bo.write((v >>> 8) & 0xFF)
+        bo.write((v >>> 16) & 0xFF); bo.write((v >>> 24) & 0xFF)
+      }
+      def w16(v: Int): Unit = { bo.write(v & 0xFF); bo.write((v >>> 8) & 0xFF) }
+      def cc(s: String): Unit = bo.write(s.getBytes("US-ASCII"))
+      val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+      def pad(n: Int) = n & 1
+      val moviBody = frames.map(f => 8 + f.length + pad(f.length)).sum
+      val moviSize = 4 + moviBody          // 'movi' + chunks
+      val idx1Size = frames.size * 16
+      val strlSize = 4 + (8 + 56) + (8 + 40) // 'strl' + strh + strf
+      val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+      cc("RIFF"); w32(riffSize); cc("AVI ")
+      cc("LIST"); w32(hdrlSize); cc("hdrl")
+      cc("avih"); w32(56)
+      w32(1000000 / fps)                   // dwMicroSecPerFrame
+      w32(maxFrame * fps); w32(0)
+      w32(0x10)                            // AVIF_HASINDEX
+      w32(frames.size); w32(0); w32(1)     // totalFrames, initial, streams
+      w32(maxFrame); w32(width); w32(height)
+      w32(0); w32(0); w32(0); w32(0)       // dwReserved[4]
+      cc("LIST"); w32(strlSize); cc("strl")
+      cc("strh"); w32(56)
+      cc("vids"); cc("MJPG")
+      w32(0); w16(0); w16(0); w32(0)       // flags, prio, lang, initFrames
+      w32(1); w32(fps)                     // scale, rate
+      w32(0); w32(frames.size)             // start, length (frames)
+      w32(maxFrame); w32(-1); w32(0)       // sugBufSize, quality, sampleSize
+      w16(0); w16(0); w16(width); w16(height) // rcFrame
+      cc("strf"); w32(40)                  // BITMAPINFOHEADER
+      w32(40); w32(width); w32(height)
+      w16(1); w16(24); cc("MJPG")          // planes, bitCount, compression
+      w32(width * height * 3)              // biSizeImage
+      w32(0); w32(0); w32(0); w32(0)
+      cc("LIST"); w32(moviSize); cc("movi")
+      val offsets = frames.map { f =>
+        val off = bo.size()                // offset of this chunk's fourcc
+        cc("00dc"); w32(f.length); bo.write(f)
+        if (pad(f.length) == 1) bo.write(0)
+        off
+      }
+      cc("idx1"); w32(idx1Size)
+      val moviStart = 12 + 8 + hdrlSize + 8 // offset of 'movi' fourcc
+      frames.zip(offsets).foreach { case (f, off) =>
+        cc("00dc"); w32(0x10)              // AVIIF_KEYFRAME
+        w32(off - moviStart - 4)           // offset from after 'movi' tag...
+        w32(f.length)
+      }
+      bo.toByteArray
+    }
+
+    /** AVI demuxer: walk the RIFF tree, collect '00dc'/'00db' frame
+      * chunks from 'movi' (and nested 'rec ') lists. Fail-soft on any
+      * malformed layout — truncated chunks, lying sizes and non-AVI RIFF
+      * files yield the frames parsed so far / empty, never a throw. */
+    def unpackAvi(payload: Array[Byte]): Seq[Array[Byte]] = {
+      def r32(off: Int): Long =
+        ((payload(off) & 0xFFL)) | ((payload(off + 1) & 0xFFL) << 8) |
+          ((payload(off + 2) & 0xFFL) << 16) | ((payload(off + 3) & 0xFFL) << 24)
+      def cc(off: Int): String = new String(payload, off, 4, "US-ASCII")
+      if (payload.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ")
+        return Seq.empty
+      val frames = Seq.newBuilder[Array[Byte]]
+      val fileEnd = math.min(payload.length.toLong, 8L + r32(4))
+      def walk(from: Long, to: Long, inMovi: Boolean): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = cc(off.toInt)
+          val sz = r32(off.toInt + 4)
+          val dataStart = off + 8
+          if (id == "LIST" && sz >= 4 && dataStart + 4 <= to) {
+            // a truncated LIST still yields the sub-chunks that fit:
+            // clamp the descent to the bytes actually present
+            val lt = cc(dataStart.toInt)
+            if (lt == "movi" || lt == "rec ")
+              walk(dataStart + 4, math.min(dataStart + sz, to),
+                inMovi = true)
+            if (dataStart + sz > to) return // nothing after a short list
+          } else if (dataStart + sz > to) {
+            return // truncated data chunk: keep what we have
+          } else if (inMovi && (id == "00dc" || id == "00db") && sz > 0) {
+            frames += java.util.Arrays.copyOfRange(
+              payload, dataStart.toInt, (dataStart + sz).toInt)
+          }
+          off = dataStart + sz + (sz & 1) // chunks are word-aligned
+        }
+      }
+      try { walk(12, fileEnd, inMovi = false); frames.result() }
+      catch { case _: RuntimeException => Seq.empty }
+    }
+
+    /** Container-agnostic demux — GFRM (length-prefixed) or AVI (RIFF)
+      * by magic; anything else is empty (fail-soft). The frame operators
+      * ([[Multimodal.frameSample]]/[[Multimodal.frameStats]]) go through
+      * this, so both containers flow through ONE operator surface. */
+    def unpackContainer(payload: Array[Byte]): Seq[Array[Byte]] =
+      if (payload == null || payload.length < 4) Seq.empty
+      else if (payload(0) == 'G' && payload(1) == 'F' &&
+        payload(2) == 'R' && payload(3) == 'M') unpackFrames(payload)
+      else if (payload(0) == 'R' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == 'F') unpackAvi(payload)
+      else Seq.empty
   }
 
   /** Deterministic synthetic-audio formulas — the audio cross-engine
@@ -464,6 +596,24 @@ object Multimodal {
         lit(nFrames.toLong * 40L).as("duration_ms")))
   }
 
+  /** Attach a REAL video file per row: Motion-JPEG in a standards-layout
+    * AVI (RIFF) container, 2 + id % 3 frames of real JDK-encoded JPEG.
+    * Demuxes through the same [[frameSample]]/[[frameStats]] operators
+    * as GFRM (container detection by magic). */
+  def attachAviPayload(spark: SparkSession, df: DataFrame,
+                       idCol: String): DataFrame = {
+    import spark.implicits._
+    val ids: Dataset[Long] = df.select(col(idCol).cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id => (id, ImageFixture.avi(id, (2 + id % 3).toInt)) }
+    }.toDF(idCol, "payload")
+      .withColumn("meta", struct(
+        lit("video").as("kind"), lit("video/avi").as("mime"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        ((lit(2L) + col(idCol) % 3L) * 40L).cast("long").as("duration_ms")))
+  }
+
   private def statsOf(id: Long, bytes: Array[Byte]): ImgStats =
     ImageCodec.decode(bytes) match {
       case Some(img) =>
@@ -500,7 +650,7 @@ object Multimodal {
       df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
     pairs.mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
-        ImageCodec.unpackFrames(bytes).zipWithIndex.map {
+        ImageCodec.unpackContainer(bytes).zipWithIndex.map {
           case (frame, idx) => (id, idx, frame)
         }
       }
@@ -517,7 +667,7 @@ object Multimodal {
       df.select(col(idCol).cast("long"), col(payloadCol)).as[(Long, Array[Byte])]
     pairs.mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
-        ImageCodec.unpackFrames(bytes).zipWithIndex.map { case (frame, idx) =>
+        ImageCodec.unpackContainer(bytes).zipWithIndex.map { case (frame, idx) =>
           ImageCodec.decode(frame) match {
             case Some(img) =>
               val (w, h, sr, sg, sb, _, _, _) = ImageCodec.channelStats(img)

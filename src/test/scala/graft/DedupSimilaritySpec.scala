@@ -963,6 +963,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("doc_id") == 1L) && rows.length == 2)
   }
 
+  test("avi tier: MJPEG mux -> RIFF demux round trip; container dispatch " +
+      "by magic; corrupt/truncated AVIs fail soft") {
+    import Multimodal.ImageCodec
+    // round trip: the exact frame bytes come back, in order
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5), Array[Byte](6))
+    val avi = ImageCodec.packAvi(frames, 16, 14, fps = 25)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    // RIFF size field accounts for the whole file (external demuxers
+    // trust it)
+    val riffSz = (avi(4) & 0xFF) | ((avi(5) & 0xFF) << 8) |
+      ((avi(6) & 0xFF) << 16) | ((avi(7) & 0xFF) << 24)
+    assert(riffSz + 8 == avi.length, s"RIFF size $riffSz vs ${avi.length}")
+    assert(ImageCodec.unpackAvi(avi).map(_.toSeq) == frames.map(_.toSeq))
+    // dispatch: the same container surface reads GFRM and AVI
+    assert(ImageCodec.unpackContainer(avi).map(_.toSeq) == frames.map(_.toSeq))
+    val gfrm = ImageCodec.packFrames(frames)
+    assert(ImageCodec.unpackContainer(gfrm).map(_.toSeq) == frames.map(_.toSeq))
+    assert(ImageCodec.unpackContainer(Array[Byte](9, 9, 9, 9, 9)).isEmpty)
+    // truncation mid-chunk (past idx1 = 8+48 bytes, into the last movi
+    // chunk): frames parsed so far survive, no throw
+    assert(ImageCodec.unpackAvi(avi.take(avi.length - 60)).length == 2)
+    // a lying chunk size cannot read past the payload
+    val lying = avi.clone()
+    val moviAt = { // find first '00dc'
+      var i = 12; while (!(lying(i) == '0' && lying(i + 1) == '0' &&
+        lying(i + 2) == 'd' && lying(i + 3) == 'c')) i += 1; i }
+    lying(moviAt + 4) = -1; lying(moviAt + 5) = -1
+    lying(moviAt + 6) = -1; lying(moviAt + 7) = 0x7F
+    assert(ImageCodec.unpackAvi(lying).isEmpty)
+    // the real fixture: every frame is a decodable JDK JPEG at the
+    // fixture geometry
+    val vid = Multimodal.ImageFixture.avi(7L, 3)
+    val decoded = ImageCodec.unpackAvi(vid).map(f => ImageCodec.decode(f).get)
+    assert(decoded.length == 3)
+    assert(decoded.forall(img => img.getWidth == 15 && img.getHeight == 8))
+  }
+
   test("jpeg tier: real JDK encode->decode preserves dimensions and band " +
       "count; corrupt bytes fail soft through decodeMeta") {
     val jpg = Multimodal.ImageFixture.jpeg(7L)
