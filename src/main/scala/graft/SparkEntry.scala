@@ -1079,6 +1079,57 @@ object SparkEntry {
         org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
     }),
 
+    "q157_streaming_shards" -> ((s, dir) => {
+      // q154's O(batch) shard append as a REAL micro-batch sink
+      // (round-10 stretch #8): the corpus arrives as four id-ordered
+      // micro-batches (maxFilesPerTrigger=1 over four range-split
+      // files, modification times forcing arrival order); each batch is
+      // tokenized in-stream and appended to a versioned parquet shard
+      // store by packTokenIdsIncremental inside foreachBatch. Because
+      // batches arrive in id order, the FINAL store must equal the
+      // one-shot packTokenIds of the whole corpus — q147's corpus-wide
+      // md5 oracle, now pinning a store the STREAMING ENGINE built
+      // through four incremental appends.
+      val base = java.nio.file.Files.createTempDirectory("graft_shards_")
+      try {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+          .localCheckpoint(true)
+        try {
+          val maxId = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+          val cuts = (0 to 4).map(k => maxId * k / 4)
+          (0 until 4).foreach { k =>
+            val part = d.filter(col("doc_id") > cuts(k) - (if (k == 0) 1 else 0)
+              && col("doc_id") <= cuts(k + 1))
+            val tmp = s"$base/tmp$k"
+            part.coalesce(1).write.parquet(tmp)
+            val f = new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val dst = new java.io.File(s"$base/in/b$k.parquet")
+            dst.getParentFile.mkdirs()
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(1700000000000L + k * 60000L)
+          }
+          val sch = s.read.parquet(s"$base/in").schema
+          val stream = s.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(s"$base/in")
+            .withColumn("__ids",
+              Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+          graft.streaming.ShardSink.run(stream, "__ids", "doc_id",
+            budget = 2048, shardCol = "source",
+            storeDir = s"$base/store", checkpointDir = s"$base/ck")
+          graft.streaming.ShardSink.read(s, s"$base/store")
+            .select(col("source"), col("seq_id"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              md5(Bpe.idsString(col("token_ids"))).as("ids_md5"))
+            .localCheckpoint(true)
+        } finally
+          org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+      } finally deleteRecursively(base)
+    }),
+
     "q156_avi_frames" -> ((s, dir) => {
       // the REAL video container (three-rounds-carried ask, closed with
       // code rather than a waiver): per doc, a standards-layout AVI —
@@ -5369,6 +5420,10 @@ dim_users_litify AS (
     "q141_bpe1k_mass" -> q141OracleSql,
     "q146_bpe1k_token_ids" -> q146OracleSql,
     "q147_token_shards" -> q147OracleSql,
+    // q157: the streaming-built store's final state must equal the
+    // one-shot pack of the whole corpus (id-ordered arrival), so q147's
+    // corpus-wide replay pins every sequence the stream produced
+    "q157_streaming_shards" -> q147OracleSql,
     "q151_shards_with_ids" -> q151OracleSql,
     "q152_bpe1k_roundtrip" -> q152OracleSql,
     "q154_incremental_shards" -> q154OracleSql,

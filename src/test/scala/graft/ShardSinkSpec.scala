@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.functions.{Bpe, BpeByteVocab}
+import graft.operators.Curate
+import graft.streaming.ShardSink
+
+/** Streaming shard store: per-batch incremental appends through the real
+  * micro-batch engine compose to the one-shot pack, shipped sequences
+  * stay bit-stable across store versions. */
+class ShardSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getString(0), r.getLong(1))
+
+  test("id-ordered micro-batches compose to the one-shot pack; shipped " +
+      "full sequences never change across store versions") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sinkspec_")
+    try {
+      val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("text").isNotNull).limit(200)
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("__ids",
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+        .localCheckpoint(true)
+      val ids = all.select("doc_id").as[Long].collect().sorted
+      val cut = ids(ids.length / 2)
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String, String)]
+      def tuples(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "source", "text")
+          .as[(Long, String, String)].collect().toSeq
+      val stream = mem.toDF().toDF("doc_id", "source", "text")
+        .withColumn("__ids",
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+      // two drains against ONE checkpoint: batch 2 resumes from committed
+      // offsets — the stop/restart path a weekly crawl loop actually runs
+      mem.addData(tuples(all.filter(col("doc_id") <= cut)): _*)
+      ShardSink.run(stream, "__ids", "doc_id", budget = 128,
+        shardCol = "source", storeDir = s"$base/store",
+        checkpointDir = s"$base/ck")
+      mem.addData(tuples(all.filter(col("doc_id") > cut)): _*)
+      ShardSink.run(stream, "__ids", "doc_id", budget = 128,
+        shardCol = "source", storeDir = s"$base/store",
+        checkpointDir = s"$base/ck")
+      // final store == one-shot pack of the full corpus, bit-for-bit
+      val got = ShardSink.read(spark, s"$base/store").collect()
+        .map(r => key(r) -> r.getSeq[Int](2)).toMap
+      val want = Curate.packTokenIds(all, "__ids", "doc_id", 128, "source")
+        .collect().map(r => key(r) -> r.getSeq[Int](2)).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (k, v) =>
+        assert(v == want(k), s"sequence $k diverges from one-shot pack") }
+      // two batches -> two committed versions; every FULL sequence of v0
+      // reappears in v1 untouched (shipped shards are immutable)
+      val v0 = spark.read.parquet(s"$base/store/v0").collect()
+        .map(r => key(r) -> ((r.getSeq[Int](2), r.getInt(3)))).toMap
+      val v1 = spark.read.parquet(s"$base/store/v1").collect()
+        .map(r => key(r) -> ((r.getSeq[Int](2), r.getInt(3)))).toMap
+      val fullV0 = v0.filter(_._2._2 == 128)
+      assert(fullV0.nonEmpty, "fixture too small: no full sequence in v0")
+      fullV0.foreach { case (k, v) =>
+        assert(v1(k) == v, s"shipped full sequence $k was rewritten") }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}
