@@ -775,6 +775,27 @@ object SparkEntry {
         nProbe = 2)
     }),
 
+    "q158_ivfpq_append" -> ((s, dir) => {
+      // the ANN tier's incremental append (q154's discipline applied to
+      // indexes): build on the PRIOR corpus slice only (vec_id % 5 != 0
+      // — coarse and residual codebooks never see the new batch), then
+      // ivfPqAppend assigns + encodes the new vectors (vec_id % 5 == 0)
+      // under the FROZEN codebooks, and the probe ranks over the
+      // combined index. Also the first ORACLED path through the
+      // train/encode split (q153's trainOn was gate-only): DuckDB
+      // replays Lloyd's on the prior slice and the encode over the full
+      // corpus, so a leak of new vectors into training on either side
+      // breaks the hash.
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfPqBuild(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        nLists = 4, m = 4, kCodes = 8, iterations = 2)
+      val appended = Similarity.ivfPqAppend(idx,
+        emb.filter(col("vec_id") % 5 === 0))
+      Similarity.ivfPqQuery(appended, emb.filter(col("vec_id") < 4),
+        k = 5, nProbe = 2)
+    }),
+
     "q134_nprobe_autotune" -> ((s, dir) => {
       // recall-targeted tuning: smallest nProbe whose recall@5 meets
       // 80%, else the full-probe row — with the demo codebooks the
@@ -3447,6 +3468,20 @@ dim_users_litify AS (
        |  ORDER BY dist, neighbor_id) AS rn FROM adc)
        |WHERE rn <= 5""".stripMargin
 
+  /** q158: the incremental-append replay — q127's full IVF-PQ chain
+    * with training restricted to the prior slice (trainWhere) while
+    * assignment/encode cover the combined corpus; the probe select is
+    * q127's verbatim. */
+  private def q158OracleSql: String =
+    s"""WITH ${ivfPqOracleBody(nListsSql = "4", nProbeSql = "2", m = 4,
+        kCodes = 8, iters = 2, dim = 64, scale = 1000000L,
+        probeWhere = "vec_id < 4", trainWhere = "vec_id % 5 <> 0")}
+       |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       |  CAST(dist AS BIGINT) AS adc_dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY dist, neighbor_id) AS rn FROM adc)
+       |WHERE rn <= 5""".stripMargin
+
   /** q119/q131 (batch + streaming twin): the integer-cosine
     * decontamination replay. */
   private def q119OracleSql: String =
@@ -3843,18 +3878,24 @@ dim_users_litify AS (
     * data exactly as the Spark side does). */
   private def ivfPqOracleBody(nListsSql: String, nProbeSql: String,
                               m: Int, kCodes: Int, iters: Int, dim: Int,
-                              scale: Long, probeWhere: String): String = {
+                              scale: Long, probeWhere: String,
+                              trainWhere: String = "TRUE"): String = {
     val (k, subDim) = (kCodes, dim / m)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    // xt = the TRAIN slice: seeds and every Lloyd's update read xt only;
+    // assignment/encode (asg, rd, penc) stay over the full xu — exactly
+    // Spark's ivfPqBuild(trainOn = ...) split, and the default TRUE
+    // collapses xt == xu (the corpus-trained oracles are unchanged)
     val head =
       s"""xu AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
          |    x -> CAST(trunc(x::DOUBLE * $scale) AS BIGINT)) AS xu
          |  FROM embeddings WHERE embedding IS NOT NULL),
+         |xt AS MATERIALIZED (SELECT * FROM xu WHERE $trainWhere),
          |d64 AS (SELECT unnest(range($dim)) AS d),
          |nlv AS (SELECT CAST(($nListsSql) AS INT) AS nl),
          |npv AS (SELECT CAST(($nProbeSql) AS INT) AS np),
          |gseeds AS (SELECT j, xu FROM (SELECT row_number() OVER
-         |    (ORDER BY vec_id) - 1 AS j, xu FROM xu)
+         |    (ORDER BY vec_id) - 1 AS j, xu FROM xt)
          |  WHERE j < (SELECT nl FROM nlv)),
          |gc0 AS (SELECT CAST(sd.j AS INT) AS j, d64.d AS d,
          |  sd.xu[d64.d + 1] AS c FROM gseeds sd, d64)""".stripMargin
@@ -3862,13 +3903,13 @@ dim_users_litify AS (
       val p = i - 1
       s"""ga$i AS (SELECT v.vec_id, c.j,
          |    SUM((v.xu[c.d + 1] - c.c) * (v.xu[c.d + 1] - c.c)) AS dist
-         |  FROM xu v, gc$p c GROUP BY 1, 2),
+         |  FROM xt v, gc$p c GROUP BY 1, 2),
          |gb$i AS (SELECT vec_id, j AS cl FROM (SELECT vec_id, j,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
          |  FROM ga$i) WHERE rn = 1),
          |gs$i AS (SELECT b.cl, d64.d,
          |    CAST(SUM(v.xu[d64.d + 1]) AS BIGINT) AS s, COUNT(1) AS n
-         |  FROM xu v JOIN gb$i b ON v.vec_id = b.vec_id, d64 GROUP BY 1, 2),
+         |  FROM xt v JOIN gb$i b ON v.vec_id = b.vec_id, d64 GROUP BY 1, 2),
          |gc$i AS MATERIALIZED (SELECT cl AS j, d,
          |    CAST(trunc(CAST(s AS DOUBLE) / n) AS BIGINT) AS c FROM gs$i
          |  UNION ALL SELECT j, d, c FROM gc$p
@@ -3884,26 +3925,28 @@ dim_users_litify AS (
          |rd AS MATERIALIZED (SELECT v.vec_id, a.lst, c.d, v.xu[c.d + 1] - c.c AS ru
          |  FROM xu v JOIN asg a ON v.vec_id = a.vec_id
          |  JOIN gc$iters c ON c.j = a.lst),
+         |rdt AS MATERIALIZED (SELECT r.* FROM rd r
+         |  WHERE r.vec_id IN (SELECT vec_id FROM xt)),
          |pseeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
-         |  FROM (SELECT DISTINCT vec_id FROM rd ORDER BY vec_id LIMIT $k))""".stripMargin
+         |  FROM (SELECT DISTINCT vec_id FROM rdt ORDER BY vec_id LIMIT $k))""".stripMargin
     val pqChains = (0 until m).map { s =>
       val off = s * subDim
       val init =
-        s"""p${s}c0 AS (SELECT CAST(ps.j AS INT) AS j, rd.d - $off AS d,
-           |  rd.ru AS c FROM pseeds ps JOIN rd ON rd.vec_id = ps.vec_id
-           |  WHERE rd.d >= $off AND rd.d < ${off + subDim})""".stripMargin
+        s"""p${s}c0 AS (SELECT CAST(ps.j AS INT) AS j, rdt.d - $off AS d,
+           |  rdt.ru AS c FROM pseeds ps JOIN rdt ON rdt.vec_id = ps.vec_id
+           |  WHERE rdt.d >= $off AND rdt.d < ${off + subDim})""".stripMargin
       val iterCtes = (1 to iters).map { i =>
         val p = i - 1
         s"""p${s}a$i AS (SELECT r.vec_id, c.j,
            |    SUM((r.ru - c.c) * (r.ru - c.c)) AS dist
-           |  FROM rd r JOIN p${s}c$p c ON c.d = r.d - $off
+           |  FROM rdt r JOIN p${s}c$p c ON c.d = r.d - $off
            |  WHERE r.d >= $off AND r.d < ${off + subDim} GROUP BY 1, 2),
            |p${s}b$i AS (SELECT vec_id, j AS cl FROM (SELECT vec_id, j,
            |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
            |  FROM p${s}a$i) WHERE rn = 1),
            |p${s}s$i AS (SELECT b.cl, r.d - $off AS d,
            |    CAST(SUM(r.ru) AS BIGINT) AS s, COUNT(1) AS n
-           |  FROM rd r JOIN p${s}b$i b ON r.vec_id = b.vec_id
+           |  FROM rdt r JOIN p${s}b$i b ON r.vec_id = b.vec_id
            |  WHERE r.d >= $off AND r.d < ${off + subDim} GROUP BY 1, 2),
            |p${s}c$i AS MATERIALIZED (SELECT cl AS j, d,
            |    CAST(trunc(CAST(s AS DOUBLE) / n) AS BIGINT) AS c FROM p${s}s$i
@@ -5412,6 +5455,7 @@ dim_users_litify AS (
     "q125_perceptron_inference" -> q125OracleSql,
 
     "q127_ivfpq_ann" -> q127OracleSql,
+    "q158_ivfpq_append" -> q158OracleSql,
 
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,

@@ -759,6 +759,34 @@ object Similarity {
     IvfPqIndex(encoded, coarse, cb, nLists)
   }
 
+  /** Append new vectors to an EXISTING index without retraining — the
+    * FAISS `add()` path, and the ANN tier's twin of q154's incremental
+    * shard append: codebooks are immutable once shipped, a new crawl
+    * batch is ASSIGNED to the frozen coarse centroids and ENCODED under
+    * the frozen residual codebooks, and only new rows join `encoded`
+    * (with ivfPqSave's `__list` partitioning, only touched list
+    * partitions are written). Cost is O(batch x nLists x dim +
+    * batch x m x kCodes x subDim) — never O(existing corpus), and no
+    * Lloyd's at all. The flip side is the standard FAISS caveat: drift
+    * between the frozen codebooks and the new batch's distribution
+    * degrades recall gradually (monitor with [[recallAtK]], retrain on
+    * a schedule) — appending never changes existing codes, so results
+    * for old vectors are bit-stable. */
+  def ivfPqAppend(index: IvfPqIndex, newVecs: DataFrame,
+                  vecCol: String = "embedding",
+                  idCol: String = "vec_id"): IvfPqIndex = {
+    val dim = index.coarse.head.length
+    val coarseLit = typedLit(index.coarse.map(_.toSeq).toSeq)
+    val newEnc = dimGuard(
+        quantizedUnits(newVecs, vecCol, idCol, index.cb.unitScale), dim)
+      .withColumn("__list", pqAssign(col("__xu"), 0, dim, index.coarse))
+      .withColumn("__ru", zip_with(col("__xu"),
+        element_at(coarseLit, col("__list") + 1), (a, b) => a - b))
+      .select(col("__id").as(idCol), col("__list"),
+        pqCodesCol(col("__ru"), index.cb).as("codes"))
+    index.copy(encoded = index.encoded.unionByName(newEnc))
+  }
+
   /** IVF-PQ probe: rank the coarse lists per probe (integer distances,
     * ties to the lowest list), keep `nProbe`, compute the probe's
     * residual AGAINST EACH probed list's centroid, and run the
