@@ -786,6 +786,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(serve(idx) == serve(loaded))
   }
 
+  test("ivfPqAppend: frozen codebooks, old codes bit-stable, and exact " +
+      "parity with a trainOn-split build over the combined corpus") {
+    import graft.operators.Similarity
+    val all = pqCorpus // 40 vecs, dim 8
+    val prior = all.filter(col("vec_id") % 5 =!= 0)
+    val batch = all.filter(col("vec_id") % 5 === 0)
+    val idx = Similarity.ivfPqBuild(prior, nLists = 3, m = 2, kCodes = 4,
+      iterations = 2)
+    val priorEnc = idx.encoded
+      .select("vec_id", "__list", "codes")
+      .as[(Long, Int, Array[Int])].collect()
+      .map(e => (e._1, e._2, e._3.toSeq)).toSet
+    val appended = Similarity.ivfPqAppend(idx, batch)
+    // 1. codebooks are FROZEN: no Lloyd's ran — coarse and residual
+    //    codebooks are the build's, element for element
+    assert(appended.coarse.map(_.toSeq).toSeq ==
+      idx.coarse.map(_.toSeq).toSeq)
+    assert(appended.cb.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    // 2. appending never touches shipped rows: the prior ids' encoded
+    //    rows are bit-identical in the combined index
+    val combEnc = appended.encoded
+      .select("vec_id", "__list", "codes")
+      .as[(Long, Int, Array[Int])].collect()
+      .map(e => (e._1, e._2, e._3.toSeq)).toSet
+    assert(combEnc.size == 40)
+    assert(combEnc.filter(r => r._1 % 5 != 0) == priorEnc)
+    // 3. parity: build-on-prior + append == one build over the combined
+    //    corpus with trainOn = prior (the q158 oracle's exact split)
+    val split = Similarity.ivfPqBuild(all, nLists = 3, m = 2, kCodes = 4,
+      iterations = 2, trainOn = prior)
+    val splitEnc = split.encoded
+      .select("vec_id", "__list", "codes")
+      .as[(Long, Int, Array[Int])].collect()
+      .map(e => (e._1, e._2, e._3.toSeq)).toSet
+    assert(combEnc == splitEnc)
+    // 4. the probe path serves the combined index: appended ids can win
+    val got = Similarity.ivfPqQuery(appended, all.filter(col("vec_id") < 2),
+        k = 40, nProbe = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert((0L until 40L).forall(got.contains)) // k=nAll: every id ranked
+  }
+
   test("keepBestPerCluster: highest score survives (ties -> lowest id, " +
       "NULL loses), unpaired rows survive unchanged") {
     import graft.operators.Dedup
