@@ -796,6 +796,30 @@ object SparkEntry {
         k = 5, nProbe = 2)
     }),
 
+    "q159_ivfpq_append_persisted" -> ((s, dir) => {
+      // q158's append through the SERVING ARTIFACT: save the
+      // prior-slice index, ivfPqAppendSave the new batch in place (only
+      // the batch's own __list= partitions receive files; the existing
+      // encoded table is never scanned — the q154 shard-store
+      // discipline applied to the index), reload, probe. Same oracle as
+      // q158, so any drift introduced by the parquet round trip or the
+      // partition-selective append breaks the hash.
+      val emb = t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_")
+      try {
+        val idx = Similarity.ivfPqBuild(
+          emb.filter(col("vec_id") % 5 =!= 0),
+          nLists = 4, m = 4, kCodes = 8, iterations = 2)
+        Similarity.ivfPqSave(idx, base.toString)
+        Similarity.ivfPqAppendSave(s, base.toString,
+          emb.filter(col("vec_id") % 5 === 0))
+        val loaded = Similarity.ivfPqLoad(s, base.toString)
+        Similarity.ivfPqQuery(loaded, emb.filter(col("vec_id") < 4),
+            k = 5, nProbe = 2)
+          .localCheckpoint(true)
+      } finally deleteRecursively(base)
+    }),
+
     "q134_nprobe_autotune" -> ((s, dir) => {
       // recall-targeted tuning: smallest nProbe whose recall@5 meets
       // 80%, else the full-probe row — with the demo codebooks the
@@ -5456,6 +5480,9 @@ dim_users_litify AS (
 
     "q127_ivfpq_ann" -> q127OracleSql,
     "q158_ivfpq_append" -> q158OracleSql,
+    // the persisted append replays identically: the disk round trip is
+    // lossless by contract, so q158's oracle pins it too
+    "q159_ivfpq_append_persisted" -> q158OracleSql,
 
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,

@@ -774,18 +774,49 @@ object Similarity {
     * for old vectors are bit-stable. */
   def ivfPqAppend(index: IvfPqIndex, newVecs: DataFrame,
                   vecCol: String = "embedding",
-                  idCol: String = "vec_id"): IvfPqIndex = {
+                  idCol: String = "vec_id"): IvfPqIndex =
+    index.copy(encoded = index.encoded.unionByName(
+      ivfPqEncodeFrozen(index, newVecs, vecCol, idCol)))
+
+  /** Assign + encode a batch under an index's FROZEN codebooks — the
+    * shared encode of [[ivfPqAppend]] (in-memory) and
+    * [[ivfPqAppendSave]] (on-disk): no Lloyd's, row-local arithmetic
+    * only, one (id, __list, codes) row per new vector. */
+  private def ivfPqEncodeFrozen(index: IvfPqIndex, newVecs: DataFrame,
+                                vecCol: String,
+                                idCol: String): DataFrame = {
     val dim = index.coarse.head.length
     val coarseLit = typedLit(index.coarse.map(_.toSeq).toSeq)
-    val newEnc = dimGuard(
+    dimGuard(
         quantizedUnits(newVecs, vecCol, idCol, index.cb.unitScale), dim)
       .withColumn("__list", pqAssign(col("__xu"), 0, dim, index.coarse))
       .withColumn("__ru", zip_with(col("__xu"),
         element_at(coarseLit, col("__list") + 1), (a, b) => a - b))
       .select(col("__id").as(idCol), col("__list"),
         pqCodesCol(col("__ru"), index.cb).as("codes"))
-    index.copy(encoded = index.encoded.unionByName(newEnc))
   }
+
+  /** Append a batch to a SAVED index in place — [[ivfPqAppend]]'s
+    * on-disk form, and the exact discipline of q154's shard store
+    * applied to the serving artifact: load only the codebooks (bounded
+    * driver collects; the existing `encoded` table is NEVER scanned),
+    * encode the batch under the frozen codebooks, and `append` the new
+    * rows into the `__list`-partitioned parquet layout. Parquet append
+    * with partitionBy writes files only under the batch's own `__list=`
+    * directories, so untouched list partitions stay byte-identical —
+    * total cost is O(batch), independent of the index size, and a
+    * concurrent [[ivfPqLoad]]+probe never sees a half-written list
+    * (parquet appends are new files, committed atomically per task).
+    * Repeated small appends accumulate small files per hot list; fold
+    * them with [[graft.sinks.FileSink.compact]] on a schedule, exactly
+    * like the shard store. */
+  def ivfPqAppendSave(spark: org.apache.spark.sql.SparkSession,
+                      path: String, newVecs: DataFrame,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id"): Unit =
+    ivfPqEncodeFrozen(ivfPqLoad(spark, path), newVecs, vecCol, idCol)
+      .write.mode("append").partitionBy("__list")
+      .parquet(s"$path/encoded")
 
   /** IVF-PQ probe: rank the coarse lists per probe (integer distances,
     * ties to the lowest list), keep `nProbe`, compute the probe's

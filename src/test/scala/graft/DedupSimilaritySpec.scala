@@ -829,6 +829,56 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((0L until 40L).forall(got.contains)) // k=nAll: every id ranked
   }
 
+  test("ivfPqAppendSave: O(batch) on-disk append — parity with the " +
+      "in-memory append, untouched __list partitions byte-identical") {
+    import graft.operators.Similarity
+    val all = pqCorpus
+    val prior = all.filter(col("vec_id") % 5 =!= 0)
+    val batch = all.filter(col("vec_id") % 5 === 0)
+    val idx = Similarity.ivfPqBuild(prior, nLists = 3, m = 2, kCodes = 4,
+      iterations = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app")
+    try {
+      Similarity.ivfPqSave(idx, dir.toString)
+      Similarity.ivfPqAppendSave(spark, dir.toString, batch)
+      // parity: the reloaded store equals the in-memory append
+      def encSet(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id").cast("long"), col("__list").cast("int"),
+          col("codes"))
+        .as[(Long, Int, Array[Int])].collect()
+        .map(e => (e._1, e._2, e._3.toSeq)).toSet
+      val mem = Similarity.ivfPqAppend(idx, batch)
+      val loaded = Similarity.ivfPqLoad(spark, dir.toString)
+      assert(encSet(loaded.encoded) == encSet(mem.encoded))
+      // a second, single-vector append touches exactly ONE list: every
+      // other list partition's file set (names + sizes) is untouched
+      def listing() = new java.io.File(s"$dir/encoded").listFiles()
+        .filter(_.getName.startsWith("__list=")).map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length)).toSet
+        }.toMap
+      val before = listing()
+      val extra = Seq((100L, Array.tabulate(8)(d =>
+        math.sin(100 * 3 + d).toFloat))).toDF("vec_id", "embedding")
+      Similarity.ivfPqAppendSave(spark, dir.toString, extra)
+      val after = listing()
+      val touched = Similarity.ivfPqLoad(spark, dir.toString).encoded
+        .filter(col("vec_id") === 100L)
+        .select(col("__list").cast("int")).as[Int].collect()
+      assert(touched.length == 1)
+      val hot = s"__list=${touched.head}"
+      before.keys.filterNot(_ == hot).foreach { p =>
+        assert(after(p) == before(p), s"partition $p was rewritten")
+      }
+      assert(after(hot).size > before.getOrElse(hot, Set.empty).size)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("keepBestPerCluster: highest score survives (ties -> lowest id, " +
       "NULL loses), unpaired rows survive unchanged") {
     import graft.operators.Dedup
