@@ -820,6 +820,61 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    "q160_streaming_index" -> ((s, dir) => {
+      // q159's frozen-codebook append driven by the REAL micro-batch
+      // engine (the FAISS-plus-message-bus ingest pattern): the new
+      // slice (vec_id % 5 == 0) arrives as two id-ordered micro-batches
+      // (maxFilesPerTrigger=1 over range-split files), each landed by
+      // VectorIndexSink as an atomic, batchId-keyed delta directory
+      // next to the saved prior-slice index — codebooks frozen, base
+      // never read on the append path. Encode is row-local and
+      // deterministic, so the served view must equal q158's in-memory
+      // append vector-for-vector: same oracle, now pinning a store the
+      // streaming engine built through two exactly-once appends.
+      val emb = t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_vsink_")
+      try {
+        val idx = Similarity.ivfPqBuild(
+          emb.filter(col("vec_id") % 5 =!= 0),
+          nLists = 4, m = 4, kCodes = 8, iterations = 2)
+        Similarity.ivfPqSave(idx, base.toString)
+        val newSlice = emb.filter(col("vec_id") % 5 === 0)
+          .localCheckpoint(true)
+        try {
+          val maxId = newSlice.agg(max(col("vec_id"))).collect()(0)
+            .getLong(0)
+          (0 until 2).foreach { k =>
+            val lo = maxId * k / 2; val hi = maxId * (k + 1) / 2
+            val part = newSlice.filter(
+              col("vec_id") > (if (k == 0) -1L else lo)
+                && col("vec_id") <= hi)
+            val tmp = s"$base/tmp$k"
+            part.coalesce(1).write.parquet(tmp)
+            val f = new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val dst = new java.io.File(s"$base/in/b$k.parquet")
+            dst.getParentFile.mkdirs()
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(1700000000000L + k * 60000L)
+          }
+          val sch = s.read.parquet(s"$base/in").schema
+          val stream = s.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(s"$base/in")
+          graft.streaming.VectorIndexSink.run(stream, base.toString,
+            checkpointDir = s"$base/ck")
+          val served = graft.streaming.VectorIndexSink.read(s,
+            base.toString)
+          Similarity.ivfPqQuery(served, emb.filter(col("vec_id") < 4),
+              k = 5, nProbe = 2)
+            .localCheckpoint(true)
+        } finally
+          org.apache.spark.sql.graftglue.GraftGlue
+            .releaseCheckpoint(newSlice)
+      } finally deleteRecursively(base)
+    }),
+
     "q134_nprobe_autotune" -> ((s, dir) => {
       // recall-targeted tuning: smallest nProbe whose recall@5 meets
       // 80%, else the full-probe row — with the demo codebooks the
@@ -5483,6 +5538,9 @@ dim_users_litify AS (
     // the persisted append replays identically: the disk round trip is
     // lossless by contract, so q158's oracle pins it too
     "q159_ivfpq_append_persisted" -> q158OracleSql,
+    // ...and so does the streaming ingest: deterministic row-local
+    // encode means batch arrival order cannot change the served view
+    "q160_streaming_index" -> q158OracleSql,
 
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,

@@ -782,9 +782,10 @@ object Similarity {
     * shared encode of [[ivfPqAppend]] (in-memory) and
     * [[ivfPqAppendSave]] (on-disk): no Lloyd's, row-local arithmetic
     * only, one (id, __list, codes) row per new vector. */
-  private def ivfPqEncodeFrozen(index: IvfPqIndex, newVecs: DataFrame,
-                                vecCol: String,
-                                idCol: String): DataFrame = {
+  private[graft] def ivfPqEncodeFrozen(index: IvfPqIndex,
+                                       newVecs: DataFrame,
+                                       vecCol: String,
+                                       idCol: String): DataFrame = {
     val dim = index.coarse.head.length
     val coarseLit = typedLit(index.coarse.map(_.toSeq).toSeq)
     dimGuard(

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.streaming.VectorIndexSink
+
+/** Streaming vector ingest: batchId-keyed exactly-once deltas under
+  * frozen codebooks compose to the in-memory append; re-delivery and
+  * stop/resume never duplicate; compaction preserves the served view. */
+class VectorIndexSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
+    .toDF("vec_id", "embedding")
+
+  private def encSet(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("vec_id").cast("long"), col("__list").cast("int"),
+      col("codes"))
+    .as[(Long, Int, Array[Int])].collect()
+    .map(e => (e._1, e._2, e._3.toSeq)).toSet
+
+  private def rmTree(base: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(base).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  test("exactly-once appendBatch: a re-delivered batchId is a no-op; " +
+      "stream drains across stop/resume compose to the in-memory append") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vsinkspec_")
+    try {
+      val all = corpus
+      val prior = all.filter(col("vec_id") % 5 =!= 0)
+      val b1 = all.filter(col("vec_id") % 5 === 0 && col("vec_id") < 20)
+      val b2 = all.filter(col("vec_id") % 5 === 0 && col("vec_id") >= 20)
+      val idx = Similarity.ivfPqBuild(prior, nLists = 3, m = 2,
+        kCodes = 4, iterations = 2)
+      Similarity.ivfPqSave(idx, base.toString)
+      // direct appendBatch: first publish wins, re-delivery is a no-op
+      assert(VectorIndexSink.appendBatch(spark, base.toString, 7L, b1))
+      assert(!VectorIndexSink.appendBatch(spark, base.toString, 7L, b1))
+      assert(encSet(VectorIndexSink.read(spark, base.toString).encoded)
+        == encSet(Similarity.ivfPqAppend(idx, b1).encoded))
+      // the streaming path resumes from committed offsets: two drains
+      // against one checkpoint, second adds only b2 (batchId advances,
+      // so the delta lands beside the manual b7 without collision)
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Array[Float])]
+      val stream = mem.toDF().toDF("vec_id", "embedding")
+      mem.addData(b2.as[(Long, Array[Float])].collect().toSeq: _*)
+      VectorIndexSink.run(stream, base.toString, s"$base/ck")
+      VectorIndexSink.run(stream, base.toString, s"$base/ck") // re-drain:
+      // nothing uncommitted -> no new delta, no duplicates
+      val served = VectorIndexSink.read(spark, base.toString)
+      val want = Similarity.ivfPqAppend(idx, b1.unionByName(b2))
+      assert(encSet(served.encoded) == encSet(want.encoded))
+      // frozen codebooks all the way down
+      assert(served.coarse.map(_.toSeq).toSeq ==
+        idx.coarse.map(_.toSeq).toSeq)
+      // compaction folds base + deltas into one fresh index, same view
+      VectorIndexSink.compact(spark, base.toString, s"$base/compacted")
+      val folded = Similarity.ivfPqLoad(spark, s"$base/compacted")
+      assert(encSet(folded.encoded) == encSet(want.encoded))
+      // ...and probes over streamed vs in-memory agree exactly
+      def serve(i: Similarity.IvfPqIndex) =
+        Similarity.ivfPqQuery(i, all.filter(col("vec_id") < 2), k = 4,
+            nProbe = 3)
+          .select("probe_id", "neighbor_id", "rank", "adc_dist")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      assert(serve(served) == serve(want))
+    } finally rmTree(base)
+  }
+}
