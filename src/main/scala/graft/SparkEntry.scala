@@ -1184,8 +1184,9 @@ object SparkEntry {
       // (round-10 stretch #8): the corpus arrives as four id-ordered
       // micro-batches (maxFilesPerTrigger=1 over four range-split
       // files, modification times forcing arrival order); each batch is
-      // tokenized in-stream and appended to a versioned parquet shard
-      // store by packTokenIdsIncremental inside foreachBatch. Because
+      // tokenized in-stream and appended as a DELTA-ONLY version to the
+      // parquet shard store by packTokenIdsIncremental inside
+      // foreachBatch (write volume O(batch), not O(store)). Because
       // batches arrive in id order, the FINAL store must equal the
       // one-shot packTokenIds of the whole corpus — q147's corpus-wide
       // md5 oracle, now pinning a store the STREAMING ENGINE built

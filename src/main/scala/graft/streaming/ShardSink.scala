@@ -9,57 +9,61 @@ import graft.operators.Curate
   * micro-batch sink: each arriving batch of tokenized documents is
   * appended to a persistent shard store via
   * [[graft.operators.Curate.packTokenIdsIncremental]] inside
-  * `foreachBatch`, so the store grows by O(batch + shards) per trigger
-  * and shipped full sequences are never rewritten — the weekly-crawl
-  * append loop, driven by the streaming engine instead of a scheduler.
+  * `foreachBatch`, so each trigger COMPUTES O(batch + shards) and
+  * WRITES O(batch) — the weekly-crawl append loop, driven by the
+  * streaming engine instead of a scheduler.
   *
-  * Store layout: versioned parquet snapshots `storeDir/v0, v1, ...` —
-  * each batch reads the latest version, computes the delta, and writes
-  * the next version as (previous minus replaced sequences) union delta.
-  * Writing a NEW directory per batch keeps the append atomic (a reader
-  * never observes a half-written store) and read-vs-overwrite safe; a
-  * production deployment would vacuum old versions, which a correctness
-  * fixture deliberately keeps.
+  * Store layout: versioned parquet DELTAS `storeDir/v0, v1, ...` — each
+  * batch reads the latest merged view, computes the delta (the new
+  * sequences plus the one topped-up tail row per touched shard), and
+  * writes ONLY the delta as the next version. Writing a NEW directory
+  * per batch keeps the append atomic (a reader never observes a
+  * half-written version) and — unlike a full-snapshot-per-version
+  * layout — keeps per-trigger write volume proportional to the BATCH,
+  * not the store: at corpus scale a 1% crawl drop writes 1%, not 100%.
+  * The price is paid where it belongs, on the rare read path: [[read]]
+  * resolves latest-wins per (shard, seq_id) with one narrow-column
+  * aggregation + join (token payloads are shuffled only for rows the
+  * reader actually keeps, and column pruning drops them entirely for
+  * metadata-only readers like the append audit). A production
+  * deployment compacts old versions on a schedule; the correctness
+  * fixture deliberately keeps them.
   *
   * Equivalence contract (what q157 pins corpus-wide): when batches
-  * arrive in `idCol` order, the final store equals the one-shot
+  * arrive in `idCol` order, the merged view equals the one-shot
   * [[graft.operators.Curate.packTokenIds]] of the full corpus — the
   * same delta == full-repack equivalence BpeSpec pins for one append,
   * here composed across every micro-batch of a stream. */
 object ShardSink {
 
-  /** Latest committed store version under `storeDir`, if any. */
-  private def latestVersion(storeDir: String): Option[(Int, String)] = {
+  /** Committed version directories under `storeDir`, version order. */
+  private def versions(storeDir: String): Seq[(Int, String)] = {
     val root = new java.io.File(storeDir)
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
       .map(f => f.getName.drop(1).toInt -> f.getAbsolutePath)
-      .sortBy(_._1).lastOption
+      .sortBy(_._1).toSeq
   }
 
   /** Append one batch of documents (with a pre-tokenized `idsCol`) to
-    * the store: read latest version, delta via packTokenIdsIncremental,
-    * write next version. Also the non-streaming entry point — a
-    * scheduler-driven pipeline calls exactly this per crawl drop. */
+    * the store: read the merged view, compute the delta via
+    * packTokenIdsIncremental, write ONLY the delta as the next
+    * version. Also the non-streaming entry point — a scheduler-driven
+    * pipeline calls exactly this per crawl drop. */
   def append(spark: SparkSession, batch: DataFrame, idsCol: String,
              idCol: String, budget: Int, shardCol: String,
              storeDir: String): Unit = {
     new java.io.File(storeDir).mkdirs()
-    val latest = latestVersion(storeDir)
-    val existing = latest match {
-      case Some((_, path)) => spark.read.parquet(path)
+    val vs = versions(storeDir)
+    val existing =
+      if (vs.nonEmpty) read(spark, storeDir, shardCol)
       // first batch: an empty frame with the exact store schema
-      case None =>
-        Curate.packTokenIds(batch.limit(0), idsCol, idCol, budget, shardCol)
-    }
+      else Curate.packTokenIds(batch.limit(0), idsCol, idCol, budget,
+        shardCol)
     val delta = Curate.packTokenIdsIncremental(existing, batch, idsCol,
       idCol, budget, shardCol)
-    val merged = existing
-      .join(delta.select(col(shardCol), col("seq_id")),
-        Seq(shardCol, "seq_id"), "left_anti")
-      .unionByName(delta)
-    val next = latest.map(_._1 + 1).getOrElse(0)
-    merged.write.mode("overwrite").parquet(s"$storeDir/v$next")
+    val next = vs.lastOption.map(_._1 + 1).getOrElse(0)
+    delta.write.mode("overwrite").parquet(s"$storeDir/v$next")
   }
 
   /** Drive a document stream (columns: shardCol, idCol, idsCol at
@@ -79,11 +83,28 @@ object ShardSink {
     q.awaitTermination()
   }
 
-  /** The final store state (latest version), empty-schema-safe. */
-  def read(spark: SparkSession, storeDir: String): DataFrame =
-    latestVersion(storeDir) match {
-      case Some((_, path)) => spark.read.parquet(path)
-      case None => throw new IllegalStateException(
-        s"no shard store versions under $storeDir")
-    }
+  /** The merged store view: latest-wins per (shardCol, seq_id) across
+    * every committed delta version. Winners are decided on NARROW
+    * columns only (shard, seq_id, version), then joined back, so token
+    * payloads are neither read nor shuffled for superseded rows — and
+    * are pruned entirely when the caller selects only metadata (the
+    * append path's audit scan). */
+  def read(spark: SparkSession, storeDir: String,
+           shardCol: String = "source"): DataFrame = {
+    val vs = versions(storeDir)
+    if (vs.isEmpty) throw new IllegalStateException(
+      s"no shard store versions under $storeDir")
+    val all = vs.map { case (n, path) =>
+      spark.read.parquet(path).withColumn("__v", lit(n))
+    }.reduce(_ unionByName _)
+    // only a shard's partial TAIL row is ever superseded (full
+    // sequences are immutable by the packTokenIdsIncremental contract),
+    // so almost every key has exactly one version; the aggregate is the
+    // general latest-wins guard, not the common case
+    val winners = all.select(col(shardCol), col("seq_id"), col("__v"))
+      .groupBy(col(shardCol), col("seq_id"))
+      .agg(max(col("__v")).as("__v"))
+    all.join(winners, Seq(shardCol, "seq_id", "__v"))
+      .drop("__v")
+  }
 }

@@ -53,16 +53,25 @@ class ShardSinkSpec extends SparkSpec {
       assert(got.keySet == want.keySet)
       got.foreach { case (k, v) =>
         assert(v == want(k), s"sequence $k diverges from one-shot pack") }
-      // two batches -> two committed versions; every FULL sequence of v0
-      // reappears in v1 untouched (shipped shards are immutable)
+      // two batches -> two committed DELTA versions; v1 holds only the
+      // second batch's sequences plus at most one topped-up tail per
+      // touched shard — a shipped FULL sequence of v0 is never
+      // rewritten (the O(batch)-write contract), and the merged view
+      // still serves it bit-stable
       val v0 = spark.read.parquet(s"$base/store/v0").collect()
         .map(r => key(r) -> ((r.getSeq[Int](2), r.getInt(3)))).toMap
       val v1 = spark.read.parquet(s"$base/store/v1").collect()
         .map(r => key(r) -> ((r.getSeq[Int](2), r.getInt(3)))).toMap
       val fullV0 = v0.filter(_._2._2 == 128)
       assert(fullV0.nonEmpty, "fixture too small: no full sequence in v0")
+      v1.keySet.intersect(v0.keySet).foreach { k =>
+        assert(v0(k)._2 < 128,
+          s"full v0 sequence $k was rewritten in the v1 delta") }
+      assert(v1.size < got.size,
+        "v1 is a full snapshot, not a delta")
       fullV0.foreach { case (k, v) =>
-        assert(v1(k) == v, s"shipped full sequence $k was rewritten") }
+        assert(got(k) == v._1,
+          s"merged view lost shipped full sequence $k") }
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(base).sorted(
