@@ -875,6 +875,35 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    "q161_index_delete" -> ((s, dir) => {
+      // the index lifecycle's last verb — FAISS remove_ids as an
+      // O(batch) tombstone delta (the takedown / right-to-erasure
+      // flow): after q159's save + append-in-place, a delete batch
+      // (vec_id % 7 == 1) is atomically published as a tombstone set;
+      // the served view masks those ids across base AND append deltas
+      // via a broadcast anti join, and compaction would erase them
+      // physically. Oracle = q158's full train/encode-split replay with
+      // the deleted ids excluded BEFORE ranking, so a mask applied too
+      // late (post-rank) or too narrowly (base only) breaks the hash.
+      val emb = t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_ivfdel_")
+      try {
+        val idx = Similarity.ivfPqBuild(
+          emb.filter(col("vec_id") % 5 =!= 0),
+          nLists = 4, m = 4, kCodes = 8, iterations = 2)
+        Similarity.ivfPqSave(idx, base.toString)
+        Similarity.ivfPqAppendSave(s, base.toString,
+          emb.filter(col("vec_id") % 5 === 0))
+        graft.streaming.VectorIndexSink.deleteBatch(s, base.toString,
+          0L, emb.filter(col("vec_id") % 7 === 1).select("vec_id"))
+        val served = graft.streaming.VectorIndexSink.read(s,
+          base.toString)
+        Similarity.ivfPqQuery(served, emb.filter(col("vec_id") < 4),
+            k = 5, nProbe = 2)
+          .localCheckpoint(true)
+      } finally deleteRecursively(base)
+    }),
+
     "q134_nprobe_autotune" -> ((s, dir) => {
       // recall-targeted tuning: smallest nProbe whose recall@5 meets
       // 80%, else the full-probe row — with the demo codebooks the
@@ -3562,6 +3591,20 @@ dim_users_litify AS (
        |  ORDER BY dist, neighbor_id) AS rn FROM adc)
        |WHERE rn <= 5""".stripMargin
 
+  /** q161: q158's replay with the tombstoned ids excluded BEFORE the
+    * per-probe ranking — deletion must shrink the candidate set, not
+    * blank out ranks. */
+  private def q161OracleSql: String =
+    s"""WITH ${ivfPqOracleBody(nListsSql = "4", nProbeSql = "2", m = 4,
+        kCodes = 8, iters = 2, dim = 64, scale = 1000000L,
+        probeWhere = "vec_id < 4", trainWhere = "vec_id % 5 <> 0")}
+       |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       |  CAST(dist AS BIGINT) AS adc_dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY dist, neighbor_id) AS rn
+       |  FROM adc WHERE neighbor_id % 7 <> 1)
+       |WHERE rn <= 5""".stripMargin
+
   /** q119/q131 (batch + streaming twin): the integer-cosine
     * decontamination replay. */
   private def q119OracleSql: String =
@@ -5542,6 +5585,7 @@ dim_users_litify AS (
     // ...and so does the streaming ingest: deterministic row-local
     // encode means batch arrival order cannot change the served view
     "q160_streaming_index" -> q158OracleSql,
+    "q161_index_delete" -> q161OracleSql,
 
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
 import org.apache.spark.sql.streaming.Trigger
 import graft.operators.Similarity
 
@@ -91,21 +92,71 @@ object VectorIndexSink {
     q.awaitTermination()
   }
 
-  /** The serving view: base `encoded` plus every published delta, under
-    * the saved codebooks. Delta count is bounded by [[compact]]'s
-    * schedule; each union arm keeps its own `__list` pruning. */
-  def read(spark: SparkSession, indexDir: String): Similarity.IvfPqIndex = {
+  /** Published tombstone directories under `indexDir/tombstones`. */
+  private def tombstoneDirs(indexDir: String): Seq[java.io.File] =
+    Option(new java.io.File(s"$indexDir/tombstones").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("d\\d+")
+        && Option(f.listFiles()).getOrElse(Array.empty)
+          .exists(_.getName.endsWith(".parquet")))
+      .sortBy(_.getName.drop(1).toLong).toSeq
+
+  /** Remove vectors from the served view WITHOUT rewriting anything —
+    * the FAISS `remove_ids` path as an O(batch) tombstone delta: the id
+    * set is staged and atomically published under `tombstones/d<id>`,
+    * with the same batchId-keyed exactly-once skip as [[appendBatch]].
+    * A tombstone masks the id everywhere (base and every append delta,
+    * earlier or later) until [[compact]], which serves the surviving
+    * rows into a fresh index and thereby makes the removal PHYSICAL —
+    * the takedown/right-to-erasure flow: mask now at O(batch) cost,
+    * erase bytes at the next scheduled compaction. A re-added id only
+    * serves again after a compaction clears the mask (documented
+    * terminal-until-compact semantics — id reuse across deletes is a
+    * retrain-cycle decision, not a hot-path one). */
+  def deleteBatch(spark: SparkSession, indexDir: String, batchId: Long,
+                  ids: DataFrame, idCol: String = "vec_id"): Boolean = {
+    val dst = new java.io.File(s"$indexDir/tombstones/d$batchId")
+    if (dst.exists()) return false
+    val staging = new java.io.File(s"$indexDir/.staging-d$batchId")
+    deleteRec(staging)
+    ids.select(idCol).distinct()
+      .write.mode("overwrite").parquet(staging.getAbsolutePath)
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.move(staging.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  /** The serving view: base `encoded` plus every published append
+    * delta, minus tombstoned ids, under the saved codebooks. Delta and
+    * tombstone counts are bounded by [[compact]]'s schedule; each
+    * union arm keeps its own `__list` pruning, and the tombstone mask
+    * is a broadcast anti join (delete batches are small by nature; a
+    * backlog large enough to strain a broadcast is overdue for
+    * compaction). */
+  def read(spark: SparkSession, indexDir: String,
+           idCol: String = "vec_id"): Similarity.IvfPqIndex = {
     val base = Similarity.ivfPqLoad(spark, indexDir)
     val enc = deltaDirs(indexDir).foldLeft(base.encoded) { (d, f) =>
       d.unionByName(spark.read.parquet(f.getAbsolutePath))
     }
-    base.copy(encoded = enc)
+    val ts = tombstoneDirs(indexDir)
+    val masked =
+      if (ts.isEmpty) enc
+      else enc.join(
+        broadcast(ts.map(f => spark.read.parquet(f.getAbsolutePath))
+          .reduce(_ unionByName _)),
+        Seq(idCol), "left_anti")
+    base.copy(encoded = masked)
   }
 
-  /** Fold base + deltas into a fresh single-table index at `outDir` —
-    * run on a schedule (or when delta count passes a threshold), then
-    * swap serving to the compacted copy. Never rewrites `indexDir` in
-    * place, so readers of the old layout are undisturbed. */
+  /** Fold base + deltas minus tombstones into a fresh single-table
+    * index at `outDir` — run on a schedule (or when delta/tombstone
+    * count passes a threshold), then swap serving to the compacted
+    * copy. Never rewrites `indexDir` in place, so readers of the old
+    * layout are undisturbed; tombstoned rows are ABSENT from the new
+    * layout (physical erasure), and the new layout starts with no
+    * tombstones. */
   def compact(spark: SparkSession, indexDir: String,
               outDir: String): Unit =
     Similarity.ivfPqSave(read(spark, indexDir), outDir)

@@ -74,4 +74,37 @@ class VectorIndexSinkSpec extends SparkSpec {
       assert(serve(served) == serve(want))
     } finally rmTree(base)
   }
+
+  test("deleteBatch: tombstones mask ids across base AND appends, " +
+      "re-delivery is a no-op, compaction erases them physically") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vdel_")
+    try {
+      val all = corpus
+      val prior = all.filter(col("vec_id") % 5 =!= 0)
+      val batch = all.filter(col("vec_id") % 5 === 0)
+      val idx = Similarity.ivfPqBuild(prior, nLists = 3, m = 2,
+        kCodes = 4, iterations = 2)
+      Similarity.ivfPqSave(idx, base.toString)
+      assert(VectorIndexSink.appendBatch(spark, base.toString, 0L, batch))
+      // delete ids from BOTH provenances: 7 (base) and 10 (append)
+      val dead = Seq(7L, 10L).toDF("vec_id")
+      assert(VectorIndexSink.deleteBatch(spark, base.toString, 0L, dead))
+      assert(!VectorIndexSink.deleteBatch(spark, base.toString, 0L, dead))
+      val served = VectorIndexSink.read(spark, base.toString)
+      val ids = served.encoded.select("vec_id").as[Long].collect().toSet
+      assert(ids == (0L until 40L).toSet -- Set(7L, 10L))
+      // codebooks untouched by deletion
+      assert(served.coarse.map(_.toSeq).toSeq ==
+        idx.coarse.map(_.toSeq).toSeq)
+      // surviving rows are bit-identical to the undeleted view
+      assert(encSet(served.encoded) ==
+        encSet(Similarity.ivfPqAppend(idx, batch).encoded)
+          .filterNot(r => r._1 == 7L || r._1 == 10L))
+      // compaction: physical erasure, fresh layout carries no tombstones
+      VectorIndexSink.compact(spark, base.toString, s"$base/c")
+      assert(!new java.io.File(s"$base/c/tombstones").exists())
+      val folded = Similarity.ivfPqLoad(spark, s"$base/c")
+      assert(encSet(folded.encoded) == encSet(served.encoded))
+    } finally rmTree(base)
+  }
 }
