@@ -570,13 +570,19 @@ object Curate {
     // wrong `__base` and overlapping delta positions, since only the
     // rank-1 tail row feeds the append math. Valid shard: seq_ids are
     // exactly {0..n-1} and at most the max seq_id is under budget.
+    // shard keys may be NULL (the window/groupBy tiers treat a null
+    // shard like any other) — every shard-key JOIN below therefore goes
+    // through a single-field struct `__sk`, whose equality treats null
+    // fields as equal, so a null shard's tail/audit rows match instead
+    // of silently dropping out (which would restart its seq_ids)
     val audit = scanned.groupBy(col(shardCol)).agg(
-      count(lit(1)).as("__an"),
-      countDistinct(col("__sq")).as("__and"),
-      min(col("__sq")).as("__amn"),
-      max(col("__sq")).as("__amx"),
-      sum(when(col("__nt") < budget, 1L).otherwise(0L)).as("__ap"),
-      max(when(col("__nt") < budget, col("__sq"))).as("__apsq"))
+        count(lit(1)).as("__an"),
+        countDistinct(col("__sq")).as("__and"),
+        min(col("__sq")).as("__amn"),
+        max(col("__sq")).as("__amx"),
+        sum(when(col("__nt") < budget, 1L).otherwise(0L)).as("__ap"),
+        max(when(col("__nt") < budget, col("__sq"))).as("__apsq"))
+      .withColumn("__sk", struct(col(shardCol))).drop(shardCol)
     val auditOk = col("__amn") === 0L && col("__amx") === col("__an") - 1L &&
       col("__and") === col("__an") && col("__ap") <= 1L &&
       (col("__ap") === 0L || col("__apsq") === col("__amx"))
@@ -587,8 +593,9 @@ object Curate {
             + s"$budget: "), col("__nt").cast("string")))))
       .withColumn("__rn", row_number().over(wTail))
       .filter(col("__rn") === 1)
-      .join(broadcast(audit), Seq(shardCol))
-      .select(col(shardCol),
+      .withColumn("__sk", struct(col(shardCol)))
+      .join(broadcast(audit), Seq("__sk"))
+      .select(col(shardCol), col("__sk"),
         // the audit guard rides the load-bearing __base expression so
         // column pruning cannot eliminate it
         when(auditOk, col("__sq") * budget + col("__nt"))
@@ -615,7 +622,8 @@ object Curate {
         coalesce(col(idsCol), array().cast("array<int>")).as("__ids"))
       .withColumn("__cum",
         coalesce(sum(size(col("__ids"))).over(w).cast("long"), lit(0L)))
-      .join(broadcast(tails), Seq(shardCol), "left")
+      .withColumn("__sk", struct(col(shardCol)))
+      .join(broadcast(tails.drop(shardCol)), Seq("__sk"), "left")
       .withColumn("__base", coalesce(col("__base"), lit(0L)))
     val newTok = withCum
       .select(col(shardCol), (col("__base") + col("__cum")).as("__ds"),
@@ -624,7 +632,8 @@ object Curate {
         col("__tok"))
     // the partial tail's ids re-enter ONLY for shards with new docs
     val tailTok = tails
-      .join(newDocs.select(col(shardCol)).distinct(), Seq(shardCol))
+      .join(newDocs.select(struct(col(shardCol)).as("__sk")).distinct(),
+        Seq("__sk"))
       .select(col(shardCol), col("__tailStart"),
         posexplode(col("__tailIds")).as(Seq("__p", "__tok")))
       .select(col(shardCol), (col("__tailStart") + col("__p")).as("__gp"),

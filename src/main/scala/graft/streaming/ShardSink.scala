@@ -9,25 +9,37 @@ import graft.operators.Curate
   * micro-batch sink: each arriving batch of tokenized documents is
   * appended to a persistent shard store via
   * [[graft.operators.Curate.packTokenIdsIncremental]] inside
-  * `foreachBatch`, so each trigger COMPUTES O(batch + shards) and
-  * WRITES O(batch) — the weekly-crawl append loop, driven by the
-  * streaming engine instead of a scheduler.
+  * `foreachBatch`. Per-trigger cost: the WRITE is O(batch) — a delta-
+  * only version — and the compute touches token payloads only for the
+  * batch; the existing store contributes a narrow-column scan
+  * (shard, seq_id, n_tokens, version — the same metadata the append
+  * audit always read), never its payloads.
   *
   * Store layout: versioned parquet DELTAS `storeDir/v0, v1, ...` — each
-  * batch reads the latest merged view, computes the delta (the new
-  * sequences plus the one topped-up tail row per touched shard), and
-  * writes ONLY the delta as the next version. Writing a NEW directory
-  * per batch keeps the append atomic (a reader never observes a
-  * half-written version) and — unlike a full-snapshot-per-version
-  * layout — keeps per-trigger write volume proportional to the BATCH,
-  * not the store: at corpus scale a 1% crawl drop writes 1%, not 100%.
-  * The price is paid where it belongs, on the rare read path: [[read]]
-  * resolves latest-wins per (shard, seq_id) with one narrow-column
-  * aggregation + join (token payloads are shuffled only for rows the
-  * reader actually keeps, and column pruning drops them entirely for
-  * metadata-only readers like the append audit). A production
-  * deployment compacts old versions on a schedule; the correctness
-  * fixture deliberately keeps them.
+  * batch computes just its new sequences plus the one topped-up tail
+  * row per touched shard, stages them, and PUBLISHES with a single
+  * atomic rename ([[StoreFiles.publishOnce]]): a crash mid-write leaves
+  * only an unpublished staging dir (swept on retry), never a
+  * half-committed version. Versions are keyed by the streaming batchId,
+  * so `foreachBatch`'s at-least-once re-delivery finds its committed
+  * version and skips — no double-append. (Like every batchId-keyed
+  * foreachBatch recipe, the store is therefore coupled to ONE
+  * checkpoint lineage: recreating the checkpoint restarts batchIds at
+  * 0, so it requires a fresh store — or explicit version keys via the
+  * non-streaming [[append]].) Unlike a full-snapshot-per-version
+  * layout, a 1% crawl drop writes 1%, not 100%; a production
+  * deployment compacts old versions on a schedule, which the
+  * correctness fixture deliberately keeps.
+  *
+  * [[read]] resolves latest-wins per (shard, seq_id): only topped-up
+  * TAIL rows are ever superseded (full sequences are immutable by the
+  * packTokenIdsIncremental contract), so the loser set is tiny —
+  * bounded by touched shards x versions — and is computed from narrow
+  * columns then applied as a BROADCAST anti join, so token payloads
+  * are never shuffled at all, for any row. Shard keys may be NULL
+  * (packTokenIds groups null keys like any other shard); every merge
+  * step uses null-safe equality so a null-shard store neither loses
+  * rows nor duplicates sequence ids.
   *
   * Equivalence contract (what q157 pins corpus-wide): when batches
   * arrive in `idCol` order, the merged view equals the one-shot
@@ -37,74 +49,86 @@ import graft.operators.Curate
 object ShardSink {
 
   /** Committed version directories under `storeDir`, version order. */
-  private def versions(storeDir: String): Seq[(Int, String)] = {
-    val root = new java.io.File(storeDir)
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(f => f.getName.drop(1).toInt -> f.getAbsolutePath)
-      .sortBy(_._1).toSeq
-  }
+  private def versions(storeDir: String): Seq[(Long, java.io.File)] =
+    StoreFiles.publishedDirs(storeDir, "v", StoreFiles.hasParquet)
 
   /** Append one batch of documents (with a pre-tokenized `idsCol`) to
     * the store: read the merged view, compute the delta via
-    * packTokenIdsIncremental, write ONLY the delta as the next
-    * version. Also the non-streaming entry point — a scheduler-driven
-    * pipeline calls exactly this per crawl drop. */
+    * packTokenIdsIncremental, stage it, publish atomically. `version`
+    * keys the commit — the streaming path passes its batchId so
+    * re-delivery is a no-op (returns false); the non-streaming path
+    * (a scheduler-driven pipeline calling this per crawl drop) may
+    * omit it to take the next free number. */
   def append(spark: SparkSession, batch: DataFrame, idsCol: String,
              idCol: String, budget: Int, shardCol: String,
-             storeDir: String): Unit = {
+             storeDir: String, version: Option[Long] = None): Boolean = {
     new java.io.File(storeDir).mkdirs()
     val vs = versions(storeDir)
-    val existing =
-      if (vs.nonEmpty) read(spark, storeDir, shardCol)
-      // first batch: an empty frame with the exact store schema
-      else Curate.packTokenIds(batch.limit(0), idsCol, idCol, budget,
-        shardCol)
-    val delta = Curate.packTokenIdsIncremental(existing, batch, idsCol,
-      idCol, budget, shardCol)
-    val next = vs.lastOption.map(_._1 + 1).getOrElse(0)
-    delta.write.mode("overwrite").parquet(s"$storeDir/v$next")
+    val v = version.getOrElse(vs.lastOption.map(_._1 + 1).getOrElse(0L))
+    StoreFiles.publishOnce(s"$storeDir/.staging-v$v",
+      new java.io.File(s"$storeDir/v$v"), { staging =>
+        val existing =
+          if (vs.nonEmpty) read(spark, storeDir, shardCol)
+          // first batch: an empty frame with the exact store schema
+          else Curate.packTokenIds(batch.limit(0), idsCol, idCol,
+            budget, shardCol)
+        Curate.packTokenIdsIncremental(existing, batch, idsCol, idCol,
+            budget, shardCol)
+          .write.mode("overwrite").parquet(staging)
+      })
   }
 
   /** Drive a document stream (columns: shardCol, idCol, idsCol at
-    * minimum) into the store, one [[append]] per micro-batch. Blocks
-    * until the AvailableNow drain completes. */
+    * minimum) into the store, one [[append]] per micro-batch — the
+    * batchId keys the committed version, making re-delivered batches
+    * no-ops. Blocks until the AvailableNow drain completes. */
   def run(docs: DataFrame, idsCol: String, idCol: String, budget: Int,
           shardCol: String, storeDir: String,
           checkpointDir: String): Unit = {
     val q = docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         append(batch.sparkSession, batch, idsCol, idCol, budget,
-          shardCol, storeDir)
+          shardCol, storeDir, version = Some(batchId))
+        ()
       }
       .start()
     q.awaitTermination()
   }
 
   /** The merged store view: latest-wins per (shardCol, seq_id) across
-    * every committed delta version. Winners are decided on NARROW
-    * columns only (shard, seq_id, version), then joined back, so token
-    * payloads are neither read nor shuffled for superseded rows — and
-    * are pruned entirely when the caller selects only metadata (the
-    * append path's audit scan). */
+    * every committed delta version. Superseded (shard, seq_id, version)
+    * keys — only ever topped-up tails, so a set bounded by touched
+    * shards x versions — are computed from narrow columns and removed
+    * with a broadcast anti join: token payloads are never shuffled.
+    * Null-safe on the shard key throughout. */
   def read(spark: SparkSession, storeDir: String,
            shardCol: String = "source"): DataFrame = {
     val vs = versions(storeDir)
     if (vs.isEmpty) throw new IllegalStateException(
       s"no shard store versions under $storeDir")
-    val all = vs.map { case (n, path) =>
-      spark.read.parquet(path).withColumn("__v", lit(n))
+    val all = vs.map { case (n, f) =>
+      spark.read.parquet(f.getAbsolutePath).withColumn("__v", lit(n))
     }.reduce(_ unionByName _)
-    // only a shard's partial TAIL row is ever superseded (full
-    // sequences are immutable by the packTokenIdsIncremental contract),
-    // so almost every key has exactly one version; the aggregate is the
-    // general latest-wins guard, not the common case
-    val winners = all.select(col(shardCol), col("seq_id"), col("__v"))
-      .groupBy(col(shardCol), col("seq_id"))
-      .agg(max(col("__v")).as("__v"))
-    all.join(winners, Seq(shardCol, "seq_id", "__v"))
+    // renamed narrow-column projections keep the self-join lineage
+    // unambiguous (DetectAmbiguousSelfJoin) AND null-safe on the shard
+    val keys = all.select(col(shardCol).as("__kS"),
+      col("seq_id").as("__kQ"), col("__v").as("__kV"))
+    val maxes = keys.groupBy(col("__kS"), col("__kQ"))
+      .agg(max(col("__kV")).as("__vmax"), count(lit(1)).as("__c"))
+      .filter(col("__c") > 1) // sole-version keys can't have losers
+      .select(col("__kS").as("__mS"), col("__kQ").as("__mQ"),
+        col("__vmax"))
+    val losers = keys.join(maxes,
+        col("__kS") <=> col("__mS") && col("__kQ") === col("__mQ"))
+      .filter(col("__kV") < col("__vmax"))
+      .select(col("__kS").as("__lS"), col("__kQ").as("__lQ"),
+        col("__kV").as("__lV"))
+    all.join(broadcast(losers),
+        col(shardCol) <=> col("__lS") && col("seq_id") === col("__lQ")
+          && col("__v") === col("__lV"),
+        "left_anti")
       .drop("__v")
   }
 }

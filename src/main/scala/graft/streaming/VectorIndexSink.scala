@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.streaming.Trigger
 import graft.operators.Similarity
 
@@ -12,15 +12,18 @@ import graft.operators.Similarity
   * per-batch delta directory next to the base `encoded` table. The
   * FAISS-plus-message-bus production pattern (new vectors trickle into
   * a serving index between scheduled retrains), with the delivery
-  * semantics ShardSink's versioned store established:
+  * semantics of [[StoreFiles.publishOnce]]:
   *
-  *  - **atomic**: a delta is staged to a hidden directory and published
-  *    with a single filesystem rename, so a concurrent [[read]] never
-  *    observes a half-written batch;
+  *  - **atomic**: a delta is staged and published with a single
+  *    filesystem rename, so a concurrent [[read]] never observes a
+  *    half-written batch;
   *  - **effectively exactly-once**: deltas are keyed by the streaming
   *    batchId — `foreachBatch` is at-least-once, and a re-delivered
   *    batch finds its published directory and skips, so a post-commit
-  *    crash never double-appends;
+  *    crash never double-appends. Like every batchId-keyed foreachBatch
+  *    recipe this couples the index to ONE checkpoint lineage:
+  *    recreating the checkpoint restarts batchIds at 0, so it requires
+  *    a fresh index dir (or explicit batch keys via [[appendBatch]]);
   *  - **O(batch) per trigger**: the base table and prior deltas are
   *    never read on the append path (codebook load is the bounded
   *    driver collect of ivfPqLoad).
@@ -33,21 +36,15 @@ import graft.operators.Similarity
   * place). */
 object VectorIndexSink {
 
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
-  }
+  /** Published append-delta directories, batch order. */
+  private def deltaDirs(indexDir: String): Seq[(Long, java.io.File)] =
+    StoreFiles.publishedDirs(s"$indexDir/appends", "b",
+      StoreFiles.hasListPartitions)
 
-  /** Published delta directories under `indexDir/appends`, batch order.
-    * An empty micro-batch publishes a delta with no `__list=` children
-    * (nothing but the parquet _SUCCESS marker) — skip those, they carry
-    * no rows and would defeat schema inference. */
-  private def deltaDirs(indexDir: String): Seq[java.io.File] =
-    Option(new java.io.File(s"$indexDir/appends").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("b\\d+")
-        && Option(f.listFiles()).getOrElse(Array.empty)
-          .exists(_.getName.startsWith("__list=")))
-      .sortBy(_.getName.drop(1).toLong).toSeq
+  /** Published tombstone directories, batch order. */
+  private def tombstoneDirs(indexDir: String): Seq[(Long, java.io.File)] =
+    StoreFiles.publishedDirs(s"$indexDir/tombstones", "d",
+      StoreFiles.hasParquet)
 
   /** Append one batch under the frozen codebooks as delta `b<batchId>`.
     * Returns false (no work) if that delta is already published — the
@@ -55,25 +52,14 @@ object VectorIndexSink {
     * point: a scheduler-driven pipeline calls exactly this per drop. */
   def appendBatch(spark: SparkSession, indexDir: String, batchId: Long,
                   batch: DataFrame, vecCol: String = "embedding",
-                  idCol: String = "vec_id"): Boolean = {
-    val dst = new java.io.File(s"$indexDir/appends/b$batchId")
-    if (dst.exists()) return false
-    val idx = Similarity.ivfPqLoad(spark, indexDir) // codebooks only:
-    // `encoded` stays an unexecuted lazy plan on this path
-    val staging = new java.io.File(s"$indexDir/.staging-b$batchId")
-    deleteRec(staging) // stale leftover from a crashed attempt
-    Similarity.ivfPqEncodeFrozen(idx, batch, vecCol, idCol)
-      .write.mode("overwrite").partitionBy("__list")
-      .parquet(staging.getAbsolutePath)
-    dst.getParentFile.mkdirs()
-    // single-directory rename = the publish point; ATOMIC_MOVE holds on
-    // a local/posix fs, and on stores without atomic rename the
-    // batchId-keyed existence check above still bounds the damage to
-    // one retried batch
-    java.nio.file.Files.move(staging.toPath, dst.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    true
-  }
+                  idCol: String = "vec_id"): Boolean =
+    StoreFiles.publishOnce(s"$indexDir/.staging-b$batchId",
+      new java.io.File(s"$indexDir/appends/b$batchId"), { staging =>
+        val idx = Similarity.ivfPqLoad(spark, indexDir) // codebooks
+        // only: `encoded` stays an unexecuted lazy plan on this path
+        Similarity.ivfPqEncodeFrozen(idx, batch, vecCol, idCol)
+          .write.mode("overwrite").partitionBy("__list").parquet(staging)
+      })
 
   /** Drive an embedding stream (idCol, vecCol at minimum) into the
     * index, one [[appendBatch]] per micro-batch. Blocks until the
@@ -92,70 +78,69 @@ object VectorIndexSink {
     q.awaitTermination()
   }
 
-  /** Published tombstone directories under `indexDir/tombstones`. */
-  private def tombstoneDirs(indexDir: String): Seq[java.io.File] =
-    Option(new java.io.File(s"$indexDir/tombstones").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("d\\d+")
-        && Option(f.listFiles()).getOrElse(Array.empty)
-          .exists(_.getName.endsWith(".parquet")))
-      .sortBy(_.getName.drop(1).toLong).toSeq
-
   /** Remove vectors from the served view WITHOUT rewriting anything —
     * the FAISS `remove_ids` path as an O(batch) tombstone delta: the id
     * set is staged and atomically published under `tombstones/d<id>`,
     * with the same batchId-keyed exactly-once skip as [[appendBatch]].
-    * A tombstone masks the id everywhere (base and every append delta,
-    * earlier or later) until [[compact]], which serves the surviving
-    * rows into a fresh index and thereby makes the removal PHYSICAL —
-    * the takedown/right-to-erasure flow: mask now at O(batch) cost,
-    * erase bytes at the next scheduled compaction. A re-added id only
-    * serves again after a compaction clears the mask (documented
-    * terminal-until-compact semantics — id reuse across deletes is a
-    * retrain-cycle decision, not a hot-path one). */
+    * Tombstones and appends share one monotonic batch sequence (the
+    * stream's batchId, or the caller's keys for manual ops): tombstone
+    * `d<T>` masks the id in the base table and in every append
+    * published AT or BEFORE T, while an append with a LATER batch id
+    * re-adds the vector and serves — the FAISS remove-then-add
+    * ordering. [[compact]] makes the removals physical (masked rows
+    * are absent from the fresh layout, which starts with no
+    * tombstones) and preserves later re-adds. */
   def deleteBatch(spark: SparkSession, indexDir: String, batchId: Long,
-                  ids: DataFrame, idCol: String = "vec_id"): Boolean = {
-    val dst = new java.io.File(s"$indexDir/tombstones/d$batchId")
-    if (dst.exists()) return false
-    val staging = new java.io.File(s"$indexDir/.staging-d$batchId")
-    deleteRec(staging)
-    ids.select(idCol).distinct()
-      .write.mode("overwrite").parquet(staging.getAbsolutePath)
-    dst.getParentFile.mkdirs()
-    java.nio.file.Files.move(staging.toPath, dst.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    true
-  }
+                  ids: DataFrame, idCol: String = "vec_id"): Boolean =
+    StoreFiles.publishOnce(s"$indexDir/.staging-d$batchId",
+      new java.io.File(s"$indexDir/tombstones/d$batchId"), { staging =>
+        ids.select(idCol).distinct()
+          .write.mode("overwrite").parquet(staging)
+      })
 
   /** The serving view: base `encoded` plus every published append
-    * delta, minus tombstoned ids, under the saved codebooks. Delta and
-    * tombstone counts are bounded by [[compact]]'s schedule; each
-    * union arm keeps its own `__list` pruning, and the tombstone mask
-    * is a broadcast anti join (delete batches are small by nature; a
-    * backlog large enough to strain a broadcast is overdue for
-    * compaction). */
+    * delta, minus tombstoned ids (batch-ordered — see [[deleteBatch]]),
+    * under the saved codebooks. Delta and tombstone counts are bounded
+    * by [[compact]]'s schedule; each union arm keeps its own `__list`
+    * pruning, and the tombstone mask is a broadcast anti join (delete
+    * batches are small by nature; a backlog large enough to strain a
+    * broadcast is overdue for compaction). */
   def read(spark: SparkSession, indexDir: String,
            idCol: String = "vec_id"): Similarity.IvfPqIndex = {
     val base = Similarity.ivfPqLoad(spark, indexDir)
-    val enc = deltaDirs(indexDir).foldLeft(base.encoded) { (d, f) =>
-      d.unionByName(spark.read.parquet(f.getAbsolutePath))
-    }
+    // tag every arm with its append batch; the base predates all
+    // batches, so any tombstone masks it
+    val enc = deltaDirs(indexDir)
+      .map { case (b, f) =>
+        spark.read.parquet(f.getAbsolutePath).withColumn("__b", lit(b))
+      }
+      .foldLeft(base.encoded.withColumn("__b", lit(-1L)))(
+        _ unionByName _)
     val ts = tombstoneDirs(indexDir)
     val masked =
       if (ts.isEmpty) enc
-      else enc.join(
-        broadcast(ts.map(f => spark.read.parquet(f.getAbsolutePath))
-          .reduce(_ unionByName _)),
-        Seq(idCol), "left_anti")
-    base.copy(encoded = masked)
+      else {
+        val dead = ts.map { case (t, f) =>
+          spark.read.parquet(f.getAbsolutePath)
+            .withColumn("__t", lit(t))
+        }.reduce(_ unionByName _)
+        // a row dies iff SOME tombstone at-or-after its append batch
+        // names its id; equi component on the id keeps this a broadcast
+        // HASH anti join, the __t >= __b residual rides along
+        enc.join(broadcast(dead),
+          enc(idCol) === dead(idCol) && dead("__t") >= enc("__b"),
+          "left_anti")
+      }
+    base.copy(encoded = masked.drop("__b"))
   }
 
   /** Fold base + deltas minus tombstones into a fresh single-table
     * index at `outDir` — run on a schedule (or when delta/tombstone
     * count passes a threshold), then swap serving to the compacted
     * copy. Never rewrites `indexDir` in place, so readers of the old
-    * layout are undisturbed; tombstoned rows are ABSENT from the new
-    * layout (physical erasure), and the new layout starts with no
+    * layout are undisturbed; masked rows are ABSENT from the new
+    * layout (physical erasure), re-adds published after their
+    * tombstone survive, and the new layout starts with no
     * tombstones. */
   def compact(spark: SparkSession, indexDir: String,
               outDir: String): Unit =

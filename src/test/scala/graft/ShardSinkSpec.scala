@@ -72,6 +72,17 @@ class ShardSinkSpec extends SparkSpec {
       fullV0.foreach { case (k, v) =>
         assert(got(k) == v._1,
           s"merged view lost shipped full sequence $k") }
+      // at-least-once re-delivery: appending again under an
+      // ALREADY-COMMITTED version key is a no-op — no v2, no duplicates
+      val redelivered = ShardSink.append(spark,
+        all.filter(col("doc_id") > cut), "__ids", "doc_id", budget = 128,
+        shardCol = "source", storeDir = s"$base/store",
+        version = Some(1L))
+      assert(!redelivered)
+      assert(!new java.io.File(s"$base/store/v2").exists())
+      val got2 = ShardSink.read(spark, s"$base/store").collect()
+        .map(r => key(r) -> r.getSeq[Int](2)).toMap
+      assert(got2 == got)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(base).sorted(
@@ -79,5 +90,56 @@ class ShardSinkSpec extends SparkSpec {
         .iterator().asScala
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+  }
+
+  test("NULL shard keys survive the latest-wins merge: rows kept, " +
+      "tails topped up, no seq_id restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sinknull_")
+    try {
+      // two appends whose shard key is NULL for half the docs; the
+      // null shard's partial tail from v0 must be topped up by v1 (a
+      // null-unsafe merge would drop the shard from `existing` and
+      // restart it at seq 0, duplicating sequence ids)
+      def docs(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("doc_id"),
+          when(col("id") % 2 === 0, lit("s")).otherwise(lit(null))
+            .as("source"),
+          // 3 tokens per doc at budget 4 -> every shard keeps a
+          // partial tail alive across appends
+          array(col("id").cast("int"), col("id").cast("int"),
+            col("id").cast("int")).as("__ids"))
+      val b0 = ShardSink.append(spark, docs(0, 6), "__ids", "doc_id",
+        budget = 4, shardCol = "source", storeDir = s"$base/store")
+      val b1 = ShardSink.append(spark, docs(6, 12), "__ids", "doc_id",
+        budget = 4, shardCol = "source", storeDir = s"$base/store")
+      assert(b0 && b1)
+      val got = ShardSink.read(spark, s"$base/store")
+      import graft.operators.Curate
+      val want = Curate.packTokenIds(docs(0, 12), "__ids", "doc_id",
+        4, "source")
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("source"), col("seq_id").cast("long"),
+          col("token_ids"), col("n_tokens").cast("long"))
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1),
+          r.getSeq[Int](2), r.getLong(3))).toSet
+      assert(canon(got) == canon(want))
+      // both shards present, including the null one
+      assert(canon(got).exists(_._1.isEmpty)
+        && canon(got).exists(_._1.contains("s")))
+      // dense seq_ids per shard — the corruption a dropped null shard
+      // would have caused (and packTokenIdsIncremental's audit would
+      // have raised on the THIRD append, not the second)
+      canon(got).groupBy(_._1).foreach { case (_, rows) =>
+        assert(rows.map(_._2) == (0L until rows.size).toSet) }
+    } finally rmTree(base)
+  }
+
+  private def rmTree(base: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(base).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 }

@@ -75,8 +75,8 @@ class VectorIndexSinkSpec extends SparkSpec {
     } finally rmTree(base)
   }
 
-  test("deleteBatch: tombstones mask ids across base AND appends, " +
-      "re-delivery is a no-op, compaction erases them physically") {
+  test("deleteBatch: batch-ordered tombstones mask base and earlier " +
+      "appends, later re-adds serve, compaction erases physically") {
     val base = java.nio.file.Files.createTempDirectory("graft_vdel_")
     try {
       val all = corpus
@@ -86,10 +86,10 @@ class VectorIndexSinkSpec extends SparkSpec {
         kCodes = 4, iterations = 2)
       Similarity.ivfPqSave(idx, base.toString)
       assert(VectorIndexSink.appendBatch(spark, base.toString, 0L, batch))
-      // delete ids from BOTH provenances: 7 (base) and 10 (append)
+      // delete ids from BOTH provenances: 7 (base) and 10 (append b0)
       val dead = Seq(7L, 10L).toDF("vec_id")
-      assert(VectorIndexSink.deleteBatch(spark, base.toString, 0L, dead))
-      assert(!VectorIndexSink.deleteBatch(spark, base.toString, 0L, dead))
+      assert(VectorIndexSink.deleteBatch(spark, base.toString, 1L, dead))
+      assert(!VectorIndexSink.deleteBatch(spark, base.toString, 1L, dead))
       val served = VectorIndexSink.read(spark, base.toString)
       val ids = served.encoded.select("vec_id").as[Long].collect().toSet
       assert(ids == (0L until 40L).toSet -- Set(7L, 10L))
@@ -100,11 +100,23 @@ class VectorIndexSinkSpec extends SparkSpec {
       assert(encSet(served.encoded) ==
         encSet(Similarity.ivfPqAppend(idx, batch).encoded)
           .filterNot(r => r._1 == 7L || r._1 == 10L))
-      // compaction: physical erasure, fresh layout carries no tombstones
+      // a LATER append re-adds id 10: the remove-then-add ordering —
+      // the tombstone (d1) masks only appends published at or before
+      // it, so the b2 row serves
+      val readd = all.filter(col("vec_id") === 10L)
+      assert(VectorIndexSink.appendBatch(spark, base.toString, 2L, readd))
+      val served2 = VectorIndexSink.read(spark, base.toString)
+      val ids2 = served2.encoded.select("vec_id").as[Long].collect()
+      assert(ids2.count(_ == 10L) == 1) // re-added once, not doubled
+      assert(ids2.toSet == (0L until 40L).toSet - 7L)
+      // compaction: physical erasure of masked rows, re-add preserved,
+      // fresh layout carries no tombstones
       VectorIndexSink.compact(spark, base.toString, s"$base/c")
       assert(!new java.io.File(s"$base/c/tombstones").exists())
       val folded = Similarity.ivfPqLoad(spark, s"$base/c")
-      assert(encSet(folded.encoded) == encSet(served.encoded))
+      assert(encSet(folded.encoded) == encSet(served2.encoded))
+      assert(!folded.encoded.select("vec_id").as[Long].collect()
+        .contains(7L))
     } finally rmTree(base)
   }
 }
