@@ -904,6 +904,34 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    "q162_index_drift_recall" -> ((s, dir) => {
+      // the retrain trigger, ORACLED: a drifted batch (every third
+      // vector shifted +0.25 per dim — float add is correctly rounded,
+      // so DuckDB's CAST(x + 0.25 AS FLOAT) reproduces it bit-for-bit
+      // — with ids offset by 1e6) is appended under codebooks trained
+      // BEFORE the drift, and recall@5 over mixed probes (two
+      // original, two drifted) against the exact integer-L2 top-5 of
+      // the combined corpus measures exactly what the frozen-codebook
+      // caveat costs. This is the number a production deployment
+      // watches to schedule retraining (the ivfPqAppend scaladoc's
+      // "monitor with recallAtK") — and both sides are deterministic,
+      // so the monitor itself is hash-pinned, not just demonstrated.
+      val emb = t(s, dir, "embeddings")
+      val drifted = emb.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.25f))
+            .as("embedding"), col("label"))
+      val combined = emb.unionByName(drifted)
+      val probes = combined.filter(
+        col("vec_id").isin(0L, 1L, 1000000L, 1000003L))
+      val idx = Similarity.ivfPqBuild(emb, nLists = 4, m = 4,
+        kCodes = 8, iterations = 2) // pre-drift codebooks
+      val appended = Similarity.ivfPqAppend(idx, drifted)
+      Similarity.recallAtK(
+        Similarity.ivfPqQuery(appended, probes, k = 5, nProbe = 2),
+        Similarity.bruteForceTopKL2(combined, probes, k = 5), k = 5)
+    }),
+
     "q134_nprobe_autotune" -> ((s, dir) => {
       // recall-targeted tuning: smallest nProbe whose recall@5 meets
       // 80%, else the full-probe row — with the demo codebooks the
@@ -3605,6 +3633,40 @@ dim_users_litify AS (
        |  FROM adc WHERE neighbor_id % 7 <> 1)
        |WHERE rn <= 5""".stripMargin
 
+  /** q162: the drift monitor replay — q130's recall tail over a
+    * corpus UNIONed with its drifted copies, training restricted to
+    * the pre-drift slice (the ivfPqAppend frozen-codebook split). */
+  private def q162OracleSql: String = {
+    val corpus =
+      """(SELECT vec_id, embedding FROM embeddings
+        |   UNION ALL
+        |   SELECT vec_id + 1000000 AS vec_id,
+        |     list_transform(embedding,
+        |       x -> CAST(x + 0.25 AS FLOAT)) AS embedding
+        |   FROM embeddings WHERE vec_id % 3 = 0) gdrift"""
+        .stripMargin
+    s"""WITH ${ivfPqOracleBody(nListsSql = "4", nProbeSql = "2", m = 4,
+        kCodes = 8, iters = 2, dim = 64, scale = 1000000L,
+        probeWhere = "vec_id IN (0, 1, 1000000, 1000003)",
+        trainWhere = "vec_id < 1000000", corpusSql = corpus)},
+       |ax AS (SELECT probe_id, neighbor_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY dist, neighbor_id) AS rn FROM adc) WHERE rn <= 5),
+       |exd AS (SELECT p.vec_id AS probe_id, v.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(p.xu, v.xu),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist
+       |  FROM p, xu v WHERE v.vec_id <> p.vec_id),
+       |ex AS (SELECT probe_id, neighbor_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY dist, neighbor_id) AS rn FROM exd) WHERE rn <= 5),
+       |hits AS (SELECT probe_id, COUNT(1) AS n_hits
+       |  FROM ax JOIN ex USING (probe_id, neighbor_id) GROUP BY 1)
+       |SELECT e.probe_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(5 AS BIGINT) AS k
+       |FROM (SELECT DISTINCT probe_id FROM ex) e
+       |LEFT JOIN hits h ON e.probe_id = h.probe_id""".stripMargin
+  }
+
   /** q119/q131 (batch + streaming twin): the integer-cosine
     * decontamination replay. */
   private def q119OracleSql: String =
@@ -4002,17 +4064,20 @@ dim_users_litify AS (
   private def ivfPqOracleBody(nListsSql: String, nProbeSql: String,
                               m: Int, kCodes: Int, iters: Int, dim: Int,
                               scale: Long, probeWhere: String,
-                              trainWhere: String = "TRUE"): String = {
+                              trainWhere: String = "TRUE",
+                              corpusSql: String = "embeddings"): String = {
     val (k, subDim) = (kCodes, dim / m)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     // xt = the TRAIN slice: seeds and every Lloyd's update read xt only;
     // assignment/encode (asg, rd, penc) stay over the full xu — exactly
     // Spark's ivfPqBuild(trainOn = ...) split, and the default TRUE
-    // collapses xt == xu (the corpus-trained oracles are unchanged)
+    // collapses xt == xu (the corpus-trained oracles are unchanged).
+    // corpusSql may be any (vec_id, embedding) table expression — q162
+    // passes a UNION of the fixture with its drifted copies.
     val head =
       s"""xu AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
          |    x -> CAST(trunc(x::DOUBLE * $scale) AS BIGINT)) AS xu
-         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |  FROM $corpusSql WHERE embedding IS NOT NULL),
          |xt AS MATERIALIZED (SELECT * FROM xu WHERE $trainWhere),
          |d64 AS (SELECT unnest(range($dim)) AS d),
          |nlv AS (SELECT CAST(($nListsSql) AS INT) AS nl),
@@ -5586,6 +5651,7 @@ dim_users_litify AS (
     // encode means batch arrival order cannot change the served view
     "q160_streaming_index" -> q158OracleSql,
     "q161_index_delete" -> q161OracleSql,
+    "q162_index_drift_recall" -> q162OracleSql,
 
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,
