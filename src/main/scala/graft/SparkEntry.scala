@@ -932,6 +932,146 @@ object SparkEntry {
         Similarity.bruteForceTopKL2(combined, probes, k = 5), k = 5)
     }),
 
+    "q163_index_compaction" -> ((s, dir) => {
+      // the lifecycle's scheduled fold, ORACLED: q161's store gains a
+      // RE-ADD (the even half of the deleted ids, published at a LATER
+      // batch than the tombstone), then compact folds
+      // base + appends - tombstones into a fresh single-table index.
+      // The probe runs against the COMPACTED copy through plain
+      // ivfPqLoad — no tombstone masking exists on that path — so the
+      // hash pins BOTH physical erasure (a masked row still present
+      // would rank) and re-add survival (an erased re-add would
+      // vanish), not just the spec. The oracle excludes exactly
+      // (deleted \ re-added) from the candidate set before ranking.
+      val emb = t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_ivfcmp_")
+      try {
+        val idx = Similarity.ivfPqBuild(
+          emb.filter(col("vec_id") % 5 =!= 0),
+          nLists = 4, m = 4, kCodes = 8, iterations = 2)
+        Similarity.ivfPqSave(idx, base.toString)
+        graft.streaming.VectorIndexSink.appendBatch(s, base.toString,
+          0L, emb.filter(col("vec_id") % 5 === 0))
+        graft.streaming.VectorIndexSink.deleteBatch(s, base.toString,
+          1L, emb.filter(col("vec_id") % 7 === 1).select("vec_id"))
+        graft.streaming.VectorIndexSink.appendBatch(s, base.toString,
+          2L, emb.filter(col("vec_id") % 7 === 1
+            && col("vec_id") % 2 === 0))
+        graft.streaming.VectorIndexSink.compact(s, base.toString,
+          s"$base/c")
+        val folded = Similarity.ivfPqLoad(s, s"$base/c")
+        Similarity.ivfPqQuery(folded, emb.filter(col("vec_id") < 4),
+            k = 5, nProbe = 2)
+          .localCheckpoint(true)
+      } finally deleteRecursively(base)
+    }),
+
+    "q164_shard_compaction" -> ((s, dir) => {
+      // the shard store's scheduled fold (the ShardSink scaladoc's
+      // "compacts old versions on a schedule", now code + oracle):
+      // three id-ordered crawl drops append as delta versions, then
+      // compact resolves latest-wins PHYSICALLY into a fresh
+      // single-version store — superseded topped-up tails are absent
+      // from the new layout, so the merge that read() would do is
+      // pre-baked. Reading the compacted store must equal the one-shot
+      // packTokenIds of the whole corpus: q147's corpus-wide
+      // per-sequence md5 oracle, now pinning the post-compaction
+      // layout (a tail either lost or doubled by the fold breaks both
+      // the md5 and the seq_id density).
+      val base = java.nio.file.Files.createTempDirectory("graft_shcmp_")
+      try {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+          .withColumn("__ids",
+            Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+          .localCheckpoint(true)
+        try {
+          val maxId = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+          val cuts = (0 to 3).map(k => maxId * k / 3)
+          (0 until 3).foreach { k =>
+            val part = d.filter(
+              col("doc_id") > cuts(k) - (if (k == 0) 1 else 0)
+                && col("doc_id") <= cuts(k + 1))
+            graft.streaming.ShardSink.append(s, part, "__ids", "doc_id",
+              budget = 2048, shardCol = "source",
+              storeDir = s"$base/store")
+          }
+          graft.streaming.ShardSink.compact(s, s"$base/store",
+            s"$base/compacted")
+          graft.streaming.ShardSink.read(s, s"$base/compacted")
+            .select(col("source"), col("seq_id"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              md5(Bpe.idsString(col("token_ids"))).as("ids_md5"))
+            .localCheckpoint(true)
+        } finally
+          org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+      } finally deleteRecursively(base)
+    }),
+
+    "q166_store_time_travel" -> ((s, dir) => {
+      // snapshot reads from the delta layout, ORACLED: after THREE
+      // id-ordered crawl drops, `read(asOf = v1)` serves the store
+      // exactly as it stood after the second — equal to the one-shot
+      // pack of just the first two drops' documents, per-sequence
+      // md5-pinned. This is the verb that makes a training run
+      // byte-reproducible ("train on the corpus as of crawl N"):
+      // versions are immutable once published, so the same asOf always
+      // serves the same bytes no matter how many drops land later. A
+      // reader that leaked v2 rows (or the v2-topped-up tails) into
+      // the snapshot breaks both the md5 and the seq_id density.
+      val base = java.nio.file.Files.createTempDirectory("graft_asof_")
+      try {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+          .withColumn("__ids",
+            Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+          .localCheckpoint(true)
+        try {
+          val maxId = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+          val cuts = (0 to 3).map(k => maxId * k / 3)
+          (0 until 3).foreach { k =>
+            val part = d.filter(
+              col("doc_id") > cuts(k) - (if (k == 0) 1 else 0)
+                && col("doc_id") <= cuts(k + 1))
+            graft.streaming.ShardSink.append(s, part, "__ids", "doc_id",
+              budget = 2048, shardCol = "source",
+              storeDir = s"$base/store")
+          }
+          graft.streaming.ShardSink.read(s, s"$base/store",
+              asOf = Some(1L))
+            .select(col("source"), col("seq_id"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              md5(Bpe.idsString(col("token_ids"))).as("ids_md5"))
+            .localCheckpoint(true)
+        } finally
+          org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+      } finally deleteRecursively(base)
+    }),
+
+    "q165_index_retrain" -> ((s, dir) => {
+      // the remediation q162's monitor schedules: the SAME drifted
+      // corpus, probes, k and nProbe, but codebooks RETRAINED on the
+      // full post-drift corpus instead of frozen pre-drift ones. The
+      // q162/q165 pair is the complete monitor -> retrain loop with
+      // both sides hash-pinned: q162 measures what serving stale
+      // codebooks costs, q165 what the retrain buys back — the
+      // before/after comparison a production deployment's retrain
+      // scheduler actually makes.
+      val emb = t(s, dir, "embeddings")
+      val drifted = emb.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.25f))
+            .as("embedding"), col("label"))
+      val combined = emb.unionByName(drifted)
+      val probes = combined.filter(
+        col("vec_id").isin(0L, 1L, 1000000L, 1000003L))
+      val idx = Similarity.ivfPqBuild(combined, nLists = 4, m = 4,
+        kCodes = 8, iterations = 2) // retrained on the drifted corpus
+      Similarity.recallAtK(
+        Similarity.ivfPqQuery(idx, probes, k = 5, nProbe = 2),
+        Similarity.bruteForceTopKL2(combined, probes, k = 5), k = 5)
+    }),
+
     "q134_nprobe_autotune" -> ((s, dir) => {
       // recall-targeted tuning: smallest nProbe whose recall@5 meets
       // 80%, else the full-probe row — with the demo codebooks the
@@ -3633,10 +3773,28 @@ dim_users_litify AS (
        |  FROM adc WHERE neighbor_id % 7 <> 1)
        |WHERE rn <= 5""".stripMargin
 
-  /** q162: the drift monitor replay — q130's recall tail over a
-    * corpus UNIONed with its drifted copies, training restricted to
-    * the pre-drift slice (the ivfPqAppend frozen-codebook split). */
-  private def q162OracleSql: String = {
+  /** q163: q161's replay with compaction's candidate set — deleted ids
+    * excluded UNLESS re-added after their tombstone (the even half).
+    * A compaction that kept a masked row, or dropped a re-add, moves
+    * the per-probe ranking and breaks the hash. */
+  private def q163OracleSql: String =
+    s"""WITH ${ivfPqOracleBody(nListsSql = "4", nProbeSql = "2", m = 4,
+        kCodes = 8, iters = 2, dim = 64, scale = 1000000L,
+        probeWhere = "vec_id < 4", trainWhere = "vec_id % 5 <> 0")}
+       |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       |  CAST(dist AS BIGINT) AS adc_dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY dist, neighbor_id) AS rn
+       |  FROM adc
+       |  WHERE NOT (neighbor_id % 7 = 1 AND neighbor_id % 2 = 1))
+       |WHERE rn <= 5""".stripMargin
+
+  /** q162/q165: the drift monitor replay — q130's recall tail over a
+    * corpus UNIONed with its drifted copies. `trainWhere` selects the
+    * codebook training slice: the pre-drift ids for q162 (the
+    * ivfPqAppend frozen-codebook split) and everything for q165 (the
+    * retrained remediation). */
+  private def driftRecallOracleSql(trainWhere: String): String = {
     val corpus =
       """(SELECT vec_id, embedding FROM embeddings
         |   UNION ALL
@@ -3648,7 +3806,7 @@ dim_users_litify AS (
     s"""WITH ${ivfPqOracleBody(nListsSql = "4", nProbeSql = "2", m = 4,
         kCodes = 8, iters = 2, dim = 64, scale = 1000000L,
         probeWhere = "vec_id IN (0, 1, 1000000, 1000003)",
-        trainWhere = "vec_id < 1000000", corpusSql = corpus)},
+        trainWhere = trainWhere, corpusSql = corpus)},
        |ax AS (SELECT probe_id, neighbor_id
        |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
        |    ORDER BY dist, neighbor_id) AS rn FROM adc) WHERE rn <= 5),
@@ -3666,6 +3824,12 @@ dim_users_litify AS (
        |FROM (SELECT DISTINCT probe_id FROM ex) e
        |LEFT JOIN hits h ON e.probe_id = h.probe_id""".stripMargin
   }
+
+  private def q162OracleSql: String =
+    driftRecallOracleSql(trainWhere = "vec_id < 1000000")
+
+  private def q165OracleSql: String =
+    driftRecallOracleSql(trainWhere = "TRUE")
 
   /** q119/q131 (batch + streaming twin): the integer-cosine
     * decontamination replay. */
@@ -3731,14 +3895,19 @@ dim_users_litify AS (
   /** q147: the full-corpus shard replay — encode every doc, lay the id
     * streams out per source in doc_id order, cut every 2048 tokens, and
     * md5 each sequence's space-joined ids. */
-  private def q147OracleSql: String = {
+  private def q147OracleSql: String = packOracleSql()
+
+  /** q147/q157/q164's one-shot-pack replay, restricted to the docs
+    * matching `docWhere` — q166 passes the as-of id-range cut. */
+  private def packOracleSql(docWhere: String = "TRUE"): String = {
     val n = BpeByteVocab.merges.size
     s"""WITH RECURSIVE ${Bpe.oracleByteCtes("documents",
         "doc_id", "text", BpeByteVocab.merges)},
        ids AS (SELECT d.doc_id, d.source,
            ${Bpe.oracleIdsListSql("e.s")} AS ids
          FROM documents d
-         JOIN (SELECT doc_id, s FROM enc WHERE r = $n) e USING (doc_id)),
+         JOIN (SELECT doc_id, s FROM enc WHERE r = $n) e USING (doc_id)
+         WHERE $docWhere),
        cum AS (SELECT source, doc_id, ids,
            COALESCE(SUM(len(ids)) OVER (PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
@@ -5652,6 +5821,12 @@ dim_users_litify AS (
     "q160_streaming_index" -> q158OracleSql,
     "q161_index_delete" -> q161OracleSql,
     "q162_index_drift_recall" -> q162OracleSql,
+    "q163_index_compaction" -> q163OracleSql,
+    "q164_shard_compaction" -> q147OracleSql,
+    "q165_index_retrain" -> q165OracleSql,
+    "q166_store_time_travel" -> packOracleSql(docWhere =
+      """d.doc_id <= (SELECT MAX(doc_id) * 2 // 3 FROM documents
+        |             WHERE text IS NOT NULL)""".stripMargin),
 
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,

@@ -102,12 +102,21 @@ object ShardSink {
     * keys — only ever topped-up tails, so a set bounded by touched
     * shards x versions — are computed from narrow columns and removed
     * with a broadcast anti join: token payloads are never shuffled.
-    * Null-safe on the shard key throughout. */
+    * Null-safe on the shard key throughout.
+    *
+    * `asOf` reads the store AS OF a committed version (inclusive) —
+    * the delta layout gives snapshot reads for free, and a training
+    * run pinned to `asOf = v` is byte-reproducible no matter how many
+    * crawl drops land afterwards (versions are immutable once
+    * published; only [[compact]] retires them, into a NEW store). */
   def read(spark: SparkSession, storeDir: String,
-           shardCol: String = "source"): DataFrame = {
-    val vs = versions(storeDir)
+           shardCol: String = "source",
+           asOf: Option[Long] = None): DataFrame = {
+    val vs = asOf.fold(versions(storeDir))(v =>
+      versions(storeDir).filter(_._1 <= v))
     if (vs.isEmpty) throw new IllegalStateException(
-      s"no shard store versions under $storeDir")
+      s"no shard store versions under $storeDir" +
+        asOf.fold("")(v => s" at or before v$v"))
     val all = vs.map { case (n, f) =>
       spark.read.parquet(f.getAbsolutePath).withColumn("__v", lit(n))
     }.reduce(_ unionByName _)
@@ -130,5 +139,27 @@ object ShardSink {
           && col("__v") === col("__lV"),
         "left_anti")
       .drop("__v")
+  }
+
+  /** Fold every committed delta version into ONE fresh base version
+    * (`v0` of a NEW store at `outDir`) — the scheduled compaction the
+    * delta layout assumes: latest-wins is resolved PHYSICALLY, so the
+    * superseded topped-up tail rows are absent from the new layout and
+    * every later [[read]] merge over it is trivial (single version, no
+    * losers). Never rewrites `storeDir` in place — readers of the old
+    * layout are undisturbed until the caller swaps them over. Like the
+    * checkpoint coupling documented on [[append]], compaction is a
+    * lineage cut: the fresh store restarts the version sequence, so
+    * subsequent appends must key against it (a new checkpoint for the
+    * streaming path, or explicit versions for the scheduler path). */
+  def compact(spark: SparkSession, storeDir: String, outDir: String,
+              shardCol: String = "source"): Unit = {
+    new java.io.File(outDir).mkdirs()
+    StoreFiles.publishOnce(s"$outDir/.staging-v0",
+      new java.io.File(s"$outDir/v0"), { staging =>
+        read(spark, storeDir, shardCol)
+          .write.mode("overwrite").parquet(staging)
+      })
+    ()
   }
 }

@@ -106,17 +106,25 @@ object VectorIndexSink {
     * batches are small by nature; a backlog large enough to strain a
     * broadcast is overdue for compaction). */
   def read(spark: SparkSession, indexDir: String,
-           idCol: String = "vec_id"): Similarity.IvfPqIndex = {
+           idCol: String = "vec_id",
+           asOf: Option[Long] = None): Similarity.IvfPqIndex = {
     val base = Similarity.ivfPqLoad(spark, indexDir)
+    // `asOf` serves the index AS OF a batch id (inclusive): append
+    // deltas and tombstones published after it are invisible — the
+    // snapshot an evaluation run pins so its candidate set cannot
+    // drift under later ingest. Published batches are immutable, so
+    // the same asOf always serves the same view.
+    def upTo[A](ds: Seq[(Long, A)]): Seq[(Long, A)] =
+      asOf.fold(ds)(v => ds.filter(_._1 <= v))
     // tag every arm with its append batch; the base predates all
     // batches, so any tombstone masks it
-    val enc = deltaDirs(indexDir)
+    val enc = upTo(deltaDirs(indexDir))
       .map { case (b, f) =>
         spark.read.parquet(f.getAbsolutePath).withColumn("__b", lit(b))
       }
       .foldLeft(base.encoded.withColumn("__b", lit(-1L)))(
         _ unionByName _)
-    val ts = tombstoneDirs(indexDir)
+    val ts = upTo(tombstoneDirs(indexDir))
     val masked =
       if (ts.isEmpty) enc
       else {

@@ -135,6 +135,42 @@ class ShardSinkSpec extends SparkSpec {
     } finally rmTree(base)
   }
 
+  test("compact folds deltas into one physical version: view preserved " +
+      "bit-for-bit (null shard included), superseded tails absent, " +
+      "old store untouched") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sinkcmp_")
+    try {
+      def docs(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("doc_id"),
+          when(col("id") % 2 === 0, lit("s")).otherwise(lit(null))
+            .as("source"),
+          array(col("id").cast("int"), col("id").cast("int"),
+            col("id").cast("int")).as("__ids"))
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("source"), col("seq_id").cast("long"),
+          col("token_ids"), col("n_tokens").cast("long"))
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1),
+          r.getSeq[Int](2), r.getLong(3))).toSet
+      ShardSink.append(spark, docs(0, 6), "__ids", "doc_id",
+        budget = 4, shardCol = "source", storeDir = s"$base/store")
+      ShardSink.append(spark, docs(6, 12), "__ids", "doc_id",
+        budget = 4, shardCol = "source", storeDir = s"$base/store")
+      val before = canon(ShardSink.read(spark, s"$base/store"))
+      ShardSink.compact(spark, s"$base/store", s"$base/c")
+      // the compacted store serves the same view through the normal
+      // reader, and holds it PHYSICALLY resolved: exactly one version
+      // whose raw parquet equals the merged view row-for-row (v0's
+      // topped-up tail is absent, not merely masked)
+      assert(canon(ShardSink.read(spark, s"$base/c")) == before)
+      assert(new java.io.File(s"$base/c").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet == Set("v0"))
+      assert(canon(spark.read.parquet(s"$base/c/v0")) == before)
+      // never in place: the old layout still serves undisturbed
+      assert(canon(ShardSink.read(spark, s"$base/store")) == before)
+    } finally rmTree(base)
+  }
+
   private def rmTree(base: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(base).sorted(

@@ -109,6 +109,16 @@ class VectorIndexSinkSpec extends SparkSpec {
       val ids2 = served2.encoded.select("vec_id").as[Long].collect()
       assert(ids2.count(_ == 10L) == 1) // re-added once, not doubled
       assert(ids2.toSet == (0L until 40L).toSet - 7L)
+      // as-of snapshots: the delta layout replays any point of the
+      // batch sequence — after the append (deletes invisible), after
+      // the tombstone (masked), after the re-add (current view) — and
+      // published batches are immutable, so each asOf is stable
+      def idsAsOf(b: Long) =
+        VectorIndexSink.read(spark, base.toString, asOf = Some(b))
+          .encoded.select("vec_id").as[Long].collect().toSet
+      assert(idsAsOf(0L) == (0L until 40L).toSet)
+      assert(idsAsOf(1L) == (0L until 40L).toSet -- Set(7L, 10L))
+      assert(idsAsOf(2L) == (0L until 40L).toSet - 7L)
       // compaction: physical erasure of masked rows, re-add preserved,
       // fresh layout carries no tombstones
       VectorIndexSink.compact(spark, base.toString, s"$base/c")
