@@ -81,8 +81,100 @@ object AnnScale {
       } finally
         org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(emb)
     }
+    // ---- lifecycle at n = 100k (recorded once-per-round): the store
+    // verbs measured at scale, not just fixture size. Append is
+    // O(batch) — 1% of the corpus encoded under FROZEN codebooks into
+    // only its touched __list partitions; delete is O(batch) — one
+    // tombstone set (its ids span BOTH provenances: base rows and one
+    // appended row, so the batch-ordered mask is exercised across
+    // arms); the served delta view must still clear the 0.80 recall
+    // gate against the exact ground truth of the MUTATED corpus; and
+    // the compacted fold must serve the IDENTICAL ranking (bit-parity
+    // required, not just recall-parity).
+    val lifecycle = if (sizes.contains(100000L)) {
+      val n = 100000L
+      val all = SparkEntry.synthClusteredEmbeddings(spark, n + 1000L,
+        dim = 64, nClusters = 400).localCheckpoint(true)
+      val dir = Files.createTempDirectory("graft_annlife_")
+      try {
+        val base = all.filter(col("vec_id") < n)
+        val batch = all.filter(col("vec_id") >= n)
+        val nLists = math.floor(math.sqrt(n.toDouble)).toInt
+        val nProbe = math.max(1, nLists / 4)
+        val sample = Curate.hashSample(base, "vec_id", rate = 0.1)
+        val idx = Similarity.ivfPqBuild(base, nLists = nLists, m = 8,
+          kCodes = 256, iterations = 2, trainOn = sample)
+        val tS = System.nanoTime()
+        Similarity.ivfPqSave(idx, dir.toString)
+        val saveS = (System.nanoTime() - tS) / 1e9
+        val tA = System.nanoTime()
+        graft.streaming.VectorIndexSink.appendBatch(spark,
+          dir.toString, 0L, batch)
+        val appendS = (System.nanoTime() - tA) / 1e9
+        val tD = System.nanoTime()
+        graft.streaming.VectorIndexSink.deleteBatch(spark,
+          dir.toString, 1L,
+          all.filter(col("vec_id") % 1000 === 7).select("vec_id"))
+        val deleteS = (System.nanoTime() - tD) / 1e9
+        val emb2 = all.filter(col("vec_id") % 1000 =!= 7)
+          .localCheckpoint(true)
+        try {
+          val probes = base.filter(col("vec_id") % (n / 16) === 0)
+          val tV = System.nanoTime()
+          val served = graft.streaming.VectorIndexSink.read(spark,
+            dir.toString)
+          val sref = Similarity.ivfPqQueryRefined(served, emb2, probes,
+              10, nProbe = nProbe, refine = 30)
+            .localCheckpoint(true)
+          val serveS = (System.nanoTime() - tV) / 1e9
+          val g = Similarity.recallAtK(sref,
+              Similarity.bruteForceTopKL2(emb2, probes, 10), 10)
+            .agg(sum(col("n_hits")).cast("long").as("h"),
+              sum(col("k")).cast("long").as("p")).collect()(0)
+          val (hits, possible) = (g.getAs[Long]("h"), g.getAs[Long]("p"))
+          require(hits * 100L >= 80L * possible,
+            s"lifecycle recall gate failed at n=$n: $hits/$possible < 80%")
+          val tC = System.nanoTime()
+          graft.streaming.VectorIndexSink.compact(spark, dir.toString,
+            s"$dir/c")
+          val compactS = (System.nanoTime() - tC) / 1e9
+          val tQ = System.nanoTime()
+          val fref = Similarity.ivfPqQueryRefined(
+            Similarity.ivfPqLoad(spark, s"$dir/c"), emb2, probes, 10,
+            nProbe = nProbe, refine = 30)
+          def ranking(df: org.apache.spark.sql.DataFrame) = df
+            .select(col("probe_id").cast("long"),
+              col("neighbor_id").cast("long"), col("rank").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .toSet
+          require(ranking(fref) == ranking(sref),
+            "compacted index serves a different ranking than the delta view")
+          val cprobeS = (System.nanoTime() - tQ) / 1e9
+          val recall = hits.toDouble / possible
+          println(f"[annscale] lifecycle n=$n recall=$recall%.4f " +
+            f"save=$saveS%.2fs append=$appendS%.2fs delete=$deleteS%.2fs " +
+            f"serve_probe=$serveS%.2fs compact=$compactS%.2fs " +
+            f"compacted_probe=$cprobeS%.2fs")
+          Some(f"""{"n":$n,"append_batch":1000,"tombstoned":101,""" +
+            f""""recall_at_10_served":$recall%.4f,"hits":$hits,""" +
+            f""""possible":$possible,"save_s":$saveS%.2f,""" +
+            f""""append_s":$appendS%.2f,"delete_s":$deleteS%.2f,""" +
+            f""""serve_probe_s":$serveS%.2f,"compact_s":$compactS%.2f,""" +
+            f""""compacted_probe_s":$cprobeS%.2f,""" +
+            f""""compacted_ranking_equal":true}""")
+        } finally
+          org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(emb2)
+      } finally {
+        org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(all)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir.toFile)
+      }
+    } else None
     val json = s"""{"recipe":"ivfPqBuild(sample 10%)+ivfPqQueryRefined",""" +
-      s""""dim":64,"nClusters":400,"runs":[${rows.mkString(",")}]}\n"""
+      s""""dim":64,"nClusters":400,"runs":[${rows.mkString(",")}]""" +
+      lifecycle.fold("")(l => s""","lifecycle":$l""") + "}\n"
     Files.writeString(Paths.get(out), json)
     println(s"[annscale] wrote ${rows.size} runs to $out")
     spark.stop()
