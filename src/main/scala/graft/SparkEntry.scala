@@ -1048,6 +1048,121 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    "q167_streaming_cdc_index" -> ((s, dir) => {
+      // CDC into the serving index through the REAL micro-batch engine:
+      // three change batches arrive as maxFilesPerTrigger=1 files in
+      // mtime order (upsert the %5 slice; delete %7==1 while upserting
+      // %13==2 in the SAME trigger; re-upsert the even deleted half).
+      // runCdc publishes tombstone d<2T> (deletes + upsert self-masks)
+      // then append b<2T+1> per trigger — FAISS remove-then-add as
+      // explicit store batches, giving TRUE upsert (an id's earlier
+      // copies are masked; no duplicates can reach the served view, so
+      // a re-upserted id ranks once). Oracle: q158's replay excluding
+      // exactly the ids whose LAST change was the delete (%7==1, odd,
+      // and not re-upserted via the %13==2 same-trigger upsert).
+      val emb = t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_cdc_")
+      try {
+        val idx = Similarity.ivfPqBuild(
+          emb.filter(col("vec_id") % 5 =!= 0),
+          nLists = 4, m = 4, kCodes = 8, iterations = 2)
+        Similarity.ivfPqSave(idx, base.toString)
+        val batches = Seq(
+          emb.filter(col("vec_id") % 5 === 0)
+            .withColumn("op", lit("upsert")),
+          emb.filter(col("vec_id") % 7 === 1)
+            .withColumn("op", lit("delete"))
+            .unionByName(emb.filter(col("vec_id") % 13 === 2)
+              .withColumn("op", lit("upsert"))),
+          emb.filter(col("vec_id") % 7 === 1
+              && col("vec_id") % 2 === 0)
+            .withColumn("op", lit("upsert")))
+        batches.zipWithIndex.foreach { case (b, k) =>
+          val tmp = s"$base/tmp$k"
+          b.coalesce(1).write.parquet(tmp)
+          val f = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$base/in/b$k.parquet")
+          dst.getParentFile.mkdirs()
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + k * 60000L)
+        }
+        val sch = s.read.parquet(s"$base/in").schema
+        val stream = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "false")
+          .parquet(s"$base/in")
+        graft.streaming.VectorIndexSink.runCdc(stream, base.toString,
+          s"$base/ck")
+        val served = graft.streaming.VectorIndexSink.read(s,
+          base.toString)
+        Similarity.ivfPqQuery(served, emb.filter(col("vec_id") < 4),
+            k = 5, nProbe = 2)
+          .localCheckpoint(true)
+      } finally deleteRecursively(base)
+    }),
+
+    "q168_streaming_refresh" -> ((s, dir) => {
+      // the weekly crawl refresh END-TO-END on the STREAMING engine:
+      // q155's five-stage chain with the new corpus slice (doc_id%3==0)
+      // arriving as three id-ordered micro-batches. Per trigger,
+      // RefreshPipeline runs exact incremental dedup against
+      // prior ∪ previously-accepted stream docs (global first-writer-
+      // wins via its ledger), near dedup + 5-gram decontamination
+      // against the FIXED prior corpus / benchmark slice, byte-BPE
+      // encode, and the O(batch) shard append above the prior pack at
+      // v0. The final merged STORE view must equal the one-shot pack of
+      // prior + exactly the docs the batch chain keeps — q155's replay
+      // with the full-store projection, every sequence md5-pinned.
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_srefresh_")
+      try {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+          .localCheckpoint(true)
+        try {
+          val prior = d.filter(col("doc_id") % 3 =!= 0)
+          val newDocs = d.filter(col("doc_id") % 3 === 0)
+          graft.streaming.ShardSink.append(s,
+            prior.withColumn("__ids",
+              Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
+            "__ids", "doc_id", budget = 2048, shardCol = "source",
+            storeDir = s"$base/store") // the prior pack at v0
+          val maxId = newDocs.agg(max(col("doc_id")))
+            .collect()(0).getLong(0)
+          val cuts = (0 to 3).map(k => maxId * k / 3)
+          (0 until 3).foreach { k =>
+            val part = newDocs.filter(
+              col("doc_id") > cuts(k) - (if (k == 0) 1 else 0)
+                && col("doc_id") <= cuts(k + 1))
+            val tmp = s"$base/tmp$k"
+            part.coalesce(1).write.parquet(tmp)
+            val f = new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val dst = new java.io.File(s"$base/in/b$k.parquet")
+            dst.getParentFile.mkdirs()
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(1700000000000L + k * 60000L)
+          }
+          val sch = s.read.parquet(s"$base/in").schema
+          val stream = s.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(s"$base/in")
+          graft.streaming.RefreshPipeline.run(stream, prior,
+            prior.filter(col("doc_id") % 17 === 3),
+            storeDir = s"$base/store", ledgerDir = s"$base/ledger",
+            checkpointDir = s"$base/ck")
+          graft.streaming.ShardSink.read(s, s"$base/store")
+            .select(col("source"), col("seq_id"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              md5(Bpe.idsString(col("token_ids"))).as("ids_md5"))
+            .localCheckpoint(true)
+        } finally
+          org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+      } finally deleteRecursively(base)
+    }),
+
     "q165_index_retrain" -> ((s, dir) => {
       // the remediation q162's monitor schedules: the SAME drifted
       // corpus, probes, k and nProbe, but codebooks RETRAINED on the
@@ -3825,6 +3940,25 @@ dim_users_litify AS (
        |LEFT JOIN hits h ON e.probe_id = h.probe_id""".stripMargin
   }
 
+  /** q167: q158's replay over the CDC stream's final alive set — an id
+    * is excluded iff its LAST change was the delete: %7==1 (deleted),
+    * odd (not re-upserted by the third batch), and %13<>2 (not
+    * re-upserted in the delete's own trigger). Re-upserted ids must
+    * rank exactly ONCE — a duplicate copy surviving the upsert
+    * self-mask would double a neighbor row and break the hash. */
+  private def q167OracleSql: String =
+    s"""WITH ${ivfPqOracleBody(nListsSql = "4", nProbeSql = "2", m = 4,
+        kCodes = 8, iters = 2, dim = 64, scale = 1000000L,
+        probeWhere = "vec_id < 4", trainWhere = "vec_id % 5 <> 0")}
+       |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       |  CAST(dist AS BIGINT) AS adc_dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY dist, neighbor_id) AS rn
+       |  FROM adc
+       |  WHERE NOT (neighbor_id % 7 = 1 AND neighbor_id % 2 = 1
+       |    AND neighbor_id % 13 <> 2))
+       |WHERE rn <= 5""".stripMargin
+
   private def q162OracleSql: String =
     driftRecallOracleSql(trainWhere = "vec_id < 1000000")
 
@@ -3962,7 +4096,17 @@ dim_users_litify AS (
     * q154's combined-stream repack with the delta cut. Stage outputs
     * thread through as id sets (ex -> nr -> surv), so a divergence at
     * ANY stage boundary breaks the final md5 pins. */
-  private def q155OracleSql: String = {
+  private def q155OracleSql: String =
+    refreshOracleSql(deltaOnly = true)
+
+  /** q168: q155's full refresh-chain replay, but the final projection
+    * is the WHOLE store view (old + new sequences), matching the
+    * streaming edition's output — the merged ShardSink store after the
+    * micro-batch appends. */
+  private def q168OracleSql: String =
+    refreshOracleSql(deltaOnly = false)
+
+  private def refreshOracleSql(deltaOnly: Boolean): String = {
     val n = BpeByteVocab.merges.size
     val mix = Dedup.mixConstants(32)
     val sigList = (0 until 32).map { j =>
@@ -4035,8 +4179,11 @@ dim_users_litify AS (
        |SELECT source, CAST(gp // 2048 AS BIGINT) AS seq_id,
        |  CAST(COUNT(1) AS BIGINT) AS n_tokens,
        |  md5(string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gp)) AS ids_md5
-       |FROM tt JOIN ot USING (source)
-       |WHERE n_new > 0 AND gp // 2048 >= old_total // 2048
+       |${if (deltaOnly)
+           """FROM tt JOIN ot USING (source)
+             |WHERE n_new > 0 AND gp // 2048 >= old_total // 2048"""
+             .stripMargin
+         else "FROM tt"}
        |GROUP BY 1, 2""".stripMargin
   }
 
@@ -5827,6 +5974,8 @@ dim_users_litify AS (
     "q166_store_time_travel" -> packOracleSql(docWhere =
       """d.doc_id <= (SELECT MAX(doc_id) * 2 // 3 FROM documents
         |             WHERE text IS NOT NULL)""".stripMargin),
+    "q167_streaming_cdc_index" -> q167OracleSql,
+    "q168_streaming_refresh" -> q168OracleSql,
 
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,

@@ -154,6 +154,13 @@ object ShardSink {
     * streaming path, or explicit versions for the scheduler path). */
   def compact(spark: SparkSession, storeDir: String, outDir: String,
               shardCol: String = "source"): Unit = {
+    // a used target would otherwise be SILENT corruption: publishOnce
+    // would no-op on an existing v0 and readers would keep serving the
+    // old contents as if freshly compacted (the alternating-two-dirs
+    // compaction pattern hits exactly this) — fail loudly instead
+    require(versions(outDir).isEmpty,
+      s"compaction target $outDir already holds store versions - " +
+        "compact into a fresh directory")
     new java.io.File(outDir).mkdirs()
     StoreFiles.publishOnce(s"$outDir/.staging-v0",
       new java.io.File(s"$outDir/v0"), { staging =>

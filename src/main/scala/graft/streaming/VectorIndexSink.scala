@@ -151,6 +151,51 @@ object VectorIndexSink {
     * tombstone survive, and the new layout starts with no
     * tombstones. */
   def compact(spark: SparkSession, indexDir: String,
-              outDir: String): Unit =
+              outDir: String): Unit = {
+    // a used target would otherwise be SILENT corruption: ivfPqSave
+    // overwrites the base tables but would leave the target's own
+    // stale appends/tombstones beside the fresh fold, and readers
+    // would serve the mixture (the alternating-two-dirs compaction
+    // pattern hits exactly this) — fail loudly instead
+    require(!new java.io.File(s"$outDir/encoded").exists()
+        && deltaDirs(outDir).isEmpty && tombstoneDirs(outDir).isEmpty,
+      s"compaction target $outDir already holds index state - " +
+        "compact into a fresh directory")
     Similarity.ivfPqSave(read(spark, indexDir), outDir)
+  }
+
+  /** Drive a CDC stream (an `opCol` of "upsert" | "delete") into the
+    * index with TRUE upsert semantics — FAISS's remove-then-add made
+    * explicit in the store's batch sequence: stream batch T publishes
+    * tombstone `d<2T>` for (deleted ids) UNION (upserted ids), then
+    * append `b<2T+1>` for the upserted vectors, so an upsert replaces
+    * every earlier copy of its id (no duplicates in the served view)
+    * and a delete masks everything published before this trigger.
+    * Within one batch the ops compose as remove-then-add: an id both
+    * deleted and upserted in the same trigger SERVES its fresh copy.
+    * Both publishes are keyed by the derived store-batch ids, so
+    * foreachBatch's at-least-once re-delivery finds its commits and
+    * skips — the same exactly-once discipline as [[run]], spread over
+    * the two ticks each trigger owns. */
+  def runCdc(events: DataFrame, indexDir: String, checkpointDir: String,
+             opCol: String = "op", vecCol: String = "embedding",
+             idCol: String = "vec_id"): Unit = {
+    val q = events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val ups = batch.filter(col(opCol) === "upsert")
+        val dels = batch.filter(col(opCol) === "delete")
+        val masked = dels.select(col(idCol))
+          .unionByName(ups.select(col(idCol)))
+        if (!masked.isEmpty)
+          deleteBatch(s, indexDir, 2L * batchId, masked, idCol)
+        if (!ups.isEmpty)
+          appendBatch(s, indexDir, 2L * batchId + 1L, ups, vecCol, idCol)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

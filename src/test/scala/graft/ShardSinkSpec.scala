@@ -168,6 +168,12 @@ class ShardSinkSpec extends SparkSpec {
       assert(canon(spark.read.parquet(s"$base/c/v0")) == before)
       // never in place: the old layout still serves undisturbed
       assert(canon(ShardSink.read(spark, s"$base/store")) == before)
+      // a USED compaction target is refused loudly — publishOnce would
+      // no-op on the existing v0 and readers would keep serving stale
+      // contents as if freshly compacted
+      intercept[IllegalArgumentException] {
+        ShardSink.compact(spark, s"$base/c", s"$base/store")
+      }
     } finally rmTree(base)
   }
 

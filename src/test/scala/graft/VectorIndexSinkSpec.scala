@@ -127,6 +127,50 @@ class VectorIndexSinkSpec extends SparkSpec {
       assert(encSet(folded.encoded) == encSet(served2.encoded))
       assert(!folded.encoded.select("vec_id").as[Long].collect()
         .contains(7L))
+      // a USED compaction target is refused loudly — ivfPqSave would
+      // overwrite the base tables but leave the target's stale
+      // appends/tombstones beside the fresh fold (the alternating-
+      // two-dirs pattern): base itself has appends, so it must throw
+      intercept[IllegalArgumentException] {
+        VectorIndexSink.compact(spark, s"$base/c", base.toString)
+      }
+    } finally rmTree(base)
+  }
+
+  test("runCdc: upserts replace (no duplicate copies), same-trigger " +
+      "delete+upsert is remove-then-add, plain deletes mask") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vcdc_")
+    try {
+      val all = corpus
+      val idx = Similarity.ivfPqBuild(all, nLists = 3, m = 2,
+        kCodes = 4, iterations = 2)
+      Similarity.ivfPqSave(idx, base.toString)
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Array[Float], String)]
+      val stream = mem.toDF().toDF("vec_id", "embedding", "op")
+      def vec(i: Long) = Array.tabulate(8)(d =>
+        math.sin(i * 3 + d).toFloat)
+      // trigger 0: re-upsert id 3 (already in the base index — the
+      // self-mask must replace it, not duplicate it) + delete id 7
+      mem.addData((3L, vec(3), "upsert"), (7L, vec(7), "delete"))
+      VectorIndexSink.runCdc(stream, base.toString, s"$base/ck")
+      // trigger 1: delete id 5 AND upsert id 5 in the SAME trigger —
+      // remove-then-add, the fresh copy serves
+      mem.addData((5L, vec(5), "delete"), (5L, vec(5), "upsert"))
+      VectorIndexSink.runCdc(stream, base.toString, s"$base/ck")
+      val served = VectorIndexSink.read(spark, base.toString).encoded
+        .select("vec_id").as[Long].collect()
+      assert(served.count(_ == 3L) == 1, "re-upsert duplicated id 3")
+      assert(served.count(_ == 5L) == 1,
+        "same-trigger delete+upsert must serve the fresh copy once")
+      assert(!served.contains(7L), "deleted id 7 still serves")
+      assert(served.toSet == (0L until 40L).toSet - 7L)
+      // re-drain with nothing uncommitted: no new store batches, view
+      // unchanged (the exactly-once discipline across the two ticks)
+      VectorIndexSink.runCdc(stream, base.toString, s"$base/ck")
+      val served2 = VectorIndexSink.read(spark, base.toString).encoded
+        .select("vec_id").as[Long].collect()
+      assert(served2.sorted.toSeq == served.sorted.toSeq)
     } finally rmTree(base)
   }
 }
