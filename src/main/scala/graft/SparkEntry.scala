@@ -1123,11 +1123,14 @@ object SparkEntry {
         try {
           val prior = d.filter(col("doc_id") % 3 =!= 0)
           val newDocs = d.filter(col("doc_id") % 3 === 0)
+          val tSeed = System.nanoTime()
           graft.streaming.ShardSink.append(s,
             prior.withColumn("__ids",
               Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
             "__ids", "doc_id", budget = 2048, shardCol = "source",
             storeDir = s"$base/store") // the prior pack at v0
+          Bench.recordComponent("q168_seed_prior_pack",
+            (System.nanoTime() - tSeed) / 1e9)
           val maxId = newDocs.agg(max(col("doc_id")))
             .collect()(0).getLong(0)
           val cuts = (0 to 3).map(k => maxId * k / 3)
@@ -1149,10 +1152,13 @@ object SparkEntry {
             .option("maxFilesPerTrigger", "1")
             .option("latestFirst", "false")
             .parquet(s"$base/in")
+          val tDrain = System.nanoTime()
           graft.streaming.RefreshPipeline.run(stream, prior,
             prior.filter(col("doc_id") % 17 === 3),
             storeDir = s"$base/store", ledgerDir = s"$base/ledger",
             checkpointDir = s"$base/ck")
+          Bench.recordComponent("q168_stream_drain",
+            (System.nanoTime() - tDrain) / 1e9)
           graft.streaming.ShardSink.read(s, s"$base/store")
             .select(col("source"), col("seq_id"),
               col("n_tokens").cast("long").as("n_tokens"),

@@ -492,21 +492,16 @@ object Dedup {
   def ngramDecontaminate(corpus: DataFrame, reference: DataFrame,
                          textCol: String, idCol: String,
                          n: Int = 13, minMatches: Int = 1,
-                         mode: HashMode = Fast): DataFrame = {
+                         mode: HashMode = Fast,
+                         refGramsCached: Option[DataFrame] = None)
+      : DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
     require(minMatches >= 1, s"minMatches must be >= 1: $minMatches")
-    def gramHashes(c: Column): Column = {
-      val grams = array_distinct(T.shingles(c, n))
-      mode match {
-        case Fast     => transform(grams, g => xxhash64(g))
-        case Portable => transform(grams, g => T.portableHash64(g))
-      }
-    }
-    val refGrams = reference.filter(col(textCol).isNotNull)
-      .select(explode(gramHashes(col(textCol))).as("__rg")).distinct()
+    val refGrams = refGramsCached.getOrElse(
+      ngramRefGrams(reference, textCol, n, mode))
     val matches = corpus.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__mid"),
-        explode(gramHashes(col(textCol))).as("__g"))
+        explode(gramHashesCol(col(textCol), n, mode)).as("__g"))
       .join(refGrams, col("__g") === col("__rg"))
       .groupBy(col("__mid"))
       .agg(count(lit(1)).as("n_matched")) // grams pre-distinct per side
@@ -515,6 +510,24 @@ object Dedup {
       .withColumn("contaminated", col("n_matched") >= minMatches)
       .drop("__mid")
   }
+
+  private def gramHashesCol(c: Column, n: Int, mode: HashMode): Column = {
+    val grams = array_distinct(T.shingles(c, n))
+    mode match {
+      case Fast     => transform(grams, g => xxhash64(g))
+      case Portable => transform(grams, g => T.portableHash64(g))
+    }
+  }
+
+  /** The reference side of [[ngramDecontaminate]] — its distinct gram
+    * hashes — exposed so a refresh loop decontaminating MANY drops
+    * against ONE benchmark slice computes them once and caches across
+    * triggers (pass via `ngramDecontaminate(refGramsCached = ...)`). */
+  def ngramRefGrams(reference: DataFrame, textCol: String,
+                    n: Int = 13, mode: HashMode = Fast): DataFrame =
+    reference.filter(col(textCol).isNotNull)
+      .select(explode(gramHashesCol(col(textCol), n, mode)).as("__rg"))
+      .distinct()
 
   /** SEMANTIC decontamination — drop corpus rows whose embedding is
     * cosine-similar (>= thresholdPct/100) to ANY benchmark embedding:
@@ -800,7 +813,8 @@ object Dedup {
     * duplicates), matching [[exact]]'s null-safe fingerprint rule. */
   def exactIncremental(batch: DataFrame, prior: DataFrame,
                        textCol: String, idCol: String,
-                       fpp: Double = 0.01): DataFrame = {
+                       fpp: Double = 0.01,
+                       refFps: Option[DataFrame] = None): DataFrame = {
     // prior-drop BEFORE in-batch dedup: the anti join's two branches then
     // recompute only the row-local fingerprint projection over the batch
     // scan, never the dedup window shuffle (bloomAntiJoin evaluates its
@@ -808,12 +822,21 @@ object Dedup {
     // removes a WHOLE fingerprint group or none of it, so the in-batch
     // survivor per remaining group is unchanged.
     val withFp = batch.withColumn("__fp", T.fingerprint(col(textCol)))
-    val priorFp = prior.select(T.fingerprint(col(textCol)).as("__pfp"))
-      .filter(col("__pfp").isNotNull)
+    val priorFp = refFps.getOrElse(exactFingerprints(prior, textCol))
     val fresh = Joins.bloomAntiJoin(withFp, priorFp, "__fp", "__pfp", fpp)
       .drop("__fp")
     exact(fresh, textCol, idCol)
   }
+
+  /** The prior side of [[exactIncremental]] — its normalized text
+    * fingerprints as `__pfp` — exposed so a refresh loop deduping MANY
+    * drops against ONE prior corpus computes them once, caches them,
+    * and per trigger only unions the (tiny) fingerprints of docs it
+    * accepted since (pass via `exactIncremental(refFps = Some(...))`).
+    * Without this the prior's normalize+hash pass re-runs per trigger. */
+  def exactFingerprints(prior: DataFrame, textCol: String): DataFrame =
+    prior.select(T.fingerprint(col(textCol)).as("__pfp"))
+      .filter(col("__pfp").isNotNull)
   /** INCREMENTAL near-dedup: drop batch rows whose MinHash signature
     * agrees >= `threshold` with ANY prior-version row sharing an LSH
     * band — [[exactIncremental]]'s companion for the near-duplicate tier
@@ -832,7 +855,8 @@ object Dedup {
                       numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.8, shingleN: Int = 3,
                       maxBucket: Int = 1024,
-                      mode: HashMode = Fast): DataFrame = {
+                      mode: HashMode = Fast,
+                      postings: Option[DataFrame] = None): DataFrame = {
     def banded(sigCol: Column): Column =
       bandKeysCol(sigCol, numHashes, bands, mode)
     val sigB = minhashSignatureCol(col(textCol), numHashes, shingleN, mode)
@@ -840,19 +864,36 @@ object Dedup {
       .select(col(idCol).as("__bid"), sigB.as("__sig"))
       .select(col("__bid"), col("__sig"),
         explode(banded(col("__sig"))).as("__band"))
-    val p = prior.filter(col(textCol).isNotNull)
-      .select(minhashSignatureCol(col(textCol), numHashes, shingleN, mode)
-        .as("__psig"))
-      .select(col("__psig"), explode(banded(col("__psig"))).as("__pband"))
-    val pCapped = p.withColumn("__bn", row_number().over(
-        Window.partitionBy(col("__pband")).orderBy(col("__psig"))))
-      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val pCapped = postings.getOrElse(nearPostings(prior, textCol,
+      numHashes, bands, shingleN, maxBucket, mode))
     val hits = bB.join(pCapped, col("__band") === col("__pband"))
       .filter(size(filter(zip_with(col("__sig"), col("__psig"),
         (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
         .cast("double") / numHashes >= threshold)
       .select(col("__bid")).distinct()
     batch.join(hits, col(idCol) === col("__bid"), "left_anti")
+  }
+
+  /** The prior-side band postings of [[nearIncremental]], exposed so a
+    * refresh loop appending MANY drops against ONE prior corpus can
+    * compute them once and cache across triggers (pass via
+    * `nearIncremental(postings = Some(...))`): the prior's signature
+    * pass is the dominant per-trigger cost otherwise, and it is
+    * trigger-invariant by the incremental contract (near-dup decisions
+    * reference the kept corpus, never in-flight peers). Columns
+    * `(__psig, __pband)`, hot buckets capped at `maxBucket`. */
+  def nearPostings(prior: DataFrame, textCol: String,
+                   numHashes: Int = 32, bands: Int = 8,
+                   shingleN: Int = 3, maxBucket: Int = 1024,
+                   mode: HashMode = Fast): DataFrame = {
+    val p = prior.filter(col(textCol).isNotNull)
+      .select(minhashSignatureCol(col(textCol), numHashes, shingleN, mode)
+        .as("__psig"))
+      .select(col("__psig"), explode(bandKeysCol(col("__psig"),
+        numHashes, bands, mode)).as("__pband"))
+    p.withColumn("__bn", row_number().over(
+        Window.partitionBy(col("__pband")).orderBy(col("__psig"))))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
   }
 
   /** ExactSubstr-style repeated-span detection (the sequence-level dedup

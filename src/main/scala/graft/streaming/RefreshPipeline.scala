@@ -16,7 +16,7 @@ import graft.functions.{Bpe, BpeByteVocab}
   * EQUIVALENT to the one-shot batch chain, which is what its oracle
   * replays):
   *  - EXACT dedup references prior ∪ previously-ACCEPTED stream docs
-  *    (an accepted-docs ledger this pipeline maintains): with id-ordered
+  *    (a fingerprint ledger this pipeline maintains): with id-ordered
   *    drops this is global first-writer-wins — exactly the in-batch
   *    `row_number = 1` rule of the single-batch run.
   *  - NEAR dedup and n-gram decontamination reference the FIXED prior
@@ -28,11 +28,18 @@ import graft.functions.{Bpe, BpeByteVocab}
   *    keyed `batchId + 1` above the caller-seeded `v0` prior pack, so
   *    re-delivered triggers are no-ops on the store.
   *
-  * The accepted-docs ledger is written with plain append: a re-delivered
-  * trigger may duplicate ledger rows, which is HARMLESS by construction —
-  * the ledger only ever feeds the exact-tier anti-join reference, where
-  * duplicates cannot change any keep/drop decision (and the store append
-  * itself is batchId-keyed exactly-once). */
+  * Per-trigger cost discipline: every prior-side derivation — exact
+  * fingerprints, minhash band postings, reference grams — is
+  * trigger-invariant, so each is computed ONCE per run and cached
+  * (localCheckpoint, released on exit); a trigger pays only its own
+  * batch's row-local passes, the bounded joins against those caches,
+  * and the O(batch) append. The ledger stores accepted docs'
+  * FINGERPRINTS (not text) and is written with plain append: a
+  * re-delivered trigger may duplicate ledger rows, which is HARMLESS
+  * by construction — the ledger only ever feeds the exact-tier
+  * anti-join reference, where duplicates cannot change any keep/drop
+  * decision (and the store append itself is batchId-keyed
+  * exactly-once). */
 object RefreshPipeline {
 
   /** Drive a document stream (idCol, shardCol, textCol at minimum)
@@ -46,42 +53,68 @@ object RefreshPipeline {
           idCol: String = "doc_id", textCol: String = "text",
           numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
           decontamN: Int = 5, minMatches: Int = 2): Unit = {
-    val q = docs.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sp = batch.sparkSession
-        val ledger = new java.io.File(ledgerDir)
-        val accepted =
-          if (ledger.exists()) sp.read.parquet(ledgerDir)
-            .select(col(idCol), col(shardCol), col(textCol))
-          else prior.select(col(idCol), col(shardCol), col(textCol))
-            .limit(0)
-        val ref = prior.select(col(idCol), col(shardCol), col(textCol))
-          .unionByName(accepted)
-        val exactKept = Dedup.exactIncremental(batch, ref, textCol, idCol)
-        val nearKept = Dedup.nearIncremental(exactKept, prior, textCol,
-          idCol, numHashes = numHashes, bands = bands,
-          threshold = threshold, mode = Dedup.Portable)
-        val cleaned = Dedup.ngramDecontaminate(nearKept, benchmark,
-            textCol, idCol, n = decontamN, minMatches = minMatches)
-          .filter(!col("contaminated"))
-          .drop("n_matched", "contaminated")
-          .localCheckpoint(true) // used twice: ledger + pack
-        try {
-          cleaned.select(col(idCol), col(shardCol), col(textCol))
-            .write.mode("append").parquet(ledgerDir)
-          ShardSink.append(sp,
-            cleaned.withColumn("__ids",
-              Bpe.byteTokenIds(col(textCol), BpeByteVocab.merges)),
-            "__ids", idCol, budget, shardCol, storeDir,
-            version = Some(batchId + 1))
-        } finally
-          org.apache.spark.sql.graftglue.GraftGlue
-            .releaseCheckpoint(cleaned)
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    // every prior-side derivation is trigger-invariant (the
+    // incremental contract references the kept corpus only), so all
+    // three are computed ONCE here and cached across every trigger —
+    // without this, re-deriving the prior's fingerprints / minhash
+    // postings / reference grams dominates each micro-batch at corpus
+    // scale: the exact-tier fingerprints, the near-tier band postings,
+    // and the decontamination reference grams
+    val priorFps = Dedup.exactFingerprints(prior, textCol)
+      .localCheckpoint(true)
+    val postings = Dedup.nearPostings(prior, textCol,
+        numHashes = numHashes, bands = bands, mode = Dedup.Portable)
+      .localCheckpoint(true)
+    val refGrams = Dedup.ngramRefGrams(benchmark, textCol, n = decontamN)
+      .localCheckpoint(true)
+    try {
+      val q = docs.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sp = batch.sparkSession
+          val ledger = new java.io.File(ledgerDir)
+          // the ledger stores accepted docs' FINGERPRINTS, not text —
+          // per trigger the exact-tier reference is the cached prior
+          // fingerprints plus this tiny union
+          val refFps =
+            if (ledger.exists()) priorFps.unionByName(
+              sp.read.parquet(ledgerDir).select(col("__pfp")))
+            else priorFps
+          val exactKept = Dedup.exactIncremental(batch, prior, textCol,
+            idCol, refFps = Some(refFps))
+          val nearKept = Dedup.nearIncremental(exactKept, prior, textCol,
+            idCol, numHashes = numHashes, bands = bands,
+            threshold = threshold, mode = Dedup.Portable,
+            postings = Some(postings))
+          val cleaned = Dedup.ngramDecontaminate(nearKept, benchmark,
+              textCol, idCol, n = decontamN, minMatches = minMatches,
+              refGramsCached = Some(refGrams))
+            .filter(!col("contaminated"))
+            .drop("n_matched", "contaminated")
+            .localCheckpoint(true) // used twice: ledger + pack
+          try {
+            cleaned.select(
+                graft.functions.TextFunctions.fingerprint(col(textCol))
+                  .as("__pfp"))
+              .filter(col("__pfp").isNotNull)
+              .write.mode("append").parquet(ledgerDir)
+            ShardSink.append(sp,
+              cleaned.withColumn("__ids",
+                Bpe.byteTokenIds(col(textCol), BpeByteVocab.merges)),
+              "__ids", idCol, budget, shardCol, storeDir,
+              version = Some(batchId + 1))
+          } finally
+            org.apache.spark.sql.graftglue.GraftGlue
+              .releaseCheckpoint(cleaned)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(priorFps)
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(postings)
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(refGrams)
+    }
   }
 }

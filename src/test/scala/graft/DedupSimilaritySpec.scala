@@ -529,6 +529,13 @@ class DedupSimilaritySpec extends SparkSpec {
         numHashes = 32, bands = 8, threshold = 0.5, shingleN = 3)
       .filter(col("near_contaminated")).select("id").as[Long].collect().toSet
     assert(kept == Set(10L, 11L, 12L, 13L) -- flagged)
+    // precomputed-postings path (the refresh loop's per-trigger cache)
+    // is the SAME frame, so decisions are identical
+    val cached = Dedup.nearIncremental(batch, prior, "text", "id",
+      numHashes = 32, bands = 8, threshold = 0.5, shingleN = 3,
+      postings = Some(Dedup.nearPostings(prior, "text",
+        numHashes = 32, bands = 8, shingleN = 3)))
+    assert(cached.select("id").as[Long].collect().toSet == kept)
   }
 
   test("decontamination: exact and near reference matches flagged, corpus intact") {
