@@ -112,16 +112,33 @@ object ShardSink {
   def read(spark: SparkSession, storeDir: String,
            shardCol: String = "source",
            asOf: Option[Long] = None): DataFrame = {
+    val all = versioned(spark, storeDir, asOf)
+    all.join(broadcast(losers(all, shardCol)),
+        col(shardCol) <=> col("__lS") && col("seq_id") === col("__lQ")
+          && col("__v") === col("__lV"),
+        "left_anti")
+      .drop("__v")
+  }
+
+  /** All committed versions unioned, tagged `__v`. */
+  private def versioned(spark: SparkSession, storeDir: String,
+                        asOf: Option[Long]): DataFrame = {
     val vs = asOf.fold(versions(storeDir))(v =>
       versions(storeDir).filter(_._1 <= v))
     if (vs.isEmpty) throw new IllegalStateException(
       s"no shard store versions under $storeDir" +
         asOf.fold("")(v => s" at or before v$v"))
-    val all = vs.map { case (n, f) =>
+    vs.map { case (n, f) =>
       spark.read.parquet(f.getAbsolutePath).withColumn("__v", lit(n))
     }.reduce(_ unionByName _)
-    // renamed narrow-column projections keep the self-join lineage
-    // unambiguous (DetectAmbiguousSelfJoin) AND null-safe on the shard
+  }
+
+  /** Superseded (shard, seq_id, version) keys of the latest-wins merge
+    * — shared by [[read]] (anti join) and [[describe]] (debt count).
+    * Renamed narrow-column projections keep the self-join lineage
+    * unambiguous (DetectAmbiguousSelfJoin) AND null-safe on the
+    * shard. */
+  private def losers(all: DataFrame, shardCol: String): DataFrame = {
     val keys = all.select(col(shardCol).as("__kS"),
       col("seq_id").as("__kQ"), col("__v").as("__kV"))
     val maxes = keys.groupBy(col("__kS"), col("__kQ"))
@@ -129,16 +146,40 @@ object ShardSink {
       .filter(col("__c") > 1) // sole-version keys can't have losers
       .select(col("__kS").as("__mS"), col("__kQ").as("__mQ"),
         col("__vmax"))
-    val losers = keys.join(maxes,
+    keys.join(maxes,
         col("__kS") <=> col("__mS") && col("__kQ") === col("__mQ"))
       .filter(col("__kV") < col("__vmax"))
       .select(col("__kS").as("__lS"), col("__kQ").as("__lQ"),
         col("__kV").as("__lV"))
-    all.join(broadcast(losers),
+  }
+
+  /** Operational description of the store — one row per committed
+    * version: its delta size (rows / shards touched / token mass) and
+    * how many of its rows the current latest-wins view supersedes
+    * (`n_superseded` — the compaction debt a [[compact]] would drop
+    * physically). The scheduling signal the ShardSink scaladoc's
+    * "compacts old versions on a schedule" needs: compact when
+    * version count or total debt passes a threshold. Narrow columns
+    * only — token payloads are never read. */
+  def describe(spark: SparkSession, storeDir: String,
+               shardCol: String = "source"): DataFrame = {
+    val all = versioned(spark, storeDir, None)
+    val narrow = all.select(col(shardCol), col("seq_id"),
+      col("n_tokens"), col("__v"))
+    val superseded = narrow.join(broadcast(losers(all, shardCol)),
         col(shardCol) <=> col("__lS") && col("seq_id") === col("__lQ")
-          && col("__v") === col("__lV"),
-        "left_anti")
-      .drop("__v")
+          && col("__v") === col("__lV"), "left_semi")
+      .groupBy(col("__v")).agg(count(lit(1)).as("n_superseded"))
+    narrow.groupBy(col("__v"))
+      .agg(count(lit(1)).as("n_rows"),
+        // struct-wrapped so the NULL shard counts as a shard
+        countDistinct(struct(col(shardCol))).as("n_shards"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"))
+      .join(superseded, Seq("__v"), "left")
+      .select(col("__v").as("version"), col("n_rows"), col("n_shards"),
+        col("n_tokens"),
+        coalesce(col("n_superseded"), lit(0L)).as("n_superseded"))
+      .orderBy(col("version"))
   }
 
   /** Fold every committed delta version into ONE fresh base version

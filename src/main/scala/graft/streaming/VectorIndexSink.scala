@@ -164,6 +164,46 @@ object VectorIndexSink {
     Similarity.ivfPqSave(read(spark, indexDir), outDir)
   }
 
+  /** Operational description of the index store — one row per arm
+    * (`base`, each append delta, each tombstone set): its batch id
+    * (-1 for the base), row count, and for vector-bearing arms how
+    * many of their rows the current tombstone set masks (`n_masked` —
+    * the compaction debt [[compact]] would erase physically, re-adds
+    * excluded by the same batch-ordered rule [[read]] serves by). The
+    * scheduling signal for the compact-on-a-schedule discipline:
+    * compact when delta count, tombstone backlog, or total debt
+    * passes a threshold. */
+  def describe(spark: SparkSession, indexDir: String,
+               idCol: String = "vec_id"): DataFrame = {
+    val base = Similarity.ivfPqLoad(spark, indexDir)
+    val arms =
+      (("base", -1L, base.encoded) +: deltaDirs(indexDir).map {
+        case (b, f) =>
+          ("append", b, spark.read.parquet(f.getAbsolutePath))
+      }) // vector-bearing arms; tombstones counted separately below
+    val ts = tombstoneDirs(indexDir)
+    val dead =
+      if (ts.isEmpty) None
+      else Some(ts.map { case (t, f) =>
+        spark.read.parquet(f.getAbsolutePath).withColumn("__t", lit(t))
+      }.reduce(_ unionByName _))
+    import spark.implicits._
+    val armRows = arms.map { case (kind, b, df) =>
+      val n = df.count()
+      val masked = dead.fold(0L)(d =>
+        df.join(broadcast(d),
+            df(idCol) === d(idCol) && d("__t") >= lit(b), "left_semi")
+          .count())
+      (kind, b, n, masked)
+    }
+    val tombRows = ts.map { case (t, f) =>
+      ("tombstone", t,
+        spark.read.parquet(f.getAbsolutePath).count(), 0L)
+    }
+    (armRows ++ tombRows)
+      .toDF("kind", "batch", "n_rows", "n_masked")
+  }
+
   /** Drive a CDC stream (an `opCol` of "upsert" | "delete") into the
     * index with TRUE upsert semantics — FAISS's remove-then-add made
     * explicit in the store's batch sequence: stream batch T publishes

@@ -81,9 +81,9 @@ object AnnScale {
       } finally
         org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(emb)
     }
-    // ---- lifecycle at n = 100k (recorded once-per-round): the store
-    // verbs measured at scale, not just fixture size. Append is
-    // O(batch) — 1% of the corpus encoded under FROZEN codebooks into
+    // ---- lifecycle at n = 100k AND n = 1M (recorded once-per-round):
+    // the store verbs measured at scale, not just fixture size. Append
+    // is O(batch) — a 1% crawl drop encoded under FROZEN codebooks into
     // only its touched __list partitions; delete is O(batch) — one
     // tombstone set (its ids span BOTH provenances: base rows and one
     // appended row, so the batch-ordered mask is exercised across
@@ -91,9 +91,9 @@ object AnnScale {
     // gate against the exact ground truth of the MUTATED corpus; and
     // the compacted fold must serve the IDENTICAL ranking (bit-parity
     // required, not just recall-parity).
-    val lifecycle = if (sizes.contains(100000L)) {
-      val n = 100000L
-      val all = SparkEntry.synthClusteredEmbeddings(spark, n + 1000L,
+    def lifecycle(n: Long): Option[String] = {
+      val appendN = n / 100 // a 1% crawl drop
+      val all = SparkEntry.synthClusteredEmbeddings(spark, n + appendN,
         dim = 64, nClusters = 400).localCheckpoint(true)
       val dir = Files.createTempDirectory("graft_annlife_")
       try {
@@ -111,10 +111,12 @@ object AnnScale {
         graft.streaming.VectorIndexSink.appendBatch(spark,
           dir.toString, 0L, batch)
         val appendS = (System.nanoTime() - tA) / 1e9
+        val dead = all.filter(col("vec_id") % 1000 === 7)
+          .select("vec_id")
+        val nDead = dead.count()
         val tD = System.nanoTime()
         graft.streaming.VectorIndexSink.deleteBatch(spark,
-          dir.toString, 1L,
-          all.filter(col("vec_id") % 1000 === 7).select("vec_id"))
+          dir.toString, 1L, dead)
         val deleteS = (System.nanoTime() - tD) / 1e9
         val emb2 = all.filter(col("vec_id") % 1000 =!= 7)
           .localCheckpoint(true)
@@ -155,7 +157,7 @@ object AnnScale {
             f"save=$saveS%.2fs append=$appendS%.2fs delete=$deleteS%.2fs " +
             f"serve_probe=$serveS%.2fs compact=$compactS%.2fs " +
             f"compacted_probe=$cprobeS%.2fs")
-          Some(f"""{"n":$n,"append_batch":1000,"tombstoned":101,""" +
+          Some(f"""{"n":$n,"append_batch":$appendN,"tombstoned":$nDead,""" +
             f""""recall_at_10_served":$recall%.4f,"hits":$hits,""" +
             f""""possible":$possible,"save_s":$saveS%.2f,""" +
             f""""append_s":$appendS%.2f,"delete_s":$deleteS%.2f,""" +
@@ -171,10 +173,12 @@ object AnnScale {
         }
         rm(dir.toFile)
       }
-    } else None
+    }
+    val lifecycles = Seq(100000L, 1000000L).filter(sizes.contains)
+      .flatMap(lifecycle)
     val json = s"""{"recipe":"ivfPqBuild(sample 10%)+ivfPqQueryRefined",""" +
       s""""dim":64,"nClusters":400,"runs":[${rows.mkString(",")}]""" +
-      lifecycle.fold("")(l => s""","lifecycle":$l""") + "}\n"
+      s""","lifecycle":[${lifecycles.mkString(",")}]}\n"""
     Files.writeString(Paths.get(out), json)
     println(s"[annscale] wrote ${rows.size} runs to $out")
     spark.stop()

@@ -174,6 +174,21 @@ class ShardSinkSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         ShardSink.compact(spark, s"$base/c", s"$base/store")
       }
+      // describe: per-version delta sizes + compaction debt. v0 packs
+      // 3 docs/shard x 3 tokens at budget 4 -> 3 seqs/shard (4+4+1);
+      // v1 tops up each tail and adds 2 more -> 3 delta rows/shard,
+      // superseding exactly v0's tail per shard. NULL shard counts.
+      val desc = ShardSink.describe(spark, s"$base/store").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      assert(desc(0L) == ((6L, 2L, 18L, 2L)))
+      assert(desc(1L) == ((6L, 2L, 20L, 0L)))
+      // the compacted store carries no debt, one version
+      val cdesc = ShardSink.describe(spark, s"$base/c").collect()
+      assert(cdesc.length == 1)
+      assert(cdesc.head.getLong(0) == 0L
+        && cdesc.head.getLong(1) == 10L     // 5 seqs x 2 shards
+        && cdesc.head.getLong(4) == 0L)
     } finally rmTree(base)
   }
 

@@ -109,6 +109,16 @@ class VectorIndexSinkSpec extends SparkSpec {
       val ids2 = served2.encoded.select("vec_id").as[Long].collect()
       assert(ids2.count(_ == 10L) == 1) // re-added once, not doubled
       assert(ids2.toSet == (0L until 40L).toSet - 7L)
+      // describe: one row per arm with its compaction debt — base
+      // (32 rows, id 7 masked), append b0 (8 rows, id 10 masked),
+      // re-add b2 (1 row, NOT masked: d1 < b2), tombstone d1 (2 ids)
+      val desc = VectorIndexSink.describe(spark, base.toString)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(desc(("base", -1L)) == ((32L, 1L)))
+      assert(desc(("append", 0L)) == ((8L, 1L)))
+      assert(desc(("append", 2L)) == ((1L, 0L)))
+      assert(desc(("tombstone", 1L)) == ((2L, 0L)))
       // as-of snapshots: the delta layout replays any point of the
       // batch sequence — after the append (deletes invisible), after
       // the tombstone (masked), after the re-add (current view) — and
