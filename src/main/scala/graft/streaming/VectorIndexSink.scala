@@ -225,6 +225,16 @@ object VectorIndexSink {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        // fail loud on an unknown (or NULL) op — silently dropping a
+        // change record would desynchronize the index from its source;
+        // null-safe comparisons so a NULL op cannot slip through
+        val unknown = batch.filter(!(col(opCol) <=> "upsert")
+          && !(col(opCol) <=> "delete"))
+        if (!unknown.isEmpty)
+          throw new IllegalArgumentException(
+            s"runCdc: unknown $opCol value(s) in batch $batchId: " +
+              unknown.select(opCol).distinct().limit(10).collect()
+                .map(_.get(0)).mkString(", "))
         val ups = batch.filter(col(opCol) === "upsert")
         val dels = batch.filter(col(opCol) === "delete")
         val masked = dels.select(col(idCol))

@@ -181,6 +181,16 @@ class VectorIndexSinkSpec extends SparkSpec {
       val served2 = VectorIndexSink.read(spark, base.toString).encoded
         .select("vec_id").as[Long].collect()
       assert(served2.sorted.toSeq == served.sorted.toSeq)
+      // an unknown op fails LOUD (silently dropping a change record
+      // would desynchronize the index); NULL op is unknown too
+      mem.addData((8L, vec(8), "update"))
+      val e = intercept[Exception] {
+        VectorIndexSink.runCdc(stream, base.toString, s"$base/ck")
+      }
+      def messages(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(messages(e).exists(_.contains("unknown op")))
     } finally rmTree(base)
   }
 }
