@@ -804,20 +804,48 @@ object Similarity {
     * encode the batch under the frozen codebooks, and `append` the new
     * rows into the `__list`-partitioned parquet layout. Parquet append
     * with partitionBy writes files only under the batch's own `__list=`
-    * directories, so untouched list partitions stay byte-identical —
-    * total cost is O(batch), independent of the index size, and a
-    * concurrent [[ivfPqLoad]]+probe never sees a half-written list
-    * (parquet appends are new files, committed atomically per task).
-    * Repeated small appends accumulate small files per hot list; fold
-    * them with [[graft.sinks.FileSink.compact]] on a schedule, exactly
-    * like the shard store. */
+    * directories, so untouched list partitions stay byte-identical and
+    * total cost is O(batch), independent of the index size.
+    *
+    * Delivery contract — SINGLE WRITER, readers excluded while an
+    * append is in flight: the multi-task append has no job-level
+    * atomicity (individual task files commit atomically, the batch as
+    * a whole does not), so a `.append-pending` sentinel brackets the
+    * job and [[ivfPqLoad]] fails loudly while it exists. A crash
+    * mid-append leaves the sentinel behind: the store is DETECTED as
+    * torn (every later load refuses with the remedy in the message),
+    * never silently served with a partial batch — recovery is restore/
+    * rebuild the encoded table, then remove the sentinel. For
+    * non-blocking concurrent serving and exactly-once delivery use
+    * [[graft.streaming.VectorIndexSink.appendBatch]], whose per-batch
+    * delta directories publish with one atomic rename. Repeated small
+    * appends accumulate small files per hot list; fold them with
+    * [[graft.sinks.FileSink.compact]] on a schedule, exactly like the
+    * shard store. */
   def ivfPqAppendSave(spark: org.apache.spark.sql.SparkSession,
                       path: String, newVecs: DataFrame,
                       vecCol: String = "embedding",
-                      idCol: String = "vec_id"): Unit =
-    ivfPqEncodeFrozen(ivfPqLoad(spark, path), newVecs, vecCol, idCol)
-      .write.mode("append").partitionBy("__list")
+                      idCol: String = "vec_id"): Unit = {
+    // load + plan BEFORE the sentinel: a load/analysis failure (torn
+    // store, retired store, schema mismatch) surfaces its own message
+    // without holding the sentinel; ivfPqLoad itself rejects an
+    // existing sentinel, so a second writer stops here
+    val encoded =
+      ivfPqEncodeFrozen(ivfPqLoad(spark, path), newVecs, vecCol, idCol)
+    val pending = appendPendingSentinel(path)
+    require(pending.createNewFile(),
+      s"index at $path has an in-flight or torn append " +
+        s"(${pending.getName} present) - single-writer contract: wait " +
+        "for the writer, or verify/rebuild the encoded table after a " +
+        "crash, then remove the sentinel")
+    encoded.write.mode("append").partitionBy("__list")
       .parquet(s"$path/encoded")
+    pending.delete() // reached only on success: a failed job leaves
+    ()               // the sentinel as the torn-append record
+  }
+
+  private def appendPendingSentinel(path: String): java.io.File =
+    new java.io.File(path, ".append-pending")
 
   /** IVF-PQ probe: rank the coarse lists per probe (integer distances,
     * ties to the lowest list), keep `nProbe`, compute the probe's
@@ -967,9 +995,21 @@ object Similarity {
   }
 
   /** Load an [[ivfPqSave]]d index; both codebooks are bounded driver
-    * collects by construction. */
+    * collects by construction. Fails loudly on a RETIRED index (see
+    * [[graft.streaming.VectorIndexSink.retire]] — the marker names the
+    * compacted successor) and on an in-flight or torn
+    * [[ivfPqAppendSave]] (the `.append-pending` sentinel: the encoded
+    * table may hold a partial batch and must never be served
+    * silently). */
   def ivfPqLoad(spark: org.apache.spark.sql.SparkSession,
                 path: String): IvfPqIndex = {
+    graft.streaming.StoreFiles.requireNotRetired(path, "vector index")
+    val pending = appendPendingSentinel(path)
+    if (pending.exists()) throw new IllegalStateException(
+      s"index at $path has an in-flight or torn append " +
+        s"(${pending.getName} present) - wait for the writer, or " +
+        "verify/rebuild the encoded table after a crash, then remove " +
+        "the sentinel")
     val meta = spark.read.parquet(s"$path/meta").collect().head
     val (nLists, m, k, subDim, unitScale) = (meta.getAs[Int]("n_lists"),
       meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),

@@ -10,7 +10,11 @@ import graft.functions.{Bpe, BpeByteVocab}
   * composition q155 pins in batch form, here driven trigger-by-trigger:
   * each arriving crawl drop is exact-incrementally deduped, near-deduped,
   * decontaminated, byte-BPE tokenized, and appended to the persistent
-  * shard store, all inside one `foreachBatch`.
+  * shard store, all inside one `foreachBatch`. With `indexDir` set, the
+  * SAME trigger also appends the accepted docs' embeddings to a served
+  * [[VectorIndexSink]] store — one crawl drop maintaining BOTH stores a
+  * training-data platform runs off (shards for the trainer, the vector
+  * index for retrieval/dedup serving), under one delivery discipline.
   *
   * Reference semantics per tier (chosen to make the streamed run
   * EQUIVALENT to the one-shot batch chain, which is what its oracle
@@ -25,34 +29,115 @@ import graft.functions.{Bpe, BpeByteVocab}
   *    in-flight peers — two near-dup docs inside one refresh both land,
   *    same as the batch chain).
   *  - The shard append is O(batch) ([[ShardSink.append]]), versions
-  *    keyed `batchId + 1` above the caller-seeded `v0` prior pack, so
-  *    re-delivered triggers are no-ops on the store.
+  *    keyed `batchId + 1` above the caller-seeded `v0` prior pack; the
+  *    index append is [[VectorIndexSink.appendBatch]] keyed `batchId`
+  *    above a caller-seeded base — so re-delivered triggers are no-ops
+  *    on both stores.
   *
   * Per-trigger cost discipline: every prior-side derivation — exact
   * fingerprints, minhash band postings, reference grams — is
   * trigger-invariant, so each is computed ONCE per run and cached
   * (localCheckpoint, released on exit); a trigger pays only its own
   * batch's row-local passes, the bounded joins against those caches,
-  * and the O(batch) append. The ledger stores accepted docs'
-  * FINGERPRINTS (not text) and is written with plain append: a
-  * re-delivered trigger may duplicate ledger rows, which is HARMLESS
-  * by construction — the ledger only ever feeds the exact-tier
-  * anti-join reference, where duplicates cannot change any keep/drop
-  * decision (and the store append itself is batchId-keyed
-  * exactly-once). */
+  * and the O(batch) appends.
+  *
+  * Ledger delivery contract (the at-least-once crash window, closed):
+  * the ledger is a set of per-trigger directories `ledgerDir/b<id>`,
+  * each holding the fingerprints THAT trigger accepted, published via
+  * [[StoreFiles.publishOnce]] AFTER the trigger's store commits — and a
+  * trigger builds its exact-tier reference ONLY from ledger batches
+  * with id strictly BELOW its own. A re-delivered trigger therefore can
+  * never see its own fingerprints (no self-masking: the re-run keeps
+  * exactly the docs the first run kept, finds its store commits
+  * published, and skips them), and a crash anywhere between the store
+  * commit and the ledger publish is healed by the re-run republishing
+  * the missing pieces from an identical `cleaned`. Earlier triggers'
+  * ledger batches are always complete when trigger N runs: triggers
+  * execute sequentially, and N-1's checkpoint only advances after its
+  * whole body — ledger publish included — returned. */
 object RefreshPipeline {
+
+  /** One trigger's work, factored out so the delivery contract is
+    * directly testable: compute the accepted docs against prior ∪
+    * ledger-batches-below-`batchId`, commit the shard append (version
+    * `batchId + 1`), optionally the index append (batch `batchId`),
+    * then publish this trigger's ledger batch. Idempotent under
+    * re-delivery by construction. */
+  private[graft] def processBatch(
+      batch: DataFrame, batchId: Long, prior: DataFrame,
+      benchmark: DataFrame, priorFps: DataFrame, postings: DataFrame,
+      refGrams: DataFrame, storeDir: String, ledgerDir: String,
+      budget: Int, shardCol: String, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, threshold: Double, decontamN: Int,
+      minMatches: Int, indexDir: Option[String], vecCol: String): Unit = {
+    val sp = batch.sparkSession
+    // the exact-tier reference: cached prior fingerprints plus the
+    // (tiny) ledger batches of STRICTLY EARLIER triggers — never this
+    // trigger's own (see the delivery contract above)
+    val earlier = StoreFiles
+      .publishedDirs(ledgerDir, "b", StoreFiles.hasParquet)
+      .filter(_._1 < batchId).map(_._2)
+    val refFps =
+      if (earlier.isEmpty) priorFps
+      else priorFps.unionByName(
+        sp.read.parquet(earlier.map(_.getAbsolutePath): _*)
+          .select(col("__pfp")))
+    val exactKept = Dedup.exactIncremental(batch, prior, textCol,
+      idCol, refFps = Some(refFps))
+    val nearKept = Dedup.nearIncremental(exactKept, prior, textCol,
+      idCol, numHashes = numHashes, bands = bands,
+      threshold = threshold, mode = Dedup.Portable,
+      postings = Some(postings))
+    val cleaned = Dedup.ngramDecontaminate(nearKept, benchmark,
+        textCol, idCol, n = decontamN, minMatches = minMatches,
+        refGramsCached = Some(refGrams))
+      .filter(!col("contaminated"))
+      .drop("n_matched", "contaminated")
+      .localCheckpoint(true) // used by store + index + ledger
+    try {
+      ShardSink.append(sp,
+        cleaned.withColumn("__ids",
+          Bpe.byteTokenIds(col(textCol), BpeByteVocab.merges)),
+        "__ids", idCol, budget, shardCol, storeDir,
+        version = Some(batchId + 1))
+      indexDir.foreach { ix =>
+        VectorIndexSink.appendBatch(sp, ix, batchId,
+          cleaned, vecCol, idCol)
+      }
+      // the ledger publish is LAST: only after every store this
+      // trigger feeds has committed may its fingerprints become
+      // visible — and even then only to LATER triggers
+      StoreFiles.publishOnce(s"$ledgerDir/.staging-b$batchId",
+        new java.io.File(s"$ledgerDir/b$batchId"), { staging =>
+          cleaned.select(
+              graft.functions.TextFunctions.fingerprint(col(textCol))
+                .as("__pfp"))
+            .filter(col("__pfp").isNotNull)
+            .write.mode("overwrite").parquet(staging)
+        })
+      ()
+    } finally
+      org.apache.spark.sql.graftglue.GraftGlue
+        .releaseCheckpoint(cleaned)
+  }
 
   /** Drive a document stream (idCol, shardCol, textCol at minimum)
     * through the refresh chain into `storeDir`. The caller seeds the
     * store's `v0` with the prior corpus pack (so appends extend it) and
     * passes the same `prior`/`benchmark` frames the batch chain would
-    * use. Blocks until the AvailableNow drain completes. */
+    * use. With `indexDir` set (the cross-store shape), the docs must
+    * also carry `vecCol` and the caller seeds the index base with the
+    * prior corpus' vectors (ivfPqBuild + ivfPqSave); each trigger then
+    * appends its accepted docs' embeddings under the frozen codebooks.
+    * Blocks until the AvailableNow drain completes. */
   def run(docs: DataFrame, prior: DataFrame, benchmark: DataFrame,
           storeDir: String, ledgerDir: String, checkpointDir: String,
           budget: Int = 2048, shardCol: String = "source",
           idCol: String = "doc_id", textCol: String = "text",
           numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
-          decontamN: Int = 5, minMatches: Int = 2): Unit = {
+          decontamN: Int = 5, minMatches: Int = 2,
+          indexDir: Option[String] = None,
+          vecCol: String = "embedding"): Unit = {
     // every prior-side derivation is trigger-invariant (the
     // incremental contract references the kept corpus only), so all
     // three are computed ONCE here and cached across every trigger —
@@ -72,42 +157,10 @@ object RefreshPipeline {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val sp = batch.sparkSession
-          val ledger = new java.io.File(ledgerDir)
-          // the ledger stores accepted docs' FINGERPRINTS, not text —
-          // per trigger the exact-tier reference is the cached prior
-          // fingerprints plus this tiny union
-          val refFps =
-            if (ledger.exists()) priorFps.unionByName(
-              sp.read.parquet(ledgerDir).select(col("__pfp")))
-            else priorFps
-          val exactKept = Dedup.exactIncremental(batch, prior, textCol,
-            idCol, refFps = Some(refFps))
-          val nearKept = Dedup.nearIncremental(exactKept, prior, textCol,
-            idCol, numHashes = numHashes, bands = bands,
-            threshold = threshold, mode = Dedup.Portable,
-            postings = Some(postings))
-          val cleaned = Dedup.ngramDecontaminate(nearKept, benchmark,
-              textCol, idCol, n = decontamN, minMatches = minMatches,
-              refGramsCached = Some(refGrams))
-            .filter(!col("contaminated"))
-            .drop("n_matched", "contaminated")
-            .localCheckpoint(true) // used twice: ledger + pack
-          try {
-            cleaned.select(
-                graft.functions.TextFunctions.fingerprint(col(textCol))
-                  .as("__pfp"))
-              .filter(col("__pfp").isNotNull)
-              .write.mode("append").parquet(ledgerDir)
-            ShardSink.append(sp,
-              cleaned.withColumn("__ids",
-                Bpe.byteTokenIds(col(textCol), BpeByteVocab.merges)),
-              "__ids", idCol, budget, shardCol, storeDir,
-              version = Some(batchId + 1))
-          } finally
-            org.apache.spark.sql.graftglue.GraftGlue
-              .releaseCheckpoint(cleaned)
-          ()
+          processBatch(batch, batchId, prior, benchmark, priorFps,
+            postings, refGrams, storeDir, ledgerDir, budget, shardCol,
+            idCol, textCol, numHashes, bands, threshold, decontamN,
+            minMatches, indexDir, vecCol)
         }
         .start()
       q.awaitTermination()

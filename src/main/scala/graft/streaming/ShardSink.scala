@@ -62,8 +62,23 @@ object ShardSink {
   def append(spark: SparkSession, batch: DataFrame, idsCol: String,
              idCol: String, budget: Int, shardCol: String,
              storeDir: String, version: Option[Long] = None): Boolean = {
+    StoreFiles.requireNotRetired(storeDir, "shard store")
     new java.io.File(storeDir).mkdirs()
     val vs = versions(storeDir)
+    // an explicit version BELOW the latest committed one (the scaladoc's
+    // warned-against mix of a restarted streaming checkpoint with the
+    // scheduler path) would compute its delta against a merged view
+    // that already includes LATER versions, then publish it at the
+    // earlier key — read's latest-wins over that interleaving serves an
+    // inconsistent store. Equal-to-committed is the harmless
+    // re-delivery skip (publishOnce returns false below); anything
+    // else out of order fails loudly instead of publishing.
+    for (v <- version; (latest, _) <- vs.lastOption)
+      require(v > latest || vs.exists(_._1 == v),
+        s"out-of-order append: explicit version v$v is below the " +
+          s"store's latest committed v$latest at $storeDir - a " +
+          "restarted checkpoint lineage needs a fresh store, not an " +
+          "interleaved publish into this one")
     val v = version.getOrElse(vs.lastOption.map(_._1 + 1).getOrElse(0L))
     StoreFiles.publishOnce(s"$storeDir/.staging-v$v",
       new java.io.File(s"$storeDir/v$v"), { staging =>
@@ -123,6 +138,7 @@ object ShardSink {
   /** All committed versions unioned, tagged `__v`. */
   private def versioned(spark: SparkSession, storeDir: String,
                         asOf: Option[Long]): DataFrame = {
+    StoreFiles.requireNotRetired(storeDir, "shard store")
     val vs = asOf.fold(versions(storeDir))(v =>
       versions(storeDir).filter(_._1 <= v))
     if (vs.isEmpty) throw new IllegalStateException(
@@ -195,6 +211,8 @@ object ShardSink {
     * streaming path, or explicit versions for the scheduler path). */
   def compact(spark: SparkSession, storeDir: String, outDir: String,
               shardCol: String = "source"): Unit = {
+    StoreFiles.requireNotRetired(storeDir, "shard store")
+    StoreFiles.requireNotRetired(outDir, "shard store")
     // a used target would otherwise be SILENT corruption: publishOnce
     // would no-op on an existing v0 and readers would keep serving the
     // old contents as if freshly compacted (the alternating-two-dirs
@@ -202,12 +220,35 @@ object ShardSink {
     require(versions(outDir).isEmpty,
       s"compaction target $outDir already holds store versions - " +
         "compact into a fresh directory")
+    val maxFolded = versions(storeDir).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(
+        s"no shard store versions under $storeDir"))
     new java.io.File(outDir).mkdirs()
     StoreFiles.publishOnce(s"$outDir/.staging-v0",
       new java.io.File(s"$outDir/v0"), { staging =>
         read(spark, storeDir, shardCol)
           .write.mode("overwrite").parquet(staging)
       })
-    ()
+    // lineage marker AFTER the fold commits — [[retire]]'s precondition
+    StoreFiles.writeCompactedFrom(outDir, storeDir, maxFolded)
+  }
+
+  /** Retention: delete a PRE-COMPACTION store after its readers have
+    * drained — the vacuum verb the delta layout needs (per-version
+    * deletion is impossible here: versions are DELTAS, so dropping v0
+    * would corrupt every later merge; what retires is the whole
+    * superseded layout, the Delta-Lake-VACUUM analogue where the unit
+    * of reclamation is the pre-compaction file set). Refuses loudly
+    * unless `compactedTo` carries a [[compact]] lineage marker naming
+    * this store AND covering its latest committed version (appends
+    * landed after the compaction would otherwise be destroyed). The
+    * `_graft_retired` tombstone is written BEFORE the payload sweep and
+    * outlives it, so a late reader — including any `asOf`, which is now
+    * below the retention floor — fails loudly naming the successor,
+    * never sees a partial or empty store. */
+  def retire(storeDir: String, compactedTo: String): Unit = {
+    StoreFiles.beginRetire(storeDir, compactedTo,
+      versions(storeDir).lastOption.map(_._1))
+    StoreFiles.deletePayload(storeDir)
   }
 }

@@ -1,15 +1,119 @@
 package graft.streaming
 
 /** Shared filesystem plumbing for the delta stores (ShardSink,
-  * VectorIndexSink): recursive delete, published-directory listing, and
-  * the stage-then-atomic-rename publish that both sinks' atomicity
-  * contracts rest on. One implementation so a fix to commit semantics
-  * lands everywhere at once. */
-private[streaming] object StoreFiles {
+  * VectorIndexSink): recursive delete, published-directory listing, the
+  * stage-then-atomic-rename publish that both sinks' atomicity
+  * contracts rest on, and the retirement/compaction lineage markers the
+  * retention verbs check. One implementation so a fix to commit
+  * semantics lands everywhere at once. */
+private[graft] object StoreFiles {
+
+  /** Tombstone a [[retiredTo]]-readable marker leaves behind after
+    * `retire` deletes a pre-compaction store: any later read or append
+    * against the retired directory fails loudly, naming the successor,
+    * instead of serving an empty/partial view. */
+  val RetiredMarker = "_graft_retired"
+
+  /** Compaction-lineage marker `compact` writes into its target:
+    * `src=<canonical source dir>` and `max=<highest version/batch id
+    * folded>`. `retire` refuses to delete a source this marker does not
+    * name, and refuses when the source has grown past `max` (data
+    * committed after the compaction would be destroyed). */
+  val CompactedFromMarker = "_graft_compacted_from"
+
+  def writeMarker(f: java.io.File, lines: Seq[String]): Unit = {
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath,
+      lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def readMarker(f: java.io.File): Option[Map[String, String]] =
+    if (!f.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.contains("="))
+      .map { l => val i = l.indexOf('=')
+        l.take(i) -> l.drop(i + 1) }
+      .toMap)
+
+  /** The successor dir a retired store points at, if this store was
+    * retired. */
+  def retiredTo(dir: String): Option[String] =
+    readMarker(new java.io.File(dir, RetiredMarker)).map(_("to"))
+
+  /** Fail loudly on any access to a retired store — the retention
+    * floor: history at or before the compaction lives only in the
+    * successor (from its v0/base onward), so a read or asOf against
+    * the retired layout can never be served, partially or at all. */
+  def requireNotRetired(dir: String, what: String): Unit =
+    retiredTo(dir).foreach { to =>
+      throw new IllegalStateException(
+        s"$what at $dir was retired after compaction into $to - " +
+          "read/append against the compacted store (pre-compaction " +
+          "version history is beyond the retention floor)")
+    }
+
+  /** Record compaction lineage in the target (see
+    * [[CompactedFromMarker]]). Written AFTER the fold commits: a crash
+    * between the fold and this marker leaves a target [[retire]] will
+    * refuse — recovery is delete-the-target-and-recompact, never a
+    * silent partial retire. */
+  def writeCompactedFrom(outDir: String, srcDir: String,
+                         maxFolded: Long): Unit =
+    writeMarker(new java.io.File(outDir, CompactedFromMarker),
+      Seq(s"src=${new java.io.File(srcDir).getCanonicalPath}",
+        s"max=$maxFolded"))
+
+  /** Validate `compactedTo` really is a committed compaction of
+    * `storeDir` covering everything `latestInSource` now holds, then
+    * atomically mark `storeDir` retired (readers start failing loudly)
+    * and return. The caller deletes the store's payload dirs after. */
+  def beginRetire(storeDir: String, compactedTo: String,
+                  latestInSource: Option[Long]): Unit = {
+    requireNotRetired(storeDir, "store")
+    val marker = readMarker(
+      new java.io.File(compactedTo, CompactedFromMarker))
+    require(marker.isDefined,
+      s"retire: $compactedTo carries no $CompactedFromMarker marker - " +
+        "it is not a committed compaction target (a crash between the " +
+        "fold and the marker leaves this state: delete the target and " +
+        "recompact)")
+    val src = marker.get.getOrElse("src", "")
+    val canonical = new java.io.File(storeDir).getCanonicalPath
+    require(src == canonical,
+      s"retire: $compactedTo was compacted from $src, not $canonical - " +
+        "refusing to delete a store the target does not descend from")
+    val maxFolded = marker.get.getOrElse("max", "-1").toLong
+    latestInSource.foreach { latest =>
+      require(latest <= maxFolded,
+        s"retire: $storeDir holds versions/batches up to $latest but " +
+          s"$compactedTo folded only up to $maxFolded - data committed " +
+          "after the compaction would be destroyed; recompact first")
+    }
+    // the payload sweep deletes everything under the store: a successor
+    // NESTED inside it would be destroyed along with the history it is
+    // supposed to replace — refuse the layout outright
+    require(!new java.io.File(compactedTo).getCanonicalPath
+        .startsWith(canonical + java.io.File.separator),
+      s"retire: compaction target $compactedTo is nested inside the " +
+        s"store being retired ($canonical) - the payload sweep would " +
+        "destroy it; compact into a sibling directory")
+    writeMarker(new java.io.File(storeDir, RetiredMarker),
+      Seq(s"to=${new java.io.File(compactedTo).getCanonicalPath}"))
+  }
 
   def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
   }
+
+  /** Delete everything under `dir` EXCEPT the [[RetiredMarker]] — the
+    * retire verb's payload sweep: the marker must outlive the data so
+    * late readers fail loudly instead of seeing an empty store. */
+  def deletePayload(dir: String): Unit =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filterNot(_.getName == RetiredMarker)
+      .foreach(deleteRec)
 
   /** Committed directories under `parent` named `<prefix><digits>`,
     * ascending by number, keeping only those satisfying `nonEmpty` on

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, sum, when}
 import org.apache.spark.sql.streaming.Trigger
 import graft.operators.Similarity
 
@@ -52,7 +52,8 @@ object VectorIndexSink {
     * point: a scheduler-driven pipeline calls exactly this per drop. */
   def appendBatch(spark: SparkSession, indexDir: String, batchId: Long,
                   batch: DataFrame, vecCol: String = "embedding",
-                  idCol: String = "vec_id"): Boolean =
+                  idCol: String = "vec_id"): Boolean = {
+    StoreFiles.requireNotRetired(indexDir, "vector index")
     StoreFiles.publishOnce(s"$indexDir/.staging-b$batchId",
       new java.io.File(s"$indexDir/appends/b$batchId"), { staging =>
         val idx = Similarity.ivfPqLoad(spark, indexDir) // codebooks
@@ -60,6 +61,7 @@ object VectorIndexSink {
         Similarity.ivfPqEncodeFrozen(idx, batch, vecCol, idCol)
           .write.mode("overwrite").partitionBy("__list").parquet(staging)
       })
+  }
 
   /** Drive an embedding stream (idCol, vecCol at minimum) into the
     * index, one [[appendBatch]] per micro-batch. Blocks until the
@@ -91,12 +93,14 @@ object VectorIndexSink {
     * are absent from the fresh layout, which starts with no
     * tombstones) and preserves later re-adds. */
   def deleteBatch(spark: SparkSession, indexDir: String, batchId: Long,
-                  ids: DataFrame, idCol: String = "vec_id"): Boolean =
+                  ids: DataFrame, idCol: String = "vec_id"): Boolean = {
+    StoreFiles.requireNotRetired(indexDir, "vector index")
     StoreFiles.publishOnce(s"$indexDir/.staging-d$batchId",
       new java.io.File(s"$indexDir/tombstones/d$batchId"), { staging =>
         ids.select(idCol).distinct()
           .write.mode("overwrite").parquet(staging)
       })
+  }
 
   /** The serving view: base `encoded` plus every published append
     * delta, minus tombstoned ids (batch-ordered — see [[deleteBatch]]),
@@ -108,6 +112,7 @@ object VectorIndexSink {
   def read(spark: SparkSession, indexDir: String,
            idCol: String = "vec_id",
            asOf: Option[Long] = None): Similarity.IvfPqIndex = {
+    StoreFiles.requireNotRetired(indexDir, "vector index")
     val base = Similarity.ivfPqLoad(spark, indexDir)
     // `asOf` serves the index AS OF a batch id (inclusive): append
     // deltas and tombstones published after it are invisible — the
@@ -152,6 +157,8 @@ object VectorIndexSink {
     * tombstones. */
   def compact(spark: SparkSession, indexDir: String,
               outDir: String): Unit = {
+    StoreFiles.requireNotRetired(indexDir, "vector index")
+    StoreFiles.requireNotRetired(outDir, "vector index")
     // a used target would otherwise be SILENT corruption: ivfPqSave
     // overwrites the base tables but would leave the target's own
     // stale appends/tombstones beside the fresh fold, and readers
@@ -161,7 +168,31 @@ object VectorIndexSink {
         && deltaDirs(outDir).isEmpty && tombstoneDirs(outDir).isEmpty,
       s"compaction target $outDir already holds index state - " +
         "compact into a fresh directory")
+    val maxFolded = (deltaDirs(indexDir).map(_._1)
+      ++ tombstoneDirs(indexDir).map(_._1) :+ -1L).max
     Similarity.ivfPqSave(read(spark, indexDir), outDir)
+    // lineage marker AFTER the fold commits — [[retire]]'s precondition
+    StoreFiles.writeCompactedFrom(outDir, indexDir, maxFolded)
+  }
+
+  /** Retention: delete a PRE-COMPACTION index layout after its readers
+    * have drained — [[ShardSink.retire]]'s contract on the vector
+    * store (per-delta deletion is impossible: tombstones mask appends
+    * by batch order, so dropping any arm would change the served
+    * view; the unit of reclamation is the whole superseded layout).
+    * Refuses loudly unless `compactedTo` carries a [[compact]] lineage
+    * marker naming this index AND covering its latest published batch
+    * (appends/tombstones landed after the compaction would otherwise
+    * be destroyed). The `_graft_retired` tombstone is written BEFORE
+    * the payload sweep and outlives it, so a late reader — including
+    * any `asOf`, now below the retention floor — fails loudly naming
+    * the successor, never serves a partial index. */
+  def retire(indexDir: String, compactedTo: String): Unit = {
+    val latest = deltaDirs(indexDir).map(_._1) ++
+      tombstoneDirs(indexDir).map(_._1)
+    StoreFiles.beginRetire(indexDir, compactedTo,
+      if (latest.isEmpty) None else Some(latest.max))
+    StoreFiles.deletePayload(indexDir)
   }
 
   /** Operational description of the index store — one row per arm
@@ -175,33 +206,51 @@ object VectorIndexSink {
     * passes a threshold. */
   def describe(spark: SparkSession, indexDir: String,
                idCol: String = "vec_id"): DataFrame = {
-    val base = Similarity.ivfPqLoad(spark, indexDir)
+    StoreFiles.requireNotRetired(indexDir, "vector index")
+    // ONE action over all arms (the ShardSink.describe shape), not a
+    // driver loop of 2x(arms) jobs: every arm is tagged (kind, batch)
+    // and unioned on its narrow id projection, the masked flag comes
+    // from ONE broadcast join against the per-id max tombstone batch
+    // (a row is masked iff max __t over its id >= its append batch —
+    // the same batch-ordered rule [[read]] serves by, without the
+    // per-tombstone row expansion a multi-match join would cost), and
+    // rows + debt land in a single groupBy. Describing an overdue
+    // store costs one action, not more the longer compaction is
+    // deferred. The codebooks are never loaded (describe reads arm
+    // FILES only — it even works on a store whose base is mid-append,
+    // which is exactly when an operator reaches for observability).
+    val ts = tombstoneDirs(indexDir)
     val arms =
-      (("base", -1L, base.encoded) +: deltaDirs(indexDir).map {
+      (("base", -1L,
+        spark.read.parquet(s"$indexDir/encoded"))
+        +: deltaDirs(indexDir).map {
         case (b, f) =>
           ("append", b, spark.read.parquet(f.getAbsolutePath))
-      }) // vector-bearing arms; tombstones counted separately below
-    val ts = tombstoneDirs(indexDir)
-    val dead =
-      if (ts.isEmpty) None
-      else Some(ts.map { case (t, f) =>
-        spark.read.parquet(f.getAbsolutePath).withColumn("__t", lit(t))
-      }.reduce(_ unionByName _))
-    import spark.implicits._
-    val armRows = arms.map { case (kind, b, df) =>
-      val n = df.count()
-      val masked = dead.fold(0L)(d =>
-        df.join(broadcast(d),
-            df(idCol) === d(idCol) && d("__t") >= lit(b), "left_semi")
-          .count())
-      (kind, b, n, masked)
-    }
-    val tombRows = ts.map { case (t, f) =>
-      ("tombstone", t,
-        spark.read.parquet(f.getAbsolutePath).count(), 0L)
-    }
-    (armRows ++ tombRows)
-      .toDF("kind", "batch", "n_rows", "n_masked")
+      }) ++ ts.map { case (t, f) =>
+        ("tombstone", t, spark.read.parquet(f.getAbsolutePath))
+      }
+    val unioned = arms.map { case (kind, b, df) =>
+      df.select(col(idCol).as("__id"), lit(kind).as("kind"),
+        lit(b).as("batch"))
+    }.reduce(_ unionByName _)
+    val flagged =
+      if (ts.isEmpty) unioned.withColumn("__m", lit(false))
+      else {
+        val tmax = ts.map { case (t, f) =>
+          spark.read.parquet(f.getAbsolutePath)
+            .select(col(idCol).as("__did"), lit(t).as("__t"))
+        }.reduce(_ unionByName _)
+          .groupBy(col("__did")).agg(max(col("__t")).as("__tmax"))
+        unioned.join(broadcast(tmax),
+            unioned("__id") === col("__did"), "left")
+          // tombstone arms report their id counts, never debt
+          .withColumn("__m", col("kind") =!= "tombstone" &&
+            coalesce(col("__tmax") >= col("batch"), lit(false)))
+      }
+    flagged.groupBy(col("kind"), col("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__m"), 1L).otherwise(0L)).as("n_masked"))
+      .orderBy(col("batch"), col("kind"))
   }
 
   /** Drive a CDC stream (an `opCol` of "upsert" | "delete") into the

@@ -33,6 +33,13 @@ object GraftGlue {
     * aggregation and the output dump share one materialization). The
     * drop is intentional cleanup, so the WARN is noise there exactly as
     * it is in [[releaseCheckpoint]]. */
+  /** Flush the async listener bus so a caller counting job events (the
+    * one-job `describe` spec) reads a complete count —
+    * `SparkContext.listenerBus` is `private[spark]`, reachable only
+    * through this bridge. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   def releaseRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
     // Spark WARNs ("locally checkpointed ... cannot be recomputed after
     // unpersisting") on every such unpersist via the concrete RDD

@@ -886,6 +886,45 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqAppendSave: the .append-pending sentinel makes a torn " +
+      "append LOUD — load refuses while it exists, append refuses to " +
+      "stack a second writer, success clears it") {
+    import graft.operators.Similarity
+    val all = pqCorpus
+    val idx = Similarity.ivfPqBuild(all.filter(col("vec_id") % 5 =!= 0),
+      nLists = 3, m = 2, kCodes = 4, iterations = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_torn")
+    try {
+      Similarity.ivfPqSave(idx, dir.toString)
+      // simulate a crash mid-append: the sentinel survives the writer
+      val sentinel = new java.io.File(dir.toFile, ".append-pending")
+      assert(sentinel.createNewFile())
+      // every load path refuses with the remedy, never serves the
+      // possibly-partial batch silently
+      val e = intercept[IllegalStateException] {
+        Similarity.ivfPqLoad(spark, dir.toString)
+      }
+      assert(e.getMessage.contains("torn append"))
+      // a second writer refuses too (single-writer contract — its own
+      // load hits the sentinel before it can stack an append)
+      val batch = all.filter(col("vec_id") % 5 === 0)
+      intercept[IllegalStateException] {
+        Similarity.ivfPqAppendSave(spark, dir.toString, batch)
+      }
+      // operator verifies/rebuilds, removes the sentinel: store serves
+      assert(sentinel.delete())
+      Similarity.ivfPqAppendSave(spark, dir.toString, batch)
+      assert(!sentinel.exists()) // success clears its own sentinel
+      assert(Similarity.ivfPqLoad(spark, dir.toString).encoded.count() ==
+        all.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("keepBestPerCluster: highest score survives (ties -> lowest id, " +
       "NULL loses), unpaired rows survive unchanged") {
     import graft.operators.Dedup

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.streaming.{RefreshPipeline, ShardSink, StoreFiles, VectorIndexSink}
+import graft.functions.{Bpe, BpeByteVocab}
+import graft.operators.Similarity
+
+/** The refresh pipeline's at-least-once delivery contract: a trigger
+  * builds its exact-dedup reference only from STRICTLY EARLIER ledger
+  * batches and publishes its own ledger batch only after its store
+  * commits — so the crash window where a re-delivered trigger sees its
+  * own accepted fingerprints (and silently drops the whole drop) cannot
+  * exist. */
+class RefreshPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "source", "text")
+
+  // drive one trigger exactly as the foreachBatch body would —
+  // processBatch is the unit the streaming run() re-delivers
+  private def trigger(batch: org.apache.spark.sql.DataFrame,
+                      batchId: Long, prior: org.apache.spark.sql.DataFrame,
+                      benchmark: org.apache.spark.sql.DataFrame,
+                      base: java.nio.file.Path,
+                      indexDir: Option[String] = None): Unit =
+    RefreshPipeline.processBatch(batch, batchId, prior, benchmark,
+      Dedup.exactFingerprints(prior, "text"),
+      Dedup.nearPostings(prior, "text", numHashes = 32, bands = 8,
+        mode = Dedup.Portable),
+      Dedup.ngramRefGrams(benchmark, "text", n = 5),
+      s"$base/store", s"$base/ledger", budget = 16,
+      shardCol = "source", idCol = "doc_id", textCol = "text",
+      numHashes = 32, bands = 8, threshold = 0.8, decontamN = 5,
+      minMatches = 2, indexDir = indexDir, vecCol = "embedding")
+
+  test("a re-delivered trigger whose ledger batch already published " +
+      "(the post-commit crash window) keeps its docs: no self-masking") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rps_")
+    try {
+      val prior = docsDF((1L, "a", "alpha bravo charlie delta"))
+      val benchmark = prior.limit(0)
+      ShardSink.append(spark,
+        prior.withColumn("__ids",
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
+        "__ids", "doc_id", 16, "source", s"$base/store") // prior pack v0
+      val batch = docsDF(
+        (3L, "a", "echo foxtrot golf hotel india"),
+        (6L, "b", "juliet kilo lima mike november"))
+      trigger(batch, 0L, prior, benchmark, base)
+      def storedTokens() = ShardSink.read(spark, s"$base/store")
+        .agg(sum(col("n_tokens").cast("long"))).as[Long].collect().head
+      val after1 = storedTokens()
+      assert(StoreFiles
+        .publishedDirs(s"$base/ledger", "b", StoreFiles.hasParquet)
+        .map(_._1) == Seq(0L)) // the trigger's own ledger batch is up
+      // RE-DELIVERY of trigger 0 with its ledger batch b0 already
+      // published — exactly the state a crash between the ledger
+      // publish and the checkpoint advance leaves. The reference is
+      // built only from batches < 0 (none), so the re-run keeps the
+      // same docs, finds v1 committed, and no-ops — it must NOT see
+      // its own fingerprints, drop everything, and commit nothing
+      trigger(batch, 0L, prior, benchmark, base)
+      assert(storedTokens() == after1)
+      // and the harder half of the window: ledger published, store
+      // commit LOST (crash between the two under the OLD ordering —
+      // with publish-after-commit this state needs the store rolled
+      // back by hand, but the reference rule alone must still heal
+      // it). The re-run's anti-join reference excludes b0, so the
+      // accepted docs are re-derived identically and the store commit
+      // is REPUBLISHED, not silently skipped as an empty version.
+      StoreFiles.deleteRec(new java.io.File(s"$base/store/v1"))
+      trigger(batch, 0L, prior, benchmark, base)
+      assert(storedTokens() == after1,
+        "re-delivered trigger self-masked against its own ledger batch")
+      // a LATER trigger does reference b0: the same text re-arriving
+      // under a new id in batch 1 is dropped as a cross-drop duplicate
+      val rebatch = docsDF((9L, "a", "echo foxtrot golf hotel india"))
+      trigger(rebatch, 1L, prior, benchmark, base)
+      assert(storedTokens() == after1,
+        "later trigger failed to dedup against the accepted ledger")
+    } finally rmTree(base)
+  }
+
+  test("cross-store refresh: one trigger maintains the shard store AND " +
+      "the vector index; served index ids == prior + accepted docs") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rpx_")
+    try {
+      val prior = docsDF(
+        (1L, "a", "alpha bravo charlie delta"),
+        (2L, "b", "echo foxtrot golf hotel"),
+        (3L, "a", "mike november oscar papa"),
+        (4L, "b", "quebec romeo sierra tango"),
+        (7L, "a", "uniform victor whiskey xray"),
+        (8L, "b", "yankee zulu alfa beta"))
+      // deterministic embedding column shared by prior + batch docs
+      val priorE = prior.withColumn("embedding",
+        transform(sequence(lit(0), lit(7)),
+          i => sin(col("doc_id") * 3 + i).cast("float")))
+      val benchmark = prior.limit(0)
+      ShardSink.append(spark,
+        prior.withColumn("__ids",
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
+        "__ids", "doc_id", 16, "source", s"$base/store")
+      Similarity.ivfPqSave(
+        Similarity.ivfPqBuild(priorE, nLists = 2, m = 2, kCodes = 4,
+          iterations = 2, idCol = "doc_id"),
+        s"$base/ix")
+      // batch: one fresh doc, one exact duplicate of the prior corpus
+      // (must be dropped from BOTH stores); ids sort after every prior
+      // id (the id-ordered drops contract the one-shot replay assumes)
+      val batch = docsDF(
+        (9L, "a", "india juliet kilo lima"),
+        (10L, "b", "alpha bravo charlie delta"))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(7)),
+            i => sin(col("doc_id") * 3 + i).cast("float")))
+      trigger(batch, 0L, prior, benchmark, base,
+        indexDir = Some(s"$base/ix"))
+      val served = VectorIndexSink.read(spark, s"$base/ix", "doc_id")
+        .encoded.select("doc_id").as[Long].collect().toSet
+      assert(served == Set(1L, 2L, 3L, 4L, 7L, 8L, 9L),
+        s"index serves $served, want the prior ids + accepted {9}")
+      // the duplicate landed in neither store: the shard view equals
+      // the one-shot pack of prior + the accepted doc only
+      val want = graft.operators.Curate.packTokenIds(
+        prior.unionByName(docsDF((9L, "a", "india juliet kilo lima")))
+          .withColumn("__ids",
+            Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
+        "__ids", "doc_id", 16, "source")
+        .select("source", "seq_id", "token_ids").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Int](2))
+        .toMap
+      val got = ShardSink.read(spark, s"$base/store")
+        .select("source", "seq_id", "token_ids").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Int](2))
+        .toMap
+      assert(got == want)
+      // re-delivery: both stores already committed their batch keys —
+      // nothing doubles
+      trigger(batch, 0L, prior, benchmark, base,
+        indexDir = Some(s"$base/ix"))
+      assert(VectorIndexSink.read(spark, s"$base/ix", "doc_id")
+        .encoded.count() == 7L)
+    } finally rmTree(base)
+  }
+
+  private def rmTree(base: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(base).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+}

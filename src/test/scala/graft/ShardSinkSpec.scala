@@ -192,6 +192,110 @@ class ShardSinkSpec extends SparkSpec {
     } finally rmTree(base)
   }
 
+  test("append guards an explicit out-of-order version: below-latest " +
+      "uncommitted fails loudly, equal-to-committed is the re-delivery " +
+      "no-op") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vguard_")
+    try {
+      val docs = Seq((1L, "a", "x y"), (2L, "a", "z"), (3L, "b", "w"))
+        .toDF("doc_id", "source", "text")
+        .withColumn("__ids",
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+      def app(pred: org.apache.spark.sql.Column, v: Long) =
+        ShardSink.append(spark, docs.filter(pred), "__ids", "doc_id",
+          budget = 4, shardCol = "source", storeDir = s"$base/store",
+          version = Some(v))
+      assert(app(col("doc_id") <= 1, 0L))
+      assert(app(col("doc_id") === 2, 3L)) // gaps are fine (scheduler keys)
+      // re-delivery of a committed version: harmless no-op, even though
+      // it is below the latest
+      assert(!app(col("doc_id") === 2, 3L))
+      assert(!app(col("doc_id") <= 1, 0L))
+      // an UNCOMMITTED version below the latest (restarted checkpoint
+      // lineage meeting the scheduler path) would publish a delta
+      // computed against a merged view that already includes later
+      // versions — refused loudly instead of corrupting latest-wins
+      val e = intercept[IllegalArgumentException] {
+        app(col("doc_id") === 3, 2L)
+      }
+      assert(e.getMessage.contains("out-of-order"))
+      // the store is undisturbed and still appendable in order
+      assert(app(col("doc_id") === 3, 4L))
+      assert(ShardSink.read(spark, s"$base/store").count() > 0)
+    } finally rmTree(base)
+  }
+
+  test("retention: retire deletes only a covered pre-compaction store; " +
+      "late reads, asOf, appends all fail loudly naming the successor") {
+    val base = java.nio.file.Files.createTempDirectory("graft_retire_")
+    try {
+      val docs = Seq((1L, "a", "x y"), (2L, "a", "z"), (3L, "b", "w"),
+          (4L, "b", "v u"))
+        .toDF("doc_id", "source", "text")
+        .withColumn("__ids",
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+        .localCheckpoint(true)
+      def app(pred: org.apache.spark.sql.Column) =
+        ShardSink.append(spark, docs.filter(pred), "__ids", "doc_id",
+          budget = 4, shardCol = "source", storeDir = s"$base/store")
+      app(col("doc_id") <= 2)  // v0
+      app(col("doc_id") === 3) // v1
+      // no compaction happened: nothing names this store -> refused
+      intercept[IllegalArgumentException] {
+        ShardSink.retire(s"$base/store", s"$base/c")
+      }
+      ShardSink.compact(spark, s"$base/store", s"$base/c")
+      // a target compacted from a DIFFERENT store -> refused
+      ShardSink.compact(spark, s"$base/c", s"$base/c2")
+      val foreign = intercept[IllegalArgumentException] {
+        ShardSink.retire(s"$base/store", s"$base/c2")
+      }
+      assert(foreign.getMessage.contains("does not descend"))
+      // the source grew past the fold: retiring would destroy v2 ->
+      // refused until a fresh compaction covers it
+      app(col("doc_id") === 4) // v2 > max folded v1
+      val stale = intercept[IllegalArgumentException] {
+        ShardSink.retire(s"$base/store", s"$base/c")
+      }
+      assert(stale.getMessage.contains("recompact"))
+      ShardSink.compact(spark, s"$base/store", s"$base/c3")
+      val want = ShardSink.read(spark, s"$base/c3").collect()
+        .map(r => key(r) -> r.getSeq[Int](2)).toMap
+      ShardSink.retire(s"$base/store", s"$base/c3")
+      // the payload is gone, the tombstone marker survives
+      assert(new java.io.File(s"$base/store").listFiles()
+        .map(_.getName).toSeq == Seq("_graft_retired"))
+      // every access path fails loudly and names the successor — the
+      // retention floor: pre-compaction history (any asOf) is gone
+      Seq(
+        () => ShardSink.read(spark, s"$base/store"),
+        () => ShardSink.read(spark, s"$base/store", asOf = Some(0L)),
+        () => ShardSink.describe(spark, s"$base/store"),
+        () => ShardSink.compact(spark, s"$base/store", s"$base/x")
+      ).foreach { f =>
+        val e = intercept[IllegalStateException](f())
+        assert(e.getMessage.contains("retired")
+          && e.getMessage.contains("c3"))
+      }
+      intercept[IllegalStateException] {
+        ShardSink.append(spark, docs, "__ids", "doc_id", 4, "source",
+          s"$base/store")
+      }
+      // a retired dir can never be a compaction TARGET either
+      intercept[IllegalStateException] {
+        ShardSink.compact(spark, s"$base/c3", s"$base/store")
+      }
+      // double retire fails loudly (not a silent second delete)
+      intercept[IllegalStateException] {
+        ShardSink.retire(s"$base/store", s"$base/c3")
+      }
+      // the successor is untouched and serves the folded view
+      val got = ShardSink.read(spark, s"$base/c3").collect()
+        .map(r => key(r) -> r.getSeq[Int](2)).toMap
+      assert(got == want && got.nonEmpty)
+    } finally rmTree(base)
+  }
+
   private def rmTree(base: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(base).sorted(

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
-import graft.streaming.VectorIndexSink
+import graft.streaming.{StoreFiles, VectorIndexSink}
 
 /** Streaming vector ingest: batchId-keyed exactly-once deltas under
   * frozen codebooks compose to the in-memory append; re-delivery and
@@ -144,6 +144,118 @@ class VectorIndexSinkSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         VectorIndexSink.compact(spark, s"$base/c", base.toString)
       }
+    } finally rmTree(base)
+  }
+
+  test("describe is ONE aggregation job, not a per-arm driver loop") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vdesc_")
+    try {
+      val all = corpus
+      val idx = Similarity.ivfPqBuild(all.filter(col("vec_id") < 30),
+        nLists = 3, m = 2, kCodes = 4, iterations = 2)
+      Similarity.ivfPqSave(idx, base.toString)
+      VectorIndexSink.appendBatch(spark, base.toString, 0L,
+        all.filter(col("vec_id") >= 30 && col("vec_id") < 35))
+      VectorIndexSink.appendBatch(spark, base.toString, 2L,
+        all.filter(col("vec_id") >= 35))
+      VectorIndexSink.deleteBatch(spark, base.toString, 1L,
+        all.filter(col("vec_id").isin(2L, 31L, 36L)).select("vec_id"))
+      val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(
+            e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+          e match {
+            case _: org.apache.spark.sql.execution.ui
+                  .SparkListenerSQLExecutionStart =>
+              actions.incrementAndGet(); ()
+            case _ => ()
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val desc =
+        try {
+          val d = VectorIndexSink.describe(spark, base.toString).collect()
+          org.apache.spark.sql.graftglue.GraftGlue
+            .drainListenerBus(spark.sparkContext)
+          d
+        } finally spark.sparkContext.removeSparkListener(listener)
+      // ONE action end-to-end (AQE may split it into sub-jobs, which is
+      // scheduling, not extra passes): the old shape was a driver loop
+      // of 2 count-actions PER ARM plus 3 codebook collects — its cost
+      // grew with how overdue compaction was, exactly when describe
+      // gets called
+      assert(actions.get() == 1, s"describe ran ${actions.get()} actions")
+      val m = desc.map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+      // base: 30 rows, id 2 masked (d1 >= base -1); b0: 5 rows, 31
+      // masked (d1 >= b0); b2: 5 rows, 36 NOT masked (d1 < b2);
+      // tombstone d1: 3 ids, no debt of its own
+      assert(m(("base", -1L)) == ((30L, 1L)))
+      assert(m(("append", 0L)) == ((5L, 1L)))
+      assert(m(("append", 2L)) == ((5L, 0L)))
+      assert(m(("tombstone", 1L)) == ((3L, 0L)))
+    } finally rmTree(base)
+  }
+
+  test("retention: retire deletes only a covered pre-compaction index; " +
+      "late loads fail loudly naming the successor") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vretire_")
+    try {
+      val ix = s"$base/ix" // successors are SIBLINGS of the index dir
+      val all = corpus
+      val idx = Similarity.ivfPqBuild(all.filter(col("vec_id") < 30),
+        nLists = 3, m = 2, kCodes = 4, iterations = 2)
+      Similarity.ivfPqSave(idx, ix)
+      VectorIndexSink.appendBatch(spark, ix, 0L,
+        all.filter(col("vec_id") >= 30))
+      VectorIndexSink.deleteBatch(spark, ix, 1L,
+        all.filter(col("vec_id") === 7L).select("vec_id"))
+      // nothing names this index yet -> refused
+      intercept[IllegalArgumentException] {
+        VectorIndexSink.retire(ix, s"$base/c")
+      }
+      VectorIndexSink.compact(spark, ix, s"$base/c")
+      // the source grows past the fold: retiring would destroy d2
+      VectorIndexSink.deleteBatch(spark, ix, 2L,
+        all.filter(col("vec_id") === 8L).select("vec_id"))
+      val stale = intercept[IllegalArgumentException] {
+        VectorIndexSink.retire(ix, s"$base/c")
+      }
+      assert(stale.getMessage.contains("recompact"))
+      VectorIndexSink.compact(spark, ix, s"$base/c2")
+      // a successor nested INSIDE the store would be destroyed by the
+      // payload sweep -> the layout itself is refused
+      VectorIndexSink.compact(spark, ix, s"$ix/nested")
+      val nested = intercept[IllegalArgumentException] {
+        VectorIndexSink.retire(ix, s"$ix/nested")
+      }
+      assert(nested.getMessage.contains("nested"))
+      StoreFiles.deleteRec(new java.io.File(s"$ix/nested"))
+      val want = encSet(Similarity.ivfPqLoad(spark, s"$base/c2").encoded)
+      VectorIndexSink.retire(ix, s"$base/c2")
+      // payload gone; the tombstone marker survives alone
+      assert(new java.io.File(ix).listFiles()
+        .map(_.getName).toSeq == Seq("_graft_retired"))
+      Seq(
+        () => { Similarity.ivfPqLoad(spark, ix); () },
+        () => { VectorIndexSink.read(spark, ix); () },
+        () => { VectorIndexSink.describe(spark, ix); () },
+        () => VectorIndexSink.compact(spark, ix, s"$base/x"),
+        () => { VectorIndexSink.appendBatch(spark, ix, 9L, all); () },
+        () => { VectorIndexSink.deleteBatch(spark, ix, 9L,
+          all.select("vec_id")); () },
+        // a retired dir can never be a compaction TARGET either
+        () => VectorIndexSink.compact(spark, s"$base/c2", ix),
+        // double retire fails loudly (not a silent second delete)
+        () => VectorIndexSink.retire(ix, s"$base/c2")
+      ).foreach { f =>
+        val e = intercept[IllegalStateException](f())
+        assert(e.getMessage.contains("retired"))
+      }
+      // the successor is untouched and serves the folded view
+      assert(encSet(Similarity.ivfPqLoad(spark, s"$base/c2").encoded)
+        == want)
+      assert(!want.exists(_._1 == 7L) && !want.exists(_._1 == 8L))
     } finally rmTree(base)
   }
 
