@@ -1169,6 +1169,173 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    "q169_store_retention" -> ((s, dir) => {
+      // the retention verb ORACLED: q164's three-drop store is
+      // compacted into a sibling, the PRE-COMPACTION store is retired
+      // (payload deleted behind a tombstone marker), and the result is
+      // read from the SURVIVING store — which must still equal the
+      // one-shot pack of the whole corpus (a fold that lost or doubled
+      // a tail breaks the md5s). The retention floor is gated
+      // in-query: after retire, plain read, any asOf snapshot, and
+      // appends against the retired path must all fail loudly naming
+      // the successor — never serve a partial or empty view. Three
+      // unsafe retires are gated too: before any compaction (no
+      // lineage marker), after the source grew past the fold
+      // (recompact first), and a second retire of the same store.
+      val base = java.nio.file.Files.createTempDirectory("graft_ret_")
+      try {
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+          .withColumn("__ids",
+            Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+          .localCheckpoint(true)
+        try {
+          val maxId = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+          val cuts = (0 to 3).map(k => maxId * k / 3)
+          def drop(k: Int) = d.filter(
+            col("doc_id") > cuts(k) - (if (k == 0) 1 else 0)
+              && col("doc_id") <= cuts(k + 1))
+          (0 until 2).foreach { k =>
+            graft.streaming.ShardSink.append(s, drop(k), "__ids",
+              "doc_id", budget = 2048, shardCol = "source",
+              storeDir = s"$base/store")
+          }
+          def gate(cond: Boolean, what: String): Unit =
+            require(cond, s"retention gate failed: $what")
+          def failsRetired(f: => Any): Boolean =
+            try { f; false } catch {
+              case e: IllegalStateException =>
+                e.getMessage.contains("retired")
+              case _: Throwable => false
+            }
+          // unsafe retire #1: nothing names this store yet
+          gate(try {
+              graft.streaming.ShardSink.retire(s"$base/store", s"$base/c")
+              false
+            } catch { case _: IllegalArgumentException => true },
+            "retire before any compaction must be refused")
+          graft.streaming.ShardSink.compact(s, s"$base/store", s"$base/c")
+          // unsafe retire #2: the source grew past the fold
+          graft.streaming.ShardSink.append(s, drop(2), "__ids",
+            "doc_id", budget = 2048, shardCol = "source",
+            storeDir = s"$base/store")
+          gate(try {
+              graft.streaming.ShardSink.retire(s"$base/store", s"$base/c")
+              false
+            } catch { case e: IllegalArgumentException =>
+              e.getMessage.contains("recompact") },
+            "retire of an outgrown fold must demand a recompact")
+          graft.streaming.ShardSink.compact(s, s"$base/store",
+            s"$base/c2")
+          graft.streaming.ShardSink.retire(s"$base/store", s"$base/c2")
+          // the retention floor: every access to the retired layout
+          // fails loudly and names the successor
+          gate(failsRetired(
+              graft.streaming.ShardSink.read(s, s"$base/store")),
+            "read of a retired store must fail loudly")
+          gate(failsRetired(graft.streaming.ShardSink.read(s,
+              s"$base/store", asOf = Some(0L))),
+            "asOf below the retention floor must fail loudly")
+          gate(failsRetired(graft.streaming.ShardSink.append(s, drop(2),
+              "__ids", "doc_id", 2048, "source", s"$base/store")),
+            "append to a retired store must fail loudly")
+          // unsafe retire #3: double retire
+          gate(failsRetired(
+              graft.streaming.ShardSink.retire(s"$base/store",
+                s"$base/c2")),
+            "double retire must fail loudly")
+          graft.streaming.ShardSink.read(s, s"$base/c2")
+            .select(col("source"), col("seq_id"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              md5(Bpe.idsString(col("token_ids"))).as("ids_md5"))
+            .withColumn("retention_gates_ok", lit(true))
+            .localCheckpoint(true)
+        } finally
+          org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+      } finally deleteRecursively(base)
+    }),
+
+    "q170_refresh_cross_store" -> ((s, dir) => {
+      // the cross-store refresh flagship: q168's streamed weekly
+      // refresh with indexDir set, so each trigger maintains BOTH
+      // stores a training-data platform runs off one crawl drop — the
+      // shard store for the trainer and the served vector index for
+      // retrieval — under one delivery discipline (store version
+      // batchId+1, index delta batchId, ledger last). The output pins
+      // both from one stream: every served index id (must be exactly
+      // prior ∪ the accepted survivors — a doc dropped by any dedup
+      // tier is absent from BOTH stores) cross-joined with a canonical
+      // digest of the whole shard store view, so one oracle row set
+      // checks id-set agreement AND store content.
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_xrefresh_")
+      try {
+        val emb = transform(sequence(lit(0), lit(7)),
+          i => sin(col("doc_id") * 3 + i).cast("float"))
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+          .localCheckpoint(true)
+        try {
+          val prior = d.filter(col("doc_id") % 3 =!= 0)
+          val newDocs = d.filter(col("doc_id") % 3 === 0)
+          graft.streaming.ShardSink.append(s,
+            prior.withColumn("__ids",
+              Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
+            "__ids", "doc_id", budget = 2048, shardCol = "source",
+            storeDir = s"$base/store") // the prior pack at v0
+          Similarity.ivfPqSave( // the prior corpus as the index base
+            Similarity.ivfPqBuild(prior.withColumn("embedding", emb),
+              vecCol = "embedding", idCol = "doc_id", nLists = 4,
+              m = 4, kCodes = 8, iterations = 2),
+            s"$base/ix")
+          val maxId = newDocs.agg(max(col("doc_id")))
+            .collect()(0).getLong(0)
+          val cuts = (0 to 3).map(k => maxId * k / 3)
+          (0 until 3).foreach { k =>
+            val part = newDocs.filter(
+              col("doc_id") > cuts(k) - (if (k == 0) 1 else 0)
+                && col("doc_id") <= cuts(k + 1))
+            val tmp = s"$base/tmp$k"
+            part.coalesce(1).write.parquet(tmp)
+            val f = new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val dst = new java.io.File(s"$base/in/b$k.parquet")
+            dst.getParentFile.mkdirs()
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(1700000000000L + k * 60000L)
+          }
+          val sch = s.read.parquet(s"$base/in").schema
+          val stream = s.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(s"$base/in")
+            .withColumn("embedding", emb)
+          val tDrain = System.nanoTime()
+          graft.streaming.RefreshPipeline.run(stream, prior,
+            prior.filter(col("doc_id") % 17 === 3),
+            storeDir = s"$base/store", ledgerDir = s"$base/ledger",
+            checkpointDir = s"$base/ck",
+            indexDir = Some(s"$base/ix"))
+          Bench.recordComponent("q170_stream_drain",
+            (System.nanoTime() - tDrain) / 1e9)
+          val digest = graft.streaming.ShardSink.read(s, s"$base/store")
+            .select(concat_ws("|",
+              coalesce(col("source"), lit("<null>")),
+              col("seq_id").cast("string"),
+              col("n_tokens").cast("long").cast("string"),
+              md5(Bpe.idsString(col("token_ids")))).as("p"))
+            .agg(md5(concat_ws(";",
+              sort_array(collect_list(col("p"))))).as("store_digest"))
+          graft.streaming.VectorIndexSink
+            .read(s, s"$base/ix", idCol = "doc_id")
+            .encoded.select(col("doc_id"))
+            .crossJoin(broadcast(digest))
+            .localCheckpoint(true)
+        } finally
+          org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+      } finally deleteRecursively(base)
+    }),
+
     "q165_index_retrain" -> ((s, dir) => {
       // the remediation q162's monitor schedules: the SAME drifted
       // corpus, probes, k and nProbe, but codebooks RETRAINED on the
@@ -4112,7 +4279,48 @@ dim_users_litify AS (
   private def q168OracleSql: String =
     refreshOracleSql(deltaOnly = false)
 
-  private def refreshOracleSql(deltaOnly: Boolean): String = {
+  /** q170: the cross-store refresh — the SAME replayed chain feeds two
+    * pins in one row set: the served vector index's id set (prior docs
+    * ∪ the accepted survivors — a doc dropped by any dedup tier must be
+    * absent from the index exactly as it is absent from the shard
+    * store) and a canonical digest of the whole shard store view
+    * (per-sequence md5s folded order-independently), cross-joined onto
+    * every id row so one oracle checks both stores from one stream. */
+  private def q170OracleSql: String =
+    s"""${refreshCtes},
+       |pack AS (SELECT source, CAST(gp // 2048 AS BIGINT) AS seq_id,
+       |    CAST(COUNT(1) AS BIGINT) AS n_tokens,
+       |    md5(string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gp))
+       |      AS ids_md5
+       |  FROM tt GROUP BY 1, 2),
+       |dg AS (SELECT md5(string_agg(p, ';' ORDER BY p)) AS store_digest
+       |  FROM (SELECT COALESCE(source, '<null>') || '|' ||
+       |      CAST(seq_id AS VARCHAR) || '|' ||
+       |      CAST(n_tokens AS VARCHAR) || '|' || ids_md5 AS p
+       |    FROM pack)),
+       |served AS (SELECT doc_id FROM nn WHERE doc_id % 3 <> 0
+       |  UNION SELECT doc_id FROM surv)
+       |SELECT s.doc_id, dg.store_digest FROM served s, dg"""
+      .stripMargin
+
+  private def refreshOracleSql(deltaOnly: Boolean): String =
+    s"""$refreshCtes
+       |SELECT source, CAST(gp // 2048 AS BIGINT) AS seq_id,
+       |  CAST(COUNT(1) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gp)) AS ids_md5
+       |${if (deltaOnly)
+           """FROM tt JOIN ot USING (source)
+             |WHERE n_new > 0 AND gp // 2048 >= old_total // 2048"""
+             .stripMargin
+         else "FROM tt"}
+       |GROUP BY 1, 2""".stripMargin
+
+  /** The refresh chain's CTE prefix, shared by q168 (pack replay), its
+    * delta variant, and q170 (cross-store): exact dedup vs the prior
+    * corpus with first-writer-wins, banded minhash near-dedup,
+    * 5-gram decontamination, byte-BPE encode, combined prior+accepted
+    * token stream `tt` cut per shard. */
+  private def refreshCtes: String = {
     val n = BpeByteVocab.merges.size
     val mix = Dedup.mixConstants(32)
     val sigList = (0 until 32).map { j =>
@@ -4181,16 +4389,7 @@ dim_users_litify AS (
        |t0 AS (SELECT source, c, ids, UNNEST(range(len(ids))) AS i
        |  FROM cum),
        |tt AS (SELECT source, c + i AS gp,
-       |    ids[CAST(i AS INT) + 1] AS tok FROM t0)
-       |SELECT source, CAST(gp // 2048 AS BIGINT) AS seq_id,
-       |  CAST(COUNT(1) AS BIGINT) AS n_tokens,
-       |  md5(string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gp)) AS ids_md5
-       |${if (deltaOnly)
-           """FROM tt JOIN ot USING (source)
-             |WHERE n_new > 0 AND gp // 2048 >= old_total // 2048"""
-             .stripMargin
-         else "FROM tt"}
-       |GROUP BY 1, 2""".stripMargin
+       |    ids[CAST(i AS INT) + 1] AS tok FROM t0)""".stripMargin
   }
 
   /** q152: the decode round trip — token counts replayed by the full
@@ -5982,6 +6181,11 @@ dim_users_litify AS (
         |             WHERE text IS NOT NULL)""".stripMargin),
     "q167_streaming_cdc_index" -> q167OracleSql,
     "q168_streaming_refresh" -> q168OracleSql,
+    "q169_store_retention" ->
+      s"""SELECT source, seq_id, n_tokens, ids_md5,
+         |  TRUE AS retention_gates_ok
+         |FROM (${q147OracleSql})""".stripMargin,
+    "q170_refresh_cross_store" -> q170OracleSql,
 
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,
