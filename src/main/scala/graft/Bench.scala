@@ -42,8 +42,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     // optional name-prefix filter for single-query iteration
-    // (e.g. SPARK_GRAFT_BENCH_FILTER=q43,q22); unset = the full suite
-    val selected = SparkEntry.selectQueries("SPARK_GRAFT_BENCH_FILTER")
+    // (e.g. SPARK_GRAFT_BENCH_FILTER=q43,q22); unset = the full suite.
+    // The system-property forms exist for BenchGuard, which re-enters
+    // this main in-JVM for its adjudication probes and cannot change
+    // the environment
+    val filterSpec = sys.props.get("graft.bench.filter")
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_FILTER"))
+    val selected = SparkEntry.filterQueries(filterSpec)
     def time1(name: String,
               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Option[String]) = {
@@ -69,8 +74,8 @@ object Bench {
     // MIN-OVER-N FULL PASSES (N >= 2 by default, `runs` recorded in the
     // artifact): a host-busy window during any single pass cannot fabricate
     // a regression, so cross-round comparisons need no manual adjudication.
-    val runs = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val runs = math.max(1, sys.props.get("graft.bench.runs")
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_RUNS")).getOrElse("2").toInt)
     val names = selected.toSeq.sortBy(_._1)
     val passes = (1 to runs).map { _ =>
       names.map { case (n, f) => time1(n, f) } }
@@ -132,8 +137,7 @@ object Bench {
     // never clobber the committed full-surface artifact — its detail
     // lands beside it under a name the bookkeeping never commits
     val detailFile =
-      if (sys.env.get("SPARK_GRAFT_BENCH_FILTER").exists(_.trim.nonEmpty))
-        "BENCH_FILTERED.json"
+      if (filterSpec.exists(_.trim.nonEmpty)) "BENCH_FILTERED.json"
       else "BENCH_LOCAL.json"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailFile),
