@@ -604,8 +604,7 @@ object SparkEntry {
       // the documented production IVF shape: ONE ivfBuild serving many
       // probe batches (q38 is the one-shot twin). The union of 4 batches is
       // materialized eagerly inside the timed closure, then the index cache
-      // is released — nothing persists past the query. Rows-only check:
-      // per-batch correctness is q38's oracle + the unit spec.
+      // is released — nothing persists past the query.
       val emb = t(s, dir, "embeddings")
       // build vs probe timed separately (Bench "components"): the k-means
       // fit is DRIVER-side single-threaded compute — on a shared host it is
@@ -615,15 +614,32 @@ object SparkEntry {
       val idx = Similarity.ivfBuild(emb, nLists = 32)
       idx.assigned.write.format("noop").mode("overwrite").save()
       Bench.recordComponent("q57_build", (System.nanoTime() - tBuild) / 1e9)
+      // the pruned SERVING pass (nProbe=8, the amortized production
+      // scan shape) stays, timed as its own component — its recall<1
+      // results are what the unit spec covers
       val tProbe = System.nanoTime()
-      val out = (0 until 4).map { b =>
+      (0 until 4).map { b =>
           Similarity.ivfQuery(idx,
             emb.filter(col("vec_id") % 100 === b), k = 5, nProbe = 8)
+        }.reduce(_ unionByName _)
+        .write.format("noop").mode("overwrite").save()
+      Bench.recordComponent("q57_probe", (System.nanoTime() - tProbe) / 1e9)
+      // the ORACLED output: the SAME one-build-four-batches amortized
+      // path at nProbe = nLists, where recall is exactly 1.0 and the
+      // per-rank aggregate is deterministic — q38's brute-force math
+      // re-aggregated over the 4 probe batches (closes the long-
+      // standing "no_oracle" status of this row; every IVF mechanism
+      // still executes, now hash-pinned)
+      val tFull = System.nanoTime()
+      val out = (0 until 4).map { b =>
+          Similarity.ivfQuery(idx,
+            emb.filter(col("vec_id") % 100 === b), k = 5, nProbe = 32)
         }.reduce(_ unionByName _)
         .groupBy(col("rank").cast("long").as("rank"))
         .agg(count(lit(1)).as("n"), sum(col("neighbor_id")).as("sum_neighbor"))
         .localCheckpoint(true)
-      Bench.recordComponent("q57_probe", (System.nanoTime() - tProbe) / 1e9)
+      Bench.recordComponent("q57_full_probe",
+        (System.nanoTime() - tFull) / 1e9)
       idx.assigned.unpersist()
       out
     }),
@@ -5428,6 +5444,24 @@ dim_users_litify AS (
     // IVF at nProbe = nLists is exact (recall 1.0), so the brute-force SQL
     // is its oracle too — the k-means/list/probe machinery still runs.
     "q38_ann_ivf" -> bruteForceTopKOracle,
+    // q57: the amortized build's 4 probe batches at nProbe = nLists —
+    // recall exactly 1.0, so brute-force cosine replays the ranking;
+    // aggregated per rank exactly as the Spark side emits
+    "q57_ann_ivf_amortized" ->
+      """WITH p AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 100 IN (0, 1, 2, 3)),
+         s AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(p.embedding, c.embedding),
+               x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+             (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+              sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+           FROM embeddings c, p WHERE c.vec_id <> p.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+           ORDER BY cos DESC, neighbor_id) rn FROM s)
+         SELECT CAST(rn AS BIGINT) AS rank, CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(neighbor_id) AS BIGINT) AS sum_neighbor
+         FROM r WHERE rn <= 5 GROUP BY 1""",
 
     "q113_ann_ivf_persisted" -> bruteForceTopKOracle,
 
