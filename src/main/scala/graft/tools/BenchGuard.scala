@@ -54,8 +54,17 @@ object BenchGuard {
     val inflation = envD("SPARK_GRAFT_GUARD_INFLATION", 1.2)
     val flagAt = envD("SPARK_GRAFT_GUARD_FLAG", 1.5)
     val probeRuns = envD("SPARK_GRAFT_GUARD_PROBE_RUNS", 5).toInt
+    val settleMs = envD("SPARK_GRAFT_GUARD_SETTLE_SEC", 60).toLong * 1000
     val artifact = java.nio.file.Paths.get("BENCH_LOCAL.json")
 
+    // the sbt/JVM launch that got US here spikes the 1-minute load by
+    // ~1.0 all by itself (measured: 0.17 -> 1.32 across a 6 s sbt
+    // startup on an otherwise idle box), so reading loadavg immediately
+    // would refuse every pass on its own reflection. Idle through one
+    // decay window first: our contribution while sleeping is ~zero, so
+    // what remains after the settle is OTHER tenants' load — exactly
+    // what the gate is for.
+    if (settleMs > 0) Thread.sleep(settleMs)
     val load = load1()
     if (load > maxLoad) {
       println(s"""{"guard":"refused_load","load":$load,"max":$maxLoad}""")
