@@ -1352,6 +1352,95 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    "q171_cross_store_asof" -> ((s, dir) => {
+      // paired cross-store snapshots: three drops drive BOTH stores
+      // through the SAME per-trigger unit the streaming engine
+      // re-delivers (processBatch, batch ids 0/1/2 — store versions
+      // v1/v2/v3 above the seeded v0, index deltas b0/b1/b2), then
+      // both stores are read AS OF the paired mid-history point —
+      // index asOf b1 with store asOf v2, the state after the SECOND
+      // drop. One oracle pins that the two stores' snapshots COMPOSE:
+      // the index snapshot serves exactly prior + the first two drops'
+      // survivors, and the store snapshot's digest equals the pack of
+      // exactly those docs (id-ordered drops are prefix-closed, so the
+      // restricted replay reproduces the mid-history decisions).
+      val base = java.nio.file.Files.createTempDirectory("graft_xasof_")
+      try {
+        val emb = transform(sequence(lit(0), lit(7)),
+          i => sin(col("doc_id") * 3 + i).cast("float"))
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+          .localCheckpoint(true)
+        try {
+          val prior = d.filter(col("doc_id") % 3 =!= 0)
+          val benchmark = prior.filter(col("doc_id") % 17 === 3)
+          val newDocs = d.filter(col("doc_id") % 3 === 0)
+          graft.streaming.ShardSink.append(s,
+            prior.withColumn("__ids",
+              Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
+            "__ids", "doc_id", budget = 2048, shardCol = "source",
+            storeDir = s"$base/store")
+          Similarity.ivfPqSave(
+            Similarity.ivfPqBuild(prior.withColumn("embedding", emb),
+              vecCol = "embedding", idCol = "doc_id", nLists = 4,
+              m = 4, kCodes = 8, iterations = 2),
+            s"$base/ix")
+          val maxId = newDocs.agg(max(col("doc_id")))
+            .collect()(0).getLong(0)
+          val cuts = (0 to 3).map(k => maxId * k / 3)
+          val tDrops = System.nanoTime()
+          // the trigger-invariant prior derivations, cached exactly as
+          // RefreshPipeline.run caches them across triggers
+          val priorFps = Dedup.exactFingerprints(prior, "text")
+            .localCheckpoint(true)
+          val postings = Dedup.nearPostings(prior, "text",
+              numHashes = 32, bands = 8, mode = Dedup.Portable)
+            .localCheckpoint(true)
+          val refGrams = Dedup.ngramRefGrams(benchmark, "text", n = 5)
+            .localCheckpoint(true)
+          try {
+            (0 until 3).foreach { k =>
+              graft.streaming.RefreshPipeline.processBatch(
+                newDocs.filter(
+                    col("doc_id") > cuts(k) - (if (k == 0) 1 else 0)
+                      && col("doc_id") <= cuts(k + 1))
+                  .withColumn("embedding", emb),
+                k.toLong, prior, benchmark, priorFps, postings,
+                refGrams, s"$base/store", s"$base/ledger",
+                budget = 2048, shardCol = "source", idCol = "doc_id",
+                textCol = "text", numHashes = 32, bands = 8,
+                threshold = 0.8, decontamN = 5, minMatches = 2,
+                indexDir = Some(s"$base/ix"), vecCol = "embedding")
+            }
+          } finally {
+            org.apache.spark.sql.graftglue.GraftGlue
+              .releaseCheckpoint(priorFps)
+            org.apache.spark.sql.graftglue.GraftGlue
+              .releaseCheckpoint(postings)
+            org.apache.spark.sql.graftglue.GraftGlue
+              .releaseCheckpoint(refGrams)
+          }
+          Bench.recordComponent("q171_three_drops",
+            (System.nanoTime() - tDrops) / 1e9)
+          val digest = graft.streaming.ShardSink
+            .read(s, s"$base/store", asOf = Some(2L))
+            .select(concat_ws("|",
+              coalesce(col("source"), lit("<null>")),
+              col("seq_id").cast("string"),
+              col("n_tokens").cast("long").cast("string"),
+              md5(Bpe.idsString(col("token_ids")))).as("p"))
+            .agg(md5(concat_ws(";",
+              sort_array(collect_list(col("p"))))).as("store_digest"))
+          graft.streaming.VectorIndexSink
+            .read(s, s"$base/ix", idCol = "doc_id", asOf = Some(1L))
+            .encoded.select(col("doc_id"))
+            .crossJoin(broadcast(digest))
+            .localCheckpoint(true)
+        } finally
+          org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+      } finally deleteRecursively(base)
+    }),
+
     "q165_index_retrain" -> ((s, dir) => {
       // the remediation q162's monitor schedules: the SAME drifted
       // corpus, probes, k and nProbe, but codebooks RETRAINED on the
@@ -4303,7 +4392,23 @@ dim_users_litify AS (
     * (per-sequence md5s folded order-independently), cross-joined onto
     * every id row so one oracle checks both stores from one stream. */
   private def q170OracleSql: String =
-    s"""${refreshCtes},
+    crossStoreOracleSql(refreshCtes)
+
+  /** q171: the SAME two pins as q170, but at a PAIRED mid-history
+    * point — index `asOf` batch 1 with store `asOf` version 2, i.e.
+    * both stores as they stood after the second of three drops. The
+    * replay restricts the arriving stream to that prefix (legitimate
+    * because id-ordered drops are prefix-closed, see [[refreshCtes]]),
+    * so one oracle pins that snapshots of the two stores COMPOSE
+    * consistently at interior points of the shared batch sequence,
+    * not just at the latest view. */
+  private def q171OracleSql: String =
+    crossStoreOracleSql(refreshCtes(
+      "d.doc_id % 3 = 0 AND d.doc_id * 3 <= " +
+        "2 * (SELECT MAX(doc_id) FROM nn WHERE doc_id % 3 = 0)"))
+
+  private def crossStoreOracleSql(ctes: String): String =
+    s"""$ctes,
        |pack AS (SELECT source, CAST(gp // 2048 AS BIGINT) AS seq_id,
        |    CAST(COUNT(1) AS BIGINT) AS n_tokens,
        |    md5(string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gp))
@@ -4332,11 +4437,18 @@ dim_users_litify AS (
        |GROUP BY 1, 2""".stripMargin
 
   /** The refresh chain's CTE prefix, shared by q168 (pack replay), its
-    * delta variant, and q170 (cross-store): exact dedup vs the prior
-    * corpus with first-writer-wins, banded minhash near-dedup,
-    * 5-gram decontamination, byte-BPE encode, combined prior+accepted
-    * token stream `tt` cut per shard. */
-  private def refreshCtes: String = {
+    * delta variant, q170 (cross-store) and q171 (paired snapshots):
+    * exact dedup vs the prior corpus with first-writer-wins, banded
+    * minhash near-dedup, 5-gram decontamination, byte-BPE encode,
+    * combined prior+accepted token stream `tt` cut per shard.
+    * `newPred` restricts which docs count as the arriving stream —
+    * id-ordered drops are PREFIX-CLOSED (every tier references only
+    * prior + strictly-earlier accepted docs, all inside the prefix),
+    * so replaying a prefix reproduces exactly the mid-history
+    * decisions, which is what makes `asOf` snapshots oraclable. */
+  private def refreshCtes: String = refreshCtes("d.doc_id % 3 = 0")
+
+  private def refreshCtes(newPred: String): String = {
     val n = BpeByteVocab.merges.size
     val mix = Dedup.mixConstants(32)
     val sigList = (0 until 32).map { j =>
@@ -4349,12 +4461,13 @@ dim_users_litify AS (
         "doc_id", "text", BpeByteVocab.merges)},
        |nn AS (SELECT doc_id, source, text FROM documents
        |  WHERE text IS NOT NULL),
+       |nwd AS (SELECT d.doc_id FROM nn d WHERE $newPred),
        |fp AS (SELECT doc_id,
        |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
        |  FROM nn),
        |bfp AS (SELECT doc_id, f,
        |    row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
-       |  FROM fp WHERE doc_id % 3 = 0),
+       |  FROM fp WHERE doc_id IN (SELECT doc_id FROM nwd)),
        |ex AS (SELECT doc_id FROM bfp WHERE rn = 1
        |  AND f NOT IN (SELECT f FROM fp WHERE doc_id % 3 <> 0)),
        |toks AS (SELECT doc_id, $duckToks AS t FROM nn),
@@ -4386,7 +4499,8 @@ dim_users_litify AS (
        |  GROUP BY doc_id HAVING COUNT(1) >= 2),
        |surv AS (SELECT doc_id FROM nr
        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-       |ids AS (SELECT d.doc_id, d.source, (d.doc_id % 3 = 0) AS nw,
+       |ids AS (SELECT d.doc_id, d.source,
+       |    (d.doc_id IN (SELECT doc_id FROM nwd)) AS nw,
        |    ${Bpe.oracleIdsListSql("e.s")} AS ids
        |  FROM nn d
        |  JOIN (SELECT doc_id, s FROM enc WHERE r = $n) e USING (doc_id)
@@ -6220,6 +6334,7 @@ dim_users_litify AS (
          |  TRUE AS retention_gates_ok
          |FROM (${q147OracleSql})""".stripMargin,
     "q170_refresh_cross_store" -> q170OracleSql,
+    "q171_cross_store_asof" -> q171OracleSql,
 
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,
