@@ -28,6 +28,7 @@ object FileSink {
     * oversized one). Returns the row count written. */
   def writeSized(df: DataFrame, path: String,
                  targetRowsPerFile: Long): Long = {
+    graft.streaming.StoreFiles.requireNotRetired(path, "parquet dir")
     require(targetRowsPerFile >= 1,
       s"targetRowsPerFile must be >= 1: $targetRowsPerFile")
     val n = df.count()
@@ -45,15 +46,41 @@ object FileSink {
     * the swap (rename/retarget) is the caller's transactional step. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetRowsPerFile: Long): (Long, Long, Long) = {
+    graft.streaming.StoreFiles.requireNotRetired(inPath, "parquet dir")
     val before = countDataFiles(spark, inPath)
     val rows = writeSized(spark.read.parquet(inPath), outPath,
       targetRowsPerFile)
+    // lineage marker AFTER the rewrite commits — [[retire]]'s
+    // precondition, the same `_graft_compacted_from` discipline as the
+    // delta stores; `max` records the row count folded, which is what
+    // retire's coverage check compares against (an append-only dir
+    // that grew past the fold must be recompacted, not destroyed)
+    graft.streaming.StoreFiles.writeCompactedFrom(outPath, inPath, rows)
     (before, countDataFiles(spark, outPath), rows)
+  }
+
+  /** Retention for the generic compactor — the delta stores'
+    * [[graft.streaming.ShardSink.retire]] contract on a plain parquet
+    * directory: delete the PRE-COMPACTION dir only when `compactedTo`
+    * carries a [[compact]] lineage marker naming it AND the dir has not
+    * grown past the fold (current row count vs the marker's recorded
+    * count — append-only dirs only grow, so growth means data the fold
+    * never saw). The `_graft_retired` tombstone is written before the
+    * payload sweep and outlives it, so [[writeSized]]/[[compact]]/
+    * [[countDataFiles]] against the retired path fail loudly naming
+    * the successor; a raw `spark.read.parquet` finds no data files
+    * (schema-inference failure), never a partial view. */
+  def retire(spark: SparkSession, inPath: String,
+             compactedTo: String): Unit = {
+    graft.streaming.StoreFiles.beginRetire(inPath, compactedTo,
+      Some(spark.read.parquet(inPath).count()))
+    graft.streaming.StoreFiles.deletePayload(inPath)
   }
 
   /** Parquet data files under `path` (any Hadoop-visible scheme),
     * excluding _SUCCESS/metadata/hidden entries. */
   def countDataFiles(spark: SparkSession, path: String): Long = {
+    graft.streaming.StoreFiles.requireNotRetired(path, "parquet dir")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0L

@@ -104,27 +104,28 @@ object AnnScale {
         val sample = Curate.hashSample(base, "vec_id", rate = 0.1)
         val idx = Similarity.ivfPqBuild(base, nLists = nLists, m = 8,
           kCodes = 256, iterations = 2, trainOn = sample)
+        val ix = s"$dir/ix" // the compaction target must be a
+        // SIBLING: retire's payload sweep refuses a nested successor
         val tS = System.nanoTime()
-        Similarity.ivfPqSave(idx, dir.toString)
+        Similarity.ivfPqSave(idx, ix)
         val saveS = (System.nanoTime() - tS) / 1e9
         val tA = System.nanoTime()
         graft.streaming.VectorIndexSink.appendBatch(spark,
-          dir.toString, 0L, batch)
+          ix, 0L, batch)
         val appendS = (System.nanoTime() - tA) / 1e9
         val dead = all.filter(col("vec_id") % 1000 === 7)
           .select("vec_id")
         val nDead = dead.count()
         val tD = System.nanoTime()
         graft.streaming.VectorIndexSink.deleteBatch(spark,
-          dir.toString, 1L, dead)
+          ix, 1L, dead)
         val deleteS = (System.nanoTime() - tD) / 1e9
         val emb2 = all.filter(col("vec_id") % 1000 =!= 7)
           .localCheckpoint(true)
         try {
           val probes = base.filter(col("vec_id") % (n / 16) === 0)
           val tV = System.nanoTime()
-          val served = graft.streaming.VectorIndexSink.read(spark,
-            dir.toString)
+          val served = graft.streaming.VectorIndexSink.read(spark, ix)
           val sref = Similarity.ivfPqQueryRefined(served, emb2, probes,
               10, nProbe = nProbe, refine = 30)
             .localCheckpoint(true)
@@ -137,8 +138,7 @@ object AnnScale {
           require(hits * 100L >= 80L * possible,
             s"lifecycle recall gate failed at n=$n: $hits/$possible < 80%")
           val tC = System.nanoTime()
-          graft.streaming.VectorIndexSink.compact(spark, dir.toString,
-            s"$dir/c")
+          graft.streaming.VectorIndexSink.compact(spark, ix, s"$dir/c")
           val compactS = (System.nanoTime() - tC) / 1e9
           val tQ = System.nanoTime()
           val fref = Similarity.ivfPqQueryRefined(
@@ -152,17 +152,35 @@ object AnnScale {
           require(ranking(fref) == ranking(sref),
             "compacted index serves a different ranking than the delta view")
           val cprobeS = (System.nanoTime() - tQ) / 1e9
+          // RETENTION at scale: readers drained (the probes above),
+          // retire the pre-compaction layout — timed (marker write +
+          // coverage checks + payload sweep), then the floor verified:
+          // the retired path fails loudly, the survivor is intact
+          // (physical erasure already proven by the ranking parity)
+          val tR = System.nanoTime()
+          graft.streaming.VectorIndexSink.retire(ix, s"$dir/c")
+          val retireS = (System.nanoTime() - tR) / 1e9
+          val retiredLoud =
+            try { Similarity.ivfPqLoad(spark, ix); false }
+            catch { case e: IllegalStateException =>
+              e.getMessage.contains("retired") }
+          require(retiredLoud, "retired index must fail loudly")
+          val nLive = Similarity.ivfPqLoad(spark, s"$dir/c")
+            .encoded.count()
+          require(nLive == n + appendN - nDead,
+            s"survivor row count $nLive after retire")
           val recall = hits.toDouble / possible
           println(f"[annscale] lifecycle n=$n recall=$recall%.4f " +
             f"save=$saveS%.2fs append=$appendS%.2fs delete=$deleteS%.2fs " +
             f"serve_probe=$serveS%.2fs compact=$compactS%.2fs " +
-            f"compacted_probe=$cprobeS%.2fs")
+            f"compacted_probe=$cprobeS%.2fs retire=$retireS%.2fs")
           Some(f"""{"n":$n,"append_batch":$appendN,"tombstoned":$nDead,""" +
             f""""recall_at_10_served":$recall%.4f,"hits":$hits,""" +
             f""""possible":$possible,"save_s":$saveS%.2f,""" +
             f""""append_s":$appendS%.2f,"delete_s":$deleteS%.2f,""" +
             f""""serve_probe_s":$serveS%.2f,"compact_s":$compactS%.2f,""" +
             f""""compacted_probe_s":$cprobeS%.2f,""" +
+            f""""retire_s":$retireS%.2f,"retired_read_fails":true,""" +
             f""""compacted_ranking_equal":true}""")
         } finally
           org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(emb2)

@@ -188,6 +188,48 @@ class SinkSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
   }
+  test("FileSink retention: retire deletes only a covered pre-compaction " +
+      "dir; grown sources and late accesses fail loudly") {
+    import graft.sinks.FileSink
+    val dir = java.nio.file.Files.createTempDirectory("graft-fsretire-")
+    try {
+      val in = s"$dir/in"; val out = s"$dir/out"; val out2 = s"$dir/out2"
+      spark.range(0, 300).toDF("id").repartition(16).write.parquet(in)
+      // no lineage marker yet -> refused
+      intercept[IllegalArgumentException] {
+        FileSink.retire(spark, in, out)
+      }
+      FileSink.compact(spark, in, out, 100L)
+      // the source GREW past the fold (an append the compaction never
+      // saw) -> refused until a fresh compaction covers it
+      spark.range(300, 350).toDF("id").write.mode("append").parquet(in)
+      val grown = intercept[IllegalArgumentException] {
+        FileSink.retire(spark, in, out)
+      }
+      assert(grown.getMessage.contains("recompact"))
+      FileSink.compact(spark, in, out2, 100L)
+      FileSink.retire(spark, in, out2)
+      // payload gone, tombstone marker survives; every FileSink access
+      // against the retired path fails loudly naming the successor
+      assert(new java.io.File(in).listFiles()
+        .map(_.getName).toSeq == Seq("_graft_retired"))
+      Seq(
+        () => { FileSink.countDataFiles(spark, in); () },
+        () => { FileSink.compact(spark, in, s"$dir/x", 100L); () },
+        () => { FileSink.writeSized(spark.range(1).toDF("id"), in,
+          10L); () }
+      ).foreach { f =>
+        val e = intercept[IllegalStateException](f())
+        assert(e.getMessage.contains("retired")
+          && e.getMessage.contains("out2"))
+      }
+      // the survivor holds the covered fold
+      assert(spark.read.parquet(out2).count() == 350L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("overwritePartitions: rewriting one day leaves the others intact") {
     import graft.sinks.FileSink
     val dir = java.nio.file.Files.createTempDirectory("graft-dynpart-")
