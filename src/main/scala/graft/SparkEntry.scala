@@ -2175,6 +2175,55 @@ object SparkEntry {
       }
     }),
 
+    "q172_stream_stream_join" -> ((s, dir) => {
+      // view->click attribution through the ENGINE's own stream-stream
+      // left-outer interval join — the one streaming-join surface the
+      // custom-state twins (q135/q136/q149) don't cover, exercised on
+      // the symmetric-hash join operator itself (state eviction by
+      // derived state-value watermarks, late null-extension). Two
+      // independent file sources over the same events fixture, each
+      // side watermarked AFTER its type filter so each side's watermark
+      // is its OWN max event time - 500 ms and the global watermark is
+      // their min — unambiguous seal arithmetic. Joined on user with
+      // c_ts in [v_ts, v_ts + 6 h]. Matched pairs emit as found (inner
+      // results are watermark-independent and complete under
+      // AvailableNow); an unmatched view emits null-extended only once
+      // the watermark proves no admissible click can still arrive:
+      // v_ms + 21 600 000 < wm_ms  <=>  v_sec <= min(max_view,
+      // max_click) - 21601 (the q135 500 ms tie-killer: all inputs are
+      // whole seconds, so strict-vs-inclusive eviction can never tie).
+      // The oracle replays exactly that — all interval pairs + the
+      // sealed orphans — with pair identity pinned by an integer pair
+      // checksum, not just marginal counts.
+      val views = streamEvents(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_uid"), col("event_id").as("vid"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "500 milliseconds")
+      val clicks = streamEvents(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("event_id").as("cid"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "500 milliseconds")
+      val joined = views.join(clicks,
+        col("v_uid") === col("c_uid") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"),
+        "left_outer")
+      streamToResult(s, joined) { landed =>
+        landed.groupBy(col("v_uid").as("user_id"))
+          .agg(count(col("cid")).as("n_pairs"),
+            sum(when(col("cid").isNull, 1L).otherwise(0L))
+              .as("n_orphans"),
+            coalesce(sum(unix_timestamp(col("c_ts"))
+              - unix_timestamp(col("v_ts"))), lit(0L)).as("lag_sum"),
+            coalesce(sum(col("vid") * 31 + col("cid")), lit(0L))
+              .as("pair_ck"),
+            sum(when(col("cid").isNull, col("vid")).otherwise(0L))
+              .as("orphan_ck"))
+      }
+    }),
+
     "q130_ann_recall" -> ((s, dir) => {
       // the ANN quality loop: recall@5 of the nProbe=2 IVF-PQ probe
       // against the exact integer-L2 top-5 ground truth — the metric
@@ -6409,6 +6458,38 @@ dim_users_litify AS (
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
          SELECT event_id, roll_n, roll_sum FROM r, mx
          WHERE sec <= maxs - 3601""",
+
+    // q172: the interval pairs are watermark-independent (inner results
+    // of a left-outer stream-stream join are complete); only the
+    // null-extended orphans are seal-gated: a view emits unmatched once
+    // v_ms + 21600000 < wm_ms with wm = min(side maxes) - 500 ms
+    // <=> v_sec <= LEAST(max_view, max_click) - 21601 (whole-second
+    // inputs, so the 500 ms offset kills every tie).
+    "q172_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+           epoch_us(ts) // 1000000 AS sec
+           FROM events WHERE ts IS NOT NULL),
+         v AS (SELECT user_id AS u, event_id AS vid, sec AS vs
+           FROM e WHERE event_type = 'view'),
+         c AS (SELECT user_id AS u, event_id AS cid, sec AS cs
+           FROM e WHERE event_type = 'click'),
+         mx AS (SELECT LEAST((SELECT MAX(vs) FROM v),
+             (SELECT MAX(cs) FROM c)) AS wmx),
+         p AS (SELECT v.u, vid, vs, cid, cs FROM v JOIN c
+           ON v.u = c.u AND cs >= vs AND cs <= vs + 21600),
+         o AS (SELECT v.u, vid FROM v, mx
+           WHERE vs <= wmx - 21601 AND NOT EXISTS (SELECT 1 FROM c
+             WHERE c.u = v.u AND cs >= vs AND cs <= vs + 21600)),
+         un AS (SELECT u, vid, cid, cs - vs AS lag FROM p
+           UNION ALL SELECT u, vid, NULL, NULL FROM o)
+         SELECT u AS user_id,
+           CAST(COUNT(cid) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) - COUNT(cid) AS BIGINT) AS n_orphans,
+           CAST(COALESCE(SUM(lag), 0) AS BIGINT) AS lag_sum,
+           CAST(COALESCE(SUM(vid * 31 + cid), 0) AS BIGINT) AS pair_ck,
+           CAST(COALESCE(SUM(CASE WHEN cid IS NULL THEN vid
+             ELSE 0 END), 0) AS BIGINT) AS orphan_ck
+         FROM un GROUP BY u""",
 
     // q136: q83's greedy chains on second-truncated times, keys sealed by
     // the final watermark only: wm > t_last + within <=> t_last <=
