@@ -1441,6 +1441,130 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    "q173_attributed_refresh" -> ((s, dir) => {
+      // the two streaming surfaces composed end-to-end: view->click
+      // attribution through the ENGINE's stream-stream inner interval
+      // join (q172's operator) GATES which crawl docs enter the
+      // streamed refresh chain (q170's operator) — only docs whose
+      // synthetic engagement events attribute (a click exists AND
+      // lands inside the 6 h window) are deduped, decontaminated,
+      // tokenized and appended to BOTH stores. Engagement fixture,
+      // derived from the new-docs pool so the gate is closed-form:
+      // every doc views at BASE + doc_id sec; docs with doc_id%5 == 2
+      // never click (attribution fails on the join key), the rest
+      // click at +(doc_id%8)*3300 sec — %8 == 7 puts the click OUTSIDE
+      // the window (attribution fails on the interval bound; %8 == 0
+      // exercises the inclusive lower bound). Three id-ranged file
+      // pairs drive three aligned triggers, so drops stay id-ordered
+      // and prefix-closed — the property that makes the chain
+      // replayable. The oracle replays the gate arithmetically inside
+      // refreshCtes' newPred and pins q170's two cross-store outputs:
+      // served index ids x the shard-store digest. If the join leaked
+      // an out-of-window click or dropped a pair, the id sets diverge.
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_attref_")
+      try {
+        val emb = transform(sequence(lit(0), lit(7)),
+          i => sin(col("doc_id") * 3 + i).cast("float"))
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+          .localCheckpoint(true)
+        try {
+          val prior = d.filter(col("doc_id") % 3 =!= 0)
+          val newDocs = d.filter(col("doc_id") % 3 === 0)
+          graft.streaming.ShardSink.append(s,
+            prior.withColumn("__ids",
+              Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
+            "__ids", "doc_id", budget = 2048, shardCol = "source",
+            storeDir = s"$base/store") // the prior pack at v0
+          Similarity.ivfPqSave( // the prior corpus as the index base
+            Similarity.ivfPqBuild(prior.withColumn("embedding", emb),
+              vecCol = "embedding", idCol = "doc_id", nLists = 4,
+              m = 4, kCodes = 8, iterations = 2),
+            s"$base/ix")
+          // stage the engagement streams as three aligned id-ranged
+          // file pairs (event time strictly increases with doc_id, so
+          // no trigger's rows can fall behind the global watermark)
+          val views = newDocs.select(col("doc_id").as("v_uid"),
+            col("doc_id").as("vid"),
+            timestamp_seconds(lit(86400L) + col("doc_id")).as("v_ts"))
+          val clicks = newDocs.filter(col("doc_id") % 5 =!= 2)
+            .select(col("doc_id").as("c_uid"), col("doc_id").as("cid"),
+              timestamp_seconds(lit(86400L) + col("doc_id")
+                + (col("doc_id") % 8) * 3300).as("c_ts"))
+          val maxId = newDocs.agg(max(col("doc_id")))
+            .collect()(0).getLong(0)
+          val cuts = (0 to 3).map(k => maxId * k / 3)
+          def stage(df: DataFrame, sub: String, idc: String): Unit =
+            (0 until 3).foreach { k =>
+              val part = df.filter(
+                col(idc) > cuts(k) - (if (k == 0) 1 else 0)
+                  && col(idc) <= cuts(k + 1))
+              val tmp = s"$base/tmp-$sub-$k"
+              part.coalesce(1).write.parquet(tmp)
+              val f = new java.io.File(tmp).listFiles()
+                .filter(_.getName.endsWith(".parquet")).head
+              val dst = new java.io.File(s"$base/$sub/b$k.parquet")
+              dst.getParentFile.mkdirs()
+              java.nio.file.Files.move(f.toPath, dst.toPath)
+              dst.setLastModified(1700000000000L + k * 60000L)
+              ()
+            }
+          stage(views, "views", "v_uid")
+          stage(clicks, "clicks", "c_uid")
+          def src(sub: String, tsCol: String): DataFrame =
+            s.readStream.schema(s.read.parquet(s"$base/$sub").schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("latestFirst", "false")
+              .parquet(s"$base/$sub")
+              .withWatermark(tsCol, "500 milliseconds")
+          val attributed = src("views", "v_ts").join(
+            src("clicks", "c_ts"),
+            col("v_uid") === col("c_uid") &&
+              col("c_ts") >= col("v_ts") &&
+              col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"),
+            "inner")
+          val docsStream = attributed
+            .join(broadcast(d), col("v_uid") === col("doc_id"))
+            .select(col("doc_id"), col("source"), col("text"))
+            .withColumn("embedding", emb)
+          val tDrain = System.nanoTime()
+          // state partitions sized to the fixture: the join keys are
+          // ~500/trigger, and every batch-plan execution pays a state
+          // store load+commit PER partition PER store (4 stores/side
+          // pair) — 32 partitions is pure fixed overhead here. A
+          // production deployment sizes this to its throughput; the
+          // conf is read once at query start and restored after the
+          // drain.
+          val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          try
+            graft.streaming.RefreshPipeline.run(docsStream, prior,
+              prior.filter(col("doc_id") % 17 === 3),
+              storeDir = s"$base/store", ledgerDir = s"$base/ledger",
+              checkpointDir = s"$base/ck",
+              indexDir = Some(s"$base/ix"))
+          finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+          Bench.recordComponent("q173_stream_drain",
+            (System.nanoTime() - tDrain) / 1e9)
+          val digest = graft.streaming.ShardSink.read(s, s"$base/store")
+            .select(concat_ws("|",
+              coalesce(col("source"), lit("<null>")),
+              col("seq_id").cast("string"),
+              col("n_tokens").cast("long").cast("string"),
+              md5(Bpe.idsString(col("token_ids")))).as("p"))
+            .agg(md5(concat_ws(";",
+              sort_array(collect_list(col("p"))))).as("store_digest"))
+          graft.streaming.VectorIndexSink
+            .read(s, s"$base/ix", idCol = "doc_id")
+            .encoded.select(col("doc_id"))
+            .crossJoin(broadcast(digest))
+            .localCheckpoint(true)
+        } finally
+          org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+      } finally deleteRecursively(base)
+    }),
+
     "q165_index_retrain" -> ((s, dir) => {
       // the remediation q162's monitor schedules: the SAME drifted
       // corpus, probes, k and nProbe, but codebooks RETRAINED on the
@@ -4456,6 +4580,19 @@ dim_users_litify AS (
       "d.doc_id % 3 = 0 AND d.doc_id * 3 <= " +
         "2 * (SELECT MAX(doc_id) FROM nn WHERE doc_id % 3 = 0)"))
 
+  /** q173: q170's two cross-store pins, but the arriving stream is
+    * GATED by view->click attribution run through the real
+    * stream-stream interval join — the oracle replays the gate as the
+    * closed-form arithmetic that generated the engagement fixture: a
+    * doc attributes iff its click exists (doc_id % 5 <> 2) and the
+    * click's +(doc_id % 8)*3300 s offset is inside the 6 h window. If
+    * the engine's join leaked an out-of-window click or dropped a
+    * pair, the served id set diverges. */
+  private def q173OracleSql: String =
+    crossStoreOracleSql(refreshCtes(
+      "d.doc_id % 3 = 0 AND d.doc_id % 5 <> 2 " +
+        "AND (d.doc_id % 8) * 3300 <= 21600"))
+
   private def crossStoreOracleSql(ctes: String): String =
     s"""$ctes,
        |pack AS (SELECT source, CAST(gp // 2048 AS BIGINT) AS seq_id,
@@ -6384,6 +6521,7 @@ dim_users_litify AS (
          |FROM (${q147OracleSql})""".stripMargin,
     "q170_refresh_cross_store" -> q170OracleSql,
     "q171_cross_store_asof" -> q171OracleSql,
+    "q173_attributed_refresh" -> q173OracleSql,
 
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,

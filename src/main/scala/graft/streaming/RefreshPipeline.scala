@@ -71,6 +71,28 @@ object RefreshPipeline {
       numHashes: Int, bands: Int, threshold: Double, decontamN: Int,
       minMatches: Int, indexDir: Option[String], vecCol: String): Unit = {
     val sp = batch.sparkSession
+    // materialize the trigger's batch ONCE: the tiers below reference
+    // it through several plan branches (the bloom anti join alone
+    // evaluates its input twice), and each un-materialized branch
+    // re-executes the WHOLE upstream batch plan — ruinous when the
+    // upstream is itself stateful (q173 routes a stream-stream join
+    // into this chain: every re-run replays the join's state stores;
+    // measured 71 s -> join-plus-chain cost once materialized)
+    val tB0 = System.nanoTime()
+    val b0 = batch.localCheckpoint(true)
+    if (sys.env.contains("GRAFT_RP_DEBUG"))
+      println(f"[rp] b$batchId checkpoint ${(System.nanoTime() - tB0) / 1e9}%.2fs rows=${b0.count()}")
+    val tRest = System.nanoTime()
+    try {
+    // an EMPTY trigger commits nothing. A composed event-time upstream
+    // (q173's stream-stream join) appends a watermark-flush no-data
+    // batch after the last data trigger; running the chain + both
+    // store appends on zero rows would cost a full trigger's fixed
+    // overhead to write empty deltas. Skipping is safe by the keying
+    // discipline: versions/deltas/ledger batches are batchId-keyed,
+    // so the gap reads as "nothing arrived" to every verb (read,
+    // asOf, describe, compact) and to later triggers' ledger scans.
+    if (b0.isEmpty) return
     // the exact-tier reference: cached prior fingerprints plus the
     // (tiny) ledger batches of STRICTLY EARLIER triggers — never this
     // trigger's own (see the delivery contract above)
@@ -82,7 +104,7 @@ object RefreshPipeline {
       else priorFps.unionByName(
         sp.read.parquet(earlier.map(_.getAbsolutePath): _*)
           .select(col("__pfp")))
-    val exactKept = Dedup.exactIncremental(batch, prior, textCol,
+    val exactKept = Dedup.exactIncremental(b0, prior, textCol,
       idCol, refFps = Some(refFps))
     val nearKept = Dedup.nearIncremental(exactKept, prior, textCol,
       idCol, numHashes = numHashes, bands = bands,
@@ -119,6 +141,11 @@ object RefreshPipeline {
     } finally
       org.apache.spark.sql.graftglue.GraftGlue
         .releaseCheckpoint(cleaned)
+    } finally {
+      if (sys.env.contains("GRAFT_RP_DEBUG"))
+        println(f"[rp] b$batchId rest ${(System.nanoTime() - tRest) / 1e9}%.2fs")
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(b0)
+    }
   }
 
   /** Drive a document stream (idCol, shardCol, textCol at minimum)

@@ -1,0 +1,288 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryProgress
+
+/** Once-per-round stream-stream join state-size evidence — the missing
+  * scale leg of the q172 surface. q172 proves the join's CORRECTNESS
+  * under an AvailableNow drain (inner pairs complete, orphans
+  * null-extended exactly when the global watermark seals them); this
+  * main proves the property that makes the operator survive a
+  * long-RUNNING deployment: join state is WATERMARK-BOUNDED — under a
+  * feed of hundreds of triggers with ever-advancing event time, the
+  * symmetric-hash join's state plateaus at the watermark horizon
+  * (roughly interval-window/trigger-step worth of rows per side) while
+  * cumulative input grows without bound. Without eviction the state
+  * would be the whole history and the operator would be a scale lie.
+  *
+  * The feed replicates q172's exact join shape (same-key equality, 6 h
+  * interval, 500 ms watermark delay on both sides, left-outer): each
+  * trigger advances event time by one 2 h step and adds `stepRows`
+  * views (every 10th with NO matching click — a future orphan) plus
+  * their offset-10-min clicks, user ids globally unique so every
+  * pairing is closed-form. No-data micro-batches are disabled for the
+  * run so each trigger is exactly one progress point and the state
+  * series is deterministic; two max-event-time "tick" triggers flush
+  * the final watermark's evictions (a data batch uses the watermark
+  * committed by the PREVIOUS batch, so the last real step's seals need
+  * one more batch to emit).
+  *
+  * Contracts `require`d in-run, all closed-form (the 500 ms offset
+  * kills eviction-boundary ties — inputs are whole seconds):
+  *  - inner pairs == steps*(stepRows - orphansPerStep) + 2 ticks
+  *    (inner results are watermark-independent and complete);
+  *  - sealed orphans == (steps-4) * orphansPerStep — a view at step s
+  *    null-extends iff (steps-1-s)*step > window + 500 ms, i.e. the
+  *    final watermark min(max_view, max_click) - 500 ms passed its
+  *    admission window;
+  *  - max state rows <= stateBoundSteps * stepRows — the watermark
+  *    horizon (~5 steps of views + ~2 of clicks at window/step = 3),
+  *    NOT the cumulative input;
+  *  - the state series PLATEAUS: the post-warmup maximum does not grow
+  *    between the second and fourth quarter of the feed;
+  *  - eviction really ran: total numRowsRemoved covers the sealed
+  *    history (every view evicted eventually except the tail horizon).
+  *
+  * Deliberately NOT a bench row (hundreds of micro-batches); same
+  * rationale as [[AnnScale]] / [[ShardScale]].
+  * Usage: runMain graft.tools.StreamJoinScale [steps] [stepRows] [out]
+  */
+object StreamJoinScale {
+
+  final case class StepStat(step: Int, stateRows: Long, removed: Long,
+                            watermark: String)
+  final case class Result(inputViews: Long, inputClicks: Long,
+                          innerPairs: Long, sealedOrphans: Long,
+                          series: Vector[StepStat], removedTotal: Long,
+                          wallS: Double)
+
+  private val StepMs = 7200000L // 2 h event-time advance per trigger
+  private val WindowMs = 21600000L // q172's 6 h admission interval
+  private val ClickOffsetMs = 600000L // clicks trail their view by 10 min
+  // event time starts one day AFTER the epoch: a row at exactly the
+  // initial watermark (epoch 0) is dropped as late by the join's
+  // ingestion filter — a degenerate fixture, not a semantics claim
+  // (observed: step-0 views at t=0 silently vanished, state held only
+  // their clicks)
+  private val BaseMs = 86400000L
+
+  /** Drive `steps` triggers of the q172 join shape through a
+    * MemoryStream pair, one micro-batch per trigger, recording the join
+    * operator's state size from each trigger's progress. */
+  def run(spark: SparkSession, steps: Int, stepRows: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    require(steps >= 8 && stepRows >= 10 && stepRows % 10 == 0,
+      "need >=8 steps and stepRows a positive multiple of 10")
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val noDataPrev = spark.conf.get(noData, "true")
+    spark.conf.set(noData, "false")
+    val ckpt = Files.createTempDirectory("graft_sjs_ckpt_")
+    // numRowsRemoved is a per-BATCH delta: the per-step sampling below
+    // keeps only a step's final batch (a step the free-running trigger
+    // splits loses the earlier batch's delta), so the eviction total
+    // must come from a listener that sees EVERY progress event
+    val removedTotal = new java.util.concurrent.atomic.AtomicLong
+    @volatile var runId: java.util.UUID = null
+    val listener = new org.apache.spark.sql.streaming
+        .StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.runId == runId)
+          e.progress.stateOperators.headOption
+            .foreach(so => removedTotal.addAndGet(so.numRowsRemoved))
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val vm = MemoryStream[(Long, Long, Long)]
+      val cm = MemoryStream[(Long, Long, Long)]
+      val v = vm.toDF().toDF("v_uid", "vid", "v_ms")
+        .withColumn("v_ts", timestamp_millis(col("v_ms"))).drop("v_ms")
+        .withWatermark("v_ts", "500 milliseconds")
+      val c = cm.toDF().toDF("c_uid", "cid", "c_ms")
+        .withColumn("c_ts", timestamp_millis(col("c_ms"))).drop("c_ms")
+        .withWatermark("c_ts", "500 milliseconds")
+      val joined = v.join(c,
+        col("v_uid") === col("c_uid") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 6 HOURS"),
+        "left_outer")
+      val inner = new java.util.concurrent.atomic.AtomicLong
+      val orphans = new java.util.concurrent.atomic.AtomicLong
+      val q0 = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val r = df.agg(
+            count(col("cid")).as("i"),
+            sum(when(col("cid").isNull, 1L).otherwise(0L)).as("o"))
+            .collect()(0)
+          inner.addAndGet(r.getLong(0))
+          orphans.addAndGet(if (r.isNullAt(1)) 0L else r.getLong(1))
+          if (sys.env.contains("SJS_DEBUG"))
+            println(s"[sjs] batch=$bid inner=${r.getLong(0)} orph=${
+              if (r.isNullAt(1)) 0L else r.getLong(1)}")
+          ()
+        }
+        .start()
+      val q = q0
+      runId = q.runId
+      val t0 = System.nanoTime()
+      var views = 0L
+      var clicks = 0L
+      val series = Vector.newBuilder[StepStat]
+      // progress posts asynchronously after processAllAvailable
+      // returns, and the free-running trigger may split a step across
+      // batches (or run an empty initial batch): poll until the batch
+      // id stops advancing — with no-data batches disabled and the
+      // step's data fully committed, the id can only settle on the
+      // step's FINAL batch
+      var prevBatch = -1L
+      def stat(step: Int): StepStat = {
+        var p: StreamingQueryProgress = q.lastProgress
+        var n = 0
+        while ((p == null || p.batchId <= prevBatch
+            || p.stateOperators.isEmpty) && n < 1000) {
+          Thread.sleep(5); p = q.lastProgress; n += 1
+        }
+        require(p != null && p.batchId > prevBatch
+            && p.stateOperators.nonEmpty,
+          s"no progress past batch $prevBatch for step $step")
+        var stable = 0
+        while (stable < 6) { // 30 ms with no further batch = settled
+          Thread.sleep(5)
+          val p2 = q.lastProgress
+          if (p2.batchId == p.batchId) stable += 1
+          else { p = p2; stable = 0 }
+        }
+        prevBatch = p.batchId
+        val so = p.stateOperators.head
+        if (sys.env.contains("SJS_DEBUG"))
+          println(s"[sjs] step=$step batch=${p.batchId} state=${
+            so.numRowsTotal} wm=${p.eventTime.get("watermark")}")
+        StepStat(step, so.numRowsTotal, so.numRowsRemoved,
+          Option(p.eventTime.get("watermark")).getOrElse(""))
+      }
+      for (s <- 0 until steps) {
+        val t = BaseMs + s.toLong * StepMs
+        val base = s.toLong * stepRows
+        vm.addData((0 until stepRows).map(i => (base + i, base + i, t)))
+        cm.addData((0 until stepRows).filter(_ % 10 != 0)
+          .map(i => (base + i, base + i, t + ClickOffsetMs)))
+        views += stepRows
+        clicks += stepRows - stepRows / 10
+        q.processAllAvailable()
+        series += stat(s)
+      }
+      // two ticks at the already-seen max event times: they advance no
+      // watermark but give the engine the data batches in which the
+      // FINAL watermark's evictions emit (and pin state stays flat)
+      val tMax = BaseMs + (steps - 1).toLong * StepMs
+      for (k <- 0 until 2) {
+        val uid = (steps + k).toLong * stepRows
+        vm.addData(Seq((uid, uid, tMax)))
+        cm.addData(Seq((uid, uid, tMax + ClickOffsetMs)))
+        views += 1; clicks += 1
+        q.processAllAvailable()
+        series += stat(steps + k)
+      }
+      val wallS = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let the last progress event reach the listener
+      q.stop()
+      Result(views, clicks, inner.get(), orphans.get(),
+        series.result(), removedTotal.get(), wallS)
+    } finally {
+      spark.streams.removeListener(listener)
+      spark.conf.set(noData, noDataPrev)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(ckpt.toFile)
+    }
+  }
+
+  /** The closed-form expectations and bounds for a `run(steps,
+    * stepRows)`; shared by the main and the spec so both assert the
+    * identical contract. */
+  def check(r: Result, steps: Int, stepRows: Int,
+            stateBoundSteps: Int = 10): Unit = {
+    val orphPerStep = stepRows / 10
+    val expInner = steps.toLong * (stepRows - orphPerStep) + 2
+    val expOrphans = (steps - 4).toLong * orphPerStep
+    require(r.innerPairs == expInner,
+      s"inner pairs ${r.innerPairs} != expected $expInner")
+    require(r.sealedOrphans == expOrphans,
+      s"sealed orphans ${r.sealedOrphans} != expected $expOrphans")
+    val maxState = r.series.map(_.stateRows).max
+    val bound = stateBoundSteps.toLong * stepRows
+    require(maxState <= bound,
+      s"state $maxState exceeds watermark-horizon bound $bound")
+    val q2 = r.series.slice(steps / 4, steps / 2).map(_.stateRows).max
+    val q4 = r.series.drop(3 * steps / 4).map(_.stateRows).max
+    require(q4 <= q2,
+      s"state grew past warmup: q2 max $q2 -> q4 max $q4")
+    // numRowsRemoved on this operator observes the RIGHT side's
+    // eviction only (measured: listener-complete totals land at
+    // clicks - final click state; the left side's outer-path removals
+    // emit null-extensions without updating the metric). The state
+    // GAUGE plateau above is the boundedness pin — this floor proves
+    // the eviction machinery ran at the click history's scale, with
+    // 2 horizons of slack for final state + listener tail
+    val floor = math.max(bound, r.inputClicks - 2 * bound)
+    require(r.removedTotal >= floor,
+      s"eviction too small: removed ${r.removedTotal} < floor $floor")
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val steps = args.headOption.map(_.toInt).getOrElse(400)
+    val stepRows = args.lift(1).map(_.toInt).getOrElse(5000)
+    val out = args.lift(2).getOrElse("STREAMJOIN_SCALE.json")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.driver.memory", "48g")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val r = run(spark, steps, stepRows)
+    check(r, steps, stepRows)
+    val input = r.inputViews + r.inputClicks
+    val maxState = r.series.map(_.stateRows).max
+    val removed = r.removedTotal
+    val sample = (r.series.zipWithIndex
+      .filter { case (_, i) => i % 25 == 0 || i >= r.series.size - 3 }
+      .map(_._1))
+      .map(s => s"""{"step":${s.step},"state_rows":${s.stateRows},""" +
+        s""""removed":${s.removed},"watermark":"${s.watermark}"}""")
+    val json =
+      s"""{"recipe":"q172 join shape (6h interval, 500ms watermarks, """ +
+        s"""left-outer) fed $steps MemoryStream triggers advancing 2h """ +
+        s"""each","steps":$steps,"step_rows":$stepRows,""" +
+        s""""input_rows":$input,"inner_pairs":${r.innerPairs},""" +
+        s""""sealed_orphans":${r.sealedOrphans},""" +
+        s""""max_state_rows":$maxState,""" +
+        s""""final_state_rows":${r.series.last.stateRows},""" +
+        s""""state_removed_total":$removed,""" +
+        f""""input_to_state_ratio":${input.toDouble / maxState}%.1f,""" +
+        f""""wall_s":${r.wallS}%.1f,""" +
+        f""""rows_per_s":${input / r.wallS}%.0f,""" +
+        s""""inner_exact":true,"orphans_exact":true,""" +
+        s""""state_plateaus":true,""" +
+        s""""per_step_sample":[${sample.mkString(",")}]}\n"""
+    Files.writeString(Paths.get(out), json)
+    println(f"[streamjoinscale] input=$input inner=${r.innerPairs} " +
+      f"orphans=${r.sealedOrphans} max_state=$maxState " +
+      f"ratio=${input.toDouble / maxState}%.1f wall=${r.wallS}%.1fs")
+    spark.stop()
+  }
+}

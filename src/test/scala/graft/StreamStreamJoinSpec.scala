@@ -71,6 +71,21 @@ class StreamStreamJoinSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (1L, 11L)), s"got $got")
   }
 
+  test("join state is watermark-bounded under a long advancing feed " +
+      "(the StreamJoinScale contract at spec scale)") {
+    // 20 triggers x (100 views + 90 clicks), event time advancing 2 h
+    // per trigger against the 6 h interval: inner pairs and sealed
+    // orphans land at their closed forms, state plateaus at the
+    // watermark horizon (<= 10 steps of rows, vs 20 steps of input),
+    // and eviction really ran — the same check() the 400-trigger
+    // STREAMJOIN_SCALE.json artifact run enforces.
+    val r = graft.tools.StreamJoinScale.run(spark, steps = 20,
+      stepRows = 100)
+    graft.tools.StreamJoinScale.check(r, steps = 20, stepRows = 100)
+    assert(r.innerPairs == 20L * 90 + 2, s"inner ${r.innerPairs}")
+    assert(r.sealedOrphans == 16L * 10, s"orphans ${r.sealedOrphans}")
+  }
+
   test("interval bounds are inclusive on both ends and reject " +
       "out-of-window clicks") {
     // c at exactly v_ts and exactly v_ts + 1 h both match; 1 s outside
