@@ -1565,6 +1565,102 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    "q174_resumed_refresh" -> ((s, dir) => {
+      // the weekly refresh run WEEKLY: two AvailableNow drain sessions
+      // over ONE checkpoint — drops 0-1 drain, the engine stops, drops
+      // 2-3 arrive, a NEW RefreshPipeline.run resumes from the same
+      // checkpoint (batch ids continue 2,3 -> store versions v3/v4,
+      // index deltas b2/b3; the file-source log skips session 1's
+      // files). Drop 3 additionally carries REPLAYS of session 1's
+      // drop-0 docs (doc_id % 7 == 1) under fresh ids (+9,999,999 — a
+      // multiple of 3, so the oracle's prior/new classification is
+      // unchanged): byte-identical text the near tier cannot drop
+      // (their originals are stream docs, not prior corpus), so ONLY
+      // the fingerprint ledger written by the FIRST session can mask
+      // them. The oracle replays the one-shot chain over real + replay
+      // docs (first-writer-wins by id kills every replay) and pins
+      // q170's two cross-store outputs — a pipeline that forgot its
+      // ledger across the restart would serve the replay ids and shift
+      // the store digest.
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_resref_")
+      try {
+        val emb = transform(sequence(lit(0), lit(7)),
+          i => sin(col("doc_id") * 3 + i).cast("float"))
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+          .localCheckpoint(true)
+        try {
+          val prior = d.filter(col("doc_id") % 3 =!= 0)
+          val newDocs = d.filter(col("doc_id") % 3 === 0)
+          graft.streaming.ShardSink.append(s,
+            prior.withColumn("__ids",
+              Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
+            "__ids", "doc_id", budget = 2048, shardCol = "source",
+            storeDir = s"$base/store")
+          Similarity.ivfPqSave(
+            Similarity.ivfPqBuild(prior.withColumn("embedding", emb),
+              vecCol = "embedding", idCol = "doc_id", nLists = 4,
+              m = 4, kCodes = 8, iterations = 2),
+            s"$base/ix")
+          val maxId = newDocs.agg(max(col("doc_id")))
+            .collect()(0).getLong(0)
+          val cuts = (0 to 4).map(k => maxId * k / 4)
+          def stage(k: Int, part: DataFrame): Unit = {
+            val tmp = s"$base/tmp$k"
+            part.coalesce(1).write.parquet(tmp)
+            val f = new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val dst = new java.io.File(s"$base/in/b$k.parquet")
+            dst.getParentFile.mkdirs()
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(1700000000000L + k * 60000L)
+            ()
+          }
+          def drop(k: Int): DataFrame = newDocs.filter(
+            col("doc_id") > cuts(k) - (if (k == 0) 1 else 0)
+              && col("doc_id") <= cuts(k + 1))
+          def drain(): Unit = {
+            val stream = s.readStream
+              .schema(s.read.parquet(s"$base/in").schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("latestFirst", "false")
+              .parquet(s"$base/in")
+              .withColumn("embedding", emb)
+            graft.streaming.RefreshPipeline.run(stream, prior,
+              prior.filter(col("doc_id") % 17 === 3),
+              storeDir = s"$base/store", ledgerDir = s"$base/ledger",
+              checkpointDir = s"$base/ck",
+              indexDir = Some(s"$base/ix"))
+          }
+          val tD = System.nanoTime()
+          stage(0, drop(0)); stage(1, drop(1))
+          drain() // session 1: batch ids 0,1
+          stage(2, drop(2))
+          stage(3, drop(3).unionByName( // replays of session 1's drop 0
+            drop(0).filter(col("doc_id") % 7 === 1)
+              .withColumn("doc_id", col("doc_id") + 9999999L)))
+          drain() // session 2, SAME checkpoint: batch ids resume at 2
+          Bench.recordComponent("q174_two_drains",
+            (System.nanoTime() - tD) / 1e9)
+          val digest = graft.streaming.ShardSink.read(s, s"$base/store")
+            .select(concat_ws("|",
+              coalesce(col("source"), lit("<null>")),
+              col("seq_id").cast("string"),
+              col("n_tokens").cast("long").cast("string"),
+              md5(Bpe.idsString(col("token_ids")))).as("p"))
+            .agg(md5(concat_ws(";",
+              sort_array(collect_list(col("p"))))).as("store_digest"))
+          graft.streaming.VectorIndexSink
+            .read(s, s"$base/ix", idCol = "doc_id")
+            .encoded.select(col("doc_id"))
+            .crossJoin(broadcast(digest))
+            .localCheckpoint(true)
+        } finally
+          org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+      } finally deleteRecursively(base)
+    }),
+
     "q165_index_retrain" -> ((s, dir) => {
       // the remediation q162's monitor schedules: the SAME drifted
       // corpus, probes, k and nProbe, but codebooks RETRAINED on the
@@ -4593,6 +4689,21 @@ dim_users_litify AS (
       "d.doc_id % 3 = 0 AND d.doc_id % 5 <> 2 " +
         "AND (d.doc_id % 8) * 3300 <= 21600"))
 
+  /** q174: q170's two cross-store pins over a TWO-SESSION drain whose
+    * second session replays drop-0 docs under fresh ids (+9,999,999,
+    * a multiple of 3 so the prior/new split is unchanged). The oracle
+    * unions the same synthetic rows into the corpus CTE; the one-shot
+    * chain's first-writer-wins by id kills every replay, so a pipeline
+    * that forgot its session-1 ledger across the restart diverges on
+    * both the served id set and the store digest. */
+  private def q174OracleSql: String =
+    crossStoreOracleSql(refreshCtes("d.doc_id % 3 = 0",
+      " UNION ALL SELECT doc_id + 9999999, source, text " +
+        "FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0 " +
+        "AND doc_id % 7 = 1 AND doc_id * 4 <= " +
+        "(SELECT MAX(doc_id) FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 3 = 0)"))
+
   private def crossStoreOracleSql(ctes: String): String =
     s"""$ctes,
        |pack AS (SELECT source, CAST(gp // 2048 AS BIGINT) AS seq_id,
@@ -4634,7 +4745,7 @@ dim_users_litify AS (
     * decisions, which is what makes `asOf` snapshots oraclable. */
   private def refreshCtes: String = refreshCtes("d.doc_id % 3 = 0")
 
-  private def refreshCtes(newPred: String): String = {
+  private def refreshCtes(newPred: String, nnExtra: String = ""): String = {
     val n = BpeByteVocab.merges.size
     val mix = Dedup.mixConstants(32)
     val sigList = (0 until 32).map { j =>
@@ -4646,7 +4757,7 @@ dim_users_litify AS (
     s"""WITH RECURSIVE ${Bpe.oracleByteCtes("documents",
         "doc_id", "text", BpeByteVocab.merges)},
        |nn AS (SELECT doc_id, source, text FROM documents
-       |  WHERE text IS NOT NULL),
+       |  WHERE text IS NOT NULL$nnExtra),
        |nwd AS (SELECT d.doc_id FROM nn d WHERE $newPred),
        |fp AS (SELECT doc_id,
        |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
@@ -6522,6 +6633,7 @@ dim_users_litify AS (
     "q170_refresh_cross_store" -> q170OracleSql,
     "q171_cross_store_asof" -> q171OracleSql,
     "q173_attributed_refresh" -> q173OracleSql,
+    "q174_resumed_refresh" -> q174OracleSql,
 
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,

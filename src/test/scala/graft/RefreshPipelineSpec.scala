@@ -146,6 +146,20 @@ class RefreshPipelineSpec extends SparkSpec {
     } finally rmTree(base)
   }
 
+  test("the RefreshScale contract at spec scale: streamed chain == " +
+      "one-shot batch chain, mass/ledger/class pins hold") {
+    // 3 triggers x 100 classed docs against a 400-doc prior: the SAME
+    // check() the committed REFRESH_SCALE.json run enforces — streamed
+    // accepted ids equal the one-shot batch chain's, shard-store token
+    // mass and ledger fingerprints reconcile exactly, every closed-form
+    // class pin lands (0 exact-prior / 0 contam leaks, exactly trigger
+    // 0's stream-dup instances, all originals kept).
+    val r = graft.tools.RefreshScale.run(spark, prior = 400,
+      triggers = 3, batchRows = 100)
+    graft.tools.RefreshScale.check(r)
+    assert(r.accepted == 240 + 5, s"accepted ${r.accepted}")
+  }
+
   private def rmTree(base: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(base).sorted(
