@@ -547,74 +547,110 @@ object Curate {
     * ids sort after existing ones; when they interleave, incremental
     * deliberately trades global determinism for shipped-shard stability.
     *
-    * Scale shape: the existing corpus contributes ONE tail row per
-    * shard (the rank<=1 window filter is WindowGroupLimit-pruned below
-    * its exchange, so full sequences never ship their ids), broadcast
-    * onto the new batch; the new batch then follows [[packTokenIds]]'s
-    * exact plan — one doc-level shuffle, token stream grouped in place.
-    * Cost is O(new batch + shards), never O(existing corpus). */
+    * Scale shape, two explicit phases so cost is O(new batch + shards)
+    * in PAYLOAD terms, never O(existing corpus):
+    * phase 1 runs ONE narrow aggregation over (shard, seq_id, n_tokens)
+    * — token payloads are column-pruned out of the scan — computing the
+    * per-shard audit AND tail coordinates, collected to the driver (one
+    * row per shard, the bounded-collect class of the codebook loads);
+    * phase 2 fetches ONLY the partial-tail rows' token ids with a keyed
+    * (shard AND seq_id) filter that pushes into the parquet scans (at
+    * most one row per shard; skipped entirely when no shard has a
+    * partial tail). The tails become a LITERAL frame, so the downstream
+    * joins never re-evaluate the existing store's plan — the earlier
+    * single-plan shape re-executed the (merge-heavy) `existing` plan
+    * once per consuming branch and decoded payloads it then threw away,
+    * which made a 1% append cost ~24% of a full repack at n=1M
+    * (SHARD_SCALE). The new batch then follows [[packTokenIds]]'s exact
+    * plan — one doc-level shuffle, token stream grouped in place.
+    *
+    * The audit (and its two loud failures: over-budget row, non-dense /
+    * mid-shard-partial seq_ids) now runs at CALL time as driver checks
+    * — callers get the same exceptions, one trigger earlier. */
   def packTokenIdsIncremental(existing: DataFrame, newDocs: DataFrame,
                               idsCol: String, idCol: String,
                               budget: Int, shardCol: String): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     import org.apache.spark.sql.expressions.Window
-    val wTail = Window.partitionBy(col(shardCol))
-      .orderBy(col("__sq").desc)
-    val scanned = existing
-      .select(col(shardCol), col("seq_id").cast("long").as("__sq"),
-        col("token_ids"), col("n_tokens").cast("long").as("__nt"))
-    // shard-store audit over the columns the budget guard already scans
-    // (seq_id, n_tokens — column-pruned, never token payloads): a
-    // corrupted/hand-edited store with a mid-shard PARTIAL sequence or
-    // non-dense/duplicated seq_ids would otherwise yield a silently
-    // wrong `__base` and overlapping delta positions, since only the
-    // rank-1 tail row feeds the append math. Valid shard: seq_ids are
-    // exactly {0..n-1} and at most the max seq_id is under budget.
-    // shard keys may be NULL (the window/groupBy tiers treat a null
-    // shard like any other) — every shard-key JOIN below therefore goes
-    // through a single-field struct `__sk`, whose equality treats null
-    // fields as equal, so a null shard's tail/audit rows match instead
-    // of silently dropping out (which would restart its seq_ids)
-    val audit = scanned.groupBy(col(shardCol)).agg(
+    val spark = existing.sparkSession
+    // phase 1 — the audit, narrow columns only: a corrupted/hand-edited
+    // store with a mid-shard PARTIAL sequence or non-dense/duplicated
+    // seq_ids would otherwise yield a silently wrong `__base` and
+    // overlapping delta positions, since only the tail row feeds the
+    // append math. Valid shard: seq_ids exactly {0..n-1}, at most the
+    // max seq_id under budget. One collected row per shard.
+    val auditRows = existing
+      .select(col(shardCol).as("__s"),
+        col("seq_id").cast("long").as("__sq"),
+        col("n_tokens").cast("long").as("__nt"))
+      .groupBy(col("__s")).agg(
         count(lit(1)).as("__an"),
         countDistinct(col("__sq")).as("__and"),
         min(col("__sq")).as("__amn"),
         max(col("__sq")).as("__amx"),
         sum(when(col("__nt") < budget, 1L).otherwise(0L)).as("__ap"),
-        max(when(col("__nt") < budget, col("__sq"))).as("__apsq"))
-      .withColumn("__sk", struct(col(shardCol))).drop(shardCol)
-    val auditOk = col("__amn") === 0L && col("__amx") === col("__an") - 1L &&
-      col("__and") === col("__an") && col("__ap") <= 1L &&
-      (col("__ap") === 0L || col("__apsq") === col("__amx"))
-    val tails = scanned
-      .withColumn("__nt",
-        when(col("__nt") <= budget, col("__nt")).otherwise(raise_error(
-          concat(lit(s"packTokenIdsIncremental: sequence exceeds budget "
-            + s"$budget: "), col("__nt").cast("string")))))
-      .withColumn("__rn", row_number().over(wTail))
-      .filter(col("__rn") === 1)
+        max(when(col("__nt") < budget, col("__sq"))).as("__apsq"),
+        max(col("__nt")).as("__mnt"),
+        max_by(col("__nt"), col("__sq")).as("__tnt"))
+      .collect()
+    val tailCoords = auditRows.map { r =>
+      val s = r.get(0)
+      val an = r.getLong(1); val nd = r.getLong(2)
+      val amn = r.getLong(3); val amx = r.getLong(4)
+      val ap = r.getLong(5)
+      val apsq = if (r.isNullAt(6)) -1L else r.getLong(6)
+      val mnt = r.getLong(7); val tnt = r.getLong(8)
+      if (mnt > budget) throw new IllegalStateException(
+        s"packTokenIdsIncremental: sequence exceeds budget $budget: $mnt")
+      if (!(amn == 0L && amx == an - 1 && nd == an && ap <= 1 &&
+          (ap == 0L || apsq == amx)))
+        throw new IllegalStateException(
+          s"packTokenIdsIncremental: corrupt shard store in shard $s: " +
+            "seq_ids must be dense 0..n-1 with at most a partial tail " +
+            s"(n=$an, distinct=$nd, min=$amn, max=$amx, partials=$ap)")
+      (s, amx, tnt)
+    }
+    // phase 2 — partial-tail payloads only, fetched with a keyed filter
+    // that pushes into the store's parquet scans (row-group stats on
+    // seq_id skip shipped-full history); a store whose every shard ends
+    // on a full sequence reads NO payloads at all
+    val partials = tailCoords.filter(_._3 < budget)
+    val fetchedIds: Map[Any, Seq[Int]] =
+      if (partials.isEmpty) Map.empty
+      else {
+        val pred = partials.map { case (s, q, _) =>
+          (col(shardCol) <=> lit(s)) &&
+            col("seq_id").cast("long") === lit(q)
+        }.reduce(_ || _)
+        existing.filter(pred)
+          .select(col(shardCol), col("token_ids"))
+          .collect()
+          .map(r => r.get(0) -> r.getSeq[Int](1).toVector.toSeq).toMap
+      }
+    // the tails as a LITERAL frame — one row per shard, shard-key type
+    // copied from the store schema; a PARTIAL tail re-enters the stream
+    // at its own start, a full tail contributes nothing (new tokens
+    // start a fresh sequence). shard keys may be NULL (the window/
+    // groupBy tiers treat a null shard like any other) — every shard
+    // join below goes through a single-field struct `__sk`, whose
+    // equality treats null fields as equal.
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val tailRows: java.util.List[org.apache.spark.sql.Row] =
+      tailCoords.map { case (s, amx, tnt) =>
+        val partial = tnt < budget
+        org.apache.spark.sql.Row(s, amx * budget + tnt,
+          if (partial) amx * budget else (amx + 1) * budget,
+          if (partial) fetchedIds.getOrElse(s, Seq.empty[Int])
+          else Seq.empty[Int])
+      }.toList.asJava
+    val tails = spark.createDataFrame(tailRows, StructType(Seq(
+        existing.schema(shardCol).copy(name = shardCol),
+        StructField("__base", LongType, nullable = false),
+        StructField("__tailStart", LongType, nullable = false),
+        StructField("__tailIds", ArrayType(IntegerType),
+          nullable = false))))
       .withColumn("__sk", struct(col(shardCol)))
-      .join(broadcast(audit), Seq("__sk"))
-      .select(col(shardCol), col("__sk"),
-        // the audit guard rides the load-bearing __base expression so
-        // column pruning cannot eliminate it
-        when(auditOk, col("__sq") * budget + col("__nt"))
-          .otherwise(raise_error(concat(
-            lit("packTokenIdsIncremental: corrupt shard store in shard "),
-            col(shardCol).cast("string"),
-            lit(": seq_ids must be dense 0..n-1 with at most a partial "
-              + "tail (n="), col("__an").cast("string"),
-            lit(", distinct="), col("__and").cast("string"),
-            lit(", min="), col("__amn").cast("string"),
-            lit(", max="), col("__amx").cast("string"),
-            lit(", partials="), col("__ap").cast("string"),
-            lit(")"))).cast("long")).as("__base"),
-        // a PARTIAL tail re-enters the stream at its own start; a full
-        // tail contributes nothing (new tokens start a fresh sequence)
-        when(col("__nt") < budget, col("token_ids"))
-          .otherwise(array().cast("array<int>")).as("__tailIds"),
-        when(col("__nt") < budget, col("__sq") * budget)
-          .otherwise((col("__sq") + 1) * budget).as("__tailStart"))
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withCum = newDocs
