@@ -1661,6 +1661,110 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    "q175_managed_refresh" -> ((s, dir) => {
+      // q170's cross-store refresh run against GENERATION-MANAGED
+      // store roots with compaction ON SCHEDULE inside the drain
+      // (StoreRoot + RefreshPipeline.runManaged): compactEvery=2 over
+      // three drops fires the fold-swap-retire cycle MID-STREAM after
+      // the second trigger, so the third trigger appends into the
+      // fresh generation — and the final cross-store outputs must be
+      // bit-identical to the uncompacted chain (q170's oracle,
+      // verbatim). In-query gates pin the retention contract the
+      // oracle can't see: both roots ended on generation 1, the
+      // retired generation-0 layouts fail loudly, and an asOf below
+      // each root's retention floor (shard v2 / index b1) is refused.
+      val base = java.nio.file.Files.createTempDirectory("graft_mrefresh_")
+      try {
+        val emb = transform(sequence(lit(0), lit(7)),
+          i => sin(col("doc_id") * 3 + i).cast("float"))
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+          .localCheckpoint(true)
+        try {
+          val prior = d.filter(col("doc_id") % 3 =!= 0)
+          val newDocs = d.filter(col("doc_id") % 3 === 0)
+          val sRoot = s"$base/sroot"; val iRoot = s"$base/iroot"
+          graft.streaming.ShardSink.append(s,
+            prior.withColumn("__ids",
+              Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
+            "__ids", "doc_id", budget = 2048, shardCol = "source",
+            storeDir = graft.streaming.StoreRoot.init(sRoot))
+          Similarity.ivfPqSave(
+            Similarity.ivfPqBuild(prior.withColumn("embedding", emb),
+              vecCol = "embedding", idCol = "doc_id", nLists = 4,
+              m = 4, kCodes = 8, iterations = 2),
+            graft.streaming.StoreRoot.init(iRoot))
+          val maxId = newDocs.agg(max(col("doc_id")))
+            .collect()(0).getLong(0)
+          val cuts = (0 to 3).map(k => maxId * k / 3)
+          (0 until 3).foreach { k =>
+            val part = newDocs.filter(
+              col("doc_id") > cuts(k) - (if (k == 0) 1 else 0)
+                && col("doc_id") <= cuts(k + 1))
+            val tmp = s"$base/tmp$k"
+            part.coalesce(1).write.parquet(tmp)
+            val f = new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val dst = new java.io.File(s"$base/in/b$k.parquet")
+            dst.getParentFile.mkdirs()
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(1700000000000L + k * 60000L)
+          }
+          val sch = s.read.parquet(s"$base/in").schema
+          val stream = s.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(s"$base/in")
+            .withColumn("embedding", emb)
+          val tDrain = System.nanoTime()
+          graft.streaming.RefreshPipeline.runManaged(stream, prior,
+            prior.filter(col("doc_id") % 17 === 3),
+            shardRoot = sRoot, ledgerDir = s"$base/ledger",
+            checkpointDir = s"$base/ck", compactEvery = 2,
+            indexRoot = Some(iRoot))
+          Bench.recordComponent("q175_managed_drain",
+            (System.nanoTime() - tDrain) / 1e9)
+          // the retention gates: one mid-stream cycle ran on each root
+          // (gen 1 current, floors at the folded high-water marks),
+          // the predecessors fail loudly, below-floor asOf is refused
+          require(graft.streaming.StoreRoot.currentGen(sRoot) == 1L
+              && graft.streaming.StoreRoot.currentGen(iRoot) == 1L,
+            "expected exactly one mid-stream compaction cycle per root")
+          require(graft.streaming.StoreRoot.floor(sRoot).contains(2L)
+              && graft.streaming.StoreRoot.floor(iRoot).contains(1L),
+            "unexpected retention floors after the mid-stream fold")
+          def loud(f: => Any, what: String): Unit = {
+            val msg = try { f; "" } catch {
+              case e: IllegalStateException => e.getMessage }
+            require(msg.nonEmpty, s"$what should have failed loudly")
+          }
+          loud(graft.streaming.ShardSink.read(s, s"$sRoot/gen0")
+            .collect(), "reading the retired shard gen0")
+          loud(graft.streaming.VectorIndexSink.read(s, s"$iRoot/gen0",
+            idCol = "doc_id"), "reading the retired index gen0")
+          loud(graft.streaming.StoreRoot.readShard(s, sRoot,
+            asOf = Some(1L)), "shard asOf below the floor")
+          loud(graft.streaming.StoreRoot.readVectors(s, iRoot,
+            idCol = "doc_id", asOf = Some(0L)),
+            "index asOf below the floor")
+          val digest = graft.streaming.StoreRoot.readShard(s, sRoot)
+            .select(concat_ws("|",
+              coalesce(col("source"), lit("<null>")),
+              col("seq_id").cast("string"),
+              col("n_tokens").cast("long").cast("string"),
+              md5(Bpe.idsString(col("token_ids")))).as("p"))
+            .agg(md5(concat_ws(";",
+              sort_array(collect_list(col("p"))))).as("store_digest"))
+          graft.streaming.StoreRoot
+            .readVectors(s, iRoot, idCol = "doc_id")
+            .encoded.select(col("doc_id"))
+            .crossJoin(broadcast(digest))
+            .localCheckpoint(true)
+        } finally
+          org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+      } finally deleteRecursively(base)
+    }),
+
     "q165_index_retrain" -> ((s, dir) => {
       // the remediation q162's monitor schedules: the SAME drifted
       // corpus, probes, k and nProbe, but codebooks RETRAINED on the
@@ -6634,6 +6738,12 @@ dim_users_litify AS (
     "q171_cross_store_asof" -> q171OracleSql,
     "q173_attributed_refresh" -> q173OracleSql,
     "q174_resumed_refresh" -> q174OracleSql,
+    // q175 replays q170's oracle VERBATIM: the mid-stream
+    // fold-swap-retire cycle must move no answer — identical served
+    // id set, identical store digest — while the in-query gates pin
+    // the retention contract (floors, retired predecessors, refused
+    // below-floor asOf) that SQL cannot see.
+    "q175_managed_refresh" -> q170OracleSql,
 
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,

@@ -69,7 +69,9 @@ object RefreshPipeline {
       refGrams: DataFrame, storeDir: String, ledgerDir: String,
       budget: Int, shardCol: String, idCol: String, textCol: String,
       numHashes: Int, bands: Int, threshold: Double, decontamN: Int,
-      minMatches: Int, indexDir: Option[String], vecCol: String): Unit = {
+      minMatches: Int, indexDir: Option[String], vecCol: String,
+      shardRoot: Option[String] = None,
+      indexRoot: Option[String] = None): Unit = {
     val sp = batch.sparkSession
     // materialize the trigger's batch ONCE: the tiers below reference
     // it through several plan branches (the bloom anti join alone
@@ -117,14 +119,26 @@ object RefreshPipeline {
       .drop("n_matched", "contaminated")
       .localCheckpoint(true) // used by store + index + ledger
     try {
-      ShardSink.append(sp,
-        cleaned.withColumn("__ids",
-          Bpe.byteTokenIds(col(textCol), BpeByteVocab.merges)),
-        "__ids", idCol, budget, shardCol, storeDir,
-        version = Some(batchId + 1))
-      indexDir.foreach { ix =>
-        VectorIndexSink.appendBatch(sp, ix, batchId,
+      // generation-managed targets go through StoreRoot, which adds
+      // the cross-generation re-delivery skip (an append at or below
+      // the retention floor was folded by a mid-run compaction) on
+      // top of the per-generation publishOnce skip
+      val tokenized = cleaned.withColumn("__ids",
+        Bpe.byteTokenIds(col(textCol), BpeByteVocab.merges))
+      shardRoot match {
+        case Some(r) => StoreRoot.appendShard(sp, r, tokenized,
+          "__ids", idCol, budget, shardCol, version = batchId + 1)
+        case None => ShardSink.append(sp, tokenized,
+          "__ids", idCol, budget, shardCol, storeDir,
+          version = Some(batchId + 1))
+      }
+      indexRoot match {
+        case Some(r) => StoreRoot.appendVectors(sp, r, batchId,
           cleaned, vecCol, idCol)
+        case None => indexDir.foreach { ix =>
+          VectorIndexSink.appendBatch(sp, ix, batchId,
+            cleaned, vecCol, idCol)
+        }
       }
       // the ledger publish is LAST: only after every store this
       // trigger feeds has committed may its fingerprints become
@@ -188,6 +202,71 @@ object RefreshPipeline {
             postings, refGrams, storeDir, ledgerDir, budget, shardCol,
             idCol, textCol, numHashes, bands, threshold, decontamN,
             minMatches, indexDir, vecCol)
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(priorFps)
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(postings)
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(refGrams)
+    }
+  }
+
+  /** [[run]] against GENERATION-MANAGED store roots ([[StoreRoot]]),
+    * with compaction ON SCHEDULE inside the drain: every
+    * `compactEvery` triggers, after the trigger's commits and ledger
+    * publish, both roots are folded into a fresh generation, swapped,
+    * and their predecessors retired — the maintenance loop a
+    * long-running deployment needs, running inside the pipeline
+    * instead of as a hand-driven sidecar. The caller seeds generation
+    * 0 of each root ([[StoreRoot.init]] then the usual v0 pack /
+    * ivfPqSave) and READS through the root afterwards.
+    *
+    * Delivery semantics compose with the managed layer's: a trigger
+    * re-delivered across its own compaction finds its appends at or
+    * below the new retention floor and skips them
+    * ([[StoreRoot.appendShard]]/[[StoreRoot.appendVectors]]); a crash
+    * inside the compaction itself is healed by the next
+    * [[StoreRoot.compactShard]]/[[StoreRoot.compactVectors]] (resume
+    * a committed fold, redo a partial one, retire a swapped-but-
+    * unretired predecessor); and a re-delivered compaction trigger
+    * whose fold already swapped finds nothing to fold and no-ops.
+    * The fingerprint ledger is NOT compacted — it is the exact tier's
+    * reference history (compact fingerprints, never payloads) and
+    * every batch of it stays load-bearing. */
+  def runManaged(docs: DataFrame, prior: DataFrame, benchmark: DataFrame,
+                 shardRoot: String, ledgerDir: String,
+                 checkpointDir: String, compactEvery: Int,
+                 budget: Int = 2048, shardCol: String = "source",
+                 idCol: String = "doc_id", textCol: String = "text",
+                 numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.8, decontamN: Int = 5,
+                 minMatches: Int = 2, indexRoot: Option[String] = None,
+                 vecCol: String = "embedding"): Unit = {
+    require(compactEvery >= 1,
+      s"compactEvery must be >= 1: $compactEvery")
+    val priorFps = Dedup.exactFingerprints(prior, textCol)
+      .localCheckpoint(true)
+    val postings = Dedup.nearPostings(prior, textCol,
+        numHashes = numHashes, bands = bands, mode = Dedup.Portable)
+      .localCheckpoint(true)
+    val refGrams = Dedup.ngramRefGrams(benchmark, textCol, n = decontamN)
+      .localCheckpoint(true)
+    try {
+      val q = docs.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sp = batch.sparkSession
+          processBatch(batch, batchId, prior, benchmark, priorFps,
+            postings, refGrams, storeDir = "", ledgerDir, budget,
+            shardCol, idCol, textCol, numHashes, bands, threshold,
+            decontamN, minMatches, indexDir = None, vecCol,
+            shardRoot = Some(shardRoot), indexRoot = indexRoot)
+          if ((batchId + 1) % compactEvery == 0) {
+            StoreRoot.compactShard(sp, shardRoot, shardCol)
+            indexRoot.foreach(r => StoreRoot.compactVectors(sp, r))
+          }
         }
         .start()
       q.awaitTermination()

@@ -52,6 +52,15 @@ object ShardSink {
   private def versions(storeDir: String): Seq[(Long, java.io.File)] =
     StoreFiles.publishedDirs(storeDir, "v", StoreFiles.hasParquet)
 
+  /** Latest committed version, if any — [[StoreRoot]]'s resume check. */
+  private[graft] def latestVersion(storeDir: String): Option[Long] =
+    versions(storeDir).lastOption.map(_._1)
+
+  /** Committed version count — [[StoreRoot]]'s anything-to-fold check
+    * (a store holding at most its base has no compaction debt). */
+  private[graft] def versionCount(storeDir: String): Int =
+    versions(storeDir).size
+
   /** Append one batch of documents (with a pre-tokenized `idsCol`) to
     * the store: read the merged view, compute the delta via
     * packTokenIdsIncremental, stage it, publish atomically. `version`

@@ -46,6 +46,15 @@ object VectorIndexSink {
     StoreFiles.publishedDirs(s"$indexDir/tombstones", "d",
       StoreFiles.hasParquet)
 
+  /** Latest published append/tombstone batch, if any — [[StoreRoot]]'s
+    * resume and anything-to-fold checks (an index holding only its
+    * base has no compaction debt). */
+  private[graft] def latestBatch(indexDir: String): Option[Long] = {
+    val ids = deltaDirs(indexDir).map(_._1) ++
+      tombstoneDirs(indexDir).map(_._1)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
   /** Append one batch under the frozen codebooks as delta `b<batchId>`.
     * Returns false (no work) if that delta is already published — the
     * at-least-once re-delivery path. Also the non-streaming entry

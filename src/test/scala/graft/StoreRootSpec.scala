@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Bpe, BpeByteVocab}
+import graft.operators.{Curate, Similarity}
+import graft.streaming.{RefreshPipeline, ShardSink, StoreFiles, StoreRoot, VectorIndexSink}
+
+/** Generation-managed store roots: the compact-swap-retire state
+  * machine, the global version timeline with its retention floor, the
+  * cross-generation re-delivery skip, and every crash window between
+  * the three commit points (fold, swap, retire). */
+class StoreRootSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .filter(col("text").isNotNull).limit(n)
+    .select(col("doc_id"), col("source"), col("text"))
+    .withColumn("__ids",
+      Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+
+  private def digest(df: org.apache.spark.sql.DataFrame): String =
+    df.select(concat_ws("|",
+        coalesce(col("source"), lit("<null>")),
+        col("seq_id").cast("string"),
+        col("n_tokens").cast("long").cast("string"),
+        md5(Bpe.idsString(col("token_ids")))).as("p"))
+      .agg(md5(concat_ws(";", sort_array(collect_list(col("p"))))))
+      .collect()(0).getString(0)
+
+  test("shard root: global version timeline across a compaction — " +
+      "floor skip on re-delivery, asOf at/above the floor served, " +
+      "below it refused, predecessor retired") {
+    val base = java.nio.file.Files.createTempDirectory("graft_root_")
+    try {
+      val d = docs(120).localCheckpoint(true)
+      val ids = d.select("doc_id").as[Long].collect().sorted
+      val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+      val b0 = d.filter(col("doc_id") <= cut1)
+      val b1 = d.filter(col("doc_id") > cut1 && col("doc_id") <= cut2)
+      val b2 = d.filter(col("doc_id") > cut2)
+      val root = s"$base/root"
+      val g0 = StoreRoot.init(root)
+      assert(StoreRoot.currentGen(root) == 0L &&
+        StoreRoot.floor(root).isEmpty)
+      // seed v0 + two appends on the gen0 timeline
+      ShardSink.append(spark, b0, "__ids", "doc_id", 128, "source", g0)
+      assert(StoreRoot.appendShard(spark, root, b1, "__ids", "doc_id",
+        128, "source", version = 1L))
+      assert(StoreRoot.appendShard(spark, root, b2, "__ids", "doc_id",
+        128, "source", version = 2L))
+      val preAsOf1 = digest(StoreRoot.readShard(spark, root,
+        asOf = Some(1L)))
+      val preFull = digest(StoreRoot.readShard(spark, root))
+      assert(StoreRoot.compactShard(spark, root))
+      assert(StoreRoot.currentGen(root) == 1L &&
+        StoreRoot.floor(root).contains(2L))
+      // the fold moved no data: full view and at-the-floor asOf identical
+      assert(digest(StoreRoot.readShard(spark, root)) == preFull)
+      assert(digest(StoreRoot.readShard(spark, root,
+        asOf = Some(2L))) == preFull)
+      // nothing to fold -> compaction no-ops (re-delivered trigger path)
+      assert(!StoreRoot.compactShard(spark, root))
+      // re-delivered appends across the boundary: at/below floor skip,
+      // and the store digest does not move
+      assert(!StoreRoot.appendShard(spark, root, b1, "__ids", "doc_id",
+        128, "source", version = 1L))
+      assert(!StoreRoot.appendShard(spark, root, b2, "__ids", "doc_id",
+        128, "source", version = 2L))
+      assert(digest(StoreRoot.readShard(spark, root)) == preFull)
+      // asOf below the floor: loudly refused, names the floor
+      val e = intercept[IllegalStateException] {
+        StoreRoot.readShard(spark, root, asOf = Some(1L))
+      }
+      assert(e.getMessage.contains("retention floor") &&
+        e.getMessage.contains("asOf=1"), e.getMessage)
+      assert(preAsOf1 != preFull) // the refused snapshot was distinct
+      // the predecessor is retired: direct reads fail loudly
+      val r = intercept[IllegalStateException] {
+        ShardSink.read(spark, s"$root/gen0").collect()
+      }
+      assert(r.getMessage.contains("retired"), r.getMessage)
+      // the timeline continues: a post-compaction append serves merged
+      assert(StoreRoot.appendShard(spark, root,
+        d.filter(col("doc_id") > cut2) // re-pack b2 under a NEW version
+          .withColumn("doc_id", col("doc_id") + 1000000L),
+        "__ids", "doc_id", 128, "source", version = 3L))
+      assert(ShardSink.versionCount(StoreRoot.currentDir(root)) == 2)
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+    } finally StoreFiles.deleteRec(base.toFile)
+  }
+
+  test("shard root: every crash window heals — committed fold resumes, " +
+      "partial fold redoes, swapped-but-unretired predecessor swept") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rootcw_")
+    try {
+      val d = docs(80).localCheckpoint(true)
+      val ids = d.select("doc_id").as[Long].collect().sorted
+      val cut = ids(ids.length / 2)
+      val root = s"$base/root"
+      val g0 = StoreRoot.init(root)
+      ShardSink.append(spark, d.filter(col("doc_id") <= cut),
+        "__ids", "doc_id", 128, "source", g0)
+      StoreRoot.appendShard(spark, root, d.filter(col("doc_id") > cut),
+        "__ids", "doc_id", 128, "source", version = 1L)
+      val want = digest(StoreRoot.readShard(spark, root))
+      // window 1: fold committed (marker in place), crash before swap
+      ShardSink.compact(spark, g0, s"$root/gen1")
+      assert(StoreRoot.currentGen(root) == 0L) // reader still on gen0
+      assert(StoreRoot.compactShard(spark, root)) // resumes: swap+retire
+      assert(StoreRoot.currentGen(root) == 1L &&
+        digest(StoreRoot.readShard(spark, root)) == want)
+      // window 2: partial fold (no marker), crash mid-write — redone
+      StoreRoot.appendShard(spark, root,
+        d.filter(col("doc_id") > cut)
+          .withColumn("doc_id", col("doc_id") + 1000000L),
+        "__ids", "doc_id", 128, "source", version = 3L)
+      val want2 = digest(StoreRoot.readShard(spark, root))
+      new java.io.File(s"$root/gen2/v0").mkdirs() // torn: no marker
+      assert(StoreRoot.compactShard(spark, root))
+      assert(StoreRoot.currentGen(root) == 2L &&
+        StoreRoot.floor(root).contains(3L) &&
+        digest(StoreRoot.readShard(spark, root)) == want2)
+      // window 3: swap committed, crash before retire — the NEXT
+      // compaction retires the predecessor before folding
+      StoreRoot.appendShard(spark, root,
+        d.filter(col("doc_id") > cut)
+          .withColumn("doc_id", col("doc_id") + 2000000L),
+        "__ids", "doc_id", 128, "source", version = 4L)
+      ShardSink.compact(spark, StoreRoot.currentDir(root), s"$root/gen3")
+      StoreRoot.writeManifest(root, 3L) // crash before retire(gen2)
+      assert(StoreFiles.retiredTo(s"$root/gen2").isEmpty)
+      val want3 = digest(StoreRoot.readShard(spark, root))
+      // no debt in gen3 -> compactShard only heals, returns false
+      assert(!StoreRoot.compactShard(spark, root))
+      assert(StoreFiles.retiredTo(s"$root/gen2").isDefined &&
+        digest(StoreRoot.readShard(spark, root)) == want3)
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+    } finally StoreFiles.deleteRec(base.toFile)
+  }
+
+  test("vector root: floor skip for appends AND tombstones, asOf " +
+      "refusal, served ids preserved across the fold") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rootv_")
+    try {
+      val emb = transform(sequence(lit(0), lit(7)),
+        i => sin(col("vec_id") * 3 + i).cast("float"))
+      val vecs = spark.range(0, 60).select(col("id").as("vec_id"))
+        .withColumn("embedding", emb).localCheckpoint(true)
+      val root = s"$base/root"
+      val g0 = StoreRoot.init(root)
+      Similarity.ivfPqSave(
+        Similarity.ivfPqBuild(vecs.filter(col("vec_id") < 40),
+          vecCol = "embedding", idCol = "vec_id", nLists = 2, m = 4,
+          kCodes = 8, iterations = 2), g0)
+      assert(StoreRoot.appendVectors(spark, root, 0L,
+        vecs.filter(col("vec_id") >= 40), idCol = "vec_id"))
+      assert(StoreRoot.deleteVectors(spark, root, 1L,
+        Seq(5L, 45L).toDF("vec_id")))
+      def served(asOf: Option[Long]) =
+        StoreRoot.readVectors(spark, root, idCol = "vec_id", asOf = asOf)
+          .encoded.select("vec_id").as[Long].collect().toSet
+      val want = served(None)
+      assert(!want.contains(5L) && !want.contains(45L) &&
+        want.contains(44L) && want.size == 58)
+      assert(StoreRoot.compactVectors(spark, root))
+      assert(StoreRoot.currentGen(root) == 1L &&
+        StoreRoot.floor(root).contains(1L))
+      assert(served(None) == want) // the fold moved no ids
+      // re-delivered append/tombstone at/below the floor: skipped
+      assert(!StoreRoot.appendVectors(spark, root, 0L,
+        vecs.filter(col("vec_id") >= 40), idCol = "vec_id"))
+      assert(!StoreRoot.deleteVectors(spark, root, 1L,
+        Seq(5L).toDF("vec_id")))
+      assert(served(None) == want)
+      // asOf below the floor refused; at the floor served
+      intercept[IllegalStateException] {
+        StoreRoot.readVectors(spark, root, asOf = Some(0L))
+      }
+      assert(served(Some(1L)) == want)
+      // the timeline continues above the floor
+      assert(StoreRoot.deleteVectors(spark, root, 2L,
+        Seq(44L).toDF("vec_id")))
+      assert(served(None) == want - 44L)
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(vecs)
+    } finally StoreFiles.deleteRec(base.toFile)
+  }
+
+  test("runManaged == run: mid-stream compaction moves no answer, " +
+      "ends on a fresh generation with the old one retired") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rootm_")
+    try {
+      val emb = transform(sequence(lit(0), lit(7)),
+        i => sin(col("doc_id") * 3 + i).cast("float"))
+      val d = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("text").isNotNull).limit(150)
+        .select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint(true)
+      val prior = d.filter(col("doc_id") % 3 =!= 0)
+      val newDocs = d.filter(col("doc_id") % 3 === 0)
+      val benchmark = prior.filter(col("doc_id") % 17 === 3)
+      val maxId = newDocs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val cuts = (0 to 3).map(k => maxId * k / 3)
+      def dropFiles(dir: String): Unit = (0 until 3).foreach { k =>
+        val part = newDocs.filter(
+          col("doc_id") > cuts(k) - (if (k == 0) 1 else 0)
+            && col("doc_id") <= cuts(k + 1))
+        val tmp = s"$base/tmp$dir$k"
+        part.coalesce(1).write.parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$base/$dir/b$k.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + k * 60000L)
+      }
+      def stream(dir: String) = {
+        val sch = spark.read.parquet(s"$base/$dir").schema
+        spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+          .parquet(s"$base/$dir").withColumn("embedding", emb)
+      }
+      val priorTok = prior.withColumn("__ids",
+        Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+      // unmanaged reference run
+      dropFiles("inA")
+      ShardSink.append(spark, priorTok, "__ids", "doc_id", 512,
+        "source", s"$base/store")
+      Similarity.ivfPqSave(
+        Similarity.ivfPqBuild(prior.withColumn("embedding", emb),
+          vecCol = "embedding", idCol = "doc_id", nLists = 2, m = 4,
+          kCodes = 8, iterations = 2), s"$base/ix")
+      RefreshPipeline.run(stream("inA"), prior, benchmark,
+        storeDir = s"$base/store", ledgerDir = s"$base/ledgerA",
+        checkpointDir = s"$base/ckA", budget = 512,
+        indexDir = Some(s"$base/ix"))
+      val wantStore = digest(ShardSink.read(spark, s"$base/store"))
+      val wantIds = VectorIndexSink.read(spark, s"$base/ix",
+          idCol = "doc_id")
+        .encoded.select("doc_id").as[Long].collect().toSet
+      // managed run, compaction after every 2nd trigger (fires once
+      // mid-stream at b1, so b2 appends into generation 1)
+      dropFiles("inB")
+      val sRoot = s"$base/sroot"; val iRoot = s"$base/iroot"
+      ShardSink.append(spark, priorTok, "__ids", "doc_id", 512,
+        "source", StoreRoot.init(sRoot))
+      Similarity.ivfPqSave(
+        Similarity.ivfPqBuild(prior.withColumn("embedding", emb),
+          vecCol = "embedding", idCol = "doc_id", nLists = 2, m = 4,
+          kCodes = 8, iterations = 2), StoreRoot.init(iRoot))
+      RefreshPipeline.runManaged(stream("inB"), prior, benchmark,
+        shardRoot = sRoot, ledgerDir = s"$base/ledgerB",
+        checkpointDir = s"$base/ckB", compactEvery = 2, budget = 512,
+        indexRoot = Some(iRoot))
+      assert(StoreRoot.currentGen(sRoot) == 1L &&
+        StoreRoot.currentGen(iRoot) == 1L)
+      assert(digest(StoreRoot.readShard(spark, sRoot)) == wantStore)
+      assert(StoreRoot.readVectors(spark, iRoot, idCol = "doc_id")
+        .encoded.select("doc_id").as[Long].collect().toSet == wantIds)
+      // predecessors retired, floors in force
+      assert(StoreFiles.retiredTo(s"$sRoot/gen0").isDefined &&
+        StoreFiles.retiredTo(s"$iRoot/gen0").isDefined)
+      assert(StoreRoot.floor(sRoot).contains(2L) &&
+        StoreRoot.floor(iRoot).contains(1L))
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+    } finally StoreFiles.deleteRec(base.toFile)
+  }
+}
