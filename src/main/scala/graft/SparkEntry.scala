@@ -1765,6 +1765,135 @@ object SparkEntry {
       } finally deleteRecursively(base)
     }),
 
+    "q176_windowed_retention" -> ((s, dir) => {
+      // windowed retention: q171's paired mid-history snapshots
+      // (store asOf v2, index asOf b1) read AFTER a keep=1 compaction
+      // on both managed roots — the fold absorbs everything at or
+      // below exactly those points and carries the newest delta
+      // (v3 / b2) into the fresh generation VERBATIM, so the paired
+      // snapshots sit AT the new retention floors and must still be
+      // served bit-identically (q171's oracle, verbatim). In-query
+      // gates pin the window mechanics: the full views are
+      // bit-identical before and after the cycle (the carried deltas
+      // still apply on top of the fold), floors land at v2/b1 (not
+      // the latest — the window held them open), one step below each
+      // floor is refused, and the gen0 layouts are retired.
+      val base = java.nio.file.Files.createTempDirectory("graft_wret_")
+      try {
+        val emb = transform(sequence(lit(0), lit(7)),
+          i => sin(col("doc_id") * 3 + i).cast("float"))
+        val d = t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), col("text"))
+          .localCheckpoint(true)
+        try {
+          val prior = d.filter(col("doc_id") % 3 =!= 0)
+          val benchmark = prior.filter(col("doc_id") % 17 === 3)
+          val newDocs = d.filter(col("doc_id") % 3 === 0)
+          val sRoot = s"$base/sroot"; val iRoot = s"$base/iroot"
+          graft.streaming.ShardSink.append(s,
+            prior.withColumn("__ids",
+              Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
+            "__ids", "doc_id", budget = 2048, shardCol = "source",
+            storeDir = graft.streaming.StoreRoot.init(sRoot))
+          Similarity.ivfPqSave(
+            Similarity.ivfPqBuild(prior.withColumn("embedding", emb),
+              vecCol = "embedding", idCol = "doc_id", nLists = 4,
+              m = 4, kCodes = 8, iterations = 2),
+            graft.streaming.StoreRoot.init(iRoot))
+          val maxId = newDocs.agg(max(col("doc_id")))
+            .collect()(0).getLong(0)
+          val cuts = (0 to 3).map(k => maxId * k / 3)
+          val tDrops = System.nanoTime()
+          val priorFps = Dedup.exactFingerprints(prior, "text")
+            .localCheckpoint(true)
+          val postings = Dedup.nearPostings(prior, "text",
+              numHashes = 32, bands = 8, mode = Dedup.Portable)
+            .localCheckpoint(true)
+          val refGrams = Dedup.ngramRefGrams(benchmark, "text", n = 5)
+            .localCheckpoint(true)
+          try {
+            (0 until 3).foreach { k =>
+              graft.streaming.RefreshPipeline.processBatch(
+                newDocs.filter(
+                    col("doc_id") > cuts(k) - (if (k == 0) 1 else 0)
+                      && col("doc_id") <= cuts(k + 1))
+                  .withColumn("embedding", emb),
+                k.toLong, prior, benchmark, priorFps, postings,
+                refGrams, storeDir = "", s"$base/ledger",
+                budget = 2048, shardCol = "source", idCol = "doc_id",
+                textCol = "text", numHashes = 32, bands = 8,
+                threshold = 0.8, decontamN = 5, minMatches = 2,
+                indexDir = None, vecCol = "embedding",
+                shardRoot = Some(sRoot), indexRoot = Some(iRoot))
+            }
+          } finally {
+            org.apache.spark.sql.graftglue.GraftGlue
+              .releaseCheckpoint(priorFps)
+            org.apache.spark.sql.graftglue.GraftGlue
+              .releaseCheckpoint(postings)
+            org.apache.spark.sql.graftglue.GraftGlue
+              .releaseCheckpoint(refGrams)
+          }
+          Bench.recordComponent("q176_three_drops",
+            (System.nanoTime() - tDrops) / 1e9)
+          def storeDigest(asOf: Option[Long]) =
+            graft.streaming.StoreRoot.readShard(s, sRoot, asOf = asOf)
+              .select(concat_ws("|",
+                coalesce(col("source"), lit("<null>")),
+                col("seq_id").cast("string"),
+                col("n_tokens").cast("long").cast("string"),
+                md5(Bpe.idsString(col("token_ids")))).as("p"))
+              .agg(md5(concat_ws(";",
+                sort_array(collect_list(col("p"))))).as("store_digest"))
+          def servedIdsMd5(asOf: Option[Long]) = graft.streaming.StoreRoot
+            .readVectors(s, iRoot, idCol = "doc_id", asOf = asOf)
+            .encoded.select(col("doc_id").cast("string").as("i"))
+            .agg(md5(concat_ws(";", sort_array(collect_list(col("i"))))))
+            .collect()(0).getString(0)
+          val fullBefore = storeDigest(None).collect()(0).getString(0)
+          val idsBefore = servedIdsMd5(None)
+          // one windowed cycle on each root: keep the newest delta live
+          require(graft.streaming.StoreRoot.compactShard(s, sRoot,
+            keep = 1), "shard compaction should have folded")
+          require(graft.streaming.StoreRoot.compactVectors(s, iRoot,
+            keep = 1, idCol = "doc_id"),
+            "index compaction should have folded")
+          require(graft.streaming.StoreRoot.currentGen(sRoot) == 1L
+              && graft.streaming.StoreRoot.currentGen(iRoot) == 1L,
+            "expected one compaction cycle per root")
+          require(graft.streaming.StoreRoot.floor(sRoot).contains(2L)
+              && graft.streaming.StoreRoot.floor(iRoot).contains(1L),
+            "the keep=1 window should hold the floor one step below " +
+              "the latest version/batch")
+          require(storeDigest(None).collect()(0).getString(0)
+              == fullBefore,
+            "the windowed fold moved the full store view")
+          require(servedIdsMd5(None) == idsBefore,
+            "the windowed fold moved the served index view")
+          def loud(f: => Any, what: String): Unit = {
+            val msg = try { f; "" } catch {
+              case e: IllegalStateException => e.getMessage }
+            require(msg.nonEmpty, s"$what should have failed loudly")
+          }
+          loud(graft.streaming.ShardSink.read(s, s"$sRoot/gen0")
+            .collect(), "reading the retired shard gen0")
+          loud(graft.streaming.StoreRoot.readShard(s, sRoot,
+            asOf = Some(1L)), "shard asOf below the floor")
+          loud(graft.streaming.StoreRoot.readVectors(s, iRoot,
+            idCol = "doc_id", asOf = Some(0L)),
+            "index asOf below the floor")
+          // the paired mid-history snapshots, now AT the floors —
+          // q171's oracle pins them bit-identically
+          graft.streaming.StoreRoot
+            .readVectors(s, iRoot, idCol = "doc_id", asOf = Some(1L))
+            .encoded.select(col("doc_id"))
+            .crossJoin(broadcast(storeDigest(Some(2L))))
+            .localCheckpoint(true)
+        } finally
+          org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+      } finally deleteRecursively(base)
+    }),
+
     "q165_index_retrain" -> ((s, dir) => {
       // the remediation q162's monitor schedules: the SAME drifted
       // corpus, probes, k and nProbe, but codebooks RETRAINED on the
@@ -6744,6 +6873,13 @@ dim_users_litify AS (
     // the retention contract (floors, retired predecessors, refused
     // below-floor asOf) that SQL cannot see.
     "q175_managed_refresh" -> q170OracleSql,
+    // q176 replays q171's paired mid-history oracle VERBATIM: after a
+    // keep=1 windowed compaction the paired snapshots sit exactly AT
+    // the new retention floors and must serve bit-identically; the
+    // in-query gates pin the window mechanics (floors one step below
+    // latest, full views unchanged, one step below each floor
+    // refused).
+    "q176_windowed_retention" -> q171OracleSql,
 
     "q130_ann_recall" -> q130OracleSql,
     "q138_ivfpq_production" -> q138OracleSql,

@@ -207,19 +207,32 @@ object ShardSink {
       .orderBy(col("version"))
   }
 
-  /** Fold every committed delta version into ONE fresh base version
-    * (`v0` of a NEW store at `outDir`) — the scheduled compaction the
-    * delta layout assumes: latest-wins is resolved PHYSICALLY, so the
-    * superseded topped-up tail rows are absent from the new layout and
-    * every later [[read]] merge over it is trivial (single version, no
-    * losers). Never rewrites `storeDir` in place — readers of the old
-    * layout are undisturbed until the caller swaps them over. Like the
-    * checkpoint coupling documented on [[append]], compaction is a
-    * lineage cut: the fresh store restarts the version sequence, so
-    * subsequent appends must key against it (a new checkpoint for the
-    * streaming path, or explicit versions for the scheduler path). */
+  /** Fold committed delta versions into a fresh base version (`v0` of
+    * a NEW store at `outDir`) — the scheduled compaction the delta
+    * layout assumes: latest-wins is resolved PHYSICALLY, so superseded
+    * topped-up tail rows are absent from the new layout and every
+    * later [[read]] merge over it is cheap. Never rewrites `storeDir`
+    * in place — readers of the old layout are undisturbed until the
+    * caller swaps them over.
+    *
+    * `keepVersions` > 0 is WINDOWED retention: the newest K delta dirs
+    * are carried into the new store verbatim (same version keys) and
+    * only versions at or below the cutoff fold into `v0`, so a
+    * trailing window of asOf snapshots survives the compaction — the
+    * Delta-Lake retention-window analogue. The lineage marker records
+    * `max` = highest version COVERED (folded or copied — what
+    * [[retire]] checks) and `floor` = the fold cutoff (what a managed
+    * root's asOf guard checks). With the default `keepVersions = 0`
+    * everything folds and the two coincide.
+    *
+    * Like the checkpoint coupling documented on [[append]], compaction
+    * is a lineage cut for the version sequence BELOW the floor only;
+    * appends keyed above `max` continue the global timeline. */
   def compact(spark: SparkSession, storeDir: String, outDir: String,
-              shardCol: String = "source"): Unit = {
+              shardCol: String = "source",
+              keepVersions: Int = 0): Unit = {
+    require(keepVersions >= 0,
+      s"keepVersions must be >= 0: $keepVersions")
     StoreFiles.requireNotRetired(storeDir, "shard store")
     StoreFiles.requireNotRetired(outDir, "shard store")
     // a used target would otherwise be SILENT corruption: publishOnce
@@ -229,17 +242,31 @@ object ShardSink {
     require(versions(outDir).isEmpty,
       s"compaction target $outDir already holds store versions - " +
         "compact into a fresh directory")
-    val maxFolded = versions(storeDir).lastOption.map(_._1).getOrElse(
+    val vs = versions(storeDir)
+    val maxCovered = vs.lastOption.map(_._1).getOrElse(
       throw new IllegalStateException(
         s"no shard store versions under $storeDir"))
+    // windowed retention: fold versions at or below the cutoff into
+    // the fresh base, carry the newest `keepVersions` delta dirs over
+    // VERBATIM (same version keys - the global timeline continues and
+    // a re-delivered append still finds its committed dir), so a
+    // trailing asOf window survives the compaction; the fold always
+    // absorbs at least the oldest version (deltas need their base)
+    val cutoff = vs(math.max(0, vs.length - 1 - keepVersions))._1
     new java.io.File(outDir).mkdirs()
     StoreFiles.publishOnce(s"$outDir/.staging-v0",
       new java.io.File(s"$outDir/v0"), { staging =>
-        read(spark, storeDir, shardCol)
+        read(spark, storeDir, shardCol, asOf = Some(cutoff))
           .write.mode("overwrite").parquet(staging)
       })
+    vs.filter(_._1 > cutoff).foreach { case (n, f) =>
+      StoreFiles.publishOnce(s"$outDir/.staging-v$n",
+        new java.io.File(s"$outDir/v$n"),
+        staging => StoreFiles.copyRec(f, new java.io.File(staging)))
+    }
     // lineage marker AFTER the fold commits — [[retire]]'s precondition
-    StoreFiles.writeCompactedFrom(outDir, storeDir, maxFolded)
+    StoreFiles.writeCompactedFrom(outDir, storeDir, maxCovered,
+      floor = Some(cutoff))
   }
 
   /** Retention: delete a PRE-COMPACTION store after its readers have

@@ -58,12 +58,19 @@ private[graft] object StoreFiles {
     * [[CompactedFromMarker]]). Written AFTER the fold commits: a crash
     * between the fold and this marker leaves a target [[retire]] will
     * refuse — recovery is delete-the-target-and-recompact, never a
-    * silent partial retire. */
+    * silent partial retire. `max` is the highest version/batch the
+    * target COVERS (folded or copied — retire's data-safety check);
+    * `floor`, when lower, is the highest version/batch folded into the
+    * base — the retention floor under windowed retention, where the
+    * newest deltas are copied into the target verbatim and stay
+    * individually addressable by asOf. */
   def writeCompactedFrom(outDir: String, srcDir: String,
-                         maxFolded: Long): Unit =
+                         maxFolded: Long,
+                         floor: Option[Long] = None): Unit =
     writeMarker(new java.io.File(outDir, CompactedFromMarker),
       Seq(s"src=${new java.io.File(srcDir).getCanonicalPath}",
-        s"max=$maxFolded"))
+        s"max=$maxFolded") ++
+        floor.filter(_ < maxFolded).map(f => s"floor=$f"))
 
   /** Validate `compactedTo` really is a committed compaction of
     * `storeDir` covering everything `latestInSource` now holds, then
@@ -106,6 +113,20 @@ private[graft] object StoreFiles {
   def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
   }
+
+  /** Recursive copy (windowed retention's retained-delta carry-over:
+    * a kept delta dir is copied into the compaction target verbatim,
+    * staged and published like any commit). */
+  def copyRec(src: java.io.File, dst: java.io.File): Unit =
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(f => copyRec(f, new java.io.File(dst, f.getName)))
+    } else {
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
 
   /** Delete everything under `dir` EXCEPT the [[RetiredMarker]] — the
     * retire verb's payload sweep: the marker must outlive the data so

@@ -78,11 +78,14 @@ object StoreRoot {
   /** The retention floor: the highest version/batch folded into the
     * current generation's base (None for a generation with no
     * compaction lineage — gen0). State at the floor is servable (it IS
-    * the base); anything below is gone. */
-  def floor(root: String): Option[Long] =
-    StoreFiles.readMarker(new java.io.File(currentDir(root),
-        StoreFiles.CompactedFromMarker))
-      .map(_.apply("max").toLong)
+    * the base); anything below is gone. Under windowed retention the
+    * marker's `floor` sits below its `max` — the copied deltas between
+    * them stay individually addressable by asOf. */
+  def floor(root: String): Option[Long] = {
+    val m = StoreFiles.readMarker(new java.io.File(currentDir(root),
+      StoreFiles.CompactedFromMarker))
+    m.map(mk => mk.getOrElse("floor", mk("max")).toLong)
+  }
 
   /** The manifest swap — a temp-file write plus ONE atomic same-dir
     * rename, so a reader sees the old pointer or the new, never a
@@ -132,15 +135,19 @@ object StoreRoot {
   }
 
   /** Fold the current shard generation into the next, swap, retire the
-    * predecessor. No-op (false) when the generation holds at most its
-    * base — nothing to fold, which also makes a re-delivered
-    * compaction trigger idempotent. */
+    * predecessor. No-op (false) when the generation holds nothing
+    * beyond its base and the retention window — nothing to fold, which
+    * also makes a re-delivered compaction trigger idempotent. `keep` >
+    * 0 is windowed retention (see [[ShardSink.compact]]): the newest K
+    * delta versions ride into the new generation verbatim, so a
+    * trailing asOf window survives every cycle. */
   def compactShard(spark: SparkSession, root: String,
-                   shardCol: String = "source"): Boolean =
+                   shardCol: String = "source",
+                   keep: Int = 0): Boolean =
     compactAndSwap(root,
       latest = d => ShardSink.latestVersion(d),
-      hasDebt = d => ShardSink.versionCount(d) > 1,
-      fold = (c, n) => ShardSink.compact(spark, c, n, shardCol),
+      hasDebt = d => ShardSink.versionCount(d) > keep + 1,
+      fold = (c, n) => ShardSink.compact(spark, c, n, shardCol, keep),
       retireVerb = (c, n) => ShardSink.retire(c, n))
 
   // ---- vector index verbs through the root ----
@@ -174,12 +181,16 @@ object StoreRoot {
 
   /** Fold the current index generation (base + deltas − tombstones)
     * into the next, swap, retire the predecessor. No-op (false) when
-    * no deltas or tombstones have landed since the base. */
-  def compactVectors(spark: SparkSession, root: String): Boolean =
+    * nothing has landed beyond the base and the retention window.
+    * `keep` > 0 is windowed retention (see [[VectorIndexSink.compact]]):
+    * the newest K batch arms ride into the new generation verbatim. */
+  def compactVectors(spark: SparkSession, root: String,
+                     keep: Int = 0,
+                     idCol: String = "vec_id"): Boolean =
     compactAndSwap(root,
       latest = d => VectorIndexSink.latestBatch(d),
-      hasDebt = d => VectorIndexSink.latestBatch(d).isDefined,
-      fold = (c, n) => VectorIndexSink.compact(spark, c, n),
+      hasDebt = d => VectorIndexSink.batchCount(d) > keep,
+      fold = (c, n) => VectorIndexSink.compact(spark, c, n, keep, idCol),
       retireVerb = (c, n) => VectorIndexSink.retire(c, n))
 
   // ---- the shared compact-swap-retire state machine ----

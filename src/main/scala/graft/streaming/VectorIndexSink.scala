@@ -55,6 +55,12 @@ object VectorIndexSink {
     if (ids.isEmpty) None else Some(ids.max)
   }
 
+  /** Distinct published batch ids — [[StoreRoot]]'s anything-to-fold
+    * check under a retention window. */
+  private[graft] def batchCount(indexDir: String): Int =
+    (deltaDirs(indexDir).map(_._1) ++
+      tombstoneDirs(indexDir).map(_._1)).distinct.size
+
   /** Append one batch under the frozen codebooks as delta `b<batchId>`.
     * Returns false (no work) if that delta is already published — the
     * at-least-once re-delivery path. Also the non-streaming entry
@@ -160,12 +166,26 @@ object VectorIndexSink {
     * index at `outDir` — run on a schedule (or when delta/tombstone
     * count passes a threshold), then swap serving to the compacted
     * copy. Never rewrites `indexDir` in place, so readers of the old
-    * layout are undisturbed; masked rows are ABSENT from the new
-    * layout (physical erasure), re-adds published after their
-    * tombstone survive, and the new layout starts with no
-    * tombstones. */
+    * layout are undisturbed; masked rows at or below the fold cutoff
+    * are ABSENT from the new layout (physical erasure) and re-adds
+    * published after their tombstone survive.
+    *
+    * `keepBatches` > 0 is WINDOWED retention: the newest K batch ids
+    * (appends and tombstones share one sequence) are carried over
+    * verbatim — same keys, so re-delivery skips still hold and a
+    * trailing window of asOf snapshots survives — and only arms at or
+    * below the cutoff fold into the base. A retained tombstone keeps
+    * masking the folded base (the base carries batch tag -1), so the
+    * served view is unchanged by WHERE the cutoff lands. The lineage
+    * marker records `max` = highest batch COVERED (folded or copied —
+    * [[retire]]'s check) and `floor` = the fold cutoff (the managed
+    * root's asOf guard). With `keepBatches = 0` everything folds and
+    * the new layout starts with no tombstones. */
   def compact(spark: SparkSession, indexDir: String,
-              outDir: String): Unit = {
+              outDir: String, keepBatches: Int = 0,
+              idCol: String = "vec_id"): Unit = {
+    require(keepBatches >= 0,
+      s"keepBatches must be >= 0: $keepBatches")
     StoreFiles.requireNotRetired(indexDir, "vector index")
     StoreFiles.requireNotRetired(outDir, "vector index")
     // a used target would otherwise be SILENT corruption: ivfPqSave
@@ -177,11 +197,28 @@ object VectorIndexSink {
         && deltaDirs(outDir).isEmpty && tombstoneDirs(outDir).isEmpty,
       s"compaction target $outDir already holds index state - " +
         "compact into a fresh directory")
-    val maxFolded = (deltaDirs(indexDir).map(_._1)
-      ++ tombstoneDirs(indexDir).map(_._1) :+ -1L).max
-    Similarity.ivfPqSave(read(spark, indexDir), outDir)
+    val ids = (deltaDirs(indexDir).map(_._1)
+      ++ tombstoneDirs(indexDir).map(_._1)).distinct.sorted
+    val maxCovered = (ids :+ -1L).max
+    // the newest `keepBatches` ids stay live deltas; everything at or
+    // below the cutoff folds (cutoff -1 = base only, fold is a rewrite)
+    val cutoff =
+      if (ids.length > keepBatches) ids(ids.length - 1 - keepBatches)
+      else -1L
+    Similarity.ivfPqSave(
+      read(spark, indexDir, idCol, asOf = Some(cutoff)), outDir)
+    (deltaDirs(indexDir).filter(_._1 > cutoff).map {
+      case (n, f) => (s"appends/b$n", f) } ++
+      tombstoneDirs(indexDir).filter(_._1 > cutoff).map {
+        case (n, f) => (s"tombstones/d$n", f) })
+      .foreach { case (rel, f) =>
+        StoreFiles.publishOnce(s"$outDir/.staging-${rel.replace('/', '-')}",
+          new java.io.File(s"$outDir/$rel"),
+          staging => StoreFiles.copyRec(f, new java.io.File(staging)))
+      }
     // lineage marker AFTER the fold commits — [[retire]]'s precondition
-    StoreFiles.writeCompactedFrom(outDir, indexDir, maxFolded)
+    StoreFiles.writeCompactedFrom(outDir, indexDir, maxCovered,
+      floor = Some(cutoff))
   }
 
   /** Retention: delete a PRE-COMPACTION index layout after its readers

@@ -186,6 +186,77 @@ class StoreRootSpec extends SparkSpec {
     } finally StoreFiles.deleteRec(base.toFile)
   }
 
+  test("windowed retention (keep > 0): the trailing asOf window " +
+      "survives the fold, copied deltas keep their re-delivery skip, " +
+      "a retained tombstone still masks the folded base") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rootw_")
+    try {
+      val d = docs(120).localCheckpoint(true)
+      val ids = d.select("doc_id").as[Long].collect().sorted
+      val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+      val root = s"$base/root"
+      ShardSink.append(spark, d.filter(col("doc_id") <= cut1),
+        "__ids", "doc_id", 128, "source", StoreRoot.init(root))
+      val b1 = d.filter(col("doc_id") > cut1 && col("doc_id") <= cut2)
+      val b2 = d.filter(col("doc_id") > cut2)
+      StoreRoot.appendShard(spark, root, b1, "__ids", "doc_id", 128,
+        "source", version = 1L)
+      StoreRoot.appendShard(spark, root, b2, "__ids", "doc_id", 128,
+        "source", version = 2L)
+      val asOf1 = digest(StoreRoot.readShard(spark, root,
+        asOf = Some(1L)))
+      val full = digest(StoreRoot.readShard(spark, root))
+      assert(StoreRoot.compactShard(spark, root, keep = 1))
+      // the window held v2 live: floor 1 (not 2), v2 still a delta dir
+      assert(StoreRoot.floor(root).contains(1L) &&
+        ShardSink.versionCount(StoreRoot.currentDir(root)) == 2)
+      assert(digest(StoreRoot.readShard(spark, root)) == full)
+      assert(digest(StoreRoot.readShard(spark, root,
+        asOf = Some(1L))) == asOf1) // AT the floor: the base alone
+      assert(digest(StoreRoot.readShard(spark, root,
+        asOf = Some(2L))) == full) // inside the window: base + copy
+      intercept[IllegalStateException] {
+        StoreRoot.readShard(spark, root, asOf = Some(0L))
+      }
+      // the copied delta keeps its committed key: re-delivery skips
+      assert(!StoreRoot.appendShard(spark, root, b2, "__ids", "doc_id",
+        128, "source", version = 2L))
+      assert(digest(StoreRoot.readShard(spark, root)) == full)
+      // nothing beyond the window -> no-op; one more append -> debt
+      assert(!StoreRoot.compactShard(spark, root, keep = 1))
+      // vector side: the retained arm is a TOMBSTONE, which must keep
+      // masking rows the fold absorbed into the base (tag -1)
+      val emb = transform(sequence(lit(0), lit(7)),
+        i => sin(col("vec_id") * 3 + i).cast("float"))
+      val vecs = spark.range(0, 60).select(col("id").as("vec_id"))
+        .withColumn("embedding", emb).localCheckpoint(true)
+      val vr = s"$base/vroot"
+      graft.operators.Similarity.ivfPqSave(
+        graft.operators.Similarity.ivfPqBuild(
+          vecs.filter(col("vec_id") < 40), vecCol = "embedding",
+          idCol = "vec_id", nLists = 2, m = 4, kCodes = 8,
+          iterations = 2), StoreRoot.init(vr))
+      StoreRoot.appendVectors(spark, vr, 0L,
+        vecs.filter(col("vec_id") >= 40), idCol = "vec_id")
+      StoreRoot.deleteVectors(spark, vr, 1L, Seq(7L, 41L).toDF("vec_id"))
+      def served(asOf: Option[Long]) =
+        StoreRoot.readVectors(spark, vr, idCol = "vec_id", asOf = asOf)
+          .encoded.select("vec_id").as[Long].collect().toSet
+      val want = served(None)
+      val want0 = served(Some(0L))
+      assert(!want.contains(7L) && want0.contains(7L))
+      assert(StoreRoot.compactVectors(spark, vr, keep = 1,
+        idCol = "vec_id"))
+      // floor 0: the fold absorbed only b0; tombstone d1 rode over
+      assert(StoreRoot.floor(vr).contains(0L))
+      assert(served(None) == want && served(Some(0L)) == want0)
+      assert(!StoreRoot.deleteVectors(spark, vr, 1L,
+        Seq(7L).toDF("vec_id"))) // copied tombstone: re-delivery skips
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(vecs)
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+    } finally StoreFiles.deleteRec(base.toFile)
+  }
+
   test("runManaged == run: mid-stream compaction moves no answer, " +
       "ends on a fresh generation with the old one retired") {
     val base = java.nio.file.Files.createTempDirectory("graft_rootm_")
