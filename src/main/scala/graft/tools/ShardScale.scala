@@ -84,6 +84,14 @@ object ShardScale {
   def main(args: Array[String]): Unit = {
     val maxN = args.headOption.map(_.toLong).getOrElse(1000000L)
     val out = args.lift(1).getOrElse("SHARD_SCALE.json")
+    // single-shot verb walls at n=1M swing several-fold run-to-run on
+    // this shared host (GC pressure from the corpus checkpoint lands on
+    // whichever verb is executing) — the bench protocol's answer,
+    // min-over-N, applied per metric: the whole per-scale block runs N
+    // times (contracts REQUIRED every time), the artifact records each
+    // metric's minimum
+    val scaleRuns =
+      sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.driver.memory", "48g")
@@ -96,6 +104,50 @@ object ShardScale {
     val nShards = 200
     val budget = 2048
     val rows = Seq(100000L, 1000000L).filter(_ <= maxN).map { n =>
+      val per = (1 to scaleRuns).map { _ =>
+        measureOnce(spark, n, nShards, budget) }
+      val ident = per.map(_._1).distinct
+      require(ident.size == 1,
+        s"non-deterministic corpus at n=$n: $ident")
+      val (nSeqs, nTokens) = ident.head
+      val m: Map[String, Double] = per.head._2.keys
+        .map(k => k -> per.map(_._2(k)).min).toMap
+      val dropN = n / 100
+      println(f"[shardscale] n=$n (min over $scaleRuns) " +
+        f"tokens=$nTokens seqs=$nSeqs " +
+        m.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2fs" }
+          .mkString(" "))
+      f"""{"n":$n,"drop_docs":$dropN,"n_shards":$nShards,""" +
+        f""""budget":$budget,"runs":$scaleRuns,"n_sequences":$nSeqs,""" +
+        f""""n_tokens":$nTokens,"seed_pack_s":${m("seed")}%.2f,""" +
+        f""""append_1pct_s":${m("append1")}%.2f,""" +
+        f""""append2_1pct_s":${m("append2")}%.2f,""" +
+        f""""append_vs_seed":${m("append1") / m("seed")}%.3f,""" +
+        f""""merged_digest_s":${m("merged_digest")}%.2f,""" +
+        f""""asof_digest_s":${m("asof_digest")}%.2f,""" +
+        f""""describe_s":${m("describe")}%.2f,""" +
+        f""""compact_s":${m("compact")}%.2f,""" +
+        f""""compacted_digest_s":${m("compacted_digest")}%.2f,""" +
+        f""""retire_s":${m("retire")}%.2f,""" +
+        f""""root_append_s":${m("root_append")}%.2f,""" +
+        f""""root_cycle_s":${m("root_cycle")}%.2f,""" +
+        f""""merged_equals_oneshot":true,"asof_equals_prefix_pack":true,""" +
+        f""""compacted_equals_merged":true,"retired_read_fails":true,""" +
+        f""""root_cycle_preserves":true}"""
+    }
+    val json = s"""{"recipe":"ShardSink append/read/asOf/describe/""" +
+      s"""compact/retire over synthDocs","runs":[${rows.mkString(",")}]}\n"""
+    Files.writeString(Paths.get(out), json)
+    println(s"[shardscale] wrote ${rows.size} runs to $out")
+    spark.stop()
+  }
+
+  /** One full per-scale measurement block: every verb timed once,
+    * every contract `require`d. Returns ((n_sequences, n_tokens),
+    * per-metric walls). */
+  private def measureOnce(spark: SparkSession, n: Long, nShards: Int,
+                          budget: Int)
+      : ((Long, Long), Map[String, Double]) = {
       val dropN = n / 100 // each crawl drop is 1% of the base corpus
       val all = synthDocs(spark, n + 2 * dropN, nShards)
         .localCheckpoint(true)
@@ -146,22 +198,36 @@ object ShardScale {
         require(retiredLoud, "retired store must fail loudly")
         require(digest(ShardSink.read(spark, s"$dir/c")) == mergedD,
           "survivor digest changed after retire")
-        println(f"[shardscale] n=$n tokens=${mergedD._2} " +
-          f"seqs=${mergedD._1} seed=$seedS%.2fs append1=$app1S%.2fs " +
-          f"append2=$app2S%.2fs merged_digest=$mergedS%.2fs " +
-          f"asof_digest=$asOfS%.2fs describe=$descS%.2fs " +
-          f"compact=$compS%.2fs compacted_digest=$compReadS%.2fs " +
-          f"retire=$retS%.2fs")
-        f"""{"n":$n,"drop_docs":$dropN,"n_shards":$nShards,""" +
-          f""""budget":$budget,"n_sequences":${mergedD._1},""" +
-          f""""n_tokens":${mergedD._2},"seed_pack_s":$seedS%.2f,""" +
-          f""""append_1pct_s":$app1S%.2f,"append2_1pct_s":$app2S%.2f,""" +
-          f""""append_vs_seed":${app1S / seedS}%.3f,""" +
-          f""""merged_digest_s":$mergedS%.2f,"asof_digest_s":$asOfS%.2f,""" +
-          f""""describe_s":$descS%.2f,"compact_s":$compS%.2f,""" +
-          f""""compacted_digest_s":$compReadS%.2f,"retire_s":$retS%.2f,""" +
-          f""""merged_equals_oneshot":true,"asof_equals_prefix_pack":true,""" +
-          f""""compacted_equals_merged":true,"retired_read_fails":true}"""
+        // the managed-root layer at scale: adopt the survivor as gen0
+        // of a root, land one more 1% drop through the root, then time
+        // ONE full fold-swap-retire cycle (StoreRoot.compactShard) —
+        // the manifest layer should add only rename-time overhead over
+        // the raw compact+retire measured above
+        val root = s"$dir/root"
+        new java.io.File(root).mkdirs()
+        Files.move(Paths.get(s"$dir/c"), Paths.get(s"$root/gen0"))
+        graft.streaming.StoreRoot.writeManifest(root, 0L)
+        val drop3 = synthDocs(spark, n + 3 * dropN, nShards)
+          .filter(col("doc_id") >= n + 2 * dropN)
+        val (_, rAppS) = timed(graft.streaming.StoreRoot.appendShard(
+          spark, root, drop3, "__ids", "doc_id", budget, "source",
+          version = 3L))
+        val d3 = digest(graft.streaming.StoreRoot.readShard(spark, root))
+        val (_, rCycS) = timed(
+          graft.streaming.StoreRoot.compactShard(spark, root))
+        require(graft.streaming.StoreRoot.currentGen(root) == 1L
+            && graft.streaming.StoreRoot.floor(root).contains(3L),
+          "root cycle should land on generation 1 with floor v3")
+        require(graft.streaming.StoreFiles.retiredTo(s"$root/gen0")
+          .isDefined, "root cycle should retire gen0")
+        require(digest(graft.streaming.StoreRoot.readShard(spark, root))
+            == d3, s"root cycle moved the store view at n=$n")
+        ((mergedD._1, mergedD._2), Map(
+          "seed" -> seedS, "append1" -> app1S, "append2" -> app2S,
+          "merged_digest" -> mergedS, "asof_digest" -> asOfS,
+          "describe" -> descS, "compact" -> compS,
+          "compacted_digest" -> compReadS, "retire" -> retS,
+          "root_append" -> rAppS, "root_cycle" -> rCycS))
       } finally {
         org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(all)
         def rm(f: java.io.File): Unit = {
@@ -169,11 +235,5 @@ object ShardScale {
         }
         rm(dir.toFile)
       }
-    }
-    val json = s"""{"recipe":"ShardSink append/read/asOf/describe/""" +
-      s"""compact/retire over synthDocs","runs":[${rows.mkString(",")}]}\n"""
-    Files.writeString(Paths.get(out), json)
-    println(s"[shardscale] wrote ${rows.size} runs to $out")
-    spark.stop()
   }
 }
