@@ -39,7 +39,18 @@ import graft.functions.{Bpe, BpeByteVocab}
   * trigger-invariant, so each is computed ONCE per run and cached
   * (localCheckpoint, released on exit); a trigger pays only its own
   * batch's row-local passes, the bounded joins against those caches,
-  * and the O(batch) appends.
+  * and the O(batch) appends. The exact tier's two history-sized
+  * per-trigger terms are floored on top of that: the bloom over
+  * prior ∪ accepted history is a driver-held accumulator
+  * ([[FingerprintBloom]] — built once, O(batch) `mergeInPlace` per
+  * trigger), and the confirm join is split
+  * ([[graft.operators.Dedup.exactIncrementalStaged]]) so the
+  * corpus-sized stable side joins exchange-free against its
+  * pre-partitioned cache. What remains O(accepted history) per
+  * trigger: reading the (compact, fingerprint-only) ledger union for
+  * the growing confirm side — pennies next to the aggregation and
+  * corpus shuffle this discipline removes, and bounded further by
+  * only the bloom-positive candidate sliver reaching it.
   *
   * Ledger delivery contract (the at-least-once crash window, closed):
   * the ledger is a set of per-trigger directories `ledgerDir/b<id>`,
@@ -57,6 +68,66 @@ import graft.functions.{Bpe, BpeByteVocab}
   * whole body — ledger publish included — returned. */
 object RefreshPipeline {
 
+  /** Driver-held merged bloom over the exact tier's reference
+    * fingerprints — the refresh loop's slope floor. Without it every
+    * trigger re-aggregates a bloom over prior ∪ all earlier ledger
+    * batches: O(accepted history) per trigger, the one per-trigger
+    * term that grows with the corpus. With it the prior's bloom is
+    * built once and each trigger's accepted fingerprints are
+    * `mergeInPlace`d in O(batch) (blooms built with identical
+    * (capacity, fpp) are bit-compatible), so steady-state exact-tier
+    * cost is the batch's own aggregation plus a constant-size driver
+    * merge (~1.2 bytes/key at fpp 0.01 — size the fpp, not the
+    * corpus).
+    *
+    * Crash/restart discipline: the accumulator is run-scoped driver
+    * state, deliberately NOT persisted. [[bloomFor]] hands out the
+    * held bloom only when the trigger sequence is unbroken
+    * (`next == batchId`); a restart, a re-delivered trigger, or any
+    * gap rebuilds from the confirm-side frame the caller already
+    * assembled — which excludes the trigger's OWN ledger batch, so the
+    * self-masking window stays closed exactly as for the confirm join.
+    * Correctness never rests on the bloom's content: it must merely
+    * cover the confirm reference (a superset is fine — extra members
+    * only route more candidates into the confirming anti join), and
+    * both the held and rebuilt paths cover it by construction.
+    * Saturation past `capacity` degrades fpp (more confirm work),
+    * never exactness. */
+  private[graft] final class FingerprintBloom(fpp: Double,
+                                              capacity: Long) {
+    import org.apache.spark.util.sketch.BloomFilter
+    private var acc: Option[(BloomFilter, Long)] = None // (bloom, next)
+
+    /** The bloom for trigger `batchId`, covering prior ∪ ledger
+      * batches < `batchId`: the held one when the trigger sequence is
+      * unbroken, else rebuilt from `refFps` (one aggregation, paid on
+      * a run's first trigger and after any sequence break). */
+    def bloomFor(batchId: Long, refFps: DataFrame): BloomFilter =
+      acc match {
+        case Some((b, next)) if next == batchId => b
+        case _ =>
+          val b = refFps.filter(col("__pfp").isNotNull)
+            .stat.bloomFilter("__pfp", capacity, fpp)
+          acc = Some((b, batchId))
+          b
+      }
+
+    /** Fold trigger `batchId`'s accepted fingerprints (None for an
+      * empty trigger) into the held bloom and advance the sequence.
+      * Called AFTER the trigger's ledger publish — a failed trigger
+      * leaves the bloom unmerged, so its retry sees exactly the
+      * reference it should. A sequence break is not an error: the
+      * next [[bloomFor]] rebuilds. */
+    def advance(batchId: Long, fps: Option[DataFrame]): Unit =
+      acc match {
+        case Some((b, next)) if next == batchId =>
+          fps.filter(!_.isEmpty).foreach(f =>
+            b.mergeInPlace(f.stat.bloomFilter("__pfp", capacity, fpp)))
+          acc = Some((b, batchId + 1L))
+        case _ => ()
+      }
+  }
+
   /** One trigger's work, factored out so the delivery contract is
     * directly testable: compute the accepted docs against prior ∪
     * ledger-batches-below-`batchId`, commit the shard append (version
@@ -71,7 +142,8 @@ object RefreshPipeline {
       numHashes: Int, bands: Int, threshold: Double, decontamN: Int,
       minMatches: Int, indexDir: Option[String], vecCol: String,
       shardRoot: Option[String] = None,
-      indexRoot: Option[String] = None): Unit = {
+      indexRoot: Option[String] = None,
+      bloomAcc: Option[FingerprintBloom] = None): Unit = {
     val sp = batch.sparkSession
     // materialize the trigger's batch ONCE: the tiers below reference
     // it through several plan branches (the bloom anti join alone
@@ -94,30 +166,57 @@ object RefreshPipeline {
     // discipline: versions/deltas/ledger batches are batchId-keyed,
     // so the gap reads as "nothing arrived" to every verb (read,
     // asOf, describe, compact) and to later triggers' ledger scans.
-    if (b0.isEmpty) return
+    // (The bloom sequence still advances: an empty trigger adds no
+    // fingerprints, and skipping the advance would force the next
+    // trigger into a needless rebuild.)
+    if (b0.isEmpty) { bloomAcc.foreach(_.advance(batchId, None)); return }
     // the exact-tier reference: cached prior fingerprints plus the
     // (tiny) ledger batches of STRICTLY EARLIER triggers — never this
     // trigger's own (see the delivery contract above)
     val earlier = StoreFiles
       .publishedDirs(ledgerDir, "b", StoreFiles.hasParquet)
       .filter(_._1 < batchId).map(_._2)
-    val refFps =
-      if (earlier.isEmpty) priorFps
-      else priorFps.unionByName(
-        sp.read.parquet(earlier.map(_.getAbsolutePath): _*)
-          .select(col("__pfp")))
-    val exactKept = Dedup.exactIncremental(b0, prior, textCol,
-      idCol, refFps = Some(refFps))
+    val ledgerFps =
+      if (earlier.isEmpty) None
+      else Some(sp.read.parquet(earlier.map(_.getAbsolutePath): _*)
+        .select(col("__pfp")))
+    val exactKept = bloomAcc match {
+      // the steady-state path: held merged bloom + split confirm (the
+      // prior side joins exchange-free against the pre-partitioned
+      // cache; only the compact ledger sliver still shuffles)
+      case Some(acc) =>
+        val refFps = ledgerFps // the bloom REBUILD reference — only
+          .map(priorFps.unionByName(_)) // scanned on a sequence break
+          .getOrElse(priorFps)
+        Dedup.exactIncrementalStaged(b0, textCol, idCol, priorFps,
+          ledgerFps, acc.bloomFor(batchId, refFps))
+      case None =>
+        val refFps = ledgerFps.map(priorFps.unionByName(_))
+          .getOrElse(priorFps)
+        Dedup.exactIncremental(b0, prior, textCol, idCol,
+          refFps = Some(refFps))
+    }
     val nearKept = Dedup.nearIncremental(exactKept, prior, textCol,
       idCol, numHashes = numHashes, bands = bands,
       threshold = threshold, mode = Dedup.Portable,
       postings = Some(postings))
-    val cleaned = Dedup.ngramDecontaminate(nearKept, benchmark,
-        textCol, idCol, n = decontamN, minMatches = minMatches,
-        refGramsCached = Some(refGrams))
-      .filter(!col("contaminated"))
-      .drop("n_matched", "contaminated")
-      .localCheckpoint(true) // used by store + index + ledger
+    val debug = sys.env.contains("GRAFT_RP_DEBUG")
+    def staged[A](label: String)(body: => A): A =
+      if (!debug) body
+      else {
+        val t0 = System.nanoTime()
+        val a = body
+        println(f"[rp] b$batchId $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        a
+      }
+    val cleaned = staged("tiers") {
+      Dedup.ngramDecontaminate(nearKept, benchmark,
+          textCol, idCol, n = decontamN, minMatches = minMatches,
+          refGramsCached = Some(refGrams))
+        .filter(!col("contaminated"))
+        .drop("n_matched", "contaminated")
+        .localCheckpoint(true) // used by store + index + ledger
+    }
     try {
       // generation-managed targets go through StoreRoot, which adds
       // the cross-generation re-delivery skip (an append at or below
@@ -125,33 +224,37 @@ object RefreshPipeline {
       // top of the per-generation publishOnce skip
       val tokenized = cleaned.withColumn("__ids",
         Bpe.byteTokenIds(col(textCol), BpeByteVocab.merges))
-      shardRoot match {
+      staged("shard") { shardRoot match {
         case Some(r) => StoreRoot.appendShard(sp, r, tokenized,
           "__ids", idCol, budget, shardCol, version = batchId + 1)
         case None => ShardSink.append(sp, tokenized,
           "__ids", idCol, budget, shardCol, storeDir,
           version = Some(batchId + 1))
-      }
-      indexRoot match {
+      } }
+      staged("index") { indexRoot match {
         case Some(r) => StoreRoot.appendVectors(sp, r, batchId,
           cleaned, vecCol, idCol)
         case None => indexDir.foreach { ix =>
           VectorIndexSink.appendBatch(sp, ix, batchId,
             cleaned, vecCol, idCol)
         }
-      }
+      } }
       // the ledger publish is LAST: only after every store this
       // trigger feeds has committed may its fingerprints become
       // visible — and even then only to LATER triggers
-      StoreFiles.publishOnce(s"$ledgerDir/.staging-b$batchId",
+      val acceptedFps = cleaned.select(
+          graft.functions.TextFunctions.fingerprint(col(textCol))
+            .as("__pfp"))
+        .filter(col("__pfp").isNotNull)
+      staged("ledger") { StoreFiles.publishOnce(
+        s"$ledgerDir/.staging-b$batchId",
         new java.io.File(s"$ledgerDir/b$batchId"), { staging =>
-          cleaned.select(
-              graft.functions.TextFunctions.fingerprint(col(textCol))
-                .as("__pfp"))
-            .filter(col("__pfp").isNotNull)
-            .write.mode("overwrite").parquet(staging)
-        })
-      ()
+          acceptedFps.write.mode("overwrite").parquet(staging)
+        }) }
+      // merge AFTER the ledger publish: a trigger that fails anywhere
+      // above leaves the bloom at its pre-trigger state, so the retry
+      // references exactly prior ∪ earlier batches again
+      bloomAcc.foreach(_.advance(batchId, Some(acceptedFps)))
     } finally
       org.apache.spark.sql.graftglue.GraftGlue
         .releaseCheckpoint(cleaned)
@@ -185,14 +288,26 @@ object RefreshPipeline {
     // without this, re-deriving the prior's fingerprints / minhash
     // postings / reference grams dominates each micro-batch at corpus
     // scale: the exact-tier fingerprints, the near-tier band postings,
-    // and the decontamination reference grams
-    val priorFps = Dedup.exactFingerprints(prior, textCol)
-      .localCheckpoint(true)
+    // and the decontamination reference grams. The fingerprints are
+    // cached PRE-PARTITIONED and PRE-SORTED on __pfp (localCheckpoint
+    // preserves both), so every trigger's stable confirm join is a
+    // partition-local merge scan — zero exchange, zero sort — on the
+    // corpus side (see Dedup.exactIncrementalStaged).
+    val shufflePartitions = prior.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val priorFps = org.apache.spark.sql.graftglue.GraftGlue
+      .checkpointWithLayout(Dedup.exactFingerprints(prior, textCol),
+        "__pfp", shufflePartitions)
     val postings = Dedup.nearPostings(prior, textCol,
         numHashes = numHashes, bands = bands, mode = Dedup.Portable)
       .localCheckpoint(true)
     val refGrams = Dedup.ngramRefGrams(benchmark, textCol, n = decontamN)
       .localCheckpoint(true)
+    // the exact tier's bloom accumulator: capacity sized once for the
+    // prior corpus plus generous accepted-history headroom (overflow
+    // degrades fpp, never exactness — see FingerprintBloom)
+    val bloomAcc = new FingerprintBloom(fpp = 0.01,
+      capacity = 2L * math.max(priorFps.count(), 1L) + 100000L)
     try {
       val q = docs.writeStream
         .trigger(Trigger.AvailableNow())
@@ -201,7 +316,7 @@ object RefreshPipeline {
           processBatch(batch, batchId, prior, benchmark, priorFps,
             postings, refGrams, storeDir, ledgerDir, budget, shardCol,
             idCol, textCol, numHashes, bands, threshold, decontamN,
-            minMatches, indexDir, vecCol)
+            minMatches, indexDir, vecCol, bloomAcc = Some(bloomAcc))
         }
         .start()
       q.awaitTermination()
@@ -245,13 +360,18 @@ object RefreshPipeline {
                  vecCol: String = "embedding"): Unit = {
     require(compactEvery >= 1,
       s"compactEvery must be >= 1: $compactEvery")
-    val priorFps = Dedup.exactFingerprints(prior, textCol)
-      .localCheckpoint(true)
+    val shufflePartitions = prior.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val priorFps = org.apache.spark.sql.graftglue.GraftGlue
+      .checkpointWithLayout(Dedup.exactFingerprints(prior, textCol),
+        "__pfp", shufflePartitions)
     val postings = Dedup.nearPostings(prior, textCol,
         numHashes = numHashes, bands = bands, mode = Dedup.Portable)
       .localCheckpoint(true)
     val refGrams = Dedup.ngramRefGrams(benchmark, textCol, n = decontamN)
       .localCheckpoint(true)
+    val bloomAcc = new FingerprintBloom(fpp = 0.01,
+      capacity = 2L * math.max(priorFps.count(), 1L) + 100000L)
     try {
       val q = docs.writeStream
         .trigger(Trigger.AvailableNow())
@@ -262,7 +382,8 @@ object RefreshPipeline {
             postings, refGrams, storeDir = "", ledgerDir, budget,
             shardCol, idCol, textCol, numHashes, bands, threshold,
             decontamN, minMatches, indexDir = None, vecCol,
-            shardRoot = Some(shardRoot), indexRoot = indexRoot)
+            shardRoot = Some(shardRoot), indexRoot = indexRoot,
+            bloomAcc = Some(bloomAcc))
           if ((batchId + 1) % compactEvery == 0) {
             StoreRoot.compactShard(sp, shardRoot, shardCol)
             indexRoot.foreach(r => StoreRoot.compactVectors(sp, r))

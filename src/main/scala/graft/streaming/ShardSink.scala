@@ -144,7 +144,16 @@ object ShardSink {
       .drop("__v")
   }
 
-  /** All committed versions unioned, tagged `__v`. */
+  /** All committed versions as ONE multi-path scan, tagged `__v` from
+    * each file's parent directory name (`vN`). A V-way union of
+    * per-version reads would grow the PLAN linearly in committed
+    * version count, and with it every append's planning + job overhead
+    * — measured as the dominant per-trigger slope of a long refresh
+    * drain (shard append 3.5 s → 8.8 s across 16 un-compacted
+    * triggers; the single-scan form holds the plan constant and leaves
+    * only the inherent file-count growth, which is compaction's job).
+    * asOf filtering stays at the PATH level, so snapshot reads scan
+    * only their versions. */
   private def versioned(spark: SparkSession, storeDir: String,
                         asOf: Option[Long]): DataFrame = {
     StoreFiles.requireNotRetired(storeDir, "shard store")
@@ -153,9 +162,9 @@ object ShardSink {
     if (vs.isEmpty) throw new IllegalStateException(
       s"no shard store versions under $storeDir" +
         asOf.fold("")(v => s" at or before v$v"))
-    vs.map { case (n, f) =>
-      spark.read.parquet(f.getAbsolutePath).withColumn("__v", lit(n))
-    }.reduce(_ unionByName _)
+    spark.read.parquet(vs.map(_._2.getAbsolutePath): _*)
+      .withColumn("__v", substring(element_at(
+        split(input_file_name(), "/"), -2), 2, 18).cast("long"))
   }
 
   /** Superseded (shard, seq_id, version) keys of the latest-wins merge

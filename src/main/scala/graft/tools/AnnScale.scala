@@ -17,6 +17,15 @@ import graft.operators.{Curate, Similarity}
   * changes across rows) and writes per-component timings + the recall
   * gate to ANN_SCALE.json, the committed artifact SURVEY §20 quotes.
   *
+  * Timing discipline (the SHARD_SCALE wave-10 lesson, ported): single-
+  * shot walls at n=1M swing several-fold run-to-run on this shared host
+  * (GC pressure from the corpus checkpoint lands on whichever verb is
+  * executing), so each per-scale block runs `SPARK_GRAFT_SCALE_RUNS`
+  * times (default 2) with the recall gates REQUIRED every time, and the
+  * artifact records each metric's minimum. Recall/hit identities must
+  * reproduce bit-for-bit across runs (the corpus is seeded); a
+  * mismatch fails the run rather than averaging it away.
+  *
   * Recipe per row (q148's config with q153's findings):
   *   kCodes = 256, m = 8, nLists = floor(sqrt(n)), nProbe = nLists/4,
   *   refine = 30 (the q153 finding: a sample-fit residual codebook
@@ -27,9 +36,156 @@ import graft.operators.{Curate, Similarity}
   * Usage: runMain graft.tools.AnnScale [maxN] [outFile] */
 object AnnScale {
 
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** One build+probe+gate pass at n; returns ((hits, possible),
+    * walls). The recall gate is `require`d here so EVERY repetition
+    * enforces it, not just the recorded one. */
+  private def measureRecipe(spark: SparkSession, n: Long)
+      : ((Long, Long), Map[String, Double]) = {
+    val nLists = math.floor(math.sqrt(n.toDouble)).toInt
+    val nProbe = math.max(1, nLists / 4)
+    val k = 10
+    val refine = 30
+    val emb = SparkEntry.synthClusteredEmbeddings(spark, n, dim = 64,
+      nClusters = 400).localCheckpoint(true)
+    try {
+      val sample = Curate.hashSample(emb, "vec_id", rate = 0.1)
+      val (idx, buildS) = timed {
+        val i = Similarity.ivfPqBuild(emb, nLists = nLists, m = 8,
+          kCodes = 256, iterations = 2, trainOn = sample)
+        val nEnc = i.encoded.count()
+        require(nEnc == n, s"encoded $nEnc of $n vectors")
+        i
+      }
+      val probes = emb.filter(col("vec_id") % (n / 16) === 0)
+      val (refined, probeS) = timed(
+        Similarity.ivfPqQueryRefined(idx, emb, probes, k,
+          nProbe = nProbe, refine = refine).localCheckpoint(true))
+      val (g, gateS) = timed {
+        Similarity.recallAtK(refined,
+            Similarity.bruteForceTopKL2(emb, probes, k), k)
+          .agg(sum(col("n_hits")).cast("long").as("h"),
+            sum(col("k")).cast("long").as("p")).collect()(0)
+      }
+      val (hits, possible) = (g.getAs[Long]("h"), g.getAs[Long]("p"))
+      require(hits * 100L >= 80L * possible,
+        s"scale ANN recall gate failed at n=$n: $hits/$possible < 80%")
+      ((hits, possible), Map(
+        "build" -> buildS, "probe" -> probeS, "gate" -> gateS))
+    } finally
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(emb)
+  }
+
+  /** One full lifecycle pass at n — save/append/tombstone/serve/
+    * compact/retire, every contract `require`d; returns
+    * ((hits, possible, tombstoned), walls). Append is O(batch) — a 1%
+    * crawl drop encoded under FROZEN codebooks into only its touched
+    * __list partitions; delete is O(batch) — one tombstone set (its
+    * ids span BOTH provenances: base rows and one appended row, so the
+    * batch-ordered mask is exercised across arms); the served delta
+    * view must clear the 0.80 recall gate against the exact ground
+    * truth of the MUTATED corpus; and the compacted fold must serve
+    * the IDENTICAL ranking (bit-parity required, not recall-parity). */
+  private def measureLifecycle(spark: SparkSession, n: Long)
+      : ((Long, Long, Long), Map[String, Double]) = {
+    val appendN = n / 100 // a 1% crawl drop
+    val all = SparkEntry.synthClusteredEmbeddings(spark, n + appendN,
+      dim = 64, nClusters = 400).localCheckpoint(true)
+    val dir = Files.createTempDirectory("graft_annlife_")
+    try {
+      val base = all.filter(col("vec_id") < n)
+      val batch = all.filter(col("vec_id") >= n)
+      val nLists = math.floor(math.sqrt(n.toDouble)).toInt
+      val nProbe = math.max(1, nLists / 4)
+      val sample = Curate.hashSample(base, "vec_id", rate = 0.1)
+      val idx = Similarity.ivfPqBuild(base, nLists = nLists, m = 8,
+        kCodes = 256, iterations = 2, trainOn = sample)
+      val ix = s"$dir/ix" // the compaction target must be a
+      // SIBLING: retire's payload sweep refuses a nested successor
+      val (_, saveS) = timed(Similarity.ivfPqSave(idx, ix))
+      val (_, appendS) = timed(
+        graft.streaming.VectorIndexSink.appendBatch(spark, ix, 0L,
+          batch))
+      val dead = all.filter(col("vec_id") % 1000 === 7)
+        .select("vec_id")
+      val nDead = dead.count()
+      val (_, deleteS) = timed(
+        graft.streaming.VectorIndexSink.deleteBatch(spark, ix, 1L,
+          dead))
+      val emb2 = all.filter(col("vec_id") % 1000 =!= 7)
+        .localCheckpoint(true)
+      try {
+        val probes = base.filter(col("vec_id") % (n / 16) === 0)
+        val (sref, serveS) = timed {
+          val served = graft.streaming.VectorIndexSink.read(spark, ix)
+          Similarity.ivfPqQueryRefined(served, emb2, probes,
+              10, nProbe = nProbe, refine = 30)
+            .localCheckpoint(true)
+        }
+        val g = Similarity.recallAtK(sref,
+            Similarity.bruteForceTopKL2(emb2, probes, 10), 10)
+          .agg(sum(col("n_hits")).cast("long").as("h"),
+            sum(col("k")).cast("long").as("p")).collect()(0)
+        val (hits, possible) = (g.getAs[Long]("h"), g.getAs[Long]("p"))
+        require(hits * 100L >= 80L * possible,
+          s"lifecycle recall gate failed at n=$n: $hits/$possible < 80%")
+        val (_, compactS) = timed(
+          graft.streaming.VectorIndexSink.compact(spark, ix, s"$dir/c"))
+        val (fref, cprobeS) = timed {
+          val f = Similarity.ivfPqQueryRefined(
+            Similarity.ivfPqLoad(spark, s"$dir/c"), emb2, probes, 10,
+            nProbe = nProbe, refine = 30)
+          f.count() // materialize inside the timed window
+          f
+        }
+        def ranking(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("probe_id").cast("long"),
+            col("neighbor_id").cast("long"), col("rank").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        require(ranking(fref) == ranking(sref),
+          "compacted index serves a different ranking than the delta view")
+        // RETENTION at scale: readers drained (the probes above),
+        // retire the pre-compaction layout — timed (marker write +
+        // coverage checks + payload sweep), then the floor verified:
+        // the retired path fails loudly, the survivor is intact
+        // (physical erasure already proven by the ranking parity)
+        val (_, retireS) = timed(
+          graft.streaming.VectorIndexSink.retire(ix, s"$dir/c"))
+        val retiredLoud =
+          try { Similarity.ivfPqLoad(spark, ix); false }
+          catch { case e: IllegalStateException =>
+            e.getMessage.contains("retired") }
+        require(retiredLoud, "retired index must fail loudly")
+        val nLive = Similarity.ivfPqLoad(spark, s"$dir/c")
+          .encoded.count()
+        require(nLive == n + appendN - nDead,
+          s"survivor row count $nLive after retire")
+        ((hits, possible, nDead), Map(
+          "save" -> saveS, "append" -> appendS, "delete" -> deleteS,
+          "serve_probe" -> serveS, "compact" -> compactS,
+          "compacted_probe" -> cprobeS, "retire" -> retireS))
+      } finally
+        org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(emb2)
+    } finally {
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(all)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val maxN = args.headOption.map(_.toLong).getOrElse(1000000L)
     val out = args.lift(1).getOrElse("ANN_SCALE.json")
+    val scaleRuns =
+      sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.driver.memory", "48g")
@@ -41,159 +197,56 @@ object AnnScale {
     spark.sparkContext.setLogLevel("ERROR")
     val sizes = Seq(20000L, 100000L, 1000000L).filter(_ <= maxN)
     val rows = sizes.map { n =>
+      val per = (1 to scaleRuns).map(_ => measureRecipe(spark, n))
+      val ident = per.map(_._1).distinct
+      require(ident.size == 1,
+        s"non-deterministic recall at n=$n: $ident")
+      val (hits, possible) = ident.head
+      val m: Map[String, Double] = per.head._2.keys
+        .map(k => k -> per.map(_._2(k)).min).toMap
       val nLists = math.floor(math.sqrt(n.toDouble)).toInt
       val nProbe = math.max(1, nLists / 4)
-      val k = 10
-      val refine = 30
-      val emb = SparkEntry.synthClusteredEmbeddings(spark, n, dim = 64,
-        nClusters = 400).localCheckpoint(true)
-      try {
-        val sample = Curate.hashSample(emb, "vec_id", rate = 0.1)
-        val tB = System.nanoTime()
-        val idx = Similarity.ivfPqBuild(emb, nLists = nLists, m = 8,
-          kCodes = 256, iterations = 2, trainOn = sample)
-        val nEnc = idx.encoded.count()
-        require(nEnc == n, s"encoded $nEnc of $n vectors")
-        val buildS = (System.nanoTime() - tB) / 1e9
-        val probes = emb.filter(col("vec_id") % (n / 16) === 0)
-        val tP = System.nanoTime()
-        val refined = Similarity.ivfPqQueryRefined(idx, emb, probes, k,
-          nProbe = nProbe, refine = refine).localCheckpoint(true)
-        val probeS = (System.nanoTime() - tP) / 1e9
-        val tG = System.nanoTime()
-        val rec = Similarity.recallAtK(refined,
-          Similarity.bruteForceTopKL2(emb, probes, k), k)
-        val g = rec.agg(sum(col("n_hits")).cast("long").as("h"),
-          sum(col("k")).cast("long").as("p")).collect()(0)
-        val (hits, possible) = (g.getAs[Long]("h"), g.getAs[Long]("p"))
-        val gateS = (System.nanoTime() - tG) / 1e9
-        val recall = hits.toDouble / possible
-        println(f"[annscale] n=$n nLists=$nLists nProbe=$nProbe " +
-          f"refine=$refine recall=$recall%.4f " +
-          f"build=$buildS%.2fs probe=$probeS%.2fs gate=$gateS%.2fs")
-        require(hits * 100L >= 80L * possible,
-          s"scale ANN recall gate failed at n=$n: $hits/$possible < 80%")
-        f"""{"n":$n,"nLists":$nLists,"nProbe":$nProbe,"refine":$refine,""" +
-          f""""m":8,"kCodes":256,"trainRate":0.1,"probes":16,""" +
-          f""""recall_at_10":$recall%.4f,"hits":$hits,"possible":$possible,""" +
-          f""""build_s":$buildS%.2f,"probe_refine_s":$probeS%.2f,""" +
-          f""""gate_s":$gateS%.2f}"""
-      } finally
-        org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(emb)
-    }
-    // ---- lifecycle at n = 100k AND n = 1M (recorded once-per-round):
-    // the store verbs measured at scale, not just fixture size. Append
-    // is O(batch) — a 1% crawl drop encoded under FROZEN codebooks into
-    // only its touched __list partitions; delete is O(batch) — one
-    // tombstone set (its ids span BOTH provenances: base rows and one
-    // appended row, so the batch-ordered mask is exercised across
-    // arms); the served delta view must still clear the 0.80 recall
-    // gate against the exact ground truth of the MUTATED corpus; and
-    // the compacted fold must serve the IDENTICAL ranking (bit-parity
-    // required, not just recall-parity).
-    def lifecycle(n: Long): Option[String] = {
-      val appendN = n / 100 // a 1% crawl drop
-      val all = SparkEntry.synthClusteredEmbeddings(spark, n + appendN,
-        dim = 64, nClusters = 400).localCheckpoint(true)
-      val dir = Files.createTempDirectory("graft_annlife_")
-      try {
-        val base = all.filter(col("vec_id") < n)
-        val batch = all.filter(col("vec_id") >= n)
-        val nLists = math.floor(math.sqrt(n.toDouble)).toInt
-        val nProbe = math.max(1, nLists / 4)
-        val sample = Curate.hashSample(base, "vec_id", rate = 0.1)
-        val idx = Similarity.ivfPqBuild(base, nLists = nLists, m = 8,
-          kCodes = 256, iterations = 2, trainOn = sample)
-        val ix = s"$dir/ix" // the compaction target must be a
-        // SIBLING: retire's payload sweep refuses a nested successor
-        val tS = System.nanoTime()
-        Similarity.ivfPqSave(idx, ix)
-        val saveS = (System.nanoTime() - tS) / 1e9
-        val tA = System.nanoTime()
-        graft.streaming.VectorIndexSink.appendBatch(spark,
-          ix, 0L, batch)
-        val appendS = (System.nanoTime() - tA) / 1e9
-        val dead = all.filter(col("vec_id") % 1000 === 7)
-          .select("vec_id")
-        val nDead = dead.count()
-        val tD = System.nanoTime()
-        graft.streaming.VectorIndexSink.deleteBatch(spark,
-          ix, 1L, dead)
-        val deleteS = (System.nanoTime() - tD) / 1e9
-        val emb2 = all.filter(col("vec_id") % 1000 =!= 7)
-          .localCheckpoint(true)
-        try {
-          val probes = base.filter(col("vec_id") % (n / 16) === 0)
-          val tV = System.nanoTime()
-          val served = graft.streaming.VectorIndexSink.read(spark, ix)
-          val sref = Similarity.ivfPqQueryRefined(served, emb2, probes,
-              10, nProbe = nProbe, refine = 30)
-            .localCheckpoint(true)
-          val serveS = (System.nanoTime() - tV) / 1e9
-          val g = Similarity.recallAtK(sref,
-              Similarity.bruteForceTopKL2(emb2, probes, 10), 10)
-            .agg(sum(col("n_hits")).cast("long").as("h"),
-              sum(col("k")).cast("long").as("p")).collect()(0)
-          val (hits, possible) = (g.getAs[Long]("h"), g.getAs[Long]("p"))
-          require(hits * 100L >= 80L * possible,
-            s"lifecycle recall gate failed at n=$n: $hits/$possible < 80%")
-          val tC = System.nanoTime()
-          graft.streaming.VectorIndexSink.compact(spark, ix, s"$dir/c")
-          val compactS = (System.nanoTime() - tC) / 1e9
-          val tQ = System.nanoTime()
-          val fref = Similarity.ivfPqQueryRefined(
-            Similarity.ivfPqLoad(spark, s"$dir/c"), emb2, probes, 10,
-            nProbe = nProbe, refine = 30)
-          def ranking(df: org.apache.spark.sql.DataFrame) = df
-            .select(col("probe_id").cast("long"),
-              col("neighbor_id").cast("long"), col("rank").cast("long"))
-            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-            .toSet
-          require(ranking(fref) == ranking(sref),
-            "compacted index serves a different ranking than the delta view")
-          val cprobeS = (System.nanoTime() - tQ) / 1e9
-          // RETENTION at scale: readers drained (the probes above),
-          // retire the pre-compaction layout — timed (marker write +
-          // coverage checks + payload sweep), then the floor verified:
-          // the retired path fails loudly, the survivor is intact
-          // (physical erasure already proven by the ranking parity)
-          val tR = System.nanoTime()
-          graft.streaming.VectorIndexSink.retire(ix, s"$dir/c")
-          val retireS = (System.nanoTime() - tR) / 1e9
-          val retiredLoud =
-            try { Similarity.ivfPqLoad(spark, ix); false }
-            catch { case e: IllegalStateException =>
-              e.getMessage.contains("retired") }
-          require(retiredLoud, "retired index must fail loudly")
-          val nLive = Similarity.ivfPqLoad(spark, s"$dir/c")
-            .encoded.count()
-          require(nLive == n + appendN - nDead,
-            s"survivor row count $nLive after retire")
-          val recall = hits.toDouble / possible
-          println(f"[annscale] lifecycle n=$n recall=$recall%.4f " +
-            f"save=$saveS%.2fs append=$appendS%.2fs delete=$deleteS%.2fs " +
-            f"serve_probe=$serveS%.2fs compact=$compactS%.2fs " +
-            f"compacted_probe=$cprobeS%.2fs retire=$retireS%.2fs")
-          Some(f"""{"n":$n,"append_batch":$appendN,"tombstoned":$nDead,""" +
-            f""""recall_at_10_served":$recall%.4f,"hits":$hits,""" +
-            f""""possible":$possible,"save_s":$saveS%.2f,""" +
-            f""""append_s":$appendS%.2f,"delete_s":$deleteS%.2f,""" +
-            f""""serve_probe_s":$serveS%.2f,"compact_s":$compactS%.2f,""" +
-            f""""compacted_probe_s":$cprobeS%.2f,""" +
-            f""""retire_s":$retireS%.2f,"retired_read_fails":true,""" +
-            f""""compacted_ranking_equal":true}""")
-        } finally
-          org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(emb2)
-      } finally {
-        org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(all)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(dir.toFile)
-      }
+      val recall = hits.toDouble / possible
+      println(f"[annscale] n=$n (min over $scaleRuns) nLists=$nLists " +
+        f"nProbe=$nProbe refine=30 recall=$recall%.4f " +
+        f"build=${m("build")}%.2fs probe=${m("probe")}%.2fs " +
+        f"gate=${m("gate")}%.2fs")
+      f"""{"n":$n,"nLists":$nLists,"nProbe":$nProbe,"refine":30,""" +
+        f""""m":8,"kCodes":256,"trainRate":0.1,"probes":16,""" +
+        f""""runs":$scaleRuns,""" +
+        f""""recall_at_10":$recall%.4f,"hits":$hits,"possible":$possible,""" +
+        f""""build_s":${m("build")}%.2f,"probe_refine_s":${m("probe")}%.2f,""" +
+        f""""gate_s":${m("gate")}%.2f}"""
     }
     val lifecycles = Seq(100000L, 1000000L).filter(sizes.contains)
-      .flatMap(lifecycle)
+      .map { n =>
+        val per = (1 to scaleRuns).map(_ => measureLifecycle(spark, n))
+        val ident = per.map(_._1).distinct
+        require(ident.size == 1,
+          s"non-deterministic lifecycle at n=$n: $ident")
+        val (hits, possible, nDead) = ident.head
+        val m: Map[String, Double] = per.head._2.keys
+          .map(k => k -> per.map(_._2(k)).min).toMap
+        val recall = hits.toDouble / possible
+        println(f"[annscale] lifecycle n=$n (min over $scaleRuns) " +
+          f"recall=$recall%.4f save=${m("save")}%.2fs " +
+          f"append=${m("append")}%.2fs delete=${m("delete")}%.2fs " +
+          f"serve_probe=${m("serve_probe")}%.2fs " +
+          f"compact=${m("compact")}%.2fs " +
+          f"compacted_probe=${m("compacted_probe")}%.2fs " +
+          f"retire=${m("retire")}%.2fs")
+        f"""{"n":$n,"append_batch":${n / 100},"tombstoned":$nDead,""" +
+          f""""runs":$scaleRuns,""" +
+          f""""recall_at_10_served":$recall%.4f,"hits":$hits,""" +
+          f""""possible":$possible,"save_s":${m("save")}%.2f,""" +
+          f""""append_s":${m("append")}%.2f,""" +
+          f""""delete_s":${m("delete")}%.2f,""" +
+          f""""serve_probe_s":${m("serve_probe")}%.2f,""" +
+          f""""compact_s":${m("compact")}%.2f,""" +
+          f""""compacted_probe_s":${m("compacted_probe")}%.2f,""" +
+          f""""retire_s":${m("retire")}%.2f,"retired_read_fails":true,""" +
+          f""""compacted_ranking_equal":true}"""
+      }
     val json = s"""{"recipe":"ivfPqBuild(sample 10%)+ivfPqQueryRefined",""" +
       s""""dim":64,"nClusters":400,"runs":[${rows.mkString(",")}]""" +
       s""","lifecycle":[${lifecycles.mkString(",")}]}\n"""

@@ -366,8 +366,33 @@ object RefreshScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val r = run(spark, prior, triggers, batchRows)
-    check(r)
+    // min-over-N (the SHARD_SCALE discipline): every repetition drives
+    // the FULL drain with every contract `require`d; the recorded
+    // walls are per-metric minimums (per-trigger walls element-wise,
+    // flatness recomputed from the min vector). Accepted counts and
+    // digests must reproduce bit-for-bit — deterministic Portable
+    // hashes make even the near tier's probabilistic recall identical
+    // across runs.
+    val scaleRuns =
+      sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
+    val per = (1 to scaleRuns).map { i =>
+      val r0 = run(spark, prior, triggers, batchRows)
+      check(r0)
+      println(f"[refreshscale] pass $i/$scaleRuns " +
+        f"drain=${r0.drainWallS}%.1fs flatness=${r0.flatnessRatio}%.3f")
+      r0
+    }
+    val ident = per.map(r0 => (r0.accepted, r0.exactStreamAccepted,
+      r0.nearAccepted, r0.originalsAccepted, r0.storeTokens)).distinct
+    require(ident.size == 1,
+      s"non-deterministic refresh outcome across runs: $ident")
+    val minWalls = per.map(_.perTriggerWallS).transpose
+      .map(ws => if (ws.forall(_ >= 0)) ws.min else -1.0).toVector
+    val r = per.minBy(_.drainWallS).copy(
+      perTriggerWallS = minWalls,
+      flatnessRatio = flatness(minWalls),
+      drainWallS = per.map(_.drainWallS).min,
+      totalWallS = per.map(_.totalWallS).min)
     val nearDropRate =
       1.0 - r.nearAccepted.toDouble / (r.streamDocs / 20)
     val json =
@@ -375,6 +400,7 @@ object RefreshScale {
       f"""classed docs: exact/near/decontam tiers, BPE pack, both """ +
       f"""stores, ledger; equivalence vs one-shot batch chain",""" +
       f""""prior_docs":${r.prior},"triggers":${r.triggers},""" +
+      f""""runs":$scaleRuns,""" +
       f""""batch_rows":${r.batchRows},"stream_docs":${r.streamDocs},""" +
       f""""accepted":${r.accepted},""" +
       f""""exact_prior_accepted":${r.exactPriorAccepted},""" +

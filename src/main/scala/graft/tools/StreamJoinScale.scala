@@ -245,6 +245,17 @@ object StreamJoinScale {
     val steps = args.headOption.map(_.toInt).getOrElse(400)
     val stepRows = args.lift(1).map(_.toInt).getOrElse(5000)
     val out = args.lift(2).getOrElse("STREAMJOIN_SCALE.json")
+    // min-over-N (the SHARD_SCALE discipline): each repetition drives
+    // the FULL feed and must pass every closed-form contract; the
+    // recorded wall is the minimum (host steal across hundreds of
+    // micro-batches inflates a single-shot wall). The join OUTPUT is
+    // deterministic (require below); the state-row SERIES is not
+    // bit-reproducible (the free-running trigger may split a step into
+    // different batch boundaries run-to-run), so each run's series is
+    // bound-checked by `check` and the recorded series is the
+    // fastest run's.
+    val scaleRuns =
+      sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.driver.memory", "48g")
@@ -254,8 +265,17 @@ object StreamJoinScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val r = run(spark, steps, stepRows)
-    check(r, steps, stepRows)
+    val per = (1 to scaleRuns).map { i =>
+      val r = run(spark, steps, stepRows)
+      check(r, steps, stepRows)
+      println(f"[streamjoinscale] pass $i/$scaleRuns wall=${r.wallS}%.1fs")
+      r
+    }
+    val ident = per.map(r => (r.inputViews, r.inputClicks, r.innerPairs,
+      r.sealedOrphans)).distinct
+    require(ident.size == 1,
+      s"non-deterministic join output across runs: $ident")
+    val r = per.minBy(_.wallS)
     val input = r.inputViews + r.inputClicks
     val maxState = r.series.map(_.stateRows).max
     val removed = r.removedTotal
@@ -268,6 +288,7 @@ object StreamJoinScale {
       s"""{"recipe":"q172 join shape (6h interval, 500ms watermarks, """ +
         s"""left-outer) fed $steps MemoryStream triggers advancing 2h """ +
         s"""each","steps":$steps,"step_rows":$stepRows,""" +
+        s""""runs":$scaleRuns,""" +
         s""""input_rows":$input,"inner_pairs":${r.innerPairs},""" +
         s""""sealed_orphans":${r.sealedOrphans},""" +
         s""""max_state_rows":$maxState,""" +

@@ -14,6 +14,50 @@ object GraftGlue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `localCheckpoint(eager = true)` that DECLARES the produced layout:
+    * the frame is hash-repartitioned on `keyCol` into `numPartitions`
+    * and sorted within partitions, and the wrapping [[LogicalRDD]] is
+    * rebuilt to CARRY that partitioning + ordering — which Spark's own
+    * checkpoint drops under AQE (the eager execution goes through
+    * AdaptiveSparkPlanExec, whose pre-execution outputPartitioning is
+    * Unknown, so the LogicalRDD records nothing and every later join
+    * against the cache re-exchanges and re-sorts it). The declaration
+    * is truthful by construction: the checkpointed RDD's partition
+    * boundaries and intra-partition order are exactly the repartition
+    * + sort's (localCheckpoint copies rows partition-by-partition).
+    * Use for a reference frame probed by many equi-joins per session
+    * (the refresh loop's prior fingerprints): each join then
+    * exchanges only its probe side. Release with
+    * [[releaseCheckpoint]] as usual. */
+  def checkpointWithLayout(df: org.apache.spark.sql.DataFrame,
+                           keyCol: String,
+                           numPartitions: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    val staged = df
+      .repartition(numPartitions, df(keyCol))
+      .sortWithinPartitions(keyCol)
+      .localCheckpoint(true)
+    val lr = staged.queryExecution.analyzed.collectFirst {
+      case l: LogicalRDD => l
+    }.getOrElse(throw new IllegalStateException(
+      "localCheckpoint did not produce a LogicalRDD"))
+    val attr = lr.output.find(_.name == keyCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $keyCol not in ${lr.output.map(_.name)}"))
+    val declared = LogicalRDD(lr.output, lr.rdd,
+      HashPartitioning(Seq(attr), numPartitions),
+      Seq(SortOrder(attr, Ascending)),
+      lr.isStreaming, lr.stream)(
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic
+        .SparkSession], None, None)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic
+        .SparkSession], declared)
+  }
+
   /** Release the block-manager storage behind a `localCheckpoint(eager=true)`
     * Dataset. A checkpointed Dataset's plan is a [[LogicalRDD]] wrapping the
     * persisted internal RDD; `Dataset.unpersist` cannot reach it (it is not

@@ -146,6 +146,102 @@ class RefreshPipelineSpec extends SparkSpec {
     } finally rmTree(base)
   }
 
+  test("exactIncrementalStaged == exactIncremental on every row class: " +
+      "stable dups, ledger dups, in-batch dups, nulls, fresh") {
+    val prior = docsDF(
+      (1L, "a", "alpha bravo charlie"),
+      (2L, "b", "delta echo foxtrot"))
+    val ledger = docsDF((100L, "a", "golf hotel india"))
+    val batch = docsDF(
+      (201L, "a", "alpha bravo charlie"), // dup of stable
+      (202L, "b", "golf hotel india"),    // dup of the growing ledger
+      (203L, "a", "juliet kilo lima"),    // fresh, kept
+      (204L, "b", "juliet kilo lima"),    // in-batch dup: 203 survives
+      (206L, "b", "mike november oscar")) // fresh, kept
+      .unionByName(Seq((205L, "a")).toDF("doc_id", "source")
+        .withColumn("text", lit(null).cast("string")))
+    val stableFps = org.apache.spark.sql.graftglue.GraftGlue
+      .checkpointWithLayout(Dedup.exactFingerprints(prior, "text"),
+        "__pfp", 4)
+    val ledgerFps = Dedup.exactFingerprints(ledger, "text")
+    val refFps = stableFps.unionByName(ledgerFps)
+    val bloom = refFps.stat.bloomFilter("__pfp", 100L, 0.01)
+    val staged = Dedup.exactIncrementalStaged(batch, "text", "doc_id",
+        stableFps, Some(ledgerFps), bloom)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = Dedup.exactIncremental(batch, prior, "text", "doc_id",
+        refFps = Some(refFps))
+      .select("doc_id").as[Long].collect().toSet
+    assert(staged == plain && staged == Set(203L, 205L, 206L),
+      s"staged=$staged plain=$plain")
+    // a bloom that is a strict SUPERSET of the reference (covers a
+    // fingerprint no confirm side holds) must not change the result —
+    // the one-sided-error contract the accumulator relies on
+    bloom.putString("not-a-real-fingerprint")
+    val superset = Dedup.exactIncrementalStaged(batch, "text", "doc_id",
+        stableFps, Some(ledgerFps), bloom)
+      .select("doc_id").as[Long].collect().toSet
+    assert(superset == plain)
+    // plan pin: at corpus scale the stable confirm is a merge join
+    // that must not exchange OR sort the reference side — the cache is
+    // already hash-partitioned and sorted on __pfp. (At spec scale the
+    // planner would broadcast the tiny reference — also exchange-free
+    // on the cache, but not the shape under pin — so force SMJ.)
+    val prevBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.exactIncrementalStaged(batch, "text", "doc_id",
+          stableFps, None, bloom)
+        .queryExecution.executedPlan
+      val smj = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.joinType.sql == "LEFT ANTI" => j }
+      assert(smj.isDefined, plan.toString)
+      val refSide = smj.get.right.toString
+      assert(!refSide.contains("Exchange") && !refSide.contains("Sort"),
+        s"reference side re-shuffled or re-sorted:\n$refSide")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        prevBroadcast)
+    }
+  }
+
+  test("FingerprintBloom: unbroken sequence reuses the held bloom, a " +
+      "break rebuilds from the confirm frame, a failed merge is invisible") {
+    val fpsOf = (docs: org.apache.spark.sql.DataFrame) =>
+      Dedup.exactFingerprints(docs, "text")
+    val prior = fpsOf(docsDF((1L, "a", "alpha bravo charlie")))
+    val b0 = fpsOf(docsDF((10L, "a", "delta echo foxtrot")))
+    val b1 = fpsOf(docsDF((20L, "a", "golf hotel india")))
+    val might = (b: org.apache.spark.util.sketch.BloomFilter,
+                 fps: org.apache.spark.sql.DataFrame) =>
+      fps.as[String].collect().forall(b.mightContainString)
+    val acc = new RefreshPipeline.FingerprintBloom(0.01, 1000L)
+    // first trigger: rebuild from the confirm frame (prior only)
+    val bl0 = acc.bloomFor(0L, prior)
+    assert(might(bl0, prior) && !might(bl0, b0))
+    acc.advance(0L, Some(b0))
+    // unbroken: the held bloom now covers prior + b0 with no rebuild
+    // (same instance — mergeInPlace mutated it)
+    val bl1 = acc.bloomFor(1L, prior.unionByName(b0))
+    assert((bl1 eq bl0) && might(bl1, b0))
+    // a failed trigger never called advance: its RETRY still sees the
+    // held bloom (covering < 1), not its own fingerprints
+    val blRetry = acc.bloomFor(1L, prior.unionByName(b0))
+    assert((blRetry eq bl0) && !might(blRetry, b1))
+    // sequence break (restart resumed at a later id): rebuilt from the
+    // caller's confirm frame, which is the full reference again
+    acc.advance(1L, Some(b1))
+    val blBroken = acc.bloomFor(5L, prior.unionByName(b0).unionByName(b1))
+    assert(might(blBroken, b1) && might(blBroken, prior))
+    // empty-trigger advance keeps the sequence unbroken without a merge
+    acc.advance(5L, None)
+    assert(acc.bloomFor(6L, prior) eq blBroken)
+  }
+
   test("the RefreshScale contract at spec scale: streamed chain == " +
       "one-shot batch chain, mass/ledger/class pins hold") {
     // 3 triggers x 100 classed docs against a 400-doc prior: the SAME
