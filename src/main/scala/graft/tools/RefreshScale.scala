@@ -328,7 +328,13 @@ object RefreshScale {
 
   /** The contracts, shared verbatim between the scale run and the
     * spec-scale run in RefreshPipelineSpec. */
-  def check(r: Result): Unit = {
+  /** `requireFlatness = false` is the min-over-N loop's per-pass mode:
+    * the deterministic contracts hold on EVERY raw pass, but the
+    * flatness gate — the one timing-sensitive require — is enforced on
+    * the min-combined vector only, since a single host spike in one
+    * pass would otherwise kill a run whose floor is perfectly flat
+    * (observed: a raw pass at flatness 1.6+ min-combined to 0.94). */
+  def check(r: Result, requireFlatness: Boolean = true): Unit = {
     require(r.equivalenceHolds,
       "streamed accepted ids != one-shot batch chain ids")
     require(r.massHolds, "shard-store token mass != prior + accepted")
@@ -347,8 +353,9 @@ object RefreshScale {
       1.0 - r.nearAccepted.toDouble / (r.streamDocs / 20)
     require(nearDropRate >= 0.9,
       f"NEAR_PRIOR drop rate $nearDropRate%.3f < 0.9")
-    require(r.flatnessRatio < 0 || r.flatnessRatio <= 1.6,
-      f"per-trigger wall grows: flatness ${r.flatnessRatio}%.2f > 1.6")
+    if (requireFlatness)
+      require(r.flatnessRatio < 0 || r.flatnessRatio <= 1.6,
+        f"per-trigger wall grows: flatness ${r.flatnessRatio}%.2f > 1.6")
     ()
   }
 
@@ -377,7 +384,7 @@ object RefreshScale {
       sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
     val per = (1 to scaleRuns).map { i =>
       val r0 = run(spark, prior, triggers, batchRows)
-      check(r0)
+      check(r0, requireFlatness = false)
       println(f"[refreshscale] pass $i/$scaleRuns " +
         f"drain=${r0.drainWallS}%.1fs flatness=${r0.flatnessRatio}%.3f")
       r0
@@ -393,6 +400,7 @@ object RefreshScale {
       flatnessRatio = flatness(minWalls),
       drainWallS = per.map(_.drainWallS).min,
       totalWallS = per.map(_.totalWallS).min)
+    check(r) // the flatness gate, on the min-combined vector
     val nearDropRate =
       1.0 - r.nearAccepted.toDouble / (r.streamDocs / 20)
     val json =
