@@ -487,6 +487,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    "q177_minhash_hot_bucket" -> ((s, dir) => {
+      // the Zipfian-dense-class mitigation (SKEW_SCALE): maxBucket = 4
+      // forces the fixture's LSH buckets past the cap, so the
+      // hot-bucket representative-verify path carries detection —
+      // q26's exact pair surface, with beyond-cap members verified
+      // against their bucket's min-id rep instead of silently dropped
+      Dedup.minhashPairs(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", numHashes = 32, bands = 8,
+          threshold = 0.3, shingleN = 1, maxBucket = 4,
+          mode = Dedup.Portable, hotBucketRep = true)
+        .groupBy(floor(col("est_jaccard") * 10).cast("long")
+          .as("jac_bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     "q27_simhash" -> ((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id",
         mode = Dedup.Portable)
@@ -5555,6 +5571,51 @@ dim_users_litify AS (
        |SELECT CAST(FLOOR(est * 10) AS BIGINT) AS jac_bucket, COUNT(1) AS n_pairs
        |FROM pairs GROUP BY 1""".stripMargin
 
+  /** Mirror of Dedup.minhashPairs(maxBucket = 4, hotBucketRep = true):
+    * q26's chain with the cap forced low, plus the hot-bucket
+    * representative-verify path — beyond-cap members pair with their
+    * bucket's rn=1 (min-id) rep; UNION dedups pairs surfacing on both
+    * paths; the signature-agreement estimate and threshold are shared. */
+  private def q177OracleSql: String = {
+    val mix = Dedup.mixConstants(32)
+    val sigList = (0 until 32).map { j =>
+      val (a, b) = mix(j)
+      s"list_min(list_transform(hs, h -> ${duckMix("h", a, b)}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH docs AS (SELECT doc_id AS id, text FROM documents
+       |  WHERE doc_id % 10 = 0 AND text IS NOT NULL),
+       |norm AS (SELECT id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm FROM docs),
+       |base AS (SELECT id, nrm, MIN(id) OVER (PARTITION BY md5(nrm)) AS rep FROM norm),
+       |exact_pairs AS (SELECT rep AS a, id AS b, 1.0 AS est FROM base WHERE id <> rep),
+       |reps AS (SELECT id, nrm FROM base WHERE id = rep),
+       |toks AS (SELECT id, list_filter(string_split(nrm, ' '), x -> x <> '') AS t FROM reps),
+       |sh AS (SELECT id, ${duckShingles("t", 1)} AS s FROM toks),
+       |hs AS (SELECT id, list_transform(s, x -> ${duckHash("x")}) AS hs FROM sh),
+       |sig AS (SELECT id, $sigList AS sig FROM hs),
+       |banded AS (SELECT id, sig, b.band,
+       |    md5(array_to_string(list_transform(sig[b.band*4+1 : b.band*4+4],
+       |      v -> CAST(v AS VARCHAR)), ',')) AS bkey
+       |  FROM sig, (SELECT unnest(range(8)) AS band) b),
+       |ranked AS (SELECT id, band, bkey,
+       |    row_number() OVER (PARTITION BY band, bkey ORDER BY id) AS rn
+       |  FROM banded),
+       |cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM ranked x JOIN ranked y
+       |  ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
+       |  WHERE x.rn <= 4 AND y.rn <= 4),
+       |hot AS (SELECT DISTINCT r.id AS a, o.id AS b FROM ranked o JOIN ranked r
+       |  ON o.band = r.band AND o.bkey = r.bkey AND r.rn = 1
+       |  WHERE o.rn > 4),
+       |allc AS (SELECT a, b FROM cand UNION SELECT a, b FROM hot),
+       |est0 AS (SELECT c.a, c.b,
+       |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est
+       |  FROM allc c JOIN sig sa ON sa.id = c.a JOIN sig sb ON sb.id = c.b),
+       |pairs AS (SELECT a, b, est FROM est0 WHERE est >= 0.3
+       |  UNION ALL SELECT a, b, est FROM exact_pairs)
+       |SELECT CAST(FLOOR(est * 10) AS BIGINT) AS jac_bucket, COUNT(1) AS n_pairs
+       |FROM pairs GROUP BY 1""".stripMargin
+  }
+
   /** Transitive closure of the pair graph via a recursive CTE: cluster =
     * min reachable id, mirroring Dedup.clusters' label propagation. */
   private def q48OracleSql: String =
@@ -6111,6 +6172,7 @@ dim_users_litify AS (
 
     "q25_minhash_signatures" -> q25OracleSql,
     "q26_minhash_pairs" -> q26OracleSql,
+    "q177_minhash_hot_bucket" -> q177OracleSql,
     "q27_simhash" -> q27OracleSql,
     "q37_simhash_pairs" -> q37OracleSql,
     "q34_multimodal_features" -> q34OracleSql,

@@ -512,11 +512,21 @@ object Curate {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(shardCol), col(idCol),
+    packFromCum(df.select(col(shardCol), col(idCol),
         coalesce(col(idsCol), array().cast("array<int>")).as("__ids"))
       .withColumn("__cum",
-        coalesce(sum(size(col("__ids"))).over(w).cast("long"), lit(0L)))
-      .select(col(shardCol), col("__cum"),
+        coalesce(sum(size(col("__ids"))).over(w).cast("long"), lit(0L))),
+      budget, shardCol)
+  }
+
+  /** The token-level tail both packers share: explode the payload at its
+    * per-doc cumulative offset, cut every `budget` tokens, reassemble
+    * each sequence's ids in position order. Input must carry `__ids`
+    * (non-null array) and `__cum` (the shard-ordered running token count
+    * BEFORE the doc). */
+  private def packFromCum(withCum: DataFrame, budget: Int,
+                          shardCol: String): DataFrame =
+    withCum.select(col(shardCol), col("__cum"),
         posexplode(col("__ids")).as(Seq("__p", "__tok")))
       .withColumn("__gp", col("__cum") + col("__p"))
       .withColumn("seq_id", expr(s"__gp DIV $budget"))
@@ -526,6 +536,47 @@ object Curate {
           sort_array(collect_list(struct(col("__pos"), col("__tok")))),
           _.getField("__tok")).as("token_ids"))
       .withColumn("n_tokens", size(col("token_ids")))
+
+  /** [[packTokenIds]] for SKEWED shard distributions — bit-identical
+    * output, different physical plan. The default packer's one-Exchange
+    * shape partitions the PAYLOAD by the shard key, so a hot shard
+    * (one `source` holding most of the corpus) serializes its whole
+    * token explode + group on a single task: the window, the
+    * posexplode, and the map side of the final groupBy all run where
+    * the shard's rows landed. Here only a NARROW (shard, id, count)
+    * frame rides the skewed window — the hot task sorts ~16-byte rows,
+    * not payloads — and the computed offsets rejoin the payload on the
+    * (shard, id) key, which distributes by doc, not by shard. The
+    * price is one extra exchange of the token stream into the final
+    * (shard, seq_id) grouping (the default grouped it in place), i.e.
+    * roughly 2x the data movement of the balanced plan — the wall-clock
+    * win under skew is that every stage is cluster-parallel instead of
+    * hot-task-serial. Measured crossover in SKEW_SCALE.json: prefer
+    * this form when one shard holds more than ~a third of the corpus;
+    * prefer [[packTokenIds]] otherwise. Rows must be unique on
+    * (shardCol, idCol) — the offset join would multiply duplicates the
+    * window form would have packed as separate rows. */
+  def packTokenIdsSkewRobust(df: DataFrame, idsCol: String, idCol: String,
+                             budget: Int, shardCol: String): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(shardCol), col(idCol),
+      coalesce(col(idsCol), array().cast("array<int>")).as("__ids"))
+    // null-safe join keys (<=>): a null shard or id groups in the
+    // window form and must survive the join form identically
+    val cum = base
+      .select(col(shardCol).as("__cs"), col(idCol).as("__ci"),
+        size(col("__ids")).cast("long").as("__n"))
+      .withColumn("__cum", coalesce(
+        sum(col("__n")).over(Window.partitionBy(col("__cs"))
+          .orderBy(col("__ci"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    packFromCum(
+      base.join(cum, col(shardCol) <=> col("__cs")
+          && col(idCol) <=> col("__ci"))
+        .drop("__cs", "__ci"),
+      budget, shardCol)
   }
 
   /** Incremental shard production: append a NEW batch of documents to an
@@ -569,7 +620,8 @@ object Curate {
     * — callers get the same exceptions, one trigger earlier. */
   def packTokenIdsIncremental(existing: DataFrame, newDocs: DataFrame,
                               idsCol: String, idCol: String,
-                              budget: Int, shardCol: String): DataFrame = {
+                              budget: Int, shardCol: String,
+                              skewRobust: Boolean = false): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     import org.apache.spark.sql.expressions.Window
     val spark = existing.sparkSession
@@ -653,11 +705,30 @@ object Curate {
       .withColumn("__sk", struct(col(shardCol)))
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withCum = newDocs
-      .select(col(shardCol), col(idCol),
-        coalesce(col(idsCol), array().cast("array<int>")).as("__ids"))
-      .withColumn("__cum",
-        coalesce(sum(size(col("__ids"))).over(w).cast("long"), lit(0L)))
+    val newBase = newDocs.select(col(shardCol), col(idCol),
+      coalesce(col(idsCol), array().cast("array<int>")).as("__ids"))
+    // skewRobust: the [[packTokenIdsSkewRobust]] trick applied to the
+    // batch's running count — only a narrow (shard, id, count) frame
+    // rides the shard-skewed window; offsets rejoin the payload on the
+    // per-doc key. Bit-identical __cum, hot shard no longer serial.
+    val newCum =
+      if (!skewRobust)
+        newBase.withColumn("__cum",
+          coalesce(sum(size(col("__ids"))).over(w).cast("long"), lit(0L)))
+      else {
+        val cum = newBase
+          .select(col(shardCol).as("__cs"), col(idCol).as("__ci"),
+            size(col("__ids")).cast("long").as("__n"))
+          .withColumn("__cum", coalesce(
+            sum(col("__n")).over(Window.partitionBy(col("__cs"))
+              .orderBy(col("__ci"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .drop("__n")
+        newBase.join(cum, col(shardCol) <=> col("__cs")
+            && col(idCol) <=> col("__ci"))
+          .drop("__cs", "__ci")
+      }
+    val withCum = newCum
       .withColumn("__sk", struct(col(shardCol)))
       .join(broadcast(tails.drop(shardCol)), Seq("__sk"), "left")
       .withColumn("__base", coalesce(col("__base"), lit(0L)))

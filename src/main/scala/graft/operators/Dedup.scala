@@ -212,15 +212,16 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7, shingleN: Int = 3,
-                   maxBucket: Int = 256, mode: HashMode = Fast): DataFrame = {
+                   maxBucket: Int = 256, mode: HashMode = Fast,
+                   hotBucketRep: Boolean = false): DataFrame = {
     val (exactPairs, reps) = collapseExactDups(df, textCol, idCol, "est_jaccard")
     val sigs = minhashSignatures(reps, "__txt", "id", numHashes, shingleN, mode)
     val banded = sigs.select(col("id"), col("minhash"),
       posexplode(bandKeysCol(col("minhash"), numHashes, bands, mode)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bandhash"))
-    val capped = banded.withColumn("__bn", row_number().over(
-        Window.partitionBy(col("band"), col("bandhash")).orderBy(col("id"))))
-      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val ranked = banded.withColumn("__bn", row_number().over(
+      Window.partitionBy(col("band"), col("bandhash")).orderBy(col("id"))))
+    val capped = ranked.filter(col("__bn") <= maxBucket).drop("__bn")
     val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bandhash") === col("y.bandhash") &&
@@ -228,13 +229,49 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.minhash").as("ma"), col("y.minhash").as("mb"))
       .dropDuplicates("a", "b")
-    val lshPairs = cand.withColumn("est_jaccard",
-        size(filter(zip_with(col("ma"), col("mb"), (x, y) =>
-          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
-          numHashes)
+    val agree = (ma: Column, mb: Column) =>
+      size(filter(zip_with(ma, mb, (x, y) =>
+        when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
+        numHashes
+    val lshPairs = cand
+      .withColumn("est_jaccard", agree(col("ma"), col("mb")))
       .filter(col("est_jaccard") >= threshold)
       .select("a", "b", "est_jaccard")
-    exactPairs.unionByName(lshPairs)
+    // Hot-bucket representative verify (the Zipfian-class mitigation):
+    // the cap bounds the pair join at O(maxBucket^2) per bucket, but a
+    // DENSE near-dup class larger than maxBucket (one boilerplate
+    // template re-scraped 100k times) then loses every member past the
+    // cap — detection recall collapses to maxBucket/class (measured in
+    // SKEW_SCALE.json). With hotBucketRep, members BEYOND the cap are
+    // verified against their bucket's min-id representative instead of
+    // being dropped: O(overflow) extra rows, one equi join against a
+    // buckets-sized rep frame, never a pair join — so a hot class costs
+    // linear work and every member past the cap still gets its
+    // (rep, member) pair if the signatures agree. Emitted pairs remain
+    // a verified SUBSET of the uncapped pair set (precision is
+    // unaffected); pairs between two beyond-cap non-rep members are
+    // still not emitted — for dedup keep-one semantics the star around
+    // the rep is what matters.
+    val withHot =
+      if (!hotBucketRep) lshPairs
+      else {
+        val repRows = ranked.filter(col("__bn") === 1)
+          .select(col("band").as("__rb"), col("bandhash").as("__rh"),
+            col("id").as("__rid"), col("minhash").as("__rsig"))
+        val hotPairs = ranked.filter(col("__bn") > maxBucket)
+          .join(repRows, col("band") === col("__rb")
+            && col("bandhash") === col("__rh"))
+          .select(col("__rid").as("a"), col("id").as("b"),
+            col("__rsig").as("ma"), col("minhash").as("mb"))
+          .dropDuplicates("a", "b")
+          .withColumn("est_jaccard", agree(col("ma"), col("mb")))
+          .filter(col("est_jaccard") >= threshold)
+          .select("a", "b", "est_jaccard")
+        // a pair can surface on both paths via DIFFERENT bands (b past
+        // the cap in one band, within it in another) — dedup the union
+        lshPairs.unionByName(hotPairs).dropDuplicates("a", "b")
+      }
+    exactPairs.unionByName(withHot)
   }
 
   /** SimHash over whitespace tokens: per-bit majority vote of token

@@ -106,8 +106,15 @@ object RefreshPipeline {
       acc match {
         case Some((b, next)) if next == batchId => b
         case _ =>
-          val b = refFps.filter(col("__pfp").isNotNull)
-            .stat.bloomFilter("__pfp", capacity, fpp)
+          // An empty reference (bootstrapping a fresh store: no prior
+          // corpus, no earlier ledger batches) must behave like the
+          // pre-bloom path's lit(false): nothing is a member. Spark's
+          // bloomFilter aggregate NPEs on zero rows, so hand back an
+          // empty filter of the same shape instead.
+          val nonNull = refFps.filter(col("__pfp").isNotNull)
+          val b =
+            if (nonNull.isEmpty) BloomFilter.create(capacity, fpp)
+            else nonNull.stat.bloomFilter("__pfp", capacity, fpp)
           acc = Some((b, batchId))
           b
       }
@@ -127,6 +134,40 @@ object RefreshPipeline {
         case _ => ()
       }
   }
+
+  /** Fingerprint-prefix partition count for the ledger layout. Each
+    * ledger batch is written `partitionBy("__pp")` with
+    * `__pp = pmod(xxhash64(__pfp), LedgerPartitions)`, so a trigger's
+    * confirm join reads ONLY the partitions its bloom-positive
+    * candidates hash into — the last O(accepted-history) per-trigger
+    * term, bounded to O(min(candidates, P)/P × history) read volume.
+    * At steady state candidates ≈ fpp × batch (plus true dups), so a
+    * small trigger touches a small fraction of the history's bytes
+    * and file handles. 64 balances prune granularity against
+    * files-per-batch (≤ 64 tiny files per trigger, folded away by
+    * nothing — fingerprints are the retention-exempt history). */
+  private[graft] val LedgerPartitions = 64
+
+  /** Leaf parquet paths of the given ledger batch dirs, pruned to the
+    * `__pp=K` partitions in `prefixes` when given (None = all leaves —
+    * the bloom-rebuild reference must cover everything). A batch dir
+    * with no `__pp=` subdirs is a legacy unpartitioned batch (or a
+    * layout this code didn't write) and is always included whole:
+    * pruning only ever skips partitions PROVEN disjoint from the
+    * candidates. */
+  private[graft] def ledgerLeafPaths(dirs: Seq[java.io.File],
+      prefixes: Option[Set[Int]]): Seq[String] =
+    dirs.flatMap { d =>
+      val pp = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("__pp=")
+          && f.getName.stripPrefix("__pp=").matches("\\d+"))
+      if (pp.isEmpty) Seq(d.getAbsolutePath)
+      else {
+        val keep = prefixes.fold(pp)(ks => pp.filter(f =>
+          ks.contains(f.getName.stripPrefix("__pp=").toInt)))
+        keep.map(_.getAbsolutePath).toSeq
+      }
+    }
 
   /** One trigger's work, factored out so the delivery contract is
     * directly testable: compute the accepted docs against prior ∪
@@ -174,24 +215,52 @@ object RefreshPipeline {
     // (tiny) ledger batches of STRICTLY EARLIER triggers — never this
     // trigger's own (see the delivery contract above)
     val earlier = StoreFiles
-      .publishedDirs(ledgerDir, "b", StoreFiles.hasParquet)
+      .publishedDirs(ledgerDir, "b", StoreFiles.hasLedgerParquet)
       .filter(_._1 < batchId).map(_._2)
-    val ledgerFps =
-      if (earlier.isEmpty) None
-      else Some(sp.read.parquet(earlier.map(_.getAbsolutePath): _*)
-        .select(col("__pfp")))
+    // the ledger union, as a multi-path read of leaf paths so mixed
+    // (legacy unpartitioned + prefix-partitioned) batch layouts share
+    // one uniform __pfp-only schema; prefixes prune at the PATH level
+    def ledgerFps(prefixes: Option[Set[Int]]): Option[DataFrame] = {
+      val paths = ledgerLeafPaths(earlier, prefixes)
+      if (paths.isEmpty) None
+      else Some(sp.read.parquet(paths: _*).select(col("__pfp")))
+    }
     val exactKept = bloomAcc match {
       // the steady-state path: held merged bloom + split confirm (the
       // prior side joins exchange-free against the pre-partitioned
-      // cache; only the compact ledger sliver still shuffles)
+      // cache; only the compact ledger sliver still shuffles) + the
+      // partition-pruned confirm ledger (only the __pp partitions the
+      // bloom-positive candidates hash into are read)
       case Some(acc) =>
-        val refFps = ledgerFps // the bloom REBUILD reference — only
-          .map(priorFps.unionByName(_)) // scanned on a sequence break
+        val refFps = ledgerFps(None) // the bloom REBUILD reference —
+          .map(priorFps.unionByName(_)) // only scanned on a seq break
           .getOrElse(priorFps)
+        val bloom = acc.bloomFor(batchId, refFps)
+        val confirmLedger =
+          if (earlier.isEmpty) None
+          else {
+            // one O(batch) row-local pass collecting <= LedgerPartitions
+            // ints: the candidate prefix set. A confirm-side match has
+            // an EQUAL fingerprint, hence an equal prefix, so pruned
+            // partitions are provably match-free; bloom-negative rows
+            // bypass the confirm join entirely and need no coverage.
+            import org.apache.spark.sql.graftglue.GraftGlue
+            val fps = b0.select(graft.functions.TextFunctions
+              .fingerprint(col(textCol)).as("__fp"))
+            val probe = GraftGlue.column(
+              graft.functions.BloomMightContainExpr(
+                GraftGlue.expression(fps("__fp")), bloom))
+            val prefixes = fps
+              .filter(col("__fp").isNotNull && probe)
+              .select(pmod(xxhash64(col("__fp")),
+                lit(LedgerPartitions.toLong)).cast("int").as("__pp"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            ledgerFps(Some(prefixes))
+          }
         Dedup.exactIncrementalStaged(b0, textCol, idCol, priorFps,
-          ledgerFps, acc.bloomFor(batchId, refFps))
+          confirmLedger, bloom)
       case None =>
-        val refFps = ledgerFps.map(priorFps.unionByName(_))
+        val refFps = ledgerFps(None).map(priorFps.unionByName(_))
           .getOrElse(priorFps)
         Dedup.exactIncremental(b0, prior, textCol, idCol,
           refFps = Some(refFps))
@@ -249,7 +318,14 @@ object RefreshPipeline {
       staged("ledger") { StoreFiles.publishOnce(
         s"$ledgerDir/.staging-b$batchId",
         new java.io.File(s"$ledgerDir/b$batchId"), { staging =>
-          acceptedFps.write.mode("overwrite").parquet(staging)
+          // prefix-partitioned layout (see LedgerPartitions): the
+          // repartition keys the tiny fingerprint frame by __pp so
+          // each partition value lands in ONE file, not one per task
+          acceptedFps
+            .withColumn("__pp", pmod(xxhash64(col("__pfp")),
+              lit(LedgerPartitions.toLong)).cast("int"))
+            .repartition(col("__pp"))
+            .write.mode("overwrite").partitionBy("__pp").parquet(staging)
         }) }
       // merge AFTER the ledger publish: a trigger that fails anywhere
       // above leaves the bloom at its pre-trigger state, so the retry

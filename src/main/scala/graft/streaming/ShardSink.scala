@@ -70,7 +70,8 @@ object ShardSink {
     * omit it to take the next free number. */
   def append(spark: SparkSession, batch: DataFrame, idsCol: String,
              idCol: String, budget: Int, shardCol: String,
-             storeDir: String, version: Option[Long] = None): Boolean = {
+             storeDir: String, version: Option[Long] = None,
+             skewRobust: Boolean = false): Boolean = {
     StoreFiles.requireNotRetired(storeDir, "shard store")
     new java.io.File(storeDir).mkdirs()
     val vs = versions(storeDir)
@@ -97,7 +98,7 @@ object ShardSink {
           else Curate.packTokenIds(batch.limit(0), idsCol, idCol,
             budget, shardCol)
         Curate.packTokenIdsIncremental(existing, batch, idsCol, idCol,
-            budget, shardCol)
+            budget, shardCol, skewRobust = skewRobust)
           .write.mode("overwrite").parquet(staging)
       })
   }
@@ -162,9 +163,22 @@ object ShardSink {
     if (vs.isEmpty) throw new IllegalStateException(
       s"no shard store versions under $storeDir" +
         asOf.fold("")(v => s" at or before v$v"))
-    spark.read.parquet(vs.map(_._2.getAbsolutePath): _*)
+    // mergeSchema: a column added in a later delta version must be
+    // visible (NULL-padded) across the whole scan, not silently
+    // dropped because the sampled footer predates it — the per-version
+    // unionByName this scan replaced failed loudly on drift; the merged
+    // footer keeps that visibility without the V-way plan. The parsed
+    // __v is guarded per row: an unparseable parent directory would
+    // cast to NULL and silently corrupt latest-wins resolution, so it
+    // raises instead (codegen'd branch, no measurable scan cost).
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(vs.map(_._2.getAbsolutePath): _*)
       .withColumn("__v", substring(element_at(
         split(input_file_name(), "/"), -2), 2, 18).cast("long"))
+    raw.withColumn("__v",
+      when(col("__v").isNull, raise_error(concat(
+        lit("shard store layout violation: unparseable version dir for "),
+        input_file_name()))).otherwise(col("__v")))
   }
 
   /** Superseded (shard, seq_id, version) keys of the latest-wins merge

@@ -156,6 +156,15 @@ private[graft] object StoreFiles {
     Option(dir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.endsWith(".parquet"))
 
+  /** Non-emptiness for a fingerprint-ledger batch dir, which since the
+    * prefix-partitioned layout holds its parquet one level down in
+    * `__pp=K/` subdirs (legacy unpartitioned batches keep their files
+    * at the top level — both layouts stay readable). */
+  def hasLedgerParquet(dir: java.io.File): Boolean =
+    hasParquet(dir) || Option(dir.listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("__pp=")
+        && hasParquet(f))
+
   def hasListPartitions(dir: java.io.File): Boolean =
     Option(dir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.startsWith("__list="))

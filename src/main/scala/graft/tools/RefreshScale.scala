@@ -276,10 +276,11 @@ object RefreshScale {
           val massHolds = storeTokens == mass(d) + mass(expected)
           // ledger fingerprints == accepted docs' fingerprints
           val ledger = spark.read.parquet(
-            graft.streaming.StoreFiles
-              .publishedDirs(s"$base/ledger", "b",
-                graft.streaming.StoreFiles.hasParquet)
-              .map(_._2.getAbsolutePath): _*)
+            graft.streaming.RefreshPipeline.ledgerLeafPaths(
+              graft.streaming.StoreFiles
+                .publishedDirs(s"$base/ledger", "b",
+                  graft.streaming.StoreFiles.hasLedgerParquet)
+                .map(_._2), None): _*)
           val ledgerHolds =
             setDigest(ledger, col("__pfp")) ==
               setDigest(expected,

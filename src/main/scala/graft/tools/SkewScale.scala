@@ -1,0 +1,289 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Curate, Dedup}
+import graft.streaming.ShardSink
+
+/** Once-per-round SKEW evidence — the one axis of the 100 TB claim the
+  * balanced-scale harnesses (SHARD_SCALE, STREAMJOIN_SCALE, the LSH
+  * oracles) never measured. Three Zipfian shapes, each the worst case
+  * of one streaming-scale verb, each with its mitigation measured
+  * against the unmitigated path and every correctness contract
+  * `require`d in-run at that scale:
+  *
+  *  1. SHARD: one `source` shard holds 90% of 1M tokenized docs. The
+  *     default [[Curate.packTokenIds]] plan partitions the PAYLOAD by
+  *     the shard key (its one-Exchange in-place grouping), so the hot
+  *     shard's explode+group serializes on one task;
+  *     [[Curate.packTokenIdsSkewRobust]] rides only a narrow count
+  *     frame through the skewed window and rejoins offsets per doc.
+  *     Contracts: both packers' digests are IDENTICAL on the skewed
+  *     AND the balanced corpus; the store seeded through the
+  *     skew-robust append serves the same digest as the one-shot pack;
+  *     a 1% drop append stays a small fraction of the seed.
+  *  2. STREAM JOIN: one hot join key carries 50% of each trigger's
+  *     views ([[StreamJoinScale.run]] hotFrac = 0.5). Key-partitioned
+  *     state pins every hot row to one partition by construction, so
+  *     the contract under skew is BOUNDEDNESS, not balance: the exact
+  *     closed-form inner/orphan counts hold, the state series
+  *     plateaus at the watermark horizon, and the recorded
+  *     per-partition state bytes show the hot share directly.
+  *  3. LSH DEDUP: one 100k-member near-dup class (one boilerplate
+  *     template re-scraped with a single mutated token) inside a 1M
+  *     corpus. The `maxBucket` cap keeps the pair join from going
+  *     quadratic but silently drops every class member past the cap —
+  *     measured detection recall collapses; with
+  *     `hotBucketRep = true` ([[Dedup.minhashPairs]]) beyond-cap
+  *     members verify against their bucket's min-id representative in
+  *     O(overflow), and recall is required back above 0.999 while the
+  *     emitted pair count stays linear in the class.
+  *
+  * Deliberately NOT bench rows (1M-doc packs and 400-trigger feeds);
+  * same rationale as [[AnnScale]]/[[ShardScale]]/[[StreamJoinScale]].
+  * Usage: runMain graft.tools.SkewScale [n] [outFile] */
+object SkewScale {
+
+  /** [[ShardScale.synthDocs]] with a Zipf-ish shard map: `hotPct`% of
+    * docs land in shard "srchot", the rest round-robin the cold
+    * shards. Token payloads identical to the balanced corpus. */
+  private[graft] def skewDocs(spark: SparkSession, n: Long,
+                              nShards: Int, hotPct: Int): DataFrame =
+    ShardScale.synthDocs(spark, n, nShards)
+      .withColumn("source",
+        when(pmod(col("doc_id"), lit(100L)) < hotPct, lit("srchot"))
+          .otherwise(col("source")))
+
+  /** 1M-doc LSH corpus with one dense near-dup class: members
+    * 0..classSize-1 are a fixed 60-token template with ONE token
+    * mutated per member (unigram Jaccard 59/61 ~ 0.967 between any two
+    * members); the rest are word-salad uniques. Deterministic in
+    * doc_id. */
+  private[graft] def lshDocs(spark: SparkSession, n: Long,
+                             classSize: Long): DataFrame = {
+    val tmpl = array((0 until 60).map(i => lit(s"tmpl$i")): _*)
+    spark.range(n).select(col("id").as("doc_id"))
+      .withColumn("text",
+        when(col("doc_id") < classSize,
+          array_join(transform(sequence(lit(0), lit(59)),
+            i => when(i === pmod(col("doc_id"), lit(60L)).cast("int"),
+              concat(lit("mut"), col("doc_id").cast("string")))
+              .otherwise(element_at(tmpl, i + 1))), " "))
+        .otherwise(array_join(transform(sequence(lit(0), lit(29)),
+          i => concat(lit("w"), pmod(col("doc_id") * 2654435761L
+            + i.cast("long") * 40503L, lit(999983L)).cast("string"))),
+          " ")))
+  }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Order-independent pack digest (the SHARD_SCALE digest shape). */
+  private def digest(df: DataFrame): (Long, Long, Long) = {
+    val r = df.select(
+        conv(substring(md5(concat_ws("|", col("source"),
+          col("seq_id").cast("string"), col("n_tokens").cast("string"),
+          graft.functions.Bpe.idsString(col("token_ids")))), 1, 15),
+          16, 10).cast("long").as("__h"),
+        col("n_tokens").cast("long").as("__nt"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__nt")).cast("long").as("t"),
+        sum(col("__h")).cast("long").as("h"))
+      .collect()(0)
+    (r.getAs[Long]("n"), r.getAs[Long]("t"), r.getAs[Long]("h"))
+  }
+
+  /** Shard block: one measurement pass. Returns per-metric walls. */
+  private def shardOnce(spark: SparkSession, n: Long): Map[String, Double] = {
+    val nShards = 200
+    val budget = 2048
+    val dropN = n / 100
+    val skew = skewDocs(spark, n + dropN, nShards, hotPct = 90)
+      .localCheckpoint(true)
+    val bal = ShardScale.synthDocs(spark, n, nShards)
+      .localCheckpoint(true)
+    val dir = Files.createTempDirectory("graft_skewscale_")
+    try {
+      val base = skew.filter(col("doc_id") < n)
+      val drop = skew.filter(col("doc_id") >= n)
+      // the two packers must agree bit-for-bit on BOTH distributions
+      val (dSkewDefault, packSkewDefaultS) =
+        timed(digest(Curate.packTokenIds(base, "__ids", "doc_id",
+          budget, "source")))
+      val (dSkewRobust, packSkewRobustS) =
+        timed(digest(Curate.packTokenIdsSkewRobust(base, "__ids",
+          "doc_id", budget, "source")))
+      require(dSkewDefault == dSkewRobust,
+        s"skew-robust pack diverged on the skewed corpus: " +
+          s"$dSkewDefault vs $dSkewRobust")
+      val (dBalDefault, packBalDefaultS) =
+        timed(digest(Curate.packTokenIds(bal, "__ids", "doc_id",
+          budget, "source")))
+      val (dBalRobust, packBalRobustS) =
+        timed(digest(Curate.packTokenIdsSkewRobust(bal, "__ids",
+          "doc_id", budget, "source")))
+      require(dBalDefault == dBalRobust,
+        s"skew-robust pack diverged on the balanced corpus: " +
+          s"$dBalDefault vs $dBalRobust")
+      // store lifecycle under skew, through the skew-robust append:
+      // seed + one 1% drop + merged read == one-shot pack of the whole
+      val store = s"$dir/store"
+      val (_, seedS) = timed(ShardSink.append(spark, base, "__ids",
+        "doc_id", budget, "source", store, skewRobust = true))
+      val (_, appS) = timed(ShardSink.append(spark, drop, "__ids",
+        "doc_id", budget, "source", store, skewRobust = true))
+      val (mergedD, readS) = timed(digest(ShardSink.read(spark, store)))
+      val oneShot = digest(Curate.packTokenIds(skew, "__ids", "doc_id",
+        budget, "source"))
+      require(mergedD == oneShot,
+        s"skewed store merged view != one-shot pack: $mergedD vs $oneShot")
+      Map("pack_skew_default" -> packSkewDefaultS,
+        "pack_skew_robust" -> packSkewRobustS,
+        "pack_bal_default" -> packBalDefaultS,
+        "pack_bal_robust" -> packBalRobustS,
+        "seed_robust" -> seedS, "append_1pct_robust" -> appS,
+        "merged_digest" -> readS)
+    } finally {
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(skew)
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(bal)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  /** LSH block: detection recall over the dense class, capped pair
+    * join vs hot-bucket representative verify. */
+  private def lshOnce(spark: SparkSession, n: Long,
+                      classSize: Long): Map[String, Double] = {
+    val docs = lshDocs(spark, n, classSize).localCheckpoint(true)
+    try {
+      def detect(hot: Boolean): (Long, Long, Double) = {
+        val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+          numHashes = 32, bands = 8, threshold = 0.7, shingleN = 1,
+          maxBucket = 256, mode = Dedup.Fast, hotBucketRep = hot)
+          .localCheckpoint(true)
+        try {
+          val nPairs = pairs.count()
+          val detected = pairs
+            .select(explode(array(col("a"), col("b"))).as("m"))
+            .filter(col("m") < classSize).distinct().count()
+          (nPairs, detected, detected.toDouble / classSize)
+        } finally org.apache.spark.sql.graftglue.GraftGlue
+          .releaseCheckpoint(pairs)
+      }
+      val ((pairsCapped, detCapped, recallCapped), cappedS) =
+        timed(detect(hot = false))
+      val ((pairsHot, detHot, recallHot), hotS) =
+        timed(detect(hot = true))
+      // the cap's recall collapse is the finding; the rep verify is
+      // the mitigation; linear pair volume is the scale contract
+      require(recallCapped < 0.05,
+        f"capped recall $recallCapped%.4f unexpectedly high - the " +
+          "skew fixture no longer exercises the cap")
+      require(recallHot >= 0.999,
+        f"hot-bucket rep recall $recallHot%.4f < 0.999")
+      require(pairsHot <= classSize + 300000L,
+        s"hot-bucket pair volume $pairsHot not linear in the class")
+      Map("lsh_capped_s" -> cappedS, "lsh_hot_s" -> hotS,
+        "pairs_capped" -> pairsCapped.toDouble,
+        "pairs_hot" -> pairsHot.toDouble,
+        "detected_capped" -> detCapped.toDouble,
+        "detected_hot" -> detHot.toDouble,
+        "recall_capped" -> recallCapped, "recall_hot" -> recallHot)
+    } finally org.apache.spark.sql.graftglue.GraftGlue
+      .releaseCheckpoint(docs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val out = args.lift(1).getOrElse("SKEW_SCALE.json")
+    val scaleRuns =
+      sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.driver.memory", "48g")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 1. shard skew (min-over-N per metric, contracts required per pass)
+    val shardPer = (1 to scaleRuns).map(_ => shardOnce(spark, n))
+    val sm = shardPer.head.keys
+      .map(k => k -> shardPer.map(_(k)).min).toMap
+    println(f"[skewscale] shard n=$n " + sm.toSeq.sortBy(_._1)
+      .map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
+
+    // 2. stream-join hot key: 50% of views on one uid, 400 triggers
+    val steps = 400; val stepRows = 5000
+    val joinPer = (1 to scaleRuns).map { i =>
+      val r = StreamJoinScale.run(spark, steps, stepRows, hotFrac = 0.5)
+      StreamJoinScale.check(r, steps, stepRows, hotFrac = 0.5)
+      println(f"[skewscale] join pass $i wall=${r.wallS}%.1fs")
+      r
+    }
+    require(joinPer.map(r => (r.innerPairs, r.sealedOrphans))
+      .distinct.size == 1, "non-deterministic hot-key join output")
+    val jr = joinPer.minBy(_.wallS)
+    val maxState = jr.series.map(_.stateRows).max
+    val stTot = jr.stateBytesByPartition.sum.toDouble
+    val hotShare =
+      if (stTot == 0) 0.0
+      else jr.stateBytesByPartition.max / stTot
+
+    // 3. LSH dense class
+    val lshPer = (1 to scaleRuns).map(_ =>
+      lshOnce(spark, n, classSize = 100000L))
+    val lm = lshPer.head.keys
+      .map(k => k -> lshPer.map(_(k)).min).toMap
+    println(f"[skewscale] lsh recall_capped=${lm("recall_capped")}%.4f " +
+      f"recall_hot=${lm("recall_hot")}%.4f")
+
+    val json =
+      s"""{"recipe":"Zipfian skew evidence: 90%%-hot shard pack/store, """ +
+        s"""50%%-hot-key stream join, 100k dense LSH class","n":$n,""" +
+        s""""runs":$scaleRuns,""" +
+        s""""shard":{"hot_pct":90,"n_shards":200,""" +
+        f""""pack_skew_default_s":${sm("pack_skew_default")}%.2f,""" +
+        f""""pack_skew_robust_s":${sm("pack_skew_robust")}%.2f,""" +
+        f""""skew_speedup":${sm("pack_skew_default") / sm("pack_skew_robust")}%.2f,""" +
+        f""""pack_bal_default_s":${sm("pack_bal_default")}%.2f,""" +
+        f""""pack_bal_robust_s":${sm("pack_bal_robust")}%.2f,""" +
+        f""""bal_overhead":${sm("pack_bal_robust") / sm("pack_bal_default")}%.2f,""" +
+        f""""seed_robust_s":${sm("seed_robust")}%.2f,""" +
+        f""""append_1pct_robust_s":${sm("append_1pct_robust")}%.2f,""" +
+        f""""merged_digest_s":${sm("merged_digest")}%.2f,""" +
+        s""""digests_identical_both_distributions":true,""" +
+        s""""merged_equals_oneshot":true},""" +
+        s""""stream_join":{"hot_frac":0.5,"steps":$steps,""" +
+        s""""step_rows":$stepRows,"input_rows":${jr.inputViews + jr.inputClicks},""" +
+        s""""inner_pairs":${jr.innerPairs},"sealed_orphans":${jr.sealedOrphans},""" +
+        s""""max_state_rows":$maxState,""" +
+        f""""input_to_state_ratio":${(jr.inputViews + jr.inputClicks).toDouble / maxState}%.1f,""" +
+        s""""state_partitions":${jr.stateBytesByPartition.size},""" +
+        f""""hot_partition_state_share":$hotShare%.3f,""" +
+        f""""wall_s":${jr.wallS}%.1f,""" +
+        s""""inner_exact":true,"orphans_exact":true,"state_plateaus":true},""" +
+        s""""lsh":{"class_size":100000,"max_bucket":256,""" +
+        f""""capped_wall_s":${lm("lsh_capped_s")}%.1f,""" +
+        f""""hot_rep_wall_s":${lm("lsh_hot_s")}%.1f,""" +
+        s""""pairs_capped":${lm("pairs_capped").toLong},""" +
+        s""""pairs_hot_rep":${lm("pairs_hot").toLong},""" +
+        s""""class_detected_capped":${lm("detected_capped").toLong},""" +
+        s""""class_detected_hot_rep":${lm("detected_hot").toLong},""" +
+        f""""recall_capped":${lm("recall_capped")}%.4f,""" +
+        f""""recall_hot_rep":${lm("recall_hot")}%.4f,""" +
+        s""""hot_rep_recall_gate_0_999":true,"pair_volume_linear":true}}\n"""
+    Files.writeString(Paths.get(out), json)
+    println(s"[skewscale] wrote $out")
+    spark.stop()
+  }
+}

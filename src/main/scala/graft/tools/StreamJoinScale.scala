@@ -57,7 +57,8 @@ object StreamJoinScale {
   final case class Result(inputViews: Long, inputClicks: Long,
                           innerPairs: Long, sealedOrphans: Long,
                           series: Vector[StepStat], removedTotal: Long,
-                          wallS: Double)
+                          wallS: Double,
+                          stateBytesByPartition: Vector[Long] = Vector.empty)
 
   private val StepMs = 7200000L // 2 h event-time advance per trigger
   private val WindowMs = 21600000L // q172's 6 h admission interval
@@ -71,15 +72,39 @@ object StreamJoinScale {
 
   /** Drive `steps` triggers of the q172 join shape through a
     * MemoryStream pair, one micro-batch per trigger, recording the join
-    * operator's state size from each trigger's progress. */
-  def run(spark: SparkSession, steps: Int, stepRows: Int): Result = {
+    * operator's state size from each trigger's progress.
+    *
+    * `hotFrac > 0` is the SKEW variant (SKEW_SCALE.json): that fraction
+    * of each step's views carries ONE shared uid (the hot join key —
+    * a celebrity user, a null-ish default id), with a single hot click
+    * per step so the hot pair volume stays closed-form (each hot view
+    * matches the hot clicks of its own and the next two steps: the 6 h
+    * window spans 3 of the 2 h steps). Cold rows keep the balanced
+    * variant's shape. Key-partitioned state stores hash ALL hot-key
+    * rows to one partition by construction — the contract under skew is
+    * NOT balance but boundedness: the hot partition's state is
+    * O(horizon x hotFrac), never O(history), so the plateau and bound
+    * checks are unchanged while `stateBytesByPartition` records how
+    * lopsided the store actually got.
+    *
+    * `providerClass` optionally swaps the state store implementation
+    * for the run (e.g. RocksDB) and restores the previous value. */
+  def run(spark: SparkSession, steps: Int, stepRows: Int,
+          hotFrac: Double = 0.0,
+          providerClass: Option[String] = None): Result = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    require(steps >= 8 && stepRows >= 10 && stepRows % 10 == 0,
-      "need >=8 steps and stepRows a positive multiple of 10")
+    require(hotFrac >= 0.0 && hotFrac < 1.0, s"hotFrac in [0,1): $hotFrac")
+    val hotRows = math.round(stepRows * hotFrac).toInt
+    val coldRows = stepRows - hotRows
+    require(steps >= 8 && coldRows >= 10 && coldRows % 10 == 0,
+      "need >=8 steps and a cold share that is a positive multiple of 10")
     val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
     val noDataPrev = spark.conf.get(noData, "true")
     spark.conf.set(noData, "false")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val providerPrev = spark.conf.getOption(providerKey)
+    providerClass.foreach(spark.conf.set(providerKey, _))
     val ckpt = Files.createTempDirectory("graft_sjs_ckpt_")
     // numRowsRemoved is a per-BATCH delta: the per-step sampling below
     // keeps only a step's final batch (a step the free-running trigger
@@ -173,11 +198,18 @@ object StreamJoinScale {
       for (s <- 0 until steps) {
         val t = BaseMs + s.toLong * StepMs
         val base = s.toLong * stepRows
-        vm.addData((0 until stepRows).map(i => (base + i, base + i, t)))
-        cm.addData((0 until stepRows).filter(_ % 10 != 0)
-          .map(i => (base + i, base + i, t + ClickOffsetMs)))
+        // hot rows share uid -1 (never colliding with the non-negative
+        // cold/tick uids); ONE hot click per step keeps the hot pair
+        // count closed-form (see `check`)
+        vm.addData((0 until coldRows).map(i => (base + i, base + i, t)) ++
+          (0 until hotRows).map(i => (-1L, base + coldRows + i, t)))
+        cm.addData((0 until coldRows).filter(_ % 10 != 0)
+          .map(i => (base + i, base + i, t + ClickOffsetMs)) ++
+          (if (hotRows > 0)
+            Seq((-1L, base + stepRows.toLong, t + ClickOffsetMs))
+          else Seq.empty))
         views += stepRows
-        clicks += stepRows - stepRows / 10
+        clicks += coldRows - coldRows / 10 + (if (hotRows > 0) 1 else 0)
         q.processAllAvailable()
         series += stat(s)
       }
@@ -196,11 +228,28 @@ object StreamJoinScale {
       val wallS = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let the last progress event reach the listener
       q.stop()
+      // per-partition on-disk state footprint (all four join stores per
+      // partition summed) — the skew variant's balance evidence. File
+      // sizes include not-yet-swept delta history, so this is a SHAPE
+      // signal (hot-partition share), not an exact row count.
+      val stateRoot = new java.io.File(ckpt.toFile, "state/0")
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+      val partBytes = Option(stateRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("\\d+"))
+        .sortBy(_.getName.toInt).map(du).toVector
       Result(views, clicks, inner.get(), orphans.get(),
-        series.result(), removedTotal.get(), wallS)
+        series.result(), removedTotal.get(), wallS, partBytes)
     } finally {
       spark.streams.removeListener(listener)
       spark.conf.set(noData, noDataPrev)
+      providerClass.foreach { _ =>
+        providerPrev match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
@@ -212,9 +261,15 @@ object StreamJoinScale {
     * stepRows)`; shared by the main and the spec so both assert the
     * identical contract. */
   def check(r: Result, steps: Int, stepRows: Int,
-            stateBoundSteps: Int = 10): Unit = {
-    val orphPerStep = stepRows / 10
-    val expInner = steps.toLong * (stepRows - orphPerStep) + 2
+            stateBoundSteps: Int = 10, hotFrac: Double = 0.0): Unit = {
+    val hotRows = math.round(stepRows * hotFrac).toInt
+    val coldRows = stepRows - hotRows
+    val orphPerStep = coldRows / 10
+    // hot views at step s match the single hot click of steps
+    // s..min(s+2, steps-1): 3 each except the last two steps ->
+    // hotRows * (3*steps - 3) pairs; hot views never orphan
+    val expInner = steps.toLong * (coldRows - orphPerStep) +
+      hotRows.toLong * (3L * steps - 3) + 2
     val expOrphans = (steps - 4).toLong * orphPerStep
     require(r.innerPairs == expInner,
       s"inner pairs ${r.innerPairs} != expected $expInner")

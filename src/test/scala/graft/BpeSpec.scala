@@ -209,6 +209,49 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("packTokenIdsSkewRobust == packTokenIds bit-for-bit: fixture " +
+      "docs plus null ids and a null shard; incremental parity too") {
+    import graft.functions.BpeByteVocab
+    val base = spark.read.parquet(docsParquet)
+      .filter(col("text").isNotNull).limit(60)
+      .withColumn("__ids",
+        Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+      .select(col("doc_id"), col("source"), col("__ids"))
+    // degenerate rows the join form must keep grouping like the window
+    // form: a null ids array (packs as zero tokens) and a null shard
+    val extras = Seq(
+      (900001L, "a", null.asInstanceOf[Seq[Int]]),
+      (900002L, null.asInstanceOf[String], Seq(1, 2, 3)),
+      (900003L, null.asInstanceOf[String], Seq(4, 5)))
+      .toDF("doc_id", "source", "__ids")
+    val docs = base.unionByName(extras).localCheckpoint(true)
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        (r.getSeq[Int](2), r.getInt(3))).toMap
+    val a = keyed(Curate.packTokenIds(docs, "__ids", "doc_id",
+      budget = 512, shardCol = "source")
+      .select("source", "seq_id", "token_ids", "n_tokens").collect())
+    val b = keyed(Curate.packTokenIdsSkewRobust(docs, "__ids", "doc_id",
+      budget = 512, shardCol = "source")
+      .select("source", "seq_id", "token_ids", "n_tokens").collect())
+    assert(a == b, "skew-robust pack diverged from the window pack")
+    // incremental parity: same delta either way
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val cutoff = ids(ids.length / 2)
+    val existing = Curate.packTokenIds(
+        docs.filter(col("doc_id") <= cutoff), "__ids", "doc_id",
+        512, "source")
+      .localCheckpoint(true)
+    val fresh = docs.filter(col("doc_id") > cutoff)
+    val d1 = keyed(Curate.packTokenIdsIncremental(existing, fresh,
+      "__ids", "doc_id", 512, "source")
+      .select("source", "seq_id", "token_ids", "n_tokens").collect())
+    val d2 = keyed(Curate.packTokenIdsIncremental(existing, fresh,
+      "__ids", "doc_id", 512, "source", skewRobust = true)
+      .select("source", "seq_id", "token_ids", "n_tokens").collect())
+    assert(d1 == d2, "skew-robust incremental delta diverged")
+  }
+
   test("packTokenIdsIncremental: delta == full repack's new/changed " +
       "sequences; shipped full sequences never re-emit; tail tops up") {
     import graft.functions.BpeByteVocab

@@ -30,6 +30,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // disjoint vocab
   }
 
+  test("minhash hot-bucket rep verify: beyond-cap dense-class members " +
+      "pair with their bucket rep; emitted pairs subset of uncapped") {
+    // 8 near-identical docs (one token mutated each) + 2 unrelated:
+    // with maxBucket = 2 the cap alone loses members 3..8 of every
+    // bucket; hotBucketRep recovers them via the min-id rep
+    val tmpl = (0 until 20).map(i => s"t$i")
+    val dense = (0L until 8L).map(i =>
+      (i, tmpl.updated((i % 20).toInt, s"mut$i").mkString(" ")))
+    val other = Seq(
+      (100L, "aaa bbb ccc ddd eee fff ggg hhh iii jjj"),
+      (101L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq"))
+    val corpus = (dense ++ other).toDF("doc_id", "text")
+    def run(cap: Int, hot: Boolean) = Dedup.minhashPairs(corpus, "text",
+        "doc_id", numHashes = 32, bands = 8, threshold = 0.7,
+        shingleN = 1, maxBucket = cap, hotBucketRep = hot)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val uncapped = run(cap = 1024, hot = false)
+    val capped = run(cap = 2, hot = false)
+    val hotRep = run(cap = 2, hot = true)
+    val densely = (s: Set[(Long, Long)]) =>
+      s.flatMap(p => Seq(p._1, p._2)).filter(_ < 8L)
+    // the cap loses dense members; the rep path recovers ALL of them
+    assert(densely(capped).size < 8, s"cap did not bite: $capped")
+    assert(densely(hotRep) == (0L until 8L).toSet,
+      s"rep verify missed members: ${densely(hotRep)}")
+    // precision: never invents a pair the uncapped join wouldn't emit
+    assert(hotRep.subsetOf(uncapped), s"extra pairs: ${hotRep -- uncapped}")
+    assert(capped.subsetOf(hotRep), "hot path lost a within-cap pair")
+    // unrelated docs stay unpaired on every path
+    assert(!hotRep.exists(p => p._1 >= 100L || p._2 >= 100L))
+  }
+
   test("portableHash64: cross-engine known answer (DuckDB-verified)") {
     // SELECT CAST(concat('0x', substring(md5('abc'),1,15)) AS BIGINT)
     // = 648541476951500027 in DuckDB 1.0; '' = 955282973525019424

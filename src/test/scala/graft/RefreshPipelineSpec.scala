@@ -53,7 +53,7 @@ class RefreshPipelineSpec extends SparkSpec {
         .agg(sum(col("n_tokens").cast("long"))).as[Long].collect().head
       val after1 = storedTokens()
       assert(StoreFiles
-        .publishedDirs(s"$base/ledger", "b", StoreFiles.hasParquet)
+        .publishedDirs(s"$base/ledger", "b", StoreFiles.hasLedgerParquet)
         .map(_._1) == Seq(0L)) // the trigger's own ledger batch is up
       // RE-DELIVERY of trigger 0 with its ledger batch b0 already
       // published — exactly the state a crash between the ledger
@@ -189,6 +189,7 @@ class RefreshPipelineSpec extends SparkSpec {
     // on the cache, but not the shape under pin — so force SMJ.)
     val prevBroadcast =
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -203,7 +204,7 @@ class RefreshPipelineSpec extends SparkSpec {
       assert(!refSide.contains("Exchange") && !refSide.contains("Sort"),
         s"reference side re-shuffled or re-sorted:\n$refSide")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAdaptive)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
         prevBroadcast)
     }
@@ -240,6 +241,12 @@ class RefreshPipelineSpec extends SparkSpec {
     // empty-trigger advance keeps the sequence unbroken without a merge
     acc.advance(5L, None)
     assert(acc.bloomFor(6L, prior) eq blBroken)
+    // bootstrapping a FRESH store: an empty reference rebuilds to an
+    // empty bloom (nothing is a member) instead of the 0-row
+    // bloomFilter-aggregate NPE
+    val freshAcc = new RefreshPipeline.FingerprintBloom(0.01, 1000L)
+    val blEmpty = freshAcc.bloomFor(0L, prior.limit(0))
+    assert(!might(blEmpty, prior) && !might(blEmpty, b0))
   }
 
   test("the RefreshScale contract at spec scale: streamed chain == " +
@@ -254,6 +261,76 @@ class RefreshPipelineSpec extends SparkSpec {
       triggers = 3, batchRows = 100)
     graft.tools.RefreshScale.check(r)
     assert(r.accepted == 240 + 5, s"accepted ${r.accepted}")
+  }
+
+  test("pruned confirm ledger: batches publish prefix-partitioned, " +
+      "ledgerLeafPaths prunes by candidate prefix set and always keeps " +
+      "legacy unpartitioned batches whole") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rpl_")
+    try {
+      val prior = docsDF((1L, "a", "alpha bravo charlie delta"))
+      val benchmark = prior.limit(0)
+      ShardSink.append(spark,
+        prior.withColumn("__ids",
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
+        "__ids", "doc_id", 16, "source", s"$base/store")
+      val bloom = new RefreshPipeline.FingerprintBloom(0.01, 1000L)
+      def bloomTrigger(batch: org.apache.spark.sql.DataFrame,
+                       id: Long): Unit =
+        RefreshPipeline.processBatch(batch, id, prior, benchmark,
+          Dedup.exactFingerprints(prior, "text"),
+          Dedup.nearPostings(prior, "text", numHashes = 32, bands = 8,
+            mode = Dedup.Portable),
+          Dedup.ngramRefGrams(benchmark, "text", n = 5),
+          s"$base/store", s"$base/ledger", budget = 16,
+          shardCol = "source", idCol = "doc_id", textCol = "text",
+          numHashes = 32, bands = 8, threshold = 0.8, decontamN = 5,
+          minMatches = 2, indexDir = None, vecCol = "embedding",
+          bloomAcc = Some(bloom))
+      bloomTrigger(docsDF(
+        (5L, "a", "echo foxtrot golf hotel"),
+        (6L, "b", "india juliet kilo lima")), 0L)
+      // the published batch carries the partitioned layout
+      val b0 = new java.io.File(s"$base/ledger/b0")
+      val ppDirs = Option(b0.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("__pp="))
+      assert(ppDirs.nonEmpty, "ledger batch not prefix-partitioned")
+      assert(StoreFiles.hasLedgerParquet(b0))
+      // trigger 1 carries an exact dup of a trigger-0 ACCEPT: the
+      // pruned confirm join must still drop it (the dup's prefix
+      // partition is in the candidate set by construction)
+      bloomTrigger(docsDF(
+        (7L, "a", "echo foxtrot golf hotel"),
+        (8L, "b", "mike november oscar papa")), 1L)
+      val kept = ShardSink.read(spark, s"$base/store")
+        .select("seq_id").as[Long].collect().toSet
+      assert(!kept.isEmpty)
+      val b1 = spark.read.parquet(
+          RefreshPipeline.ledgerLeafPaths(
+            Seq(new java.io.File(s"$base/ledger/b1")), None): _*)
+        .count()
+      assert(b1 == 1L, s"trigger 1 accepted $b1 fps, want 1 (dup of " +
+        "the b0-accepted doc must be confirm-dropped via the pruned read)")
+      // path selection: the candidate prefix set keeps only matching
+      // __pp partitions; a legacy unpartitioned dir is kept whole
+      val prefixes = ppDirs.map(
+        _.getName.stripPrefix("__pp=").toInt).toSet
+      val somePrefix = prefixes.head
+      val pruned = RefreshPipeline.ledgerLeafPaths(
+        Seq(b0), Some(Set(somePrefix)))
+      assert(pruned.forall(_.endsWith(s"__pp=$somePrefix")),
+        s"pruned paths $pruned")
+      assert(RefreshPipeline.ledgerLeafPaths(
+        Seq(b0), Some(Set(-1))).isEmpty)
+      // legacy layout: an unpartitioned batch dir is never pruned
+      val legacy = new java.io.File(s"$base/legacy_ledger/b9")
+      Dedup.exactFingerprints(prior, "text")
+        .write.parquet(legacy.getAbsolutePath)
+      val withLegacy = RefreshPipeline.ledgerLeafPaths(
+        Seq(b0, legacy), Some(Set(-1)))
+      assert(withLegacy == Seq(legacy.getAbsolutePath),
+        s"legacy dir must survive pruning whole: $withLegacy")
+    } finally rmTree(base)
   }
 
   private def rmTree(base: java.nio.file.Path): Unit = {
