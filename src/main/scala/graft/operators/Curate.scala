@@ -572,8 +572,15 @@ object Curate {
           .orderBy(col("__ci"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__n")
+    // merge hint: left to itself Spark broadcasts one side and streams
+    // the other — and the streamed side is the WINDOW output, which
+    // sits on the hot shard's single partition, re-serializing exactly
+    // the explode this variant exists to distribute (measured: slower
+    // than the default under 90% skew). The SMJ exchanges BOTH sides
+    // on the per-doc join key, so the payload explode and the map side
+    // of the final grouping run cluster-wide regardless of shard skew.
     packFromCum(
-      base.join(cum, col(shardCol) <=> col("__cs")
+      base.hint("merge").join(cum, col(shardCol) <=> col("__cs")
           && col(idCol) <=> col("__ci"))
         .drop("__cs", "__ci"),
       budget, shardCol)
@@ -724,7 +731,9 @@ object Curate {
               .orderBy(col("__ci"))
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
           .drop("__n")
-        newBase.join(cum, col(shardCol) <=> col("__cs")
+        // merge hint: see packTokenIdsSkewRobust — a broadcast here
+        // streams the hot shard's window partition and re-serializes
+        newBase.hint("merge").join(cum, col(shardCol) <=> col("__cs")
             && col(idCol) <=> col("__ci"))
           .drop("__cs", "__ci")
       }

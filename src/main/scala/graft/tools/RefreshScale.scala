@@ -89,19 +89,19 @@ object RefreshScale {
   private val BenchN = 200L
 
   /** 30 deterministic 8-hex-char words from an identity string. */
-  private def wordsOf(identity: Column): Column =
+  private[graft] def wordsOf(identity: Column): Column =
     concat_ws(" ", transform(sequence(lit(0), lit(29)),
       i => substring(md5(concat(identity, lit(":"), i.cast("string"))),
         1, 8)))
 
-  private def priorDocs(spark: SparkSession, prior: Long): DataFrame =
+  private[graft] def priorDocs(spark: SparkSession, prior: Long): DataFrame =
     spark.range(prior).select(col("id").as("doc_id"))
       .withColumn("source",
         concat(lit("src"), pmod(col("doc_id"), lit(8L)).cast("string")))
       .withColumn("text",
         wordsOf(concat(lit("p"), col("doc_id").cast("string"))))
 
-  private def benchDocs(spark: SparkSession): DataFrame =
+  private[graft] def benchDocs(spark: SparkSession): DataFrame =
     spark.range(BenchN).select(col("id").as("bench_id"))
       .withColumn("text",
         wordsOf(concat(lit("b"), col("bench_id").cast("string"))))
@@ -138,14 +138,14 @@ object RefreshScale {
         text.as("text"))
   }
 
-  private def emb: Column =
+  private[graft] def emb: Column =
     transform(sequence(lit(0), lit(7)),
       i => sin(col("doc_id") * 3 + i).cast("float"))
 
   /** (count, wrapping sum of a 60-bit md5 prefix) over a single string
     * column — an order-independent set digest; both sides of each
     * equality are computed by this same function in-session. */
-  private def setDigest(df: DataFrame, c: Column): (Long, Long) = {
+  private[graft] def setDigest(df: DataFrame, c: Column): (Long, Long) = {
     val r = df.select(conv(substring(md5(c.cast("string")), 1, 15),
         16, 10).cast("long").as("__h"))
       .agg(count(lit(1)).cast("long").as("n"),

@@ -182,9 +182,14 @@ object SkewScale {
       val ((pairsHot, detHot, recallHot), hotS) =
         timed(detect(hot = true))
       // the cap's recall collapse is the finding; the rep verify is
-      // the mitigation; linear pair volume is the scale contract
-      require(recallCapped < 0.05,
-        f"capped recall $recallCapped%.4f unexpectedly high - the " +
+      // the mitigation; linear pair volume is the scale contract.
+      // Capped detection is bounded by ~bands x maxBucket DISTINCT ids
+      // (each band keeps its lowest-id 256 bucket members), so the
+      // expected capped recall is ~(8 x 256)/class — the gate scales
+      // with the class instead of assuming the committed 100k size
+      val cappedBound = math.min(0.9, 1.2 * 8 * 256 / classSize + 0.02)
+      require(recallCapped <= cappedBound,
+        f"capped recall $recallCapped%.4f above $cappedBound%.4f - the " +
           "skew fixture no longer exercises the cap")
       require(recallHot >= 0.999,
         f"hot-bucket rep recall $recallHot%.4f < 0.999")
@@ -203,8 +208,19 @@ object SkewScale {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val out = args.lift(1).getOrElse("SKEW_SCALE.json")
+    // join feed size and LSH class scale with the corpus argument so a
+    // small-n smoke exercises every block end-to-end in minutes; the
+    // committed artifact runs the defaults (400 x 5000, 100k class)
+    val steps = args.lift(2).map(_.toInt).getOrElse(400)
+    val stepRows = args.lift(3).map(_.toInt).getOrElse(5000)
+    val classSize = math.max(1000L, math.min(100000L, n / 10))
     val scaleRuns =
       sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
+    // block filter (default all): re-measure one block on a quiet host
+    // without paying for the other two; the artifact stitcher merges
+    val blocks = sys.env.get("GRAFT_SKEW_BLOCKS")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("shard", "join", "lsh"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.driver.memory", "48g")
@@ -216,42 +232,13 @@ object SkewScale {
     spark.sparkContext.setLogLevel("ERROR")
 
     // 1. shard skew (min-over-N per metric, contracts required per pass)
-    val shardPer = (1 to scaleRuns).map(_ => shardOnce(spark, n))
-    val sm = shardPer.head.keys
-      .map(k => k -> shardPer.map(_(k)).min).toMap
-    println(f"[skewscale] shard n=$n " + sm.toSeq.sortBy(_._1)
-      .map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
-
-    // 2. stream-join hot key: 50% of views on one uid, 400 triggers
-    val steps = 400; val stepRows = 5000
-    val joinPer = (1 to scaleRuns).map { i =>
-      val r = StreamJoinScale.run(spark, steps, stepRows, hotFrac = 0.5)
-      StreamJoinScale.check(r, steps, stepRows, hotFrac = 0.5)
-      println(f"[skewscale] join pass $i wall=${r.wallS}%.1fs")
-      r
-    }
-    require(joinPer.map(r => (r.innerPairs, r.sealedOrphans))
-      .distinct.size == 1, "non-deterministic hot-key join output")
-    val jr = joinPer.minBy(_.wallS)
-    val maxState = jr.series.map(_.stateRows).max
-    val stTot = jr.stateBytesByPartition.sum.toDouble
-    val hotShare =
-      if (stTot == 0) 0.0
-      else jr.stateBytesByPartition.max / stTot
-
-    // 3. LSH dense class
-    val lshPer = (1 to scaleRuns).map(_ =>
-      lshOnce(spark, n, classSize = 100000L))
-    val lm = lshPer.head.keys
-      .map(k => k -> lshPer.map(_(k)).min).toMap
-    println(f"[skewscale] lsh recall_capped=${lm("recall_capped")}%.4f " +
-      f"recall_hot=${lm("recall_hot")}%.4f")
-
-    val json =
-      s"""{"recipe":"Zipfian skew evidence: 90%%-hot shard pack/store, """ +
-        s"""50%%-hot-key stream join, 100k dense LSH class","n":$n,""" +
-        s""""runs":$scaleRuns,""" +
-        s""""shard":{"hot_pct":90,"n_shards":200,""" +
+    val shardJson: Option[String] = if (!blocks("shard")) None else {
+      val shardPer = (1 to scaleRuns).map(_ => shardOnce(spark, n))
+      val sm = shardPer.head.keys
+        .map(k => k -> shardPer.map(_(k)).min).toMap
+      println(f"[skewscale] shard n=$n " + sm.toSeq.sortBy(_._1)
+        .map { case (k, v) => f"$k=$v%.2fs" }.mkString(" "))
+      Some(s""""shard":{"hot_pct":90,"n_shards":200,""" +
         f""""pack_skew_default_s":${sm("pack_skew_default")}%.2f,""" +
         f""""pack_skew_robust_s":${sm("pack_skew_robust")}%.2f,""" +
         f""""skew_speedup":${sm("pack_skew_default") / sm("pack_skew_robust")}%.2f,""" +
@@ -262,8 +249,31 @@ object SkewScale {
         f""""append_1pct_robust_s":${sm("append_1pct_robust")}%.2f,""" +
         f""""merged_digest_s":${sm("merged_digest")}%.2f,""" +
         s""""digests_identical_both_distributions":true,""" +
-        s""""merged_equals_oneshot":true},""" +
-        s""""stream_join":{"hot_frac":0.5,"steps":$steps,""" +
+        s""""merged_equals_oneshot":true}""")
+    }
+
+    // 2. stream-join hot key: 50% of views on one uid
+    val joinJson: Option[String] = if (!blocks("join")) None else {
+      val joinRuns = sys.env.get("GRAFT_SKEW_JOIN_RUNS")
+        .map(_.toInt).getOrElse(1) // the 400-trigger feed dominates
+        // wall; its contracts are exact counts, so one gated pass is
+        // evidence
+      val joinPer = (1 to joinRuns).map { i =>
+        val r = StreamJoinScale.run(spark, steps, stepRows, hotFrac = 0.5)
+        StreamJoinScale.check(r, steps, stepRows, hotFrac = 0.5)
+        println(f"[skewscale] join pass $i wall=${r.wallS}%.1fs")
+        r
+      }
+      require(joinPer.map(r => (r.innerPairs, r.sealedOrphans))
+        .distinct.size == 1, "non-deterministic hot-key join output")
+      val jr = joinPer.minBy(_.wallS)
+      val maxState = jr.series.map(_.stateRows).max
+      val stTot = jr.stateBytesByPartition.sum.toDouble
+      val hotShare =
+        if (stTot == 0) 0.0
+        else jr.stateBytesByPartition.max / stTot
+      Some(s""""stream_join":{"hot_frac":0.5,"runs":$joinRuns,""" +
+        s""""steps":$steps,""" +
         s""""step_rows":$stepRows,"input_rows":${jr.inputViews + jr.inputClicks},""" +
         s""""inner_pairs":${jr.innerPairs},"sealed_orphans":${jr.sealedOrphans},""" +
         s""""max_state_rows":$maxState,""" +
@@ -271,8 +281,18 @@ object SkewScale {
         s""""state_partitions":${jr.stateBytesByPartition.size},""" +
         f""""hot_partition_state_share":$hotShare%.3f,""" +
         f""""wall_s":${jr.wallS}%.1f,""" +
-        s""""inner_exact":true,"orphans_exact":true,"state_plateaus":true},""" +
-        s""""lsh":{"class_size":100000,"max_bucket":256,""" +
+        s""""inner_exact":true,"orphans_exact":true,"state_plateaus":true}""")
+    }
+
+    // 3. LSH dense class
+    val lshJson: Option[String] = if (!blocks("lsh")) None else {
+      val lshPer = (1 to scaleRuns).map(_ =>
+        lshOnce(spark, n, classSize))
+      val lm = lshPer.head.keys
+        .map(k => k -> lshPer.map(_(k)).min).toMap
+      println(f"[skewscale] lsh recall_capped=${lm("recall_capped")}%.4f " +
+        f"recall_hot=${lm("recall_hot")}%.4f")
+      Some(s""""lsh":{"class_size":$classSize,"max_bucket":256,""" +
         f""""capped_wall_s":${lm("lsh_capped_s")}%.1f,""" +
         f""""hot_rep_wall_s":${lm("lsh_hot_s")}%.1f,""" +
         s""""pairs_capped":${lm("pairs_capped").toLong},""" +
@@ -281,7 +301,15 @@ object SkewScale {
         s""""class_detected_hot_rep":${lm("detected_hot").toLong},""" +
         f""""recall_capped":${lm("recall_capped")}%.4f,""" +
         f""""recall_hot_rep":${lm("recall_hot")}%.4f,""" +
-        s""""hot_rep_recall_gate_0_999":true,"pair_volume_linear":true}}\n"""
+        s""""hot_rep_recall_gate_0_999":true,"pair_volume_linear":true}""")
+    }
+
+    val json =
+      s"""{"recipe":"Zipfian skew evidence: 90pct-hot shard pack/store, """ +
+        s"""50pct-hot-key stream join, dense LSH class","n":$n,""" +
+        s""""runs":$scaleRuns,""" +
+        Seq(shardJson, joinJson, lshJson).flatten.mkString(",") +
+        "}\n"
     Files.writeString(Paths.get(out), json)
     println(s"[skewscale] wrote $out")
     spark.stop()
