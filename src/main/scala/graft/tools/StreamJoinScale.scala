@@ -301,7 +301,55 @@ object StreamJoinScale {
     ()
   }
 
+  /** The RocksDB leg alone, against the COMMITTED default-provider
+    * artifact: the join's output is closed-form in (steps, stepRows)
+    * — [[check]] requires the exact inner/orphan counts — so one gated
+    * RocksDB pass proves "same contracts, different state store"
+    * without re-paying the default passes STREAMJOIN_SCALE.json
+    * already holds. Usage: runMain graft.tools.StreamJoinScale rocks
+    * [steps] [stepRows] [out] (also reachable via the full main, which
+    * appends a rocks pass to every regeneration). */
+  private def rocksOnly(args: Array[String]): Unit = {
+    val steps = args.lift(1).map(_.toInt).getOrElse(400)
+    val stepRows = args.lift(2).map(_.toInt).getOrElse(5000)
+    val out = args.lift(3).getOrElse("STREAMJOIN_ROCKSDB.json")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.driver.memory", "48g")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val r = run(spark, steps, stepRows, providerClass = Some(
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider"))
+    check(r, steps, stepRows)
+    val maxState = r.series.map(_.stateRows).max
+    val json =
+      s"""{"recipe":"the STREAMJOIN_SCALE feed under the RocksDB """ +
+        s"""state store provider - identical closed-form contracts """ +
+        s"""(exact inner/orphan counts, watermark-bounded plateau) """ +
+        s"""required in-run; compare wall/state to the committed """ +
+        s"""default-provider artifact","provider":"RocksDBStateStore""" +
+        s"""Provider","steps":$steps,"step_rows":$stepRows,""" +
+        s""""input_rows":${r.inputViews + r.inputClicks},""" +
+        s""""inner_pairs":${r.innerPairs},""" +
+        s""""sealed_orphans":${r.sealedOrphans},""" +
+        s""""max_state_rows":$maxState,""" +
+        s""""state_removed_total":${r.removedTotal},""" +
+        f""""wall_s":${r.wallS}%.1f,""" +
+        s""""inner_exact":true,"orphans_exact":true,""" +
+        s""""state_plateaus":true}\n"""
+    Files.writeString(Paths.get(out), json)
+    println(f"[streamjoinscale] rocks wall=${r.wallS}%.1fs " +
+      f"max_state=$maxState inner=${r.innerPairs}")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("rocks")) { rocksOnly(args); return }
     val steps = args.headOption.map(_.toInt).getOrElse(400)
     val stepRows = args.lift(1).map(_.toInt).getOrElse(5000)
     val out = args.lift(2).getOrElse("STREAMJOIN_SCALE.json")
