@@ -135,37 +135,59 @@ object RefreshPipeline {
       }
   }
 
-  /** Fingerprint-prefix partition count for the ledger layout. Each
-    * ledger batch is written `partitionBy("__pp")` with
-    * `__pp = pmod(xxhash64(__pfp), LedgerPartitions)`, so a trigger's
-    * confirm join reads ONLY the partitions its bloom-positive
-    * candidates hash into — the last O(accepted-history) per-trigger
-    * term, bounded to O(min(candidates, P)/P × history) read volume.
-    * At steady state candidates ≈ fpp × batch (plus true dups), so a
-    * small trigger touches a small fraction of the history's bytes
-    * and file handles. 64 balances prune granularity against
-    * files-per-batch (≤ 64 tiny files per trigger, folded away by
-    * nothing — fingerprints are the retention-exempt history). */
-  private[graft] val LedgerPartitions = 64
+  /** Fingerprint-prefix space for the ledger's prune metadata: each
+    * batch dir carries a [[PrefixMarker]] sidecar holding the 64-bit
+    * BITMAP of `pmod(xxhash64(__pfp), 64)` prefixes its fingerprints
+    * occupy, and a trigger's confirm join skips WHOLE batches provably
+    * disjoint from its bloom-positive candidates' prefix set.
+    *
+    * Why a bitmap sidecar and not a `partitionBy` layout: this term
+    * only prunes when the candidate set is SMALLER than the prefix
+    * space — at realistic batch sizes (20k+ rows, candidates = fpp x
+    * batch + true dups) every prefix is occupied on both sides and NO
+    * layout can reduce the bytes read, while a 64-way partitioned
+    * write multiplies the history's FILE count 64x and with it every
+    * later trigger's open/footer overhead (measured: 24-trigger drain
+    * 189 s -> 270 s, flatness 1.15 -> 1.43 — REFRESH_SLOPE.json's
+    * partitioned_ledger_regression block). The sidecar is free at
+    * write (one 16-char marker), free at read (one marker per batch),
+    * prunes exactly the batches information theory allows, and keeps
+    * one parquet file per batch. */
+  private[graft] val LedgerPrefixSpace = 64
 
-  /** Leaf parquet paths of the given ledger batch dirs, pruned to the
-    * `__pp=K` partitions in `prefixes` when given (None = all leaves —
-    * the bloom-rebuild reference must cover everything). A batch dir
-    * with no `__pp=` subdirs is a legacy unpartitioned batch (or a
-    * layout this code didn't write) and is always included whole:
-    * pruning only ever skips partitions PROVEN disjoint from the
-    * candidates. */
+  /** Sidecar marker name: `bits=<16-hex-char bitmap>`. */
+  private[graft] val PrefixMarker = "_graft_prefixes"
+
+  /** Paths of the given ledger batch dirs, pruned to those whose
+    * prefix bitmap intersects `prefixes` when given (None = all — the
+    * bloom-rebuild reference must cover everything). Legacy layouts
+    * degrade safely: a round-13.0 `__pp=K`-partitioned batch prunes at
+    * the partition level; a batch with neither marker nor partitions
+    * is always included whole. Pruning only ever skips data PROVEN
+    * disjoint from the candidates. */
   private[graft] def ledgerLeafPaths(dirs: Seq[java.io.File],
       prefixes: Option[Set[Int]]): Seq[String] =
     dirs.flatMap { d =>
       val pp = Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("__pp=")
           && f.getName.stripPrefix("__pp=").matches("\\d+"))
-      if (pp.isEmpty) Seq(d.getAbsolutePath)
-      else {
+      if (pp.nonEmpty) {
         val keep = prefixes.fold(pp)(ks => pp.filter(f =>
           ks.contains(f.getName.stripPrefix("__pp=").toInt)))
         keep.map(_.getAbsolutePath).toSeq
+      } else {
+        val bits = StoreFiles
+          .readMarker(new java.io.File(d, PrefixMarker))
+          .flatMap(_.get("bits"))
+          .map(h => java.lang.Long.parseUnsignedLong(h, 16))
+        val hit = (prefixes, bits) match {
+          case (Some(ks), Some(b)) => ks.exists(k =>
+            // range-guarded: JVM shifts are mod-64, so an out-of-range
+            // k would alias a real bit instead of matching nothing
+            k >= 0 && k < LedgerPrefixSpace && (b >>> k & 1L) == 1L)
+          case _ => true // no candidate set or no marker: keep whole
+        }
+        if (hit) Seq(d.getAbsolutePath) else Seq.empty
       }
     }
 
@@ -236,14 +258,31 @@ object RefreshPipeline {
           .map(priorFps.unionByName(_)) // only scanned on a seq break
           .getOrElse(priorFps)
         val bloom = acc.bloomFor(batchId, refFps)
+        // the candidate-prefix pass (one O(batch) row-local job) is
+        // only worth running when some batch is PRUNABLE: markers are
+        // ~free to read, so check them first — a history of dense
+        // bitmaps (large accepted batches occupy every prefix) cannot
+        // be pruned by any candidate set, and the job would be pure
+        // per-trigger overhead (the partitioned-ledger lesson,
+        // REFRESH_SLOPE.json)
+        val anyPrunable = earlier.exists { d =>
+          val marker = StoreFiles
+            .readMarker(new java.io.File(d, PrefixMarker))
+            .flatMap(_.get("bits"))
+            .map(h => java.lang.Long.parseUnsignedLong(h, 16))
+          marker.exists(b =>
+            java.lang.Long.bitCount(b) <= LedgerPrefixSpace / 2) ||
+            Option(d.listFiles()).getOrElse(Array.empty)
+              .exists(f => f.isDirectory && f.getName.startsWith("__pp="))
+        }
         val confirmLedger =
           if (earlier.isEmpty) None
+          else if (!anyPrunable) ledgerFps(None)
           else {
-            // one O(batch) row-local pass collecting <= LedgerPartitions
-            // ints: the candidate prefix set. A confirm-side match has
-            // an EQUAL fingerprint, hence an equal prefix, so pruned
-            // partitions are provably match-free; bloom-negative rows
-            // bypass the confirm join entirely and need no coverage.
+            // the candidate prefix set: a confirm-side match has an
+            // EQUAL fingerprint, hence an equal prefix, so pruned
+            // batches are provably match-free; bloom-negative rows
+            // bypass the confirm join entirely and need no coverage
             import org.apache.spark.sql.graftglue.GraftGlue
             val fps = b0.select(graft.functions.TextFunctions
               .fingerprint(col(textCol)).as("__fp"))
@@ -253,7 +292,7 @@ object RefreshPipeline {
             val prefixes = fps
               .filter(col("__fp").isNotNull && probe)
               .select(pmod(xxhash64(col("__fp")),
-                lit(LedgerPartitions.toLong)).cast("int").as("__pp"))
+                lit(LedgerPrefixSpace.toLong)).cast("int").as("__pp"))
               .distinct().collect().map(_.getInt(0)).toSet
             ledgerFps(Some(prefixes))
           }
@@ -318,14 +357,21 @@ object RefreshPipeline {
       staged("ledger") { StoreFiles.publishOnce(
         s"$ledgerDir/.staging-b$batchId",
         new java.io.File(s"$ledgerDir/b$batchId"), { staging =>
-          // prefix-partitioned layout (see LedgerPartitions): the
-          // repartition keys the tiny fingerprint frame by __pp so
-          // each partition value lands in ONE file, not one per task
-          acceptedFps
-            .withColumn("__pp", pmod(xxhash64(col("__pfp")),
-              lit(LedgerPartitions.toLong)).cast("int"))
-            .repartition(col("__pp"))
-            .write.mode("overwrite").partitionBy("__pp").parquet(staging)
+          // ONE file per batch (the fingerprint frame is tiny) plus
+          // the prefix-bitmap sidecar the confirm read prunes on —
+          // written INSIDE the staging dir so the rename publishes
+          // both atomically; underscore-prefixed, so the parquet
+          // reader never sees it (see LedgerPrefixSpace)
+          acceptedFps.repartition(1)
+            .write.mode("overwrite").parquet(staging)
+          val bitmap = acceptedFps
+            .select(expr(s"shiftleft(1L, int(pmod(xxhash64(__pfp), " +
+              s"$LedgerPrefixSpace)))").as("__b"))
+            .agg(coalesce(bit_or(col("__b")), lit(0L)))
+            .collect()(0).getLong(0)
+          StoreFiles.writeMarker(
+            new java.io.File(staging, PrefixMarker),
+            Seq(f"bits=$bitmap%016x"))
         }) }
       // merge AFTER the ledger publish: a trigger that fails anywhere
       // above leaves the bloom at its pre-trigger state, so the retry

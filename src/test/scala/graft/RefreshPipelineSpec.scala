@@ -290,11 +290,19 @@ class RefreshPipelineSpec extends SparkSpec {
       bloomTrigger(docsDF(
         (5L, "a", "echo foxtrot golf hotel"),
         (6L, "b", "india juliet kilo lima")), 0L)
-      // the published batch carries the partitioned layout
+      // the published batch carries ONE parquet file plus the prefix
+      // bitmap sidecar, atomically (both were inside the staged dir)
       val b0 = new java.io.File(s"$base/ledger/b0")
-      val ppDirs = Option(b0.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("__pp="))
-      assert(ppDirs.nonEmpty, "ledger batch not prefix-partitioned")
+      val marker = StoreFiles.readMarker(
+        new java.io.File(b0, RefreshPipeline.PrefixMarker))
+      assert(marker.exists(_.contains("bits")),
+        "ledger batch missing its prefix bitmap sidecar")
+      val bits = java.lang.Long.parseUnsignedLong(
+        marker.get("bits"), 16)
+      assert(bits != 0L, "accepted batch must occupy some prefix")
+      assert(Option(b0.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet")) == 1,
+        "ledger batch should be one parquet file")
       assert(StoreFiles.hasLedgerParquet(b0))
       // trigger 1 carries an exact dup of a trigger-0 ACCEPT: the
       // pruned confirm join must still drop it (the dup's prefix
@@ -311,25 +319,93 @@ class RefreshPipelineSpec extends SparkSpec {
         .count()
       assert(b1 == 1L, s"trigger 1 accepted $b1 fps, want 1 (dup of " +
         "the b0-accepted doc must be confirm-dropped via the pruned read)")
-      // path selection: the candidate prefix set keeps only matching
-      // __pp partitions; a legacy unpartitioned dir is kept whole
-      val prefixes = ppDirs.map(
-        _.getName.stripPrefix("__pp=").toInt).toSet
-      val somePrefix = prefixes.head
-      val pruned = RefreshPipeline.ledgerLeafPaths(
-        Seq(b0), Some(Set(somePrefix)))
-      assert(pruned.forall(_.endsWith(s"__pp=$somePrefix")),
-        s"pruned paths $pruned")
+      // batch selection: a batch whose bitmap intersects the candidate
+      // prefix set is kept WHOLE; a provably disjoint one is skipped;
+      // None (the bloom-rebuild reference) always keeps everything
+      val occupied = (0 until 64).filter(k => (bits >>> k & 1L) == 1L)
       assert(RefreshPipeline.ledgerLeafPaths(
-        Seq(b0), Some(Set(-1))).isEmpty)
-      // legacy layout: an unpartitioned batch dir is never pruned
+        Seq(b0), Some(Set(occupied.head)))
+        == Seq(b0.getAbsolutePath))
+      val disjoint = (0 until 64).toSet -- occupied.toSet
+      if (disjoint.nonEmpty)
+        assert(RefreshPipeline.ledgerLeafPaths(
+          Seq(b0), Some(Set(disjoint.head))).isEmpty,
+          "disjoint-prefix batch should be skipped whole")
+      assert(RefreshPipeline.ledgerLeafPaths(Seq(b0), None)
+        == Seq(b0.getAbsolutePath))
+      // legacy layouts degrade safely: a marker-less dir is never
+      // pruned; a round-13.0 __pp=K partitioned dir prunes by subdir
       val legacy = new java.io.File(s"$base/legacy_ledger/b9")
       Dedup.exactFingerprints(prior, "text")
         .write.parquet(legacy.getAbsolutePath)
       val withLegacy = RefreshPipeline.ledgerLeafPaths(
-        Seq(b0, legacy), Some(Set(-1)))
+        Seq(b0, legacy), Some(Set(disjoint.head)))
       assert(withLegacy == Seq(legacy.getAbsolutePath),
         s"legacy dir must survive pruning whole: $withLegacy")
+      val partitioned = new java.io.File(s"$base/legacy_pp/b8")
+      Dedup.exactFingerprints(prior, "text")
+        .withColumn("__pp", lit(5))
+        .write.partitionBy("__pp").parquet(partitioned.getAbsolutePath)
+      assert(RefreshPipeline.ledgerLeafPaths(
+          Seq(partitioned), Some(Set(5)))
+        == Seq(new java.io.File(partitioned, "__pp=5").getAbsolutePath))
+      assert(RefreshPipeline.ledgerLeafPaths(
+        Seq(partitioned), Some(Set(6))).isEmpty)
+    } finally rmTree(base)
+  }
+
+  test("empty trigger short-circuit: a no-data batch commits nothing " +
+      "(no store version, no ledger batch) and later triggers' keys " +
+      "and dedup reference are unaffected") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rpe_")
+    try {
+      val prior = docsDF((1L, "a", "alpha bravo charlie delta"))
+      val benchmark = prior.limit(0)
+      ShardSink.append(spark,
+        prior.withColumn("__ids",
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
+        "__ids", "doc_id", 16, "source", s"$base/store")
+      val bloom = new RefreshPipeline.FingerprintBloom(0.01, 1000L)
+      def bloomTrigger(batch: org.apache.spark.sql.DataFrame,
+                       id: Long): Unit =
+        RefreshPipeline.processBatch(batch, id, prior, benchmark,
+          Dedup.exactFingerprints(prior, "text"),
+          Dedup.nearPostings(prior, "text", numHashes = 32, bands = 8,
+            mode = Dedup.Portable),
+          Dedup.ngramRefGrams(benchmark, "text", n = 5),
+          s"$base/store", s"$base/ledger", budget = 16,
+          shardCol = "source", idCol = "doc_id", textCol = "text",
+          numHashes = 32, bands = 8, threshold = 0.8, decontamN = 5,
+          minMatches = 2, indexDir = None, vecCol = "embedding",
+          bloomAcc = Some(bloom))
+      bloomTrigger(docsDF((5L, "a", "echo foxtrot golf hotel")), 0L)
+      // trigger 1 is the watermark-flush no-data batch
+      bloomTrigger(docsDF().limit(0), 1L)
+      def storeVersions() = new java.io.File(s"$base/store").listFiles()
+        .filter(_.getName.matches("v\\d+")).map(_.getName).sorted.toSeq
+      def ledgerBatches() = StoreFiles
+        .publishedDirs(s"$base/ledger", "b", StoreFiles.hasLedgerParquet)
+        .map(_._1)
+      assert(storeVersions() == Seq("v0", "v1"),
+        s"empty trigger committed a store version: ${storeVersions()}")
+      assert(ledgerBatches() == Seq(0L),
+        s"empty trigger published a ledger batch: ${ledgerBatches()}")
+      // trigger 2 commits under ITS OWN keys (v3 / b2 — the gap reads
+      // as "nothing arrived") and still dedups against b0's accepts
+      bloomTrigger(docsDF(
+        (7L, "a", "echo foxtrot golf hotel"),   // dup of b0's accept
+        (8L, "b", "india juliet kilo lima")), 2L)
+      assert(storeVersions() == Seq("v0", "v1", "v3"),
+        s"trigger 2 should commit v3: ${storeVersions()}")
+      assert(ledgerBatches() == Seq(0L, 2L))
+      val b2 = spark.read.parquet(RefreshPipeline.ledgerLeafPaths(
+        Seq(new java.io.File(s"$base/ledger/b2")), None): _*).count()
+      assert(b2 == 1L,
+        s"dup of the b0 accept must still be confirm-dropped, got $b2")
+      // re-delivery of the empty trigger stays a no-op
+      bloomTrigger(docsDF().limit(0), 1L)
+      assert(storeVersions() == Seq("v0", "v1", "v3")
+        && ledgerBatches() == Seq(0L, 2L))
     } finally rmTree(base)
   }
 
