@@ -263,9 +263,9 @@ class RefreshPipelineSpec extends SparkSpec {
     assert(r.accepted == 240 + 5, s"accepted ${r.accepted}")
   }
 
-  test("pruned confirm ledger: batches publish prefix-partitioned, " +
-      "ledgerLeafPaths prunes by candidate prefix set and always keeps " +
-      "legacy unpartitioned batches whole") {
+  test("pruned confirm ledger: batches publish one file + a prefix " +
+      "bitmap sidecar, ledgerLeafPaths skips candidate-disjoint batches " +
+      "whole and keeps both legacy layouts readable") {
     val base = java.nio.file.Files.createTempDirectory("graft_rpl_")
     try {
       val prior = docsDF((1L, "a", "alpha bravo charlie delta"))
