@@ -503,6 +503,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    "q178_hot_bucket_clusters" -> ((s, dir) => {
+      // a dense class LARGER than the cap must stay ONE cluster: the
+      // star around each bucket's min-id rep (hotBucketRep) is exactly
+      // the connectivity connected components needs — without it the
+      // cap fragments the class into bucket-sized islands, and the
+      // composite consumers (semanticPrune/keepBestPerCluster) keep
+      // one survivor per ISLAND instead of one per class
+      val pairs = Dedup.minhashPairs(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", numHashes = 32, bands = 8,
+        threshold = 0.3, shingleN = 1, maxBucket = 4,
+        mode = Dedup.Portable, hotBucketRep = true)
+      Dedup.clusters(pairs)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    }),
+
     "q27_simhash" -> ((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id",
         mode = Dedup.Portable)
@@ -5576,13 +5592,13 @@ dim_users_litify AS (
     * representative-verify path — beyond-cap members pair with their
     * bucket's rn=1 (min-id) rep; UNION dedups pairs surfacing on both
     * paths; the signature-agreement estimate and threshold are shared. */
-  private def q177OracleSql: String = {
+  private def q177PairCtes: String = {
     val mix = Dedup.mixConstants(32)
     val sigList = (0 until 32).map { j =>
       val (a, b) = mix(j)
       s"list_min(list_transform(hs, h -> ${duckMix("h", a, b)}))"
     }.mkString("[", ", ", "]")
-    s"""WITH docs AS (SELECT doc_id AS id, text FROM documents
+    s"""docs AS (SELECT doc_id AS id, text FROM documents
        |  WHERE doc_id % 10 = 0 AND text IS NOT NULL),
        |norm AS (SELECT id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm FROM docs),
        |base AS (SELECT id, nrm, MIN(id) OVER (PARTITION BY md5(nrm)) AS rep FROM norm),
@@ -5611,10 +5627,28 @@ dim_users_litify AS (
        |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est
        |  FROM allc c JOIN sig sa ON sa.id = c.a JOIN sig sb ON sb.id = c.b),
        |pairs AS (SELECT a, b, est FROM est0 WHERE est >= 0.3
-       |  UNION ALL SELECT a, b, est FROM exact_pairs)
+       |  UNION ALL SELECT a, b, est FROM exact_pairs)""".stripMargin
+  }
+
+  private def q177OracleSql: String =
+    s"""WITH $q177PairCtes
        |SELECT CAST(FLOOR(est * 10) AS BIGINT) AS jac_bucket, COUNT(1) AS n_pairs
        |FROM pairs GROUP BY 1""".stripMargin
-  }
+
+  /** q178: q48's recursive-CTE transitive closure over q177's
+    * hot-bucket pair graph — the composition that proves a dense
+    * (beyond-cap) class stays ONE cluster when the star around each
+    * bucket's representative feeds connected components. */
+  private def q178OracleSql: String =
+    s"""WITH RECURSIVE $q177PairCtes,
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT a AS id, a AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+       |SELECT cluster, COUNT(1) AS n_members
+       |FROM (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+       |GROUP BY 1""".stripMargin
 
   /** Transitive closure of the pair graph via a recursive CTE: cluster =
     * min reachable id, mirroring Dedup.clusters' label propagation. */
@@ -6173,6 +6207,7 @@ dim_users_litify AS (
     "q25_minhash_signatures" -> q25OracleSql,
     "q26_minhash_pairs" -> q26OracleSql,
     "q177_minhash_hot_bucket" -> q177OracleSql,
+    "q178_hot_bucket_clusters" -> q178OracleSql,
     "q27_simhash" -> q27OracleSql,
     "q37_simhash_pairs" -> q37OracleSql,
     "q34_multimodal_features" -> q34OracleSql,

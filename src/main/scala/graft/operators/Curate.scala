@@ -555,23 +555,17 @@ object Curate {
     * this form when one shard holds more than ~a third of the corpus;
     * prefer [[packTokenIds]] otherwise. Rows must be unique on
     * (shardCol, idCol) — the offset join would multiply duplicates the
-    * window form would have packed as separate rows. */
+    * window form would have packed as separate rows; violations FAIL
+    * LOUDLY at execution (an in-plan guard window, see [[skewCum]]),
+    * never silently inflate packed shards. */
   def packTokenIdsSkewRobust(df: DataFrame, idsCol: String, idCol: String,
                              budget: Int, shardCol: String): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(shardCol), col(idCol),
       coalesce(col(idsCol), array().cast("array<int>")).as("__ids"))
     // null-safe join keys (<=>): a null shard or id groups in the
     // window form and must survive the join form identically
-    val cum = base
-      .select(col(shardCol).as("__cs"), col(idCol).as("__ci"),
-        size(col("__ids")).cast("long").as("__n"))
-      .withColumn("__cum", coalesce(
-        sum(col("__n")).over(Window.partitionBy(col("__cs"))
-          .orderBy(col("__ci"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__n")
+    val cum = skewCum(base, shardCol, idCol, "packTokenIdsSkewRobust")
     // merge hint: left to itself Spark broadcasts one side and streams
     // the other — and the streamed side is the WINDOW output, which
     // sits on the hot shard's single partition, re-serializing exactly
@@ -584,6 +578,41 @@ object Curate {
           && col(idCol) <=> col("__ci"))
         .drop("__cs", "__ci"),
       budget, shardCol)
+  }
+
+  /** The narrow skew-robust running-count frame both skew-robust entry
+    * points share: (`__cs`, `__ci`, `__cum`) — the shard-ordered running
+    * token count, computed WITHOUT the payload riding the skewed window.
+    *
+    * Guards the documented unique-(shard, id) precondition IN-PLAN: the
+    * offset join downstream would silently MULTIPLY a duplicate key's
+    * payload rows (the window form packs them as separate documents),
+    * and through `ShardSink.append(skewRobust = true)` that corrupts
+    * persistent token mass with no error — so a duplicate key raises at
+    * execution instead. The guard is a `count(*) over (shard, id)`
+    * window: its clustering requirement is satisfied by the running
+    * count's hash-partitioning on the shard alone and its sort by the
+    * same (shard, id) order, so it adds NO exchange and NO sort to the
+    * plan (pinned in BpeSpec). */
+  private def skewCum(base: DataFrame, shardCol: String, idCol: String,
+                      verb: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dupW = Window.partitionBy(col("__cs"), col("__ci"))
+    base
+      .select(col(shardCol).as("__cs"), col(idCol).as("__ci"),
+        size(col("__ids")).cast("long").as("__n"))
+      .withColumn("__cum", coalesce(
+        sum(col("__n")).over(Window.partitionBy(col("__cs"))
+          .orderBy(col("__ci"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__cum", when(count(lit(1)).over(dupW) > 1,
+        raise_error(concat(lit(s"$verb: duplicate (shard, id) key ("),
+          concat_ws(", ", col("__cs").cast("string"),
+            col("__ci").cast("string")),
+          lit(") - the skew-robust offset join would multiply this " +
+            "key's payload rows; input must be unique on the key"))))
+        .otherwise(col("__cum")))
+      .drop("__n")
   }
 
   /** Incremental shard production: append a NEW batch of documents to an
@@ -723,14 +752,8 @@ object Curate {
         newBase.withColumn("__cum",
           coalesce(sum(size(col("__ids"))).over(w).cast("long"), lit(0L)))
       else {
-        val cum = newBase
-          .select(col(shardCol).as("__cs"), col(idCol).as("__ci"),
-            size(col("__ids")).cast("long").as("__n"))
-          .withColumn("__cum", coalesce(
-            sum(col("__n")).over(Window.partitionBy(col("__cs"))
-              .orderBy(col("__ci"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .drop("__n")
+        val cum = skewCum(newBase, shardCol, idCol,
+          "packTokenIdsIncremental(skewRobust)")
         // merge hint: see packTokenIdsSkewRobust — a broadcast here
         // streams the hot shard's window partition and re-serializes
         newBase.hint("merge").join(cum, col(shardCol) <=> col("__cs")

@@ -386,11 +386,24 @@ object Dedup {
     * cosine verifies. Recall at similarity s is 1-(1-p^nBits)^bands with
     * p = 1 - acos(s)/pi — tune nBits up (selectivity) and bands up (recall).
     * Candidate volume is bounded by bands * sum(bucket^2) with bucket <=
-    * maxBucket, never quadratic in the corpus. */
+    * maxBucket, never quadratic in the corpus.
+    *
+    * `hotBucketRep` is the dense-class mitigation ([[minhashPairs]]'s,
+    * verbatim): a semantic class LARGER than `maxBucket` (one boilerplate
+    * embedding neighborhood scraped 100k times) otherwise loses every
+    * member past the cap; with the flag, beyond-cap members verify
+    * (exact cosine) against their bucket's min-id representative in
+    * O(overflow) — one equi join against a buckets-sized rep frame,
+    * never a pair join. The star around the rep is exactly the
+    * connectivity [[clusters]] needs to keep the class WHOLE, so the
+    * composite consumers ([[semanticPrune]], [[keepBestPerCluster]] fed
+    * from this family) stop fragmenting dense classes into
+    * maxBucket-sized islands (pinned in DedupSimilaritySpec). */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             threshold: Double = 0.9, nBits: Int = 4,
                             bands: Int = 8, maxBucket: Int = 256,
-                            dim: Int = 64, seed: Long = 42L): DataFrame = {
+                            dim: Int = 64, seed: Long = 42L,
+                            hotBucketRep: Boolean = false): DataFrame = {
     require(nBits * bands <= 62, "signature must fit in a long")
     // NULL vectors pair with nothing (see minhashPairs NULL note)
     val withRep = df.filter(col(vecCol).isNotNull)
@@ -407,9 +420,9 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * nBits).bitwiseAND((1L << nBits) - 1)): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
-    val capped = banded.withColumn("__bn", row_number().over(
+    val ranked = banded.withColumn("__bn", row_number().over(
         Window.partitionBy(col("band"), col("bval")).orderBy(col("id"))))
-      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val capped = ranked.filter(col("__bn") <= maxBucket).drop("__bn")
     val lshPairs = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
           col("x.id") < col("y.id"))
@@ -418,7 +431,26 @@ object Dedup {
       .dropDuplicates("a", "b")
       .select(col("a"), col("b"), V.cosineFast(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
-    exactPairs.unionByName(lshPairs)
+    val withHot =
+      if (!hotBucketRep) lshPairs
+      else {
+        val repRows = ranked.filter(col("__bn") === 1)
+          .select(col("band").as("__rb"), col("bval").as("__rh"),
+            col("id").as("__rid"), col("v").as("__rv"))
+        val hotPairs = ranked.filter(col("__bn") > maxBucket)
+          .join(repRows, col("band") === col("__rb")
+            && col("bval") === col("__rh"))
+          .select(col("__rid").as("a"), col("id").as("b"),
+            col("__rv").as("va"), col("v").as("vb"))
+          .dropDuplicates("a", "b")
+          .select(col("a"), col("b"),
+            V.cosineFast(col("va"), col("vb")).as("cos"))
+          .filter(col("cos") >= threshold)
+        // a pair can surface on both paths via DIFFERENT bands (b past
+        // the cap in one band, within it in another) — dedup the union
+        lshPairs.unionByName(hotPairs).dropDuplicates("a", "b")
+      }
+    exactPairs.unionByName(withHot)
   }
 
   /** Partial-duplication / containment pairs via content-defined chunking:
@@ -785,14 +817,20 @@ object Dedup {
     * set — unhinted, AQE broadcasts it when pruning is light.
     *
     * Output: the input rows that survive, unchanged. Audit the other side
-    * with [[clusters]] directly if you need cluster sizes. */
+    * with [[clusters]] directly if you need cluster sizes.
+    *
+    * `hotBucketRep = true` keeps a DENSE class (> maxBucket members)
+    * whole: without it the cap fragments the class into bucket-sized
+    * islands and this prune keeps one survivor PER ISLAND instead of
+    * one per class (see [[embeddingNearDupPairs]]). */
   def semanticPrune(df: DataFrame, vecCol: String, idCol: String,
                     threshold: Double = 0.9, nBits: Int = 4,
                     bands: Int = 8, maxBucket: Int = 256,
                     dim: Int = 64, seed: Long = 42L,
-                    maxIter: Int = 10): DataFrame = {
+                    maxIter: Int = 10,
+                    hotBucketRep: Boolean = false): DataFrame = {
     val pairs = embeddingNearDupPairs(df, vecCol, idCol, threshold, nBits,
-      bands, maxBucket, dim, seed)
+      bands, maxBucket, dim, seed, hotBucketRep = hotBucketRep)
     val dropped = clusters(pairs, maxIter)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("__drop_id"))

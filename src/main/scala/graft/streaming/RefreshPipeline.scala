@@ -135,6 +135,28 @@ object RefreshPipeline {
       }
   }
 
+  /** The auto-probe's crossover rule for routing a trigger's shard
+    * append through [[graft.operators.Curate.packTokenIdsSkewRobust]]:
+    * one shard holding more than a third of the batch (SKEW_SCALE's
+    * measured crossover — below it the skew-robust form's extra
+    * token-stream exchange costs more than the hot task saves), with a
+    * floor below which the hot task is too small to matter (a few
+    * thousand rows explode in milliseconds; the balanced overhead of
+    * the join form, measured 1.17x, would be pure loss on every small
+    * trigger). Pure function so the rule itself is spec-testable. */
+  private[graft] def autoPackSkew(hotRows: Long, totalRows: Long): Boolean =
+    totalRows >= AutoPackSkewFloor && hotRows * 3L > totalRows
+
+  /** See [[autoPackSkew]]. */
+  private[graft] val AutoPackSkewFloor = 10000L
+
+  /** Fingerprint-count threshold above which the single-task ledger
+    * batch write warns (see the publish site in [[processBatch]]): 10M
+    * 16-byte fingerprints ≈ 160 MB through one task — still well
+    * inside one executor, but a batch that size is a backfill wearing
+    * a trigger's clothes. */
+  private[graft] val LedgerSingleFileWarnRows = 10000000L
+
   /** Fingerprint-prefix space for the ledger's prune metadata: each
     * batch dir carries a [[PrefixMarker]] sidecar holding the 64-bit
     * BITMAP of `pmod(xxhash64(__pfp), 64)` prefixes its fingerprints
@@ -206,7 +228,8 @@ object RefreshPipeline {
       minMatches: Int, indexDir: Option[String], vecCol: String,
       shardRoot: Option[String] = None,
       indexRoot: Option[String] = None,
-      bloomAcc: Option[FingerprintBloom] = None): Unit = {
+      bloomAcc: Option[FingerprintBloom] = None,
+      packSkew: Option[Boolean] = None): Unit = {
     val sp = batch.sparkSession
     // materialize the trigger's batch ONCE: the tiers below reference
     // it through several plan branches (the bloom anti join alone
@@ -264,7 +287,12 @@ object RefreshPipeline {
         // bitmaps (large accepted batches occupy every prefix) cannot
         // be pruned by any candidate set, and the job would be pure
         // per-trigger overhead (the partitioned-ledger lesson,
-        // REFRESH_SLOPE.json)
+        // REFRESH_SLOPE.json). Deliberately conservative: a SMALL
+        // candidate set could in principle still prune a dense batch
+        // (pruning tests intersection, not density), but candidate
+        // size isn't known until the pass this gate decides whether to
+        // run — forgone pruning costs a read of data the confirm join
+        // filters anyway, never correctness
         val anyPrunable = earlier.exists { d =>
           val marker = StoreFiles
             .readMarker(new java.io.File(d, PrefixMarker))
@@ -332,12 +360,30 @@ object RefreshPipeline {
       // top of the per-generation publishOnce skip
       val tokenized = cleaned.withColumn("__ids",
         Bpe.byteTokenIds(col(textCol), BpeByteVocab.merges))
+      // the skew-robust pack decision, made WHERE the batch is already
+      // materialized: an explicit packSkew wins; otherwise one narrow
+      // two-level aggregation over the checkpointed batch (count per
+      // shard -> max/total, one bounded-collect row) routes a trigger
+      // whose accepted docs concentrate in one shard (the Zipfian
+      // crawl-drop shape) through packTokenIdsSkewRobust — the 6.5x
+      // mitigation SKEW_SCALE measured, applied by the flagship chain
+      // automatically (gated by the measured crossover, see
+      // autoPackSkew)
+      val skewRobust = packSkew.getOrElse {
+        val r = cleaned.groupBy(col(shardCol))
+          .agg(count(lit(1)).as("__c"))
+          .agg(coalesce(max(col("__c")), lit(0L)),
+            coalesce(sum(col("__c")), lit(0L)))
+          .collect()(0)
+        autoPackSkew(hotRows = r.getLong(0), totalRows = r.getLong(1))
+      }
       staged("shard") { shardRoot match {
         case Some(r) => StoreRoot.appendShard(sp, r, tokenized,
-          "__ids", idCol, budget, shardCol, version = batchId + 1)
+          "__ids", idCol, budget, shardCol, version = batchId + 1,
+          skewRobust = skewRobust)
         case None => ShardSink.append(sp, tokenized,
           "__ids", idCol, budget, shardCol, storeDir,
-          version = Some(batchId + 1))
+          version = Some(batchId + 1), skewRobust = skewRobust)
       } }
       staged("index") { indexRoot match {
         case Some(r) => StoreRoot.appendVectors(sp, r, batchId,
@@ -361,14 +407,31 @@ object RefreshPipeline {
           // the prefix-bitmap sidecar the confirm read prunes on —
           // written INSIDE the staging dir so the rename publishes
           // both atomically; underscore-prefixed, so the parquet
-          // reader never sees it (see LedgerPrefixSpace)
+          // reader never sees it (see LedgerPrefixSpace).
+          // SCALE ASSUMPTION, explicit: repartition(1) is a
+          // single-task write whose ceiling is the largest accepted
+          // batch — correct because triggers are MICRO-batches by
+          // contract (a compact fingerprint column over one crawl
+          // drop), and required by the one-file-per-batch pruning
+          // design. A backfill routed through this path as one giant
+          // trigger violates that contract; warn loudly past the
+          // threshold instead of silently serializing the write.
           acceptedFps.repartition(1)
             .write.mode("overwrite").parquet(staging)
-          val bitmap = acceptedFps
+          val agg = acceptedFps
             .select(expr(s"shiftleft(1L, int(pmod(xxhash64(__pfp), " +
               s"$LedgerPrefixSpace)))").as("__b"))
-            .agg(coalesce(bit_or(col("__b")), lit(0L)))
-            .collect()(0).getLong(0)
+            .agg(coalesce(bit_or(col("__b")), lit(0L)),
+              count(lit(1)))
+            .collect()(0)
+          val bitmap = agg.getLong(0)
+          if (agg.getLong(1) > LedgerSingleFileWarnRows)
+            System.err.println(s"[graft] WARN ledger batch b$batchId " +
+              s"holds ${agg.getLong(1)} fingerprints (> " +
+              s"$LedgerSingleFileWarnRows): the one-file-per-batch " +
+              "ledger write is single-task by design for micro-batch " +
+              "triggers - route backfills through the batch chain, " +
+              "not one giant trigger")
           StoreFiles.writeMarker(
             new java.io.File(staging, PrefixMarker),
             Seq(f"bits=$bitmap%016x"))
@@ -395,7 +458,16 @@ object RefreshPipeline {
     * also carry `vecCol` and the caller seeds the index base with the
     * prior corpus' vectors (ivfPqBuild + ivfPqSave); each trigger then
     * appends its accepted docs' embeddings under the frozen codebooks.
-    * Blocks until the AvailableNow drain completes. */
+    * Blocks until the AvailableNow drain completes.
+    *
+    * `packSkew`: None (default) auto-probes each trigger's accepted
+    * shard distribution and routes a Zipfian batch through the
+    * skew-robust pack (see [[autoPackSkew]] — bit-identical store
+    * either way); Some(b) forces the choice. `providerClass` swaps the
+    * streaming state-store provider for the run (e.g. RocksDB — only
+    * meaningful when `docs` composes stateful operators upstream, as
+    * q173's stream-stream join does) and restores the previous value
+    * on exit. */
   def run(docs: DataFrame, prior: DataFrame, benchmark: DataFrame,
           storeDir: String, ledgerDir: String, checkpointDir: String,
           budget: Int = 2048, shardCol: String = "source",
@@ -403,7 +475,9 @@ object RefreshPipeline {
           numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8,
           decontamN: Int = 5, minMatches: Int = 2,
           indexDir: Option[String] = None,
-          vecCol: String = "embedding"): Unit = {
+          vecCol: String = "embedding",
+          packSkew: Option[Boolean] = None,
+          providerClass: Option[String] = None): Unit = {
     // every prior-side derivation is trigger-invariant (the
     // incremental contract references the kept corpus only), so all
     // three are computed ONCE here and cached across every trigger —
@@ -430,6 +504,12 @@ object RefreshPipeline {
     // degrades fpp, never exactness — see FingerprintBloom)
     val bloomAcc = new FingerprintBloom(fpp = 0.01,
       capacity = 2L * math.max(priorFps.count(), 1L) + 100000L)
+    // provider swap, set/restored exactly as StreamJoinScale does: the
+    // session conf is read at query START, so set-before/restore-after
+    // scopes the provider to this drain
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val providerPrev = prior.sparkSession.conf.getOption(providerKey)
+    providerClass.foreach(prior.sparkSession.conf.set(providerKey, _))
     try {
       val q = docs.writeStream
         .trigger(Trigger.AvailableNow())
@@ -438,11 +518,16 @@ object RefreshPipeline {
           processBatch(batch, batchId, prior, benchmark, priorFps,
             postings, refGrams, storeDir, ledgerDir, budget, shardCol,
             idCol, textCol, numHashes, bands, threshold, decontamN,
-            minMatches, indexDir, vecCol, bloomAcc = Some(bloomAcc))
+            minMatches, indexDir, vecCol, bloomAcc = Some(bloomAcc),
+            packSkew = packSkew)
         }
         .start()
       q.awaitTermination()
     } finally {
+      if (providerClass.isDefined) providerPrev match {
+        case Some(p) => prior.sparkSession.conf.set(providerKey, p)
+        case None => prior.sparkSession.conf.unset(providerKey)
+      }
       org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(priorFps)
       org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(postings)
       org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(refGrams)
@@ -479,7 +564,9 @@ object RefreshPipeline {
                  numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.8, decontamN: Int = 5,
                  minMatches: Int = 2, indexRoot: Option[String] = None,
-                 vecCol: String = "embedding"): Unit = {
+                 vecCol: String = "embedding",
+                 packSkew: Option[Boolean] = None,
+                 providerClass: Option[String] = None): Unit = {
     require(compactEvery >= 1,
       s"compactEvery must be >= 1: $compactEvery")
     val shufflePartitions = prior.sparkSession.conf
@@ -494,6 +581,9 @@ object RefreshPipeline {
       .localCheckpoint(true)
     val bloomAcc = new FingerprintBloom(fpp = 0.01,
       capacity = 2L * math.max(priorFps.count(), 1L) + 100000L)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val providerPrev = prior.sparkSession.conf.getOption(providerKey)
+    providerClass.foreach(prior.sparkSession.conf.set(providerKey, _))
     try {
       val q = docs.writeStream
         .trigger(Trigger.AvailableNow())
@@ -505,7 +595,7 @@ object RefreshPipeline {
             shardCol, idCol, textCol, numHashes, bands, threshold,
             decontamN, minMatches, indexDir = None, vecCol,
             shardRoot = Some(shardRoot), indexRoot = indexRoot,
-            bloomAcc = Some(bloomAcc))
+            bloomAcc = Some(bloomAcc), packSkew = packSkew)
           if ((batchId + 1) % compactEvery == 0) {
             StoreRoot.compactShard(sp, shardRoot, shardCol)
             indexRoot.foreach(r => StoreRoot.compactVectors(sp, r))
@@ -514,6 +604,10 @@ object RefreshPipeline {
         .start()
       q.awaitTermination()
     } finally {
+      if (providerClass.isDefined) providerPrev match {
+        case Some(p) => prior.sparkSession.conf.set(providerKey, p)
+        case None => prior.sparkSession.conf.unset(providerKey)
+      }
       org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(priorFps)
       org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(postings)
       org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(refGrams)

@@ -120,10 +120,11 @@ object StoreRoot {
     * fold absorbed. */
   def appendShard(spark: SparkSession, root: String, batch: DataFrame,
                   idsCol: String, idCol: String, budget: Int,
-                  shardCol: String, version: Long): Boolean =
+                  shardCol: String, version: Long,
+                  skewRobust: Boolean = false): Boolean =
     if (floor(root).exists(version <= _)) false
     else ShardSink.append(spark, batch, idsCol, idCol, budget, shardCol,
-      currentDir(root), version = Some(version))
+      currentDir(root), version = Some(version), skewRobust = skewRobust)
 
   /** [[ShardSink.read]] against the current generation; `asOf` below
     * the retention floor fails loudly (see the class doc). */

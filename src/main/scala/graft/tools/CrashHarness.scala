@@ -33,15 +33,33 @@ import graft.streaming.{RefreshPipeline, ShardSink, VectorIndexSink}
   * jars (the same --add-opens set build.sbt forks with), its Spark
   * scratch under the iteration dir so a kill never litters /tmp.
   *
+  * MANAGED mode points the same killer at [[RefreshPipeline.runManaged]]
+  * — generation-managed [[graft.streaming.StoreRoot]] roots with
+  * compaction ON SCHEDULE inside the drain (compactEvery = 2, q175's
+  * shape) — so SIGKILLs land in the windows only constructed states
+  * proved before: mid-fold, between fold-commit and manifest swap, and
+  * between swap and retire. The parent classifies each kill's landing
+  * from POST-KILL DISK FORENSICS (a gen N+1 dir with the manifest still
+  * at N = pre-swap / mid-fold; an unretired gen N-1 behind a manifest at
+  * N = swap-no-retire), heals with a second `runManaged` over the same
+  * checkpoint, and gates the healed roots on the identical one-shot
+  * oracle — plus requires that across the run at least one kill landed
+  * INSIDE a compaction window, or the managed evidence is vacuous.
+  *
   * Usage: runMain graft.tools.CrashHarness [kills] [outFile]
+  *        runMain graft.tools.CrashHarness managed [kills] [outFile]
   *        runMain graft.tools.CrashHarness child <base> <prior> <triggers> <batchRows>
+  *        runMain graft.tools.CrashHarness childManaged <base> <prior> <triggers> <batchRows> <compactEvery>
   */
 object CrashHarness {
 
   final case class KillReport(kill: Int, killAfterMs: Long,
                               interrupted: Boolean, childExit: Int,
                               healDrainS: Double, equivalence: Boolean,
-                              mass: Boolean, ledger: Boolean)
+                              mass: Boolean, ledger: Boolean,
+                              started: Boolean = true,
+                              window: String = "n/a",
+                              genAfterHeal: Long = -1L)
 
   private val AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -59,7 +77,8 @@ object CrashHarness {
     * heal is gated on. Returns (expected-id digest, expected mass,
     * expected ledger digest). */
   private def stage(spark: SparkSession, base: Path, prior: Long,
-                    triggers: Int, batchRows: Long)
+                    triggers: Int, batchRows: Long,
+                    managed: Boolean = false)
       : ((Long, Long), Long, (Long, Long)) = {
     val d = RefreshScale.priorDocs(spark, prior).localCheckpoint(true)
     val bench = RefreshScale.benchDocs(spark).localCheckpoint(true)
@@ -67,16 +86,22 @@ object CrashHarness {
     val all = RefreshScale.streamDocs(spark, prior, n, batchRows)
       .localCheckpoint(true)
     try {
+      // managed mode seeds GENERATION 0 of each root (the runManaged
+      // caller contract); unmanaged seeds plain store dirs
+      val (storeDir, ixDir) =
+        if (!managed) (s"$base/store", s"$base/ix")
+        else (graft.streaming.StoreRoot.init(s"$base/shardRoot"),
+          graft.streaming.StoreRoot.init(s"$base/ixRoot"))
       ShardSink.append(spark,
         d.withColumn("__ids",
           Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
         "__ids", "doc_id", budget = 2048, shardCol = "source",
-        storeDir = s"$base/store")
+        storeDir = storeDir)
       Similarity.ivfPqSave(
         Similarity.ivfPqBuild(d.withColumn("embedding", RefreshScale.emb),
           vecCol = "embedding", idCol = "doc_id", nLists = 4, m = 4,
           kCodes = 8, iterations = 2),
-        s"$base/ix")
+        ixDir)
       (0 until triggers).foreach { t =>
         val tmp = s"$base/tmp-$t"
         all.filter(col("__u") >= t * batchRows &&
@@ -123,9 +148,12 @@ object CrashHarness {
   }
 
   /** CHILD entry: drain until killed. Prints `drain-start` so the
-    * parent can time its SIGKILL inside the drain window. */
+    * parent can time its SIGKILL inside the drain window. The managed
+    * variant drives [[RefreshPipeline.runManaged]] with compaction on
+    * schedule, so the kill can land inside a fold/swap/retire. */
   private def childMain(base: String, prior: Long, triggers: Int,
-                        batchRows: Long): Unit = {
+                        batchRows: Long,
+                        compactEvery: Option[Int]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -144,29 +172,60 @@ object CrashHarness {
       .parquet(s"$base/docs")
     println("[crash-child] drain-start")
     System.out.flush()
-    RefreshPipeline.run(stream, d, bench,
-      storeDir = s"$base/store", ledgerDir = s"$base/ledger",
-      checkpointDir = s"$base/ck", indexDir = Some(s"$base/ix"))
+    compactEvery match {
+      case Some(ce) =>
+        RefreshPipeline.runManaged(stream, d, bench,
+          shardRoot = s"$base/shardRoot", ledgerDir = s"$base/ledger",
+          checkpointDir = s"$base/ck", compactEvery = ce,
+          indexRoot = Some(s"$base/ixRoot"))
+      case None =>
+        RefreshPipeline.run(stream, d, bench,
+          storeDir = s"$base/store", ledgerDir = s"$base/ledger",
+          checkpointDir = s"$base/ck", indexDir = Some(s"$base/ix"))
+    }
     println("[crash-child] drain-done")
     System.out.flush()
     spark.stop()
+  }
+
+  /** POST-KILL disk forensics: where inside the compact-swap-retire
+    * state machine the kill froze `root`. A committed-or-partial next
+    * generation with the manifest still naming the current one is the
+    * fold/pre-swap window; a swapped manifest with the predecessor
+    * still unretired is the swap-retire window; anything else reads as
+    * no compaction in flight. Read BEFORE the heal (which consumes
+    * these states). */
+  private[graft] def compactionWindow(root: String): String = {
+    import graft.streaming.{StoreFiles, StoreRoot}
+    val g = StoreRoot.currentGen(root)
+    val next = new java.io.File(root, s"gen${g + 1}")
+    val prev = new java.io.File(root, s"gen${g - 1}")
+    if (next.exists()) "pre-swap"
+    else if (g > 0 && prev.isDirectory &&
+        StoreFiles.retiredTo(prev.getAbsolutePath).isEmpty)
+      "swap-no-retire"
+    else "none"
   }
 
   /** One kill iteration: stage fresh fixtures, spawn the child, wait
     * for its drain-start marker, SIGKILL after `killAfterMs`, heal in
     * THIS session, gate on the staged oracle. */
   def runOnce(spark: SparkSession, kill: Int, killAfterMs: Long,
-              prior: Long, triggers: Int, batchRows: Long): KillReport = {
+              prior: Long, triggers: Int, batchRows: Long,
+              compactEvery: Option[Int] = None): KillReport = {
+    val managed = compactEvery.isDefined
     val base = Files.createTempDirectory(s"graft_crash_$kill-")
     try {
       val (expIds, expMass, expLedger) =
-        stage(spark, base, prior, triggers, batchRows)
+        stage(spark, base, prior, triggers, batchRows, managed)
       val classesDir = sys.props.get("graft.crash.classes")
         .getOrElse("target/scala-2.13/classes")
       val cmd = (Seq("java") ++ AddOpens ++ Seq("-Xmx8g",
         "-cp", s"$classesDir:/opt/spark/jars/*",
-        "graft.tools.CrashHarness", "child", base.toString,
-        prior.toString, triggers.toString, batchRows.toString))
+        "graft.tools.CrashHarness",
+        if (managed) "childManaged" else "child", base.toString,
+        prior.toString, triggers.toString, batchRows.toString) ++
+        compactEvery.map(_.toString))
       val log = new java.io.File(s"$base/child.log")
       val p = new ProcessBuilder(cmd: _*)
         .redirectErrorStream(true)
@@ -182,10 +241,28 @@ object CrashHarness {
           new String(Files.readAllBytes(log.toPath))
             .contains("drain-start")
       }
+      // a child that died (or hung) before drain-start is a STARTUP
+      // failure, not crash evidence: the kill would land outside the
+      // drain and the iteration would gate vacuously — fail loudly
+      // instead of reporting it as a heal (ADVICE r13)
+      require(started, s"child never reached drain-start within the " +
+        s"startup deadline (alive=${p.isAlive}) - kill $kill is not a " +
+        "drain interruption; inspect " + log)
       Thread.sleep(killAfterMs)
       val interrupted = p.isAlive
       p.destroyForcibly()
       val childExit = { p.waitFor(); p.exitValue() }
+      // managed: classify the kill's landing inside the compact-swap-
+      // retire machine BEFORE the heal consumes the frozen state
+      val window =
+        if (!managed) "n/a"
+        else {
+          val w = (compactionWindow(s"$base/shardRoot"),
+            compactionWindow(s"$base/ixRoot"))
+          if (w._1 != "none") s"shard:${w._1}"
+          else if (w._2 != "none") s"index:${w._2}"
+          else "none"
+        }
       // HEAL: second session (this one), same stores, same checkpoint
       val tHeal = System.nanoTime()
       val d = RefreshScale.priorDocs(spark, prior)
@@ -195,17 +272,30 @@ object CrashHarness {
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
         .parquet(s"$base/docs")
-      RefreshPipeline.run(stream, d, bench,
-        storeDir = s"$base/store", ledgerDir = s"$base/ledger",
-        checkpointDir = s"$base/ck", indexDir = Some(s"$base/ix"))
+      compactEvery match {
+        case Some(ce) =>
+          RefreshPipeline.runManaged(stream, d, bench,
+            shardRoot = s"$base/shardRoot", ledgerDir = s"$base/ledger",
+            checkpointDir = s"$base/ck", compactEvery = ce,
+            indexRoot = Some(s"$base/ixRoot"))
+        case None =>
+          RefreshPipeline.run(stream, d, bench,
+            storeDir = s"$base/store", ledgerDir = s"$base/ledger",
+            checkpointDir = s"$base/ck", indexDir = Some(s"$base/ix"))
+      }
       val healS = (System.nanoTime() - tHeal) / 1e9
-      // the q174 oracle gates
-      val served = VectorIndexSink.read(spark, s"$base/ix",
-          idCol = "doc_id")
+      // the q174 oracle gates (managed: served THROUGH the roots, so
+      // the manifest/retire state the kill left is itself under test)
+      val served = (if (managed)
+          graft.streaming.StoreRoot.readVectors(spark,
+            s"$base/ixRoot", idCol = "doc_id")
+        else VectorIndexSink.read(spark, s"$base/ix", idCol = "doc_id"))
         .encoded.select(col("doc_id")).filter(col("doc_id") >= prior)
       val equivalence =
         RefreshScale.setDigest(served, col("doc_id")) == expIds
-      val storeTokens = ShardSink.read(spark, s"$base/store")
+      val storeTokens = (if (managed)
+          graft.streaming.StoreRoot.readShard(spark, s"$base/shardRoot")
+        else ShardSink.read(spark, s"$base/store"))
         .agg(sum(col("n_tokens").cast("long"))).collect()(0).getLong(0)
       val ledger = spark.read.parquet(
         RefreshPipeline.ledgerLeafPaths(
@@ -214,8 +304,11 @@ object CrashHarness {
           None): _*)
       val ledgerOk =
         RefreshScale.setDigest(ledger, col("__pfp")) == expLedger
+      val gen = if (!managed) -1L
+        else graft.streaming.StoreRoot.currentGen(s"$base/shardRoot")
       KillReport(kill, killAfterMs, interrupted, childExit, healS,
-        equivalence, storeTokens == expMass, ledgerOk)
+        equivalence, storeTokens == expMass, ledgerOk,
+        started = started, window = window, genAfterHeal = gen)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -237,9 +330,16 @@ object CrashHarness {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("child")) {
-      childMain(args(1), args(2).toLong, args(3).toInt, args(4).toLong)
+      childMain(args(1), args(2).toLong, args(3).toInt, args(4).toLong,
+        compactEvery = None)
       return
     }
+    if (args.headOption.contains("childManaged")) {
+      childMain(args(1), args(2).toLong, args(3).toInt, args(4).toLong,
+        compactEvery = Some(args(5).toInt))
+      return
+    }
+    if (args.headOption.contains("managed")) { managedMain(args); return }
     val kills = args.headOption.map(_.toInt).getOrElse(8)
     val out = args.lift(1).getOrElse("CRASH_HARNESS.json")
     val (prior, triggers, batchRows) = (2000L, 8, 400L)
@@ -288,6 +388,78 @@ object CrashHarness {
     Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"[crash] wrote $out ($nInterrupted/$kills interrupted, " +
       "all heals == oracle)")
+    spark.stop()
+  }
+
+  /** MANAGED-path harness (see the class doc): SIGKILL a separate-JVM
+    * `runManaged` drain (compactEvery = 2 — four scheduled compactions
+    * across 8 triggers) at stratified offsets, classify each kill's
+    * landing from post-kill disk forensics, heal with a second
+    * `runManaged`, gate the healed ROOTS on the one-shot oracle.
+    * Evidence gates: every heal matches, >= half the kills interrupted
+    * the drain, and at least one kill landed INSIDE a compaction
+    * window (fold/pre-swap or swap-no-retire) — the windows this mode
+    * exists to hit. */
+  private def managedMain(args: Array[String]): Unit = {
+    val kills = args.lift(1).map(_.toInt).getOrElse(8)
+    val out = args.lift(2).getOrElse("CRASH_MANAGED.json")
+    val (prior, triggers, batchRows, compactEvery) = (2000L, 8, 400L, 2)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.driver.memory", "48g")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // the managed drain is longer than the plain one (four in-drain
+    // compaction folds), so the default window is wider
+    val windowMs = sys.env.get("GRAFT_CRASH_WINDOW_MS")
+      .map(_.toLong).getOrElse(45000L)
+    val reports = killOffsets(kills, windowMs, seed = 14L)
+      .zipWithIndex.map { case (off, i) =>
+        val r = runOnce(spark, i, off, prior, triggers, batchRows,
+          compactEvery = Some(compactEvery))
+        println(f"[crash] managed kill=$i afterMs=$off interrupted=" +
+          f"${r.interrupted} exit=${r.childExit} window=${r.window} " +
+          f"heal=${r.healDrainS}%.1fs eq=${r.equivalence} " +
+          f"mass=${r.mass} ledger=${r.ledger} gen=${r.genAfterHeal}")
+        require(r.equivalence && r.mass && r.ledger,
+          s"managed heal diverged from the one-shot oracle at kill $i " +
+            s"(afterMs=$off window=${r.window})")
+        r
+      }
+    val nInterrupted = reports.count(_.interrupted)
+    require(nInterrupted * 2 >= kills,
+      s"only $nInterrupted/$kills kills interrupted the drain - " +
+        "widen GRAFT_CRASH_WINDOW_MS or the evidence is vacuous")
+    val nInWindow = reports.count(_.window != "none")
+    require(nInWindow >= 1,
+      s"no kill landed inside a compaction window across $kills " +
+        "iterations - reseed/widen, the managed evidence needs the " +
+        "fold/swap/retire windows hit")
+    val rows = reports.map(r =>
+      s"""{"kill":${r.kill},"kill_after_ms":${r.killAfterMs},""" +
+        s""""interrupted":${r.interrupted},"child_exit":${r.childExit},""" +
+        s""""compaction_window":"${r.window}",""" +
+        f""""heal_drain_s":${r.healDrainS}%.1f,""" +
+        s""""equivalence":${r.equivalence},"mass":${r.mass},""" +
+        s""""ledger":${r.ledger},"gen_after_heal":${r.genAfterHeal}}""")
+    val json = s"""{"recipe":"SIGKILL a separate-JVM runManaged drain """ +
+      s"""(StoreRoot shard+index roots, compaction every 2 triggers) """ +
+      s"""at stratified offsets; classify the landing from post-kill """ +
+      s"""disk forensics; heal with a second runManaged; gate the """ +
+      s"""healed roots on the one-shot oracle (q175 shape)",""" +
+      s""""kills":$kills,"prior":$prior,"triggers":$triggers,""" +
+      s""""batch_rows":$batchRows,"compact_every":$compactEvery,""" +
+      s""""window_ms":$windowMs,"interrupted":$nInterrupted,""" +
+      s""""kills_inside_compaction_window":$nInWindow,""" +
+      s""""all_heals_match_oracle":true,""" +
+      s""""reports":[${rows.mkString(",")}]}\n"""
+    Files.writeString(java.nio.file.Paths.get(out), json)
+    println(s"[crash] wrote $out ($nInterrupted/$kills interrupted, " +
+      s"$nInWindow in a compaction window, all heals == oracle)")
     spark.stop()
   }
 }

@@ -112,9 +112,16 @@ object RefreshScale {
       i => substring(md5(concat(concat(lit("b"), k.cast("string")),
         lit(":"), i.cast("string"))), 1, 8)))
 
-  /** Stream docs u in [0, n): doc_id = prior + u, class = u % 20. */
+  /** Stream docs u in [0, n): doc_id = prior + u, class = u % 20.
+    * `hotPct` > 0 is the Zipfian-source variant (REFRESH_SKEW.json):
+    * that percentage of docs lands in ONE shard (`srchot`), the rest
+    * keep the balanced round-robin — text, classes and therefore
+    * ACCEPTANCE are unchanged (every dedup tier keys on text/id, never
+    * the shard), so a skewed drain must reproduce the balanced drain's
+    * accepted set and token mass exactly. */
   private[graft] def streamDocs(spark: SparkSession, prior: Long,
-                                n: Long, batchRows: Long): DataFrame = {
+                                n: Long, batchRows: Long,
+                                hotPct: Int = 0): DataFrame = {
     val u = col("__u")
     val mod = pmod(u, lit(20L))
     val identity =
@@ -131,11 +138,15 @@ object RefreshScale {
       .when(mod === 3L, concat(base, lit(" "),
         substring(md5(concat(lit("x"), u.cast("string"))), 1, 8)))
       .otherwise(base)
+    val src =
+      if (hotPct <= 0)
+        concat(lit("src"), pmod(col("__u") + prior, lit(8L)).cast("string"))
+      else when(pmod(col("__u"), lit(100L)) < hotPct, lit("srchot"))
+        .otherwise(concat(lit("src"),
+          pmod(col("__u") + prior, lit(8L)).cast("string")))
     spark.range(n).select(col("id").as("__u"))
       .select((col("__u") + prior).as("doc_id"), col("__u"),
-        concat(lit("src"),
-          pmod(col("__u") + prior, lit(8L)).cast("string")).as("source"),
-        text.as("text"))
+        src.as("source"), text.as("text"))
   }
 
   private[graft] def emb: Column =
@@ -155,9 +166,24 @@ object RefreshScale {
 
   /** Drive the cross-store refresh chain over `triggers x batchRows`
     * synthetic stream docs against a `prior`-doc corpus, verifying
-    * nothing yet — [[check]] holds the contracts. */
+    * nothing yet — [[check]] holds the contracts.
+    *
+    * Variant knobs for the skew / state-store evidence legs (defaults
+    * reproduce the REFRESH_SCALE/REFRESH_SLOPE shape exactly):
+    * `hotPct` routes that percentage of stream docs into one shard
+    * (see [[streamDocs]]); `packSkew` is threaded to
+    * [[RefreshPipeline.run]] (None = the auto-probe); `stateful` puts
+    * a REAL stateful operator upstream of the chain — a watermarked
+    * `dropDuplicates` whose event time advances one step per trigger,
+    * so the engine maintains (and evicts) genuine state-store state
+    * while ids stay globally unique and the accepted set is UNCHANGED
+    * — which is what makes `providerClass` (e.g. RocksDB) a
+    * meaningful swap rather than a no-op on a stateless drain. */
   def run(spark: SparkSession, prior: Long, triggers: Int,
-          batchRows: Long): Result = {
+          batchRows: Long, hotPct: Int = 0,
+          packSkew: Option[Boolean] = None,
+          stateful: Boolean = false,
+          providerClass: Option[String] = None): Result = {
     require(prior >= 100 && triggers >= 2 && batchRows >= 20 &&
       batchRows % 20 == 0,
       "need prior >= 100, triggers >= 2, batchRows a multiple of 20")
@@ -184,7 +210,7 @@ object RefreshScale {
       // stage the stream as `triggers` id-ranged parquet files with
       // ascending mtimes so maxFilesPerTrigger=1 + latestFirst=false
       // yields one trigger per drop, in id order
-      val all = streamDocs(spark, prior, n, batchRows)
+      val all = streamDocs(spark, prior, n, batchRows, hotPct)
         .localCheckpoint(true)
       try {
         (0 until triggers).foreach { t =>
@@ -202,11 +228,26 @@ object RefreshScale {
           dst.setLastModified(1700000000000L + t * 60000L)
           ()
         }
-        val stream = spark.readStream
+        val raw = spark.readStream
           .schema(spark.read.parquet(s"$base/docs").schema)
           .option("maxFilesPerTrigger", "1")
           .option("latestFirst", "false")
           .parquet(s"$base/docs")
+        // the stateful leg: event time advances one hour per trigger
+        // (derived from doc_id, so it is deterministic and id-ordered
+        // with the files); the 2 h watermark holds ~3 triggers of
+        // dedup state live and evicts the rest — real state-store
+        // traffic with ZERO semantic effect (ids are globally unique,
+        // so dropDuplicates passes every row through)
+        val stream =
+          if (!stateful) raw
+          else raw
+            .withColumn("__ts", timestamp_seconds(lit(1700000000L) +
+              floor((col("doc_id") - prior) / batchRows).cast("long")
+                * 3600L))
+            .withWatermark("__ts", "2 hours")
+            .dropDuplicates("doc_id", "__ts")
+            .drop("__ts")
         // per-trigger wall from the engine's own progress events
         val timings =
           new java.util.concurrent.ConcurrentHashMap[Long, Double]()
@@ -229,7 +270,8 @@ object RefreshScale {
         try
           RefreshPipeline.run(stream, d, bench,
             storeDir = s"$base/store", ledgerDir = s"$base/ledger",
-            checkpointDir = s"$base/ck", indexDir = Some(s"$base/ix"))
+            checkpointDir = s"$base/ck", indexDir = Some(s"$base/ix"),
+            packSkew = packSkew, providerClass = providerClass)
         finally {
           // progress events are delivered async; give the bus a moment
           val deadline = System.nanoTime() + 10e9.toLong

@@ -1,0 +1,147 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Once-per-round refresh-drain VARIANT evidence — two legs the base
+  * REFRESH_SCALE/REFRESH_SLOPE artifacts don't cover, each driving the
+  * full [[graft.streaming.RefreshPipeline]] drain through
+  * [[RefreshScale.run]] with every correctness contract `require`d
+  * in-run:
+  *
+  *  1. SKEW (REFRESH_SKEW.json): the 24-trigger drain with one
+  *     `source` shard holding 90% of stream docs — the Zipfian
+  *     crawl-drop shape SKEW_SCALE measured a 6.5x pack mitigation
+  *     for, here reaching the FLAGSHIP chain through the new
+  *     auto-probe at the shard-append site. Three drains: balanced
+  *     (reference), skewed with the pack FORCED to the default window
+  *     form (packSkew = Some(false) — what every pre-round-14 user
+  *     got), and skewed on the AUTO probe (packSkew = None — what a
+  *     user now gets). Cross-run contract: the accepted count, class
+  *     pins and store token mass are BIT-IDENTICAL across all three
+  *     (acceptance never keys on the shard), on top of each drain's
+  *     own equivalence/mass/ledger gates.
+  *  2. ROCKSDB (REFRESH_ROCKSDB.json): the drain with a REAL stateful
+  *     operator upstream (watermarked dropDuplicates — see
+  *     [[RefreshScale.run]]'s `stateful`) under the default
+  *     state-store provider vs RocksDB, identical outputs required.
+  *     Without the stateful upstream a provider swap on this
+  *     (foreachBatch, stateless) query would be a no-op and the
+  *     evidence vacuous — the upstream is what q173's composed
+  *     stream-stream-join shape feeds this chain in production.
+  *
+  * Deliberately NOT bench rows (24-trigger 480k-doc drains); same
+  * rationale as [[RefreshScale]].
+  * Usage: runMain graft.tools.RefreshVariants [prior] [triggers]
+  *   [batchRows]   (blocks via GRAFT_REFRESH_BLOCKS=skew,rocksdb) */
+object RefreshVariants {
+
+  private val Rocks = "org.apache.spark.sql.execution.streaming.state" +
+    ".RocksDBStateStoreProvider"
+
+  /** Core fields of one drain as a JSON object body. */
+  private def blockJson(r: RefreshScale.Result): String =
+    s"""{"accepted":${r.accepted},""" +
+      s""""exact_stream_accepted":${r.exactStreamAccepted},""" +
+      s""""near_accepted":${r.nearAccepted},""" +
+      s""""originals_accepted":${r.originalsAccepted},""" +
+      s""""equivalence_holds":${r.equivalenceHolds},""" +
+      s""""mass_holds":${r.massHolds},"ledger_holds":${r.ledgerHolds},""" +
+      s""""store_tokens":${r.storeTokens},""" +
+      s""""per_trigger_wall_s":[${r.perTriggerWallS
+        .map(w => f"$w%.2f").mkString(",")}],""" +
+      f""""flatness_ratio":${r.flatnessRatio}%.3f,""" +
+      f""""drain_wall_s":${r.drainWallS}%.1f}"""
+
+  private def sameOutputs(rs: Seq[RefreshScale.Result]): Boolean =
+    rs.map(r => (r.accepted, r.exactStreamAccepted, r.nearAccepted,
+      r.originalsAccepted, r.storeTokens)).distinct.size == 1
+
+  def main(args: Array[String]): Unit = {
+    val prior = args.headOption.map(_.toLong).getOrElse(50000L)
+    val triggers = args.lift(1).map(_.toInt).getOrElse(24)
+    val batchRows = args.lift(2).map(_.toLong).getOrElse(20000L)
+    val blocks = sys.env.get("GRAFT_REFRESH_BLOCKS")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("skew", "rocksdb"))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.driver.memory", "48g")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (blocks("skew")) {
+      def leg(label: String, hotPct: Int,
+              packSkew: Option[Boolean]): RefreshScale.Result = {
+        val r = RefreshScale.run(spark, prior, triggers, batchRows,
+          hotPct = hotPct, packSkew = packSkew)
+        // the deterministic contracts gate every leg; flatness is
+        // RECORDED, not gated — single-pass flatness is host-noise
+        // sensitive (the REFRESH_SLOPE min-over-N lesson) and the
+        // slope artifact already pins it
+        RefreshScale.check(r, requireFlatness = false)
+        println(f"[refreshvariants] $label drain=${r.drainWallS}%.1fs " +
+          f"flatness=${r.flatnessRatio}%.3f accepted=${r.accepted}")
+        r
+      }
+      val bal = leg("balanced", hotPct = 0, packSkew = None)
+      val skewWin = leg("skew_window_pack", hotPct = 90,
+        packSkew = Some(false))
+      val skewAuto = leg("skew_auto", hotPct = 90, packSkew = None)
+      require(sameOutputs(Seq(bal, skewWin, skewAuto)),
+        "accepted set / token mass diverged across pack strategies - " +
+          "the shard distribution must never change acceptance")
+      val json =
+        s"""{"recipe":"24-trigger RefreshPipeline drain, one source """ +
+          s"""shard holding 90% of stream docs: balanced reference vs """ +
+          s"""skewed with the window pack forced vs skewed on the """ +
+          s"""auto-probe (packSkew=None routes hot triggers through """ +
+          s"""packTokenIdsSkewRobust at the append site)",""" +
+          s""""prior_docs":$prior,"triggers":$triggers,""" +
+          s""""batch_rows":$batchRows,"hot_pct":90,""" +
+          s""""balanced":${blockJson(bal)},""" +
+          s""""skew_window_pack":${blockJson(skewWin)},""" +
+          s""""skew_auto":${blockJson(skewAuto)},""" +
+          s""""outputs_identical_all_three":true,""" +
+          f""""skew_auto_vs_forced_window_speedup":${
+            skewWin.drainWallS / skewAuto.drainWallS}%.2f}""" + "\n"
+      Files.writeString(Paths.get("REFRESH_SKEW.json"), json)
+      println(s"[refreshvariants] wrote REFRESH_SKEW.json")
+    }
+
+    if (blocks("rocksdb")) {
+      def leg(label: String,
+              provider: Option[String]): RefreshScale.Result = {
+        val r = RefreshScale.run(spark, prior, triggers, batchRows,
+          stateful = true, providerClass = provider)
+        RefreshScale.check(r, requireFlatness = false)
+        println(f"[refreshvariants] $label drain=${r.drainWallS}%.1fs " +
+          f"flatness=${r.flatnessRatio}%.3f accepted=${r.accepted}")
+        r
+      }
+      val hdfs = leg("stateful_default_provider", None)
+      val rocks = leg("stateful_rocksdb", Some(Rocks))
+      require(sameOutputs(Seq(hdfs, rocks)),
+        "accepted set / token mass diverged across state-store " +
+          "providers")
+      val json =
+        s"""{"recipe":"24-trigger RefreshPipeline drain with a real """ +
+          s"""stateful upstream (watermarked dropDuplicates, event """ +
+          s"""time advancing one step per trigger) under the default """ +
+          s"""state-store provider vs RocksDB; identical accepted """ +
+          s"""ids, class pins and store token mass required",""" +
+          s""""prior_docs":$prior,"triggers":$triggers,""" +
+          s""""batch_rows":$batchRows,""" +
+          s""""default_provider":${blockJson(hdfs)},""" +
+          s""""rocksdb":${blockJson(rocks)},""" +
+          s""""outputs_identical":true}""" + "\n"
+      Files.writeString(Paths.get("REFRESH_ROCKSDB.json"), json)
+      println(s"[refreshvariants] wrote REFRESH_ROCKSDB.json")
+    }
+    spark.stop()
+  }
+}

@@ -167,25 +167,26 @@ object SkewScale {
   private def lshOnce(spark: SparkSession, n: Long,
                       classSize: Long): Map[String, Double] = {
     val docs = lshDocs(spark, n, classSize).localCheckpoint(true)
+    var pC: DataFrame = null
+    var pH: DataFrame = null
     try {
-      def detect(hot: Boolean): (Long, Long, Double) = {
+      def detect(hot: Boolean): (Long, Long, Double, DataFrame) = {
         val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
           numHashes = 32, bands = 8, threshold = 0.7, shingleN = 1,
           maxBucket = 256, mode = Dedup.Fast, hotBucketRep = hot)
           .localCheckpoint(true)
-        try {
-          val nPairs = pairs.count()
-          val detected = pairs
-            .select(explode(array(col("a"), col("b"))).as("m"))
-            .filter(col("m") < classSize).distinct().count()
-          (nPairs, detected, detected.toDouble / classSize)
-        } finally org.apache.spark.sql.graftglue.GraftGlue
-          .releaseCheckpoint(pairs)
+        val nPairs = pairs.count()
+        val detected = pairs
+          .select(explode(array(col("a"), col("b"))).as("m"))
+          .filter(col("m") < classSize).distinct().count()
+        (nPairs, detected, detected.toDouble / classSize, pairs)
       }
-      val ((pairsCapped, detCapped, recallCapped), cappedS) =
+      val ((pairsCapped, detCapped, recallCapped, pC0), cappedS) =
         timed(detect(hot = false))
-      val ((pairsHot, detHot, recallHot), hotS) =
+      pC = pC0
+      val ((pairsHot, detHot, recallHot, pH0), hotS) =
         timed(detect(hot = true))
+      pH = pH0
       // the cap's recall collapse is the finding; the rep verify is
       // the mitigation; linear pair volume is the scale contract. The
       // gate is the GAP itself (exact recalls land in the artifact):
@@ -207,14 +208,44 @@ object SkewScale {
       require(pairsHot <= classSize * 10L + 8L * 256L * 256L,
         s"hot-bucket pair volume $pairsHot not linear in the class " +
           s"(bound ${classSize * 10L + 8L * 256L * 256L})")
+      // CLUSTER WHOLENESS (round 14): the composite consumers
+      // (clusters -> semanticPrune/keepBestPerCluster) see the class
+      // through connected components over these pairs. The star around
+      // each bucket's rep must keep the 100k-member class ONE cluster;
+      // the capped graph's fragment count is recorded as the finding
+      // (detection leaks + islands, never the whole class).
+      def classClusters(pairs: DataFrame): (Long, Long) = {
+        val r = Dedup.clusters(pairs)
+          .filter(col("id") < classSize)
+          .agg(countDistinct(col("cluster")).as("__nc"),
+            count(lit(1)).as("__nm"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val ((hotClusters, hotMembers), clustersHotS) =
+        timed(classClusters(pH))
+      require(hotClusters == 1L && hotMembers == detHot,
+        s"hot-bucket rep pairs fragment the dense class: " +
+          s"$hotClusters clusters over $hotMembers labeled members " +
+          s"(detected $detHot) - connected components must see ONE")
+      val (cappedClusters, cappedMembers) = classClusters(pC)
       Map("lsh_capped_s" -> cappedS, "lsh_hot_s" -> hotS,
         "pairs_capped" -> pairsCapped.toDouble,
         "pairs_hot" -> pairsHot.toDouble,
         "detected_capped" -> detCapped.toDouble,
         "detected_hot" -> detHot.toDouble,
-        "recall_capped" -> recallCapped, "recall_hot" -> recallHot)
-    } finally org.apache.spark.sql.graftglue.GraftGlue
-      .releaseCheckpoint(docs)
+        "recall_capped" -> recallCapped, "recall_hot" -> recallHot,
+        "class_clusters_capped" -> cappedClusters.toDouble,
+        "class_members_labeled_capped" -> cappedMembers.toDouble,
+        "class_clusters_hot" -> hotClusters.toDouble,
+        "clusters_hot_s" -> clustersHotS)
+    } finally {
+      Option(pC).foreach(org.apache.spark.sql.graftglue.GraftGlue
+        .releaseCheckpoint(_))
+      Option(pH).foreach(org.apache.spark.sql.graftglue.GraftGlue
+        .releaseCheckpoint(_))
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(docs)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -313,7 +344,13 @@ object SkewScale {
         s""""class_detected_hot_rep":${lm("detected_hot").toLong},""" +
         f""""recall_capped":${lm("recall_capped")}%.4f,""" +
         f""""recall_hot_rep":${lm("recall_hot")}%.4f,""" +
-        s""""hot_rep_recall_gate_0_999":true,"pair_volume_linear":true}""")
+        s""""class_clusters_capped":${lm("class_clusters_capped").toLong},""" +
+        s""""class_members_labeled_capped":${
+          lm("class_members_labeled_capped").toLong},""" +
+        s""""class_clusters_hot_rep":${lm("class_clusters_hot").toLong},""" +
+        f""""clusters_hot_rep_s":${lm("clusters_hot_s")}%.1f,""" +
+        s""""hot_rep_recall_gate_0_999":true,"pair_volume_linear":true,""" +
+        s""""hot_rep_class_is_one_cluster":true}""")
     }
 
     val json =

@@ -298,6 +298,14 @@ object StreamJoinScale {
     val floor = math.max(0L, r.inputClicks - 2 * bound)
     require(r.removedTotal >= floor,
       s"eviction too small: removed ${r.removedTotal} < floor $floor")
+    // keep a NONZERO eviction signal at spec scale too: once the feed
+    // outruns the horizon by any margin, at least one sealed click must
+    // have been physically removed — without this, a short feed whose
+    // computed floor is 0 would pass with eviction entirely broken
+    if (r.inputClicks > bound)
+      require(r.removedTotal > 0,
+        s"feed outran the horizon (${r.inputClicks} clicks > bound " +
+          s"$bound) yet nothing was evicted")
     ()
   }
 

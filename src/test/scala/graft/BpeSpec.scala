@@ -252,6 +252,49 @@ class BpeSpec extends SparkSpec {
     assert(d1 == d2, "skew-robust incremental delta diverged")
   }
 
+  test("skew-robust pack FAILS LOUDLY on duplicate (shard, id) keys " +
+      "instead of silently multiplying payloads; guard adds no exchange") {
+    val dup = Seq(
+      ("a", 1L, Seq(1, 2, 3)), ("a", 1L, Seq(4, 5)),
+      ("a", 2L, Seq(6)), ("b", 1L, Seq(7, 8)))
+      .toDF("source", "doc_id", "__ids")
+    // the window form packs duplicate keys as separate rows; the join
+    // form would multiply them (4 rows from the 2 duplicates) — the
+    // in-plan guard turns that silent corruption into an error
+    def allMsgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+    val e = intercept[Exception] {
+      Curate.packTokenIdsSkewRobust(dup, "__ids", "doc_id",
+        budget = 512, shardCol = "source").collect()
+    }
+    assert(allMsgs(e).contains("duplicate (shard, id) key"),
+      s"wrong failure: ${allMsgs(e)}")
+    // same guard on the incremental skew leg (the path
+    // ShardSink.append(skewRobust) exposes to the persistent store)
+    val existing = Curate.packTokenIds(
+      Seq(("a", 0L, Seq(9))).toDF("source", "doc_id", "__ids"),
+      "__ids", "doc_id", 512, "source").localCheckpoint(true)
+    val e2 = intercept[Exception] {
+      Curate.packTokenIdsIncremental(existing, dup, "__ids", "doc_id",
+        512, "source", skewRobust = true).collect()
+    }
+    assert(allMsgs(e2).contains("duplicate (shard, id) key"),
+      s"wrong failure: ${allMsgs(e2)}")
+    // the guard window must ride the running count's exchange + sort:
+    // Exchange count identical to the unguarded r13 plan shape (the
+    // narrow cum frame costs ONE shuffle on the shard key; the merge
+    // join adds its two; the final grouping one — the guard adds zero)
+    val unique = Seq(("a", 1L, Seq(1)), ("b", 2L, Seq(2)))
+      .toDF("source", "doc_id", "__ids")
+    val plan = Curate.packTokenIdsSkewRobust(unique, "__ids", "doc_id",
+        512, "source")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 4,
+      s"duplicate-key guard added an exchange: $exchanges in\n$plan")
+  }
+
   test("packTokenIdsIncremental: delta == full repack's new/changed " +
       "sequences; shipped full sequences never re-emit; tail tops up") {
     import graft.functions.BpeByteVocab

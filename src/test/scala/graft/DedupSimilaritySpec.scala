@@ -62,6 +62,60 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!hotRep.exists(p => p._1 >= 100L || p._2 >= 100L))
   }
 
+  test("dense class beyond the cap stays ONE cluster with hotBucketRep: " +
+      "minhash and embedding families feed connected components whole") {
+    // the q177/SKEW_SCALE fragmentation shape at spec scale: 8
+    // near-identical docs against maxBucket = 2. Without the rep star,
+    // connected components sees bucket-sized ISLANDS (or nothing past
+    // the cap) and every composite consumer keeps one survivor per
+    // island; with it the class is one component under the min id.
+    val tmpl = (0 until 20).map(i => s"t$i")
+    val dense = (0L until 8L).map(i =>
+      (i, tmpl.updated((i % 20).toInt, s"mut$i").mkString(" ")))
+    val other = Seq(
+      (100L, "aaa bbb ccc ddd eee fff ggg hhh iii jjj"),
+      (101L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq"))
+    val corpus = (dense ++ other).toDF("doc_id", "text")
+    def clustersOf(hot: Boolean): Map[Long, Long] =
+      Dedup.clusters(Dedup.minhashPairs(corpus, "text", "doc_id",
+          numHashes = 32, bands = 8, threshold = 0.7, shingleN = 1,
+          maxBucket = 2, hotBucketRep = hot))
+        .select("id", "cluster").as[(Long, Long)].collect().toMap
+    val whole = clustersOf(hot = true)
+    assert((0L until 8L).forall(i => whole.get(i).contains(0L)),
+      s"hotBucketRep did not keep the class whole: $whole")
+    val frag = clustersOf(hot = false)
+    val fragLabels = frag.filter(_._1 < 8L)
+    assert(fragLabels.size < 8 || fragLabels.values.toSet.size > 1,
+      s"cap did not fragment the class - fixture is too weak: $frag")
+
+    // embedding family, same shape: 8 near-identical vectors (tiny
+    // monotone perturbations - distinct, so the exact pre-pass does
+    // not collapse them) + one unrelated
+    val vdf = ((0L until 8L).map(i =>
+        (i, Array(1f, 0.001f * (i + 1), 0f, 0f))) :+
+        (100L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    def prune(hot: Boolean): Set[Long] =
+      Dedup.semanticPrune(vdf, "embedding", "vec_id",
+          threshold = 0.99, nBits = 4, bands = 8, maxBucket = 2,
+          dim = 4, hotBucketRep = hot)
+        .select("vec_id").as[Long].collect().toSet
+    val vCl = Dedup.clusters(
+        Dedup.embeddingNearDupPairs(vdf, "embedding", "vec_id",
+          threshold = 0.99, nBits = 4, bands = 8, maxBucket = 2,
+          dim = 4, hotBucketRep = true))
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    assert((0L until 8L).forall(i => vCl.get(i).contains(0L)),
+      s"embedding hotBucketRep did not keep the class whole: $vCl")
+    val keptHot = prune(hot = true)
+    assert(keptHot == Set(0L, 100L),
+      s"semanticPrune(hotBucketRep) must keep ONE class survivor: $keptHot")
+    val keptCapped = prune(hot = false)
+    assert(keptCapped.size > keptHot.size,
+      s"cap did not fragment the embedding class: $keptCapped")
+  }
+
   test("portableHash64: cross-engine known answer (DuckDB-verified)") {
     // SELECT CAST(concat('0x', substring(md5('abc'),1,15)) AS BIGINT)
     // = 648541476951500027 in DuckDB 1.0; '' = 955282973525019424

@@ -57,4 +57,22 @@ class QuickstartSpec extends SparkSpec {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("the README correctness-count sentence matches the real query " +
+      "surface (oracled / total / no-oracle) — counts cannot drift") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")))
+    val m = """(\d+) of the (\d+) `SparkEntry`\s*\nqueries \(the (\d+)"""
+      .r.findFirstMatchIn(readme)
+      .getOrElse(fail("README correctness sentence not found"))
+    val total = SparkEntry.queries.size
+    val oracled = SparkEntry.queries.keySet
+      .count(SparkEntry.oracleSql.contains)
+    assert(m.group(2).toInt == total,
+      s"README says ${m.group(2)} queries; SparkEntry has $total")
+    assert(m.group(1).toInt == oracled,
+      s"README says ${m.group(1)} oracled; SparkEntry has $oracled")
+    assert(m.group(3).toInt == total - oracled,
+      s"README says ${m.group(3)} exceptions; real ${total - oracled}")
+  }
 }

@@ -263,6 +263,55 @@ class RefreshPipelineSpec extends SparkSpec {
     assert(r.accepted == 240 + 5, s"accepted ${r.accepted}")
   }
 
+  test("pack-skew strategies are output-identical through the full " +
+      "drain: skewed stream, forced window pack vs forced skew-robust") {
+    // one source holds 90% of stream docs (the REFRESH_SKEW.json shape
+    // at spec scale); acceptance never keys on the shard, so both pack
+    // strategies must land the identical accepted set, class pins and
+    // store token mass — the bit-identity that makes the auto-probe
+    // safe to default on
+    def leg(skew: Option[Boolean]) = {
+      val r = graft.tools.RefreshScale.run(spark, prior = 400,
+        triggers = 3, batchRows = 100, hotPct = 90, packSkew = skew)
+      graft.tools.RefreshScale.check(r, requireFlatness = false)
+      r
+    }
+    val window = leg(Some(false))
+    val robust = leg(Some(true))
+    assert((window.accepted, window.exactStreamAccepted,
+        window.nearAccepted, window.originalsAccepted,
+        window.storeTokens) ==
+      (robust.accepted, robust.exactStreamAccepted,
+        robust.nearAccepted, robust.originalsAccepted,
+        robust.storeTokens),
+      s"pack strategies diverged: $window vs $robust")
+  }
+
+  test("autoPackSkew: crossover at a third above the floor, never below") {
+    import RefreshPipeline.{autoPackSkew, AutoPackSkewFloor}
+    val f = AutoPackSkewFloor
+    assert(!autoPackSkew(hotRows = 90, totalRows = 100)) // below floor
+    assert(autoPackSkew(hotRows = f / 2, totalRows = f)) // hot half
+    assert(!autoPackSkew(hotRows = f / 3, totalRows = f)) // exactly 1/3
+    assert(autoPackSkew(hotRows = f / 3 + 1, totalRows = f))
+    assert(!autoPackSkew(hotRows = 0, totalRows = 0)) // empty batch
+  }
+
+  test("providerClass swap: RocksDB drain over a stateful upstream is " +
+      "output-identical and the session conf is restored") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val rocks = "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider"
+    val r = graft.tools.RefreshScale.run(spark, prior = 400,
+      triggers = 3, batchRows = 100, stateful = true,
+      providerClass = Some(rocks))
+    graft.tools.RefreshScale.check(r, requireFlatness = false)
+    assert(r.accepted == 240 + 5, s"accepted ${r.accepted}")
+    assert(spark.conf.getOption(key) == before,
+      s"provider conf not restored: ${spark.conf.getOption(key)}")
+  }
+
   test("pruned confirm ledger: batches publish one file + a prefix " +
       "bitmap sidecar, ledgerLeafPaths skips candidate-disjoint batches " +
       "whole and keeps both legacy layouts readable") {
