@@ -59,7 +59,8 @@ object CrashHarness {
                               mass: Boolean, ledger: Boolean,
                               started: Boolean = true,
                               window: String = "n/a",
-                              genAfterHeal: Long = -1L)
+                              genAfterHeal: Long = -1L,
+                              trigger: String = "timer")
 
   private val AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -209,10 +210,22 @@ object CrashHarness {
 
   /** One kill iteration: stage fresh fixtures, spawn the child, wait
     * for its drain-start marker, SIGKILL after `killAfterMs`, heal in
-    * THIS session, gate on the staged oracle. */
+    * THIS session, gate on the staged oracle.
+    *
+    * `killOnFold` (managed only) arms an EVENT-triggered kill instead
+    * of the timer: the parent polls the roots' on-disk compaction
+    * signature (a generation dir beyond the manifest — the same
+    * predicate [[compactionWindow]] classifies with) every few ms and
+    * SIGKILLs the instant a fold is observed in flight. Time-offset
+    * kills almost never land inside a sub-second fold at spec scale
+    * (observed 0/8 in the first managed run), so the windows this mode
+    * exists to hit get hit BY CONSTRUCTION; `killAfterMs` becomes the
+    * poll deadline, after which the kill fires anyway (classified
+    * honestly, possibly "none"). */
   def runOnce(spark: SparkSession, kill: Int, killAfterMs: Long,
               prior: Long, triggers: Int, batchRows: Long,
-              compactEvery: Option[Int] = None): KillReport = {
+              compactEvery: Option[Int] = None,
+              killOnFold: Boolean = false): KillReport = {
     val managed = compactEvery.isDefined
     val base = Files.createTempDirectory(s"graft_crash_$kill-")
     try {
@@ -248,7 +261,22 @@ object CrashHarness {
       require(started, s"child never reached drain-start within the " +
         s"startup deadline (alive=${p.isAlive}) - kill $kill is not a " +
         "drain interruption; inspect " + log)
-      Thread.sleep(killAfterMs)
+      val killedAtMs =
+        if (!killOnFold) { Thread.sleep(killAfterMs); killAfterMs }
+        else {
+          // poll the roots for a fold in flight; the observable span is
+          // fold duration + the swap->retire gap, so a ~5ms poll beats
+          // the stratified-timer lottery deterministically
+          val t0 = System.nanoTime()
+          val deadline = t0 + killAfterMs * 1000000L
+          var seen = false
+          while (!seen && p.isAlive && System.nanoTime() < deadline) {
+            Thread.sleep(5)
+            seen = compactionWindow(s"$base/shardRoot") != "none" ||
+              compactionWindow(s"$base/ixRoot") != "none"
+          }
+          (System.nanoTime() - t0) / 1000000L
+        }
       val interrupted = p.isAlive
       p.destroyForcibly()
       val childExit = { p.waitFor(); p.exitValue() }
@@ -306,9 +334,10 @@ object CrashHarness {
         RefreshScale.setDigest(ledger, col("__pfp")) == expLedger
       val gen = if (!managed) -1L
         else graft.streaming.StoreRoot.currentGen(s"$base/shardRoot")
-      KillReport(kill, killAfterMs, interrupted, childExit, healS,
+      KillReport(kill, killedAtMs, interrupted, childExit, healS,
         equivalence, storeTokens == expMass, ledgerOk,
-        started = started, window = window, genAfterHeal = gen)
+        started = started, window = window, genAfterHeal = gen,
+        trigger = if (killOnFold) "fold-poll" else "timer")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -393,13 +422,19 @@ object CrashHarness {
 
   /** MANAGED-path harness (see the class doc): SIGKILL a separate-JVM
     * `runManaged` drain (compactEvery = 2 — four scheduled compactions
-    * across 8 triggers) at stratified offsets, classify each kill's
-    * landing from post-kill disk forensics, heal with a second
-    * `runManaged`, gate the healed ROOTS on the one-shot oracle.
-    * Evidence gates: every heal matches, >= half the kills interrupted
-    * the drain, and at least one kill landed INSIDE a compaction
-    * window (fold/pre-swap or swap-no-retire) — the windows this mode
-    * exists to hit. */
+    * across 8 triggers), classify each kill's landing from post-kill
+    * disk forensics, heal with a second `runManaged`, gate the healed
+    * ROOTS on the one-shot oracle. The first half of the kills are
+    * timer-stratified across the drain (the unmanaged harness's shape
+    * — they exercise the between-compaction store/index/ledger/
+    * checkpoint stages); the second half are FOLD-TRIGGERED
+    * ([[runOnce]]'s `killOnFold`): at spec scale a fold lasts well
+    * under a second, so a stratified timer essentially never samples
+    * it (measured 0/8) — the poll guarantees the compaction windows
+    * the mode exists for actually get hit. Evidence gates: every heal
+    * matches, >= half the kills interrupted the drain, and at least
+    * one kill landed INSIDE a compaction window (fold/pre-swap or
+    * swap-no-retire). */
   private def managedMain(args: Array[String]): Unit = {
     val kills = args.lift(1).map(_.toInt).getOrElse(8)
     val out = args.lift(2).getOrElse("CRASH_MANAGED.json")
@@ -417,17 +452,21 @@ object CrashHarness {
     // compaction folds), so the default window is wider
     val windowMs = sys.env.get("GRAFT_CRASH_WINDOW_MS")
       .map(_.toLong).getOrElse(45000L)
-    val reports = killOffsets(kills, windowMs, seed = 14L)
-      .zipWithIndex.map { case (off, i) =>
+    val nTimer = kills / 2
+    val reports = killOffsets(nTimer, windowMs, seed = 14L)
+      .zipWithIndex.map { case (off, i) => (i, off, false) }
+      .++((nTimer until kills).map(i => (i, windowMs, true)))
+      .map { case (i, off, onFold) =>
         val r = runOnce(spark, i, off, prior, triggers, batchRows,
-          compactEvery = Some(compactEvery))
-        println(f"[crash] managed kill=$i afterMs=$off interrupted=" +
+          compactEvery = Some(compactEvery), killOnFold = onFold)
+        println(f"[crash] managed kill=$i trigger=${r.trigger} " +
+          f"afterMs=${r.killAfterMs} interrupted=" +
           f"${r.interrupted} exit=${r.childExit} window=${r.window} " +
           f"heal=${r.healDrainS}%.1fs eq=${r.equivalence} " +
           f"mass=${r.mass} ledger=${r.ledger} gen=${r.genAfterHeal}")
         require(r.equivalence && r.mass && r.ledger,
           s"managed heal diverged from the one-shot oracle at kill $i " +
-            s"(afterMs=$off window=${r.window})")
+            s"(afterMs=${r.killAfterMs} window=${r.window})")
         r
       }
     val nInterrupted = reports.count(_.interrupted)
@@ -440,15 +479,19 @@ object CrashHarness {
         "iterations - reseed/widen, the managed evidence needs the " +
         "fold/swap/retire windows hit")
     val rows = reports.map(r =>
-      s"""{"kill":${r.kill},"kill_after_ms":${r.killAfterMs},""" +
+      s"""{"kill":${r.kill},"kill_trigger":"${r.trigger}",""" +
+        s""""kill_after_ms":${r.killAfterMs},""" +
         s""""interrupted":${r.interrupted},"child_exit":${r.childExit},""" +
         s""""compaction_window":"${r.window}",""" +
         f""""heal_drain_s":${r.healDrainS}%.1f,""" +
         s""""equivalence":${r.equivalence},"mass":${r.mass},""" +
         s""""ledger":${r.ledger},"gen_after_heal":${r.genAfterHeal}}""")
     val json = s"""{"recipe":"SIGKILL a separate-JVM runManaged drain """ +
-      s"""(StoreRoot shard+index roots, compaction every 2 triggers) """ +
-      s"""at stratified offsets; classify the landing from post-kill """ +
+      s"""(StoreRoot shard+index roots, compaction every 2 triggers); """ +
+      s"""half the kills timer-stratified across the drain, half """ +
+      s"""fold-triggered (poll the roots' on-disk compaction """ +
+      s"""signature, kill the instant a fold is in flight); classify """ +
+      s"""each landing from post-kill """ +
       s"""disk forensics; heal with a second runManaged; gate the """ +
       s"""healed roots on the one-shot oracle (q175 shape)",""" +
       s""""kills":$kills,"prior":$prior,"triggers":$triggers,""" +
