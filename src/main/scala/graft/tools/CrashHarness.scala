@@ -48,6 +48,7 @@ import graft.streaming.{RefreshPipeline, ShardSink, VectorIndexSink}
   *
   * Usage: runMain graft.tools.CrashHarness [kills] [outFile]
   *        runMain graft.tools.CrashHarness managed [kills] [outFile]
+  *        runMain graft.tools.CrashHarness double [kills] [outFile]
   *        runMain graft.tools.CrashHarness child <base> <prior> <triggers> <batchRows>
   *        runMain graft.tools.CrashHarness childManaged <base> <prior> <triggers> <batchRows> <compactEvery>
   */
@@ -231,113 +232,197 @@ object CrashHarness {
     try {
       val (expIds, expMass, expLedger) =
         stage(spark, base, prior, triggers, batchRows, managed)
-      val classesDir = sys.props.get("graft.crash.classes")
-        .getOrElse("target/scala-2.13/classes")
-      val cmd = (Seq("java") ++ AddOpens ++ Seq("-Xmx8g",
-        "-cp", s"$classesDir:/opt/spark/jars/*",
-        "graft.tools.CrashHarness",
-        if (managed) "childManaged" else "child", base.toString,
-        prior.toString, triggers.toString, batchRows.toString) ++
-        compactEvery.map(_.toString))
-      val log = new java.io.File(s"$base/child.log")
-      val p = new ProcessBuilder(cmd: _*)
-        .redirectErrorStream(true)
-        .redirectOutput(log)
-        .start()
-      // wait for the drain to actually begin (child JVM + session
-      // startup is tens of seconds and must not eat the kill window)
-      val startDeadline = System.nanoTime() + 180e9.toLong
-      var started = false
-      while (!started && p.isAlive && System.nanoTime() < startDeadline) {
-        Thread.sleep(50)
-        started = log.exists() &&
-          new String(Files.readAllBytes(log.toPath))
-            .contains("drain-start")
-      }
-      // a child that died (or hung) before drain-start is a STARTUP
-      // failure, not crash evidence: the kill would land outside the
-      // drain and the iteration would gate vacuously — fail loudly
-      // instead of reporting it as a heal (ADVICE r13)
-      require(started, s"child never reached drain-start within the " +
-        s"startup deadline (alive=${p.isAlive}) - kill $kill is not a " +
-        "drain interruption; inspect " + log)
-      val killedAtMs =
-        if (!killOnFold) { Thread.sleep(killAfterMs); killAfterMs }
-        else {
-          // poll the roots for a fold in flight; the observable span is
-          // fold duration + the swap->retire gap, so a ~5ms poll beats
-          // the stratified-timer lottery deterministically
-          val t0 = System.nanoTime()
-          val deadline = t0 + killAfterMs * 1000000L
-          var seen = false
-          while (!seen && p.isAlive && System.nanoTime() < deadline) {
-            Thread.sleep(5)
-            seen = compactionWindow(s"$base/shardRoot") != "none" ||
-              compactionWindow(s"$base/ixRoot") != "none"
-          }
-          (System.nanoTime() - t0) / 1000000L
-        }
-      val interrupted = p.isAlive
-      p.destroyForcibly()
-      val childExit = { p.waitFor(); p.exitValue() }
-      // managed: classify the kill's landing inside the compact-swap-
-      // retire machine BEFORE the heal consumes the frozen state
-      val window =
-        if (!managed) "n/a"
-        else {
-          val w = (compactionWindow(s"$base/shardRoot"),
-            compactionWindow(s"$base/ixRoot"))
-          if (w._1 != "none") s"shard:${w._1}"
-          else if (w._2 != "none") s"index:${w._2}"
-          else "none"
-        }
-      // HEAL: second session (this one), same stores, same checkpoint
-      val tHeal = System.nanoTime()
-      val d = RefreshScale.priorDocs(spark, prior)
-      val bench = RefreshScale.benchDocs(spark)
-      val stream = spark.readStream
-        .schema(spark.read.parquet(s"$base/docs").schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(s"$base/docs")
-      compactEvery match {
-        case Some(ce) =>
-          RefreshPipeline.runManaged(stream, d, bench,
-            shardRoot = s"$base/shardRoot", ledgerDir = s"$base/ledger",
-            checkpointDir = s"$base/ck", compactEvery = ce,
-            indexRoot = Some(s"$base/ixRoot"))
-        case None =>
-          RefreshPipeline.run(stream, d, bench,
-            storeDir = s"$base/store", ledgerDir = s"$base/ledger",
-            checkpointDir = s"$base/ck", indexDir = Some(s"$base/ix"))
-      }
-      val healS = (System.nanoTime() - tHeal) / 1e9
-      // the q174 oracle gates (managed: served THROUGH the roots, so
-      // the manifest/retire state the kill left is itself under test)
-      val served = (if (managed)
-          graft.streaming.StoreRoot.readVectors(spark,
-            s"$base/ixRoot", idCol = "doc_id")
-        else VectorIndexSink.read(spark, s"$base/ix", idCol = "doc_id"))
-        .encoded.select(col("doc_id")).filter(col("doc_id") >= prior)
-      val equivalence =
-        RefreshScale.setDigest(served, col("doc_id")) == expIds
-      val storeTokens = (if (managed)
-          graft.streaming.StoreRoot.readShard(spark, s"$base/shardRoot")
-        else ShardSink.read(spark, s"$base/store"))
-        .agg(sum(col("n_tokens").cast("long"))).collect()(0).getLong(0)
-      val ledger = spark.read.parquet(
-        RefreshPipeline.ledgerLeafPaths(
-          graft.streaming.StoreFiles.publishedDirs(s"$base/ledger", "b",
-            graft.streaming.StoreFiles.hasLedgerParquet).map(_._2),
-          None): _*)
-      val ledgerOk =
-        RefreshScale.setDigest(ledger, col("__pfp")) == expLedger
-      val gen = if (!managed) -1L
-        else graft.streaming.StoreRoot.currentGen(s"$base/shardRoot")
+      val (killedAtMs, interrupted, childExit, window) = spawnAndKill(
+        base, prior, triggers, batchRows, compactEvery, killAfterMs,
+        killOnFold, label = s"kill $kill")
+      val (healS, equivalence, massOk, ledgerOk, gen) = healAndGate(
+        spark, base, prior, compactEvery, expIds, expMass, expLedger)
       KillReport(kill, killedAtMs, interrupted, childExit, healS,
-        equivalence, storeTokens == expMass, ledgerOk,
-        started = started, window = window, genAfterHeal = gen,
+        equivalence, massOk, ledgerOk,
+        started = true, window = window, genAfterHeal = gen,
         trigger = if (killOnFold) "fold-poll" else "timer")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(base.toFile)
+    }
+  }
+
+  /** Spawn one drain child over `base`'s staged fixtures, SIGKILL it
+    * after `killAfterMs` (or on the fold-poll, see [[runOnce]]), and
+    * classify the landing from post-kill disk forensics. The SAME call
+    * serves both the initial drain and — because resuming from the
+    * checkpoint IS the heal — a heal that is itself to be killed
+    * (the double-kill mode). Returns (killedAtMs, interrupted,
+    * childExit, window). */
+  private def spawnAndKill(base: Path, prior: Long, triggers: Int,
+                           batchRows: Long, compactEvery: Option[Int],
+                           killAfterMs: Long, killOnFold: Boolean,
+                           label: String): (Long, Boolean, Int, String) = {
+    val managed = compactEvery.isDefined
+    val classesDir = sys.props.get("graft.crash.classes")
+      .getOrElse("target/scala-2.13/classes")
+    val cmd = (Seq("java") ++ AddOpens ++ Seq("-Xmx8g",
+      "-cp", s"$classesDir:/opt/spark/jars/*",
+      "graft.tools.CrashHarness",
+      if (managed) "childManaged" else "child", base.toString,
+      prior.toString, triggers.toString, batchRows.toString) ++
+      compactEvery.map(_.toString))
+    // a fresh log per spawn: the drain-start wait must see THIS
+    // child's marker, not a predecessor's
+    val log = new java.io.File(s"$base/child-$label.log"
+      .replace(' ', '_'))
+    val p = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(log)
+      .start()
+    // wait for the drain to actually begin (child JVM + session
+    // startup is tens of seconds and must not eat the kill window)
+    val startDeadline = System.nanoTime() + 180e9.toLong
+    var started = false
+    while (!started && p.isAlive && System.nanoTime() < startDeadline) {
+      Thread.sleep(50)
+      started = log.exists() &&
+        new String(Files.readAllBytes(log.toPath))
+          .contains("drain-start")
+    }
+    // a child that died (or hung) before drain-start is a STARTUP
+    // failure, not crash evidence: the kill would land outside the
+    // drain and the iteration would gate vacuously — fail loudly
+    // instead of reporting it as a heal (ADVICE r13)
+    require(started, s"child never reached drain-start within the " +
+      s"startup deadline (alive=${p.isAlive}) - $label is not a " +
+      "drain interruption; inspect " + log)
+    val killedAtMs =
+      if (!killOnFold) { Thread.sleep(killAfterMs); killAfterMs }
+      else {
+        // poll the roots for a fold in flight; the observable span is
+        // fold duration + the swap->retire gap, so a ~5ms poll beats
+        // the stratified-timer lottery deterministically
+        val t0 = System.nanoTime()
+        val deadline = t0 + killAfterMs * 1000000L
+        var seen = false
+        while (!seen && p.isAlive && System.nanoTime() < deadline) {
+          Thread.sleep(5)
+          seen = compactionWindow(s"$base/shardRoot") != "none" ||
+            compactionWindow(s"$base/ixRoot") != "none"
+        }
+        (System.nanoTime() - t0) / 1000000L
+      }
+    val interrupted = p.isAlive
+    p.destroyForcibly()
+    val childExit = { p.waitFor(); p.exitValue() }
+    // managed: classify the kill's landing inside the compact-swap-
+    // retire machine BEFORE the heal consumes the frozen state
+    val window =
+      if (!managed) "n/a"
+      else {
+        val w = (compactionWindow(s"$base/shardRoot"),
+          compactionWindow(s"$base/ixRoot"))
+        if (w._1 != "none") s"shard:${w._1}"
+        else if (w._2 != "none") s"index:${w._2}"
+        else "none"
+      }
+    (killedAtMs, interrupted, childExit, window)
+  }
+
+  /** HEAL in THIS session (same stores, same checkpoint) and gate the
+    * final state on the staged one-shot oracle. Returns (healWallS,
+    * idEquivalence, massMatch, ledgerMatch, genAfterHeal). */
+  private def healAndGate(spark: SparkSession, base: Path, prior: Long,
+                          compactEvery: Option[Int], expIds: (Long, Long),
+                          expMass: Long, expLedger: (Long, Long))
+      : (Double, Boolean, Boolean, Boolean, Long) = {
+    val managed = compactEvery.isDefined
+    val tHeal = System.nanoTime()
+    val d = RefreshScale.priorDocs(spark, prior)
+    val bench = RefreshScale.benchDocs(spark)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$base/docs").schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(s"$base/docs")
+    compactEvery match {
+      case Some(ce) =>
+        RefreshPipeline.runManaged(stream, d, bench,
+          shardRoot = s"$base/shardRoot", ledgerDir = s"$base/ledger",
+          checkpointDir = s"$base/ck", compactEvery = ce,
+          indexRoot = Some(s"$base/ixRoot"))
+      case None =>
+        RefreshPipeline.run(stream, d, bench,
+          storeDir = s"$base/store", ledgerDir = s"$base/ledger",
+          checkpointDir = s"$base/ck", indexDir = Some(s"$base/ix"))
+    }
+    val healS = (System.nanoTime() - tHeal) / 1e9
+    // the q174 oracle gates (managed: served THROUGH the roots, so
+    // the manifest/retire state the kill left is itself under test)
+    val served = (if (managed)
+        graft.streaming.StoreRoot.readVectors(spark,
+          s"$base/ixRoot", idCol = "doc_id")
+      else VectorIndexSink.read(spark, s"$base/ix", idCol = "doc_id"))
+      .encoded.select(col("doc_id")).filter(col("doc_id") >= prior)
+    val equivalence =
+      RefreshScale.setDigest(served, col("doc_id")) == expIds
+    val storeTokens = (if (managed)
+        graft.streaming.StoreRoot.readShard(spark, s"$base/shardRoot")
+      else ShardSink.read(spark, s"$base/store"))
+      .agg(sum(col("n_tokens").cast("long"))).collect()(0).getLong(0)
+    val ledger = spark.read.parquet(
+      RefreshPipeline.ledgerLeafPaths(
+        graft.streaming.StoreFiles.publishedDirs(s"$base/ledger", "b",
+          graft.streaming.StoreFiles.hasLedgerParquet).map(_._2),
+        None): _*)
+    val ledgerOk =
+      RefreshScale.setDigest(ledger, col("__pfp")) == expLedger
+    val gen = if (!managed) -1L
+      else graft.streaming.StoreRoot.currentGen(s"$base/shardRoot")
+    (healS, equivalence, storeTokens == expMass, ledgerOk, gen)
+  }
+
+  final case class DoubleKillReport(kill: Int,
+                                    kill1Ms: Long, window1: String,
+                                    interrupted1: Boolean, exit1: Int,
+                                    kill2Ms: Long, window2: String,
+                                    interrupted2: Boolean, exit2: Int,
+                                    trigger2: String,
+                                    healDrainS: Double,
+                                    equivalence: Boolean, mass: Boolean,
+                                    ledger: Boolean, genAfterHeal: Long)
+
+  /** One DOUBLE-kill iteration: SIGKILL the drain, then SIGKILL the
+    * HEAL mid-flight, then heal a third time and gate on the one-shot
+    * oracle. The single-kill mode proves a crash-then-recover story;
+    * this proves the recovery is ITSELF crash-safe — the second kill
+    * lands on a child that is replaying a half-committed trigger over
+    * stores the first kill already left mid-write (compaction state
+    * machine included), the exact state a production restart loop
+    * visits when a node dies twice. Kill 1 is fold-triggered (the
+    * frozen fold makes the heal's first act a fold replay — the
+    * hardest restart state); kill 2 alternates timer / fold-poll per
+    * iteration so both the replay stages and the heal's OWN folds get
+    * hit. */
+  def runDouble(spark: SparkSession, kill: Int, kill2AfterMs: Long,
+                kill2OnFold: Boolean, prior: Long, triggers: Int,
+                batchRows: Long, compactEvery: Int): DoubleKillReport = {
+    val base = Files.createTempDirectory(s"graft_crash2_$kill-")
+    try {
+      val (expIds, expMass, expLedger) =
+        stage(spark, base, prior, triggers, batchRows, managed = true)
+      val (k1Ms, int1, exit1, w1) = spawnAndKill(
+        base, prior, triggers, batchRows, Some(compactEvery),
+        killAfterMs = 60000L, killOnFold = true,
+        label = s"kill${kill}a")
+      val (k2Ms, int2, exit2, w2) = spawnAndKill(
+        base, prior, triggers, batchRows, Some(compactEvery),
+        kill2AfterMs, kill2OnFold, label = s"kill${kill}b")
+      val (healS, equivalence, massOk, ledgerOk, gen) = healAndGate(
+        spark, base, prior, Some(compactEvery), expIds, expMass,
+        expLedger)
+      DoubleKillReport(kill, k1Ms, w1, int1, exit1, k2Ms, w2, int2,
+        exit2, trigger2 = if (kill2OnFold) "fold-poll" else "timer",
+        healDrainS = healS, equivalence = equivalence, mass = massOk,
+        ledger = ledgerOk, genAfterHeal = gen)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -369,6 +454,7 @@ object CrashHarness {
       return
     }
     if (args.headOption.contains("managed")) { managedMain(args); return }
+    if (args.headOption.contains("double")) { doubleMain(args); return }
     val kills = args.headOption.map(_.toInt).getOrElse(8)
     val out = args.lift(1).getOrElse("CRASH_HARNESS.json")
     val (prior, triggers, batchRows) = (2000L, 8, 400L)
@@ -503,6 +589,87 @@ object CrashHarness {
     Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"[crash] wrote $out ($nInterrupted/$kills interrupted, " +
       s"$nInWindow in a compaction window, all heals == oracle)")
+    spark.stop()
+  }
+
+  /** DOUBLE-kill harness (see [[runDouble]]): kill the managed drain
+    * inside its first fold, kill the HEAL mid-flight, heal again, gate
+    * on the one-shot oracle. Evidence gates: every final heal matches;
+    * >= half the iterations had BOTH kills actually interrupt a live
+    * child; at least one second kill landed inside a compaction
+    * window (the heal replaying or re-running a fold). */
+  private def doubleMain(args: Array[String]): Unit = {
+    val kills = args.lift(1).map(_.toInt).getOrElse(6)
+    val out = args.lift(2).getOrElse("CRASH_DOUBLE.json")
+    val (prior, triggers, batchRows, compactEvery) = (2000L, 8, 400L, 2)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.driver.memory", "48g")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // the heal child has less work left than the original drain, so
+    // its timer window is narrower than managedMain's
+    val windowMs = sys.env.get("GRAFT_CRASH_WINDOW_MS")
+      .map(_.toLong).getOrElse(25000L)
+    val offsets = killOffsets(kills, windowMs, seed = 15L)
+    val reports = (0 until kills).map { i =>
+      // alternate the SECOND kill: timer (stratified across the heal)
+      // vs fold-poll (the heal's own / replayed fold)
+      val onFold = i % 2 == 1
+      val r = runDouble(spark, i,
+        kill2AfterMs = if (onFold) windowMs * 2 else offsets(i),
+        kill2OnFold = onFold, prior, triggers, batchRows, compactEvery)
+      println(f"[crash] double kill=$i k1=${r.kill1Ms}ms w1=${r.window1} " +
+        f"int1=${r.interrupted1} k2=${r.kill2Ms}ms(${r.trigger2}) " +
+        f"w2=${r.window2} int2=${r.interrupted2} " +
+        f"heal=${r.healDrainS}%.1fs eq=${r.equivalence} mass=${r.mass} " +
+        f"ledger=${r.ledger} gen=${r.genAfterHeal}")
+      require(r.equivalence && r.mass && r.ledger,
+        s"double-kill heal diverged from the one-shot oracle at " +
+          s"iteration $i (w1=${r.window1} w2=${r.window2})")
+      r
+    }
+    val bothInterrupted =
+      reports.count(r => r.interrupted1 && r.interrupted2)
+    require(bothInterrupted * 2 >= kills,
+      s"only $bothInterrupted/$kills iterations had both kills land " +
+        "on a live child - widen GRAFT_CRASH_WINDOW_MS or the " +
+        "double-kill evidence is vacuous")
+    val k2InWindow = reports.count(_.window2 != "none")
+    require(k2InWindow >= 1,
+      "no second kill landed inside a compaction window - the " +
+        "kill-during-heal evidence needs the heal's fold windows hit")
+    val rows = reports.map(r =>
+      s"""{"kill":${r.kill},"kill1_ms":${r.kill1Ms},""" +
+        s""""window1":"${r.window1}","interrupted1":${r.interrupted1},""" +
+        s""""exit1":${r.exit1},"kill2_ms":${r.kill2Ms},""" +
+        s""""kill2_trigger":"${r.trigger2}",""" +
+        s""""window2":"${r.window2}","interrupted2":${r.interrupted2},""" +
+        s""""exit2":${r.exit2},""" +
+        f""""heal_drain_s":${r.healDrainS}%.1f,""" +
+        s""""equivalence":${r.equivalence},"mass":${r.mass},""" +
+        s""""ledger":${r.ledger},"gen_after_heal":${r.genAfterHeal}}""")
+    val json = s"""{"recipe":"kill-during-heal: SIGKILL a separate-JVM """ +
+      s"""runManaged drain inside its first compaction fold, then """ +
+      s"""SIGKILL the separate-JVM HEAL mid-flight (second kills """ +
+      s"""alternate timer-stratified / fold-triggered), then heal a """ +
+      s"""third time and gate the roots on the one-shot oracle - """ +
+      s"""proves the recovery path is itself crash-safe",""" +
+      s""""kills":$kills,"prior":$prior,"triggers":$triggers,""" +
+      s""""batch_rows":$batchRows,"compact_every":$compactEvery,""" +
+      s""""window_ms":$windowMs,""" +
+      s""""both_interrupted":$bothInterrupted,""" +
+      s""""second_kills_inside_compaction_window":$k2InWindow,""" +
+      s""""all_heals_match_oracle":true,""" +
+      s""""reports":[${rows.mkString(",")}]}\n"""
+    Files.writeString(java.nio.file.Paths.get(out), json)
+    println(s"[crash] wrote $out ($bothInterrupted/$kills both-kill " +
+      s"iterations, $k2InWindow second kills in a compaction window, " +
+      "all heals == oracle)")
     spark.stop()
   }
 }

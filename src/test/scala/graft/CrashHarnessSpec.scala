@@ -56,4 +56,21 @@ class CrashHarnessSpec extends SparkSpec {
       s", windows: ${reports.map(_.window).mkString(",")}" +
       s", gens after heal: ${reports.map(_.genAfterHeal).mkString(",")}")
   }
+
+  test("DOUBLE kill: SIGKILL the drain inside a fold, SIGKILL the " +
+      "heal mid-flight, heal again - still the one-shot oracle") {
+    assume(new java.io.File(
+        "target/scala-2.13/classes/graft/tools/CrashHarness.class")
+      .exists(), "compiled classes dir not where the child JVM needs it")
+    val r = CrashHarness.runDouble(spark, 0,
+      kill2AfterMs = 6000L, kill2OnFold = false,
+      prior = 2000L, triggers = 8, batchRows = 400L, compactEvery = 2)
+    assert(r.equivalence, s"served ids diverged from oracle: $r")
+    assert(r.mass, s"store token mass diverged from oracle: $r")
+    assert(r.ledger, s"ledger fingerprints diverged from oracle: $r")
+    assert(r.genAfterHeal >= 0, s"no manifest after heal: $r")
+    info(s"k1=${r.kill1Ms}ms w1=${r.window1} int1=${r.interrupted1} " +
+      s"k2=${r.kill2Ms}ms w2=${r.window2} int2=${r.interrupted2} " +
+      s"gen=${r.genAfterHeal}")
+  }
 }
