@@ -259,7 +259,10 @@ object CrashHarness {
   private def spawnAndKill(base: Path, prior: Long, triggers: Int,
                            batchRows: Long, compactEvery: Option[Int],
                            killAfterMs: Long, killOnFold: Boolean,
-                           label: String): (Long, Boolean, Int, String) = {
+                           label: String,
+                           foldRoots: Seq[String] =
+                             Seq("shardRoot", "ixRoot"))
+      : (Long, Boolean, Int, String) = {
     val managed = compactEvery.isDefined
     val classesDir = sys.props.get("graft.crash.classes")
       .getOrElse("target/scala-2.13/classes")
@@ -302,11 +305,14 @@ object CrashHarness {
         // the stratified-timer lottery deterministically
         val t0 = System.nanoTime()
         val deadline = t0 + killAfterMs * 1000000L
+        // `foldRoots` narrows the watch: the shard root folds first
+        // within a trigger, so watching only ixRoot lands the kill in
+        // the INDEX root's fold/swap machine specifically
         var seen = false
         while (!seen && p.isAlive && System.nanoTime() < deadline) {
           Thread.sleep(5)
-          seen = compactionWindow(s"$base/shardRoot") != "none" ||
-            compactionWindow(s"$base/ixRoot") != "none"
+          seen = foldRoots.exists(r =>
+            compactionWindow(s"$base/$r") != "none")
         }
         (System.nanoTime() - t0) / 1000000L
       }
@@ -404,7 +410,9 @@ object CrashHarness {
     * hit. */
   def runDouble(spark: SparkSession, kill: Int, kill2AfterMs: Long,
                 kill2OnFold: Boolean, prior: Long, triggers: Int,
-                batchRows: Long, compactEvery: Int): DoubleKillReport = {
+                batchRows: Long, compactEvery: Int,
+                kill1Roots: Seq[String] = Seq("shardRoot", "ixRoot"))
+      : DoubleKillReport = {
     val base = Files.createTempDirectory(s"graft_crash2_$kill-")
     try {
       val (expIds, expMass, expLedger) =
@@ -412,7 +420,7 @@ object CrashHarness {
       val (k1Ms, int1, exit1, w1) = spawnAndKill(
         base, prior, triggers, batchRows, Some(compactEvery),
         killAfterMs = 60000L, killOnFold = true,
-        label = s"kill${kill}a")
+        label = s"kill${kill}a", foldRoots = kill1Roots)
       val (k2Ms, int2, exit2, w2) = spawnAndKill(
         base, prior, triggers, batchRows, Some(compactEvery),
         kill2AfterMs, kill2OnFold, label = s"kill${kill}b")
@@ -618,11 +626,17 @@ object CrashHarness {
     val offsets = killOffsets(kills, windowMs, seed = 15L)
     val reports = (0 until kills).map { i =>
       // alternate the SECOND kill: timer (stratified across the heal)
-      // vs fold-poll (the heal's own / replayed fold)
+      // vs fold-poll (the heal's own / replayed fold); every third
+      // FIRST kill watches only the index root, so the index fold's
+      // windows (the shard root folds first and would otherwise always
+      // win the poll) get frozen-then-heal-killed too
       val onFold = i % 2 == 1
+      val k1Roots =
+        if (i % 3 == 2) Seq("ixRoot") else Seq("shardRoot", "ixRoot")
       val r = runDouble(spark, i,
         kill2AfterMs = if (onFold) windowMs * 2 else offsets(i),
-        kill2OnFold = onFold, prior, triggers, batchRows, compactEvery)
+        kill2OnFold = onFold, prior, triggers, batchRows, compactEvery,
+        kill1Roots = k1Roots)
       println(f"[crash] double kill=$i k1=${r.kill1Ms}ms w1=${r.window1} " +
         f"int1=${r.interrupted1} k2=${r.kill2Ms}ms(${r.trigger2}) " +
         f"w2=${r.window2} int2=${r.interrupted2} " +
@@ -643,6 +657,11 @@ object CrashHarness {
     require(k2InWindow >= 1,
       "no second kill landed inside a compaction window - the " +
         "kill-during-heal evidence needs the heal's fold windows hit")
+    val ixTargeted = (0 until kills).count(_ % 3 == 2)
+    val ixFrozen = reports.count(_.window1.startsWith("index:"))
+    require(ixTargeted == 0 || ixFrozen >= 1,
+      s"$ixTargeted first kills watched only the index root but none " +
+        "froze its fold - the index root's crash windows went unhit")
     val rows = reports.map(r =>
       s"""{"kill":${r.kill},"kill1_ms":${r.kill1Ms},""" +
         s""""window1":"${r.window1}","interrupted1":${r.interrupted1},""" +
@@ -664,6 +683,7 @@ object CrashHarness {
       s""""window_ms":$windowMs,""" +
       s""""both_interrupted":$bothInterrupted,""" +
       s""""second_kills_inside_compaction_window":$k2InWindow,""" +
+      s""""index_fold_first_kills":$ixFrozen,""" +
       s""""all_heals_match_oracle":true,""" +
       s""""reports":[${rows.mkString(",")}]}\n"""
     Files.writeString(java.nio.file.Paths.get(out), json)
