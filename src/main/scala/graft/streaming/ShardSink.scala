@@ -97,9 +97,25 @@ object ShardSink {
           // first batch: an empty frame with the exact store schema
           else Curate.packTokenIds(batch.limit(0), idsCol, idCol,
             budget, shardCol)
-        Curate.packTokenIdsIncremental(existing, batch, idsCol, idCol,
-            budget, shardCol, skewRobust = skewRobust)
-          .write.mode("overwrite").parquet(staging)
+        val delta = Curate.packTokenIdsIncremental(existing, batch,
+            idsCol, idCol, budget, shardCol, skewRobust = skewRobust)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // size the version's FILE COUNT to the delta, not to the
+          // session's shuffle parallelism: a micro-batch delta written
+          // at 32-way parallelism is 32 tiny files, and after t
+          // triggers the NEXT append's merged read opens O(32t) files
+          // — measured as the dominant per-trigger slope of a
+          // 48-trigger drain (shard stage 3.1 -> 7.2 s, 1566 files;
+          // REFRESH_SLOPE48.json). One file per ~64k sequence rows,
+          // re-widening toward the session parallelism only for
+          // genuine backfill-sized deltas. The pack itself still
+          // computes at full parallelism (persisted above); only the
+          // write narrows.
+          val files = math.max(1L,
+            math.min(32L, delta.count() / 65536L + 1L)).toInt
+          delta.coalesce(files).write.mode("overwrite").parquet(staging)
+        } finally { delta.unpersist(); () }
       })
   }
 
@@ -163,15 +179,23 @@ object ShardSink {
     if (vs.isEmpty) throw new IllegalStateException(
       s"no shard store versions under $storeDir" +
         asOf.fold("")(v => s" at or before v$v"))
-    // mergeSchema: a column added in a later delta version must be
+    // Schema drift: a column added in a later delta version must be
     // visible (NULL-padded) across the whole scan, not silently
     // dropped because the sampled footer predates it — the per-version
-    // unionByName this scan replaced failed loudly on drift; the merged
-    // footer keeps that visibility without the V-way plan. The parsed
-    // __v is guarded per row: an unparseable parent directory would
-    // cast to NULL and silently corrupt latest-wins resolution, so it
-    // raises instead (codegen'd branch, no measurable scan cost).
-    val raw = spark.read.option("mergeSchema", "true")
+    // unionByName this scan replaced failed loudly on drift. The
+    // LATEST version's schema provides that visibility (deltas only
+    // ever ADD columns; an explicit schema NULL-pads the older files
+    // that predate the addition) without mergeSchema's distributed
+    // footer-merge job, which re-reads EVERY file's footer on EVERY
+    // read construction — O(versions) per append, measured as the
+    // per-trigger slope of a long un-compacted drain
+    // (SHARD_APPEND_SLOPE.json). The parsed __v is guarded per row: an
+    // unparseable parent directory would cast to NULL and silently
+    // corrupt latest-wins resolution, so it raises instead (codegen'd
+    // branch, no measurable scan cost).
+    val latestSchema =
+      spark.read.parquet(vs.last._2.getAbsolutePath).schema
+    val raw = spark.read.schema(latestSchema)
       .parquet(vs.map(_._2.getAbsolutePath): _*)
       .withColumn("__v", substring(element_at(
         split(input_file_name(), "/"), -2), 2, 18).cast("long"))

@@ -84,9 +84,17 @@ object RefreshScale {
                           ledgerHolds: Boolean,
                           perTriggerWallS: Vector[Double],
                           flatnessRatio: Double, drainWallS: Double,
-                          totalWallS: Double, storeTokens: Long)
+                          totalWallS: Double, storeTokens: Long,
+                          genAfterDrain: Long = -1L,
+                          storeFilesAfterDrain: Long = -1L)
 
   private val BenchN = 200L
+
+  /** Recursive .parquet leaf count — the merged-read amplification. */
+  private def countParquet(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).map(countParquet).sum
+    else if (f.getName.endsWith(".parquet")) 1L else 0L
 
   /** 30 deterministic 8-hex-char words from an identity string. */
   private[graft] def wordsOf(identity: Column): Column =
@@ -183,7 +191,8 @@ object RefreshScale {
           batchRows: Long, hotPct: Int = 0,
           packSkew: Option[Boolean] = None,
           stateful: Boolean = false,
-          providerClass: Option[String] = None): Result = {
+          providerClass: Option[String] = None,
+          managed: Option[Int] = None): Result = {
     require(prior >= 100 && triggers >= 2 && batchRows >= 20 &&
       batchRows % 20 == 0,
       "need prior >= 100, triggers >= 2, batchRows a multiple of 20")
@@ -195,18 +204,29 @@ object RefreshScale {
     val bench = benchDocs(spark).localCheckpoint(true)
     try {
       // seed both stores with the prior corpus (the caller contract of
-      // RefreshPipeline.run): v0 shard pack + the IVF-PQ index base
+      // RefreshPipeline.run): v0 shard pack + the IVF-PQ index base.
+      // `managed` (= Some(compactEvery)) runs the GENERATION-managed
+      // lifecycle instead — StoreRoot roots, compaction ON SCHEDULE
+      // inside the drain (q175's shape) — so the full production path
+      // (fold, manifest swap, retire) is measured at scale, not just
+      // bench-scale and crash-injected
+      val (seedStore, seedIx) = managed match {
+        case Some(_) =>
+          (graft.streaming.StoreRoot.init(s"$base/shardRoot"),
+            graft.streaming.StoreRoot.init(s"$base/ixRoot"))
+        case None => (s"$base/store", s"$base/ix")
+      }
       ShardSink.append(spark,
         d.withColumn("__ids",
           Bpe.byteTokenIds(col("text"), BpeByteVocab.merges)),
         "__ids", "doc_id", budget = 2048, shardCol = "source",
-        storeDir = s"$base/store")
+        storeDir = seedStore)
       Similarity.ivfPqSave(
         Similarity.ivfPqBuild(d.withColumn("embedding", emb),
           vecCol = "embedding", idCol = "doc_id",
           nLists = if (big) 32 else 4, m = 4,
           kCodes = if (big) 16 else 8, iterations = 2),
-        s"$base/ix")
+        seedIx)
       // stage the stream as `triggers` id-ranged parquet files with
       // ascending mtimes so maxFilesPerTrigger=1 + latestFirst=false
       // yields one trigger per drop, in id order
@@ -267,11 +287,20 @@ object RefreshScale {
         }
         spark.streams.addListener(listener)
         val tDrain = System.nanoTime()
-        try
-          RefreshPipeline.run(stream, d, bench,
-            storeDir = s"$base/store", ledgerDir = s"$base/ledger",
-            checkpointDir = s"$base/ck", indexDir = Some(s"$base/ix"),
-            packSkew = packSkew, providerClass = providerClass)
+        try managed match {
+          case Some(ce) =>
+            RefreshPipeline.runManaged(stream, d, bench,
+              shardRoot = s"$base/shardRoot",
+              ledgerDir = s"$base/ledger",
+              checkpointDir = s"$base/ck", compactEvery = ce,
+              indexRoot = Some(s"$base/ixRoot"),
+              packSkew = packSkew, providerClass = providerClass)
+          case None =>
+            RefreshPipeline.run(stream, d, bench,
+              storeDir = s"$base/store", ledgerDir = s"$base/ledger",
+              checkpointDir = s"$base/ck", indexDir = Some(s"$base/ix"),
+              packSkew = packSkew, providerClass = providerClass)
+        }
         finally {
           // progress events are delivered async; give the bus a moment
           val deadline = System.nanoTime() + 10e9.toLong
@@ -300,9 +329,15 @@ object RefreshScale {
             .agg(count(lit(1)).as("__c"))
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           val accepted = classCounts.values.sum
-          // streamed accepted ids, as the INDEX serves them
-          val served = VectorIndexSink
-            .read(spark, s"$base/ix", idCol = "doc_id")
+          // streamed accepted ids, as the INDEX serves them (managed:
+          // served THROUGH the root, so the post-compaction manifest
+          // state is itself under test)
+          val served = (managed match {
+              case Some(_) => graft.streaming.StoreRoot
+                .readVectors(spark, s"$base/ixRoot", idCol = "doc_id")
+              case None =>
+                VectorIndexSink.read(spark, s"$base/ix", idCol = "doc_id")
+            })
             .encoded.select(col("doc_id"))
             .filter(col("doc_id") >= prior)
           val equivalence =
@@ -313,7 +348,11 @@ object RefreshScale {
               size(Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
                 .cast("long").as("__m"))
             .agg(coalesce(sum(col("__m")), lit(0L))).collect()(0).getLong(0)
-          val storeTokens = ShardSink.read(spark, s"$base/store")
+          val storeTokens = (managed match {
+              case Some(_) => graft.streaming.StoreRoot
+                .readShard(spark, s"$base/shardRoot")
+              case None => ShardSink.read(spark, s"$base/store")
+            })
             .agg(sum(col("n_tokens").cast("long"))).collect()(0).getLong(0)
           val massHolds = storeTokens == mass(d) + mass(expected)
           // ledger fingerprints == accepted docs' fingerprints
@@ -342,7 +381,19 @@ object RefreshScale {
               .map(t => timings.getOrDefault(t.toLong, -1.0)).toVector),
             drainWallS = drainWall,
             totalWallS = (System.nanoTime() - t0) / 1e9,
-            storeTokens = storeTokens)
+            storeTokens = storeTokens,
+            genAfterDrain = managed.map(_ => graft.streaming.StoreRoot
+              .currentGen(s"$base/shardRoot")).getOrElse(-1L),
+            // read amplification, measured where it bites: how many
+            // parquet leaf files the merged shard read now touches
+            // (managed: the CURRENT generation only — folds bound it;
+            // plain: the ever-growing version-dir store)
+            storeFilesAfterDrain = countParquet(new java.io.File(
+              managed match {
+                case Some(_) => graft.streaming.StoreRoot
+                  .currentDir(s"$base/shardRoot")
+                case None => s"$base/store"
+              })))
         } finally
           org.apache.spark.sql.graftglue.GraftGlue
             .releaseCheckpoint(expected)

@@ -21,7 +21,12 @@ import org.apache.spark.sql.SparkSession
   *     pins and store token mass are BIT-IDENTICAL across all three
   *     (acceptance never keys on the shard), on top of each drain's
   *     own equivalence/mass/ledger gates.
-  *  2. ROCKSDB (REFRESH_ROCKSDB.json): the drain with a REAL stateful
+  *  2. MANAGED (REFRESH_MANAGED.json): the generation-managed
+  *     lifecycle (StoreRoot roots, in-drain compaction folds +
+  *     manifest swaps + retires — q175's shape) vs the plain drain on
+  *     the same docs: identical outputs required, fold overhead and
+  *     the read amplification compaction bounds both recorded.
+  *  3. ROCKSDB (REFRESH_ROCKSDB.json): the drain with a REAL stateful
   *     operator upstream (watermarked dropDuplicates — see
   *     [[RefreshScale.run]]'s `stateful`) under the default
   *     state-store provider vs RocksDB, identical outputs required.
@@ -33,7 +38,7 @@ import org.apache.spark.sql.SparkSession
   * Deliberately NOT bench rows (24-trigger 480k-doc drains); same
   * rationale as [[RefreshScale]].
   * Usage: runMain graft.tools.RefreshVariants [prior] [triggers]
-  *   [batchRows]   (blocks via GRAFT_REFRESH_BLOCKS=skew,rocksdb) */
+  *   [batchRows] (blocks via GRAFT_REFRESH_BLOCKS=skew,managed,rocksdb) */
 object RefreshVariants {
 
   private val Rocks = "org.apache.spark.sql.execution.streaming.state" +
@@ -48,6 +53,10 @@ object RefreshVariants {
       s""""equivalence_holds":${r.equivalenceHolds},""" +
       s""""mass_holds":${r.massHolds},"ledger_holds":${r.ledgerHolds},""" +
       s""""store_tokens":${r.storeTokens},""" +
+      (if (r.genAfterDrain >= 0)
+        s""""gen_after_drain":${r.genAfterDrain},""" else "") +
+      (if (r.storeFilesAfterDrain >= 0)
+        s""""store_parquet_files":${r.storeFilesAfterDrain},""" else "") +
       s""""per_trigger_wall_s":[${r.perTriggerWallS
         .map(w => f"$w%.2f").mkString(",")}],""" +
       f""""flatness_ratio":${r.flatnessRatio}%.3f,""" +
@@ -63,7 +72,7 @@ object RefreshVariants {
     val batchRows = args.lift(2).map(_.toLong).getOrElse(20000L)
     val blocks = sys.env.get("GRAFT_REFRESH_BLOCKS")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("skew", "rocksdb"))
+      .getOrElse(Set("skew", "managed", "rocksdb"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.driver.memory", "48g")
@@ -111,6 +120,62 @@ object RefreshVariants {
             skewWin.drainWallS / skewAuto.drainWallS}%.2f}""" + "\n"
       Files.writeString(Paths.get("REFRESH_SKEW.json"), json)
       println(s"[refreshvariants] wrote REFRESH_SKEW.json")
+    }
+
+    if (blocks("managed")) {
+      // 3. MANAGED (REFRESH_MANAGED.json): the generation-managed
+      // lifecycle (StoreRoot roots, compaction every 6 triggers — four
+      // in-drain folds across 24) vs the plain drain over the SAME
+      // docs. Acceptance/mass/ledger must be bit-identical (compaction
+      // must never change what is stored, only how many files store
+      // it); the artifact records the fold overhead (drain wall delta)
+      // and the read amplification the folds exist to bound (parquet
+      // leaf files behind the merged shard read).
+      val plain = {
+        val r = RefreshScale.run(spark, prior, triggers, batchRows)
+        RefreshScale.check(r, requireFlatness = false)
+        println(f"[refreshvariants] plain drain=${r.drainWallS}%.1fs " +
+          f"files=${r.storeFilesAfterDrain} accepted=${r.accepted}")
+        r
+      }
+      val man = {
+        val r = RefreshScale.run(spark, prior, triggers, batchRows,
+          managed = Some(6))
+        RefreshScale.check(r, requireFlatness = false)
+        println(f"[refreshvariants] managed drain=${r.drainWallS}%.1fs " +
+          f"gen=${r.genAfterDrain} files=${r.storeFilesAfterDrain} " +
+          f"accepted=${r.accepted}")
+        r
+      }
+      require(sameOutputs(Seq(plain, man)),
+        "accepted set / token mass diverged between the plain and " +
+          "managed drains - compaction must never change contents")
+      require(man.genAfterDrain == triggers / 6,
+        s"expected ${triggers / 6} generations after the managed " +
+          s"drain, got ${man.genAfterDrain}")
+      require(man.storeFilesAfterDrain < plain.storeFilesAfterDrain,
+        "the managed store's merged read touches at least as many " +
+          s"files (${man.storeFilesAfterDrain}) as the plain store's " +
+          s"(${plain.storeFilesAfterDrain}) - compaction bounded " +
+          "nothing")
+      val json =
+        s"""{"recipe":"$triggers-trigger drain, plain RefreshPipeline.run """ +
+          s"""vs generation-managed runManaged with compaction every """ +
+          s"""6 triggers (fold + manifest swap + retire inside the """ +
+          s"""drain); identical accepted ids and token mass """ +
+          s"""required, file counts record the read amplification """ +
+          s"""compaction bounds",""" +
+          s""""prior_docs":$prior,"triggers":$triggers,""" +
+          s""""batch_rows":$batchRows,"compact_every":6,""" +
+          s""""plain":${blockJson(plain)},""" +
+          s""""managed":${blockJson(man)},""" +
+          s""""outputs_identical":true,""" +
+          f""""managed_over_plain_wall":${
+            man.drainWallS / plain.drainWallS}%.2f,""" +
+          f""""file_reduction":${plain.storeFilesAfterDrain.toDouble /
+            man.storeFilesAfterDrain}%.1f}""" + "\n"
+      Files.writeString(Paths.get("REFRESH_MANAGED.json"), json)
+      println(s"[refreshvariants] wrote REFRESH_MANAGED.json")
     }
 
     if (blocks("rocksdb")) {
