@@ -1697,12 +1697,14 @@ object SparkEntry {
       // q170's cross-store refresh run against GENERATION-MANAGED
       // store roots with compaction ON SCHEDULE inside the drain
       // (StoreRoot + RefreshPipeline.runManaged): compactEvery=2 over
-      // three drops fires the fold-swap-retire cycle MID-STREAM after
-      // the second trigger, so the third trigger appends into the
-      // fresh generation — and the final cross-store outputs must be
-      // bit-identical to the uncompacted chain (q170's oracle,
-      // verbatim). In-query gates pin the retention contract the
-      // oracle can't see: both roots ended on generation 1, the
+      // three drops BEGINS the out-of-band fold after the second
+      // trigger (background thread over the immutable committed
+      // versions), the third trigger's append lands concurrently, and
+      // the drain's end completes the cycle — top-up of the late
+      // delta, manifest swap, retire — so the final cross-store
+      // outputs must be bit-identical to the uncompacted chain (q170's
+      // oracle, verbatim). In-query gates pin the retention contract
+      // the oracle can't see: both roots ended on generation 1, the
       // retired generation-0 layouts fail loudly, and an asOf below
       // each root's retention floor (shard v2 / index b1) is refused.
       val base = java.nio.file.Files.createTempDirectory("graft_mrefresh_")

@@ -150,6 +150,25 @@ object RefreshPipeline {
   /** See [[autoPackSkew]]. */
   private[graft] val AutoPackSkewFloor = 10000L
 
+  /** Run-scoped telemetry of the pack-route decision ([[autoPackSkew]])
+    * per non-empty trigger: which triggers the auto-probe (or an
+    * explicit `packSkew`) routed through the skew-robust pack. Exists
+    * so a drain artifact can assert "the probe chose skew-robust on
+    * exactly the hot triggers" instead of inferring it from wall time;
+    * driver-held, O(triggers) booleans, never persisted. */
+  final class RouteLog {
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+    private[graft] def record(batchId: Long, skewRobust: Boolean): Unit = {
+      m.put(batchId, skewRobust); ()
+    }
+    /** batchId -> took-the-skew-robust-pack, non-empty triggers only. */
+    def routes: Map[Long, Boolean] = {
+      import scala.jdk.CollectionConverters._
+      m.asScala.toMap
+    }
+  }
+
   /** Fingerprint-count threshold above which the single-task ledger
     * batch write warns (see the publish site in [[processBatch]]): 10M
     * 16-byte fingerprints ≈ 160 MB through one task — still well
@@ -229,7 +248,8 @@ object RefreshPipeline {
       shardRoot: Option[String] = None,
       indexRoot: Option[String] = None,
       bloomAcc: Option[FingerprintBloom] = None,
-      packSkew: Option[Boolean] = None): Unit = {
+      packSkew: Option[Boolean] = None,
+      routeLog: Option[RouteLog] = None): Unit = {
     val sp = batch.sparkSession
     // materialize the trigger's batch ONCE: the tiers below reference
     // it through several plan branches (the bloom anti join alone
@@ -377,6 +397,7 @@ object RefreshPipeline {
           .collect()(0)
         autoPackSkew(hotRows = r.getLong(0), totalRows = r.getLong(1))
       }
+      routeLog.foreach(_.record(batchId, skewRobust))
       staged("shard") { shardRoot match {
         case Some(r) => StoreRoot.appendShard(sp, r, tokenized,
           "__ids", idCol, budget, shardCol, version = batchId + 1,
@@ -477,7 +498,8 @@ object RefreshPipeline {
           indexDir: Option[String] = None,
           vecCol: String = "embedding",
           packSkew: Option[Boolean] = None,
-          providerClass: Option[String] = None): Unit = {
+          providerClass: Option[String] = None,
+          routeLog: Option[RouteLog] = None): Unit = {
     // every prior-side derivation is trigger-invariant (the
     // incremental contract references the kept corpus only), so all
     // three are computed ONCE here and cached across every trigger —
@@ -519,7 +541,7 @@ object RefreshPipeline {
             postings, refGrams, storeDir, ledgerDir, budget, shardCol,
             idCol, textCol, numHashes, bands, threshold, decontamN,
             minMatches, indexDir, vecCol, bloomAcc = Some(bloomAcc),
-            packSkew = packSkew)
+            packSkew = packSkew, routeLog = routeLog)
         }
         .start()
       q.awaitTermination()
@@ -537,9 +559,22 @@ object RefreshPipeline {
   /** [[run]] against GENERATION-MANAGED store roots ([[StoreRoot]]),
     * with compaction ON SCHEDULE inside the drain: every
     * `compactEvery` triggers, after the trigger's commits and ledger
-    * publish, both roots are folded into a fresh generation, swapped,
-    * and their predecessors retired — the maintenance loop a
-    * long-running deployment needs, running inside the pipeline
+    * publish, each root's fold is STARTED out-of-band
+    * ([[StoreRoot.beginCompactShard]]/[[StoreRoot.beginCompactVectors]]
+    * — a background thread folding the generation's immutable committed
+    * versions while later triggers keep appending), and COMPLETED at
+    * the first trigger boundary after the fold finishes writing
+    * ([[StoreRoot.finishCompact]]: O(late-deltas) top-up + manifest
+    * swap + retire — the only compaction work that ever sits on the
+    * drain's critical path; any fold still in flight when the drain
+    * ends is completed before this returns). The fold itself is
+    * O(current store) (see [[ShardSink.compact]]'s cost model), which
+    * is exactly why it must not run inline: measured inline it spiked
+    * fold triggers to 2-3x the steady-state trigger wall, growing with
+    * store lifetime. A compaction point that arrives while the
+    * previous fold is still writing is SKIPPED — never stalled on —
+    * and its debt folds at the next point. This is the maintenance
+    * loop a long-running deployment needs, running inside the pipeline
     * instead of as a hand-driven sidecar. The caller seeds generation
     * 0 of each root ([[StoreRoot.init]] then the usual v0 pack /
     * ivfPqSave) and READS through the root afterwards.
@@ -566,7 +601,8 @@ object RefreshPipeline {
                  minMatches: Int = 2, indexRoot: Option[String] = None,
                  vecCol: String = "embedding",
                  packSkew: Option[Boolean] = None,
-                 providerClass: Option[String] = None): Unit = {
+                 providerClass: Option[String] = None,
+                 routeLog: Option[RouteLog] = None): Unit = {
     require(compactEvery >= 1,
       s"compactEvery must be >= 1: $compactEvery")
     val shufflePartitions = prior.sparkSession.conf
@@ -584,6 +620,21 @@ object RefreshPipeline {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val providerPrev = prior.sparkSession.conf.getOption(providerKey)
     providerClass.foreach(prior.sparkSession.conf.set(providerKey, _))
+    // out-of-band folds in flight, keyed by root. Mutated only from
+    // the foreachBatch thread (triggers run sequentially) and read
+    // after awaitTermination on the caller's thread — the query's
+    // termination is the happens-before edge between them.
+    val pending = scala.collection.mutable.Map.empty[String, StoreRoot.Fold]
+    // complete folds at a quiescent trigger boundary: every finished
+    // fold eagerly (the cheap top-up + swap + retire), every fold when
+    // forced (drain end — block on the fold thread, then complete)
+    def finishFolds(force: Boolean): Unit =
+      pending.keys.toSeq.foreach { r =>
+        if (force || pending(r).isDone) {
+          StoreRoot.finishCompact(pending(r))
+          pending.remove(r); ()
+        }
+      }
     try {
       val q = docs.writeStream
         .trigger(Trigger.AvailableNow())
@@ -595,14 +646,23 @@ object RefreshPipeline {
             shardCol, idCol, textCol, numHashes, bands, threshold,
             decontamN, minMatches, indexDir = None, vecCol,
             shardRoot = Some(shardRoot), indexRoot = indexRoot,
-            bloomAcc = Some(bloomAcc), packSkew = packSkew)
+            bloomAcc = Some(bloomAcc), packSkew = packSkew,
+            routeLog = routeLog)
+          finishFolds(force = false)
           if ((batchId + 1) % compactEvery == 0) {
-            StoreRoot.compactShard(sp, shardRoot, shardCol)
-            indexRoot.foreach(r => StoreRoot.compactVectors(sp, r))
+            if (!pending.contains(shardRoot))
+              StoreRoot.beginCompactShard(sp, shardRoot, shardCol)
+                .foreach { f => pending(shardRoot) = f; () }
+            indexRoot.foreach { r =>
+              if (!pending.contains(r))
+                StoreRoot.beginCompactVectors(sp, r)
+                  .foreach { f => pending(r) = f; () }
+            }
           }
         }
         .start()
       q.awaitTermination()
+      finishFolds(force = true)
     } finally {
       if (providerClass.isDefined) providerPrev match {
         case Some(p) => prior.sparkSession.conf.set(providerKey, p)

@@ -52,10 +52,6 @@ object ShardSink {
   private def versions(storeDir: String): Seq[(Long, java.io.File)] =
     StoreFiles.publishedDirs(storeDir, "v", StoreFiles.hasParquet)
 
-  /** Latest committed version, if any — [[StoreRoot]]'s resume check. */
-  private[graft] def latestVersion(storeDir: String): Option[Long] =
-    versions(storeDir).lastOption.map(_._1)
-
   /** Committed version count — [[StoreRoot]]'s anything-to-fold check
     * (a store holding at most its base has no compaction debt). */
   private[graft] def versionCount(storeDir: String): Int =
@@ -97,9 +93,30 @@ object ShardSink {
           // first batch: an empty frame with the exact store schema
           else Curate.packTokenIds(batch.limit(0), idsCol, idCol,
             budget, shardCol)
-        val delta = Curate.packTokenIdsIncremental(existing, batch,
-            idsCol, idCol, budget, shardCol, skewRobust = skewRobust)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val raw = Curate.packTokenIdsIncremental(existing, batch,
+          idsCol, idCol, budget, shardCol, skewRobust = skewRobust)
+        // enforce the additive-schema invariant [[read]]'s latest-
+        // schema merged scan rests on, where it is free (both schemas
+        // are in hand): a delta that DROPPED or renamed a column would
+        // silently mask that column on every later read (the explicit
+        // latest schema would stop selecting it from older files) —
+        // fail the publish loudly instead. New columns are fine: the
+        // older files NULL-pad under the wider latest schema.
+        val narrowed =
+          existing.schema.fieldNames.toSet -- raw.schema.fieldNames
+        require(narrowed.isEmpty,
+          s"shard store schema narrowed: delta v$v is missing " +
+            s"column(s) ${narrowed.mkString(", ")} present in the " +
+            s"store at $storeDir - deltas may only ADD columns (the " +
+            "merged read takes the latest version's schema)")
+        // DISK_ONLY, not MEMORY_AND_DISK: the cache exists only to
+        // make the sizing count below free and the write single-pass;
+        // for a backfill-sized delta an in-memory copy of the whole
+        // token payload would compete with the pack's own execution
+        // memory, while the disk copy of a micro-batch delta costs
+        // milliseconds
+        val delta = raw
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         try {
           // size the version's FILE COUNT to the delta, not to the
           // session's shuffle parallelism: a micro-batch delta written
@@ -274,7 +291,19 @@ object ShardSink {
     *
     * Like the checkpoint coupling documented on [[append]], compaction
     * is a lineage cut for the version sequence BELOW the floor only;
-    * appends keyed above `max` continue the global timeline. */
+    * appends keyed above `max` continue the global timeline.
+    *
+    * COST MODEL: the fold rewrites the whole merged view — O(current
+    * store), NOT O(deltas folded) — so per-fold cost grows with store
+    * lifetime while the debt it clears grows only with `compact_every`.
+    * The schedule trades a larger amortized rewrite bill (frequent
+    * folds re-pack the same base repeatedly) against per-trigger
+    * merged-read debt (version/file count between folds). What keeps a
+    * long-lived deployment's TRIGGERS flat despite the O(store) term
+    * is running the fold OFF the drain's critical path —
+    * [[StoreRoot.beginCompactShard]] folds in the background over the
+    * immutable committed versions while appends keep landing, and only
+    * the O(late-deltas) [[topUp]] + swap + retire runs inline. */
   def compact(spark: SparkSession, storeDir: String, outDir: String,
               shardCol: String = "source",
               keepVersions: Int = 0): Unit = {
@@ -314,6 +343,38 @@ object ShardSink {
     // lineage marker AFTER the fold commits — [[retire]]'s precondition
     StoreFiles.writeCompactedFrom(outDir, storeDir, maxCovered,
       floor = Some(cutoff))
+  }
+
+  /** TOP-UP a committed compaction target with the delta versions its
+    * source grew AFTER the fold was cut — the O(late-deltas) completion
+    * step that lets the fold itself run out-of-band while appends keep
+    * landing in the source ([[StoreRoot]]'s begin/finish split), and
+    * equally the RESUME step for a fold that committed but crashed
+    * before its swap. Late version dirs are copied VERBATIM (same
+    * keys, staged + published, so re-delivered appends still find
+    * their commits and a re-run top-up skips already-copied versions),
+    * then the lineage marker's `max` advances atomically while `floor`
+    * stays at the original fold cutoff — the copied versions remain
+    * individually addressable by asOf, exactly like windowed
+    * retention's carried deltas. No-op when the target already covers
+    * the source. */
+  private[graft] def topUp(storeDir: String, outDir: String): Unit = {
+    val m = StoreFiles.readMarker(
+        new java.io.File(outDir, StoreFiles.CompactedFromMarker))
+      .getOrElse(throw new IllegalStateException(
+        s"top-up target $outDir carries no committed fold marker - " +
+          "nothing to top up (a partial fold is swept and redone, " +
+          "never topped up)"))
+    val max = m("max").toLong
+    val late = versions(storeDir).filter(_._1 > max)
+    if (late.isEmpty) return
+    late.foreach { case (n, f) =>
+      StoreFiles.publishOnce(s"$outDir/.staging-v$n",
+        new java.io.File(s"$outDir/v$n"),
+        staging => StoreFiles.copyRec(f, new java.io.File(staging)))
+    }
+    StoreFiles.writeCompactedFrom(outDir, storeDir, late.last._1,
+      floor = Some(m.getOrElse("floor", m("max")).toLong))
   }
 
   /** Retention: delete a PRE-COMPACTION store after its readers have

@@ -21,11 +21,20 @@ private[graft] object StoreFiles {
     * committed after the compaction would be destroyed). */
   val CompactedFromMarker = "_graft_compacted_from"
 
+  /** Markers are written via temp-file + ONE atomic same-dir rename, so
+    * a reader (or the post-crash heal) sees the old marker or the new,
+    * never a torn file. This matters since compaction top-up REWRITES a
+    * live [[CompactedFromMarker]] to advance `max`: a non-atomic write
+    * crashed mid-flight would leave a marker the heal cannot parse —
+    * loud, but unrecoverable without operator surgery. */
   def writeMarker(f: java.io.File, lines: Seq[String]): Unit = {
     f.getParentFile.mkdirs()
-    java.nio.file.Files.write(f.toPath,
+    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
+    java.nio.file.Files.write(tmp.toPath,
       lines.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   def readMarker(f: java.io.File): Option[Map[String, String]] =

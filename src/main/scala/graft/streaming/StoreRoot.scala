@@ -35,12 +35,21 @@ import graft.operators.Similarity
   * Crash windows (each verb single-writer, as the stores require):
   * the fold commits BEFORE the swap (a crash between leaves a
   * committed-but-unreferenced next generation that the next
-  * [[compactShard]] RESUMES if it still covers the source, or deletes
-  * and redoes if appends landed after); the swap commits BEFORE the
-  * retire (a crash between leaves an unretired predecessor the next
-  * compaction sweeps). Readers never observe a partial state: the
-  * manifest either names the old generation (fold invisible) or the
-  * new one (fold complete, marker in place). */
+  * [[compactShard]] RESUMES — versions appended after the crash are
+  * topped up verbatim, O(late-deltas), never a redo); the swap commits
+  * BEFORE the retire (a crash between leaves an unretired predecessor
+  * the next compaction sweeps). Readers never observe a partial state:
+  * the manifest either names the old generation (fold invisible) or
+  * the new one (fold complete, marker in place).
+  *
+  * The O(current store) fold need not sit on a drain's critical path:
+  * [[beginCompactShard]]/[[beginCompactVectors]] run it on a
+  * background thread over the generation's IMMUTABLE committed
+  * versions while appends keep landing, and [[finishCompact]] — the
+  * only inline piece — tops up the late deltas, swaps, retires. The
+  * begin/finish split commits through exactly the same on-disk states
+  * as the synchronous verbs, so every crash window above (and its
+  * heal) is unchanged. */
 object StoreRoot {
 
   /** Atomic pointer to the current generation: `gen=<n>`. */
@@ -87,17 +96,14 @@ object StoreRoot {
     m.map(mk => mk.getOrElse("floor", mk("max")).toLong)
   }
 
-  /** The manifest swap — a temp-file write plus ONE atomic same-dir
-    * rename, so a reader sees the old pointer or the new, never a
-    * torn file. `private[graft]` so the crash-window specs can
-    * reproduce a swap-without-retire state. */
+  /** The manifest swap — [[StoreFiles.writeMarker]]'s temp-file write
+    * plus ONE atomic same-dir rename, so a reader sees the old pointer
+    * or the new, never a torn file. `private[graft]` so the
+    * crash-window specs can reproduce a swap-without-retire state. */
   private[graft] def writeManifest(root: String, gen: Long): Unit = {
     new java.io.File(root).mkdirs()
-    val tmp = new java.io.File(root, s".$ManifestName.tmp")
-    StoreFiles.writeMarker(tmp, Seq(s"gen=$gen"))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(root, ManifestName).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StoreFiles.writeMarker(new java.io.File(root, ManifestName),
+      Seq(s"gen=$gen"))
   }
 
   private def requireAboveFloor(root: String, asOf: Option[Long],
@@ -141,15 +147,37 @@ object StoreRoot {
     * also makes a re-delivered compaction trigger idempotent. `keep` >
     * 0 is windowed retention (see [[ShardSink.compact]]): the newest K
     * delta versions ride into the new generation verbatim, so a
-    * trailing asOf window survives every cycle. */
+    * trailing asOf window survives every cycle.
+    *
+    * This is the SYNCHRONOUS form — the fold (O(current store), see
+    * [[ShardSink.compact]]'s cost model) runs inline on the caller's
+    * thread. A drain that must stay flat uses the begin/finish split
+    * instead: [[beginCompactShard]] + [[finishCompact]]. */
   def compactShard(spark: SparkSession, root: String,
                    shardCol: String = "source",
                    keep: Int = 0): Boolean =
-    compactAndSwap(root,
-      latest = d => ShardSink.latestVersion(d),
-      hasDebt = d => ShardSink.versionCount(d) > keep + 1,
-      fold = (c, n) => ShardSink.compact(spark, c, n, shardCol, keep),
-      retireVerb = (c, n) => ShardSink.retire(c, n))
+    begin(root, shardVerbs(spark, shardCol, keep),
+        background = false) match {
+      case None => false
+      case Some(f) => finishCompact(f); true
+    }
+
+  /** Start an OUT-OF-BAND shard compaction: the prev-retire heal and
+    * the anything-to-fold check run inline (cheap directory listings),
+    * then the O(current store) fold runs on a background daemon thread
+    * over the IMMUTABLE committed versions — appends keep landing in
+    * the current generation concurrently (new version dirs the fold,
+    * which listed its sources up front, never observes). None when
+    * there is nothing to fold. The caller completes the cycle with
+    * [[finishCompact]] at a quiescent point (a trigger boundary): only
+    * that O(late-deltas) top-up + manifest swap + retire ever sits on
+    * the drain's critical path. A crash anywhere in between leaves
+    * exactly the states the synchronous machine already heals (partial
+    * fold → swept and redone; committed fold → resumed and topped up). */
+  def beginCompactShard(spark: SparkSession, root: String,
+                        shardCol: String = "source",
+                        keep: Int = 0): Option[Fold] =
+    begin(root, shardVerbs(spark, shardCol, keep), background = true)
 
   // ---- vector index verbs through the root ----
 
@@ -184,24 +212,77 @@ object StoreRoot {
     * into the next, swap, retire the predecessor. No-op (false) when
     * nothing has landed beyond the base and the retention window.
     * `keep` > 0 is windowed retention (see [[VectorIndexSink.compact]]):
-    * the newest K batch arms ride into the new generation verbatim. */
+    * the newest K batch arms ride into the new generation verbatim.
+    * Synchronous; the off-critical-path form is
+    * [[beginCompactVectors]] + [[finishCompact]]. */
   def compactVectors(spark: SparkSession, root: String,
                      keep: Int = 0,
                      idCol: String = "vec_id"): Boolean =
-    compactAndSwap(root,
-      latest = d => VectorIndexSink.latestBatch(d),
-      hasDebt = d => VectorIndexSink.batchCount(d) > keep,
-      fold = (c, n) => VectorIndexSink.compact(spark, c, n, keep, idCol),
-      retireVerb = (c, n) => VectorIndexSink.retire(c, n))
+    begin(root, vectorVerbs(spark, keep, idCol),
+        background = false) match {
+      case None => false
+      case Some(f) => finishCompact(f); true
+    }
+
+  /** [[beginCompactShard]]'s contract on the vector root: fold the
+    * current generation out-of-band while appends/tombstones keep
+    * landing, complete with [[finishCompact]]. */
+  def beginCompactVectors(spark: SparkSession, root: String,
+                          keep: Int = 0,
+                          idCol: String = "vec_id"): Option[Fold] =
+    begin(root, vectorVerbs(spark, keep, idCol), background = true)
 
   // ---- the shared compact-swap-retire state machine ----
 
-  private def compactAndSwap(root: String,
-                             latest: String => Option[Long],
-                             hasDebt: String => Boolean,
-                             fold: (String, String) => Unit,
-                             retireVerb: (String, String) => Unit)
-      : Boolean = {
+  /** The per-store verbs the generic machine composes: shard stores
+    * and vector indexes differ only in these. `topUp` and `retire` are
+    * pure filesystem verbs — [[finishCompact]] needs no session. */
+  private final case class StoreVerbs(
+      hasDebt: String => Boolean,
+      fold: (String, String) => Unit,
+      topUp: (String, String) => Unit,
+      retire: (String, String) => Unit)
+
+  private def shardVerbs(spark: SparkSession, shardCol: String,
+                         keep: Int): StoreVerbs = StoreVerbs(
+    hasDebt = d => ShardSink.versionCount(d) > keep + 1,
+    fold = (c, n) => ShardSink.compact(spark, c, n, shardCol, keep),
+    topUp = (c, n) => ShardSink.topUp(c, n),
+    retire = (c, n) => ShardSink.retire(c, n))
+
+  private def vectorVerbs(spark: SparkSession, keep: Int,
+                          idCol: String): StoreVerbs = StoreVerbs(
+    hasDebt = d => VectorIndexSink.batchCount(d) > keep,
+    fold = (c, n) => VectorIndexSink.compact(spark, c, n, keep, idCol),
+    topUp = (c, n) => VectorIndexSink.topUp(c, n),
+    retire = (c, n) => VectorIndexSink.retire(c, n))
+
+  /** Handle on a begun compaction cycle: the (possibly background)
+    * fold of generation `gen` plus everything [[finishCompact]] needs
+    * to complete it. [[isDone]] polls whether the fold has finished
+    * WRITING — completion (top-up, swap, retire) still goes through
+    * [[finishCompact]], so a caller can cheaply drain finished folds
+    * at every trigger boundary and block only when it must. */
+  final class Fold private[StoreRoot](
+      private[StoreRoot] val root: String,
+      private[StoreRoot] val gen: Long,
+      private[StoreRoot] val thread: Option[Thread],
+      private[StoreRoot] val failure:
+        java.util.concurrent.atomic.AtomicReference[Throwable],
+      private[StoreRoot] val verbs: StoreVerbs) {
+    def isDone: Boolean = thread.forall(!_.isAlive)
+  }
+
+  /** Shared front half: heal an unretired predecessor, check for debt,
+    * then ensure the next generation's fold is committed or in flight —
+    * inline (`background = false`, the synchronous verbs) or on a
+    * daemon thread. Resumes a committed fold from a crashed earlier
+    * attempt as-is (the marker is written last, so its presence means
+    * the fold is whole — versions appended after it are topped up at
+    * finish, O(late-deltas), never a redo); sweeps and redoes a
+    * partial one. */
+  private def begin(root: String, v: StoreVerbs,
+                    background: Boolean): Option[Fold] = {
     val g = currentGen(root)
     val cur = genDir(root, g)
     // heal a crash between a previous swap and its retire: the
@@ -211,31 +292,57 @@ object StoreRoot {
     val prev = genDir(root, g - 1)
     if (g > 0 && prev.isDirectory
         && StoreFiles.retiredTo(prev.getAbsolutePath).isEmpty)
-      retireVerb(prev.getAbsolutePath, cur.getAbsolutePath)
-    if (!hasDebt(cur.getAbsolutePath)) return false
+      v.retire(prev.getAbsolutePath, cur.getAbsolutePath)
+    if (!v.hasDebt(cur.getAbsolutePath)) return None
     val next = genDir(root, g + 1)
-    StoreFiles.readMarker(
-        new java.io.File(next, StoreFiles.CompactedFromMarker)) match {
-      case Some(m) =>
-        // a committed fold from a crashed earlier attempt (the marker
-        // is written last, so its presence means the fold is whole):
-        // resume it if it still covers everything in the source,
-        // otherwise appends landed after the crash - redo the fold
-        val covers = m.get("src").contains(cur.getCanonicalPath) &&
-          latest(cur.getAbsolutePath).forall(_ <= m("max").toLong)
-        if (!covers) {
-          StoreFiles.deleteRec(next)
-          fold(cur.getAbsolutePath, next.getAbsolutePath)
-        }
-      case None =>
-        // no marker: either nothing there, or a fold that crashed
-        // mid-write - sweep and redo (the fold verbs refuse a used
-        // target, so a partial next MUST be cleared first)
-        if (next.exists()) StoreFiles.deleteRec(next)
-        fold(cur.getAbsolutePath, next.getAbsolutePath)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val committed = StoreFiles.readMarker(
+        new java.io.File(next, StoreFiles.CompactedFromMarker))
+      .exists(_.get("src").contains(cur.getCanonicalPath))
+    if (committed) // nothing left to write; finish tops up and swaps
+      return Some(new Fold(root, g, None, err, v))
+    def runFold(): Unit = {
+      // no usable marker: either nothing there, a fold that crashed
+      // mid-write, or a fold of a FOREIGN source — sweep and redo (the
+      // fold verbs refuse a used target, so a partial next MUST be
+      // cleared first). The fold lists its source versions up front,
+      // so appends landing concurrently are simply not covered yet;
+      // finishCompact's top-up carries them over.
+      if (next.exists()) StoreFiles.deleteRec(next)
+      v.fold(cur.getAbsolutePath, next.getAbsolutePath)
     }
-    writeManifest(root, g + 1) // the commit point - readers swap here
-    retireVerb(cur.getAbsolutePath, next.getAbsolutePath)
-    true
+    if (!background) { runFold(); Some(new Fold(root, g, None, err, v)) }
+    else {
+      val t = new Thread(
+        () => try runFold() catch { case e: Throwable => err.set(e) },
+        s"graft-fold-${new java.io.File(root).getName}-gen$g")
+      t.setDaemon(true)
+      t.start()
+      Some(new Fold(root, g, Some(t), err, v))
+    }
+  }
+
+  /** Complete a begun compaction cycle: wait for the fold to commit
+    * (a failed background fold rethrows here), TOP-UP the delta
+    * versions appended since the fold was cut (O(late-deltas) verbatim
+    * copies — see [[ShardSink.topUp]]), swap the manifest (the commit
+    * point), retire the predecessor. Runs on the caller's thread at a
+    * quiescent point — the drain's trigger boundary — so no append
+    * races the swap. */
+  def finishCompact(f: Fold): Unit = {
+    f.thread.foreach(_.join())
+    Option(f.failure.get).foreach(e => throw new IllegalStateException(
+      s"out-of-band compaction fold failed for ${f.root}", e))
+    val cur = genDir(f.root, f.gen)
+    val next = genDir(f.root, f.gen + 1)
+    f.verbs.topUp(cur.getAbsolutePath, next.getAbsolutePath)
+    writeManifest(f.root, f.gen + 1) // the commit point - readers swap
+    // test-only hook: the crash harness widens the swap->retire gap so
+    // its poll can land a SIGKILL inside the swap-no-retire window (at
+    // real scale the gap is sub-ms; the heal path is the same either
+    // way - begin() retires the unretired predecessor)
+    sys.props.get("graft.test.retireDelayMs").map(_.toLong)
+      .filter(_ > 0).foreach(Thread.sleep)
+    f.verbs.retire(cur.getAbsolutePath, next.getAbsolutePath)
   }
 }

@@ -46,15 +46,6 @@ object VectorIndexSink {
     StoreFiles.publishedDirs(s"$indexDir/tombstones", "d",
       StoreFiles.hasParquet)
 
-  /** Latest published append/tombstone batch, if any — [[StoreRoot]]'s
-    * resume and anything-to-fold checks (an index holding only its
-    * base has no compaction debt). */
-  private[graft] def latestBatch(indexDir: String): Option[Long] = {
-    val ids = deltaDirs(indexDir).map(_._1) ++
-      tombstoneDirs(indexDir).map(_._1)
-    if (ids.isEmpty) None else Some(ids.max)
-  }
-
   /** Distinct published batch ids — [[StoreRoot]]'s anything-to-fold
     * check under a retention window. */
   private[graft] def batchCount(indexDir: String): Int =
@@ -180,7 +171,13 @@ object VectorIndexSink {
     * marker records `max` = highest batch COVERED (folded or copied —
     * [[retire]]'s check) and `floor` = the fold cutoff (the managed
     * root's asOf guard). With `keepBatches = 0` everything folds and
-    * the new layout starts with no tombstones. */
+    * the new layout starts with no tombstones.
+    *
+    * COST MODEL: same as [[ShardSink.compact]] — the fold rewrites the
+    * whole served table, O(current index) not O(arms folded), so a
+    * long-lived deployment keeps its triggers flat by folding
+    * OUT-OF-BAND ([[StoreRoot.beginCompactVectors]]) and paying only
+    * the O(late-arms) [[topUp]] + swap + retire inline. */
   def compact(spark: SparkSession, indexDir: String,
               outDir: String, keepBatches: Int = 0,
               idCol: String = "vec_id"): Unit = {
@@ -219,6 +216,36 @@ object VectorIndexSink {
     // lineage marker AFTER the fold commits — [[retire]]'s precondition
     StoreFiles.writeCompactedFrom(outDir, indexDir, maxCovered,
       floor = Some(cutoff))
+  }
+
+  /** TOP-UP a committed compaction target with the append/tombstone
+    * arms its source grew AFTER the fold was cut — [[ShardSink.topUp]]'s
+    * contract on the vector store: arms are copied verbatim (same batch
+    * keys, staged + published, idempotent under re-run), then the
+    * lineage marker's `max` advances atomically with `floor` pinned at
+    * the fold cutoff. Copied tombstones keep masking by batch order
+    * (the folded base carries tag -1, so any copied tombstone still
+    * masks it); no-op when the target already covers the source. */
+  private[graft] def topUp(indexDir: String, outDir: String): Unit = {
+    val m = StoreFiles.readMarker(
+        new java.io.File(outDir, StoreFiles.CompactedFromMarker))
+      .getOrElse(throw new IllegalStateException(
+        s"top-up target $outDir carries no committed fold marker - " +
+          "nothing to top up (a partial fold is swept and redone, " +
+          "never topped up)"))
+    val max = m("max").toLong
+    val late = deltaDirs(indexDir).filter(_._1 > max).map {
+      case (n, f) => (n, s"appends/b$n", f) } ++
+      tombstoneDirs(indexDir).filter(_._1 > max).map {
+        case (n, f) => (n, s"tombstones/d$n", f) }
+    if (late.isEmpty) return
+    late.foreach { case (_, rel, f) =>
+      StoreFiles.publishOnce(s"$outDir/.staging-${rel.replace('/', '-')}",
+        new java.io.File(s"$outDir/$rel"),
+        staging => StoreFiles.copyRec(f, new java.io.File(staging)))
+    }
+    StoreFiles.writeCompactedFrom(outDir, indexDir, late.map(_._1).max,
+      floor = Some(m.getOrElse("floor", m("max")).toLong))
   }
 
   /** Retention: delete a PRE-COMPACTION index layout after its readers

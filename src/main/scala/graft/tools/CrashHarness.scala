@@ -35,16 +35,22 @@ import graft.streaming.{RefreshPipeline, ShardSink, VectorIndexSink}
   *
   * MANAGED mode points the same killer at [[RefreshPipeline.runManaged]]
   * — generation-managed [[graft.streaming.StoreRoot]] roots with
-  * compaction ON SCHEDULE inside the drain (compactEvery = 2, q175's
-  * shape) — so SIGKILLs land in the windows only constructed states
-  * proved before: mid-fold, between fold-commit and manifest swap, and
-  * between swap and retire. The parent classifies each kill's landing
-  * from POST-KILL DISK FORENSICS (a gen N+1 dir with the manifest still
-  * at N = pre-swap / mid-fold; an unretired gen N-1 behind a manifest at
-  * N = swap-no-retire), heals with a second `runManaged` over the same
+  * OUT-OF-BAND compaction ON SCHEDULE inside the drain (compactEvery =
+  * 2, q175's shape; folds run on a background thread, the top-up +
+  * swap + retire at trigger boundaries) — so SIGKILLs land in the
+  * windows only constructed states proved before: mid-fold (now
+  * spanning whole triggers, so even timers sample it), between
+  * fold-commit and manifest swap, and between swap and retire (polled
+  * for specifically, with the child's swap->retire gap widened by the
+  * test-only retire delay — naturally it is sub-ms and no sampler ever
+  * hit it). The parent classifies each kill's landing from POST-KILL
+  * DISK FORENSICS (a gen N+1 dir with the manifest still at N =
+  * pre-swap / mid-fold; an unretired gen N-1 behind a manifest at N =
+  * swap-no-retire), heals with a second `runManaged` over the same
   * checkpoint, and gates the healed roots on the identical one-shot
   * oracle — plus requires that across the run at least one kill landed
-  * INSIDE a compaction window, or the managed evidence is vacuous.
+  * INSIDE a compaction window and at least two inside swap-no-retire,
+  * or the managed evidence is vacuous.
   *
   * Usage: runMain graft.tools.CrashHarness [kills] [outFile]
   *        runMain graft.tools.CrashHarness managed [kills] [outFile]
@@ -54,7 +60,11 @@ import graft.streaming.{RefreshPipeline, ShardSink, VectorIndexSink}
   */
 object CrashHarness {
 
-  final case class KillReport(kill: Int, killAfterMs: Long,
+  /** `killedAtMs` is the measured time from drain-start to SIGKILL —
+    * for timer kills it equals the requested offset by construction,
+    * for poll-triggered kills it is the observed poll latency (one
+    * quantity, one name — not a requested offset the poll never had). */
+  final case class KillReport(kill: Int, killedAtMs: Long,
                               interrupted: Boolean, childExit: Int,
                               healDrainS: Double, equivalence: Boolean,
                               mass: Boolean, ledger: Boolean,
@@ -217,16 +227,24 @@ object CrashHarness {
     * of the timer: the parent polls the roots' on-disk compaction
     * signature (a generation dir beyond the manifest — the same
     * predicate [[compactionWindow]] classifies with) every few ms and
-    * SIGKILLs the instant a fold is observed in flight. Time-offset
-    * kills almost never land inside a sub-second fold at spec scale
-    * (observed 0/8 in the first managed run), so the windows this mode
-    * exists to hit get hit BY CONSTRUCTION; `killAfterMs` becomes the
-    * poll deadline, after which the kill fires anyway (classified
-    * honestly, possibly "none"). */
+    * SIGKILLs the instant a state in `pollWindows` is observed.
+    * Time-offset kills almost never land inside these windows at spec
+    * scale (observed 0/8 in the first managed run), so the windows
+    * this mode exists to hit get hit BY CONSTRUCTION; `killAfterMs`
+    * becomes the poll deadline, after which the kill fires anyway
+    * (classified honestly, possibly "none"). `pollWindows` narrows
+    * the trigger: Set("swap-no-retire") kills only between the
+    * manifest swap and the predecessor retire — paired with
+    * `retireDelayMs`, which arms the child's test-only
+    * `graft.test.retireDelayMs` sleep so that sub-ms gap is wide
+    * enough for a 5 ms poll to land in deterministically. */
   def runOnce(spark: SparkSession, kill: Int, killAfterMs: Long,
               prior: Long, triggers: Int, batchRows: Long,
               compactEvery: Option[Int] = None,
-              killOnFold: Boolean = false): KillReport = {
+              killOnFold: Boolean = false,
+              pollWindows: Set[String] = Set("pre-swap",
+                "swap-no-retire"),
+              retireDelayMs: Option[Long] = None): KillReport = {
     val managed = compactEvery.isDefined
     val base = Files.createTempDirectory(s"graft_crash_$kill-")
     try {
@@ -234,7 +252,8 @@ object CrashHarness {
         stage(spark, base, prior, triggers, batchRows, managed)
       val (killedAtMs, interrupted, childExit, window) = spawnAndKill(
         base, prior, triggers, batchRows, compactEvery, killAfterMs,
-        killOnFold, label = s"kill $kill")
+        killOnFold, label = s"kill $kill", pollWindows = pollWindows,
+        retireDelayMs = retireDelayMs)
       val (healS, equivalence, massOk, ledgerOk, gen) = healAndGate(
         spark, base, prior, compactEvery, expIds, expMass, expLedger)
       KillReport(kill, killedAtMs, interrupted, childExit, healS,
@@ -261,14 +280,21 @@ object CrashHarness {
                            killAfterMs: Long, killOnFold: Boolean,
                            label: String,
                            foldRoots: Seq[String] =
-                             Seq("shardRoot", "ixRoot"))
+                             Seq("shardRoot", "ixRoot"),
+                           pollWindows: Set[String] = Set("pre-swap",
+                             "swap-no-retire"),
+                           retireDelayMs: Option[Long] = None)
       : (Long, Boolean, Int, String) = {
     val managed = compactEvery.isDefined
     val classesDir = sys.props.get("graft.crash.classes")
       .getOrElse("target/scala-2.13/classes")
     val cmd = (Seq("java") ++ AddOpens ++ Seq("-Xmx8g",
-      "-cp", s"$classesDir:/opt/spark/jars/*",
-      "graft.tools.CrashHarness",
+      "-cp", s"$classesDir:/opt/spark/jars/*") ++
+      // widen the child's swap->retire gap (test-only StoreRoot hook)
+      // so the swap-no-retire poll has a window it can land in; the
+      // parent's own heal never sees the property
+      retireDelayMs.map(ms => s"-Dgraft.test.retireDelayMs=$ms") ++
+      Seq("graft.tools.CrashHarness",
       if (managed) "childManaged" else "child", base.toString,
       prior.toString, triggers.toString, batchRows.toString) ++
       compactEvery.map(_.toString))
@@ -300,9 +326,10 @@ object CrashHarness {
     val killedAtMs =
       if (!killOnFold) { Thread.sleep(killAfterMs); killAfterMs }
       else {
-        // poll the roots for a fold in flight; the observable span is
-        // fold duration + the swap->retire gap, so a ~5ms poll beats
-        // the stratified-timer lottery deterministically
+        // poll the roots for a `pollWindows` state in flight; the
+        // observable span is fold duration + the swap->retire gap
+        // (widened by retireDelayMs when that gap is the target), so a
+        // ~5ms poll beats the stratified-timer lottery deterministically
         val t0 = System.nanoTime()
         val deadline = t0 + killAfterMs * 1000000L
         // `foldRoots` narrows the watch: the shard root folds first
@@ -312,7 +339,7 @@ object CrashHarness {
         while (!seen && p.isAlive && System.nanoTime() < deadline) {
           Thread.sleep(5)
           seen = foldRoots.exists(r =>
-            compactionWindow(s"$base/$r") != "none")
+            pollWindows.contains(compactionWindow(s"$base/$r")))
         }
         (System.nanoTime() - t0) / 1000000L
       }
@@ -320,15 +347,21 @@ object CrashHarness {
     p.destroyForcibly()
     val childExit = { p.waitFor(); p.exitValue() }
     // managed: classify the kill's landing inside the compact-swap-
-    // retire machine BEFORE the heal consumes the frozen state
+    // retire machine BEFORE the heal consumes the frozen state.
+    // swap-no-retire wins over pre-swap across roots: with out-of-band
+    // folds a sibling root is often mid-fold while THIS root sleeps in
+    // its widened swap->retire gap, and the rarer window must not be
+    // masked by the commoner one
     val window =
       if (!managed) "n/a"
       else {
-        val w = (compactionWindow(s"$base/shardRoot"),
-          compactionWindow(s"$base/ixRoot"))
-        if (w._1 != "none") s"shard:${w._1}"
-        else if (w._2 != "none") s"index:${w._2}"
-        else "none"
+        val ws = Seq(
+          "shard" -> compactionWindow(s"$base/shardRoot"),
+          "index" -> compactionWindow(s"$base/ixRoot"))
+        ws.find(_._2 == "swap-no-retire")
+          .orElse(ws.find(_._2 != "none"))
+          .map { case (r, w) => s"$r:$w" }
+          .getOrElse("none")
       }
     (killedAtMs, interrupted, childExit, window)
   }
@@ -496,7 +529,7 @@ object CrashHarness {
       s"only $nInterrupted/$kills kills interrupted the drain - " +
         "widen GRAFT_CRASH_WINDOW_MS or the evidence is vacuous")
     val rows = reports.map(r =>
-      s"""{"kill":${r.kill},"kill_after_ms":${r.killAfterMs},""" +
+      s"""{"kill":${r.kill},"killed_at_ms":${r.killedAtMs},""" +
         s""""interrupted":${r.interrupted},"child_exit":${r.childExit},""" +
         f""""heal_drain_s":${r.healDrainS}%.1f,""" +
         s""""equivalence":${r.equivalence},"mass":${r.mass},""" +
@@ -515,20 +548,25 @@ object CrashHarness {
   }
 
   /** MANAGED-path harness (see the class doc): SIGKILL a separate-JVM
-    * `runManaged` drain (compactEvery = 2 — four scheduled compactions
-    * across 8 triggers), classify each kill's landing from post-kill
-    * disk forensics, heal with a second `runManaged`, gate the healed
-    * ROOTS on the one-shot oracle. The first half of the kills are
-    * timer-stratified across the drain (the unmanaged harness's shape
-    * — they exercise the between-compaction store/index/ledger/
-    * checkpoint stages); the second half are FOLD-TRIGGERED
-    * ([[runOnce]]'s `killOnFold`): at spec scale a fold lasts well
-    * under a second, so a stratified timer essentially never samples
-    * it (measured 0/8) — the poll guarantees the compaction windows
-    * the mode exists for actually get hit. Evidence gates: every heal
-    * matches, >= half the kills interrupted the drain, and at least
-    * one kill landed INSIDE a compaction window (fold/pre-swap or
-    * swap-no-retire). */
+    * `runManaged` drain (compactEvery = 2 — four scheduled out-of-band
+    * compaction cycles across 8 triggers), classify each kill's
+    * landing from post-kill disk forensics, heal with a second
+    * `runManaged`, gate the healed ROOTS on the one-shot oracle. The
+    * kill mix walks all three ways into the machine: timer-stratified
+    * kills across the drain (the unmanaged harness's shape — they
+    * exercise the between-compaction store/index/ledger/checkpoint
+    * stages, and with out-of-band folds they now also sample mid-fold
+    * states for free); FOLD-TRIGGERED kills ([[runOnce]]'s
+    * `killOnFold`) that poll the roots' on-disk compaction signature
+    * and kill the instant a fold/pre-swap state is observed; and
+    * SWAP-TRIGGERED kills that poll for the `swap-no-retire` state
+    * specifically, with the child's swap->retire gap widened by the
+    * test-only retire delay — that gap is sub-ms naturally, so before
+    * this leg every in-window kill had landed pre-swap and the
+    * classifier's rarest state had only constructed-state coverage.
+    * Evidence gates: every heal matches, >= half the kills interrupted
+    * the drain, at least one kill landed INSIDE a compaction window,
+    * and at least two landed in `swap-no-retire`. */
   private def managedMain(args: Array[String]): Unit = {
     val kills = args.lift(1).map(_.toInt).getOrElse(8)
     val out = args.lift(2).getOrElse("CRASH_MANAGED.json")
@@ -543,60 +581,83 @@ object CrashHarness {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // the managed drain is longer than the plain one (four in-drain
-    // compaction folds), so the default window is wider
+    // compaction cycles), so the default window is wider
     val windowMs = sys.env.get("GRAFT_CRASH_WINDOW_MS")
       .map(_.toLong).getOrElse(45000L)
-    val nTimer = kills / 2
-    val reports = killOffsets(nTimer, windowMs, seed = 14L)
-      .zipWithIndex.map { case (off, i) => (i, off, false) }
-      .++((nTimer until kills).map(i => (i, windowMs, true)))
-      .map { case (i, off, onFold) =>
-        val r = runOnce(spark, i, off, prior, triggers, batchRows,
-          compactEvery = Some(compactEvery), killOnFold = onFold)
-        println(f"[crash] managed kill=$i trigger=${r.trigger} " +
-          f"afterMs=${r.killAfterMs} interrupted=" +
-          f"${r.interrupted} exit=${r.childExit} window=${r.window} " +
-          f"heal=${r.healDrainS}%.1fs eq=${r.equivalence} " +
-          f"mass=${r.mass} ledger=${r.ledger} gen=${r.genAfterHeal}")
-        require(r.equivalence && r.mass && r.ledger,
-          s"managed heal diverged from the one-shot oracle at kill $i " +
-            s"(afterMs=${r.killAfterMs} window=${r.window})")
-        r
-      }
-    val nInterrupted = reports.count(_.interrupted)
+    // kill mix: ~quarter swap-targeted (min 2 — the gate below), the
+    // rest split between stratified timers and fold polls
+    val nSwap = if (kills >= 4) math.max(2, kills / 4) else 0
+    val nTimer = (kills - nSwap + 1) / 2
+    sealed trait Mode; case object Timer extends Mode
+    case object FoldPoll extends Mode; case object SwapPoll extends Mode
+    val plan: Seq[(Int, Long, Mode)] =
+      killOffsets(nTimer, windowMs, seed = 14L)
+        .zipWithIndex.map { case (off, i) => (i, off, Timer: Mode) } ++
+      (nTimer until (kills - nSwap))
+        .map(i => (i, windowMs, FoldPoll: Mode)) ++
+      ((kills - nSwap) until kills)
+        .map(i => (i, windowMs * 2, SwapPoll: Mode))
+    val reports = plan.map { case (i, off, mode) =>
+      val r = runOnce(spark, i, off, prior, triggers, batchRows,
+        compactEvery = Some(compactEvery),
+        killOnFold = mode != Timer,
+        pollWindows = if (mode == SwapPoll) Set("swap-no-retire")
+          else Set("pre-swap", "swap-no-retire"),
+        retireDelayMs = if (mode == SwapPoll) Some(1500L) else None)
+      println(f"[crash] managed kill=$i trigger=${r.trigger} " +
+        f"mode=$mode killedAtMs=${r.killedAtMs} interrupted=" +
+        f"${r.interrupted} exit=${r.childExit} window=${r.window} " +
+        f"heal=${r.healDrainS}%.1fs eq=${r.equivalence} " +
+        f"mass=${r.mass} ledger=${r.ledger} gen=${r.genAfterHeal}")
+      require(r.equivalence && r.mass && r.ledger,
+        s"managed heal diverged from the one-shot oracle at kill $i " +
+          s"(killedAtMs=${r.killedAtMs} window=${r.window})")
+      (r, mode)
+    }
+    val nInterrupted = reports.count(_._1.interrupted)
     require(nInterrupted * 2 >= kills,
       s"only $nInterrupted/$kills kills interrupted the drain - " +
         "widen GRAFT_CRASH_WINDOW_MS or the evidence is vacuous")
-    val nInWindow = reports.count(_.window != "none")
+    val nInWindow = reports.count(_._1.window != "none")
     require(nInWindow >= 1,
       s"no kill landed inside a compaction window across $kills " +
         "iterations - reseed/widen, the managed evidence needs the " +
         "fold/swap/retire windows hit")
-    val rows = reports.map(r =>
+    val nSwapHit =
+      reports.count(_._1.window.endsWith("swap-no-retire"))
+    require(nSwap == 0 || nSwapHit >= math.min(2, nSwap),
+      s"only $nSwapHit kills landed in the swap-no-retire window " +
+        s"with $nSwap swap-targeted polls armed - the swap->retire " +
+        "gap went unhit in-run")
+    val rows = reports.map { case (r, mode) =>
       s"""{"kill":${r.kill},"kill_trigger":"${r.trigger}",""" +
-        s""""kill_after_ms":${r.killAfterMs},""" +
+        s""""kill_mode":"${mode.toString.toLowerCase}",""" +
+        s""""killed_at_ms":${r.killedAtMs},""" +
         s""""interrupted":${r.interrupted},"child_exit":${r.childExit},""" +
         s""""compaction_window":"${r.window}",""" +
         f""""heal_drain_s":${r.healDrainS}%.1f,""" +
         s""""equivalence":${r.equivalence},"mass":${r.mass},""" +
-        s""""ledger":${r.ledger},"gen_after_heal":${r.genAfterHeal}}""")
+        s""""ledger":${r.ledger},"gen_after_heal":${r.genAfterHeal}}"""
+    }
     val json = s"""{"recipe":"SIGKILL a separate-JVM runManaged drain """ +
-      s"""(StoreRoot shard+index roots, compaction every 2 triggers); """ +
-      s"""half the kills timer-stratified across the drain, half """ +
-      s"""fold-triggered (poll the roots' on-disk compaction """ +
-      s"""signature, kill the instant a fold is in flight); classify """ +
-      s"""each landing from post-kill """ +
+      s"""(StoreRoot shard+index roots, out-of-band compaction every """ +
+      s"""2 triggers); kills split timer-stratified / fold-poll """ +
+      s"""(kill the instant a fold is in flight) / swap-poll (kill """ +
+      s"""inside the swap-no-retire gap, widened by the test-only """ +
+      s"""retire delay); classify each landing from post-kill """ +
       s"""disk forensics; heal with a second runManaged; gate the """ +
       s"""healed roots on the one-shot oracle (q175 shape)",""" +
       s""""kills":$kills,"prior":$prior,"triggers":$triggers,""" +
       s""""batch_rows":$batchRows,"compact_every":$compactEvery,""" +
       s""""window_ms":$windowMs,"interrupted":$nInterrupted,""" +
       s""""kills_inside_compaction_window":$nInWindow,""" +
+      s""""swap_no_retire_kills":$nSwapHit,""" +
       s""""all_heals_match_oracle":true,""" +
       s""""reports":[${rows.mkString(",")}]}\n"""
     Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"[crash] wrote $out ($nInterrupted/$kills interrupted, " +
-      s"$nInWindow in a compaction window, all heals == oracle)")
+      s"$nInWindow in a compaction window, $nSwapHit swap-no-retire, " +
+      "all heals == oracle)")
     spark.stop()
   }
 

@@ -86,7 +86,8 @@ object RefreshScale {
                           flatnessRatio: Double, drainWallS: Double,
                           totalWallS: Double, storeTokens: Long,
                           genAfterDrain: Long = -1L,
-                          storeFilesAfterDrain: Long = -1L)
+                          storeFilesAfterDrain: Long = -1L,
+                          skewRoutedTriggers: Long = 0L)
 
   private val BenchN = 200L
 
@@ -286,6 +287,10 @@ object RefreshScale {
             e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
         }
         spark.streams.addListener(listener)
+        // pack-route telemetry: which triggers the auto-probe (or the
+        // forced packSkew) sent through the skew-robust pack — the
+        // REFRESH_SKEW artifact gates on this directly
+        val routeLog = new RefreshPipeline.RouteLog
         val tDrain = System.nanoTime()
         try managed match {
           case Some(ce) =>
@@ -294,12 +299,14 @@ object RefreshScale {
               ledgerDir = s"$base/ledger",
               checkpointDir = s"$base/ck", compactEvery = ce,
               indexRoot = Some(s"$base/ixRoot"),
-              packSkew = packSkew, providerClass = providerClass)
+              packSkew = packSkew, providerClass = providerClass,
+              routeLog = Some(routeLog))
           case None =>
             RefreshPipeline.run(stream, d, bench,
               storeDir = s"$base/store", ledgerDir = s"$base/ledger",
               checkpointDir = s"$base/ck", indexDir = Some(s"$base/ix"),
-              packSkew = packSkew, providerClass = providerClass)
+              packSkew = packSkew, providerClass = providerClass,
+              routeLog = Some(routeLog))
         }
         finally {
           // progress events are delivered async; give the bus a moment
@@ -393,7 +400,8 @@ object RefreshScale {
                 case Some(_) => graft.streaming.StoreRoot
                   .currentDir(s"$base/shardRoot")
                 case None => s"$base/store"
-              })))
+              })),
+            skewRoutedTriggers = routeLog.routes.count(_._2).toLong)
         } finally
           org.apache.spark.sql.graftglue.GraftGlue
             .releaseCheckpoint(expected)

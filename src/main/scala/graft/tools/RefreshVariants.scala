@@ -57,10 +57,18 @@ object RefreshVariants {
         s""""gen_after_drain":${r.genAfterDrain},""" else "") +
       (if (r.storeFilesAfterDrain >= 0)
         s""""store_parquet_files":${r.storeFilesAfterDrain},""" else "") +
+      s""""skew_routed_triggers":${r.skewRoutedTriggers},""" +
       s""""per_trigger_wall_s":[${r.perTriggerWallS
         .map(w => f"$w%.2f").mkString(",")}],""" +
       f""""flatness_ratio":${r.flatnessRatio}%.3f,""" +
       f""""drain_wall_s":${r.drainWallS}%.1f}"""
+
+  /** (max, median) of the post-warmup per-trigger walls — the
+    * fold-spike metric the managed block gates on. */
+  private def maxOverMedian(r: RefreshScale.Result): (Double, Double) = {
+    val w = r.perTriggerWallS.drop(1).filter(_ >= 0).sorted
+    (w.last, w(w.size / 2))
+  }
 
   private def sameOutputs(rs: Seq[RefreshScale.Result]): Boolean =
     rs.map(r => (r.accepted, r.exactStreamAccepted, r.nearAccepted,
@@ -104,6 +112,19 @@ object RefreshVariants {
       require(sameOutputs(Seq(bal, skewWin, skewAuto)),
         "accepted set / token mass diverged across pack strategies - " +
           "the shard distribution must never change acceptance")
+      // the ROUTE gate (not inferred from wall time): the auto-probe
+      // must choose the window pack on every balanced trigger, the
+      // skew-robust pack on every 90%-hot trigger, and a forced
+      // packSkew=false must pin every trigger to the window form
+      require(bal.skewRoutedTriggers == 0,
+        s"auto-probe routed ${bal.skewRoutedTriggers} BALANCED " +
+          "triggers through the skew-robust pack")
+      require(skewWin.skewRoutedTriggers == 0,
+        s"packSkew=Some(false) still routed " +
+          s"${skewWin.skewRoutedTriggers} triggers skew-robust")
+      require(skewAuto.skewRoutedTriggers == triggers,
+        s"auto-probe routed only ${skewAuto.skewRoutedTriggers}/" +
+          s"$triggers 90%-hot triggers through the skew-robust pack")
       val json =
         s"""{"recipe":"24-trigger RefreshPipeline drain, one source """ +
           s"""shard holding 90% of stream docs: balanced reference vs """ +
@@ -112,6 +133,7 @@ object RefreshVariants {
           s"""packTokenIdsSkewRobust at the append site)",""" +
           s""""prior_docs":$prior,"triggers":$triggers,""" +
           s""""batch_rows":$batchRows,"hot_pct":90,""" +
+          s""""routes_gated":"balanced 0, forced-window 0, auto all",""" +
           s""""balanced":${blockJson(bal)},""" +
           s""""skew_window_pack":${blockJson(skewWin)},""" +
           s""""skew_auto":${blockJson(skewAuto)},""" +
@@ -123,14 +145,19 @@ object RefreshVariants {
     }
 
     if (blocks("managed")) {
-      // 3. MANAGED (REFRESH_MANAGED.json): the generation-managed
+      // 2. MANAGED (REFRESH_MANAGED.json): the generation-managed
       // lifecycle (StoreRoot roots, compaction every 6 triggers — four
-      // in-drain folds across 24) vs the plain drain over the SAME
-      // docs. Acceptance/mass/ledger must be bit-identical (compaction
-      // must never change what is stored, only how many files store
-      // it); the artifact records the fold overhead (drain wall delta)
-      // and the read amplification the folds exist to bound (parquet
-      // leaf files behind the merged shard read).
+      // folds across 24 / eight across 48, each begun OUT-OF-BAND at
+      // its compaction point and completed at the first trigger
+      // boundary after the background fold commits) vs the plain drain
+      // over the SAME docs. Acceptance/mass/ledger must be
+      // bit-identical (compaction must never change what is stored,
+      // only how many files store it); the artifact records the fold
+      // overhead (drain wall delta), the read amplification the folds
+      // exist to bound (parquet leaf files behind the merged shard
+      // read), and — the off-critical-path claim, GATED — that no
+      // trigger stalls on a fold: max post-warmup trigger wall <= 2x
+      // the median (the inline fold measured 2.3-3.5x spikes here).
       val plain = {
         val r = RefreshScale.run(spark, prior, triggers, batchRows)
         RefreshScale.check(r, requireFlatness = false)
@@ -158,18 +185,27 @@ object RefreshVariants {
           s"files (${man.storeFilesAfterDrain}) as the plain store's " +
           s"(${plain.storeFilesAfterDrain}) - compaction bounded " +
           "nothing")
+      val (maxW, medW) = maxOverMedian(man)
+      require(maxW <= 2.0 * medW,
+        f"a managed trigger stalled at $maxW%.1fs vs median $medW%.1fs " +
+          "(> 2x) - the out-of-band fold is back on the critical path")
       val json =
         s"""{"recipe":"$triggers-trigger drain, plain RefreshPipeline.run """ +
           s"""vs generation-managed runManaged with compaction every """ +
-          s"""6 triggers (fold + manifest swap + retire inside the """ +
-          s"""drain); identical accepted ids and token mass """ +
-          s"""required, file counts record the read amplification """ +
-          s"""compaction bounds",""" +
+          s"""6 triggers (folds begun out-of-band at each compaction """ +
+          s"""point, completed - top-up, manifest swap, retire - at """ +
+          s"""the next quiet trigger boundary); identical accepted """ +
+          s"""ids and token mass required, file counts record the """ +
+          s"""read amplification compaction bounds, and max/median """ +
+          s"""trigger wall gates that no trigger stalls on a fold",""" +
           s""""prior_docs":$prior,"triggers":$triggers,""" +
           s""""batch_rows":$batchRows,"compact_every":6,""" +
           s""""plain":${blockJson(plain)},""" +
           s""""managed":${blockJson(man)},""" +
           s""""outputs_identical":true,""" +
+          f""""managed_max_trigger_wall_s":$maxW%.2f,""" +
+          f""""managed_median_trigger_wall_s":$medW%.2f,""" +
+          f""""managed_max_over_median":${maxW / medW}%.2f,""" +
           f""""managed_over_plain_wall":${
             man.drainWallS / plain.drainWallS}%.2f,""" +
           f""""file_reduction":${plain.storeFilesAfterDrain.toDouble /

@@ -225,6 +225,54 @@ class ShardSinkSpec extends SparkSpec {
     } finally rmTree(base)
   }
 
+  test("schema evolution: a WIDENED later delta stays visible " +
+      "(older files NULL-pad under the latest schema); a NARROWING " +
+      "delta is refused at append time, not masked at read time") {
+    val base = java.nio.file.Files.createTempDirectory("graft_drift_")
+    try {
+      def docs(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("doc_id"), lit("s").as("source"),
+          array(col("id").cast("int")).as("__ids"))
+      ShardSink.append(spark, docs(0, 4), "__ids", "doc_id",
+        budget = 4, shardCol = "source", storeDir = s"$base/store")
+      // a later delta that ADDED a column (hand-planted: the pack verbs
+      // themselves never widen, but a deployment's schema evolution
+      // does) — the merged read takes the LATEST version's schema, so
+      // the new column must be visible with v0's rows NULL-padded
+      spark.read.parquet(s"$base/store/v0")
+        .withColumn("seq_id", col("seq_id") + 100)
+        .withColumn("quality", lit(0.5))
+        .write.parquet(s"$base/store/v1")
+      val got = ShardSink.read(spark, s"$base/store")
+      assert(got.columns.contains("quality"))
+      val byVersion = got.select(col("seq_id").cast("long"),
+          col("quality")).collect()
+        .map(r => (r.getLong(0) >= 100, r.isNullAt(1))).toSet
+      assert(byVersion == Set((true, false), (false, true)),
+        s"widened column not NULL-padded correctly: $byVersion")
+      // the REVERSE direction is the silent-masking hazard the read's
+      // latest-schema scan cannot detect (a narrower latest schema
+      // stops selecting old columns) — so append refuses it loudly.
+      // Hand-plant a store whose committed schema is WIDER than what
+      // the pack produces; the next real append computes a delta
+      // missing that column and must fail the publish
+      graft.operators.Curate.packTokenIds(docs(0, 4), "__ids",
+          "doc_id", 4, "source")
+        .withColumn("provenance", lit("crawl-7"))
+        .write.parquet(s"$base/wide/v0")
+      val e = intercept[IllegalArgumentException] {
+        ShardSink.append(spark, docs(4, 8), "__ids", "doc_id",
+          budget = 4, shardCol = "source", storeDir = s"$base/wide")
+      }
+      assert(e.getMessage.contains("narrowed") &&
+        e.getMessage.contains("provenance"), e.getMessage)
+      // nothing was published: the store still serves v0 alone
+      assert(!new java.io.File(s"$base/wide/v1").exists())
+      assert(ShardSink.read(spark, s"$base/wide").count() ==
+        spark.read.parquet(s"$base/wide/v0").count())
+    } finally rmTree(base)
+  }
+
   test("retention: retire deletes only a covered pre-compaction store; " +
       "late reads, asOf, appends all fail loudly naming the successor") {
     val base = java.nio.file.Files.createTempDirectory("graft_retire_")

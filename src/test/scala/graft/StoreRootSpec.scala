@@ -257,6 +257,135 @@ class StoreRootSpec extends SparkSpec {
     } finally StoreFiles.deleteRec(base.toFile)
   }
 
+  test("out-of-band fold: begin/finish completes through the same " +
+      "states as the sync verb, appends landing mid-fold are topped " +
+      "up verbatim, the floor stays at the fold cutoff") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rootoob_")
+    try {
+      val d = docs(120).localCheckpoint(true)
+      val ids = d.select("doc_id").as[Long].collect().sorted
+      val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+      val root = s"$base/root"
+      ShardSink.append(spark, d.filter(col("doc_id") <= cut1),
+        "__ids", "doc_id", 128, "source", StoreRoot.init(root))
+      StoreRoot.appendShard(spark, root,
+        d.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+        "__ids", "doc_id", 128, "source", version = 1L)
+      val preLate = digest(StoreRoot.readShard(spark, root))
+      // begin: the fold (covering v0..v1) runs on a background thread
+      val fold = StoreRoot.beginCompactShard(spark, root)
+      assert(fold.isDefined)
+      // an append lands WHILE the fold is (possibly) in flight — legal
+      // by design: the fold reads only the immutable versions it
+      // listed at its own start; whatever it did not cover, finish's
+      // top-up copies verbatim
+      assert(StoreRoot.appendShard(spark, root,
+        d.filter(col("doc_id") > cut2),
+        "__ids", "doc_id", 128, "source", version = 2L))
+      val full = digest(StoreRoot.readShard(spark, root))
+      StoreRoot.finishCompact(fold.get)
+      assert(StoreRoot.currentGen(root) == 1L)
+      // the racing append is in the new generation regardless of
+      // whether the fold's own listing caught it (fold saw it -> it
+      // folded; fold missed it -> top-up copied dir v2 verbatim)
+      assert(digest(StoreRoot.readShard(spark, root)) == full)
+      val floor = StoreRoot.floor(root).get
+      assert(floor == 1L || floor == 2L, s"floor $floor")
+      // above-the-floor asOf serves; the racing append's re-delivery
+      // skips (floor skip if folded, publishOnce skip if copied)
+      assert(digest(StoreRoot.readShard(spark, root,
+        asOf = Some(2L))) == full)
+      if (floor == 1L)
+        assert(digest(StoreRoot.readShard(spark, root,
+          asOf = Some(1L))) == preLate)
+      assert(!StoreRoot.appendShard(spark, root,
+        d.filter(col("doc_id") > cut2),
+        "__ids", "doc_id", 128, "source", version = 2L))
+      assert(digest(StoreRoot.readShard(spark, root)) == full)
+      assert(StoreFiles.retiredTo(s"$root/gen0").isDefined)
+      // begin with no debt (when the fold covered everything) either
+      // no-ops or folds the one copied delta; after at most one more
+      // cycle the root is quiescent
+      StoreRoot.compactShard(spark, root)
+      assert(!StoreRoot.compactShard(spark, root))
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+    } finally StoreFiles.deleteRec(base.toFile)
+  }
+
+  test("committed-fold resume is a TOP-UP, not a redo: versions " +
+      "appended after the crash ride into the next generation " +
+      "verbatim, shard and vector roots alike") {
+    val base = java.nio.file.Files.createTempDirectory("graft_roottu_")
+    try {
+      val d = docs(120).localCheckpoint(true)
+      val ids = d.select("doc_id").as[Long].collect().sorted
+      val cut1 = ids(ids.length / 3); val cut2 = ids(2 * ids.length / 3)
+      val root = s"$base/root"
+      val g0 = StoreRoot.init(root)
+      ShardSink.append(spark, d.filter(col("doc_id") <= cut1),
+        "__ids", "doc_id", 128, "source", g0)
+      StoreRoot.appendShard(spark, root,
+        d.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+        "__ids", "doc_id", 128, "source", version = 1L)
+      // a fold commits (marker in place) covering v0..v1, then the
+      // process dies before the swap; on restart an append lands FIRST
+      ShardSink.compact(spark, g0, s"$root/gen1")
+      assert(StoreRoot.appendShard(spark, root,
+        d.filter(col("doc_id") > cut2),
+        "__ids", "doc_id", 128, "source", version = 2L))
+      val full = digest(StoreRoot.readShard(spark, root))
+      val v1Only = digest(StoreRoot.readShard(spark, root,
+        asOf = Some(1L)))
+      // the next compaction RESUMES the committed fold and tops up v2
+      // — O(late-deltas); the old machine would have re-folded the
+      // whole generation
+      assert(StoreRoot.compactShard(spark, root))
+      assert(StoreRoot.currentGen(root) == 1L)
+      // floor pinned at the crashed fold's cutoff, v2 an addressable
+      // copied delta — windowed-retention semantics for free
+      assert(StoreRoot.floor(root).contains(1L))
+      assert(new java.io.File(s"$root/gen1/v2").isDirectory)
+      assert(digest(StoreRoot.readShard(spark, root)) == full)
+      assert(digest(StoreRoot.readShard(spark, root,
+        asOf = Some(1L))) == v1Only)
+      assert(!StoreRoot.appendShard(spark, root,
+        d.filter(col("doc_id") > cut2),
+        "__ids", "doc_id", 128, "source", version = 2L))
+      assert(digest(StoreRoot.readShard(spark, root)) == full)
+
+      // vector root: same resume, with the late arm a TOMBSTONE whose
+      // copied dir must keep masking rows the fold absorbed into the
+      // base (batch tag -1)
+      val emb = transform(sequence(lit(0), lit(7)),
+        i => sin(col("vec_id") * 3 + i).cast("float"))
+      val vecs = spark.range(0, 60).select(col("id").as("vec_id"))
+        .withColumn("embedding", emb).localCheckpoint(true)
+      val vr = s"$base/vroot"
+      graft.operators.Similarity.ivfPqSave(
+        graft.operators.Similarity.ivfPqBuild(
+          vecs.filter(col("vec_id") < 40), vecCol = "embedding",
+          idCol = "vec_id", nLists = 2, m = 4, kCodes = 8,
+          iterations = 2), StoreRoot.init(vr))
+      StoreRoot.appendVectors(spark, vr, 0L,
+        vecs.filter(col("vec_id") >= 40), idCol = "vec_id")
+      VectorIndexSink.compact(spark, s"$vr/gen0", s"$vr/gen1",
+        idCol = "vec_id") // committed fold, crash before swap
+      assert(StoreRoot.deleteVectors(spark, vr, 1L,
+        Seq(5L, 45L).toDF("vec_id"))) // late tombstone into gen0
+      assert(StoreRoot.compactVectors(spark, vr, idCol = "vec_id"))
+      assert(StoreRoot.currentGen(vr) == 1L &&
+        StoreRoot.floor(vr).contains(0L))
+      val served = StoreRoot.readVectors(spark, vr, idCol = "vec_id")
+        .encoded.select("vec_id").as[Long].collect().toSet
+      assert(!served.contains(5L) && !served.contains(45L) &&
+        served.size == 58)
+      assert(!StoreRoot.deleteVectors(spark, vr, 1L,
+        Seq(5L).toDF("vec_id"))) // copied tombstone: re-delivery skips
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(vecs)
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+    } finally StoreFiles.deleteRec(base.toFile)
+  }
+
   test("runManaged == run: mid-stream compaction moves no answer, " +
       "ends on a fresh generation with the old one retired") {
     val base = java.nio.file.Files.createTempDirectory("graft_rootm_")
