@@ -1706,7 +1706,7 @@ object SparkEntry {
       // oracle, verbatim). In-query gates pin the retention contract
       // the oracle can't see: both roots ended on generation 1, the
       // retired generation-0 layouts fail loudly, and an asOf below
-      // each root's retention floor (shard v2 / index b1) is refused.
+      // each root's retention floor (shard v2 / index b2) is refused.
       val base = java.nio.file.Files.createTempDirectory("graft_mrefresh_")
       try {
         val emb = transform(sequence(lit(0), lit(7)),
@@ -1764,8 +1764,12 @@ object SparkEntry {
           require(graft.streaming.StoreRoot.currentGen(sRoot) == 1L
               && graft.streaming.StoreRoot.currentGen(iRoot) == 1L,
             "expected exactly one mid-stream compaction cycle per root")
+          // shard fold cut at its compaction point (v0..v2 -> floor
+          // 2); the index fold is SERIALIZED behind it (one fold in
+          // flight across both roots), so its cut includes the last
+          // trigger's arm b2 -> floor 2 as well
           require(graft.streaming.StoreRoot.floor(sRoot).contains(2L)
-              && graft.streaming.StoreRoot.floor(iRoot).contains(1L),
+              && graft.streaming.StoreRoot.floor(iRoot).contains(2L),
             "unexpected retention floors after the mid-stream fold")
           def loud(f: => Any, what: String): Unit = {
             val msg = try { f; "" } catch {

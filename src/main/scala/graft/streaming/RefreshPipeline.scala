@@ -571,9 +571,12 @@ object RefreshPipeline {
     * O(current store) (see [[ShardSink.compact]]'s cost model), which
     * is exactly why it must not run inline: measured inline it spiked
     * fold triggers to 2-3x the steady-state trigger wall, growing with
-    * store lifetime. A compaction point that arrives while the
-    * previous fold is still writing is SKIPPED — never stalled on —
-    * and its debt folds at the next point. This is the maintenance
+    * store lifetime. Folds are serialized (one in flight across both
+    * roots — two concurrent background folds measurably doubled the
+    * overlapped trigger's wall) and a compaction point that arrives
+    * while a fold is still writing QUEUES its cycle — never stalls on
+    * it — to begin when the in-flight fold completes. This is the
+    * maintenance
     * loop a long-running deployment needs, running inside the pipeline
     * instead of as a hand-driven sidecar. The caller seeds generation
     * 0 of each root ([[StoreRoot.init]] then the usual v0 pack /
@@ -620,19 +623,45 @@ object RefreshPipeline {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val providerPrev = prior.sparkSession.conf.getOption(providerKey)
     providerClass.foreach(prior.sparkSession.conf.set(providerKey, _))
-    // out-of-band folds in flight, keyed by root. Mutated only from
-    // the foreachBatch thread (triggers run sequentially) and read
-    // after awaitTermination on the caller's thread — the query's
-    // termination is the happens-before edge between them.
+    // out-of-band fold bookkeeping, mutated only from the foreachBatch
+    // thread (triggers run sequentially) and read after
+    // awaitTermination on the caller's thread — the query's
+    // termination is the happens-before edge between them. Folds are
+    // SERIALIZED: at most one in flight across both roots, the rest
+    // queued in `owed` and begun as their predecessors complete.
+    // Measured reason: a compaction point used to begin the shard AND
+    // index folds together, and the two background folds' combined
+    // task demand doubled the overlapped trigger's wall under a FAIR
+    // 50/50 split (max/median 2.19 on a 48-trigger drain); one fold
+    // at a time halves the concurrent soak, and a fold that overruns
+    // its window simply queues its successor instead of stacking.
     val pending = scala.collection.mutable.Map.empty[String, StoreRoot.Fold]
+    val owed = scala.collection.mutable.Queue
+      .empty[(String, () => Option[StoreRoot.Fold])]
+    val foldT0 = scala.collection.mutable.Map.empty[String, Long]
     // complete folds at a quiescent trigger boundary: every finished
     // fold eagerly (the cheap top-up + swap + retire), every fold when
     // forced (drain end — block on the fold thread, then complete)
-    def finishFolds(force: Boolean): Unit =
+    def finishReady(force: Boolean): Unit =
       pending.keys.toSeq.foreach { r =>
         if (force || pending(r).isDone) {
+          val tF = System.nanoTime()
           StoreRoot.finishCompact(pending(r))
+          if (sys.env.contains("GRAFT_RP_DEBUG"))
+            println(f"[rp] fold $r wall ${(tF - foldT0(r)) / 1e9}%.2fs " +
+              f"finish ${(System.nanoTime() - tF) / 1e9}%.2fs " +
+              f"forced=$force")
           pending.remove(r); ()
+        }
+      }
+    // begin queued folds while no fold is in flight (a begin may no-op
+    // when the root has no debt — keep draining the queue)
+    def beginNextOwed(): Unit =
+      while (pending.isEmpty && owed.nonEmpty) {
+        val (r, begin) = owed.dequeue()
+        begin().foreach { f =>
+          pending(r) = f
+          foldT0(r) = System.nanoTime(); ()
         }
       }
     try {
@@ -648,21 +677,33 @@ object RefreshPipeline {
             shardRoot = Some(shardRoot), indexRoot = indexRoot,
             bloomAcc = Some(bloomAcc), packSkew = packSkew,
             routeLog = routeLog)
-          finishFolds(force = false)
+          finishReady(force = false)
           if ((batchId + 1) % compactEvery == 0) {
-            if (!pending.contains(shardRoot))
-              StoreRoot.beginCompactShard(sp, shardRoot, shardCol)
-                .foreach { f => pending(shardRoot) = f; () }
+            // one owed entry per root per compaction point (a root
+            // already queued keeps its place; a root mid-fold gets its
+            // NEXT fold queued so an overrunning cycle defers, never
+            // skips, its successor)
+            if (!owed.exists(_._1 == shardRoot))
+              owed.enqueue((shardRoot,
+                () => StoreRoot.beginCompactShard(sp, shardRoot,
+                  shardCol)))
             indexRoot.foreach { r =>
-              if (!pending.contains(r))
-                StoreRoot.beginCompactVectors(sp, r)
-                  .foreach { f => pending(r) = f; () }
+              if (!owed.exists(_._1 == r))
+                owed.enqueue((r,
+                  () => StoreRoot.beginCompactVectors(sp, r)))
             }
           }
+          beginNextOwed()
         }
         .start()
       q.awaitTermination()
-      finishFolds(force = true)
+      // drain end: complete the in-flight fold, then run every owed
+      // cycle to completion — the drain never exits with debt it was
+      // scheduled to fold
+      while (pending.nonEmpty || owed.nonEmpty) {
+        finishReady(force = true)
+        beginNextOwed()
+      }
     } finally {
       if (providerClass.isDefined) providerPrev match {
         case Some(p) => prior.sparkSession.conf.set(providerKey, p)

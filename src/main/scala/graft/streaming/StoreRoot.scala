@@ -238,24 +238,53 @@ object StoreRoot {
     * and vector indexes differ only in these. `topUp` and `retire` are
     * pure filesystem verbs — [[finishCompact]] needs no session. */
   private final case class StoreVerbs(
+      spark: SparkSession,
       hasDebt: String => Boolean,
-      fold: (String, String) => Unit,
+      fold: (SparkSession, String, String) => Unit,
       topUp: (String, String) => Unit,
       retire: (String, String) => Unit)
 
   private def shardVerbs(spark: SparkSession, shardCol: String,
                          keep: Int): StoreVerbs = StoreVerbs(
+    spark,
     hasDebt = d => ShardSink.versionCount(d) > keep + 1,
-    fold = (c, n) => ShardSink.compact(spark, c, n, shardCol, keep),
+    fold = (sp, c, n) => ShardSink.compact(sp, c, n, shardCol, keep),
     topUp = (c, n) => ShardSink.topUp(c, n),
     retire = (c, n) => ShardSink.retire(c, n))
 
   private def vectorVerbs(spark: SparkSession, keep: Int,
                           idCol: String): StoreVerbs = StoreVerbs(
+    spark,
     hasDebt = d => VectorIndexSink.batchCount(d) > keep,
-    fold = (c, n) => VectorIndexSink.compact(spark, c, n, keep, idCol),
+    fold = (sp, c, n) => VectorIndexSink.compact(sp, c, n, keep, idCol),
     topUp = (c, n) => VectorIndexSink.topUp(c, n),
     retire = (c, n) => VectorIndexSink.retire(c, n))
+
+  /** Task-parallelism cap for BACKGROUND folds. A background fold at
+    * the session's full width measurably starves the drain it is
+    * supposed to stay out of: a late-drain fold's 32-wide scan/write
+    * stages grab every core the moment the trigger's stages go idle,
+    * and Spark never preempts a running task, so the next trigger wave
+    * queues behind whole fold stages — measured 2.2-6x trigger spikes
+    * exactly one trigger after each large fold began, under FIFO and
+    * FAIR alike. Capping the fold's stages at 8 tasks (a quarter of
+    * the 32-slot local box) bounds the occupancy any fold stage can
+    * take, trading fold wall (it has a whole compaction window) for
+    * drain flatness — the same trade a 1000-executor cluster makes by
+    * running maintenance jobs in a small capped queue. */
+  private[graft] val FoldMaxTasks = 8
+
+  /** Scheduler pool the background fold's jobs run in. Under a FAIR
+    * scheduler (`spark.scheduler.mode=FAIR` — set it on any session
+    * that drives [[RefreshPipeline.runManaged]]-style drains) this
+    * isolates the fold from the drain: without it, the default FIFO
+    * scheduler offers every core to the fold's 32-wide stages first
+    * and the concurrent trigger's short stages queue behind them —
+    * measured as a reproducible 2.3x trigger stall (19.5 s vs 8.5 s
+    * median) even though the fold thread itself never touches the
+    * trigger's state. Under FIFO the property is inert and the fold
+    * simply competes, which is the pre-round-15 behavior. */
+  val FoldSchedulerPool = "graft_oob_fold"
 
   /** Handle on a begun compaction cycle: the (possibly background)
     * fold of generation `gen` plus everything [[finishCompact]] needs
@@ -301,7 +330,7 @@ object StoreRoot {
       .exists(_.get("src").contains(cur.getCanonicalPath))
     if (committed) // nothing left to write; finish tops up and swaps
       return Some(new Fold(root, g, None, err, v))
-    def runFold(): Unit = {
+    def runFold(sp: SparkSession): Unit = {
       // no usable marker: either nothing there, a fold that crashed
       // mid-write, or a fold of a FOREIGN source — sweep and redo (the
       // fold verbs refuse a used target, so a partial next MUST be
@@ -309,12 +338,28 @@ object StoreRoot {
       // so appends landing concurrently are simply not covered yet;
       // finishCompact's top-up carries them over.
       if (next.exists()) StoreFiles.deleteRec(next)
-      v.fold(cur.getAbsolutePath, next.getAbsolutePath)
+      v.fold(sp, cur.getAbsolutePath, next.getAbsolutePath)
     }
-    if (!background) { runFold(); Some(new Fold(root, g, None, err, v)) }
-    else {
+    if (!background) {
+      runFold(v.spark); Some(new Fold(root, g, None, err, v))
+    } else {
       val t = new Thread(
-        () => try runFold() catch { case e: Throwable => err.set(e) },
+        () => try {
+          // isolate the fold's jobs from the drain's (see
+          // [[FoldSchedulerPool]]); thread-local, so only this fold's
+          // job submissions are affected
+          v.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", FoldSchedulerPool)
+          // a THROTTLED clone of the session (shared SparkContext,
+          // isolated SQLConf): every fold stage is capped at
+          // [[FoldMaxTasks]] tasks so the fold can never occupy more
+          // than a fraction of the box — the drain keeps its cores
+          val sp = v.spark.newSession()
+          sp.conf.set("spark.sql.shuffle.partitions", FoldMaxTasks)
+          sp.conf.set("spark.sql.files.maxPartitionBytes",
+            256L * 1024 * 1024)
+          runFold(sp)
+        } catch { case e: Throwable => err.set(e) },
         s"graft-fold-${new java.io.File(root).getName}-gen$g")
       t.setDaemon(true)
       t.start()

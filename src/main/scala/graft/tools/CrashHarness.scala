@@ -169,6 +169,11 @@ object CrashHarness {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
+      // the managed drain's out-of-band folds run in their own
+      // scheduler pool (StoreRoot.FoldSchedulerPool) - FAIR keeps them
+      // from head-of-line-blocking the trigger's jobs, same as the
+      // measured drains
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -437,10 +442,10 @@ object CrashHarness {
     * stores the first kill already left mid-write (compaction state
     * machine included), the exact state a production restart loop
     * visits when a node dies twice. Kill 1 is fold-triggered (the
-    * frozen fold makes the heal's first act a fold replay — the
-    * hardest restart state); kill 2 alternates timer / fold-poll per
-    * iteration so both the replay stages and the heal's OWN folds get
-    * hit. */
+    * frozen fold forces the heal to resume-or-redo it at its next
+    * compaction point — the hardest restart state); kill 2 alternates
+    * timer / fold-poll per iteration so both the replay stages and
+    * the heal's OWN folds get hit. */
   def runDouble(spark: SparkSession, kill: Int, kill2AfterMs: Long,
                 kill2OnFold: Boolean, prior: Long, triggers: Int,
                 batchRows: Long, compactEvery: Int,
@@ -503,6 +508,7 @@ object CrashHarness {
       .master("local[32]")
       .config("spark.driver.memory", "48g")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.scheduler.mode", "FAIR") // heals fold out-of-band
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -575,6 +581,7 @@ object CrashHarness {
       .master("local[32]")
       .config("spark.driver.memory", "48g")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.scheduler.mode", "FAIR") // heals fold out-of-band
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -675,6 +682,7 @@ object CrashHarness {
       .master("local[32]")
       .config("spark.driver.memory", "48g")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.scheduler.mode", "FAIR") // heals fold out-of-band
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")

@@ -470,6 +470,10 @@ object RefreshScale {
       .master("local[32]")
       .config("spark.driver.memory", "48g")
       .config("spark.sql.shuffle.partitions", 32)
+      // FAIR + per-thread pools so an out-of-band compaction fold
+      // cannot head-of-line-block a concurrent trigger's jobs (see
+      // StoreRoot.FoldSchedulerPool)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")

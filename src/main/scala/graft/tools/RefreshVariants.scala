@@ -85,6 +85,10 @@ object RefreshVariants {
       .master("local[32]")
       .config("spark.driver.memory", "48g")
       .config("spark.sql.shuffle.partitions", 32)
+      // FAIR + per-thread pools so an out-of-band compaction fold
+      // cannot head-of-line-block a concurrent trigger's jobs (see
+      // StoreRoot.FoldSchedulerPool)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -158,37 +162,55 @@ object RefreshVariants {
       // read), and — the off-critical-path claim, GATED — that no
       // trigger stalls on a fold: max post-warmup trigger wall <= 2x
       // the median (the inline fold measured 2.3-3.5x spikes here).
-      val plain = {
-        val r = RefreshScale.run(spark, prior, triggers, batchRows)
-        RefreshScale.check(r, requireFlatness = false)
-        println(f"[refreshvariants] plain drain=${r.drainWallS}%.1fs " +
-          f"files=${r.storeFilesAfterDrain} accepted=${r.accepted}")
-        r
+      // Both legs are min-over-N (SPARK_GRAFT_SCALE_RUNS, default 2):
+      // per-trigger walls element-wise minimum across passes, outputs
+      // required identical across passes — a single host-steal spike
+      // must not read as a fold stall (nor hide one: a REAL fold
+      // stall reproduces in every pass, so it survives the min;
+      // observed before min-over-N landed here, a first pass at
+      // 15.6 s/trigger whose second ran at the expected ~9)
+      val scaleRuns =
+        sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
+      def minOverN(label: String,
+                   once: () => RefreshScale.Result)
+          : RefreshScale.Result = {
+        val per = (1 to scaleRuns).map { i =>
+          val r = once()
+          RefreshScale.check(r, requireFlatness = false)
+          println(f"[refreshvariants] $label pass $i/$scaleRuns " +
+            f"drain=${r.drainWallS}%.1fs gen=${r.genAfterDrain} " +
+            f"files=${r.storeFilesAfterDrain} accepted=${r.accepted} " +
+            s"walls=[${r.perTriggerWallS.map(w => f"$w%.1f")
+              .mkString(",")}]")
+          r
+        }
+        require(sameOutputs(per),
+          s"non-deterministic $label outcome across $scaleRuns passes")
+        val minWalls = per.map(_.perTriggerWallS).transpose
+          .map(ws => if (ws.forall(_ >= 0)) ws.min else -1.0).toVector
+        per.minBy(_.drainWallS).copy(perTriggerWallS = minWalls,
+          drainWallS = per.map(_.drainWallS).min)
       }
-      val man = {
-        val r = RefreshScale.run(spark, prior, triggers, batchRows,
-          managed = Some(6))
-        RefreshScale.check(r, requireFlatness = false)
-        println(f"[refreshvariants] managed drain=${r.drainWallS}%.1fs " +
-          f"gen=${r.genAfterDrain} files=${r.storeFilesAfterDrain} " +
-          f"accepted=${r.accepted}")
-        r
-      }
+      val plain = minOverN("plain",
+        () => RefreshScale.run(spark, prior, triggers, batchRows))
+      val man = minOverN("managed",
+        () => RefreshScale.run(spark, prior, triggers, batchRows,
+          managed = Some(6)))
       require(sameOutputs(Seq(plain, man)),
         "accepted set / token mass diverged between the plain and " +
           "managed drains - compaction must never change contents")
       require(man.genAfterDrain == triggers / 6,
         s"expected ${triggers / 6} generations after the managed " +
           s"drain, got ${man.genAfterDrain}")
+      val (maxW, medW) = maxOverMedian(man)
+      require(maxW <= 2.0 * medW,
+        f"a managed trigger stalled at $maxW%.1fs vs median $medW%.1fs " +
+          "(> 2x) - the out-of-band fold is back on the critical path")
       require(man.storeFilesAfterDrain < plain.storeFilesAfterDrain,
         "the managed store's merged read touches at least as many " +
           s"files (${man.storeFilesAfterDrain}) as the plain store's " +
           s"(${plain.storeFilesAfterDrain}) - compaction bounded " +
           "nothing")
-      val (maxW, medW) = maxOverMedian(man)
-      require(maxW <= 2.0 * medW,
-        f"a managed trigger stalled at $maxW%.1fs vs median $medW%.1fs " +
-          "(> 2x) - the out-of-band fold is back on the critical path")
       val json =
         s"""{"recipe":"$triggers-trigger drain, plain RefreshPipeline.run """ +
           s"""vs generation-managed runManaged with compaction every """ +
@@ -197,8 +219,11 @@ object RefreshVariants {
           s"""the next quiet trigger boundary); identical accepted """ +
           s"""ids and token mass required, file counts record the """ +
           s"""read amplification compaction bounds, and max/median """ +
-          s"""trigger wall gates that no trigger stalls on a fold",""" +
+          s"""trigger wall gates that no trigger stalls on a fold; """ +
+          s"""per-trigger walls are element-wise min-over-N passes """ +
+          s"""(outputs required identical across passes)",""" +
           s""""prior_docs":$prior,"triggers":$triggers,""" +
+          s""""runs":$scaleRuns,""" +
           s""""batch_rows":$batchRows,"compact_every":6,""" +
           s""""plain":${blockJson(plain)},""" +
           s""""managed":${blockJson(man)},""" +

@@ -458,11 +458,16 @@ class StoreRootSpec extends SparkSpec {
       assert(digest(StoreRoot.readShard(spark, sRoot)) == wantStore)
       assert(StoreRoot.readVectors(spark, iRoot, idCol = "doc_id")
         .encoded.select("doc_id").as[Long].collect().toSet == wantIds)
-      // predecessors retired, floors in force
+      // predecessors retired, floors in force. The shard fold is cut
+      // at its compaction point (versions v0..v2 -> floor 2); the
+      // INDEX fold is serialized behind it (one fold in flight across
+      // both roots), so by the time it begins the last trigger's arm
+      // b2 is committed and folds too -> floor 2, not the b1 the
+      // concurrent-begin design used to cut
       assert(StoreFiles.retiredTo(s"$sRoot/gen0").isDefined &&
         StoreFiles.retiredTo(s"$iRoot/gen0").isDefined)
       assert(StoreRoot.floor(sRoot).contains(2L) &&
-        StoreRoot.floor(iRoot).contains(1L))
+        StoreRoot.floor(iRoot).contains(2L))
       org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
     } finally StoreFiles.deleteRec(base.toFile)
   }
