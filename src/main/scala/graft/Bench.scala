@@ -17,6 +17,27 @@ object Bench {
     componentTimes.merge(name, sec,
       (a, b) => java.lang.Double.valueOf(math.min(a, b)))
 
+  /** Host-drift calibration anchor: a FIXED, data-independent,
+    * CPU-bound task through the same whole-stage-codegen path every
+    * query uses (range -> xxhash64 -> sum, no I/O, no shuffle beyond
+    * the final single-row agg). Host CPU steal is multiplicative on
+    * CPU-bound work, so the ratio of this anchor across two passes
+    * measures the drift between their hosts' conditions — BenchGuard
+    * divides its cross-artifact geomean by it before applying the
+    * inflation threshold, ending the per-round manual adjudication of
+    * uniform ±30% drift (r13 +8%, r14 −20%, r15 +26%). A REAL code
+    * regression moves queries but not the anchor, so it survives
+    * normalization. Timed once per pass, min over passes — the same
+    * discipline as the queries. */
+  private[graft] def calibrateOnce(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    val t0 = System.nanoTime()
+    spark.range(0L, 24000000000L, 1L, 32)
+      .select(sum(xxhash64(col("id"))).as("h"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -77,8 +98,13 @@ object Bench {
     val runs = math.max(1, sys.props.get("graft.bench.runs")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_RUNS")).getOrElse("2").toInt)
     val names = selected.toSeq.sortBy(_._1)
+    // the calibration anchor leads each pass so its min reflects the
+    // same host window the pass's query minima come from
+    val calibrations = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes = (1 to runs).map { _ =>
+      calibrations += calibrateOnce(spark)
       names.map { case (n, f) => time1(n, f) } }
+    val calibration = calibrations.min
     // a query counts as failed only when EVERY pass failed (its min is
     // then meaningless and the first error is surfaced); otherwise the
     // timing is the min over its successful passes
@@ -131,7 +157,7 @@ object Bench {
           .map { case (k, v) => "\"" + esc(k) + "\":" + sec(v) }
           .mkString("{", ",", "}")
       }
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$dq,"failed":$df,"components":$comps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"calibration":${sec(calibration)},"queries":$dq,"failed":$df,"components":$comps,"sf":"$sfDir"}"""
     }
     // a FILTERED probe (min-over-N adjudication of a few queries) must
     // never clobber the committed full-surface artifact — its detail
@@ -143,7 +169,7 @@ object Bench {
       java.nio.file.Paths.get(detailFile),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // detail file is best-effort
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"calibration":${sec2(calibration)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     if (results.exists(_._3.isDefined)) System.err.println(
       s"[bench] ${results.count(_._3.isDefined)} queries FAILED")
     spark.stop()

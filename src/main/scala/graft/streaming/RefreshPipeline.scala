@@ -169,6 +169,46 @@ object RefreshPipeline {
     }
   }
 
+  /** Run-scoped telemetry of the out-of-band compaction lifecycle —
+    * what [[runManaged]]'s serialized fold queue actually did, so an
+    * artifact can gate "a fold overran its compaction window and the
+    * owed queue deferred-then-drained" on observed events instead of
+    * inferring it from wall time. Event kinds: `point` (a scheduled
+    * compaction point, with the in-flight + owed depth at that
+    * instant — depth > 0 IS an overrun: the previous point's work is
+    * still unfinished), `held-place` (a root already queued at its
+    * next point — the defer-never-skip rule firing), `begun` /
+    * `noop` (a queued cycle started its fold / had no debt), and
+    * `finished` / `finished-forced` (completed at a trigger boundary /
+    * in the end-of-drain forced loop, with the begin->finish wall).
+    * Driver-held, O(cycles) events, never persisted. */
+  final class FoldLog {
+    final case class Event(kind: String, root: String, batchId: Long,
+                           depth: Int, wallS: Double)
+    private val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[Event]()
+    private[graft] def record(kind: String, root: String, batchId: Long,
+                              depth: Int = 0, wallS: Double = -1.0)
+        : Unit = {
+      buf.add(Event(kind, root, batchId, depth, wallS)); ()
+    }
+    def events: Seq[Event] = {
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+    /** Compaction points that arrived while earlier cycles were still
+      * in flight or owed — each one is an observed fold overrun. */
+    def overruns: Int = events.count(e => e.kind == "point" && e.depth > 0)
+    /** Deepest the in-flight + owed backlog ever got at a point. */
+    def maxDepth: Int =
+      (0 +: events.filter(_.kind == "point").map(_.depth)).max
+    def begun: Int = events.count(_.kind == "begun")
+    def finished: Int = events.count(_.kind.startsWith("finished"))
+    def forcedFinishes: Int = events.count(_.kind == "finished-forced")
+    /** Every begun fold was completed — the owed queue drained. */
+    def drained: Boolean = begun == finished
+  }
+
   /** Fingerprint-count threshold above which the single-task ledger
     * batch write warns (see the publish site in [[processBatch]]): 10M
     * 16-byte fingerprints ≈ 160 MB through one task — still well
@@ -605,7 +645,8 @@ object RefreshPipeline {
                  vecCol: String = "embedding",
                  packSkew: Option[Boolean] = None,
                  providerClass: Option[String] = None,
-                 routeLog: Option[RouteLog] = None): Unit = {
+                 routeLog: Option[RouteLog] = None,
+                 foldLog: Option[FoldLog] = None): Unit = {
     require(compactEvery >= 1,
       s"compactEvery must be >= 1: $compactEvery")
     val shufflePartitions = prior.sparkSession.conf
@@ -651,6 +692,9 @@ object RefreshPipeline {
             println(f"[rp] fold $r wall ${(tF - foldT0(r)) / 1e9}%.2fs " +
               f"finish ${(System.nanoTime() - tF) / 1e9}%.2fs " +
               f"forced=$force")
+          foldLog.foreach(_.record(
+            if (force) "finished-forced" else "finished", r, -1L,
+            wallS = (System.nanoTime() - foldT0(r)) / 1e9))
           pending.remove(r); ()
         }
       }
@@ -659,9 +703,13 @@ object RefreshPipeline {
     def beginNextOwed(): Unit =
       while (pending.isEmpty && owed.nonEmpty) {
         val (r, begin) = owed.dequeue()
-        begin().foreach { f =>
-          pending(r) = f
-          foldT0(r) = System.nanoTime(); ()
+        begin() match {
+          case Some(f) =>
+            pending(r) = f
+            foldT0(r) = System.nanoTime()
+            foldLog.foreach(_.record("begun", r, -1L))
+          case None =>
+            foldLog.foreach(_.record("noop", r, -1L))
         }
       }
     try {
@@ -679,6 +727,11 @@ object RefreshPipeline {
             routeLog = routeLog)
           finishReady(force = false)
           if ((batchId + 1) % compactEvery == 0) {
+            // depth > 0 at a scheduled point = the previous point's
+            // cycles are still in flight or owed — an observed fold
+            // OVERRUN (the queue defers them, never skips)
+            foldLog.foreach(_.record("point", "", batchId,
+              depth = pending.size + owed.size))
             // one owed entry per root per compaction point (a root
             // already queued keeps its place; a root mid-fold gets its
             // NEXT fold queued so an overrunning cycle defers, never
@@ -687,10 +740,13 @@ object RefreshPipeline {
               owed.enqueue((shardRoot,
                 () => StoreRoot.beginCompactShard(sp, shardRoot,
                   shardCol)))
+            else foldLog.foreach(_.record("held-place", shardRoot,
+              batchId))
             indexRoot.foreach { r =>
               if (!owed.exists(_._1 == r))
                 owed.enqueue((r,
                   () => StoreRoot.beginCompactVectors(sp, r)))
+              else foldLog.foreach(_.record("held-place", r, batchId))
             }
           }
           beginNextOwed()
@@ -705,6 +761,13 @@ object RefreshPipeline {
         beginNextOwed()
       }
     } finally {
+      // abort path: no fold may outlive the drain that began it. On
+      // success `pending` is already drained (above); if the query or
+      // an eager finishCompact threw, interrupt + join the in-flight
+      // fold so a same-process retry's begin() sweep cannot race an
+      // orphaned daemon writer on the next generation directory.
+      pending.values.foreach(_.abandon())
+      pending.clear()
       if (providerClass.isDefined) providerPrev match {
         case Some(p) => prior.sparkSession.conf.set(providerKey, p)
         case None => prior.sparkSession.conf.unset(providerKey)

@@ -33,8 +33,14 @@ private[graft] object StoreFiles {
     java.nio.file.Files.write(tmp.toPath,
       lines.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // REPLACE_EXISTING alongside ATOMIC_MOVE: this path REWRITES live
+    // markers (manifest swap each cycle, topUp advancing a live
+    // CompactedFromMarker). ATOMIC_MOVE alone leaves replace-existing
+    // behavior implementation-specific per Files.move — POSIX rename
+    // replaces, but other providers may throw.
     java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   def readMarker(f: java.io.File): Option[Map[String, String]] =

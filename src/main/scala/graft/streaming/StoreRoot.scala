@@ -267,11 +267,16 @@ object StoreRoot {
     * and Spark never preempts a running task, so the next trigger wave
     * queues behind whole fold stages — measured 2.2-6x trigger spikes
     * exactly one trigger after each large fold began, under FIFO and
-    * FAIR alike. Capping the fold's stages at 8 tasks (a quarter of
-    * the 32-slot local box) bounds the occupancy any fold stage can
-    * take, trading fold wall (it has a whole compaction window) for
-    * drain flatness — the same trade a 1000-executor cluster makes by
-    * running maintenance jobs in a small capped queue. */
+    * FAIR alike. Capping the fold's SHUFFLE stages at 8 tasks (a
+    * quarter of the 32-slot local box) bounds the occupancy those
+    * stages can take, trading fold wall (it has a whole compaction
+    * window) for drain flatness — the same trade a 1000-executor
+    * cluster makes by running maintenance jobs in a small capped
+    * queue. Scan stages are NOT bounded by this knob (they scale with
+    * input bytes / maxPartitionBytes); the fold session raises
+    * maxPartitionBytes to 1 GiB to keep scans of the delta-sized
+    * version files narrow, and full isolation under a soaking scan
+    * rests on the FAIR pool ([[FoldSchedulerPool]]). */
   private[graft] val FoldMaxTasks = 8
 
   /** Scheduler pool the background fold's jobs run in. Under a FAIR
@@ -285,6 +290,33 @@ object StoreRoot {
     * trigger's state. Under FIFO the property is inert and the fold
     * simply competes, which is the pre-round-15 behavior. */
   val FoldSchedulerPool = "graft_oob_fold"
+
+  /** The background fold's session: a THROTTLED clone (shared
+    * SparkContext, isolated SQLConf). `newSession()` re-derives SQLConf
+    * from the base SparkConf, DROPPING runtime `spark.conf.set`
+    * entries (session.timeZone, ansi.enabled, caseSensitive, ...) —
+    * the fold must rewrite data under the SAME SQL semantics as the
+    * drain's appends and the synchronous compact verbs, so every
+    * modifiable runtime entry is copied onto the clone first, then the
+    * throttle overrides applied on top: fold SHUFFLE stages capped at
+    * [[FoldMaxTasks]] tasks, and scan width bounded separately (1 GiB
+    * maxPartitionBytes keeps file-scan stages narrow on the
+    * delta-sized version files the fold reads). Isolation from the
+    * drain's stages additionally rests on the FAIR pool
+    * ([[FoldSchedulerPool]]) — under FIFO these caps bound occupancy
+    * per stage, but wide scans of a very large store could still queue
+    * ahead of trigger stages. */
+  private[graft] def throttledClone(parent: SparkSession): SparkSession = {
+    val sp = parent.newSession()
+    parent.conf.getAll.foreach { case (k, value) =>
+      if (sp.conf.isModifiable(k) && sp.conf.getOption(k) != Some(value))
+        sp.conf.set(k, value)
+    }
+    sp.conf.set("spark.sql.shuffle.partitions", FoldMaxTasks)
+    sp.conf.set("spark.sql.files.maxPartitionBytes",
+      1024L * 1024 * 1024)
+    sp
+  }
 
   /** Handle on a begun compaction cycle: the (possibly background)
     * fold of generation `gen` plus everything [[finishCompact]] needs
@@ -300,6 +332,19 @@ object StoreRoot {
         java.util.concurrent.atomic.AtomicReference[Throwable],
       private[StoreRoot] val verbs: StoreVerbs) {
     def isDone: Boolean = thread.forall(!_.isAlive)
+
+    /** Abort-path cleanup: interrupt the background fold thread (if
+      * any) and wait for it to exit, WITHOUT completing the cycle. A
+      * drain that throws must not leave an orphaned daemon fold
+      * writing into gen N+1 — a same-process retry's begin() would
+      * sweep that in-progress target (deleteRec) while the orphan
+      * still writes and might later publish its marker: two writers
+      * racing on one generation directory. The interrupted fold's
+      * partial target is swept and redone by the next begin(); a fold
+      * that already committed its marker is resumed as a top-up. */
+    private[graft] def abandon(): Unit = thread.foreach { t =>
+      t.interrupt(); t.join()
+    }
   }
 
   /** Shared front half: heal an unretired predecessor, check for debt,
@@ -350,15 +395,7 @@ object StoreRoot {
           // job submissions are affected
           v.spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", FoldSchedulerPool)
-          // a THROTTLED clone of the session (shared SparkContext,
-          // isolated SQLConf): every fold stage is capped at
-          // [[FoldMaxTasks]] tasks so the fold can never occupy more
-          // than a fraction of the box — the drain keeps its cores
-          val sp = v.spark.newSession()
-          sp.conf.set("spark.sql.shuffle.partitions", FoldMaxTasks)
-          sp.conf.set("spark.sql.files.maxPartitionBytes",
-            256L * 1024 * 1024)
-          runFold(sp)
+          runFold(throttledClone(v.spark))
         } catch { case e: Throwable => err.set(e) },
         s"graft-fold-${new java.io.File(root).getName}-gen$g")
       t.setDaemon(true)

@@ -8,11 +8,14 @@ package graft.tools
   *     says another tenant is already burning this shared VM (a full
   *     pass started then is a pre-inflated pass);
   *  2. runs the full `graft.Bench` pass (min-over-N as configured);
-  *  3. compares per-query against the COMMITTED BENCH_LOCAL.json:
-  *     a geomean ratio above the inflation threshold on shared queries
-  *     is the uniform host-steal signature — the pass is DISCARDED and
-  *     the committed artifact restored byte-for-byte (never overwrite a
-  *     clean artifact with an inflated pass);
+  *  3. compares per-query against the COMMITTED BENCH_LOCAL.json,
+  *     NORMALIZED by the calibration-anchor ratio ([[hostDrift]] — a
+  *     fixed CPU-bound task timed inside every pass, so uniform host
+  *     drift divides out and only code movement is judged): a
+  *     normalized geomean above the inflation threshold means the pass
+  *     is DISCARDED and the committed artifact restored byte-for-byte
+  *     (never overwrite a clean artifact with an inflated OR regressed
+  *     pass);
   *  4. for a clean pass, flags residual per-query regressions above the
   *     flag threshold and auto-runs the min-over-5 filtered probe for
   *     exactly those (probes land in BENCH_FILTERED.json, never the
@@ -41,6 +44,26 @@ object BenchGuard {
     "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body.take(end))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
+
+  /** The "calibration" scalar of a Bench detail JSON — the fixed
+    * CPU-bound anchor [[graft.Bench.calibrateOnce]] times in every
+    * pass. Absent from pre-round-16 artifacts. */
+  private[graft] def parseCalibration(json: String): Option[Double] =
+    "\"calibration\":([0-9.]+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble)
+
+  /** Multiplicative host drift between the committed artifact's host
+    * window and this pass's, measured by the calibration anchor ratio;
+    * 1.0 when either artifact predates the anchor. Ratios are divided
+    * by this before the inflation/flag thresholds apply: uniform host
+    * steal moves the anchor and the queries together and normalizes
+    * away, while a code regression moves only the queries and
+    * survives. Three consecutive rounds (r13 +8%, r14 −20%, r15 +26%)
+    * burned adjudication time on exactly this signature. */
+  private[graft] def hostDrift(calRef: Option[Double],
+                               calFresh: Option[Double]): Double =
+    (for (r <- calRef; f <- calFresh if r > 0) yield f / r)
+      .getOrElse(1.0)
 
   private def load1(): Double =
     scala.io.Source.fromFile("/proc/loadavg").getLines().next()
@@ -83,27 +106,39 @@ object BenchGuard {
       "BenchGuard guards FULL passes; unset SPARK_GRAFT_BENCH_FILTER " +
         "(probes are launched by the guard itself)")
     graft.Bench.main(Array.empty) // writes BENCH_LOCAL.json
-    val fresh = parseQueries(new String(
-      java.nio.file.Files.readAllBytes(artifact), "UTF-8"))
+    val freshJson = new String(
+      java.nio.file.Files.readAllBytes(artifact), "UTF-8")
+    val fresh = parseQueries(freshJson)
+    val calRef = committed.flatMap(b =>
+      parseCalibration(new String(b, "UTF-8")))
+    val calFresh = parseCalibration(freshJson)
+    val drift = hostDrift(calRef, calFresh)
 
     val shared = ref.keySet.intersect(fresh.keySet).toSeq.sorted
       .filter(q => ref(q) > 0)
-    val ratios = shared.map(q => q -> fresh(q) / ref(q)).toMap
+    // drift-normalized ratios: both the discard geomean and the
+    // per-query flags judge CODE movement, not host movement
+    val ratios = shared.map(q => q -> fresh(q) / ref(q) / drift).toMap
     val g = geomean(shared.map(ratios))
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def calJson = s""""calibration_ref":${
+        calRef.map(fmt).getOrElse("null")},"calibration_pass":${
+        calFresh.map(fmt).getOrElse("null")},"drift":${fmt(drift)}"""
 
     if (shared.nonEmpty && g > inflation) {
-      // the uniform host-steal signature: restore the committed
-      // artifact so an inflated pass can never replace a clean one
+      // host steal normalizes away now, so a geomean still above the
+      // threshold AFTER normalization is real movement — but the pass
+      // is still discarded, not committed: a regressed pass must not
+      // become the next round's baseline either
       committed.foreach(b => java.nio.file.Files.write(artifact, b))
       println(s"""{"guard":"discarded_inflated","geomean":${fmt(g)},""" +
-        s""""threshold":$inflation,"load_at_start":$load}""")
+        s"""$calJson,"threshold":$inflation,"load_at_start":$load}""")
       sys.exit(3)
     }
 
     val flags = shared.filter(q => ratios(q) > flagAt)
-    val probes =
-      if (flags.isEmpty) Map.empty[String, Double]
+    val (probes, probeDrift) =
+      if (flags.isEmpty) (Map.empty[String, Double], 1.0)
       else {
         // min-over-5 adjudication probe for exactly the flagged rows;
         // Bench routes filtered detail to BENCH_FILTERED.json, so the
@@ -117,18 +152,22 @@ object BenchGuard {
           sys.props.remove("graft.bench.runs")
           ()
         }
-        parseQueries(new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_FILTERED.json")), "UTF-8"))
+        val probeJson = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_FILTERED.json")), "UTF-8")
+        // the probe ran in its own host window — normalize by ITS
+        // anchor, not the full pass's
+        (parseQueries(probeJson),
+          hostDrift(calRef, parseCalibration(probeJson)))
       }
     val unresolved = flags.filter(q =>
-      probes.get(q).forall(p => p / ref(q) > flagAt))
+      probes.get(q).forall(p => p / ref(q) / probeDrift > flagAt))
     val flagJson = flags.map { q =>
       val probed = probes.get(q).map(fmt).getOrElse("null")
       s""""$q":{"ref":${fmt(ref(q))},"pass":${fmt(fresh(q))},""" +
         s""""probe_min":$probed}"""
     }.mkString("{", ",", "}")
     println(s"""{"guard":${if (unresolved.isEmpty) "\"ok\""
-        else "\"unresolved_flags\""},"geomean":${fmt(g)},""" +
+        else "\"unresolved_flags\""},"geomean":${fmt(g)},$calJson,""" +
       s""""shared":${shared.size},"flags":$flagJson,""" +
       s""""unresolved":[${unresolved.map("\"" + _ + "\"").mkString(",")}]}""")
     if (unresolved.nonEmpty) sys.exit(4)

@@ -193,7 +193,8 @@ object RefreshScale {
           packSkew: Option[Boolean] = None,
           stateful: Boolean = false,
           providerClass: Option[String] = None,
-          managed: Option[Int] = None): Result = {
+          managed: Option[Int] = None,
+          foldLog: Option[RefreshPipeline.FoldLog] = None): Result = {
     require(prior >= 100 && triggers >= 2 && batchRows >= 20 &&
       batchRows % 20 == 0,
       "need prior >= 100, triggers >= 2, batchRows a multiple of 20")
@@ -300,7 +301,7 @@ object RefreshScale {
               checkpointDir = s"$base/ck", compactEvery = ce,
               indexRoot = Some(s"$base/ixRoot"),
               packSkew = packSkew, providerClass = providerClass,
-              routeLog = Some(routeLog))
+              routeLog = Some(routeLog), foldLog = foldLog)
           case None =>
             RefreshPipeline.run(stream, d, bench,
               storeDir = s"$base/store", ledgerDir = s"$base/ledger",

@@ -2,6 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+import graft.streaming.RefreshPipeline
 
 /** Once-per-round refresh-drain VARIANT evidence — two legs the base
   * REFRESH_SCALE/REFRESH_SLOPE artifacts don't cover, each driving the
@@ -35,10 +36,17 @@ import org.apache.spark.sql.SparkSession
   *     evidence vacuous — the upstream is what q173's composed
   *     stream-stream-join shape feeds this chain in production.
   *
+  *  4. OVERRUN (REFRESH_OVERRUN.json, opt-in via GRAFT_REFRESH_BLOCKS):
+  *     the fold-throughput falsification — compaction scheduled every
+  *     trigger so folds MUST overrun their window; gates that the
+  *     owed queue defers-then-drains and the drain stays flat, on
+  *     observed [[graft.streaming.RefreshPipeline.FoldLog]] events.
+  *
   * Deliberately NOT bench rows (24-trigger 480k-doc drains); same
   * rationale as [[RefreshScale]].
   * Usage: runMain graft.tools.RefreshVariants [prior] [triggers]
-  *   [batchRows] (blocks via GRAFT_REFRESH_BLOCKS=skew,managed,rocksdb) */
+  *   [batchRows] (blocks via
+  *   GRAFT_REFRESH_BLOCKS=skew,managed,rocksdb,overrun) */
 object RefreshVariants {
 
   private val Rocks = "org.apache.spark.sql.execution.streaming.state" +
@@ -237,6 +245,93 @@ object RefreshVariants {
             man.storeFilesAfterDrain}%.1f}""" + "\n"
       Files.writeString(Paths.get("REFRESH_MANAGED.json"), json)
       println(s"[refreshvariants] wrote REFRESH_MANAGED.json")
+    }
+
+    if (blocks("overrun")) {
+      // FALSIFY the fold-throughput assumption (r15 verdict's named
+      // residual): the serialized owed-queue claims an overrunning
+      // fold DEFERS its successor without stalling the drain or
+      // compounding debt. Force overruns by scheduling a compaction
+      // point EVERY trigger (compactEvery=1: two roots' folds
+      // serialized per point, each fold spanning one-to-several
+      // triggers at this scale, so successive points MUST arrive
+      // mid-cycle), then gate on observed FoldLog events — not wall
+      // inference: at least one point saw in-flight/owed depth > 0
+      // (the overrun), every begun fold finished (the queue drained),
+      // and the drain stayed flat (max/median post-warmup trigger
+      // wall <= 2x, the same bar REFRESH_MANAGED gates). Outputs are
+      // oracle-gated in-run by RefreshScale.check (equivalence, mass,
+      // ledger vs the one-shot chain). Two passes, outputs required
+      // identical, walls element-wise min (host-steal discipline).
+      val ce = 1
+      val scaleRuns =
+        sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
+      val passes = (1 to scaleRuns).map { i =>
+        val fl = new RefreshPipeline.FoldLog
+        val r = RefreshScale.run(spark, prior, triggers, batchRows,
+          managed = Some(ce), foldLog = Some(fl))
+        RefreshScale.check(r, requireFlatness = false)
+        println(f"[refreshvariants] overrun pass $i/$scaleRuns " +
+          f"drain=${r.drainWallS}%.1fs gen=${r.genAfterDrain} " +
+          f"points=${fl.events.count(_.kind == "point")} " +
+          f"overruns=${fl.overruns} maxDepth=${fl.maxDepth} " +
+          f"begun=${fl.begun} finished=${fl.finished} " +
+          f"forced=${fl.forcedFinishes} drained=${fl.drained}")
+        require(fl.overruns >= 1,
+          s"pass $i: no compaction point arrived while a fold was " +
+            "still in flight - the overrun this block exists to " +
+            "observe never happened; tighten compactEvery or grow " +
+            "the prior store")
+        require(fl.drained,
+          s"pass $i: ${fl.begun} folds begun but only ${fl.finished} " +
+            "finished - the owed queue did NOT drain")
+        (r, fl)
+      }
+      require(sameOutputs(passes.map(_._1)),
+        "non-deterministic overrun-leg outcome across passes")
+      val minWalls = passes.map(_._1.perTriggerWallS).transpose
+        .map(ws => if (ws.forall(_ >= 0)) ws.min else -1.0).toVector
+      val man = passes.map(_._1).minBy(_.drainWallS)
+        .copy(perTriggerWallS = minWalls,
+          drainWallS = passes.map(_._1.drainWallS).min)
+      val (maxW, medW) = maxOverMedian(man)
+      require(maxW <= 2.0 * medW,
+        f"a trigger stalled at $maxW%.1fs vs median $medW%.1fs (> 2x) " +
+          "under forced fold overruns - deferral is NOT keeping the " +
+          "fold off the critical path")
+      def flJson(fl: RefreshPipeline.FoldLog): String = {
+        val walls = fl.events.filter(_.kind.startsWith("finished"))
+          .map(e => f"${e.wallS}%.2f")
+        s"""{"points":${fl.events.count(_.kind == "point")},""" +
+          s""""overruns":${fl.overruns},"max_depth":${fl.maxDepth},""" +
+          s""""held_place":${fl.events.count(_.kind == "held-place")},""" +
+          s""""begun":${fl.begun},"noops":${
+            fl.events.count(_.kind == "noop")},""" +
+          s""""finished":${fl.finished},""" +
+          s""""forced_finishes":${fl.forcedFinishes},""" +
+          s""""drained":${fl.drained},""" +
+          s""""fold_walls_s":[${walls.mkString(",")}]}"""
+      }
+      val json =
+        s"""{"recipe":"$triggers-trigger runManaged drain with a """ +
+          s"""compaction point EVERY trigger (compactEvery=1, shard """ +
+          s"""+ index roots, folds serialized one-in-flight) so folds """ +
+          s"""MUST overrun their window; gates on observed FoldLog """ +
+          s"""events: >=1 overrun per pass, every begun fold """ +
+          s"""finished (queue drained), max/median post-warmup """ +
+          s"""trigger wall <= 2x, outputs oracle-gated in-run and """ +
+          s"""identical across passes",""" +
+          s""""prior_docs":$prior,"triggers":$triggers,""" +
+          s""""batch_rows":$batchRows,"compact_every":$ce,""" +
+          s""""runs":$scaleRuns,""" +
+          s""""managed":${blockJson(man)},""" +
+          s""""fold_log_per_pass":[${
+            passes.map(p => flJson(p._2)).mkString(",")}],""" +
+          f""""max_trigger_wall_s":$maxW%.2f,""" +
+          f""""median_trigger_wall_s":$medW%.2f,""" +
+          f""""max_over_median":${maxW / medW}%.2f}""" + "\n"
+      Files.writeString(Paths.get("REFRESH_OVERRUN.json"), json)
+      println(s"[refreshvariants] wrote REFRESH_OVERRUN.json")
     }
 
     if (blocks("rocksdb")) {

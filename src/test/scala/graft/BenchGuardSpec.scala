@@ -30,4 +30,38 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(graft.tools.BenchGuard
       .parseQueries("""{"queries":{}}""").isEmpty)
   }
+
+  test("parseCalibration reads the anchor; absent on old artifacts") {
+    val json = """{"metric":"total","value":9.9,"unit":"sec","runs":2,""" +
+      """"calibration":3.125,"queries":{"q01_agg":1.5},"failed":{},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    assert(graft.tools.BenchGuard.parseCalibration(json) == Some(3.125))
+    assert(graft.tools.BenchGuard.parseCalibration(
+      """{"queries":{"q01":1.0}}""").isEmpty)
+  }
+
+  test("hostDrift classifies uniform host steal vs code regression: " +
+      "a loaded-host pass (queries AND anchor up together) normalizes " +
+      "clean, a code regression (queries up, anchor flat) survives") {
+    import graft.tools.BenchGuard.hostDrift
+    def geomean(xs: Seq[Double]): Double =
+      math.exp(xs.map(math.log).sum / xs.size)
+    val ref = Map("q01" -> 1.0, "q13" -> 2.0, "q19" -> 0.5)
+    // deliberately-loaded host: everything 1.3x, anchor 1.3x — the r15
+    // signature that cost a manual adjudication
+    val steal = ref.view.mapValues(_ * 1.3).toMap
+    val dSteal = hostDrift(Some(3.0), Some(3.9))
+    val gSteal = geomean(ref.keys.toSeq.map(q =>
+      steal(q) / ref(q) / dSteal))
+    assert(math.abs(dSteal - 1.3) < 1e-9)
+    assert(gSteal < 1.2, s"uniform steal misclassified: $gSteal")
+    // real regression: queries 1.3x on a QUIET host (anchor flat)
+    val dReg = hostDrift(Some(3.0), Some(3.0))
+    val gReg = geomean(ref.keys.toSeq.map(q =>
+      steal(q) / ref(q) / dReg))
+    assert(gReg > 1.2, s"code regression normalized away: $gReg")
+    // pre-anchor artifacts fall back to unnormalized (drift 1.0)
+    assert(hostDrift(None, Some(3.9)) == 1.0)
+    assert(hostDrift(Some(3.0), None) == 1.0)
+  }
 }

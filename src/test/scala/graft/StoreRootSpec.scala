@@ -312,6 +312,37 @@ class StoreRootSpec extends SparkSpec {
     } finally StoreFiles.deleteRec(base.toFile)
   }
 
+  test("fold session clone inherits the drain's RUNTIME SQL conf — " +
+      "newSession() alone drops spark.conf.set entries, so a fold " +
+      "could rewrite data under different SQL semantics — with the " +
+      "throttle overrides applied on top") {
+    val tzKey = "spark.sql.session.timeZone"
+    val csKey = "spark.sql.caseSensitive"
+    val tzPrev = spark.conf.get(tzKey)
+    val csPrev = spark.conf.get(csKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      spark.conf.set(csKey, "true")
+      // vacuousness check: a bare newSession re-derives SQLConf from
+      // the base SparkConf and does NOT see the runtime value
+      assert(spark.newSession().conf.get(tzKey) != "America/New_York")
+      val clone = StoreRoot.throttledClone(spark)
+      assert(clone.conf.get(tzKey) == "America/New_York")
+      assert(clone.conf.get(csKey) == "true")
+      // throttle overrides win over inherited values...
+      assert(clone.conf.get("spark.sql.shuffle.partitions")
+        == StoreRoot.FoldMaxTasks.toString)
+      assert(clone.conf.get("spark.sql.files.maxPartitionBytes")
+        == (1024L * 1024 * 1024).toString)
+      // ...without touching the parent's own width
+      assert(spark.conf.get("spark.sql.shuffle.partitions")
+        != StoreRoot.FoldMaxTasks.toString)
+    } finally {
+      spark.conf.set(tzKey, tzPrev)
+      spark.conf.set(csKey, csPrev)
+    }
+  }
+
   test("committed-fold resume is a TOP-UP, not a redo: versions " +
       "appended after the crash ride into the next generation " +
       "verbatim, shard and vector roots alike") {
