@@ -763,10 +763,15 @@ object RefreshPipeline {
     } finally {
       // abort path: no fold may outlive the drain that began it. On
       // success `pending` is already drained (above); if the query or
-      // an eager finishCompact threw, interrupt + join the in-flight
-      // fold so a same-process retry's begin() sweep cannot race an
-      // orphaned daemon writer on the next generation directory.
-      pending.values.foreach(_.abandon())
+      // an eager finishCompact threw, cancel the fold's job group and
+      // join its thread (Fold.abandon — bounded, interrupt-safe, never
+      // throws over the original failure) so a same-process retry's
+      // begin() sweep cannot race an orphaned writer on the next
+      // generation directory. Per-fold isolation so one abandon
+      // problem cannot skip the rest or the conf/checkpoint cleanup.
+      pending.values.foreach { f =>
+        try f.abandon() catch { case _: Throwable => () }
+      }
       pending.clear()
       if (providerClass.isDefined) providerPrev match {
         case Some(p) => prior.sparkSession.conf.set(providerKey, p)

@@ -333,19 +333,46 @@ object StoreRoot {
       private[StoreRoot] val verbs: StoreVerbs) {
     def isDone: Boolean = thread.forall(!_.isAlive)
 
-    /** Abort-path cleanup: interrupt the background fold thread (if
-      * any) and wait for it to exit, WITHOUT completing the cycle. A
-      * drain that throws must not leave an orphaned daemon fold
-      * writing into gen N+1 — a same-process retry's begin() would
-      * sweep that in-progress target (deleteRec) while the orphan
-      * still writes and might later publish its marker: two writers
-      * racing on one generation directory. The interrupted fold's
-      * partial target is swept and redone by the next begin(); a fold
-      * that already committed its marker is resumed as a top-up. */
+    private[StoreRoot] def jobGroup: String = foldJobGroup(root, gen)
+
+    /** Abort-path cleanup: stop the background fold (if any) and wait
+      * for it to exit, WITHOUT completing the cycle. A drain that
+      * throws must not leave an orphaned daemon fold writing into gen
+      * N+1 — a same-process retry's begin() would sweep that
+      * in-progress target (deleteRec) while the orphan still writes
+      * and might later publish its marker: two writers racing on one
+      * generation directory. Interrupting the thread alone is NOT
+      * enough: Spark does not cancel a running job when its submitting
+      * thread is interrupted, so the executor task threads would keep
+      * writing — the fold's jobs run under a per-fold job group
+      * (interruptOnCancel) that is cancelled FIRST. The join is
+      * bounded and interrupt-safe: this runs on abort paths (often
+      * with the caller's interrupt flag already set) and must neither
+      * hang on a stuck fold nor throw over the original failure — a
+      * fold still alive at the deadline is reported via the fold's
+      * failure slot semantics (it will die with the cancelled jobs);
+      * the caller's interrupt status is preserved. The abandoned
+      * fold's partial target is swept and redone by the next begin();
+      * a fold that already committed its marker resumes as a top-up. */
     private[graft] def abandon(): Unit = thread.foreach { t =>
-      t.interrupt(); t.join()
+      try verbs.spark.sparkContext.cancelJobGroup(jobGroup)
+      catch { case _: Throwable => () } // context may be stopping
+      t.interrupt()
+      var selfInterrupted = false
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (t.isAlive && System.nanoTime() < deadline)
+        try t.join(200)
+        catch { case _: InterruptedException => selfInterrupted = true }
+      if (selfInterrupted) Thread.currentThread().interrupt()
     }
   }
+
+  /** One job group per fold cycle (root + generation — folds are
+    * serialized one-in-flight per root, so this is unique among live
+    * folds): lets [[Fold.abandon]] cancel exactly this fold's running
+    * jobs, nothing else on the shared SparkContext. */
+  private def foldJobGroup(root: String, gen: Long): String =
+    s"graft-oob-fold-${new java.io.File(root).getName}-gen$gen"
 
   /** Shared front half: heal an unretired predecessor, check for debt,
     * then ensure the next generation's fold is committed or in flight —
@@ -395,6 +422,11 @@ object StoreRoot {
           // job submissions are affected
           v.spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", FoldSchedulerPool)
+          // per-fold job group with interruptOnCancel so abandon() can
+          // stop the RUNNING tasks, not just this submitting thread
+          v.spark.sparkContext.setJobGroup(foldJobGroup(root, g),
+            s"graft out-of-band compaction fold: $root gen$g",
+            interruptOnCancel = true)
           runFold(throttledClone(v.spark))
         } catch { case e: Throwable => err.set(e) },
         s"graft-fold-${new java.io.File(root).getName}-gen$g")

@@ -22,8 +22,15 @@ package graft.tools
   *     full-surface artifact — the round-11 clobber rule), reporting
   *     which flags the probe resolves as noise vs leaves standing.
   *
-  * Exit codes: 0 clean (no unresolved flags), 2 refused (host busy),
-  * 3 inflated pass discarded, 4 unresolved flags after probes.
+  * A pass that is clean AFTER normalization but materially drifted on
+  * the RAW geomean is reported clean and exits 0 but does NOT replace
+  * the committed artifact (see [[classify]] — baselines are only ever
+  * written from quiet hosts).
+  *
+  * Exit codes: 0 clean (no unresolved flags; the artifact was replaced
+  * only if the raw geomean was also inside the threshold), 2 refused
+  * (host busy), 3 regressed pass discarded, 4 unresolved flags after
+  * probes.
   * Knobs (env): SPARK_GRAFT_GUARD_MAXLOAD (default 1.0),
   * SPARK_GRAFT_GUARD_INFLATION (geomean threshold, default 1.2),
   * SPARK_GRAFT_GUARD_FLAG (per-query threshold, default 1.5),
@@ -64,6 +71,24 @@ object BenchGuard {
                                calFresh: Option[Double]): Double =
     (for (r <- calRef; f <- calFresh if r > 0) yield f / r)
       .getOrElse(1.0)
+
+  /** The commit/discard decision, pure so it is spec-testable.
+    * `gNorm` (drift-normalized geomean) judges CODE movement — above
+    * the threshold the pass is a regression and is discarded.
+    * `gRaw` additionally gates what may become the next BASELINE: the
+    * anchor is CPU-bound while part of the bench is I/O- and
+    * streaming-wall-dominated, so under real steal the normalization
+    * DEFLATES those queries' ratios and could let a simultaneous code
+    * regression geomean out below the threshold — therefore a pass
+    * whose raw geomean shows material drift is classified clean but
+    * NEVER committed (the committed artifact is restored; baselines
+    * are only ever written from quiet hosts, where raw ≈ normalized
+    * and nothing can hide). */
+  private[graft] def classify(gNorm: Double, gRaw: Double,
+                              inflation: Double): String =
+    if (gNorm > inflation) "discarded_regressed"
+    else if (gRaw > inflation) "clean_drift_not_committed"
+    else "committed"
 
   private def load1(): Double =
     scala.io.Source.fromFile("/proc/loadavg").getLines().next()
@@ -120,12 +145,16 @@ object BenchGuard {
     // per-query flags judge CODE movement, not host movement
     val ratios = shared.map(q => q -> fresh(q) / ref(q) / drift).toMap
     val g = geomean(shared.map(ratios))
+    val gRaw = geomean(shared.map(q => fresh(q) / ref(q)))
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def calJson = s""""calibration_ref":${
         calRef.map(fmt).getOrElse("null")},"calibration_pass":${
-        calFresh.map(fmt).getOrElse("null")},"drift":${fmt(drift)}"""
+        calFresh.map(fmt).getOrElse("null")},"drift":${fmt(drift)},""" +
+      s""""geomean_raw":${fmt(gRaw)}"""
 
-    if (shared.nonEmpty && g > inflation) {
+    val verdict = if (shared.isEmpty) "committed"
+      else classify(g, gRaw, inflation)
+    if (verdict == "discarded_regressed") {
       // host steal normalizes away now, so a geomean still above the
       // threshold AFTER normalization is real movement — but the pass
       // is still discarded, not committed: a regressed pass must not
@@ -134,6 +163,17 @@ object BenchGuard {
       println(s"""{"guard":"discarded_inflated","geomean":${fmt(g)},""" +
         s"""$calJson,"threshold":$inflation,"load_at_start":$load}""")
       sys.exit(3)
+    }
+    if (verdict == "clean_drift_not_committed") {
+      // no code movement after normalization, but the host window is
+      // materially drifted — a baseline written now could hide a
+      // regression behind the CPU-anchor's blind spot (see classify);
+      // restore the committed artifact and report clean-but-drifted
+      committed.foreach(b => java.nio.file.Files.write(artifact, b))
+      println(s"""{"guard":"clean_drift_not_committed",""" +
+        s""""geomean":${fmt(g)},$calJson,"threshold":$inflation,""" +
+        s""""load_at_start":$load}""")
+      sys.exit(0)
     }
 
     val flags = shared.filter(q => ratios(q) > flagAt)

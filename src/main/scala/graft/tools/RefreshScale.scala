@@ -419,8 +419,11 @@ object RefreshScale {
   }
 
   /** Mean of the second half over mean of the first half, trigger 0
-    * excluded (JVM/codegen warmup); -1 if timings were not captured. */
-  private def flatness(w: Vector[Double]): Double = {
+    * excluded (JVM/codegen warmup); -1 if timings were not captured.
+    * `private[tools]` so every min-combined Result (here and in
+    * RefreshVariants) RECOMPUTES it from the min vector — a copied
+    * raw-pass flatness would not correspond to the published walls. */
+  private[tools] def flatness(w: Vector[Double]): Double = {
     val usable = w.drop(1).filter(_ >= 0)
     if (usable.size < 2) -1.0
     else {

@@ -82,6 +82,23 @@ object RefreshVariants {
     rs.map(r => (r.accepted, r.exactStreamAccepted, r.nearAccepted,
       r.originalsAccepted, r.storeTokens)).distinct.size == 1
 
+  /** Min-combine N gated passes (the host-steal discipline): outputs
+    * required identical, per-trigger walls element-wise minima, drain
+    * wall the min, and flatness RECOMPUTED from the min vector — the
+    * one shared implementation, so the published flatness always
+    * corresponds to the published walls. */
+  private def minCombine(label: String,
+                         per: Seq[RefreshScale.Result])
+      : RefreshScale.Result = {
+    require(sameOutputs(per),
+      s"non-deterministic $label outcome across ${per.size} passes")
+    val minWalls = per.map(_.perTriggerWallS).transpose
+      .map(ws => if (ws.forall(_ >= 0)) ws.min else -1.0).toVector
+    per.minBy(_.drainWallS).copy(perTriggerWallS = minWalls,
+      drainWallS = per.map(_.drainWallS).min,
+      flatnessRatio = RefreshScale.flatness(minWalls))
+  }
+
   def main(args: Array[String]): Unit = {
     val prior = args.headOption.map(_.toLong).getOrElse(50000L)
     val triggers = args.lift(1).map(_.toInt).getOrElse(24)
@@ -192,12 +209,7 @@ object RefreshVariants {
               .mkString(",")}]")
           r
         }
-        require(sameOutputs(per),
-          s"non-deterministic $label outcome across $scaleRuns passes")
-        val minWalls = per.map(_.perTriggerWallS).transpose
-          .map(ws => if (ws.forall(_ >= 0)) ws.min else -1.0).toVector
-        per.minBy(_.drainWallS).copy(perTriggerWallS = minWalls,
-          drainWallS = per.map(_.drainWallS).min)
+        minCombine(label, per)
       }
       val plain = minOverN("plain",
         () => RefreshScale.run(spark, prior, triggers, batchRows))
@@ -287,13 +299,7 @@ object RefreshVariants {
             "finished - the owed queue did NOT drain")
         (r, fl)
       }
-      require(sameOutputs(passes.map(_._1)),
-        "non-deterministic overrun-leg outcome across passes")
-      val minWalls = passes.map(_._1.perTriggerWallS).transpose
-        .map(ws => if (ws.forall(_ >= 0)) ws.min else -1.0).toVector
-      val man = passes.map(_._1).minBy(_.drainWallS)
-        .copy(perTriggerWallS = minWalls,
-          drainWallS = passes.map(_._1.drainWallS).min)
+      val man = minCombine("overrun", passes.map(_._1))
       val (maxW, medW) = maxOverMedian(man)
       require(maxW <= 2.0 * medW,
         f"a trigger stalled at $maxW%.1fs vs median $medW%.1fs (> 2x) " +

@@ -64,4 +64,20 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(hostDrift(None, Some(3.9)) == 1.0)
     assert(hostDrift(Some(3.0), None) == 1.0)
   }
+
+  test("classify: a drifted-but-clean pass never becomes the baseline " +
+      "(the CPU anchor is blind to I/O-dominated rows, so a steal " +
+      "window could hide a CPU regression behind deflated I/O ratios)") {
+    import graft.tools.BenchGuard.classify
+    // quiet host, no movement -> committed
+    assert(classify(1.02, 1.02, 1.2) == "committed")
+    // quiet host, real regression -> discarded (raw == normalized)
+    assert(classify(1.35, 1.35, 1.2) == "discarded_regressed")
+    // steal window, uniform drift normalized clean -> reported clean
+    // but the baseline is NOT replaced
+    assert(classify(1.05, 1.45, 1.2) == "clean_drift_not_committed")
+    // steal window AND a regression surviving normalization -> discard
+    // wins over the drift classification
+    assert(classify(1.30, 1.80, 1.2) == "discarded_regressed")
+  }
 }

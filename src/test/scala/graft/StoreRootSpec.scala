@@ -343,6 +343,43 @@ class StoreRootSpec extends SparkSpec {
     }
   }
 
+  test("an abandoned fold leaves a state the next begin() resolves: " +
+      "abandon cancels the fold's jobs and joins its thread without " +
+      "throwing, and a fresh begin/finish completes the cycle with " +
+      "the same served answer") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rootab_")
+    try {
+      val d = docs(120).localCheckpoint(true)
+      val ids = d.select("doc_id").as[Long].collect().sorted
+      val cut = ids(ids.length / 2)
+      val root = s"$base/root"
+      ShardSink.append(spark, d.filter(col("doc_id") <= cut),
+        "__ids", "doc_id", 128, "source", StoreRoot.init(root))
+      StoreRoot.appendShard(spark, root,
+        d.filter(col("doc_id") > cut),
+        "__ids", "doc_id", 128, "source", version = 1L)
+      val full = digest(StoreRoot.readShard(spark, root))
+      // begin a background fold and abandon it immediately — the
+      // abort path a failed drain takes; depending on timing the fold
+      // is unstarted, mid-write (jobs cancelled), or already done.
+      // abandon() must return without throwing in ALL of these states
+      // and must not leave a writer alive.
+      val fold = StoreRoot.beginCompactShard(spark, root)
+      assert(fold.isDefined)
+      fold.get.abandon()
+      // whatever state the abandon froze (partial target swept and
+      // redone; committed target resumed as top-up), the next cycle
+      // completes and serves the identical answer
+      val fold2 = StoreRoot.beginCompactShard(spark, root)
+      fold2.foreach(StoreRoot.finishCompact)
+      assert(StoreRoot.currentGen(root) == 1L)
+      assert(digest(StoreRoot.readShard(spark, root)) == full)
+      // abandon on an already-finished cycle's handle is a no-op
+      fold2.foreach(_.abandon())
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(d)
+    } finally StoreFiles.deleteRec(base.toFile)
+  }
+
   test("committed-fold resume is a TOP-UP, not a redo: versions " +
       "appended after the crash ride into the next generation " +
       "verbatim, shard and vector roots alike") {
