@@ -121,18 +121,32 @@ object RefreshVariants {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (blocks("skew")) {
+      // min-over-N per leg (SPARK_GRAFT_SCALE_RUNS, default 2): the
+      // legs used to be single-pass and a steal window inside ONE leg
+      // repeatedly inverted the cross-leg wall story (a balanced leg
+      // measured SLOWER than the forced-window skewed leg). The
+      // deterministic contracts gate every raw pass; routes must be
+      // identical across passes (the probe keys on the data
+      // distribution, never the host)
+      val scaleRunsSkew =
+        sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
       def leg(label: String, hotPct: Int,
               packSkew: Option[Boolean]): RefreshScale.Result = {
-        val r = RefreshScale.run(spark, prior, triggers, batchRows,
-          hotPct = hotPct, packSkew = packSkew)
-        // the deterministic contracts gate every leg; flatness is
-        // RECORDED, not gated — single-pass flatness is host-noise
-        // sensitive (the REFRESH_SLOPE min-over-N lesson) and the
-        // slope artifact already pins it
-        RefreshScale.check(r, requireFlatness = false)
-        println(f"[refreshvariants] $label drain=${r.drainWallS}%.1fs " +
-          f"flatness=${r.flatnessRatio}%.3f accepted=${r.accepted}")
-        r
+        val per = (1 to scaleRunsSkew).map { i =>
+          val r = RefreshScale.run(spark, prior, triggers, batchRows,
+            hotPct = hotPct, packSkew = packSkew)
+          // flatness is RECORDED, not gated — the slope artifact
+          // already pins it
+          RefreshScale.check(r, requireFlatness = false)
+          println(f"[refreshvariants] $label pass $i/$scaleRunsSkew " +
+            f"drain=${r.drainWallS}%.1fs " +
+            f"flatness=${r.flatnessRatio}%.3f accepted=${r.accepted} " +
+            f"routed=${r.skewRoutedTriggers}")
+          r
+        }
+        require(per.map(_.skewRoutedTriggers).distinct.size == 1,
+          s"$label: pack routes diverged across passes")
+        minCombine(label, per)
       }
       val bal = leg("balanced", hotPct = 0, packSkew = None)
       val skewWin = leg("skew_window_pack", hotPct = 90,
@@ -159,7 +173,10 @@ object RefreshVariants {
           s"""shard holding 90% of stream docs: balanced reference vs """ +
           s"""skewed with the window pack forced vs skewed on the """ +
           s"""auto-probe (packSkew=None routes hot triggers through """ +
-          s"""packTokenIdsSkewRobust at the append site)",""" +
+          s"""packTokenIdsSkewRobust at the append site); each leg """ +
+          s"""min-over-N passes, outputs and routes required """ +
+          s"""identical across passes",""" +
+          s""""runs":$scaleRunsSkew,""" +
           s""""prior_docs":$prior,"triggers":$triggers,""" +
           s""""batch_rows":$batchRows,"hot_pct":90,""" +
           s""""routes_gated":"balanced 0, forced-window 0, auto all",""" +
