@@ -111,6 +111,7 @@ object RefreshPipeline {
           // pre-bloom path's lit(false): nothing is a member. Spark's
           // bloomFilter aggregate NPEs on zero rows, so hand back an
           // empty filter of the same shape instead.
+          countRebuild()
           val nonNull = refFps.filter(col("__pfp").isNotNull)
           val b =
             if (nonNull.isEmpty) BloomFilter.create(capacity, fpp)
@@ -133,6 +134,41 @@ object RefreshPipeline {
           acc = Some((b, batchId + 1L))
         case _ => ()
       }
+
+    /** How many times [[bloomFor]] took the REBUILD branch — the
+      * O(accepted history) aggregation the accumulator exists to
+      * amortize away. A healthy unbroken run rebuilds exactly once
+      * (the first trigger); [[LedgerLog]] surfaces the count so a
+      * long-horizon artifact can GATE it instead of inferring the
+      * amortization from wall time. */
+    def rebuilds: Long = rebuildCount
+    private var rebuildCount = 0L
+    private[RefreshPipeline] def countRebuild(): Unit =
+      rebuildCount += 1
+  }
+
+  /** Run-scoped telemetry of the exact tier's LEDGER cost per
+    * non-empty trigger — the term that grows with accepted history
+    * and that the bloom accumulator + prefix-bitmap sidecar exist to
+    * floor. Records, per trigger: how many earlier ledger batches
+    * existed, how many leaf paths the confirm join actually read
+    * (after any prefix pruning; 0 when the bloom routed no candidate
+    * into the confirm), the total BYTES of those paths (the raw
+    * O(history) input the flat-wall claim must beat), and the
+    * cumulative bloom rebuild count (must stay at 1 over an unbroken
+    * drain). Driver-held, O(triggers) rows, never persisted. */
+  final case class LedgerRow(batchId: Long, earlierBatches: Int,
+                             confirmPaths: Int, confirmBytes: Long,
+                             bloomRebuilds: Long)
+
+  final class LedgerLog {
+    private val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[LedgerRow]()
+    private[graft] def record(r: LedgerRow): Unit = { buf.add(r); () }
+    def rows: Seq[LedgerRow] = {
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq.sortBy(_.batchId)
+    }
   }
 
   /** The auto-probe's crossover rule for routing a trigger's shard
@@ -183,14 +219,19 @@ object RefreshPipeline {
     * in the end-of-drain forced loop, with the begin->finish wall).
     * Driver-held, O(cycles) events, never persisted. */
   final class FoldLog {
+    /** `tier` is -1 for generation folds, the resulting run's tier for
+      * size-tiered folds — what lets an artifact gate "tier-1 fold
+      * walls stay flat as the store grows" per tier instead of mixing
+      * a rare top-tier fold into the common case's distribution. */
     final case class Event(kind: String, root: String, batchId: Long,
-                           depth: Int, wallS: Double)
+                           depth: Int, wallS: Double, tier: Int)
     private val buf =
       new java.util.concurrent.ConcurrentLinkedQueue[Event]()
     private[graft] def record(kind: String, root: String, batchId: Long,
-                              depth: Int = 0, wallS: Double = -1.0)
+                              depth: Int = 0, wallS: Double = -1.0,
+                              tier: Int = -1)
         : Unit = {
-      buf.add(Event(kind, root, batchId, depth, wallS)); ()
+      buf.add(Event(kind, root, batchId, depth, wallS, tier)); ()
     }
     def events: Seq[Event] = {
       import scala.jdk.CollectionConverters._
@@ -289,7 +330,8 @@ object RefreshPipeline {
       indexRoot: Option[String] = None,
       bloomAcc: Option[FingerprintBloom] = None,
       packSkew: Option[Boolean] = None,
-      routeLog: Option[RouteLog] = None): Unit = {
+      routeLog: Option[RouteLog] = None,
+      ledgerLog: Option[LedgerLog] = None): Unit = {
     val sp = batch.sparkSession
     // materialize the trigger's batch ONCE: the tiers below reference
     // it through several plan branches (the bloom anti join alone
@@ -363,9 +405,9 @@ object RefreshPipeline {
             Option(d.listFiles()).getOrElse(Array.empty)
               .exists(f => f.isDirectory && f.getName.startsWith("__pp="))
         }
-        val confirmLedger =
-          if (earlier.isEmpty) None
-          else if (!anyPrunable) ledgerFps(None)
+        val confirmPaths: Seq[String] =
+          if (earlier.isEmpty) Seq.empty
+          else if (!anyPrunable) ledgerLeafPaths(earlier, None)
           else {
             // the candidate prefix set: a confirm-side match has an
             // EQUAL fingerprint, hence an equal prefix, so pruned
@@ -382,8 +424,27 @@ object RefreshPipeline {
               .select(pmod(xxhash64(col("__fp")),
                 lit(LedgerPrefixSpace.toLong)).cast("int").as("__pp"))
               .distinct().collect().map(_.getInt(0)).toSet
-            ledgerFps(Some(prefixes))
+            ledgerLeafPaths(earlier, Some(prefixes))
           }
+        val confirmLedger =
+          if (confirmPaths.isEmpty) None
+          else Some(sp.read.parquet(confirmPaths: _*)
+            .select(col("__pfp")))
+        // ledger-cost telemetry: the confirm read's actual inputs
+        // (paths + bytes — the O(accepted history) raw term) and the
+        // bloom's cumulative rebuild count, so a long-horizon artifact
+        // gates the amortization claims on observations
+        ledgerLog.foreach { ll =>
+          def bytesOf(f: java.io.File): Long =
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty)
+                .map(bytesOf).sum
+            else f.length()
+          ll.record(LedgerRow(batchId, earlier.size,
+            confirmPaths.size,
+            confirmPaths.map(p => bytesOf(new java.io.File(p))).sum,
+            acc.rebuilds))
+        }
         Dedup.exactIncrementalStaged(b0, textCol, idCol, priorFps,
           confirmLedger, bloom)
       case None =>
@@ -539,7 +600,8 @@ object RefreshPipeline {
           vecCol: String = "embedding",
           packSkew: Option[Boolean] = None,
           providerClass: Option[String] = None,
-          routeLog: Option[RouteLog] = None): Unit = {
+          routeLog: Option[RouteLog] = None,
+          ledgerLog: Option[LedgerLog] = None): Unit = {
     // every prior-side derivation is trigger-invariant (the
     // incremental contract references the kept corpus only), so all
     // three are computed ONCE here and cached across every trigger —
@@ -572,8 +634,9 @@ object RefreshPipeline {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val providerPrev = prior.sparkSession.conf.getOption(providerKey)
     providerClass.foreach(prior.sparkSession.conf.set(providerKey, _))
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
-      val q = docs.writeStream
+      q = docs.writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -581,11 +644,17 @@ object RefreshPipeline {
             postings, refGrams, storeDir, ledgerDir, budget, shardCol,
             idCol, textCol, numHashes, bands, threshold, decontamN,
             minMatches, indexDir, vecCol, bloomAcc = Some(bloomAcc),
-            packSkew = packSkew, routeLog = routeLog)
+            packSkew = packSkew, routeLog = routeLog,
+            ledgerLog = ledgerLog)
         }
         .start()
       q.awaitTermination()
     } finally {
+      // if awaitTermination exited via interrupt/timeout the query is
+      // still RUNNING and its foreachBatch thread still uses the cached
+      // frames released below — stop it first (best-effort, never over
+      // the original failure) so the releases cannot race a live trigger
+      if (q != null) try q.stop() catch { case _: Throwable => () }
       if (providerClass.isDefined) providerPrev match {
         case Some(p) => prior.sparkSession.conf.set(providerKey, p)
         case None => prior.sparkSession.conf.unset(providerKey)
@@ -633,7 +702,20 @@ object RefreshPipeline {
     * whose fold already swapped finds nothing to fold and no-ops.
     * The fingerprint ledger is NOT compacted — it is the exact tier's
     * reference history (compact fingerprints, never payloads) and
-    * every batch of it stays load-bearing. */
+    * every batch of it stays load-bearing.
+    *
+    * `tierFanout = Some(k)` switches the compaction points from
+    * GENERATION folds to SIZE-TIERED folds
+    * ([[StoreRoot.beginCompactShardTiered]]/
+    * [[StoreRoot.beginCompactVectorsTiered]]): each cycle folds the
+    * oldest k same-tier units into one run — O(one tier) per cycle
+    * instead of O(current store) — through the same serialized
+    * owed-queue, the same begin/finish split, and the same crash
+    * windows. This is the long-horizon shape: generation folds
+    * rewrite the whole store every cycle and their walls grow with
+    * store lifetime; tier folds keep the common (tier-1) cycle's work
+    * pinned at k micro-batch deltas no matter how large the store
+    * gets, escalating to a higher tier only every k-th cycle. */
   def runManaged(docs: DataFrame, prior: DataFrame, benchmark: DataFrame,
                  shardRoot: String, ledgerDir: String,
                  checkpointDir: String, compactEvery: Int,
@@ -646,9 +728,13 @@ object RefreshPipeline {
                  packSkew: Option[Boolean] = None,
                  providerClass: Option[String] = None,
                  routeLog: Option[RouteLog] = None,
-                 foldLog: Option[FoldLog] = None): Unit = {
+                 foldLog: Option[FoldLog] = None,
+                 tierFanout: Option[Int] = None,
+                 ledgerLog: Option[LedgerLog] = None): Unit = {
     require(compactEvery >= 1,
       s"compactEvery must be >= 1: $compactEvery")
+    require(tierFanout.forall(_ >= 2),
+      s"tierFanout must be >= 2: $tierFanout")
     val shufflePartitions = prior.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     val priorFps = org.apache.spark.sql.graftglue.GraftGlue
@@ -687,14 +773,16 @@ object RefreshPipeline {
       pending.keys.toSeq.foreach { r =>
         if (force || pending(r).isDone) {
           val tF = System.nanoTime()
+          val tier = pending(r).tier
           StoreRoot.finishCompact(pending(r))
           if (sys.env.contains("GRAFT_RP_DEBUG"))
-            println(f"[rp] fold $r wall ${(tF - foldT0(r)) / 1e9}%.2fs " +
+            println(f"[rp] fold $r tier=$tier wall " +
+              f"${(tF - foldT0(r)) / 1e9}%.2fs " +
               f"finish ${(System.nanoTime() - tF) / 1e9}%.2fs " +
               f"forced=$force")
           foldLog.foreach(_.record(
             if (force) "finished-forced" else "finished", r, -1L,
-            wallS = (System.nanoTime() - foldT0(r)) / 1e9))
+            wallS = (System.nanoTime() - foldT0(r)) / 1e9, tier = tier))
           pending.remove(r); ()
         }
       }
@@ -707,13 +795,14 @@ object RefreshPipeline {
           case Some(f) =>
             pending(r) = f
             foldT0(r) = System.nanoTime()
-            foldLog.foreach(_.record("begun", r, -1L))
+            foldLog.foreach(_.record("begun", r, -1L, tier = f.tier))
           case None =>
             foldLog.foreach(_.record("noop", r, -1L))
         }
       }
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
-      val q = docs.writeStream
+      q = docs.writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -724,7 +813,7 @@ object RefreshPipeline {
             decontamN, minMatches, indexDir = None, vecCol,
             shardRoot = Some(shardRoot), indexRoot = indexRoot,
             bloomAcc = Some(bloomAcc), packSkew = packSkew,
-            routeLog = routeLog)
+            routeLog = routeLog, ledgerLog = ledgerLog)
           finishReady(force = false)
           if ((batchId + 1) % compactEvery == 0) {
             // depth > 0 at a scheduled point = the previous point's
@@ -737,15 +826,25 @@ object RefreshPipeline {
             // NEXT fold queued so an overrunning cycle defers, never
             // skips, its successor)
             if (!owed.exists(_._1 == shardRoot))
-              owed.enqueue((shardRoot,
-                () => StoreRoot.beginCompactShard(sp, shardRoot,
-                  shardCol)))
+              owed.enqueue((shardRoot, () => tierFanout match {
+                // tiered mode: fold ONE tier's units into a run —
+                // O(one tier) per cycle — instead of the whole
+                // generation; same begin/finish split, same queue
+                case Some(k) => StoreRoot.beginCompactShardTiered(sp,
+                  shardRoot, shardCol, fanout = k)
+                case None => StoreRoot.beginCompactShard(sp, shardRoot,
+                  shardCol)
+              }))
             else foldLog.foreach(_.record("held-place", shardRoot,
               batchId))
             indexRoot.foreach { r =>
               if (!owed.exists(_._1 == r))
-                owed.enqueue((r,
-                  () => StoreRoot.beginCompactVectors(sp, r)))
+                owed.enqueue((r, () => tierFanout match {
+                  case Some(k) =>
+                    StoreRoot.beginCompactVectorsTiered(sp, r,
+                      fanout = k)
+                  case None => StoreRoot.beginCompactVectors(sp, r)
+                }))
               else foldLog.foreach(_.record("held-place", r, batchId))
             }
           }
@@ -761,8 +860,17 @@ object RefreshPipeline {
         beginNextOwed()
       }
     } finally {
-      // abort path: no fold may outlive the drain that began it. On
-      // success `pending` is already drained (above); if the query or
+      // abort path: no fold may outlive the drain that began it. If
+      // awaitTermination exited via interrupt/timeout the query is
+      // still RUNNING and its foreachBatch thread concurrently mutates
+      // `pending`/`owed` — stop it FIRST (best-effort, never over the
+      // original failure) to restore the happens-before edge; without
+      // this the sweep below could throw ConcurrentModificationException
+      // (masking the original failure and skipping the conf restore and
+      // checkpoint releases), and a fold begun after the sweep would
+      // still orphan.
+      if (q != null) try q.stop() catch { case _: Throwable => () }
+      // On success `pending` is already drained (above); if the query or
       // an eager finishCompact threw, cancel the fold's job group and
       // join its thread (Fold.abandon — bounded, interrupt-safe, never
       // throws over the original failure) so a same-process retry's

@@ -14,6 +14,17 @@ private[graft] object StoreFiles {
     * instead of serving an empty/partial view. */
   val RetiredMarker = "_graft_retired"
 
+  /** Marker inside a SIZE-TIERED run directory (`t<id>` referenced /
+    * `u<id>` committed-but-unreferenced): `tier=<t>`, `lo=<v>`,
+    * `hi=<v>` — the unit range the run covers, inclusive.
+    * Underscore-prefixed so parquet scans of the run never see it. */
+  val TierRunMarker = "_graft_tier_run"
+
+  /** (tier, lo, hi) of a run dir, None when it carries no marker. */
+  def runMeta(d: java.io.File): Option[(Int, Long, Long)] =
+    readMarker(new java.io.File(d, TierRunMarker))
+      .map(m => (m("tier").toInt, m("lo").toLong, m("hi").toLong))
+
   /** Compaction-lineage marker `compact` writes into its target:
     * `src=<canonical source dir>` and `max=<highest version/batch id
     * folded>`. `retire` refuses to delete a source this marker does not
@@ -33,14 +44,30 @@ private[graft] object StoreFiles {
     java.nio.file.Files.write(tmp.toPath,
       lines.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // REPLACE_EXISTING alongside ATOMIC_MOVE: this path REWRITES live
-    // markers (manifest swap each cycle, topUp advancing a live
-    // CompactedFromMarker). ATOMIC_MOVE alone leaves replace-existing
-    // behavior implementation-specific per Files.move — POSIX rename
-    // replaces, but other providers may throw.
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // This path REWRITES live markers (manifest swap each cycle, topUp
+    // advancing a live CompactedFromMarker). Per the Files.move javadoc,
+    // when ATOMIC_MOVE is present ALL other options are ignored, so
+    // adding REPLACE_EXISTING cannot buy the replace guarantee —
+    // replace-on-existing-target under ATOMIC_MOVE stays
+    // provider-specific (POSIX rename replaces; others may throw).
+    // Handle the two non-POSIX shapes explicitly instead.
+    try java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        // no atomic rename on this provider: a plain replacing move is
+        // the best available (a crash mid-copy could leave a torn
+        // marker; the POSIX deployment never takes this branch)
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // provider refuses replace-under-ATOMIC_MOVE: delete then retry
+        // — a reader may observe a briefly MISSING marker between the
+        // two calls, never a torn one
+        java.nio.file.Files.deleteIfExists(f.toPath)
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   def readMarker(f: java.io.File): Option[Map[String, String]] =

@@ -86,14 +86,20 @@ object StoreRoot {
 
   /** The retention floor: the highest version/batch folded into the
     * current generation's base (None for a generation with no
-    * compaction lineage — gen0). State at the floor is servable (it IS
-    * the base); anything below is gone. Under windowed retention the
-    * marker's `floor` sits below its `max` — the copied deltas between
-    * them stay individually addressable by asOf. */
+    * compaction lineage — gen0), or — when SIZE-TIERED folds have run
+    * inside the current generation — the highest version any tier run
+    * covers, whichever is higher. State at the floor is servable (it
+    * IS the base / the runs serve it); anything below is gone. Under
+    * windowed retention the marker's `floor` sits below its `max` —
+    * the copied deltas between them stay individually addressable by
+    * asOf. */
   def floor(root: String): Option[Long] = {
-    val m = StoreFiles.readMarker(new java.io.File(currentDir(root),
-      StoreFiles.CompactedFromMarker))
-    m.map(mk => mk.getOrElse("floor", mk("max")).toLong)
+    val dir = currentDir(root)
+    val genFloor = StoreFiles.readMarker(new java.io.File(dir,
+        StoreFiles.CompactedFromMarker))
+      .map(mk => mk.getOrElse("floor", mk("max")).toLong)
+    (genFloor.toSeq ++ ShardSink.tieredFloor(dir) ++
+      VectorIndexSink.tieredFloor(dir)).maxOption
   }
 
   /** The manifest swap — [[StoreFiles.writeMarker]]'s temp-file write
@@ -318,22 +324,29 @@ object StoreRoot {
     sp
   }
 
-  /** Handle on a begun compaction cycle: the (possibly background)
-    * fold of generation `gen` plus everything [[finishCompact]] needs
-    * to complete it. [[isDone]] polls whether the fold has finished
-    * WRITING — completion (top-up, swap, retire) still goes through
-    * [[finishCompact]], so a caller can cheaply drain finished folds
-    * at every trigger boundary and block only when it must. */
+  /** Handle on a begun compaction cycle — a GENERATION fold (fold the
+    * whole current generation into the next; completed by top-up +
+    * manifest swap + retire) or a TIER fold (fold one tier's units
+    * into a run inside the current generation; completed by the run's
+    * swap rename + covered-source retire — `tierFinish`). [[isDone]]
+    * polls whether the fold has finished WRITING — completion still
+    * goes through [[finishCompact]], so a caller can cheaply drain
+    * finished folds at every trigger boundary and block only when it
+    * must. `tier` is -1 for generation folds, the run's tier for tier
+    * folds (telemetry — [[RefreshPipeline.FoldLog]] gates per-tier
+    * fold walls on it). */
   final class Fold private[StoreRoot](
       private[StoreRoot] val root: String,
       private[StoreRoot] val gen: Long,
       private[StoreRoot] val thread: Option[Thread],
       private[StoreRoot] val failure:
         java.util.concurrent.atomic.AtomicReference[Throwable],
-      private[StoreRoot] val verbs: StoreVerbs) {
+      private[StoreRoot] val spark: SparkSession,
+      private[StoreRoot] val jobGroup: String,
+      private[StoreRoot] val verbs: Option[StoreVerbs],
+      private[StoreRoot] val tierFinish: Option[() => Unit],
+      private[graft] val tier: Int) {
     def isDone: Boolean = thread.forall(!_.isAlive)
-
-    private[StoreRoot] def jobGroup: String = foldJobGroup(root, gen)
 
     /** Abort-path cleanup: stop the background fold (if any) and wait
       * for it to exit, WITHOUT completing the cycle. A drain that
@@ -348,21 +361,40 @@ object StoreRoot {
       * (interruptOnCancel) that is cancelled FIRST. The join is
       * bounded and interrupt-safe: this runs on abort paths (often
       * with the caller's interrupt flag already set) and must neither
-      * hang on a stuck fold nor throw over the original failure — a
-      * fold still alive at the deadline is reported via the fold's
-      * failure slot semantics (it will die with the cancelled jobs);
-      * the caller's interrupt status is preserved. The abandoned
+      * hang on a stuck fold nor throw over the original failure — the
+      * cancel is RE-ISSUED on every join tick (a job submitted after
+      * the first cancel, before the thread reached setJobGroup, is not
+      * covered by it), and a fold still alive at the deadline is
+      * flagged loudly on stderr; the caller's interrupt status is
+      * preserved. The abandoned
       * fold's partial target is swept and redone by the next begin();
       * a fold that already committed its marker resumes as a top-up. */
     private[graft] def abandon(): Unit = thread.foreach { t =>
-      try verbs.spark.sparkContext.cancelJobGroup(jobGroup)
-      catch { case _: Throwable => () } // context may be stopping
+      def cancel(): Unit =
+        try spark.sparkContext.cancelJobGroup(jobGroup)
+        catch { case _: Throwable => () } // context may be stopping
+      cancel()
       t.interrupt()
       var selfInterrupted = false
       val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (t.isAlive && System.nanoTime() < deadline)
+      while (t.isAlive && System.nanoTime() < deadline) {
         try t.join(200)
         catch { case _: InterruptedException => selfInterrupted = true }
+        // re-issue the cancel on every join tick: cancelJobGroup only
+        // cancels jobs ACTIVE at call time, so a job the fold thread
+        // submitted after the first cancel (it may not have reached
+        // setJobGroup yet when abandon ran) would otherwise run to
+        // completion uncancelled
+        if (t.isAlive) cancel()
+      }
+      if (t.isAlive)
+        // a live writer past the deadline is the two-writers race this
+        // method exists to prevent — flag it loudly instead of
+        // returning silently (never throw: abandon runs on abort paths
+        // over the original failure)
+        System.err.println(s"[graft] WARN fold thread ${t.getName} " +
+          "still alive after the 60s abandon deadline - it may still " +
+          s"write into gen${gen + 1} and race a retry's begin() sweep")
       if (selfInterrupted) Thread.currentThread().interrupt()
     }
   }
@@ -401,7 +433,8 @@ object StoreRoot {
         new java.io.File(next, StoreFiles.CompactedFromMarker))
       .exists(_.get("src").contains(cur.getCanonicalPath))
     if (committed) // nothing left to write; finish tops up and swaps
-      return Some(new Fold(root, g, None, err, v))
+      return Some(new Fold(root, g, None, err, v.spark,
+        foldJobGroup(root, g), Some(v), None, tier = -1))
     def runFold(sp: SparkSession): Unit = {
       // no usable marker: either nothing there, a fold that crashed
       // mid-write, or a fold of a FOREIGN source — sweep and redo (the
@@ -413,7 +446,9 @@ object StoreRoot {
       v.fold(sp, cur.getAbsolutePath, next.getAbsolutePath)
     }
     if (!background) {
-      runFold(v.spark); Some(new Fold(root, g, None, err, v))
+      runFold(v.spark)
+      Some(new Fold(root, g, None, err, v.spark, foldJobGroup(root, g),
+        Some(v), None, tier = -1))
     } else {
       val t = new Thread(
         () => try {
@@ -432,7 +467,8 @@ object StoreRoot {
         s"graft-fold-${new java.io.File(root).getName}-gen$g")
       t.setDaemon(true)
       t.start()
-      Some(new Fold(root, g, Some(t), err, v))
+      Some(new Fold(root, g, Some(t), err, v.spark,
+        foldJobGroup(root, g), Some(v), None, tier = -1))
     }
   }
 
@@ -447,16 +483,197 @@ object StoreRoot {
     f.thread.foreach(_.join())
     Option(f.failure.get).foreach(e => throw new IllegalStateException(
       s"out-of-band compaction fold failed for ${f.root}", e))
-    val cur = genDir(f.root, f.gen)
-    val next = genDir(f.root, f.gen + 1)
-    f.verbs.topUp(cur.getAbsolutePath, next.getAbsolutePath)
-    writeManifest(f.root, f.gen + 1) // the commit point - readers swap
-    // test-only hook: the crash harness widens the swap->retire gap so
-    // its poll can land a SIGKILL inside the swap-no-retire window (at
-    // real scale the gap is sub-ms; the heal path is the same either
-    // way - begin() retires the unretired predecessor)
-    sys.props.get("graft.test.retireDelayMs").map(_.toLong)
-      .filter(_ > 0).foreach(Thread.sleep)
-    f.verbs.retire(cur.getAbsolutePath, next.getAbsolutePath)
+    f.tierFinish match {
+      case Some(fin) => fin() // tier cycle: swap rename + covered retire
+      case None =>
+        val v = f.verbs.getOrElse(throw new IllegalStateException(
+          s"generation fold for ${f.root} carries no store verbs"))
+        val cur = genDir(f.root, f.gen)
+        val next = genDir(f.root, f.gen + 1)
+        v.topUp(cur.getAbsolutePath, next.getAbsolutePath)
+        writeManifest(f.root, f.gen + 1) // the commit point - readers swap
+        // test-only hook: the crash harness widens the swap->retire gap
+        // so its poll can land a SIGKILL inside the swap-no-retire
+        // window (at real scale the gap is sub-ms; the heal path is the
+        // same either way - begin() retires the unretired predecessor)
+        sys.props.get("graft.test.retireDelayMs").map(_.toLong)
+          .filter(_ > 0).foreach(Thread.sleep)
+        v.retire(cur.getAbsolutePath, next.getAbsolutePath)
+    }
   }
+
+  // ---- size-tiered (LSM) folds inside the current generation ----
+
+  /** The per-store primitives the generic tier machine composes —
+    * [[ShardSink]] and [[VectorIndexSink]] differ only in these.
+    * `plan` returns the next fold (tier of the RESULTING run, covered
+    * range, and a writer that stages the run's content + range
+    * marker); `sweep` retires every source a referenced run covers
+    * (idempotent — also the swap-no-retire heal); `runsParent` is
+    * where `u`/`t` run dirs live. */
+  private final case class TierOps(
+      spark: SparkSession,
+      plan: String => Option[(Int, Long, Long,
+        (SparkSession, String) => Unit)],
+      maxRunId: String => Long,
+      sweep: String => Unit,
+      runsParent: String => java.io.File)
+
+  /** Start (or run inline) one SIZE-TIERED compaction cycle on the
+    * current generation: heal any crashed predecessor cycle (adopt a
+    * committed-but-unreferenced `u` run — swap + retire, never a redo;
+    * sweep covered-but-present sources and abandoned staging), then
+    * fold the oldest full tier into a run. The fold stages and
+    * publishes `u<id>` on a background daemon thread over IMMUTABLE
+    * committed units (appends keep landing; they are above the fold's
+    * range by construction); [[finishCompact]] completes the cycle at
+    * a quiescent point with ONE atomic rename `u<id>` -> `t<id>` (the
+    * swap — readers flip from the covered sources to the run) and the
+    * covered-source retire. Same three on-disk states, same two crash
+    * windows, as the generation machine — at O(one tier) fold cost
+    * instead of O(current generation). None when no tier is full.
+    *
+    * Single-writer per root, and tier cycles must not interleave with
+    * generation folds on the same root (callers serialize — runManaged
+    * runs one fold at a time across all roots). */
+  private def beginTier(root: String, ops: TierOps,
+                        background: Boolean): Option[Fold] = {
+    val dir = currentDir(root)
+    val parent = ops.runsParent(dir)
+    // HEAL, in commit order: a committed-unreferenced run is ADOPTED
+    // (rename = the swap it never got; its sources are still intact
+    // because retire strictly follows the swap), then covered sources
+    // and stale staging are swept
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("u\\d+")
+        && new java.io.File(f, StoreFiles.TierRunMarker).isFile)
+      .foreach { u =>
+        java.nio.file.Files.move(u.toPath,
+          new java.io.File(parent, "t" + u.getName.drop(1)).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    ops.sweep(dir)
+    ops.plan(dir).map { case (tier, lo, hi, write) =>
+      val runId = ops.maxRunId(dir) + 1
+      val u = new java.io.File(parent, s"u$runId")
+      val t = new java.io.File(parent, s"t$runId")
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val group = s"graft-tier-fold-${new java.io.File(root).getName}" +
+        s"-r$runId"
+      def runFold(sp: SparkSession): Unit = {
+        parent.mkdirs()
+        StoreFiles.publishOnce(
+          s"${parent.getAbsolutePath}/.staging-u$runId", u,
+          staging => write(sp, staging))
+        ()
+      }
+      val fin: () => Unit = () => {
+        // the SWAP: one atomic same-dir rename references the run —
+        // a reader's listing sees covered sources or the run, and the
+        // two views are latest-wins-identical by construction
+        java.nio.file.Files.move(u.toPath, t.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // test-only hook (same as the generation machine's): widen the
+        // swap->retire gap so the crash harness can land inside it
+        sys.props.get("graft.test.retireDelayMs").map(_.toLong)
+          .filter(_ > 0).foreach(Thread.sleep)
+        ops.sweep(dir) // the retire: covered sources reclaimed
+      }
+      if (!background) {
+        runFold(ops.spark)
+        new Fold(root, currentGen(root), None, err, ops.spark, group,
+          None, Some(fin), tier)
+      } else {
+        val th = new Thread(
+          () => try {
+            ops.spark.sparkContext.setLocalProperty(
+              "spark.scheduler.pool", FoldSchedulerPool)
+            ops.spark.sparkContext.setJobGroup(group,
+              s"graft tier-$tier compaction fold: $root v$lo..v$hi",
+              interruptOnCancel = true)
+            runFold(throttledClone(ops.spark))
+          } catch { case e: Throwable => err.set(e) },
+          s"graft-tierfold-${new java.io.File(root).getName}-r$runId")
+        th.setDaemon(true)
+        th.start()
+        new Fold(root, currentGen(root), Some(th), err, ops.spark,
+          group, None, Some(fin), tier)
+      }
+    }
+  }
+
+  private def shardTierOps(spark: SparkSession, shardCol: String,
+                           fanout: Int, keep: Int): TierOps = TierOps(
+    spark,
+    plan = dir => ShardSink.tierPlan(dir, fanout, keep).map { units =>
+      (units.head.tier + 1, units.head.lo, units.last.hi,
+        (sp: SparkSession, staging: String) =>
+          ShardSink.writeTierRun(sp, units, units.head.tier + 1,
+            staging, shardCol))
+    },
+    maxRunId = ShardSink.maxRunId,
+    sweep = ShardSink.sweepCovered,
+    runsParent = dir => new java.io.File(dir))
+
+  /** Start an out-of-band SIZE-TIERED shard compaction cycle (see
+    * [[beginTier]]): fold the oldest `fanout` same-tier units of the
+    * current generation into one run — K delta versions into a tier-1
+    * run, K tier-1 runs into tier-2, ... — so per-cycle fold work is
+    * O(one tier) while merged-read amplification stays O(fanout x
+    * tiers) = O(fanout x log units). The generation verbs
+    * ([[beginCompactShard]]) remain the full-rewrite path; `keep` > 0
+    * exempts the newest K units (the trailing asOf window). Complete
+    * with [[finishCompact]]. None when no tier is full. */
+  def beginCompactShardTiered(spark: SparkSession, root: String,
+                              shardCol: String = "source",
+                              fanout: Int = 4,
+                              keep: Int = 0): Option[Fold] =
+    beginTier(root, shardTierOps(spark, shardCol, fanout, keep),
+      background = true)
+
+  /** Synchronous [[beginCompactShardTiered]] + [[finishCompact]];
+    * false when no tier is full. */
+  def compactShardTiered(spark: SparkSession, root: String,
+                         shardCol: String = "source", fanout: Int = 4,
+                         keep: Int = 0): Boolean =
+    beginTier(root, shardTierOps(spark, shardCol, fanout, keep),
+        background = false) match {
+      case None => false
+      case Some(f) => finishCompact(f); true
+    }
+
+  private def vectorTierOps(spark: SparkSession, fanout: Int, keep: Int,
+                            idCol: String): TierOps = TierOps(
+    spark,
+    plan = dir => VectorIndexSink.tierPlan(dir, fanout, keep)
+      .map { units =>
+        (units.head.tier + 1, units.head.lo, units.last.hi,
+          (sp: SparkSession, staging: String) =>
+            VectorIndexSink.writeTierRun(sp, units,
+              units.head.tier + 1, staging, idCol))
+      },
+    maxRunId = VectorIndexSink.maxRunId,
+    sweep = VectorIndexSink.sweepCovered,
+    runsParent = dir => new java.io.File(dir, "runs"))
+
+  /** [[beginCompactShardTiered]]'s contract on the vector root: fold
+    * the oldest `fanout` same-tier units (append/tombstone arms at
+    * tier 0) into one run under `runs/`; per-cycle work O(one tier).
+    * Complete with [[finishCompact]]. */
+  def beginCompactVectorsTiered(spark: SparkSession, root: String,
+                                fanout: Int = 4, keep: Int = 0,
+                                idCol: String = "vec_id"): Option[Fold] =
+    beginTier(root, vectorTierOps(spark, fanout, keep, idCol),
+      background = true)
+
+  /** Synchronous [[beginCompactVectorsTiered]] + [[finishCompact]];
+    * false when no tier is full. */
+  def compactVectorsTiered(spark: SparkSession, root: String,
+                           fanout: Int = 4, keep: Int = 0,
+                           idCol: String = "vec_id"): Boolean =
+    beginTier(root, vectorTierOps(spark, fanout, keep, idCol),
+        background = false) match {
+      case None => false
+      case Some(f) => finishCompact(f); true
+    }
 }

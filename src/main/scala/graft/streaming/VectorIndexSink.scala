@@ -47,10 +47,199 @@ object VectorIndexSink {
       StoreFiles.hasParquet)
 
   /** Distinct published batch ids — [[StoreRoot]]'s anything-to-fold
-    * check under a retention window. */
+    * check under a retention window. Counts LIVE units: tier runs
+    * collapse the arm batches they cover into one unit each. */
   private[graft] def batchCount(indexDir: String): Int =
-    (deltaDirs(indexDir).map(_._1) ++
-      tombstoneDirs(indexDir).map(_._1)).distinct.size
+    liveUnits(indexDir).size
+
+  // ---- size-tiered (LSM) runs ----
+  //
+  // [[ShardSink]]'s tier-run design on the vector store's arms: a run
+  // covers a CONTIGUOUS batch-id range and holds (a) `rows/` — the
+  // in-range append rows that survive the in-range tombstones, each
+  // keeping its ORIGINAL batch tag `__b` physical and its `__list`
+  // partitioning, and (b) `tombs/` — the per-id MAX tombstone batch
+  // `__t` of the range, retained because those tombstones still mask
+  // the base (batch -1) and any earlier run's rows. The global masked
+  // read over run ∪ live arms is therefore IDENTICAL to the unfolded
+  // view ("dies iff some tombstone at-or-after the append batch" is
+  // preserved by per-id max). Runs live under `runs/` — `u<id>`
+  // committed-but-unreferenced, one atomic rename to `t<id>` as the
+  // swap, covered arms retired after: the same crash windows as the
+  // shard store's tier machine.
+
+  /** One live unit: a batch id's arm(s) (`tier` 0 — an append delta, a
+    * tombstone set, or both at one id) or a referenced tier run. */
+  private[graft] final case class VUnit(tier: Int, lo: Long, hi: Long,
+      run: Option[java.io.File], append: Option[java.io.File],
+      tomb: Option[java.io.File])
+
+  private def runsDir(indexDir: String): String = s"$indexDir/runs"
+
+  private def hasRunMarker(d: java.io.File): Boolean =
+    new java.io.File(d, StoreFiles.TierRunMarker).isFile
+
+  private def runUnits(indexDir: String, prefix: String): Seq[VUnit] =
+    StoreFiles.publishedDirs(runsDir(indexDir), prefix, hasRunMarker)
+      .flatMap { case (_, d) =>
+        StoreFiles.runMeta(d).map { case (t, lo, hi) =>
+          VUnit(t, lo, hi, Some(d), None, None) }
+      }
+
+  /** Referenced runs not nested inside a strictly larger one — the
+    * run arms [[read]] scans. */
+  private def liveRuns(indexDir: String): Seq[VUnit] = {
+    val runs = runUnits(indexDir, "t")
+    runs.filter(r => !runs.exists(o =>
+      o.lo <= r.lo && r.hi <= o.hi && (o.hi - o.lo) > (r.hi - r.lo)))
+  }
+
+  /** The store's live units ascending by batch range: maximal runs
+    * plus every uncovered arm batch id (see [[ShardSink.liveUnits]]
+    * for the structural-liveness rationale). */
+  private[graft] def liveUnits(indexDir: String): Seq[VUnit] = {
+    val runs = liveRuns(indexDir)
+    def covered(id: Long) = runs.exists(r => r.lo <= id && id <= r.hi)
+    val app = deltaDirs(indexDir).toMap
+    val ts = tombstoneDirs(indexDir).toMap
+    val arms = (app.keySet ++ ts.keySet).filterNot(covered).toSeq.sorted
+      .map(id => VUnit(0, id, id, None, app.get(id), ts.get(id)))
+    (runs ++ arms).sortBy(u => (u.lo, -u.hi))
+  }
+
+  /** Highest batch any referenced run covers — the tiered retention
+    * floor (asOf below it fails loudly; appends/tombstones at or below
+    * it are re-deliveries and skip). */
+  private[graft] def tieredFloor(indexDir: String): Option[Long] =
+    runUnits(indexDir, "t").map(_.hi).maxOption
+
+  /** Committed-but-unreferenced runs — adopted by the tiered begin. */
+  private[graft] def pendingRuns(indexDir: String): Seq[VUnit] =
+    runUnits(indexDir, "u")
+
+  private[streaming] def maxRunId(indexDir: String): Long =
+    (StoreFiles.publishedDirs(runsDir(indexDir), "t", hasRunMarker) ++
+      StoreFiles.publishedDirs(runsDir(indexDir), "u", hasRunMarker))
+      .map(_._1).maxOption.getOrElse(-1L)
+
+  /** The size-tiered fold plan — [[ShardSink.tierPlan]]'s rule on the
+    * vector units: the oldest window of `fanout` consecutive live
+    * units sharing one tier, never touching the newest `keep`. */
+  private[graft] def tierPlan(indexDir: String, fanout: Int,
+                              keep: Int): Option[Seq[VUnit]] = {
+    require(fanout >= 2, s"tier fanout must be >= 2: $fanout")
+    val units = liveUnits(indexDir).dropRight(keep)
+    (0 to units.length - fanout).view
+      .map(i => units.slice(i, i + fanout))
+      .find(w => w.forall(_.tier == w.head.tier))
+  }
+
+  /** Write the tier run folding `units` into `staging` (`rows/` +
+    * `tombs/` + range marker — see the layout note above). Reads
+    * O(units), never the base or the rest of the store. */
+  private[streaming] def writeTierRun(spark: SparkSession,
+      units: Seq[VUnit], tier: Int, staging: String,
+      idCol: String): Unit = {
+    val rowArms = units.flatMap { u =>
+      u.run.filter(r => new java.io.File(r, "rows").isDirectory)
+        .map(r => spark.read.parquet(s"${r.getAbsolutePath}/rows"))
+        .toSeq ++
+        u.append.map(a => spark.read.parquet(a.getAbsolutePath)
+          .withColumn("__b", lit(u.lo)))
+    }
+    val tombArms = units.flatMap { u =>
+      u.run.filter(r => new java.io.File(r, "tombs").isDirectory)
+        .map(r => spark.read.parquet(s"${r.getAbsolutePath}/tombs")
+          .select(col(idCol), col("__t")))
+        .toSeq ++
+        u.tomb.map(t => spark.read.parquet(t.getAbsolutePath)
+          .select(col(idCol), lit(u.lo).as("__t")))
+    }
+    val tombs =
+      if (tombArms.isEmpty) None
+      else Some(tombArms.reduce(_ unionByName _)
+        .groupBy(col(idCol)).agg(max(col("__t")).as("__t")))
+    val rows = rowArms.reduceOption(_ unionByName _).map { enc =>
+      tombs.fold(enc) { dead =>
+        val d = dead.select(col(idCol).as("__did"), col("__t"))
+        enc.join(broadcast(d),
+          enc(idCol) === d("__did") && d("__t") >= enc("__b"),
+          "left_anti")
+      }
+    }
+    new java.io.File(staging).mkdirs()
+    // `rows/` and `tombs/` are each OPTIONAL (absent when the range
+    // had no appends / no tombstones — [[read]] skips absent sides),
+    // so no side ever needs a fabricated empty frame whose column
+    // types could diverge from the real arms'
+    rows.foreach { r =>
+      val cached = r.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // an all-tombstoned range would write zero partition dirs
+        // under partitionBy and the run's rows/ would not be
+        // readable — write the (rare) empty survivor set as one
+        // schema-only file with __list as a physical column instead
+        if (cached.isEmpty)
+          cached.coalesce(1).write.mode("overwrite")
+            .parquet(s"$staging/rows")
+        else
+          cached.write.mode("overwrite").partitionBy("__list")
+            .parquet(s"$staging/rows")
+      } finally { cached.unpersist(); () }
+    }
+    tombs.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/tombs"))
+    StoreFiles.writeMarker(
+      new java.io.File(staging, StoreFiles.TierRunMarker),
+      Seq(s"tier=$tier", s"lo=${units.head.lo}",
+        s"hi=${units.last.hi}"))
+  }
+
+  /** Retire every arm/run a referenced run covers, plus abandoned fold
+    * staging — the tier machine's retire verb and swap-no-retire heal
+    * (idempotent; covered dirs are invisible to reads either way). */
+  private[streaming] def sweepCovered(indexDir: String): Unit = {
+    val runs = liveRuns(indexDir)
+    def covered(lo: Long, hi: Long): Boolean =
+      runs.exists(r => r.lo <= lo && hi <= r.hi &&
+        (r.hi - r.lo) > (hi - lo))
+    deltaDirs(indexDir).foreach { case (b, f) =>
+      if (covered(b, b)) StoreFiles.deleteRec(f)
+    }
+    tombstoneDirs(indexDir).foreach { case (t, f) =>
+      if (covered(t, t)) StoreFiles.deleteRec(f)
+    }
+    runUnits(indexDir, "t").foreach { r =>
+      if (covered(r.lo, r.hi)) StoreFiles.deleteRec(r.run.get)
+    }
+    Option(new java.io.File(runsDir(indexDir)).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".staging-u"))
+      .foreach(StoreFiles.deleteRec)
+  }
+
+  /** Post-kill disk forensics for the tiered machine — see
+    * [[ShardSink.tieredWindow]]. */
+  private[graft] def tieredWindow(indexDir: String): String = {
+    val pre = pendingRuns(indexDir).nonEmpty ||
+      Option(new java.io.File(runsDir(indexDir)).listFiles())
+        .getOrElse(Array.empty)
+        .exists(f => f.isDirectory && f.getName.startsWith(".staging-u"))
+    if (pre) "pre-swap"
+    else {
+      val runs = liveRuns(indexDir)
+      def covered(lo: Long, hi: Long): Boolean =
+        runs.exists(r => r.lo <= lo && hi <= r.hi &&
+          (r.hi - r.lo) > (hi - lo))
+      val unretired =
+        deltaDirs(indexDir).exists { case (b, _) => covered(b, b) } ||
+          tombstoneDirs(indexDir).exists { case (t, _) =>
+            covered(t, t) } ||
+          runUnits(indexDir, "t").exists(r => covered(r.lo, r.hi))
+      if (unretired) "swap-no-retire" else "none"
+    }
+  }
 
   /** Append one batch under the frozen codebooks as delta `b<batchId>`.
     * Returns false (no work) if that delta is already published — the
@@ -60,6 +249,9 @@ object VectorIndexSink {
                   batch: DataFrame, vecCol: String = "embedding",
                   idCol: String = "vec_id"): Boolean = {
     StoreFiles.requireNotRetired(indexDir, "vector index")
+    // a batch at or below the tiered floor was folded into a tier run
+    // (its arm dir is retired, so publishOnce alone would NOT skip it)
+    if (tieredFloor(indexDir).exists(batchId <= _)) return false
     StoreFiles.publishOnce(s"$indexDir/.staging-b$batchId",
       new java.io.File(s"$indexDir/appends/b$batchId"), { staging =>
         val idx = Similarity.ivfPqLoad(spark, indexDir) // codebooks
@@ -101,6 +293,8 @@ object VectorIndexSink {
   def deleteBatch(spark: SparkSession, indexDir: String, batchId: Long,
                   ids: DataFrame, idCol: String = "vec_id"): Boolean = {
     StoreFiles.requireNotRetired(indexDir, "vector index")
+    // same tiered-floor re-delivery skip as [[appendBatch]]
+    if (tieredFloor(indexDir).exists(batchId <= _)) return false
     StoreFiles.publishOnce(s"$indexDir/.staging-d$batchId",
       new java.io.File(s"$indexDir/tombstones/d$batchId"), { staging =>
         ids.select(idCol).distinct()
@@ -124,32 +318,52 @@ object VectorIndexSink {
     // deltas and tombstones published after it are invisible — the
     // snapshot an evaluation run pins so its candidate set cannot
     // drift under later ingest. Published batches are immutable, so
-    // the same asOf always serves the same view.
+    // the same asOf always serves the same view. An asOf below the
+    // TIERED floor cannot be served (rows the runs' in-range masking
+    // resolved away exist nowhere) and fails loudly; at or above it
+    // every run is fully included (hi <= floor <= asOf).
+    val runs = liveRuns(indexDir)
+    for (v <- asOf; f <- runs.map(_.hi).maxOption)
+      if (v < f) throw new IllegalStateException(
+        s"vector index at $indexDir: asOf=$v is below the tiered " +
+          s"retention floor $f - batches inside a tier run's range " +
+          "were resolved physically by compaction; history below the " +
+          "floor is beyond retention")
+    def live(id: Long) = !runs.exists(r => r.lo <= id && id <= r.hi)
     def upTo[A](ds: Seq[(Long, A)]): Seq[(Long, A)] =
       asOf.fold(ds)(v => ds.filter(_._1 <= v))
+        .filter { case (id, _) => live(id) }
     // tag every arm with its append batch; the base predates all
-    // batches, so any tombstone masks it
-    val enc = upTo(deltaDirs(indexDir))
-      .map { case (b, f) =>
+    // batches, so any tombstone masks it; run rows carry their batch
+    // tags (and run tombstones their batch) physically
+    val enc = (runs
+      .filter(r => new java.io.File(r.run.get, "rows").isDirectory)
+      .map(r => spark.read
+        .parquet(s"${r.run.get.getAbsolutePath}/rows")) ++
+      upTo(deltaDirs(indexDir)).map { case (b, f) =>
         spark.read.parquet(f.getAbsolutePath).withColumn("__b", lit(b))
-      }
+      })
       .foldLeft(base.encoded.withColumn("__b", lit(-1L)))(
         _ unionByName _)
-    val ts = upTo(tombstoneDirs(indexDir))
-    val masked =
-      if (ts.isEmpty) enc
-      else {
-        val dead = ts.map { case (t, f) =>
-          spark.read.parquet(f.getAbsolutePath)
-            .withColumn("__t", lit(t))
-        }.reduce(_ unionByName _)
+    val dead = (runs
+      .filter(r => new java.io.File(r.run.get, "tombs").isDirectory)
+      .map(r => spark.read
+        .parquet(s"${r.run.get.getAbsolutePath}/tombs")
+        .select(col(idCol), col("__t"))) ++
+      upTo(tombstoneDirs(indexDir)).map { case (t, f) =>
+        spark.read.parquet(f.getAbsolutePath).withColumn("__t", lit(t))
+      }).reduceOption(_ unionByName _)
+    val masked = dead match {
+      case None => enc
+      case Some(d0) =>
+        val d = d0.select(col(idCol).as("__did"), col("__t"))
         // a row dies iff SOME tombstone at-or-after its append batch
         // names its id; equi component on the id keeps this a broadcast
         // HASH anti join, the __t >= __b residual rides along
-        enc.join(broadcast(dead),
-          enc(idCol) === dead(idCol) && dead("__t") >= enc("__b"),
+        enc.join(broadcast(d),
+          enc(idCol) === d("__did") && d("__t") >= enc("__b"),
           "left_anti")
-      }
+    }
     base.copy(encoded = masked.drop("__b"))
   }
 
@@ -196,12 +410,17 @@ object VectorIndexSink {
         "compact into a fresh directory")
     val ids = (deltaDirs(indexDir).map(_._1)
       ++ tombstoneDirs(indexDir).map(_._1)).distinct.sorted
-    val maxCovered = (ids :+ -1L).max
+    val maxCovered = ((ids :+ -1L) ++ tieredFloor(indexDir)).max
     // the newest `keepBatches` ids stay live deltas; everything at or
-    // below the cutoff folds (cutoff -1 = base only, fold is a rewrite)
-    val cutoff =
+    // below the cutoff folds (cutoff -1 = base only, fold is a
+    // rewrite). A tiered store clamps the cutoff at the TIERED floor —
+    // arms a run resolved away cannot be carried verbatim, so the keep
+    // window never reaches below it (and every run folds into the
+    // base).
+    val rawCutoff =
       if (ids.length > keepBatches) ids(ids.length - 1 - keepBatches)
       else -1L
+    val cutoff = (Seq(rawCutoff) ++ tieredFloor(indexDir)).max
     Similarity.ivfPqSave(
       read(spark, indexDir, idCol, asOf = Some(cutoff)), outDir)
     (deltaDirs(indexDir).filter(_._1 > cutoff).map {
@@ -234,6 +453,13 @@ object VectorIndexSink {
           "nothing to top up (a partial fold is swept and redone, " +
           "never topped up)"))
     val max = m("max").toLong
+    // same serialization guard as [[ShardSink.topUp]]: a tier run past
+    // the generation fold's cut means tier and generation folds
+    // interleaved on this store
+    require(!tieredFloor(indexDir).exists(_ > max),
+      s"top-up source $indexDir grew a tier run past the generation " +
+        s"fold's cut b$max - tier and generation folds must not " +
+        "interleave on one store")
     val late = deltaDirs(indexDir).filter(_._1 > max).map {
       case (n, f) => (n, s"appends/b$n", f) } ++
       tombstoneDirs(indexDir).filter(_._1 > max).map {
@@ -262,7 +488,7 @@ object VectorIndexSink {
     * the successor, never serves a partial index. */
   def retire(indexDir: String, compactedTo: String): Unit = {
     val latest = deltaDirs(indexDir).map(_._1) ++
-      tombstoneDirs(indexDir).map(_._1)
+      tombstoneDirs(indexDir).map(_._1) ++ tieredFloor(indexDir)
     StoreFiles.beginRetire(indexDir, compactedTo,
       if (latest.isEmpty) None else Some(latest.max))
     StoreFiles.deletePayload(indexDir)
@@ -293,26 +519,38 @@ object VectorIndexSink {
     // FILES only — it even works on a store whose base is mid-append,
     // which is exactly when an operator reaches for observability).
     val ts = tombstoneDirs(indexDir)
+    val runs = liveRuns(indexDir)
+    def live(id: Long) = !runs.exists(r => r.lo <= id && id <= r.hi)
     val arms =
       (("base", -1L,
         spark.read.parquet(s"$indexDir/encoded"))
-        +: deltaDirs(indexDir).map {
+        +: deltaDirs(indexDir).filter(d => live(d._1)).map {
         case (b, f) =>
           ("append", b, spark.read.parquet(f.getAbsolutePath))
-      }) ++ ts.map { case (t, f) =>
+      }) ++ ts.filter(t => live(t._1)).map { case (t, f) =>
         ("tombstone", t, spark.read.parquet(f.getAbsolutePath))
       }
-    val unioned = arms.map { case (kind, b, df) =>
+    val unioned = (arms.map { case (kind, b, df) =>
       df.select(col(idCol).as("__id"), lit(kind).as("kind"),
         lit(b).as("batch"))
-    }.reduce(_ unionByName _)
+    } ++ runs // run rows keep per-original-batch granularity via __b
+      .filter(r => new java.io.File(r.run.get, "rows").isDirectory)
+      .map(r => spark.read.parquet(s"${r.run.get.getAbsolutePath}/rows")
+        .select(col(idCol).as("__id"), lit("run").as("kind"),
+          col("__b").as("batch")))
+      ).reduce(_ unionByName _)
+    val runTombs = runs
+      .filter(r => new java.io.File(r.run.get, "tombs").isDirectory)
+      .map(r => spark.read.parquet(s"${r.run.get.getAbsolutePath}/tombs")
+        .select(col(idCol).as("__did"), col("__t")))
     val flagged =
-      if (ts.isEmpty) unioned.withColumn("__m", lit(false))
+      if (ts.forall(t => !live(t._1)) && runTombs.isEmpty)
+        unioned.withColumn("__m", lit(false))
       else {
-        val tmax = ts.map { case (t, f) =>
+        val tmax = (ts.filter(t => live(t._1)).map { case (t, f) =>
           spark.read.parquet(f.getAbsolutePath)
             .select(col(idCol).as("__did"), lit(t).as("__t"))
-        }.reduce(_ unionByName _)
+        } ++ runTombs).reduce(_ unionByName _)
           .groupBy(col("__did")).agg(max(col("__t")).as("__tmax"))
         unioned.join(broadcast(tmax),
             unioned("__id") === col("__did"), "left")
