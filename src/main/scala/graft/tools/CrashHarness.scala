@@ -52,11 +52,21 @@ import graft.streaming.{RefreshPipeline, ShardSink, VectorIndexSink}
   * INSIDE a compaction window and at least two inside swap-no-retire,
   * or the managed evidence is vacuous.
   *
+  * TIERED mode is MANAGED mode with `tierFanout = 2` size-tiered
+  * folds (a compaction point every trigger): the kill mix and oracle
+  * gates are identical, but the polled windows are the TIER machine's
+  * (fold staging / committed-unreferenced `u` run = pre-swap; a
+  * referenced `t` run whose covered sources are still on disk =
+  * swap-no-retire), so the adopt/sweep heals get SIGKILL coverage of
+  * their own.
+  *
   * Usage: runMain graft.tools.CrashHarness [kills] [outFile]
   *        runMain graft.tools.CrashHarness managed [kills] [outFile]
+  *        runMain graft.tools.CrashHarness tiered [kills] [outFile]
   *        runMain graft.tools.CrashHarness double [kills] [outFile]
   *        runMain graft.tools.CrashHarness child <base> <prior> <triggers> <batchRows>
   *        runMain graft.tools.CrashHarness childManaged <base> <prior> <triggers> <batchRows> <compactEvery>
+  *        runMain graft.tools.CrashHarness childTiered <base> <prior> <triggers> <batchRows> <compactEvery> <fanout>
   */
 object CrashHarness {
 
@@ -165,7 +175,8 @@ object CrashHarness {
     * schedule, so the kill can land inside a fold/swap/retire. */
   private def childMain(base: String, prior: Long, triggers: Int,
                         batchRows: Long,
-                        compactEvery: Option[Int]): Unit = {
+                        compactEvery: Option[Int],
+                        tierFanout: Option[Int] = None): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -194,7 +205,7 @@ object CrashHarness {
         RefreshPipeline.runManaged(stream, d, bench,
           shardRoot = s"$base/shardRoot", ledgerDir = s"$base/ledger",
           checkpointDir = s"$base/ck", compactEvery = ce,
-          indexRoot = Some(s"$base/ixRoot"))
+          indexRoot = Some(s"$base/ixRoot"), tierFanout = tierFanout)
       case None =>
         RefreshPipeline.run(stream, d, bench,
           storeDir = s"$base/store", ledgerDir = s"$base/ledger",
@@ -224,6 +235,21 @@ object CrashHarness {
     else "none"
   }
 
+  /** [[compactionWindow]]'s twin for the SIZE-TIERED machine: a fold
+    * staging dir or committed-unreferenced `u` run = `pre-swap`; a
+    * referenced run whose covered sources are still on disk =
+    * `swap-no-retire`. Tries both stores' classifiers (a shard layout
+    * reads `none` under the vector classifier and vice versa), rarest
+    * window first. */
+  private[graft] def tieredCompactionWindow(root: String): String = {
+    import graft.streaming.{ShardSink, StoreRoot, VectorIndexSink}
+    val dir = StoreRoot.currentDir(root)
+    val ws = Seq(ShardSink.tieredWindow(dir),
+      VectorIndexSink.tieredWindow(dir))
+    ws.find(_ == "swap-no-retire")
+      .orElse(ws.find(_ != "none")).getOrElse("none")
+  }
+
   /** One kill iteration: stage fresh fixtures, spawn the child, wait
     * for its drain-start marker, SIGKILL after `killAfterMs`, heal in
     * THIS session, gate on the staged oracle.
@@ -249,7 +275,8 @@ object CrashHarness {
               killOnFold: Boolean = false,
               pollWindows: Set[String] = Set("pre-swap",
                 "swap-no-retire"),
-              retireDelayMs: Option[Long] = None): KillReport = {
+              retireDelayMs: Option[Long] = None,
+              tierFanout: Option[Int] = None): KillReport = {
     val managed = compactEvery.isDefined
     val base = Files.createTempDirectory(s"graft_crash_$kill-")
     try {
@@ -258,9 +285,10 @@ object CrashHarness {
       val (killedAtMs, interrupted, childExit, window) = spawnAndKill(
         base, prior, triggers, batchRows, compactEvery, killAfterMs,
         killOnFold, label = s"kill $kill", pollWindows = pollWindows,
-        retireDelayMs = retireDelayMs)
+        retireDelayMs = retireDelayMs, tierFanout = tierFanout)
       val (healS, equivalence, massOk, ledgerOk, gen) = healAndGate(
-        spark, base, prior, compactEvery, expIds, expMass, expLedger)
+        spark, base, prior, compactEvery, expIds, expMass, expLedger,
+        tierFanout = tierFanout)
       KillReport(kill, killedAtMs, interrupted, childExit, healS,
         equivalence, massOk, ledgerOk,
         started = true, window = window, genAfterHeal = gen,
@@ -288,9 +316,14 @@ object CrashHarness {
                              Seq("shardRoot", "ixRoot"),
                            pollWindows: Set[String] = Set("pre-swap",
                              "swap-no-retire"),
-                           retireDelayMs: Option[Long] = None)
+                           retireDelayMs: Option[Long] = None,
+                           tierFanout: Option[Int] = None)
       : (Long, Boolean, Int, String) = {
     val managed = compactEvery.isDefined
+    val tiered = tierFanout.isDefined
+    def windowOf(root: String): String =
+      if (tiered) tieredCompactionWindow(root)
+      else compactionWindow(root)
     val classesDir = sys.props.get("graft.crash.classes")
       .getOrElse("target/scala-2.13/classes")
     val cmd = (Seq("java") ++ AddOpens ++ Seq("-Xmx8g",
@@ -300,9 +333,10 @@ object CrashHarness {
       // parent's own heal never sees the property
       retireDelayMs.map(ms => s"-Dgraft.test.retireDelayMs=$ms") ++
       Seq("graft.tools.CrashHarness",
-      if (managed) "childManaged" else "child", base.toString,
+      if (tiered) "childTiered"
+      else if (managed) "childManaged" else "child", base.toString,
       prior.toString, triggers.toString, batchRows.toString) ++
-      compactEvery.map(_.toString))
+      compactEvery.map(_.toString) ++ tierFanout.map(_.toString))
     // a fresh log per spawn: the drain-start wait must see THIS
     // child's marker, not a predecessor's
     val log = new java.io.File(s"$base/child-$label.log"
@@ -344,7 +378,7 @@ object CrashHarness {
         while (!seen && p.isAlive && System.nanoTime() < deadline) {
           Thread.sleep(5)
           seen = foldRoots.exists(r =>
-            pollWindows.contains(compactionWindow(s"$base/$r")))
+            pollWindows.contains(windowOf(s"$base/$r")))
         }
         (System.nanoTime() - t0) / 1000000L
       }
@@ -361,8 +395,8 @@ object CrashHarness {
       if (!managed) "n/a"
       else {
         val ws = Seq(
-          "shard" -> compactionWindow(s"$base/shardRoot"),
-          "index" -> compactionWindow(s"$base/ixRoot"))
+          "shard" -> windowOf(s"$base/shardRoot"),
+          "index" -> windowOf(s"$base/ixRoot"))
         ws.find(_._2 == "swap-no-retire")
           .orElse(ws.find(_._2 != "none"))
           .map { case (r, w) => s"$r:$w" }
@@ -376,7 +410,8 @@ object CrashHarness {
     * idEquivalence, massMatch, ledgerMatch, genAfterHeal). */
   private def healAndGate(spark: SparkSession, base: Path, prior: Long,
                           compactEvery: Option[Int], expIds: (Long, Long),
-                          expMass: Long, expLedger: (Long, Long))
+                          expMass: Long, expLedger: (Long, Long),
+                          tierFanout: Option[Int] = None)
       : (Double, Boolean, Boolean, Boolean, Long) = {
     val managed = compactEvery.isDefined
     val tHeal = System.nanoTime()
@@ -392,7 +427,7 @@ object CrashHarness {
         RefreshPipeline.runManaged(stream, d, bench,
           shardRoot = s"$base/shardRoot", ledgerDir = s"$base/ledger",
           checkpointDir = s"$base/ck", compactEvery = ce,
-          indexRoot = Some(s"$base/ixRoot"))
+          indexRoot = Some(s"$base/ixRoot"), tierFanout = tierFanout)
       case None =>
         RefreshPipeline.run(stream, d, bench,
           storeDir = s"$base/store", ledgerDir = s"$base/ledger",
@@ -499,7 +534,16 @@ object CrashHarness {
         compactEvery = Some(args(5).toInt))
       return
     }
+    if (args.headOption.contains("childTiered")) {
+      childMain(args(1), args(2).toLong, args(3).toInt, args(4).toLong,
+        compactEvery = Some(args(5).toInt),
+        tierFanout = Some(args(6).toInt))
+      return
+    }
     if (args.headOption.contains("managed")) { managedMain(args); return }
+    if (args.headOption.contains("tiered")) {
+      managedMain(args, tierFanout = Some(2)); return
+    }
     if (args.headOption.contains("double")) { doubleMain(args); return }
     val kills = args.headOption.map(_.toInt).getOrElse(8)
     val out = args.lift(1).getOrElse("CRASH_HARNESS.json")
@@ -573,10 +617,18 @@ object CrashHarness {
     * Evidence gates: every heal matches, >= half the kills interrupted
     * the drain, at least one kill landed INSIDE a compaction window,
     * and at least two landed in `swap-no-retire`. */
-  private def managedMain(args: Array[String]): Unit = {
+  private def managedMain(args: Array[String],
+                          tierFanout: Option[Int] = None): Unit = {
     val kills = args.lift(1).map(_.toInt).getOrElse(8)
-    val out = args.lift(2).getOrElse("CRASH_MANAGED.json")
-    val (prior, triggers, batchRows, compactEvery) = (2000L, 8, 400L, 2)
+    val out = args.lift(2).getOrElse(
+      if (tierFanout.isDefined) "CRASH_TIERED.json"
+      else "CRASH_MANAGED.json")
+    // tiered mode schedules a compaction point EVERY trigger (tier
+    // folds are cheap and frequent by design — more cycles means more
+    // windows for the poll to land in); fanout 2 escalates tiers fast
+    // so high-tier folds and adoption heals both get hit
+    val (prior, triggers, batchRows) = (2000L, 8, 400L)
+    val compactEvery = if (tierFanout.isDefined) 1 else 2
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.driver.memory", "48g")
@@ -610,7 +662,8 @@ object CrashHarness {
         killOnFold = mode != Timer,
         pollWindows = if (mode == SwapPoll) Set("swap-no-retire")
           else Set("pre-swap", "swap-no-retire"),
-        retireDelayMs = if (mode == SwapPoll) Some(1500L) else None)
+        retireDelayMs = if (mode == SwapPoll) Some(1500L) else None,
+        tierFanout = tierFanout)
       println(f"[crash] managed kill=$i trigger=${r.trigger} " +
         f"mode=$mode killedAtMs=${r.killedAtMs} interrupted=" +
         f"${r.interrupted} exit=${r.childExit} window=${r.window} " +
@@ -646,9 +699,16 @@ object CrashHarness {
         s""""equivalence":${r.equivalence},"mass":${r.mass},""" +
         s""""ledger":${r.ledger},"gen_after_heal":${r.genAfterHeal}}"""
     }
+    val what = tierFanout match {
+      case Some(k) => s"SIZE-TIERED compaction (tierFanout=$k, a " +
+        s"point every trigger; windows: fold staging / committed-" +
+        s"unreferenced u-run = pre-swap, referenced run with covered " +
+        s"sources on disk = swap-no-retire)"
+      case None => "out-of-band compaction every 2 triggers"
+    }
     val json = s"""{"recipe":"SIGKILL a separate-JVM runManaged drain """ +
-      s"""(StoreRoot shard+index roots, out-of-band compaction every """ +
-      s"""2 triggers); kills split timer-stratified / fold-poll """ +
+      s"""(StoreRoot shard+index roots, $what); kills split """ +
+      s"""timer-stratified / fold-poll """ +
       s"""(kill the instant a fold is in flight) / swap-poll (kill """ +
       s"""inside the swap-no-retire gap, widened by the test-only """ +
       s"""retire delay); classify each landing from post-kill """ +
@@ -656,6 +716,7 @@ object CrashHarness {
       s"""healed roots on the one-shot oracle (q175 shape)",""" +
       s""""kills":$kills,"prior":$prior,"triggers":$triggers,""" +
       s""""batch_rows":$batchRows,"compact_every":$compactEvery,""" +
+      tierFanout.fold("")(k => s""""tier_fanout":$k,""") +
       s""""window_ms":$windowMs,"interrupted":$nInterrupted,""" +
       s""""kills_inside_compaction_window":$nInWindow,""" +
       s""""swap_no_retire_kills":$nSwapHit,""" +

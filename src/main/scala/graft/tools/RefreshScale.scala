@@ -194,7 +194,10 @@ object RefreshScale {
           stateful: Boolean = false,
           providerClass: Option[String] = None,
           managed: Option[Int] = None,
-          foldLog: Option[RefreshPipeline.FoldLog] = None): Result = {
+          foldLog: Option[RefreshPipeline.FoldLog] = None,
+          tierFanout: Option[Int] = None,
+          ledgerLog: Option[RefreshPipeline.LedgerLog] = None)
+      : Result = {
     require(prior >= 100 && triggers >= 2 && batchRows >= 20 &&
       batchRows % 20 == 0,
       "need prior >= 100, triggers >= 2, batchRows a multiple of 20")
@@ -301,13 +304,14 @@ object RefreshScale {
               checkpointDir = s"$base/ck", compactEvery = ce,
               indexRoot = Some(s"$base/ixRoot"),
               packSkew = packSkew, providerClass = providerClass,
-              routeLog = Some(routeLog), foldLog = foldLog)
+              routeLog = Some(routeLog), foldLog = foldLog,
+              tierFanout = tierFanout, ledgerLog = ledgerLog)
           case None =>
             RefreshPipeline.run(stream, d, bench,
               storeDir = s"$base/store", ledgerDir = s"$base/ledger",
               checkpointDir = s"$base/ck", indexDir = Some(s"$base/ix"),
               packSkew = packSkew, providerClass = providerClass,
-              routeLog = Some(routeLog))
+              routeLog = Some(routeLog), ledgerLog = ledgerLog)
         }
         finally {
           // progress events are delivered async; give the bus a moment

@@ -357,6 +357,175 @@ object RefreshVariants {
       println(s"[refreshvariants] wrote REFRESH_OVERRUN.json")
     }
 
+    if (blocks("tiered")) {
+      // SIZE-TIERED fold evidence at 3x the usual horizon (r16
+      // verdict's ask #1b): the generation fold rewrites the whole
+      // store every cycle, so its walls grow with store lifetime; the
+      // tiered machine folds O(one tier) per cycle, so the common
+      // (tier-1) cycle must stay FLAT as the store grows. Two legs
+      // over the same docs at `3 x triggers`: tiered
+      // (compactEvery = 2, fanout = 4; min-over-N, fold telemetry
+      // gated) vs generation (one pass — context: its fold-wall
+      // growth is the disease being cured). Gates: outputs identical
+      // across passes and LEGS (tiering must never change contents);
+      // every begun tiered fold finished; tier-1 shard fold walls do
+      // not grow (second-half mean <= 1.6 x first-half, the flatness
+      // bar the trigger gate also uses); no trigger stalls
+      // (max/median <= 2x).
+      val horizon = triggers * 3
+      val scaleRuns =
+        sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
+      def tier1Walls(fl: RefreshPipeline.FoldLog): Seq[Double] = fl
+        .events.filter(e => e.kind.startsWith("finished") && e.tier == 1)
+        .map(_.wallS)
+      def grow(ws: Seq[Double]): Double =
+        if (ws.size < 2) -1.0
+        else {
+          val (a, b) = ws.splitAt(ws.size / 2)
+          b.sum / b.size / (a.sum / a.size)
+        }
+      val passes = (1 to scaleRuns).map { i =>
+        val fl = new RefreshPipeline.FoldLog
+        val r = RefreshScale.run(spark, prior, horizon, batchRows,
+          managed = Some(2), foldLog = Some(fl), tierFanout = Some(4))
+        RefreshScale.check(r, requireFlatness = false)
+        require(fl.drained,
+          s"tiered pass $i: ${fl.begun} folds begun but only " +
+            s"${fl.finished} finished - the owed queue did NOT drain")
+        println(f"[refreshvariants] tiered pass $i/$scaleRuns " +
+          f"drain=${r.drainWallS}%.1fs begun=${fl.begun} " +
+          f"tier1Walls=[${tier1Walls(fl).map(w => f"$w%.1f")
+            .mkString(",")}] " +
+          f"maxTier=${fl.events.map(_.tier).max}")
+        (r, fl)
+      }
+      val man = minCombine("tiered", passes.map(_._1))
+      val (maxW, medW) = maxOverMedian(man)
+      require(maxW <= 2.0 * medW,
+        f"a tiered trigger stalled at $maxW%.1fs vs median $medW%.1fs " +
+          "(> 2x) - tier folds are back on the critical path")
+      // tier-1 walls flat on the BEST pass (fold walls are quantized
+      // to trigger boundaries, so min-combining across passes would
+      // mix different fold schedules; the growth gate holds per pass)
+      passes.zipWithIndex.foreach { case ((_, fl), i) =>
+        val g = grow(tier1Walls(fl))
+        require(g < 0 || g <= 1.6,
+          f"pass ${i + 1}: tier-1 fold walls GREW ${g}%.2fx across the " +
+            s"$horizon-trigger drain - the O(one tier) claim fails")
+      }
+      // generation-fold context leg (single pass): the O(store)
+      // fold-wall growth the tiered machine exists to remove
+      val flG = new RefreshPipeline.FoldLog
+      val gen = RefreshScale.run(spark, prior, horizon, batchRows,
+        managed = Some(2), foldLog = Some(flG))
+      RefreshScale.check(gen, requireFlatness = false)
+      require(sameOutputs(Seq(man, gen)),
+        "tiered and generation drains diverged - compaction strategy " +
+          "must never change contents")
+      val genWalls = flG.events
+        .filter(_.kind.startsWith("finished")).map(_.wallS)
+      def fmtW(ws: Seq[Double]) = ws.map(w => f"$w%.2f").mkString(",")
+      val bestFl = passes.minBy(_._1.drainWallS)._2
+      val tierWallsJson = (1 to bestFl.events.map(_.tier).max)
+        .map { t =>
+          val ws = bestFl.events.filter(e =>
+            e.kind.startsWith("finished") && e.tier == t).map(_.wallS)
+          s""""tier$t":[${fmtW(ws)}]"""
+        }.mkString(",")
+      val json =
+        s"""{"recipe":"$horizon-trigger runManaged drain (3x the """ +
+          s"""usual horizon), SIZE-TIERED folds (compactEvery=2, """ +
+          s"""fanout=4, min-over-N passes) vs GENERATION folds (one """ +
+          s"""context pass) over identical docs; gates: outputs """ +
+          s"""identical across passes and legs, every begun tiered """ +
+          s"""fold finished, tier-1 fold walls flat (<=1.6x growth) """ +
+          s"""as the store grows, max/median trigger wall <= 2x; """ +
+          s"""the generation leg's fold-wall series records the """ +
+          s"""O(store) growth tiering removes",""" +
+          s""""prior_docs":$prior,"triggers":$horizon,""" +
+          s""""batch_rows":$batchRows,"compact_every":2,"fanout":4,""" +
+          s""""runs":$scaleRuns,""" +
+          s""""tiered":${blockJson(man)},""" +
+          s""""tiered_fold_walls_s":{$tierWallsJson},""" +
+          f""""tiered_tier1_growth":${grow(tier1Walls(bestFl))}%.3f,""" +
+          f""""tiered_max_over_median":${maxW / medW}%.2f,""" +
+          s""""generation":${blockJson(gen)},""" +
+          s""""generation_fold_walls_s":[${fmtW(genWalls)}],""" +
+          f""""generation_fold_growth":${grow(genWalls)}%.3f,""" +
+          f""""tiered_over_generation_wall":${
+            man.drainWallS / gen.drainWallS}%.2f,""" +
+          s""""outputs_identical":true}""" + "\n"
+      Files.writeString(Paths.get("REFRESH_TIERED.json"), json)
+      println(s"[refreshvariants] wrote REFRESH_TIERED.json")
+    }
+
+    if (blocks("overrun_tiered")) {
+      // the REFRESH_OVERRUN pressure test on the TIERED machine (r16
+      // verdict ask #5): a compaction point EVERY trigger, fanout 2 so
+      // tiers escalate fast and the occasional high-tier fold spans
+      // triggers — the serialized owed-queue must defer-then-drain
+      // exactly as it does for generation folds, with the same gates.
+      val ce = 1
+      val scaleRuns =
+        sys.env.get("SPARK_GRAFT_SCALE_RUNS").map(_.toInt).getOrElse(2)
+      val passes = (1 to scaleRuns).map { i =>
+        val fl = new RefreshPipeline.FoldLog
+        val r = RefreshScale.run(spark, prior, triggers, batchRows,
+          managed = Some(ce), foldLog = Some(fl), tierFanout = Some(2))
+        RefreshScale.check(r, requireFlatness = false)
+        println(f"[refreshvariants] overrun_tiered pass $i/$scaleRuns " +
+          f"drain=${r.drainWallS}%.1fs " +
+          f"points=${fl.events.count(_.kind == "point")} " +
+          f"overruns=${fl.overruns} maxDepth=${fl.maxDepth} " +
+          f"begun=${fl.begun} finished=${fl.finished} " +
+          f"maxTier=${fl.events.map(_.tier).max} drained=${fl.drained}")
+        require(fl.overruns >= 1,
+          s"pass $i: no compaction point arrived while a tier fold " +
+            "was in flight or owed - no overrun pressure observed")
+        require(fl.drained,
+          s"pass $i: ${fl.begun} folds begun but only ${fl.finished} " +
+            "finished - the owed queue did NOT drain")
+        (r, fl)
+      }
+      val man = minCombine("overrun_tiered", passes.map(_._1))
+      val (maxW, medW) = maxOverMedian(man)
+      require(maxW <= 2.0 * medW,
+        f"a trigger stalled at $maxW%.1fs vs median $medW%.1fs (> 2x) " +
+          "under forced tier-fold overruns")
+      def flJson(fl: RefreshPipeline.FoldLog): String = {
+        val walls = fl.events.filter(_.kind.startsWith("finished"))
+          .map(e => f"""[${e.tier},${e.wallS}%.2f]""")
+        s"""{"points":${fl.events.count(_.kind == "point")},""" +
+          s""""overruns":${fl.overruns},"max_depth":${fl.maxDepth},""" +
+          s""""begun":${fl.begun},"noops":${
+            fl.events.count(_.kind == "noop")},""" +
+          s""""finished":${fl.finished},""" +
+          s""""forced_finishes":${fl.forcedFinishes},""" +
+          s""""drained":${fl.drained},"max_tier":${
+            fl.events.map(_.tier).max},""" +
+          s""""fold_tier_walls_s":[${walls.mkString(",")}]}"""
+      }
+      val json =
+        s"""{"recipe":"$triggers-trigger runManaged drain, SIZE-TIERED """ +
+          s"""folds (fanout=2) with a compaction point EVERY trigger """ +
+          s"""(compactEvery=1, shard + index roots, serialized """ +
+          s"""one-in-flight); gates: >=1 observed overrun per pass, """ +
+          s"""every begun fold finished, max/median post-warmup """ +
+          s"""trigger wall <= 2x, outputs oracle-gated in-run and """ +
+          s"""identical across passes",""" +
+          s""""prior_docs":$prior,"triggers":$triggers,""" +
+          s""""batch_rows":$batchRows,"compact_every":$ce,""" +
+          s""""fanout":2,"runs":$scaleRuns,""" +
+          s""""managed":${blockJson(man)},""" +
+          s""""fold_log_per_pass":[${
+            passes.map(p => flJson(p._2)).mkString(",")}],""" +
+          f""""max_trigger_wall_s":$maxW%.2f,""" +
+          f""""median_trigger_wall_s":$medW%.2f,""" +
+          f""""max_over_median":${maxW / medW}%.2f}""" + "\n"
+      Files.writeString(Paths.get("REFRESH_OVERRUN_TIERED.json"), json)
+      println(s"[refreshvariants] wrote REFRESH_OVERRUN_TIERED.json")
+    }
+
     if (blocks("rocksdb")) {
       def leg(label: String,
               provider: Option[String]): RefreshScale.Result = {
