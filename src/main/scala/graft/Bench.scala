@@ -38,6 +38,32 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The CPU anchor's I/O-BOUND twin: a fixed full scan + decode of
+    * the benched directory's largest table (every column hashed so
+    * nothing prunes), through the same parquet read path the queries
+    * use. The CPU anchor is blind to I/O-side drift (disk/page-cache
+    * contention moves scan-heavy queries but not a range loop), which
+    * is why [[graft.tools.BenchGuard]] refuses to COMMIT raw-drifted
+    * passes outright; this twin does not change that rule — it lets
+    * the guard REPORT which side of the machine a refused pass's
+    * drift lived on (cpu-dominant / io-dominant / uniform), turning
+    * "refused, go look" into "refused, the disk was busy". Comparable
+    * only between artifacts over the same sfDir, which is the only
+    * comparison the guard ever makes. Never fatal: a missing fixture
+    * records -1 and the twin is simply absent from the artifact. */
+  private[graft] def calibrateIoOnce(spark: SparkSession,
+                                     sfDir: String): Double = {
+    import org.apache.spark.sql.functions.{sum, xxhash64}
+    val t0 = System.nanoTime()
+    try {
+      val t = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      t.select(sum(xxhash64(t.columns.map(org.apache.spark.sql
+          .functions.col): _*)).as("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -101,10 +127,18 @@ object Bench {
     // the calibration anchor leads each pass so its min reflects the
     // same host window the pass's query minima come from
     val calibrations = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibrationsIo = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes = (1 to runs).map { _ =>
       calibrations += calibrateOnce(spark)
+      calibrationsIo += calibrateIoOnce(spark, sfDir)
       names.map { case (n, f) => time1(n, f) } }
     val calibration = calibrations.min
+    // min over the passes whose fixture scan succeeded; None when none
+    val calibrationIo =
+      calibrationsIo.filter(_ > 0) match {
+        case ok if ok.nonEmpty => Some(ok.min)
+        case _ => None
+      }
     // a query counts as failed only when EVERY pass failed (its min is
     // then meaningless and the first error is surfaced); otherwise the
     // timing is the min over its successful passes
@@ -146,6 +180,8 @@ object Bench {
       "\"" + shortKey(k) + "\":\"" + esc(err.take(120)) + "\""
     }.mkString("{", ",", "}")
     val total = sec(results.map(_._2).sum)
+    val calIoField = calibrationIo
+      .map(v => s""","calibration_io":${sec(v)}""").getOrElse("")
     val detail = {
       val dq = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
         .mkString("{", ",", "}")
@@ -157,7 +193,7 @@ object Bench {
           .map { case (k, v) => "\"" + esc(k) + "\":" + sec(v) }
           .mkString("{", ",", "}")
       }
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"calibration":${sec(calibration)},"queries":$dq,"failed":$df,"components":$comps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"calibration":${sec(calibration)}$calIoField,"queries":$dq,"failed":$df,"components":$comps,"sf":"$sfDir"}"""
     }
     // a FILTERED probe (min-over-N adjudication of a few queries) must
     // never clobber the committed full-surface artifact — its detail
@@ -169,7 +205,7 @@ object Bench {
       java.nio.file.Paths.get(detailFile),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // detail file is best-effort
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"calibration":${sec2(calibration)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"calibration":${sec2(calibration)}$calIoField,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     if (results.exists(_._3.isDefined)) System.err.println(
       s"[bench] ${results.count(_._3.isDefined)} queries FAILED")
     spark.stop()

@@ -25,7 +25,10 @@ package graft.tools
   * A pass that is clean AFTER normalization but materially drifted on
   * the RAW geomean is reported clean and exits 0 but does NOT replace
   * the committed artifact (see [[classify]] — baselines are only ever
-  * written from quiet hosts).
+  * written from quiet hosts). Its normalized per-query flags ARE
+  * printed (`flags_unprobed`) so a localized regression stays visible
+  * during the drifted window; they are not probed or committed —
+  * adjudication waits for a quiet host.
   *
   * Exit codes: 0 clean (no unresolved flags; the artifact was replaced
   * only if the raw geomean was also inside the threshold), 2 refused
@@ -58,6 +61,34 @@ object BenchGuard {
   private[graft] def parseCalibration(json: String): Option[Double] =
     "\"calibration\":([0-9.]+)".r.findFirstMatchIn(json)
       .map(_.group(1).toDouble)
+
+  /** The "calibration_io" scalar — the CPU anchor's I/O-bound twin
+    * ([[graft.Bench.calibrateIoOnce]]). Absent from pre-round-17
+    * artifacts and from passes whose fixture scan failed. */
+  private[graft] def parseCalibrationIo(json: String): Option[Double] =
+    "\"calibration_io\":([0-9.]+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble)
+
+  /** TELEMETRY-only attribution of a pass's host drift across the two
+    * anchors — which side of the machine moved. Never feeds the
+    * commit/discard decision ([[classify]] normalizes by the CPU
+    * anchor alone and refuses raw-drifted baselines outright); it
+    * turns a refusal into a diagnosis. Within ±10% on both anchors:
+    * `none`; both moved within 15% of each other: `uniform`;
+    * otherwise whichever anchor moved further names the kind. With no
+    * I/O anchor on either side: `cpu-anchor-only`. */
+  private[graft] def driftKind(cpuDrift: Double,
+                               ioDrift: Option[Double]): String =
+    ioDrift match {
+      case None => "cpu-anchor-only"
+      case Some(io) =>
+        val c = math.abs(math.log(cpuDrift))
+        val i = math.abs(math.log(io))
+        if (c < 0.10 && i < 0.10) "none"
+        else if (math.abs(math.log(cpuDrift) - math.log(io)) < 0.15)
+          "uniform"
+        else if (c > i) "cpu-dominant" else "io-dominant"
+    }
 
   /** Multiplicative host drift between the committed artifact's host
     * window and this pass's, measured by the calibration anchor ratio;
@@ -138,6 +169,13 @@ object BenchGuard {
       parseCalibration(new String(b, "UTF-8")))
     val calFresh = parseCalibration(freshJson)
     val drift = hostDrift(calRef, calFresh)
+    // the I/O twin: telemetry only (see driftKind) — never part of the
+    // normalization or the commit rule
+    val calIoRef = committed.flatMap(b =>
+      parseCalibrationIo(new String(b, "UTF-8")))
+    val calIoFresh = parseCalibrationIo(freshJson)
+    val ioDrift =
+      for (r <- calIoRef; f <- calIoFresh if r > 0) yield f / r
 
     val shared = ref.keySet.intersect(fresh.keySet).toSeq.sorted
       .filter(q => ref(q) > 0)
@@ -150,6 +188,11 @@ object BenchGuard {
     def calJson = s""""calibration_ref":${
         calRef.map(fmt).getOrElse("null")},"calibration_pass":${
         calFresh.map(fmt).getOrElse("null")},"drift":${fmt(drift)},""" +
+      s""""calibration_io_ref":${calIoRef.map(fmt).getOrElse("null")},""" +
+      s""""calibration_io_pass":${
+        calIoFresh.map(fmt).getOrElse("null")},""" +
+      s""""io_drift":${ioDrift.map(fmt).getOrElse("null")},""" +
+      s""""drift_kind":"${driftKind(drift, ioDrift)}",""" +
       s""""geomean_raw":${fmt(gRaw)}"""
 
     val verdict = if (shared.isEmpty) "committed"
@@ -164,19 +207,28 @@ object BenchGuard {
         s"""$calJson,"threshold":$inflation,"load_at_start":$load}""")
       sys.exit(3)
     }
+    val flags = shared.filter(q => ratios(q) > flagAt)
     if (verdict == "clean_drift_not_committed") {
       // no code movement after normalization, but the host window is
       // materially drifted — a baseline written now could hide a
       // regression behind the CPU-anchor's blind spot (see classify);
-      // restore the committed artifact and report clean-but-drifted
+      // restore the committed artifact and report clean-but-drifted.
+      // The NORMALIZED per-query flags are still printed (a localized
+      // regression below the geomean threshold but above the flag
+      // threshold must be visible in this window's output, not deferred
+      // to the next quiet-host run) — but neither probed nor committed:
+      // adjudication under drift would judge the probe against a moving
+      // host, so the standing-vs-noise call waits for a quiet window.
       committed.foreach(b => java.nio.file.Files.write(artifact, b))
+      val driftFlags = flags.map(q =>
+        s""""$q":{"ref":${fmt(ref(q))},"pass":${fmt(fresh(q))},""" +
+          s""""ratio_norm":${fmt(ratios(q))}}""").mkString("{", ",", "}")
       println(s"""{"guard":"clean_drift_not_committed",""" +
         s""""geomean":${fmt(g)},$calJson,"threshold":$inflation,""" +
-        s""""load_at_start":$load}""")
+        s""""flags_unprobed":$driftFlags,"load_at_start":$load}""")
       sys.exit(0)
     }
 
-    val flags = shared.filter(q => ratios(q) > flagAt)
     val (probes, probeDrift) =
       if (flags.isEmpty) (Map.empty[String, Double], 1.0)
       else {

@@ -80,4 +80,33 @@ class BenchGuardSpec extends AnyFunSuite {
     // wins over the drift classification
     assert(classify(1.30, 1.80, 1.2) == "discarded_regressed")
   }
+
+  test("parseCalibrationIo reads the I/O twin; absent on artifacts " +
+      "that predate it or whose fixture scan failed") {
+    import graft.tools.BenchGuard.parseCalibrationIo
+    val j = """{"metric":"total","value":1.0,"calibration":2.501,""" +
+      """"calibration_io":4.310,"queries":{"q01":1.0}}"""
+    assert(parseCalibrationIo(j).contains(4.310))
+    val old = """{"metric":"total","calibration":2.501,"queries":{}}"""
+    assert(parseCalibrationIo(old).isEmpty)
+  }
+
+  test("driftKind attributes a refused pass's drift to the right side " +
+      "of the machine - telemetry only, never the commit decision") {
+    import graft.tools.BenchGuard.driftKind
+    // no I/O anchor on either side: the twin cannot attribute
+    assert(driftKind(1.3, None) == "cpu-anchor-only")
+    // both anchors quiet
+    assert(driftKind(1.02, Some(0.98)) == "none")
+    // both anchors moved together: classic uniform host steal
+    assert(driftKind(1.30, Some(1.28)) == "uniform")
+    // CPU anchor moved, I/O flat: a compute-stealing neighbor
+    assert(driftKind(1.40, Some(1.02)) == "cpu-dominant")
+    // I/O anchor moved, CPU flat: the disk/page cache was busy - the
+    // window the CPU anchor is structurally blind to (the reason
+    // classify refuses raw-drifted baselines outright)
+    assert(driftKind(1.03, Some(1.55)) == "io-dominant")
+    // symmetric on deflation (a FASTER host window still drifts)
+    assert(driftKind(0.72, Some(0.99)) == "cpu-dominant")
+  }
 }
