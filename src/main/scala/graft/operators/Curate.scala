@@ -657,10 +657,29 @@ object Curate {
   def packTokenIdsIncremental(existing: DataFrame, newDocs: DataFrame,
                               idsCol: String, idCol: String,
                               budget: Int, shardCol: String,
-                              skewRobust: Boolean = false): DataFrame = {
+                              skewRobust: Boolean = false): DataFrame =
+    packTokenIdsIncrementalFromTails(
+      shardTails(existing, budget, shardCol),
+      existing.schema(shardCol), newDocs, idsCol, idCol, budget,
+      shardCol, skewRobust)
+
+  /** One shard's append coordinates: its highest committed seq_id, that
+    * tail sequence's token count, and — only when the tail is PARTIAL
+    * (`tailNTokens < budget`) — its token ids. Exactly the driver-side
+    * state [[packTokenIdsIncrementalFromTails]] packs a new batch
+    * against; [[shardTails]] derives it from a store view, and a
+    * steady appender (graft.streaming.ShardSink) carries it forward
+    * from each committed delta instead of re-deriving it per trigger. */
+  final case class ShardTail(shard: Any, maxSeq: Long,
+                             tailNTokens: Long, tailIds: Seq[Int])
+
+  /** Phases 1+2 of [[packTokenIdsIncremental]] — audit the existing
+    * store view and fetch the partial-tail payloads — returning one
+    * [[ShardTail]] per shard. See packTokenIdsIncremental's scaladoc
+    * for the audit contract and the two loud failures. */
+  def shardTails(existing: DataFrame, budget: Int,
+                 shardCol: String): Seq[ShardTail] = {
     require(budget > 0, s"budget must be positive: $budget")
-    import org.apache.spark.sql.expressions.Window
-    val spark = existing.sparkSession
     // phase 1 — the audit, narrow columns only: a corrupted/hand-edited
     // store with a mid-shard PARTIAL sequence or non-dense/duplicated
     // seq_ids would otherwise yield a silently wrong `__base` and
@@ -715,6 +734,28 @@ object Curate {
           .collect()
           .map(r => r.get(0) -> r.getSeq[Int](1).toVector.toSeq).toMap
       }
+    tailCoords.toSeq.map { case (s, amx, tnt) =>
+      ShardTail(s, amx, tnt,
+        if (tnt < budget) fetchedIds.getOrElse(s, Seq.empty[Int])
+        else Seq.empty[Int])
+    }
+  }
+
+  /** Phase 3 of [[packTokenIdsIncremental]]: pack `newDocs` against the
+    * given per-shard tail coordinates — the delta frame only. Callers
+    * that KNOW the tails (because they committed the previous delta
+    * themselves) skip the store audit/fetch entirely; `shardField` is
+    * the store schema's shard column (the literal tail frame copies its
+    * type and nullability). */
+  def packTokenIdsIncrementalFromTails(
+      tailState: Seq[ShardTail],
+      shardField: org.apache.spark.sql.types.StructField,
+      newDocs: DataFrame, idsCol: String, idCol: String,
+      budget: Int, shardCol: String,
+      skewRobust: Boolean = false): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val spark = newDocs.sparkSession
     // the tails as a LITERAL frame — one row per shard, shard-key type
     // copied from the store schema; a PARTIAL tail re-enters the stream
     // at its own start, a full tail contributes nothing (new tokens
@@ -725,15 +766,14 @@ object Curate {
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
     import scala.jdk.CollectionConverters._
     val tailRows: java.util.List[org.apache.spark.sql.Row] =
-      tailCoords.map { case (s, amx, tnt) =>
+      tailState.map { case ShardTail(s, amx, tnt, ids) =>
         val partial = tnt < budget
         org.apache.spark.sql.Row(s, amx * budget + tnt,
           if (partial) amx * budget else (amx + 1) * budget,
-          if (partial) fetchedIds.getOrElse(s, Seq.empty[Int])
-          else Seq.empty[Int])
+          if (partial) ids else Seq.empty[Int])
       }.toList.asJava
     val tails = spark.createDataFrame(tailRows, StructType(Seq(
-        existing.schema(shardCol).copy(name = shardCol),
+        shardField.copy(name = shardCol),
         StructField("__base", LongType, nullable = false),
         StructField("__tailStart", LongType, nullable = false),
         StructField("__tailIds", ArrayType(IntegerType),

@@ -1003,11 +1003,15 @@ object Dedup {
         explode(banded(col("__sig"))).as("__band"))
     val pCapped = postings.getOrElse(nearPostings(prior, textCol,
       numHashes, bands, shingleN, maxBucket, mode))
+    // no distinct on the hit ids: the anti join is set-semantics on its
+    // probe side already, so deduplicating the build side first is a
+    // pure extra exchange per call (per TRIGGER on the refresh chain);
+    // duplicate hit rows are band-bounded and only pad the build
     val hits = bB.join(pCapped, col("__band") === col("__pband"))
       .filter(size(filter(zip_with(col("__sig"), col("__psig"),
         (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
         .cast("double") / numHashes >= threshold)
-      .select(col("__bid")).distinct()
+      .select(col("__bid"))
     batch.join(hits, col(idCol) === col("__bid"), "left_anti")
   }
 

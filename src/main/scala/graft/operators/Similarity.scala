@@ -1010,23 +1010,53 @@ object Similarity {
         s"(${pending.getName} present) - wait for the writer, or " +
         "verify/rebuild the encoded table after a crash, then remove " +
         "the sentinel")
-    val meta = spark.read.parquet(s"$path/meta").collect().head
-    val (nLists, m, k, subDim, unitScale) = (meta.getAs[Int]("n_lists"),
-      meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
-      meta.getAs[Int]("sub_dim"), meta.getAs[Long]("unit_scale"))
-    val dim = m * subDim
-    val coarse = Array.fill(nLists)(new Array[Long](dim))
-    spark.read.parquet(s"$path/coarse").collect().foreach { r =>
-      coarse(r.getAs[Int]("j"))(r.getAs[Int]("d")) = r.getAs[Long]("c")
+    // the three bounded driver collects (meta, coarse, codebook) are
+    // three Spark jobs per load — pure per-trigger overhead for a
+    // streaming appender that loads the SAME frozen codebooks every
+    // batch (appendBatch/runCdc). Cache them keyed by a driver-side
+    // file fingerprint (name + length + mtime of every codebook file):
+    // any rewrite — retrain, compact, hand edit — changes part-file
+    // names and misses, falling back to the real collects. The encoded
+    // table is NOT cached (it grows with every append); each load
+    // returns a fresh lazy scan of it.
+    val key = try new java.io.File(path).getCanonicalPath
+      catch { case _: java.io.IOException => path }
+    val fp = codebookFingerprint(path)
+    val cached = Option(codebookCache.get(key)).filter(_._1 == fp)
+    val (coarse, cb, nLists) = cached match {
+      case Some((_, c, b, n)) => (c, b, n)
+      case None =>
+        val meta = spark.read.parquet(s"$path/meta").collect().head
+        val (nL, m, k, subDim, unitScale) = (meta.getAs[Int]("n_lists"),
+          meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
+          meta.getAs[Int]("sub_dim"), meta.getAs[Long]("unit_scale"))
+        val dim = m * subDim
+        val c = Array.fill(nL)(new Array[Long](dim))
+        spark.read.parquet(s"$path/coarse").collect().foreach { r =>
+          c(r.getAs[Int]("j"))(r.getAs[Int]("d")) = r.getAs[Long]("c")
+        }
+        val cents = Array.fill(m, k)(new Array[Long](subDim))
+        spark.read.parquet(s"$path/codebook").collect().foreach { r =>
+          cents(r.getAs[Int]("s"))(r.getAs[Int]("j"))(r.getAs[Int]("d")) =
+            r.getAs[Long]("c")
+        }
+        val b = PqCodebook(m, k, subDim, unitScale, cents)
+        codebookCache.put(key, (fp, c, b, nL))
+        (c, b, nL)
     }
-    val cents = Array.fill(m, k)(new Array[Long](subDim))
-    spark.read.parquet(s"$path/codebook").collect().foreach { r =>
-      cents(r.getAs[Int]("s"))(r.getAs[Int]("j"))(r.getAs[Int]("d")) =
-        r.getAs[Long]("c")
-    }
-    IvfPqIndex(spark.read.parquet(s"$path/encoded"), coarse,
-      PqCodebook(m, k, subDim, unitScale, cents), nLists)
+    IvfPqIndex(spark.read.parquet(s"$path/encoded"), coarse, cb, nLists)
   }
+
+  /** See [[ivfPqLoad]]'s caching note. The fingerprint covers exactly
+    * the files the cached collects would read. */
+  private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Long]], PqCodebook, Int)]()
+  private def codebookFingerprint(path: String): String =
+    Seq("meta", "coarse", "codebook").flatMap { d =>
+      Option(new java.io.File(path, d).listFiles())
+        .getOrElse(Array.empty[java.io.File]).toSeq
+        .map(f => s"$d/${f.getName}:${f.length}:${f.lastModified}")
+    }.sorted.mkString("\n")
 
   /** Persist a PQ index: the code table as parquet (the ~32x-compressed
     * serving artifact) plus the codebook as one (s, j, d, c) long table

@@ -250,6 +250,112 @@ object RefreshPipeline {
     def drained: Boolean = begun == finished
   }
 
+  /** Debug-only (GRAFT_RP_DEBUG) job/task accounting: counts Spark jobs,
+    * stages and tasks plus summed executor task time, so a per-trigger
+    * debug line can split wall time into "cluster work" (task time /
+    * cores) and "driver overhead" (planning, scheduling, commit). One
+    * listener per JVM, installed lazily on first snapshot; never active
+    * outside debug runs. */
+  private object TriggerStats {
+    private val jobs = new java.util.concurrent.atomic.AtomicLong
+    private val stages = new java.util.concurrent.atomic.AtomicLong
+    private val tasks = new java.util.concurrent.atomic.AtomicLong
+    private val taskMs = new java.util.concurrent.atomic.AtomicLong
+    private val byDesc =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    @volatile private var installed = false
+    def descCounts: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      byDesc.asScala.map { case (k, v) => (k, v.longValue) }.toMap
+    }
+    def resetDesc(): Unit = byDesc.clear()
+    private def install(sp: SparkSession): Unit = synchronized {
+      if (!installed) {
+        sp.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              jobs.incrementAndGet()
+              val d = Option(j.properties)
+                .flatMap(p => Option(p.getProperty("spark.job.description")))
+                .getOrElse("(none)")
+              byDesc.merge(d, 1L,
+                (a, b) => java.lang.Long.valueOf(a + b))
+              ()
+            }
+            override def onStageCompleted(
+                s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+                : Unit = {
+              stages.incrementAndGet()
+              tasks.addAndGet(s.stageInfo.numTasks.toLong); ()
+            }
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              if (t.taskMetrics != null)
+                taskMs.addAndGet(t.taskMetrics.executorRunTime)
+              ()
+            }
+          })
+        installed = true
+      }
+    }
+    def snapshot(sp: SparkSession): (Long, Long, Long, Long) = {
+      install(sp)
+      (jobs.get, stages.get, tasks.get, taskMs.get)
+    }
+  }
+
+  /** The trigger-invariant prior-side caches both drain entry points
+    * ([[run]], [[runManaged]]) seed once per run: exact-tier
+    * fingerprints (pre-partitioned and pre-sorted on `__pfp` so every
+    * trigger's stable confirm join is a zero-exchange merge scan),
+    * near-tier band postings, decontamination reference grams, and the
+    * bloom accumulator sized off the fingerprint count. The three
+    * materializations are mutually independent one-off jobs, so they
+    * run OVERLAPPED (guide §2.6) and the prologue pays the longest of
+    * the three instead of their sum; the caller releases all three
+    * checkpoints on exit exactly as before. */
+  private def priorCaches(prior: DataFrame, benchmark: DataFrame,
+                          textCol: String, numHashes: Int, bands: Int,
+                          decontamN: Int)
+      : (DataFrame, DataFrame, DataFrame, FingerprintBloom) = {
+    val shufflePartitions = prior.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val ec = scala.concurrent.ExecutionContext.global
+    val postingsF = scala.concurrent.Future(
+      Dedup.nearPostings(prior, textCol,
+          numHashes = numHashes, bands = bands, mode = Dedup.Portable)
+        .localCheckpoint(true))(ec)
+    val refGramsF = scala.concurrent.Future(
+      Dedup.ngramRefGrams(benchmark, textCol, n = decontamN)
+        .localCheckpoint(true))(ec)
+    val priorFps = org.apache.spark.sql.graftglue.GraftGlue
+      .checkpointWithLayout(Dedup.exactFingerprints(prior, textCol),
+        "__pfp", shufflePartitions)
+    val postings = scala.concurrent.Await.result(postingsF,
+      scala.concurrent.duration.Duration.Inf)
+    val refGrams = scala.concurrent.Await.result(refGramsF,
+      scala.concurrent.duration.Duration.Inf)
+    val bloomAcc = new FingerprintBloom(fpp = 0.01,
+      capacity = 2L * math.max(priorFps.count(), 1L) + 100000L)
+    (priorFps, postings, refGrams, bloomAcc)
+  }
+
+  /** One daemon carrier for the per-trigger index append so it overlaps
+    * the shard append (see the publish site in [[processBatch]]): the
+    * two stores' appends are independent until the ledger, and a
+    * trigger is on the drain's critical path, so overlapping their
+    * driver/planning latency is free wall time. Single thread — only
+    * ever one trigger in flight (foreachBatch serializes), and the
+    * shard side rides the trigger's own thread. */
+  private lazy val appendPool =
+    java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-index-append")
+        t.setDaemon(true)
+        t
+      })
+
   /** Fingerprint-count threshold above which the single-task ledger
     * batch write warns (see the publish site in [[processBatch]]): 10M
     * 16-byte fingerprints ≈ 160 MB through one task — still well
@@ -341,8 +447,10 @@ object RefreshPipeline {
     // into this chain: every re-run replays the join's state stores;
     // measured 71 s -> join-plus-chain cost once materialized)
     val tB0 = System.nanoTime()
+    val debug0 = sys.env.contains("GRAFT_RP_DEBUG")
+    val snap0 = if (debug0) TriggerStats.snapshot(sp) else null
     val b0 = batch.localCheckpoint(true)
-    if (sys.env.contains("GRAFT_RP_DEBUG"))
+    if (debug0)
       println(f"[rp] b$batchId checkpoint ${(System.nanoTime() - tB0) / 1e9}%.2fs rows=${b0.count()}")
     val tRest = System.nanoTime()
     try {
@@ -462,7 +570,8 @@ object RefreshPipeline {
       if (!debug) body
       else {
         val t0 = System.nanoTime()
-        val a = body
+        sp.sparkContext.setJobDescription(label)
+        val a = try body finally sp.sparkContext.setJobDescription(null)
         println(f"[rp] b$batchId $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
         a
       }
@@ -490,31 +599,72 @@ object RefreshPipeline {
       // mitigation SKEW_SCALE measured, applied by the flagship chain
       // automatically (gated by the measured crossover, see
       // autoPackSkew)
-      val skewRobust = packSkew.getOrElse {
+      val skewRobust = packSkew.getOrElse { staged("skewprobe") {
         val r = cleaned.groupBy(col(shardCol))
           .agg(count(lit(1)).as("__c"))
           .agg(coalesce(max(col("__c")), lit(0L)),
             coalesce(sum(col("__c")), lit(0L)))
           .collect()(0)
         autoPackSkew(hotRows = r.getLong(0), totalRows = r.getLong(1))
-      }
+      } }
       routeLog.foreach(_.record(batchId, skewRobust))
-      staged("shard") { shardRoot match {
+      def shardAppend(): Unit = staged("shard") { shardRoot match {
         case Some(r) => StoreRoot.appendShard(sp, r, tokenized,
           "__ids", idCol, budget, shardCol, version = batchId + 1,
           skewRobust = skewRobust)
         case None => ShardSink.append(sp, tokenized,
           "__ids", idCol, budget, shardCol, storeDir,
           version = Some(batchId + 1), skewRobust = skewRobust)
-      } }
-      staged("index") { indexRoot match {
+      }; () }
+      def indexAppend(): Unit = staged("index") { indexRoot match {
         case Some(r) => StoreRoot.appendVectors(sp, r, batchId,
-          cleaned, vecCol, idCol)
+          cleaned, vecCol, idCol); ()
         case None => indexDir.foreach { ix =>
           VectorIndexSink.appendBatch(sp, ix, batchId,
             cleaned, vecCol, idCol)
         }
       } }
+      // the two store appends are independent of each other (both read
+      // only the checkpointed `cleaned`/`tokenized`; idempotence and
+      // crash healing hold per store) and only the LEDGER must come
+      // after both — so on the cross-store shape they run overlapped
+      // (guide §2.6: the second append's jobs back-fill the first's
+      // scheduling gaps; each trigger's appends are small by the
+      // micro-batch contract, so this overlaps driver/planning latency,
+      // not executor capacity)
+      if (indexRoot.isDefined || indexDir.isDefined) {
+        // mirror the trigger thread's Spark-local properties (job
+        // group, cancel-on-interrupt, description) onto the carrier so
+        // the index append's jobs cancel with the SAME group a serial
+        // execution would have used — the pool thread otherwise keeps
+        // whatever it inherited at creation
+        val mirrored = Seq("spark.jobGroup.id",
+            "spark.job.interruptOnCancel", "spark.job.description")
+          .map(k => k -> sp.sparkContext.getLocalProperty(k))
+        val second = appendPool.submit(
+          new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              mirrored.foreach { case (k, v) =>
+                sp.sparkContext.setLocalProperty(k, v) }
+              indexAppend()
+            }
+          })
+        // always JOIN the index side before leaving the trigger (no
+        // append may outlive its trigger); the first failure wins and
+        // is rethrown with its ORIGINAL type (unwrapping the
+        // ExecutionException) so loud-failure contracts keep their
+        // exception classes
+        var primary: Throwable = null
+        try shardAppend() catch { case t: Throwable => primary = t }
+        try second.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (primary == null) primary = e.getCause
+          case t: Throwable =>
+            if (primary == null) primary = t
+        }
+        if (primary != null) throw primary
+      } else shardAppend()
       // the ledger publish is LAST: only after every store this
       // trigger feeds has committed may its fingerprints become
       // visible — and even then only to LATER triggers
@@ -538,18 +688,23 @@ object RefreshPipeline {
           // design. A backfill routed through this path as one giant
           // trigger violates that contract; warn loudly past the
           // threshold instead of silently serializing the write.
-          acceptedFps.repartition(1)
+          // the prefix bitmap and row count ride the WRITE job as
+          // observed metrics — the separate aggregate-and-collect job
+          // this replaced was one more per-trigger driver round-trip
+          // over the same rows
+          val ob = org.apache.spark.sql.Observation(s"ledger-b$batchId")
+          acceptedFps.observe(ob,
+              coalesce(bit_or(expr(s"shiftleft(1L, int(pmod(" +
+                s"xxhash64(__pfp), $LedgerPrefixSpace)))")), lit(0L))
+                .as("__bits"),
+              count(lit(1)).as("__n"))
+            .repartition(1)
             .write.mode("overwrite").parquet(staging)
-          val agg = acceptedFps
-            .select(expr(s"shiftleft(1L, int(pmod(xxhash64(__pfp), " +
-              s"$LedgerPrefixSpace)))").as("__b"))
-            .agg(coalesce(bit_or(col("__b")), lit(0L)),
-              count(lit(1)))
-            .collect()(0)
-          val bitmap = agg.getLong(0)
-          if (agg.getLong(1) > LedgerSingleFileWarnRows)
+          val agg = ob.get
+          val bitmap = agg("__bits").asInstanceOf[Long]
+          if (agg("__n").asInstanceOf[Long] > LedgerSingleFileWarnRows)
             System.err.println(s"[graft] WARN ledger batch b$batchId " +
-              s"holds ${agg.getLong(1)} fingerprints (> " +
+              s"holds ${agg("__n")} fingerprints (> " +
               s"$LedgerSingleFileWarnRows): the one-file-per-batch " +
               "ledger write is single-task by design for micro-batch " +
               "triggers - route backfills through the batch chain, " +
@@ -561,13 +716,21 @@ object RefreshPipeline {
       // merge AFTER the ledger publish: a trigger that fails anywhere
       // above leaves the bloom at its pre-trigger state, so the retry
       // references exactly prior ∪ earlier batches again
-      bloomAcc.foreach(_.advance(batchId, Some(acceptedFps)))
+      staged("bloomadv") {
+        bloomAcc.foreach(_.advance(batchId, Some(acceptedFps))) }
     } finally
       org.apache.spark.sql.graftglue.GraftGlue
         .releaseCheckpoint(cleaned)
     } finally {
-      if (sys.env.contains("GRAFT_RP_DEBUG"))
-        println(f"[rp] b$batchId rest ${(System.nanoTime() - tRest) / 1e9}%.2fs")
+      if (debug0) {
+        val s1 = TriggerStats.snapshot(sp)
+        println(f"[rp] b$batchId rest ${(System.nanoTime() - tRest) / 1e9}%.2fs " +
+          s"jobs=${s1._1 - snap0._1} stages=${s1._2 - snap0._2} " +
+          s"tasks=${s1._3 - snap0._3} taskSec=${(s1._4 - snap0._4) / 1e3}")
+        println(s"[rp] b$batchId byDesc " + TriggerStats.descCounts.toSeq
+          .sortBy(-_._2).map { case (k, v) => s"$k=$v" }.mkString(" "))
+        TriggerStats.resetDesc()
+      }
       org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(b0)
     }
   }
@@ -613,21 +776,11 @@ object RefreshPipeline {
     // preserves both), so every trigger's stable confirm join is a
     // partition-local merge scan — zero exchange, zero sort — on the
     // corpus side (see Dedup.exactIncrementalStaged).
-    val shufflePartitions = prior.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val priorFps = org.apache.spark.sql.graftglue.GraftGlue
-      .checkpointWithLayout(Dedup.exactFingerprints(prior, textCol),
-        "__pfp", shufflePartitions)
-    val postings = Dedup.nearPostings(prior, textCol,
-        numHashes = numHashes, bands = bands, mode = Dedup.Portable)
-      .localCheckpoint(true)
-    val refGrams = Dedup.ngramRefGrams(benchmark, textCol, n = decontamN)
-      .localCheckpoint(true)
     // the exact tier's bloom accumulator: capacity sized once for the
     // prior corpus plus generous accepted-history headroom (overflow
     // degrades fpp, never exactness — see FingerprintBloom)
-    val bloomAcc = new FingerprintBloom(fpp = 0.01,
-      capacity = 2L * math.max(priorFps.count(), 1L) + 100000L)
+    val (priorFps, postings, refGrams, bloomAcc) =
+      priorCaches(prior, benchmark, textCol, numHashes, bands, decontamN)
     // provider swap, set/restored exactly as StreamJoinScale does: the
     // session conf is read at query START, so set-before/restore-after
     // scopes the provider to this drain
@@ -735,18 +888,8 @@ object RefreshPipeline {
       s"compactEvery must be >= 1: $compactEvery")
     require(tierFanout.forall(_ >= 2),
       s"tierFanout must be >= 2: $tierFanout")
-    val shufflePartitions = prior.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val priorFps = org.apache.spark.sql.graftglue.GraftGlue
-      .checkpointWithLayout(Dedup.exactFingerprints(prior, textCol),
-        "__pfp", shufflePartitions)
-    val postings = Dedup.nearPostings(prior, textCol,
-        numHashes = numHashes, bands = bands, mode = Dedup.Portable)
-      .localCheckpoint(true)
-    val refGrams = Dedup.ngramRefGrams(benchmark, textCol, n = decontamN)
-      .localCheckpoint(true)
-    val bloomAcc = new FingerprintBloom(fpp = 0.01,
-      capacity = 2L * math.max(priorFps.count(), 1L) + 100000L)
+    val (priorFps, postings, refGrams, bloomAcc) =
+      priorCaches(prior, benchmark, textCol, numHashes, bands, decontamN)
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val providerPrev = prior.sparkSession.conf.getOption(providerKey)
     providerClass.foreach(prior.sparkSession.conf.set(providerKey, _))

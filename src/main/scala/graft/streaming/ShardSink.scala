@@ -48,6 +48,32 @@ import graft.operators.Curate
   * here composed across every micro-batch of a stream. */
 object ShardSink {
 
+  /** Driver-held per-store append state: the tail coordinates
+    * ([[graft.operators.Curate.ShardTail]]) and store schema as of
+    * `version` — what [[append]] otherwise re-derives from the merged
+    * store view EVERY trigger (one narrow O(store-rows) audit
+    * aggregation, one keyed tail fetch, and the latest-wins broadcast
+    * build under both — measured at ~2/3 of the per-trigger shard
+    * stage on a refresh drain, and the only per-append term that grows
+    * with store size rather than batch size). Same discipline as
+    * [[RefreshPipeline.FingerprintBloom]]: correctness never rests on
+    * the cache — it is handed out ONLY when the store's latest
+    * committed version (+ tier floor, budget, shard column) still
+    * matches what this JVM committed, so any external append, heal,
+    * restart, or cross-JVM writer misses and falls back to the full
+    * audit path. A tier fold inside the same store is content-
+    * preserving on the merged view (tails unchanged) and leaves the
+    * latest version dir in place, so a valid hit stays valid across
+    * it. Deliberately NOT persisted; bounded at O(shards) driver rows
+    * per store (the same bounded-collect class as the audit itself). */
+  private final case class TailState(version: Long, budget: Int,
+      shardCol: String, schema: org.apache.spark.sql.types.StructType,
+      tails: Seq[Curate.ShardTail])
+  private val tailCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TailState]()
+  /** Test hook: drop every cached tail state (simulates a fresh JVM). */
+  private[graft] def clearTailCache(): Unit = tailCache.clear()
+
   /** Committed version directories under `storeDir`, version order. */
   private def versions(storeDir: String): Seq[(Long, java.io.File)] =
     StoreFiles.publishedDirs(storeDir, "v", StoreFiles.hasParquet)
@@ -278,15 +304,34 @@ object ShardSink {
           "restarted checkpoint lineage needs a fresh store, not an " +
           "interleaved publish into this one")
     val v = version.getOrElse(latestCommitted.map(_ + 1).getOrElse(0L))
-    StoreFiles.publishOnce(s"$storeDir/.staging-v$v",
+    val cacheKey =
+      try new java.io.File(storeDir).getCanonicalPath
+      catch { case _: java.io.IOException => storeDir }
+    var committedState: TailState = null
+    val published = StoreFiles.publishOnce(s"$storeDir/.staging-v$v",
       new java.io.File(s"$storeDir/v$v"), { staging =>
-        val existing =
-          if (liveUnits(storeDir).nonEmpty) read(spark, storeDir, shardCol)
-          // first batch: an empty frame with the exact store schema
-          else Curate.packTokenIds(batch.limit(0), idsCol, idCol,
-            budget, shardCol)
-        val raw = Curate.packTokenIdsIncremental(existing, batch,
-          idsCol, idCol, budget, shardCol, skewRobust = skewRobust)
+        // tail state: from the cache when this JVM committed the
+        // store's latest version under the same (budget, shardCol) —
+        // otherwise the full audit + tail fetch over the merged view
+        // (first append, restart, or any external write since)
+        val cached = Option(tailCache.get(cacheKey)).filter(c =>
+          latestCommitted.contains(c.version) && c.budget == budget &&
+            c.shardCol == shardCol)
+        val (storeSchema, tails) = cached match {
+          case Some(c) => (c.schema, c.tails)
+          case None =>
+            val existing =
+              if (liveUnits(storeDir).nonEmpty)
+                read(spark, storeDir, shardCol)
+              // first batch: an empty frame with the exact store schema
+              else Curate.packTokenIds(batch.limit(0), idsCol, idCol,
+                budget, shardCol)
+            (existing.schema,
+              Curate.shardTails(existing, budget, shardCol))
+        }
+        val raw = Curate.packTokenIdsIncrementalFromTails(tails,
+          storeSchema(shardCol), batch, idsCol, idCol, budget,
+          shardCol, skewRobust = skewRobust)
         // enforce the additive-schema invariant [[read]]'s latest-
         // schema merged scan rests on, where it is free (both schemas
         // are in hand): a delta that DROPPED or renamed a column would
@@ -295,7 +340,7 @@ object ShardSink {
         // fail the publish loudly instead. New columns are fine: the
         // older files NULL-pad under the wider latest schema.
         val narrowed =
-          existing.schema.fieldNames.toSet -- raw.schema.fieldNames
+          storeSchema.fieldNames.toSet -- raw.schema.fieldNames
         require(narrowed.isEmpty,
           s"shard store schema narrowed: delta v$v is missing " +
             s"column(s) ${narrowed.mkString(", ")} present in the " +
@@ -314,6 +359,29 @@ object ShardSink {
         val delta = raw
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // ONE narrow pass over the persisted delta yields both the
+          // file-sizing row count and each touched shard's NEW tail
+          // (its max-seq row; <= budget ids collected per shard, the
+          // same bounded-collect class as the audit) — so the next
+          // append's tail state carries forward instead of being
+          // re-derived from the whole store
+          val stats = delta.groupBy(col(shardCol)).agg(
+              count(lit(1)).as("__c"),
+              max(col("seq_id").cast("long")).as("__mx"),
+              max_by(struct(col("n_tokens").cast("long").as("__nt"),
+                col("token_ids")), col("seq_id")).as("__tl"))
+            .collect()
+          val deltaRows = stats.map(_.getLong(1)).sum
+          val deltaTails = stats.map { r =>
+            val nt = r.getStruct(3).getLong(0)
+            Curate.ShardTail(r.get(0), r.getLong(2), nt,
+              if (nt < budget)
+                r.getStruct(3).getSeq[Int](1).toVector
+              else Seq.empty[Int])
+          }.toSeq
+          val touched = deltaTails.map(_.shard).toSet
+          committedState = TailState(v, budget, shardCol, raw.schema,
+            tails.filterNot(t => touched.contains(t.shard)) ++ deltaTails)
           // size the version's FILE COUNT to the delta, not to the
           // session's shuffle parallelism: a micro-batch delta written
           // at 32-way parallelism is 32 tiny files, and after t
@@ -326,10 +394,16 @@ object ShardSink {
           // computes at full parallelism (persisted above); only the
           // write narrows.
           val files = math.max(1L,
-            math.min(32L, delta.count() / 65536L + 1L)).toInt
+            math.min(32L, deltaRows / 65536L + 1L)).toInt
           delta.coalesce(files).write.mode("overwrite").parquet(staging)
         } finally { delta.unpersist(); () }
       })
+    // commit the carried-forward tail state only after the atomic
+    // rename landed; a skipped re-delivery (published == false) never
+    // ran the body and leaves the cache at its pre-trigger state
+    if (published && committedState != null)
+      tailCache.put(cacheKey, committedState)
+    published
   }
 
   /** Drive a document stream (columns: shardCol, idCol, idsCol at
