@@ -568,16 +568,43 @@ object Dedup {
     require(minMatches >= 1, s"minMatches must be >= 1: $minMatches")
     val refGrams = refGramsCached.getOrElse(
       ngramRefGrams(reference, textCol, n, mode))
-    val matches = corpus.filter(col(textCol).isNotNull)
+    val matches = ngramMatchCounts(corpus, refGrams, textCol, idCol,
+      n, mode)
+    corpus.join(matches, col(idCol) === col("__mid"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("contaminated", col("n_matched") >= minMatches)
+      .drop("__mid")
+  }
+
+  /** Per-row reference-gram match counts (`__mid`, `n_matched`) — the
+    * inner pass of [[ngramDecontaminate]]. */
+  private def ngramMatchCounts(corpus: DataFrame, refGrams: DataFrame,
+                               textCol: String, idCol: String,
+                               n: Int, mode: HashMode): DataFrame =
+    corpus.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__mid"),
         explode(gramHashesCol(col(textCol), n, mode)).as("__g"))
       .join(refGrams, col("__g") === col("__rg"))
       .groupBy(col("__mid"))
       .agg(count(lit(1)).as("n_matched")) // grams pre-distinct per side
-    corpus.join(matches, col(idCol) === col("__mid"), "left")
-      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
-      .withColumn("contaminated", col("n_matched") >= minMatches)
-      .drop("__mid")
+
+  /** The CONTAMINATED-ID side of [[ngramDecontaminate]] — ids with
+    * >= `minMatches` reference-gram matches, column `__mid` — exposed
+    * for the same independent-branch composition as
+    * [[nearIncrementalHitIds]]: each row's contamination decision
+    * depends only on the reference grams, so the id set is identical
+    * whichever batch subset it is computed from, and a caller can
+    * anti-join it instead of threading the whole batch through the
+    * wide decontaminate-then-filter chain. */
+  def ngramContaminatedIds(corpus: DataFrame, refGrams: DataFrame,
+                           textCol: String, idCol: String,
+                           n: Int = 13, minMatches: Int = 1,
+                           mode: HashMode = Fast): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(minMatches >= 1, s"minMatches must be >= 1: $minMatches")
+    ngramMatchCounts(corpus, refGrams, textCol, idCol, n, mode)
+      .filter(col("n_matched") >= minMatches)
+      .select(col("__mid"))
   }
 
   private def gramHashesCol(c: Column, n: Int, mode: HashMode): Column = {
@@ -994,25 +1021,43 @@ object Dedup {
                       maxBucket: Int = 1024,
                       mode: HashMode = Fast,
                       postings: Option[DataFrame] = None): DataFrame = {
-    def banded(sigCol: Column): Column =
-      bandKeysCol(sigCol, numHashes, bands, mode)
-    val sigB = minhashSignatureCol(col(textCol), numHashes, shingleN, mode)
-    val bB = batch.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("__bid"), sigB.as("__sig"))
-      .select(col("__bid"), col("__sig"),
-        explode(banded(col("__sig"))).as("__band"))
     val pCapped = postings.getOrElse(nearPostings(prior, textCol,
       numHashes, bands, shingleN, maxBucket, mode))
     // no distinct on the hit ids: the anti join is set-semantics on its
     // probe side already, so deduplicating the build side first is a
     // pure extra exchange per call (per TRIGGER on the refresh chain);
     // duplicate hit rows are band-bounded and only pad the build
-    val hits = bB.join(pCapped, col("__band") === col("__pband"))
+    val hits = nearIncrementalHitIds(batch, textCol, idCol, numHashes,
+      bands, threshold, shingleN, mode, pCapped)
+    batch.join(hits, col(idCol) === col("__bid"), "left_anti")
+  }
+
+  /** The HIT-ID side of [[nearIncremental]] — the batch ids whose
+    * signature agrees >= `threshold` with any prior posting — exposed
+    * so a caller composing several per-row tiers over ONE batch (the
+    * refresh chain's trigger) can evaluate them as independent plan
+    * branches and anti-join the id sets once, instead of chaining
+    * whole-batch filters; each row's hit decision depends only on the
+    * PRIOR corpus, never on in-batch peers, so the set is identical
+    * whichever batch subset it is computed from. Column `__bid`, may
+    * contain duplicates (see [[nearIncremental]]'s anti join note). */
+  def nearIncrementalHitIds(batch: DataFrame,
+                            textCol: String, idCol: String,
+                            numHashes: Int = 32, bands: Int = 8,
+                            threshold: Double = 0.8, shingleN: Int = 3,
+                            mode: HashMode = Fast,
+                            postings: DataFrame): DataFrame = {
+    val sigB = minhashSignatureCol(col(textCol), numHashes, shingleN, mode)
+    val bB = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__bid"), sigB.as("__sig"))
+      .select(col("__bid"), col("__sig"),
+        explode(bandKeysCol(col("__sig"), numHashes, bands, mode))
+          .as("__band"))
+    bB.join(postings, col("__band") === col("__pband"))
       .filter(size(filter(zip_with(col("__sig"), col("__psig"),
         (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
         .cast("double") / numHashes >= threshold)
       .select(col("__bid"))
-    batch.join(hits, col(idCol) === col("__bid"), "left_anti")
   }
 
   /** The prior-side band postings of [[nearIncremental]], exposed so a

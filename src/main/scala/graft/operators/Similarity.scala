@@ -750,10 +750,25 @@ object Similarity {
         .withColumn("__list", pqAssign(col("__xu"), 0, dim, coarse))
         .withColumn("__ru", zip_with(col("__xu"),
           element_at(coarseLit, col("__list") + 1), (a, b) => a - b))
+    // the coarse assign (nLists x dim integer ops per row) is the
+    // build's most expensive row-local pass, and the residual frame it
+    // produces feeds the codebook train's seed collect PLUS every
+    // Lloyd's iteration PLUS (train-on-corpus) the final encode — left
+    // lazy it re-executes once per action (measured: the dominant term
+    // of the n=100k build). Materialize it ONCE; the train-set frame is
+    // bounded by the FAISS train-set recipe (`trainOn` sample), and on
+    // the demo-size train-on-corpus path it is the same O(corpus) the
+    // encode scans anyway (MEMORY_AND_DISK under localCheckpoint, so it
+    // degrades to disk rather than evicting execution memory).
+    val resT = withResiduals(xuT)
+      .select(col("__id"), col("__list"), col("__ru"))
+      .localCheckpoint(true)
     val cb = pqTrainUnits(
-      withResiduals(xuT).select(col("__id"), col("__ru").as("__xu")),
+      resT.select(col("__id"), col("__ru").as("__xu")),
       m, kCodes, iterations, unitScale)
-    val encoded = withResiduals(xu0)
+    // train-on-corpus: the cached residuals ARE the corpus residuals —
+    // encode from them instead of re-running the coarse assign
+    val encoded = (if (trainOn == null) resT else withResiduals(xu0))
       .select(col("__id").as(idCol), col("__list"),
         pqCodesCol(col("__ru"), cb).as("codes"))
     IvfPqIndex(encoded, coarse, cb, nLists)

@@ -561,10 +561,6 @@ object RefreshPipeline {
         Dedup.exactIncremental(b0, prior, textCol, idCol,
           refFps = Some(refFps))
     }
-    val nearKept = Dedup.nearIncremental(exactKept, prior, textCol,
-      idCol, numHashes = numHashes, bands = bands,
-      threshold = threshold, mode = Dedup.Portable,
-      postings = Some(postings))
     val debug = sys.env.contains("GRAFT_RP_DEBUG")
     def staged[A](label: String)(body: => A): A =
       if (!debug) body
@@ -575,12 +571,25 @@ object RefreshPipeline {
         println(f"[rp] b$batchId $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
         a
       }
+    // the near tier and the decontamination tier are PER-ROW decisions
+    // against FIXED references (prior postings / benchmark grams) — a
+    // row's fate never depends on in-batch peers or on the other
+    // tiers' outcomes — so their id sets are computed as independent
+    // plan branches off the checkpointed batch and anti-joined onto
+    // the exact tier's survivors. Chaining them as whole-batch filters
+    // (the previous shape) serialized their shuffles on the trigger's
+    // critical path; as siblings, AQE materializes the exact-confirm,
+    // near-hit and gram-match stages concurrently. Output identical by
+    // the per-row-independence argument on each exposed id set.
+    val nearHits = Dedup.nearIncrementalHitIds(b0, textCol, idCol,
+      numHashes = numHashes, bands = bands, threshold = threshold,
+      mode = Dedup.Portable, postings = postings)
+    val contamIds = Dedup.ngramContaminatedIds(b0, refGrams, textCol,
+      idCol, n = decontamN, minMatches = minMatches)
     val cleaned = staged("tiers") {
-      Dedup.ngramDecontaminate(nearKept, benchmark,
-          textCol, idCol, n = decontamN, minMatches = minMatches,
-          refGramsCached = Some(refGrams))
-        .filter(!col("contaminated"))
-        .drop("n_matched", "contaminated")
+      exactKept
+        .join(nearHits, col(idCol) === col("__bid"), "left_anti")
+        .join(contamIds, col(idCol) === col("__mid"), "left_anti")
         .localCheckpoint(true) // used by store + index + ledger
     }
     try {

@@ -585,23 +585,30 @@ object VectorIndexSink {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        // fail loud on an unknown (or NULL) op — silently dropping a
-        // change record would desynchronize the index from its source;
-        // null-safe comparisons so a NULL op cannot slip through
-        val unknown = batch.filter(!(col(opCol) <=> "upsert")
-          && !(col(opCol) <=> "delete"))
-        if (!unknown.isEmpty)
+        // ONE aggregation drives every routing decision of the trigger
+        // (unknown-op gate, any-masked, any-upserts): the previous
+        // three isEmpty probes plus the unknown-value distinct were
+        // four separate jobs over the same micro-batch — pure
+        // per-trigger driver overhead. Null ops group under null and
+        // fail the gate exactly as the null-safe filters did.
+        val opCounts = batch.groupBy(col(opCol))
+          .agg(count(lit(1)).as("__n")).collect()
+          .map(r => r.get(0) -> r.getLong(1)).toMap
+        val unknownVals = opCounts.keys
+          .filterNot(v => v == "upsert" || v == "delete").toSeq
+        if (unknownVals.nonEmpty)
           throw new IllegalArgumentException(
             s"runCdc: unknown $opCol value(s) in batch $batchId: " +
-              unknown.select(opCol).distinct().limit(10).collect()
-                .map(_.get(0)).mkString(", "))
+              unknownVals.take(10).mkString(", "))
+        val nUps = opCounts.getOrElse("upsert", 0L)
+        val nDels = opCounts.getOrElse("delete", 0L)
         val ups = batch.filter(col(opCol) === "upsert")
-        val dels = batch.filter(col(opCol) === "delete")
-        val masked = dels.select(col(idCol))
+        val masked = batch.filter(col(opCol) === "delete")
+          .select(col(idCol))
           .unionByName(ups.select(col(idCol)))
-        if (!masked.isEmpty)
+        if (nUps + nDels > 0)
           deleteBatch(s, indexDir, 2L * batchId, masked, idCol)
-        if (!ups.isEmpty)
+        if (nUps > 0)
           appendBatch(s, indexDir, 2L * batchId + 1L, ups, vecCol, idCol)
         ()
       }
