@@ -120,16 +120,19 @@ object RefreshPipeline {
           b
       }
 
-    /** Fold trigger `batchId`'s accepted fingerprints (None for an
-      * empty trigger) into the held bloom and advance the sequence.
-      * Called AFTER the trigger's ledger publish — a failed trigger
-      * leaves the bloom unmerged, so its retry sees exactly the
-      * reference it should. A sequence break is not an error: the
-      * next [[bloomFor]] rebuilds. */
+    /** Fold trigger `batchId`'s accepted fingerprints into the held
+      * bloom and advance the sequence. The caller passes None when the
+      * trigger accepted NOTHING (it already counted the frame for the
+      * ledger's observed metrics — re-probing emptiness here was one
+      * more per-trigger job, and Spark's bloomFilter aggregate NPEs on
+      * zero rows). Called AFTER the trigger's ledger publish — a
+      * failed trigger leaves the bloom unmerged, so its retry sees
+      * exactly the reference it should. A sequence break is not an
+      * error: the next [[bloomFor]] rebuilds. */
     def advance(batchId: Long, fps: Option[DataFrame]): Unit =
       acc match {
         case Some((b, next)) if next == batchId =>
-          fps.filter(!_.isEmpty).foreach(f =>
+          fps.foreach(f =>
             b.mergeInPlace(f.stat.bloomFilter("__pfp", capacity, fpp)))
           acc = Some((b, batchId + 1L))
         case _ => ()
@@ -609,12 +612,17 @@ object RefreshPipeline {
       // automatically (gated by the measured crossover, see
       // autoPackSkew)
       val skewRobust = packSkew.getOrElse { staged("skewprobe") {
-        val r = cleaned.groupBy(col(shardCol))
+        // one shuffle, max/total reduced on the driver: the per-shard
+        // count rows are the same bounded-collect class as the shard
+        // tail state (one row per touched shard), and the second
+        // aggregation exchange the previous two-level form paid per
+        // trigger bought nothing at that cardinality
+        val counts = cleaned.groupBy(col(shardCol))
           .agg(count(lit(1)).as("__c"))
-          .agg(coalesce(max(col("__c")), lit(0L)),
-            coalesce(sum(col("__c")), lit(0L)))
-          .collect()(0)
-        autoPackSkew(hotRows = r.getLong(0), totalRows = r.getLong(1))
+          .collect().map(_.getLong(1))
+        autoPackSkew(
+          hotRows = if (counts.isEmpty) 0L else counts.max,
+          totalRows = counts.sum)
       } }
       routeLog.foreach(_.record(batchId, skewRobust))
       def shardAppend(): Unit = staged("shard") { shardRoot match {
@@ -681,6 +689,7 @@ object RefreshPipeline {
           graft.functions.TextFunctions.fingerprint(col(textCol))
             .as("__pfp"))
         .filter(col("__pfp").isNotNull)
+      var acceptedN = -1L // set by the publish body; -1 = body skipped
       staged("ledger") { StoreFiles.publishOnce(
         s"$ledgerDir/.staging-b$batchId",
         new java.io.File(s"$ledgerDir/b$batchId"), { staging =>
@@ -711,7 +720,8 @@ object RefreshPipeline {
             .write.mode("overwrite").parquet(staging)
           val agg = ob.get
           val bitmap = agg("__bits").asInstanceOf[Long]
-          if (agg("__n").asInstanceOf[Long] > LedgerSingleFileWarnRows)
+          acceptedN = agg("__n").asInstanceOf[Long]
+          if (acceptedN > LedgerSingleFileWarnRows)
             System.err.println(s"[graft] WARN ledger batch b$batchId " +
               s"holds ${agg("__n")} fingerprints (> " +
               s"$LedgerSingleFileWarnRows): the one-file-per-batch " +
@@ -725,8 +735,14 @@ object RefreshPipeline {
       // merge AFTER the ledger publish: a trigger that fails anywhere
       // above leaves the bloom at its pre-trigger state, so the retry
       // references exactly prior ∪ earlier batches again
-      staged("bloomadv") {
-        bloomAcc.foreach(_.advance(batchId, Some(acceptedFps))) }
+      staged("bloomadv") { bloomAcc.foreach(_.advance(batchId,
+        // the ledger write already counted the accepted fingerprints —
+        // reuse it (None = nothing to merge); only a SKIPPED publish
+        // (re-delivered trigger, count unknown) still probes emptiness
+        if (acceptedN == 0L) None
+        else if (acceptedN > 0L) Some(acceptedFps)
+        else if (acceptedFps.isEmpty) None
+        else Some(acceptedFps))) }
     } finally
       org.apache.spark.sql.graftglue.GraftGlue
         .releaseCheckpoint(cleaned)

@@ -427,7 +427,7 @@ object RefreshScale {
     * `private[tools]` so every min-combined Result (here and in
     * RefreshVariants) RECOMPUTES it from the min vector — a copied
     * raw-pass flatness would not correspond to the published walls. */
-  private[tools] def flatness(w: Vector[Double]): Double = {
+  private[graft] def flatness(w: Vector[Double]): Double = {
     val usable = w.drop(1).filter(_ >= 0)
     if (usable.size < 2) -1.0
     else {

@@ -257,10 +257,25 @@ class RefreshPipelineSpec extends SparkSpec {
     // mass and ledger fingerprints reconcile exactly, every closed-form
     // class pin lands (0 exact-prior / 0 contam leaks, exactly trigger
     // 0's stream-dup instances, all originals kept).
-    val r = graft.tools.RefreshScale.run(spark, prior = 400,
-      triggers = 3, batchRows = 100)
-    graft.tools.RefreshScale.check(r)
-    assert(r.accepted == 240 + 5, s"accepted ${r.accepted}")
+    // min-over-2, exactly the committed artifact's protocol: every
+    // deterministic contract is required on EVERY pass, but the one
+    // timing-sensitive gate (per-trigger flatness) is enforced on the
+    // element-wise min vector — at spec scale a trigger's wall is
+    // sub-second, so a single host spike during a full `sbt test` run
+    // otherwise fails a gate the drain's floor actually meets
+    // (check()'s own scaladoc documents the observed 1.6+ -> 0.94 case)
+    val passes = (1 to 2).map { _ =>
+      val r0 = graft.tools.RefreshScale.run(spark, prior = 400,
+        triggers = 3, batchRows = 100)
+      graft.tools.RefreshScale.check(r0, requireFlatness = false)
+      assert(r0.accepted == 240 + 5, s"accepted ${r0.accepted}")
+      r0
+    }
+    val minWalls = passes.map(_.perTriggerWallS).transpose
+      .map(ws => if (ws.forall(_ >= 0)) ws.min else -1.0).toVector
+    graft.tools.RefreshScale.check(passes.head.copy(
+      perTriggerWallS = minWalls,
+      flatnessRatio = graft.tools.RefreshScale.flatness(minWalls)))
   }
 
   test("pack-skew strategies are output-identical through the full " +
