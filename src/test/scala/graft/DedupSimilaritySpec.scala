@@ -879,6 +879,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(serve(idx) == serve(loaded))
   }
 
+  test("ivfPqLoad codebook cache: a repeated load serves identically, " +
+      "and an in-place re-save (retrain) at the same path is picked " +
+      "up — the file fingerprint invalidates, never serves stale " +
+      "codebooks") {
+    import graft.operators.Similarity
+    val vecs = pqCorpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_cc")
+    val idx = Similarity.ivfPqBuild(vecs, nLists = 3, m = 2, kCodes = 4,
+      iterations = 2)
+    Similarity.ivfPqSave(idx, dir.toString)
+    def serve(i: Similarity.IvfPqIndex) =
+      Similarity.ivfPqQuery(i, vecs.filter(col("vec_id") < 2), k = 4,
+          nProbe = 2)
+        .select("probe_id", "neighbor_id", "rank", "adc_dist")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val first = Similarity.ivfPqLoad(spark, dir.toString)
+    val second = Similarity.ivfPqLoad(spark, dir.toString) // cache hit
+    assert(serve(second) == serve(first))
+    // retrain with a different geometry and overwrite the SAME path:
+    // the next load must reflect the new codebooks, not the cached ones
+    val retrained = Similarity.ivfPqBuild(vecs, nLists = 2, m = 2,
+      kCodes = 3, iterations = 1)
+    Similarity.ivfPqSave(retrained, dir.toString)
+    val reloaded = Similarity.ivfPqLoad(spark, dir.toString)
+    assert(reloaded.nLists == 2 && reloaded.cb.kCodes == 3,
+      s"stale codebooks served: nLists=${reloaded.nLists} " +
+        s"kCodes=${reloaded.cb.kCodes}")
+    assert(reloaded.coarse.map(_.toSeq).toSeq ==
+      retrained.coarse.map(_.toSeq).toSeq)
+  }
+
   test("ivfPqAppend: frozen codebooks, old codes bit-stable, and exact " +
       "parity with a trainOn-split build over the combined corpus") {
     import graft.operators.Similarity

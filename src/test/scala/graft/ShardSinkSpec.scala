@@ -344,6 +344,73 @@ class ShardSinkSpec extends SparkSpec {
     } finally rmTree(base)
   }
 
+  test("carried tail state: cache-hit appends produce the same store " +
+      "as fresh-JVM audit-path appends; an external version write " +
+      "invalidates, and the audit (with its corrupt-store gate) is " +
+      "back in force") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tailc_")
+    try {
+      val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("text").isNotNull).limit(120)
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("__ids",
+          Bpe.byteTokenIds(col("text"), BpeByteVocab.merges))
+        .localCheckpoint(true)
+      val ids = all.select("doc_id").as[Long].collect().sorted
+      def slice(lo: Long, hi: Long) =
+        all.filter(col("doc_id") > lo && col("doc_id") <= hi)
+      val cuts = Seq(-1L, ids(39), ids(79), ids.last)
+      // leg A: three appends in one "session" — appends 2 and 3 take
+      // the carried-tail-state path (same JVM, matching version)
+      ShardSink.clearTailCache()
+      (0 until 3).foreach { k =>
+        ShardSink.append(spark, slice(cuts(k), cuts(k + 1)), "__ids",
+          "doc_id", budget = 128, shardCol = "source",
+          storeDir = s"$base/hot") }
+      // leg B: identical appends, cache dropped before each — every
+      // append re-derives tails from the store (the fresh-JVM path)
+      (0 until 3).foreach { k =>
+        ShardSink.clearTailCache()
+        ShardSink.append(spark, slice(cuts(k), cuts(k + 1)), "__ids",
+          "doc_id", budget = 128, shardCol = "source",
+          storeDir = s"$base/cold") }
+      def view(dir: String) = ShardSink.read(spark, dir).collect()
+        .map(r => (key(r), r.getSeq[Int](2))).toMap
+      val (hot, cold) = (view(s"$base/hot"), view(s"$base/cold"))
+      assert(hot == cold && hot.nonEmpty,
+        "cache-hit appends diverge from audit-path appends")
+      // per-version deltas must be identical too (same files written)
+      (0 until 3).foreach { v =>
+        val h = spark.read.parquet(s"$base/hot/v$v").collect()
+          .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id"),
+            r.getSeq[Int](r.fieldIndex("token_ids")))).toSet
+        val c = spark.read.parquet(s"$base/cold/v$v").collect()
+          .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id"),
+            r.getSeq[Int](r.fieldIndex("token_ids")))).toSet
+        assert(h == c, s"delta v$v diverges between cache and audit")
+      }
+      // external write invalidation: a version dir published by
+      // ANOTHER writer bumps the latest version; the next append must
+      // MISS the cache and run the audit — proven by hand-corrupting
+      // that external version (duplicate seq_id 0) and watching the
+      // audit's loud gate fire instead of a silent cache-hit append
+      val ext = new java.io.File(s"$base/hot/v3")
+      spark.createDataFrame(Seq(
+          ("corrupt", 0L, Seq(1, 2, 3), 3),
+          ("corrupt", 0L, Seq(4, 5, 6), 3)))
+        .toDF("source", "seq_id", "token_ids", "n_tokens")
+        .coalesce(1).write.parquet(ext.getAbsolutePath)
+      val e = intercept[IllegalStateException] {
+        ShardSink.append(spark, slice(cuts(0), cuts(1))
+            .withColumn("doc_id", col("doc_id") + 1000000L), "__ids",
+          "doc_id", budget = 128, shardCol = "source",
+          storeDir = s"$base/hot")
+      }
+      assert(e.getMessage.contains("corrupt shard store"),
+        s"expected the audit gate, got: ${e.getMessage}")
+    } finally rmTree(base)
+  }
+
   private def rmTree(base: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(base).sorted(
