@@ -767,8 +767,15 @@ object Similarity {
       resT.select(col("__id"), col("__ru").as("__xu")),
       m, kCodes, iterations, unitScale)
     // train-on-corpus: the cached residuals ARE the corpus residuals —
-    // encode from them instead of re-running the coarse assign
-    val encoded = (if (trainOn == null) resT else withResiduals(xu0))
+    // encode from them instead of re-running the coarse assign. On the
+    // trainOn path the checkpointed train-set residuals are dead once
+    // the codebooks are fitted (pqTrainUnits is eager) — release them
+    // now, or repeated builds in one session accumulate dead executor
+    // storage until RDD GC.
+    val encoded = (if (trainOn == null) resT else {
+      org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(resT)
+      withResiduals(xu0)
+    })
       .select(col("__id").as(idCol), col("__list"),
         pqCodesCol(col("__ru"), cb).as("codes"))
     IvfPqIndex(encoded, coarse, cb, nLists)
@@ -1037,7 +1044,15 @@ object Similarity {
     val key = try new java.io.File(path).getCanonicalPath
       catch { case _: java.io.IOException => path }
     val fp = codebookFingerprint(path)
-    val cached = Option(codebookCache.get(key)).filter(_._1 == fp)
+    // an EMPTY fingerprint means the listing saw nothing — a non-local
+    // path (hdfs://, s3a://) or an unreadable dir, where
+    // spark.read.parquet could still succeed. Treat it as UNCACHEABLE
+    // (skip both lookup and put): a retrain rewritten at such a path
+    // must never be served stale codebooks on a constant-"" match.
+    val cacheable = fp.nonEmpty
+    val cached =
+      if (cacheable) Option(codebookCache.get(key)).filter(_._1 == fp)
+      else None
     val (coarse, cb, nLists) = cached match {
       case Some((_, c, b, n)) => (c, b, n)
       case None =>
@@ -1056,7 +1071,7 @@ object Similarity {
             r.getAs[Long]("c")
         }
         val b = PqCodebook(m, k, subDim, unitScale, cents)
-        codebookCache.put(key, (fp, c, b, nL))
+        if (cacheable) codebookCache.put(key, (fp, c, b, nL))
         (c, b, nL)
     }
     IvfPqIndex(spark.read.parquet(s"$path/encoded"), coarse, cb, nLists)

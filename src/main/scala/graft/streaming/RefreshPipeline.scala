@@ -132,8 +132,15 @@ object RefreshPipeline {
     def advance(batchId: Long, fps: Option[DataFrame]): Unit =
       acc match {
         case Some((b, next)) if next == batchId =>
-          fps.foreach(f =>
-            b.mergeInPlace(f.stat.bloomFilter("__pfp", capacity, fpp)))
+          // zero-row guard kept INSIDE advance (Spark's bloomFilter
+          // aggregate NPEs on empty input): a caller passing Some(empty)
+          // merges nothing instead of killing the trigger. Catch-skip
+          // rather than isEmpty so the common non-empty path pays no
+          // extra probe job.
+          fps.foreach { f =>
+            try b.mergeInPlace(f.stat.bloomFilter("__pfp", capacity, fpp))
+            catch { case _: NullPointerException => () }
+          }
           acc = Some((b, batchId + 1L))
         case _ => ()
       }
@@ -656,7 +663,8 @@ object RefreshPipeline {
         // execution would have used — the pool thread otherwise keeps
         // whatever it inherited at creation
         val mirrored = Seq("spark.jobGroup.id",
-            "spark.job.interruptOnCancel", "spark.job.description")
+            "spark.job.interruptOnCancel", "spark.job.description",
+            "spark.scheduler.pool")
           .map(k => k -> sp.sparkContext.getLocalProperty(k))
         val second = appendPool.submit(
           new java.util.concurrent.Callable[Unit] {
@@ -675,10 +683,14 @@ object RefreshPipeline {
         try shardAppend() catch { case t: Throwable => primary = t }
         try second.get()
         catch {
+          // when BOTH sides failed, the index side's exception must not
+          // vanish — attach it to the winner as suppressed
           case e: java.util.concurrent.ExecutionException =>
             if (primary == null) primary = e.getCause
+            else primary.addSuppressed(e.getCause)
           case t: Throwable =>
             if (primary == null) primary = t
+            else primary.addSuppressed(t)
         }
         if (primary != null) throw primary
       } else shardAppend()

@@ -68,11 +68,24 @@ object ShardSink {
     * per store (the same bounded-collect class as the audit itself). */
   private final case class TailState(version: Long, budget: Int,
       shardCol: String, schema: org.apache.spark.sql.types.StructType,
-      tails: Seq[Curate.ShardTail])
+      tails: Seq[Curate.ShardTail], dirFp: String)
   private val tailCache =
     new java.util.concurrent.ConcurrentHashMap[String, TailState]()
   /** Test hook: drop every cached tail state (simulates a fresh JVM). */
   private[graft] def clearTailCache(): Unit = tailCache.clear()
+
+  /** Content fingerprint of one committed version dir (name + length +
+    * mtime of every file — the [[graft.operators.Similarity]] codebook
+    * discipline): the tail cache's hit condition checks it so an
+    * IN-PLACE mutation of the cached version's dir (hand edit, partial
+    * heal — anything that mutates without adding a version) misses and
+    * takes the full audit instead of packing off stale tails. Empty
+    * (missing or unreadable dir) is UNCACHEABLE: never stored, never
+    * matched. */
+  private def versionDirFingerprint(dir: java.io.File): String =
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("\n")
 
   /** Committed version directories under `storeDir`, version order. */
   private def versions(storeDir: String): Seq[(Long, java.io.File)] =
@@ -316,7 +329,9 @@ object ShardSink {
         // (first append, restart, or any external write since)
         val cached = Option(tailCache.get(cacheKey)).filter(c =>
           latestCommitted.contains(c.version) && c.budget == budget &&
-            c.shardCol == shardCol)
+            c.shardCol == shardCol && c.dirFp.nonEmpty &&
+            c.dirFp == versionDirFingerprint(
+              new java.io.File(s"$storeDir/v${c.version}")))
         val (storeSchema, tails) = cached match {
           case Some(c) => (c.schema, c.tails)
           case None =>
@@ -381,7 +396,8 @@ object ShardSink {
           }.toSeq
           val touched = deltaTails.map(_.shard).toSet
           committedState = TailState(v, budget, shardCol, raw.schema,
-            tails.filterNot(t => touched.contains(t.shard)) ++ deltaTails)
+            tails.filterNot(t => touched.contains(t.shard)) ++ deltaTails,
+            dirFp = "") // stamped post-publish, once the dir exists
           // size the version's FILE COUNT to the delta, not to the
           // session's shuffle parallelism: a micro-batch delta written
           // at 32-way parallelism is 32 tiny files, and after t
@@ -401,8 +417,11 @@ object ShardSink {
     // commit the carried-forward tail state only after the atomic
     // rename landed; a skipped re-delivery (published == false) never
     // ran the body and leaves the cache at its pre-trigger state
-    if (published && committedState != null)
-      tailCache.put(cacheKey, committedState)
+    if (published && committedState != null) {
+      val fp = versionDirFingerprint(new java.io.File(s"$storeDir/v$v"))
+      if (fp.nonEmpty)
+        tailCache.put(cacheKey, committedState.copy(dirFp = fp))
+    }
     published
   }
 
