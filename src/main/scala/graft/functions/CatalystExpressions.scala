@@ -1037,6 +1037,61 @@ case class BloomMightContainExpr(child: Expression,
       newChild: Expression): BloomMightContainExpr = copy(child = newChild)
 }
 
+/** Membership of a string column in a SORTED driver-built key array —
+  * the refresh trigger's exact-tier drop filter. The hit set (confirmed
+  * duplicate fingerprints) is bounded by the micro-batch contract, so a
+  * binary search against an expression-held sorted array replaces a
+  * whole anti-join subtree (exchange + join stage per trigger) with one
+  * row-local codegen'd probe. Keys MUST be sorted by
+  * [[org.apache.spark.unsafe.types.UTF8String]]'s binary order (see
+  * [[Utf8SortedKeys.sorted]]). NULL in, NULL out. */
+case class Utf8InSortedArrayExpr(child: Expression,
+    keys: Array[org.apache.spark.unsafe.types.UTF8String])
+  extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "in_sorted_utf8"
+
+  override def nullSafeEval(input: Any): Any =
+    Utf8SortedKeys.contains(keys,
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedKeys", keys,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Utf8SortedKeys.contains($ref, $c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Utf8InSortedArrayExpr = copy(child = newChild)
+}
+
+object Utf8SortedKeys {
+  /** Sort driver-side strings into the binary order [[contains]] probes
+    * with (UTF8String.compareTo). */
+  def sorted(keys: Array[String])
+      : Array[org.apache.spark.unsafe.types.UTF8String] =
+    keys.distinct
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      .sortWith(_.compareTo(_) < 0)
+
+  def contains(keys: Array[org.apache.spark.unsafe.types.UTF8String],
+               v: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    var lo = 0
+    var hi = keys.length - 1
+    while (lo <= hi) {
+      val m = (lo + hi) >>> 1
+      val c = keys(m).compareTo(v)
+      if (c == 0) return true
+      else if (c < 0) lo = m + 1
+      else hi = m - 1
+    }
+    false
+  }
+}
+
 /** Integer-exact squared-L2 distance over two array<long> unit vectors —
   * sum((a-b)^2) as one codegen loop. The `aggregate(zip_with(...))` HOF
   * form evaluates its lambdas interpreted, once per ELEMENT; at a
@@ -1195,16 +1250,21 @@ case class BpeByteCountExpr(child: Expression,
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bpe_byte_count"
 
+  // compiled merge table, built once per expression instance on the
+  // driver and shipped via the task-binary broadcast like the decode
+  // expansions table
+  private val vocab = new BpeByteCodec.Vocab(pairA, pairB)
+
   override def nullSafeEval(input: Any): Any =
     BpeByteCodec.count(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
-      pairA, pairB)
+      vocab)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("pairA", pairA, "int[]")
-    val bRef = ctx.addReferenceObj("pairB", pairB, "int[]")
+    val vRef = ctx.addReferenceObj("bpeVocab", vocab,
+      classOf[BpeByteCodec.Vocab].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeByteCodec.count($c, $aRef, $bRef);")
+      s"${ev.value} = graft.functions.BpeByteCodec.count($c, $vRef);")
   }
 
   override protected def withNewChildInternal(
@@ -1212,12 +1272,69 @@ case class BpeByteCountExpr(child: Expression,
 }
 
 object BpeByteCodec {
+
+  /** The merge table compiled for encoding: an open-addressing
+    * (pair -> earliest rank) map, built once per expression instance on
+    * the driver and shipped with the task binary (~16 KB at 1k merges,
+    * the [[BpeByteDecodeExpr]] expansions-table discipline). "Earliest
+    * rank" preserves the degenerate duplicate-pair case exactly: under
+    * the sequential replace chain a later duplicate rank can never fire
+    * (its pair is consumed by the earlier one and pair components only
+    * ever grow), so mapping every occurrence to the FIRST rank is the
+    * chain's fixed point. */
+  final class Vocab(val pairA: Array[Int],
+                    val pairB: Array[Int]) extends Serializable {
+    require(pairA.length == pairB.length)
+    val nMerges: Int = pairA.length
+    // capacity: power of two >= 2x entries (load factor <= 0.5)
+    private val cap: Int = {
+      var c = 16
+      while (c < 2 * math.max(nMerges, 1)) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private[BpeByteCodec] val keys = {
+      val k = new Array[Int](cap)
+      java.util.Arrays.fill(k, -1)
+      k
+    }
+    private[BpeByteCodec] val vals = new Array[Int](cap)
+    locally {
+      var j = 0
+      while (j < nMerges) {
+        val key = (pairA(j) << 16) | pairB(j)
+        var i = (key * 0x9E3779B9.toInt >>> (32 - Integer
+          .numberOfTrailingZeros(cap))) & mask
+        var done = false
+        while (!done) {
+          if (keys(i) == key) done = true // duplicate pair: first rank wins
+          else if (keys(i) == -1) { keys(i) = key; vals(i) = j; done = true }
+          else i = (i + 1) & mask
+        }
+        j += 1
+      }
+    }
+    /** Rank of merge pair (a, b), or -1. */
+    def rank(a: Int, b: Int): Int = {
+      val key = (a << 16) | b
+      var i = (key * 0x9E3779B9.toInt >>> (32 - Integer
+        .numberOfTrailingZeros(cap))) & mask
+      while (true) {
+        val k = keys(i)
+        if (k == key) return vals(i)
+        if (k == -1) return -1
+        i = (i + 1) & mask
+      }
+      -1
+    }
+  }
+
   /** Token count after the full merge chain — the trimmed length of
     * [[merge]]'s symbol buffer, sharing ONE loop with [[ids]] so the two
     * surfaces cannot drift. */
   def count(u: org.apache.spark.unsafe.types.UTF8String,
-            pairA: Array[Int], pairB: Array[Int]): Int =
-    merge(u, pairA, pairB)._2
+            vocab: Vocab): Int =
+    merge(u, vocab)._2
 
   /** The token-id array itself (what a training shard physically holds):
     * base symbols = byte values 0..255, merge rank j = id 256+j — the
@@ -1225,11 +1342,21 @@ object BpeByteCodec {
     * committed table. Returned as an UnsafeArrayData copy of the trimmed
     * merge buffer. */
   def ids(u: org.apache.spark.unsafe.types.UTF8String,
-          pairA: Array[Int], pairB: Array[Int]): ArrayData = {
-    val (s, n) = merge(u, pairA, pairB)
+          vocab: Vocab): ArrayData = {
+    val (s, n) = merge(u, vocab)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(java.util.Arrays.copyOf(s, n))
   }
+
+  /** Per-call-table forms (tests / one-off callers): builds the Vocab
+    * each call — O(merges), fine off the hot path. */
+  def count(u: org.apache.spark.unsafe.types.UTF8String,
+            pairA: Array[Int], pairB: Array[Int]): Int =
+    count(u, new Vocab(pairA, pairB))
+
+  def ids(u: org.apache.spark.unsafe.types.UTF8String,
+          pairA: Array[Int], pairB: Array[Int]): ArrayData =
+    ids(u, new Vocab(pairA, pairB))
 
   private val empty = new Array[Int](0)
 
@@ -1279,47 +1406,113 @@ object BpeByteCodec {
   /** Symbols after the full merge chain over the UTF-8 bytes of `u`:
     * (buffer, length) — the buffer is over-allocated, only the first
     * `length` entries are tokens. Base symbols = byte values 0..255;
-    * merge rank j = symbol 256+j. */
+    * merge rank j = symbol 256+j.
+    *
+    * Rank-bucketed encoder, O(n + applied log n) instead of the
+    * previous O(merges x n) full pass per present rank: the sequence is
+    * a doubly linked list over the position array, every adjacent pair
+    * that IS a merge pair sits in a min-heap keyed (rank, position),
+    * and popping in that order reproduces the sequential rank-order
+    * left-to-right chain EXACTLY:
+    *  - (rank, position) ascending == "apply rank 0 everywhere left to
+    *    right, then rank 1, ..." — the chain's visit order;
+    *  - a popped entry whose nodes no longer spell (a_r, b_r) is stale
+    *    — some earlier pop consumed a member — and is skipped, which is
+    *    precisely the chain's non-overlap rule (verified on "aaa");
+    *  - applying rank r never creates another rank-r adjacency (the
+    *    merged symbol 256+r is newer than both members), so new
+    *    adjacencies push only LATER ranks — one pass over the heap
+    *    suffices;
+    *  - a pair can never REAPPEAR at a position once broken: a node's
+    *    symbol only grows (merges assign newer symbols) and its
+    *    successor node only changes by a merge at the node itself, so
+    *    every (position, pair) state is examined exactly once — each
+    *    merge pushes at most its two new neighbor pairs, bounding the
+    *    heap at n + 2 x applied entries. */
   private def merge(u: org.apache.spark.unsafe.types.UTF8String,
-                    pairA: Array[Int], pairB: Array[Int]): (Array[Int], Int) = {
+                    vocab: Vocab): (Array[Int], Int) = {
     val bytes = u.getBytes
-    var n = bytes.length
+    val n = bytes.length
     if (n == 0) return (empty, 0)
     val s = new Array[Int](n)
-    val nm = pairA.length
-    // presence bitmap over the symbol space (256 + nm bits)
-    val present = new Array[Long]((256 + nm + 63) >>> 6)
     var i = 0
-    while (i < n) {
-      val sym = bytes(i) & 0xff
-      s(i) = sym
-      present(sym >>> 6) |= 1L << (sym & 63)
+    while (i < n) { s(i) = bytes(i) & 0xff; i += 1 }
+    if (n == 1 || vocab.nMerges == 0) return (s, n)
+    val next = new Array[Int](n)
+    val prev = new Array[Int](n)
+    i = 0
+    while (i < n) { next(i) = i + 1; prev(i) = i - 1; i += 1 }
+    next(n - 1) = -1
+    // per-rank position buckets: one ascending sweep over ranks,
+    // positions sorted per bucket at visit time. No priority queue —
+    // a merge's new adjacencies always belong to STRICTLY later ranks
+    // (the merged symbol postdates both pair members), so a bucket is
+    // complete when the sweep reaches it.
+    val nm = vocab.nMerges
+    val counts = new Array[Int](nm)
+    val buckets = new Array[Array[Int]](nm)
+    def put(r: Int, pos: Int): Unit = {
+      var b = buckets(r)
+      if (b == null) { b = new Array[Int](8); buckets(r) = b }
+      else if (counts(r) == b.length) {
+        b = java.util.Arrays.copyOf(b, b.length * 2); buckets(r) = b
+      }
+      b(counts(r)) = pos
+      counts(r) += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      val r = vocab.rank(s(i), s(i + 1))
+      if (r >= 0) put(r, i)
       i += 1
     }
-    var j = 0
-    while (j < nm && n > 1) {
-      val a = pairA(j)
-      val b = pairB(j)
-      if ((present(a >>> 6) & (1L << (a & 63))) != 0 &&
-          (present(b >>> 6) & (1L << (b & 63))) != 0) {
-        var w = 0
-        var r = 0
-        var hit = false
-        while (r < n) {
-          if (r + 1 < n && s(r) == a && s(r + 1) == b) {
-            s(w) = 256 + j; r += 2; hit = true
-          } else { s(w) = s(r); r += 1 }
-          w += 1
-        }
-        n = w
-        if (hit) {
-          val m = 256 + j
-          present(m >>> 6) |= 1L << (m & 63)
+    var r = 0
+    while (r < nm) {
+      val cnt = counts(r)
+      if (cnt > 0) {
+        val b = buckets(r)
+        // left-to-right within the rank (init-scan entries arrive
+        // ascending, created entries in merge order — sort restores
+        // the chain's visit order)
+        java.util.Arrays.sort(b, 0, cnt)
+        val a = vocab.pairA(r)
+        val bb = vocab.pairB(r)
+        var k = 0
+        while (k < cnt) {
+          val p = b(k)
+          // stale unless the nodes still spell exactly this pair
+          if (s(p) == a) {
+            val q = next(p)
+            if (q >= 0 && s(q) == bb) {
+              s(p) = 256 + r
+              val qn = next(q)
+              next(p) = qn
+              if (qn >= 0) prev(qn) = p
+              s(q) = -1 // dead
+              val pp = prev(p)
+              if (pp >= 0) {
+                val r2 = vocab.rank(s(pp), s(p))
+                if (r2 >= 0) put(r2, pp)
+              }
+              if (qn >= 0) {
+                val r3 = vocab.rank(s(p), s(qn))
+                if (r3 >= 0) put(r3, p)
+              }
+            }
+          }
+          k += 1
         }
       }
-      j += 1
+      r += 1
     }
-    (s, n)
+    // compact the survivors in place, list order == index order
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (s(i) >= 0) { s(w) = s(i); w += 1 }
+      i += 1
+    }
+    (s, w)
   }
 }
 
@@ -1378,16 +1571,19 @@ case class BpeByteIdsExpr(child: Expression,
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bpe_byte_ids"
 
+  // compiled merge table — see BpeByteCountExpr
+  private val vocab = new BpeByteCodec.Vocab(pairA, pairB)
+
   override def nullSafeEval(input: Any): Any =
     BpeByteCodec.ids(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
-      pairA, pairB)
+      vocab)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("pairA", pairA, "int[]")
-    val bRef = ctx.addReferenceObj("pairB", pairB, "int[]")
+    val vRef = ctx.addReferenceObj("bpeVocab", vocab,
+      classOf[BpeByteCodec.Vocab].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeByteCodec.ids($c, $aRef, $bRef);")
+      s"${ev.value} = graft.functions.BpeByteCodec.ids($c, $vRef);")
   }
 
   override protected def withNewChildInternal(

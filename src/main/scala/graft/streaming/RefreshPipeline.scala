@@ -145,6 +145,23 @@ object RefreshPipeline {
         case _ => ()
       }
 
+    /** [[advance]] with the accepted fingerprints already in hand (the
+      * trigger's ledger write observes them — micro-batch bounded, the
+      * single-file ledger contract's size class): `putString` folds
+      * them into the HELD bloom directly. The DataFrame form above
+      * builds a second CAPACITY-sized filter per trigger just to OR a
+      * few hundred members in — at a 10^9-fingerprint corpus that is a
+      * multi-GB allocation per trigger; this is O(batch) work and zero
+      * allocation. putString and the aggregate both hash the UTF-8
+      * bytes, so membership is identical either way. */
+    def advanceWith(batchId: Long, fps: Array[String]): Unit =
+      acc match {
+        case Some((b, next)) if next == batchId =>
+          fps.foreach(b.putString)
+          acc = Some((b, batchId + 1L))
+        case _ => ()
+      }
+
     /** How many times [[bloomFor]] took the REBUILD branch — the
       * O(accepted history) aggregation the accumulator exists to
       * amortize away. A healthy unbroken run rebuilds exactly once
@@ -317,38 +334,49 @@ object RefreshPipeline {
 
   /** The trigger-invariant prior-side caches both drain entry points
     * ([[run]], [[runManaged]]) seed once per run: exact-tier
-    * fingerprints (pre-partitioned and pre-sorted on `__pfp` so every
-    * trigger's stable confirm join is a zero-exchange merge scan),
-    * near-tier band postings, decontamination reference grams, and the
-    * bloom accumulator sized off the fingerprint count. The three
-    * materializations are mutually independent one-off jobs, so they
-    * run OVERLAPPED (guide §2.6) and the prologue pays the longest of
-    * the three instead of their sum; the caller releases all three
-    * checkpoints on exit exactly as before. */
+    * fingerprints (a plain checkpoint for the bloom-rebuild reference,
+    * plus a [[graft.operators.FingerprintIndex]] — range-partitioned
+    * sorted long-pair arrays with O(partitions) driver bounds — for the
+    * per-trigger stable confirm), near-tier band postings,
+    * decontamination reference grams, and the bloom accumulator sized
+    * off the fingerprint count. The three branches are mutually
+    * independent one-off jobs, so they run OVERLAPPED (guide §2.6) and
+    * the prologue pays the longest instead of the sum; the caller
+    * releases the checkpoints AND the index on exit. */
   private def priorCaches(prior: DataFrame, benchmark: DataFrame,
                           textCol: String, numHashes: Int, bands: Int,
                           decontamN: Int)
-      : (DataFrame, DataFrame, DataFrame, FingerprintBloom) = {
+      : (DataFrame, DataFrame, DataFrame, FingerprintBloom,
+         graft.operators.FingerprintIndex) = {
     val shufflePartitions = prior.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     val ec = scala.concurrent.ExecutionContext.global
+    // the postings cache DECLARES its band-key layout: without it every
+    // trigger's band join re-exchanges (or re-broadcasts) the
+    // CORPUS-scale postings side — the same per-trigger O(corpus) class
+    // the exact tier's staged confirm removed; with it only the batch
+    // side of the near tier shuffles
     val postingsF = scala.concurrent.Future(
-      Dedup.nearPostings(prior, textCol,
-          numHashes = numHashes, bands = bands, mode = Dedup.Portable)
-        .localCheckpoint(true))(ec)
+      org.apache.spark.sql.graftglue.GraftGlue.checkpointWithLayout(
+        Dedup.nearPostings(prior, textCol,
+          numHashes = numHashes, bands = bands, mode = Dedup.Portable),
+        "__pband", prior.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt))(ec)
     val refGramsF = scala.concurrent.Future(
       Dedup.ngramRefGrams(benchmark, textCol, n = decontamN)
         .localCheckpoint(true))(ec)
-    val priorFps = org.apache.spark.sql.graftglue.GraftGlue
-      .checkpointWithLayout(Dedup.exactFingerprints(prior, textCol),
-        "__pfp", shufflePartitions)
+    val priorFps = Dedup.exactFingerprints(prior, textCol)
+      .localCheckpoint(true)
+    val fpIndex = graft.operators.FingerprintIndex
+      .build(priorFps, shufflePartitions)
     val postings = scala.concurrent.Await.result(postingsF,
       scala.concurrent.duration.Duration.Inf)
     val refGrams = scala.concurrent.Await.result(refGramsF,
       scala.concurrent.duration.Duration.Inf)
+    // index bounds already carry the count — no extra count job
     val bloomAcc = new FingerprintBloom(fpp = 0.01,
-      capacity = 2L * math.max(priorFps.count(), 1L) + 100000L)
-    (priorFps, postings, refGrams, bloomAcc)
+      capacity = 2L * math.max(fpIndex.count, 1L) + 100000L)
+    (priorFps, postings, refGrams, bloomAcc, fpIndex)
   }
 
   /** One daemon carrier for the per-trigger index append so it overlaps
@@ -447,7 +475,8 @@ object RefreshPipeline {
       bloomAcc: Option[FingerprintBloom] = None,
       packSkew: Option[Boolean] = None,
       routeLog: Option[RouteLog] = None,
-      ledgerLog: Option[LedgerLog] = None): Unit = {
+      ledgerLog: Option[LedgerLog] = None,
+      fpIndex: Option[graft.operators.FingerprintIndex] = None): Unit = {
     val sp = batch.sparkSession
     // materialize the trigger's batch ONCE: the tiers below reference
     // it through several plan branches (the bloom anti join alone
@@ -459,7 +488,61 @@ object RefreshPipeline {
     val tB0 = System.nanoTime()
     val debug0 = sys.env.contains("GRAFT_RP_DEBUG")
     val snap0 = if (debug0) TriggerStats.snapshot(sp) else null
-    val b0 = batch.localCheckpoint(true)
+    // the exact-tier reference: cached prior fingerprints plus the
+    // (tiny) ledger batches of STRICTLY EARLIER triggers — never this
+    // trigger's own (see the delivery contract above). Listed BEFORE
+    // the batch checkpoint (driver-side file listing, no jobs) so the
+    // index path below can resolve its bloom first and ride the
+    // candidate pass on the checkpoint job itself.
+    val earlier = StoreFiles
+      .publishedDirs(ledgerDir, "b", StoreFiles.hasLedgerParquet)
+      .filter(_._1 < batchId).map(_._2)
+    // the ledger union, as a multi-path read of leaf paths so mixed
+    // (legacy unpartitioned + prefix-partitioned) batch layouts share
+    // one uniform __pfp-only schema; prefixes prune at the PATH level
+    def ledgerFps(prefixes: Option[Set[Int]]): Option[DataFrame] = {
+      val paths = ledgerLeafPaths(earlier, prefixes)
+      if (paths.isEmpty) None
+      else Some(sp.read.parquet(paths: _*).select(col("__pfp")))
+    }
+    val fpCol = graft.functions.TextFunctions.fingerprint(col(textCol))
+    // index path: resolve the bloom now (bloomFor touches only the
+    // prior caches and the ledger — never the batch; a first-trigger
+    // rebuild runs here instead of after the checkpoint, same total
+    // work) and OBSERVE the row count plus the bloom-positive
+    // candidate (fingerprint, ledger-prefix) pairs on the checkpoint's
+    // own materialization job — the candidate pass, the empty-trigger
+    // probe, and the old prefix-set job all collapse into metrics on a
+    // job the trigger already pays for.
+    val candObs: Option[(org.apache.spark.sql.Observation,
+        org.apache.spark.util.sketch.BloomFilter)] =
+      (bloomAcc, fpIndex) match {
+        case (Some(acc), Some(_)) =>
+          val refFps = ledgerFps(None) // the bloom REBUILD reference —
+            .map(priorFps.unionByName(_)) // scanned on a seq break only
+            .getOrElse(priorFps)
+          Some((org.apache.spark.sql.Observation(s"cands-b$batchId"),
+            acc.bloomFor(batchId, refFps)))
+        case _ => None
+      }
+    val toCheckpoint = candObs match {
+      case Some((ob, bloom)) =>
+        import org.apache.spark.sql.graftglue.GraftGlue
+        val probe = GraftGlue.column(
+          graft.functions.BloomMightContainExpr(
+            GraftGlue.expression(fpCol), bloom))
+        batch.observe(ob,
+          count(lit(1)).as("__n"),
+          // collect_list drops the nulls the when() leaves for
+          // non-candidates; bounded by the micro-batch contract
+          // (fpp x batch + true dups)
+          collect_list(when(fpCol.isNotNull && probe,
+            struct(fpCol.as("__fp"), pmod(xxhash64(fpCol),
+              lit(LedgerPrefixSpace.toLong)).cast("int").as("__pp"))))
+            .as("__cands"))
+      case None => batch
+    }
+    val b0 = toCheckpoint.localCheckpoint(true)
     if (debug0)
       println(f"[rp] b$batchId checkpoint ${(System.nanoTime() - tB0) / 1e9}%.2fs rows=${b0.count()}")
     val tRest = System.nanoTime()
@@ -474,28 +557,118 @@ object RefreshPipeline {
     // asOf, describe, compact) and to later triggers' ledger scans.
     // (The bloom sequence still advances: an empty trigger adds no
     // fingerprints, and skipping the advance would force the next
-    // trigger into a needless rebuild.)
-    if (b0.isEmpty) { bloomAcc.foreach(_.advance(batchId, None)); return }
-    // the exact-tier reference: cached prior fingerprints plus the
-    // (tiny) ledger batches of STRICTLY EARLIER triggers — never this
-    // trigger's own (see the delivery contract above)
-    val earlier = StoreFiles
-      .publishedDirs(ledgerDir, "b", StoreFiles.hasLedgerParquet)
-      .filter(_._1 < batchId).map(_._2)
-    // the ledger union, as a multi-path read of leaf paths so mixed
-    // (legacy unpartitioned + prefix-partitioned) batch layouts share
-    // one uniform __pfp-only schema; prefixes prune at the PATH level
-    def ledgerFps(prefixes: Option[Set[Int]]): Option[DataFrame] = {
-      val paths = ledgerLeafPaths(earlier, prefixes)
-      if (paths.isEmpty) None
-      else Some(sp.read.parquet(paths: _*).select(col("__pfp")))
+    // trigger into a needless rebuild. The observed count makes the
+    // probe free on the index path.)
+    val isEmptyTrigger = candObs match {
+      case Some((ob, _)) => ob.get("__n").asInstanceOf[Long] == 0L
+      case None => b0.isEmpty
     }
+    if (isEmptyTrigger) {
+      bloomAcc.foreach(_.advance(batchId, None)); return
+    }
+    val debug = sys.env.contains("GRAFT_RP_DEBUG")
+    def staged[A](label: String)(body: => A): A =
+      if (!debug) body
+      else {
+        val t0 = System.nanoTime()
+        sp.sparkContext.setJobDescription(label)
+        val a = try body finally sp.sparkContext.setJobDescription(null)
+        println(f"[rp] b$batchId $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        a
+      }
     val exactKept = bloomAcc match {
-      // the steady-state path: held merged bloom + split confirm (the
-      // prior side joins exchange-free against the pre-partitioned
-      // cache; only the compact ledger sliver still shuffles) + the
-      // partition-pruned confirm ledger (only the __pp partitions the
-      // bloom-positive candidates hash into are read)
+      // the steady-state path: held merged bloom + INDEX-probed confirm.
+      // The previous shape anti-joined the batch's bloom-positive sliver
+      // against the corpus-sized fingerprint cache — zero-exchange by
+      // layout, but a sort-merge anti advances the reference iterator
+      // linearly, so every trigger SCANNED essentially the whole cache:
+      // O(corpus) per trigger. Now the sliver is collected (bounded by
+      // the micro-batch contract — fpp x batch + true dups), routed to
+      // the index's range partitions via O(partitions) driver bounds,
+      // and only partitions HOLDING a candidate are launched, each a
+      // binary search: O(candidates x log corpus) per trigger, flat in
+      // the corpus. Membership is exact (full 128-bit fingerprints), so
+      // the kept set is identical; the ledger confirm reads the same
+      // prefix-pruned paths as before, with the candidate prefixes now
+      // computed inside the SAME collect instead of their own job.
+      case Some(acc) if fpIndex.isDefined =>
+        val ix = fpIndex.get
+        import org.apache.spark.sql.graftglue.GraftGlue
+        val candRows = candObs.get._1.get("__cands")
+          .asInstanceOf[Seq[_]].map(_.asInstanceOf[
+            org.apache.spark.sql.Row])
+        val cands = candRows.map(_.getString(0)).toArray
+        val prefixes = candRows.map(_.getInt(1)).toSet
+        // a confirm-side match has an EQUAL fingerprint, hence an equal
+        // prefix — pruned ledger batches are provably match-free
+        val confirmPaths: Seq[String] =
+          if (cands.isEmpty || earlier.isEmpty) Seq.empty
+          else ledgerLeafPaths(earlier, Some(prefixes))
+        ledgerLog.foreach { ll =>
+          def bytesOf(f: java.io.File): Long =
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty)
+                .map(bytesOf).sum
+            else f.length()
+          ll.record(LedgerRow(batchId, earlier.size,
+            confirmPaths.size,
+            confirmPaths.map(p => bytesOf(new java.io.File(p))).sum,
+            acc.rebuilds))
+        }
+        // the two confirm lookups are independent given the candidate
+        // set (stable index vs ledger paths) — overlap them on the
+        // append carrier (guide §2.6; free before the appends start),
+        // with the trigger's Spark-local properties mirrored so
+        // cancellation groups match serial execution
+        val ledgerHitsF: java.util.concurrent.Future[Array[String]] =
+          if (confirmPaths.isEmpty)
+            java.util.concurrent.CompletableFuture.completedFuture(
+              Array.empty[String])
+          else {
+            val mirrored = Seq("spark.jobGroup.id",
+                "spark.job.interruptOnCancel", "spark.job.description",
+                "spark.scheduler.pool")
+              .map(k => k -> sp.sparkContext.getLocalProperty(k))
+            appendPool.submit(
+              new java.util.concurrent.Callable[Array[String]] {
+                override def call(): Array[String] = {
+                  mirrored.foreach { case (k, v) =>
+                    sp.sparkContext.setLocalProperty(k, v) }
+                  val keys = graft.functions.Utf8SortedKeys.sorted(cands)
+                  val pfp = sp.read.parquet(confirmPaths: _*)
+                    .select(col("__pfp"))
+                  pfp.filter(GraftGlue.column(
+                      graft.functions.Utf8InSortedArrayExpr(
+                        GraftGlue.expression(pfp("__pfp")), keys)))
+                    .collect().map(_.getString(0))
+                }
+              })
+          }
+        val stableHits: Array[String] =
+          if (cands.isEmpty) Array.empty
+          else staged("exactconfirm") { ix.hits(cands) }
+        val ledgerHits: Array[String] = staged("exactledger") {
+          try ledgerHitsF.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+        val allHits = stableHits ++ ledgerHits
+        if (allHits.isEmpty) Dedup.exact(b0, textCol, idCol)
+        else {
+          // drop = fingerprint CONFIRMED present in stable ∪ earlier
+          // ledger; null fingerprints always pass (null-text rows are
+          // per-id unique, exactIncremental's rule). One row-local
+          // binary-search filter — no join, no exchange.
+          val hitKeys = graft.functions.Utf8SortedKeys.sorted(allHits)
+          val kept = b0.filter(fpCol.isNull || !GraftGlue.column(
+            graft.functions.Utf8InSortedArrayExpr(
+              GraftGlue.expression(fpCol), hitKeys)))
+          Dedup.exact(kept, textCol, idCol)
+        }
+      // bloom accumulator WITHOUT a prior index (direct callers/tests):
+      // the split-confirm merge-join shape, unchanged
       case Some(acc) =>
         val refFps = ledgerFps(None) // the bloom REBUILD reference —
           .map(priorFps.unionByName(_)) // only scanned on a seq break
@@ -571,16 +744,6 @@ object RefreshPipeline {
         Dedup.exactIncremental(b0, prior, textCol, idCol,
           refFps = Some(refFps))
     }
-    val debug = sys.env.contains("GRAFT_RP_DEBUG")
-    def staged[A](label: String)(body: => A): A =
-      if (!debug) body
-      else {
-        val t0 = System.nanoTime()
-        sp.sparkContext.setJobDescription(label)
-        val a = try body finally sp.sparkContext.setJobDescription(null)
-        println(f"[rp] b$batchId $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
-        a
-      }
     // the near tier and the decontamination tier are PER-ROW decisions
     // against FIXED references (prior postings / benchmark grams) — a
     // row's fate never depends on in-batch peers or on the other
@@ -591,16 +754,52 @@ object RefreshPipeline {
     // critical path; as siblings, AQE materializes the exact-confirm,
     // near-hit and gram-match stages concurrently. Output identical by
     // the per-row-independence argument on each exposed id set.
+    // The two id sets feed ONE anti join (drop ids in near ∪ contam ==
+    // drop ids in either — set semantics on the anti join's build
+    // side): the branches still materialize concurrently under the
+    // union, and the survivors pay one probe-side exchange + join stage
+    // instead of two.
     val nearHits = Dedup.nearIncrementalHitIds(b0, textCol, idCol,
       numHashes = numHashes, bands = bands, threshold = threshold,
       mode = Dedup.Portable, postings = postings)
     val contamIds = Dedup.ngramContaminatedIds(b0, refGrams, textCol,
       idCol, n = decontamN, minMatches = minMatches)
+    val dropIds = nearHits.select(col("__bid").as("__xid"))
+      .unionByName(contamIds.select(col("__mid").as("__xid")))
+    // the skew probe's inputs (total rows + per-shard counts of the
+    // accepted set) ride the tiers checkpoint as observed metrics —
+    // shard keys as xxhash64 (null-safe: a NULL shard hashes to the
+    // seed, so it counts as its own group exactly as groupBy treats
+    // it) — replacing the probe's own aggregation job per trigger.
+    // Collision risk only ever mis-ROUTES the pack strategy (outputs
+    // are bit-identical either way, the spec-pinned property).
+    val obTiers = org.apache.spark.sql.Observation(s"skew-b$batchId")
     val cleaned = staged("tiers") {
-      exactKept
-        .join(nearHits, col(idCol) === col("__bid"), "left_anti")
-        .join(contamIds, col(idCol) === col("__mid"), "left_anti")
-        .localCheckpoint(true) // used by store + index + ledger
+      val joined = exactKept
+        .join(dropIds, col(idCol) === col("__xid"), "left_anti")
+      val observed =
+        if (packSkew.isEmpty)
+          joined.observe(obTiers, count(lit(1)).as("__t"),
+            collect_list(xxhash64(col(shardCol))).as("__sh"))
+        else joined
+      val ck = observed.localCheckpoint(true)
+      // debug-only plan evidence (GRAFT_RP_PLANS=<dir>): the executed
+      // per-trigger tiers plan — the exact-tier filter, the fused
+      // near ∪ contam anti join, the branch shapes — dumped for ONE
+      // representative micro-batch so per-trigger plan claims are
+      // artifact-verifiable instead of code-readable
+      sys.env.get("GRAFT_RP_PLANS").foreach { d =>
+        if (batchId == 1L) {
+          val f = new java.io.File(d, "trigger_tiers_plan.txt")
+          Option(f.getParentFile).foreach(_.mkdirs())
+          java.nio.file.Files.writeString(f.toPath,
+            observed.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")))
+          ()
+        }
+      }
+      ck
     }
     try {
       // generation-managed targets go through StoreRoot, which adds
@@ -619,17 +818,18 @@ object RefreshPipeline {
       // automatically (gated by the measured crossover, see
       // autoPackSkew)
       val skewRobust = packSkew.getOrElse { staged("skewprobe") {
-        // one shuffle, max/total reduced on the driver: the per-shard
-        // count rows are the same bounded-collect class as the shard
-        // tail state (one row per touched shard), and the second
-        // aggregation exchange the previous two-level form paid per
-        // trigger bought nothing at that cardinality
-        val counts = cleaned.groupBy(col(shardCol))
-          .agg(count(lit(1)).as("__c"))
-          .collect().map(_.getLong(1))
-        autoPackSkew(
-          hotRows = if (counts.isEmpty) 0L else counts.max,
-          totalRows = counts.sum)
+        // max/total reduced on the driver from the metrics the tiers
+        // checkpoint already observed — zero jobs (was one aggregation
+        // shuffle + collect per trigger)
+        val m = obTiers.get
+        val total = m("__t").asInstanceOf[Long]
+        val hashes = m("__sh").asInstanceOf[Seq[_]]
+          .map(_.asInstanceOf[Long])
+        val hot =
+          if (hashes.isEmpty) 0L
+          else hashes.groupBy(identity).valuesIterator
+            .map(_.size.toLong).max
+        autoPackSkew(hotRows = hot, totalRows = total)
       } }
       routeLog.foreach(_.record(batchId, skewRobust))
       def shardAppend(): Unit = staged("shard") { shardRoot match {
@@ -702,6 +902,7 @@ object RefreshPipeline {
             .as("__pfp"))
         .filter(col("__pfp").isNotNull)
       var acceptedN = -1L // set by the publish body; -1 = body skipped
+      var acceptedArr: Array[String] = null // observed by the write job
       staged("ledger") { StoreFiles.publishOnce(
         s"$ledgerDir/.staging-b$batchId",
         new java.io.File(s"$ledgerDir/b$batchId"), { staging =>
@@ -722,17 +923,23 @@ object RefreshPipeline {
           // observed metrics — the separate aggregate-and-collect job
           // this replaced was one more per-trigger driver round-trip
           // over the same rows
+          // the accepted fingerprints themselves ride along too (the
+          // same micro-batch-bounded rows the single-task write already
+          // funnels), so the bloom advance below needs NO job at all
           val ob = org.apache.spark.sql.Observation(s"ledger-b$batchId")
           acceptedFps.observe(ob,
               coalesce(bit_or(expr(s"shiftleft(1L, int(pmod(" +
                 s"xxhash64(__pfp), $LedgerPrefixSpace)))")), lit(0L))
                 .as("__bits"),
-              count(lit(1)).as("__n"))
+              count(lit(1)).as("__n"),
+              collect_list(col("__pfp")).as("__fps"))
             .repartition(1)
             .write.mode("overwrite").parquet(staging)
           val agg = ob.get
           val bitmap = agg("__bits").asInstanceOf[Long]
           acceptedN = agg("__n").asInstanceOf[Long]
+          acceptedArr = agg("__fps").asInstanceOf[Seq[_]]
+            .map(_.asInstanceOf[String]).toArray
           if (acceptedN > LedgerSingleFileWarnRows)
             System.err.println(s"[graft] WARN ledger batch b$batchId " +
               s"holds ${agg("__n")} fingerprints (> " +
@@ -747,14 +954,19 @@ object RefreshPipeline {
       // merge AFTER the ledger publish: a trigger that fails anywhere
       // above leaves the bloom at its pre-trigger state, so the retry
       // references exactly prior ∪ earlier batches again
-      staged("bloomadv") { bloomAcc.foreach(_.advance(batchId,
-        // the ledger write already counted the accepted fingerprints —
-        // reuse it (None = nothing to merge); only a SKIPPED publish
-        // (re-delivered trigger, count unknown) still probes emptiness
-        if (acceptedN == 0L) None
-        else if (acceptedN > 0L) Some(acceptedFps)
-        else if (acceptedFps.isEmpty) None
-        else Some(acceptedFps))) }
+      staged("bloomadv") { bloomAcc.foreach { a =>
+        // the ledger write already OBSERVED the accepted fingerprints —
+        // fold them into the held bloom driver-side (putString: zero
+        // jobs, zero capacity-sized allocation; the DataFrame merge
+        // built a second corpus-capacity filter per trigger just to OR
+        // a few hundred members in). Only a SKIPPED publish
+        // (re-delivered trigger, nothing observed) still pays one
+        // bounded collect of the same micro-batch-contract rows.
+        val arr =
+          if (acceptedArr != null) acceptedArr
+          else acceptedFps.collect().map(_.getString(0))
+        a.advanceWith(batchId, arr)
+      } }
     } finally
       org.apache.spark.sql.graftglue.GraftGlue
         .releaseCheckpoint(cleaned)
@@ -816,7 +1028,7 @@ object RefreshPipeline {
     // the exact tier's bloom accumulator: capacity sized once for the
     // prior corpus plus generous accepted-history headroom (overflow
     // degrades fpp, never exactness — see FingerprintBloom)
-    val (priorFps, postings, refGrams, bloomAcc) =
+    val (priorFps, postings, refGrams, bloomAcc, fpIndex) =
       priorCaches(prior, benchmark, textCol, numHashes, bands, decontamN)
     // provider swap, set/restored exactly as StreamJoinScale does: the
     // session conf is read at query START, so set-before/restore-after
@@ -835,7 +1047,7 @@ object RefreshPipeline {
             idCol, textCol, numHashes, bands, threshold, decontamN,
             minMatches, indexDir, vecCol, bloomAcc = Some(bloomAcc),
             packSkew = packSkew, routeLog = routeLog,
-            ledgerLog = ledgerLog)
+            ledgerLog = ledgerLog, fpIndex = Some(fpIndex))
         }
         .start()
       q.awaitTermination()
@@ -852,6 +1064,7 @@ object RefreshPipeline {
       org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(priorFps)
       org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(postings)
       org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(refGrams)
+      fpIndex.release()
     }
   }
 
@@ -925,7 +1138,7 @@ object RefreshPipeline {
       s"compactEvery must be >= 1: $compactEvery")
     require(tierFanout.forall(_ >= 2),
       s"tierFanout must be >= 2: $tierFanout")
-    val (priorFps, postings, refGrams, bloomAcc) =
+    val (priorFps, postings, refGrams, bloomAcc, fpIndex) =
       priorCaches(prior, benchmark, textCol, numHashes, bands, decontamN)
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val providerPrev = prior.sparkSession.conf.getOption(providerKey)
@@ -993,7 +1206,8 @@ object RefreshPipeline {
             decontamN, minMatches, indexDir = None, vecCol,
             shardRoot = Some(shardRoot), indexRoot = indexRoot,
             bloomAcc = Some(bloomAcc), packSkew = packSkew,
-            routeLog = routeLog, ledgerLog = ledgerLog)
+            routeLog = routeLog, ledgerLog = ledgerLog,
+            fpIndex = Some(fpIndex))
           finishReady(force = false)
           if ((batchId + 1) % compactEvery == 0) {
             // depth > 0 at a scheduled point = the previous point's
@@ -1068,6 +1282,7 @@ object RefreshPipeline {
       org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(priorFps)
       org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(postings)
       org.apache.spark.sql.graftglue.GraftGlue.releaseCheckpoint(refGrams)
+      fpIndex.release()
     }
   }
 }
